@@ -1,0 +1,474 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.GraftFunctions._
+import graft.core._
+
+/** One registry entry: the Spark implementation plus (where ANSI-SQL can
+  * express it) the equivalent DuckDB oracle SQL the driver diffs against.
+  *
+  * Determinism rules applied throughout (so value-hash compare is exact):
+  *  - double SUMs go through DECIMAL (exact, order-independent) and stay
+  *    DECIMAL(38,10) in the output — identical digits in Spark and DuckDB;
+  *  - every query ends in a total ORDER BY;
+  *  - column names are aliased identically on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** SUM(double) with exact, engine-independent semantics. Result stays
+    * DECIMAL(38,10) — casting back to double is NOT portable (DuckDB's
+    * decimal->double conversion is not correctly rounded, Spark's is), so
+    * both sides emit the exact decimal and the compare is bit-identical. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 10))).cast(DecimalType(38, 10))
+
+  // ---------------------------------------------------------------------
+  // Reference dataflow shapes (SURVEY §2.A / §2.E)
+  // ---------------------------------------------------------------------
+
+  private val analytics: Seq[QueryDef] = Seq(
+    // TPC-H Q1-shaped pricing summary: the flagship scan+agg. Filter is
+    // pushed to the parquet scan; aggregation is partial (map-side) then
+    // final — 2-phase, no wide shuffle beyond the 9-group exchange.
+    QueryDef("q1_lineitem_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // 3-way join + top-k revenue (TPC-H Q3 shape). customer/orders sides are
+    // filtered before the join; AQE broadcasts the small build sides.
+    QueryDef("q3_top_revenue",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // A1 shape: the incremental half-open window filter
+    // (prev_end, cur_end] — ref incremental_log.sql:53-82. Catalyst pushes
+    // both bounds into the parquet scan (PushedFilters).
+    QueryDef("a1_window_filter",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("timestamp") > lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate").cast("timestamp") <= lit("1996-07-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1996-01-01 00:00:00'
+          AND CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // A3 shape: distinct touched day-partitions of a batch
+    // (ref partition_helpers.sql:18-23).
+    QueryDef("a3_partitions_distinct",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-03-01").cast("timestamp"))
+          .select(to_date(col("o_orderdate")).as("part_date"))
+          .distinct()
+          .orderBy("part_date"),
+      Some("""
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS part_date
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+        ORDER BY part_date""")),
+
+    // A6 shape: top-1 by window end — the reference's
+    // `qualify row_number() over (order by runWindowEnd desc) = 1`
+    // (log_helpers.sql:100-106), here per event_type.
+    QueryDef("a6_window_top1",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy("event_type").orderBy(desc("ts"), desc("event_id"))
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us
+        FROM (
+          SELECT event_type, event_id, ts,
+                 row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) q
+        WHERE rn = 1
+        ORDER BY event_type""")),
+
+    // Events: JSON prop extraction + per-type rollup (harness extension;
+    // reference has no JSON but events.props is a JSON string).
+    QueryDef("events_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("value"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
+  )
+
+  // ---------------------------------------------------------------------
+  // Scalar function library demos (SURVEY §2.D) — each oracle states the
+  // expected result through an independent formulation.
+  // ---------------------------------------------------------------------
+
+  private val dfuncs: Seq[QueryDef] = Seq(
+    // D1: roundtrip ints (incl. sign bit set) through 4-byte BYTES.
+    QueryDef("d01_bytes4_to_int32",
+      (s, dir) => {
+        val k = pmod(col("l_orderkey"), lit(100000L))
+        val x = when(pmod(col("l_linenumber"), lit(2)) === 1, k + lit(2147483648L)).otherwise(k)
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            bytes4ToInt32(unhex(lpad(hex(x), 8, "0"))).as("decoded"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 2 = 1
+                    THEN (l_orderkey % 100000) + 2147483648 - 4294967296
+                    ELSE l_orderkey % 100000 END AS decoded
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // D2: base64 ordinal of a text character (spaces/etc -> NULL).
+    QueryDef("d02_base64_map",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            base64Map(col("text"), (pmod(col("doc_id"), lit(20L)) + 1).cast("int")).as("ord"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               NULLIF(CASE WHEN substr(text, CAST(doc_id % 20 + 1 AS INT), 1) = '' THEN -1
+                           ELSE strpos('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/',
+                                       substr(text, CAST(doc_id % 20 + 1 AS INT), 1)) - 1 END,
+                      -1) AS ord
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // D3: hex nibble ordinal over md5 text digests.
+    QueryDef("d03_hex_map",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            hexMap(md5(col("text")), (pmod(col("doc_id"), lit(32L)) + 1).cast("int")).as("nib"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               NULLIF(strpos('0123456789abcdef',
+                             lower(substr(md5(text), CAST(doc_id % 32 + 1 AS INT), 1))) - 1,
+                      -1) AS nib
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // D4: byte-order reversal of hex strings, with and without 0x.
+    QueryDef("d04_reverse_hex_bytes",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            reverseHexBytes(md5(col("text"))).as("rev"),
+            reverseHexBytes(concat(lit("0x"), md5(col("text"))), add0x = true).as("rev0x"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               array_to_string(list_reverse(regexp_extract_all(md5(text), '..')), '') AS rev,
+               '0x' || array_to_string(list_reverse(regexp_extract_all(md5(text), '..')), '') AS rev0x
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // D5: hex->int64 with 0x/0X prefixes and overflow->NULL.
+    QueryDef("d05_hex_to_int",
+      (s, dir) => {
+        val v = pmod(col("l_linenumber"), lit(4))
+        val h = when(v === 0, hex(col("l_orderkey")))
+          .when(v === 1, concat(lit("0x"), lower(hex(col("l_orderkey")))))
+          .when(v === 2, concat(lit("0X"), hex(col("l_orderkey"))))
+          .otherwise(lit("ffffffffffffffff"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), hexToInt(h).as("decoded"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 4 = 3 THEN NULL ELSE l_orderkey END AS decoded
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // D6: single radix-16 digit to 4 bits.
+    QueryDef("d06_digit_to_bitstring",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            digitToBitstring(pmod(col("p_partkey"), lit(16L)), 16).as("bits"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, lpad(bin(p_partkey % 16), 4, '0') AS bits
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // D7: fixed-width bitstring incl. negative two's complement.
+    QueryDef("d07_value_to_bitstring",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            valueToBitstring(pmod(col("p_partkey"), lit(1000L)) - 500, 16).as("bits"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+               array_to_string(
+                 list_transform(range(15, -1, -1),
+                                i -> (((p_partkey % 1000 - 500) >> i) & 1)::VARCHAR),
+                 '') AS bits
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // D8: bitstring -> int roundtrip.
+    QueryDef("d08_bitstring_to_int",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            bitstringToInt(valueToBitstring(pmod(col("p_partkey"), lit(60000L)), 16)).as("decoded"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, p_partkey % 60000 AS decoded
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // D9/D10/D11: IEEE-754 decode/reassemble. Exponent kept in [0,5] and the
+    // 52-bit fraction a multiple of 2^22 so every intermediate double is
+    // exact and ROUND(...,5) can never straddle an engine-dependent tie.
+    QueryDef("d09_double_components",
+      (s, dir) => {
+        val e = pmod(col("p_partkey"), lit(6L))             // 0..5
+        val sign = pmod(col("p_partkey"), lit(2L))
+        val m52 = pmod(col("p_partkey"), lit(1048576L)) * lit(4194304L)
+        val expBits = valueToBitstring(e + lit(1023L), 11)
+        val fracBits = valueToBitstring(m52, 52)
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            doubleUnbiasedExponent(expBits).as("exp_decoded"),
+            doubleMantissa(fracBits).as("mantissa"),
+            doubleFromComponents(sign, doubleMantissa(fracBits),
+              doubleUnbiasedExponent(expBits)).as("value"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               p_partkey % 6 AS exp_decoded,
+               1.0 + (p_partkey % 1048576) * 4194304 * power(2.0, -52) AS mantissa,
+               round((CASE WHEN p_partkey % 2 = 1 THEN -1.0 ELSE 1.0 END)
+                     * (1.0 + (p_partkey % 1048576) * 4194304 * power(2.0, -52))
+                     * power(2.0, p_partkey % 6), 5) AS value
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // D12: RFC-4122 v5 UUIDs vs python uuid.uuid5 ground truth
+    // (namespace 3bfbbd36-410b-43fa-999a-bb990a6db5c7, names 'doc-<id>').
+    QueryDef("d12_uuid_v5",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            uuidV5(concat(lit("doc-"), col("doc_id").cast("string")),
+              "3bfbbd36-410b-43fa-999a-bb990a6db5c7").as("uuid"))
+          .orderBy("doc_id"),
+      Some {
+        val vectors = Seq(
+          0 -> "09a3ebed-dffb-5041-b2ad-9a568fdebd87",
+          1 -> "2523681b-c254-55d2-8ff8-fcae0b95c5ac",
+          2 -> "346c9f6b-c7b1-5ec8-962f-66e4d34bd837",
+          3 -> "a79d5bb9-e916-51ee-9301-497e9e33f003",
+          4 -> "dac23d6d-0517-5e66-9f65-723c2b478445",
+          5 -> "1cda363c-7ee8-54b9-a442-3c3588aeca6d",
+          6 -> "43233d10-6556-5c18-842e-b691e9cc5d06",
+          7 -> "cfcc1539-5780-51b4-a0a6-a4e53af65147",
+          8 -> "62073432-9f48-5481-ae14-2c3af33b9f35",
+          9 -> "a03664a8-9070-5a68-a579-19d58f4301f5",
+          10 -> "fed6af5c-b19c-5a0a-b1ee-c1f22f8e920f",
+          11 -> "a343cf14-e847-5e29-8742-07b3a17cd1b3",
+          12 -> "4774f953-d3bb-5f60-adc6-764a5135bdd0",
+          13 -> "98739063-3e70-55f2-b3ed-c5fe65b65a79",
+          14 -> "43ea7e03-2b61-5dc7-8cbc-c18fe571d3d6",
+          15 -> "6119a580-70d8-5b33-bfb6-19a8ebd1090c",
+          16 -> "c13385f6-6012-5356-a020-ba3f85c3c496",
+          17 -> "c9f93de5-f954-59eb-9ffa-df61264f26c1",
+          18 -> "98dbbb8c-c40e-561f-9b4b-464d0f11f268",
+          19 -> "1a2b658c-678b-543e-b434-c24b9e340641")
+        val values = vectors.map { case (i, u) => s"($i, '$u')" }.mkString(", ")
+        s"""
+        SELECT d.doc_id, v.uuid
+        FROM documents d
+        JOIN (VALUES $values) v(doc_id, uuid) ON d.doc_id = v.doc_id
+        WHERE d.doc_id < 20
+        ORDER BY d.doc_id"""
+      }),
+
+    // D13: quote escaping (driver-side string function, demonstrated through
+    // a literal frame; oracle builds the expected strings with chr()).
+    QueryDef("d13_quote_replace",
+      (s, dir) => {
+        val cases = Seq("it's", "say \"hi\"", "plain", "'''", "a\"b'c")
+        val rows = cases.zipWithIndex.map { case (in, i) => (i, in, QuoteReplace(in)) }
+        s.createDataFrame(rows).toDF("case_id", "input", "escaped").orderBy("case_id")
+      },
+      Some {
+        val cases = Seq("it's", "say \"hi\"", "plain", "'''", "a\"b'c")
+        def sqlStr(v: String): String =
+          if (v.isEmpty) "''"
+          else v.map(c => s"chr(${c.toInt})").mkString("(", " || ", ")")
+        val values = cases.zipWithIndex.map { case (in, i) =>
+          s"(${i}, ${sqlStr(in)}, ${sqlStr(QuoteReplace(in))})"
+        }.mkString(", ")
+        s"""
+        SELECT case_id, input, escaped
+        FROM (VALUES $values) v(case_id, input, escaped)
+        ORDER BY case_id"""
+      })
+  )
+
+  // ---------------------------------------------------------------------
+  // Naming / config policy (SURVEY §2.B) — pure functions demonstrated over
+  // a case table; oracle is the expected VALUES (cross-checked in CoreSpec).
+  // ---------------------------------------------------------------------
+
+  private val policy: Seq[QueryDef] = Seq(
+    QueryDef("b1_naming_policy",
+      (s, dir) => {
+        val cases: Seq[(Int, String, String, String, String, String, String)] = Seq(
+          // (id, ctx, domain, group, layer, name, version)
+          (1, "", "sales", "orders", "dataproduct", "daily", ""),
+          (2, "", "sales", "orders", "curated", "daily", ""),
+          (3, "dev", "sales", "orders", "dataproduct", "daily", ""),
+          (4, "ci", "sales", "orders", "curated", "daily", ""),
+          (5, "", "iot", "meters", "staging", "readings", "2.0"),
+          (6, "", "iot", "meters", "dataproduct", "readings", "1.0"),
+          (7, "", "iot", "meters", "dataproduct", "readings", "10.0"),
+          (8, "", "iot", "meters", "dataproduct", "readings", "1.1"),
+          (9, "", "iot", "meters", "dataproduct", "readings", "2.1.3"))
+        val rows = cases.map { case (id, ctx, domain, group, layer, name, ver) =>
+          val env = Env.fromContext(ctx)
+          val ref = ModelRef(domain, group, layer, name)
+          val schema = Naming.schemaFor(env, ref, "default_schema", userId = "7")
+          val alias = Naming.aliasFor(ref, Some(ver).filter(_.nonEmpty))
+          val deployed = Naming.deployedRelation(env,
+            TableId("proj", schema, alias), ref).schema
+          (id, schema, alias, deployed)
+        }
+        s.createDataFrame(rows).toDF("case_id", "schema_name", "alias_name", "deployed_schema")
+          .orderBy("case_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, 'sales_orders', 'daily', 'sales_orders'),
+          (2, 'sales_orders_curated', 'daily', 'sales_orders_curated'),
+          (3, 'dbt_cloud_user_7', 'daily', 'sales_orders'),
+          (4, 'default_schema', 'daily', 'sales_orders_curated'),
+          (5, 'iot_meters_curated', 'readings_v2', 'iot_meters_curated'),
+          (6, 'iot_meters', 'readings', 'iot_meters'),
+          (7, 'iot_meters', 'readings', 'iot_meters'),
+          (8, 'iot_meters', 'readings_v1-1', 'iot_meters'),
+          (9, 'iot_meters', 'readings_v2-1-3', 'iot_meters')
+        ) v(case_id, schema_name, alias_name, deployed_schema)
+        ORDER BY case_id""")),
+
+    QueryDef("a10_history_limit",
+      (s, dir) => {
+        val start = "2024-01-01 00:00:00.000000 UTC"
+        val end = "2024-03-01 00:00:00.000000 UTC"
+        val cases: Seq[(Int, String)] = Seq(
+          (1, HistoryLimit(None, Some(start), end, Env.Prod)),
+          (2, HistoryLimit(Some(10), Some(start), end, Env.Prod)),
+          (3, HistoryLimit(Some(90), Some(start), end, Env.Prod)),
+          (4, HistoryLimit(Some(30), Some(start), end, Env.Dev)),
+          (5, HistoryLimit(Some(30), Some(start), end, Env.Ci, Some(5))),
+          (6, HistoryLimit(Some(10), None, end, Env.Prod)),
+          (7, HistoryLimit.adjusted(Some(90), Some(start), end, Env.Prod,
+            Some("2024-02-01 00:00:00.000000 UTC"))),
+          (8, HistoryLimit.adjusted(Some(5), Some(start), end, Env.Prod,
+            Some("2024-02-01 00:00:00.000000 UTC"))))
+        s.createDataFrame(cases).toDF("case_id", "window_end").orderBy("case_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, '2024-03-01 00:00:00.000000 UTC'),
+          (2, '2024-01-11 00:00:00.000000 UTC'),
+          (3, '2024-03-01 00:00:00.000000 UTC'),
+          (4, '2024-01-02 00:00:00.000000 UTC'),
+          (5, '2024-01-06 00:00:00.000000 UTC'),
+          (6, '2024-03-01 00:00:00.000000 UTC'),
+          (7, '2024-02-01 00:00:00.000000 UTC'),
+          (8, '2024-01-06 00:00:00.000000 UTC')
+        ) v(case_id, window_end)
+        ORDER BY case_id"""))
+  )
+
+  /** All registered queries, in registration order. */
+  def all: Seq[QueryDef] = analytics ++ dfuncs ++ policy
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import GraftFunctions._
+
+class GraftFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Column
+
+  /** Evaluate a constant Column expression on a single row. */
+  private def eval(c: Column): Any = {
+    val r = spark.range(1).select(c.as("v")).collect()(0)
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("D1 bytes4ToInt32: positive, negative, edges") {
+    assert(eval(bytes4ToInt32(unhex(lit("00000001")))) == 1L)
+    assert(eval(bytes4ToInt32(unhex(lit("7FFFFFFF")))) == Int.MaxValue.toLong)
+    assert(eval(bytes4ToInt32(unhex(lit("80000000")))) == Int.MinValue.toLong)
+    assert(eval(bytes4ToInt32(unhex(lit("FFFFFFFF")))) == -1L)
+    assert(eval(bytes4ToInt32(unhex(lit("FFFFFFFE")))) == -2L)
+    assert(eval(bytes4ToInt32(lit(null).cast("binary"))) == null)
+  }
+
+  test("D2 base64Map: ordinal, zero-based, out-of-range -> NULL") {
+    assert(eval(base64Map(lit("AZaz09+/"), lit(1))) == 0L)   // 'A'
+    assert(eval(base64Map(lit("AZaz09+/"), lit(2))) == 25L)  // 'Z'
+    assert(eval(base64Map(lit("AZaz09+/"), lit(3))) == 26L)  // 'a'
+    assert(eval(base64Map(lit("AZaz09+/"), lit(8))) == 63L)  // '/'
+    assert(eval(base64Map(lit("AZaz09+/"), lit(0), zeroBased = true)) == 0L)
+    assert(eval(base64Map(lit("AB"), lit(5))) == null)       // past end
+    assert(eval(base64Map(lit("*B"), lit(1))) == null)       // not in alphabet
+  }
+
+  test("D3 hexMap: case-insensitive nibble ordinal") {
+    assert(eval(hexMap(lit("0fA"), lit(1))) == 0L)
+    assert(eval(hexMap(lit("0fA"), lit(2))) == 15L)
+    assert(eval(hexMap(lit("0fA"), lit(3))) == 10L) // 'A' lowercased
+    assert(eval(hexMap(lit("0f"), lit(9))) == null)
+    assert(eval(hexMap(lit("0fA"), lit(0), zeroBased = true)) == 0L)
+  }
+
+  test("D4 reverseHexBytes: reversal, 0x handling, involution") {
+    assert(eval(reverseHexBytes(lit("0a0b0c"))) == "0c0b0a")
+    assert(eval(reverseHexBytes(lit("0x0a0b0c"))) == "0c0b0a")
+    assert(eval(reverseHexBytes(lit("0a0b0c"), add0x = true)) == "0x0c0b0a")
+    assert(eval(reverseHexBytes(reverseHexBytes(lit("deadbeef")))) == "deadbeef")
+  }
+
+  test("D5 hexToInt: prefix stripping, overflow -> NULL like SAFE_CAST") {
+    assert(eval(hexToInt(lit("ff"))) == 255L)
+    assert(eval(hexToInt(lit("0xFF"))) == 255L)
+    assert(eval(hexToInt(lit("0Xff"))) == 255L)
+    assert(eval(hexToInt(lit("7fffffffffffffff"))) == Long.MaxValue)
+    assert(eval(hexToInt(lit("8000000000000000"))) == null) // > INT64 max
+    assert(eval(hexToInt(lit("ffffffffffffffff"))) == null)
+    assert(eval(hexToInt(lit("12345678901234567"))) == null) // 17 digits
+    assert(eval(hexToInt(lit("xyz"))) == null)
+    assert(eval(hexToInt(lit(""))) == null)
+  }
+
+  test("D6/D7 bitstrings incl. negative two's complement") {
+    assert(eval(digitToBitstring(lit(5), 16)) == "0101")
+    assert(eval(digitToBitstring(lit(0), 16)) == "0000")
+    assert(eval(digitToBitstring(lit(9), 10)) == "1001") // width ceil(log2(10)) = 4
+    assert(eval(valueToBitstring(lit(5), 8)) == "00000101")
+    assert(eval(valueToBitstring(lit(-1), 8)) == "11111111")
+    assert(eval(valueToBitstring(lit(-2), 4)) == "1110")
+    assert(eval(valueToBitstring(lit(null), 4)) == null)
+  }
+
+  test("D8 bitstringToInt incl. roundtrip") {
+    assert(eval(bitstringToInt(lit("0101"))) == 5L)
+    assert(eval(bitstringToInt(lit("0"))) == 0L)
+    assert(eval(bitstringToInt(lit(""))) == null)
+    for (v <- Seq(0L, 1L, 255L, 65535L, 123456789L))
+      assert(eval(bitstringToInt(valueToBitstring(lit(v), 32))) == v)
+  }
+
+  test("D9/D10/D11 IEEE-754 decode reconstructs doubles (round 5)") {
+    // 6.5 = sign 0, exponent 2, mantissa 1.625; bits of 1.625-1 = .101
+    val frac = "101" + "0" * 49
+    val exp = valueToBitstring(lit(1025), 11) // biased: 2 + 1023
+    assert(eval(doubleUnbiasedExponent(exp)) == 2L)
+    assert(eval(doubleMantissa(lit(frac))) == 1.625)
+    assert(eval(doubleFromComponents(lit(0), doubleMantissa(lit(frac)),
+      doubleUnbiasedExponent(exp))) == 6.5)
+    assert(eval(doubleFromComponents(lit(1), doubleMantissa(lit(frac)),
+      doubleUnbiasedExponent(exp))) == -6.5)
+    // short frac bits coalesce to 0 (ref binary_conversions.sql:149)
+    assert(eval(doubleMantissa(lit("1"))) == 1.5)
+    // the ROUND(..., 5) is part of the contract
+    assert(eval(doubleFromComponents(lit(0), lit(1.0000000001), lit(0))) == 1.0)
+  }
+
+  test("D12 uuidV5 matches RFC 4122 (python uuid.uuid5 ground truth)") {
+    // python: uuid.uuid5(uuid.NAMESPACE_DNS, 'www.example.com')
+    assert(eval(uuidV5(lit("www.example.com"), "6ba7b810-9dad-11d1-80b4-00c04fd430c8"))
+      == "2ed6657d-e927-568b-95e1-2665a8aea6a2")
+    // python: uuid.uuid5(UUID('3bfbbd36-410b-43fa-999a-bb990a6db5c7'), name)
+    val ns = "3bfbbd36-410b-43fa-999a-bb990a6db5c7"
+    assert(eval(uuidV5(lit("hello"), ns)) == "21e9aa98-e7e5-5ce2-a17d-8b0e14c15c54")
+    assert(eval(uuidV5(lit(""), ns)) == "92ba3043-28cf-5cd8-9606-065a16ef705e")
+    assert(eval(uuidV5(lit("doc-0"), ns)) == "09a3ebed-dffb-5041-b2ad-9a568fdebd87")
+    // namespace normalization: dashes stripped, case-insensitive
+    assert(eval(uuidV5(lit("hello"), ns.toUpperCase))
+      == "21e9aa98-e7e5-5ce2-a17d-8b0e14c15c54")
+  }
+
+  test("version/variant nibbles are forced on every output") {
+    val ns = "3bfbbd36-410b-43fa-999a-bb990a6db5c7"
+    val rows = sf("sf0.001", "documents").limit(100)
+      .select(uuidV5(concat(lit("doc-"), col("doc_id")), ns).as("u"))
+      .collect().map(_.getString(0))
+    assert(rows.forall(u => u(14) == '5'), "version nibble must be 5")
+    assert(rows.forall(u => "89ab".contains(u(19))), "variant nibble must be 8/9/a/b")
+    assert(rows.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.materialize
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Env, ModelRef, TableId, Ts}
+import graft.runlog.{EventLog, Provenance}
+import graft.warehouse.Warehouse
+
+/** Config for the incremental_log materialization — the reference's
+  * config/meta surface (incremental_log.sql:9-27, macro_docs.yml:31-48). */
+final case class IncrementalLogConfig(
+    runWindowColumn: String = "insertTime",
+    maxHistoryLoadDays: Option[Int] = None,
+    maxHistoryLoadDaysDevCi: Option[Int] = None,
+    tableWindowEnd: Option[String] = None,
+    onSchemaChange: String = "ignore", // ignore|append_new_columns|sync_all_columns|fail
+    sourceTable: Option[TableId] = None) {
+  require(Set("ignore", "append_new_columns", "sync_all_columns", "fail")
+    .contains(onSchemaChange), s"invalid on_schema_change '$onSchemaChange'")
+}
+
+final case class RunWindow(start: String, end: String)
+
+/** A1 — windowed incremental append with a durable run-window log.
+  * Reference: macros/materialization/incremental_log.sql:1-170.
+  *
+  * Protocol per run:
+  *   1. prev_end  = last successful runWindowEnd from the log (A6; fallback
+  *      earliest source partition − 1µs, else 1900 default)
+  *   2. cur_end   = min(now, prev_end + max_history_load_days) (A10/A11)
+  *   3. log model_run_started (A4)
+  *   4. filter the model to (prev_end, cur_end] on run_window_column —
+  *      fresh builds apply only the upper bound in prod, BOTH bounds in
+  *      dev/ci non-full-refresh (incremental_log.sql:97-103)
+  *   5. fresh/full-refresh → overwrite; else append with explicit
+  *      column alignment and on_schema_change reconciliation
+  *   6. log model_run_succeeded
+  *
+  * Failure anywhere after (3) leaves NO success event, so the next run
+  * re-reads the same prev_end and re-covers the window: at-least-once,
+  * overlap rows duplicated by the blind append — the reference's exact
+  * late/failure semantics (SURVEY §3.1), preserved deliberately.
+  *
+  * Scale: the window predicate is a plain Column filter, so Catalyst pushes
+  * it into the parquet scan of whatever the model reads (PushedFilters) —
+  * the run touches only the window's row groups, never the full history.
+  */
+final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
+
+  def run(
+      model: () => DataFrame,
+      target: TableId,
+      ref: ModelRef,
+      env: Env,
+      cfg: IncrementalLogConfig = IncrementalLogConfig(),
+      fullRefresh: Boolean = false,
+      prov: Provenance = Provenance.empty,
+      now: () => String = () => Ts.format(java.time.Instant.now())): RunWindow = {
+
+    val logTable = log.logTableFor(target, ref.domain)
+    val runStarted = now()
+
+    // (1)+(2) window computation — driver-side, before any data moves
+    val prevEnd = log.lastSuccessfulRunWindowEnd(logTable, target, ref, env,
+      cfg.sourceTable.flatMap(log.earliestPartitionTimestamp))
+    val curEnd = graft.core.HistoryLimit.adjusted(
+      cfg.maxHistoryLoadDays, Some(prevEnd), runStarted, env,
+      cfg.tableWindowEnd, cfg.maxHistoryLoadDaysDevCi)
+
+    // (3) started event — BEFORE the build, exactly like the pre-statement
+    log.logModelEvent(logTable, target, ref, "model_run_started", prov,
+      runWindowStart = Some(prevEnd), runWindowEnd = Some(curEnd),
+      eventTimestamp = Some(java.sql.Timestamp.from(Ts.parse(runStarted))))
+
+    // (4) window filter — SAFE_CAST(col AS TIMESTAMP) bounds
+    val src = model()
+    val c = col(cfg.runWindowColumn).cast("timestamp")
+    val upper = c <= lit(curEnd.stripSuffix(" UTC")).cast("timestamp")
+    val lower = c > lit(prevEnd.stripSuffix(" UTC")).cast("timestamp")
+    val exists = wh.exists(target)
+
+    if (!exists || fullRefresh) {
+      // fresh create: prod/full-refresh -> upper bound only; dev/ci fresh
+      // non-full-refresh ALSO applies the lower bound (incremental_log.sql:102)
+      val filtered =
+        if (env.isDevCi && !fullRefresh) src.filter(upper && lower)
+        else src.filter(upper)
+      wh.overwrite(target, filtered)
+    } else {
+      val filtered = src.filter(upper && lower)
+      appendAligned(target, filtered, cfg.onSchemaChange)
+    }
+
+    // (6) success event
+    log.logModelEvent(logTable, target, ref, "model_run_succeeded", prov,
+      runWindowStart = Some(prevEnd), runWindowEnd = Some(curEnd))
+    RunWindow(prevEnd, curEnd)
+  }
+
+  /** Column-aligned append with schema-drift reconciliation
+    * (incremental_log.sql:114-151 via dbt process_schema_changes). */
+  private def appendAligned(target: TableId, batch: DataFrame, onSchemaChange: String): Unit = {
+    val tgtSchema = wh.read(target).schema
+    val tgtCols = tgtSchema.fieldNames.toSeq
+    val batchCols = batch.schema.fieldNames.toSeq
+    val newCols = batchCols.filterNot(tgtCols.contains)
+    val missingCols = tgtCols.filterNot(batchCols.contains)
+
+    onSchemaChange match {
+      case "ignore" =>
+        // dest cols = target's columns, selected verbatim from the batch —
+        // a batch missing a target column is an error, extra batch columns
+        // are dropped (incremental_log.sql:140-151)
+        wh.append(target, batch.select(tgtCols.map(col): _*))
+      case "fail" =>
+        if (newCols.nonEmpty || missingCols.nonEmpty)
+          throw new IllegalStateException(
+            s"on_schema_change=fail: schema drift (new=$newCols, missing=$missingCols)")
+        wh.append(target, batch.select(tgtCols.map(col): _*))
+      case "append_new_columns" =>
+        // target gains batch's new columns (BigQuery ALTER ADD COLUMN is
+        // metadata-only; the parquet analog is schema-merged reads — see
+        // Warehouse.read). Existing files simply lack the column -> NULL.
+        val dest = tgtCols ++ newCols
+        val aligned = missingCols.foldLeft(batch) { (df, m) =>
+          df.withColumn(m, lit(null).cast(tgtSchema(m).dataType))
+        }
+        wh.append(target, aligned.select(dest.map(col): _*))
+      case "sync_all_columns" =>
+        // add new + drop removed. Parquet can't drop a column as metadata,
+        // so sync with drops rewrites the surviving projection — explicit,
+        // rare, and the only non-incremental path here.
+        if (missingCols.nonEmpty) {
+          val survivors = tgtCols.filter(batchCols.contains) ++ newCols
+          val rewritten = wh.read(target)
+            .select(survivors.filter(tgtCols.contains).map(col): _*)
+          val withNew = newCols.foldLeft(rewritten) { (df, n) =>
+            df.withColumn(n, lit(null).cast(batch.schema(n).dataType))
+          }
+          wh.overwrite(target, withNew.select(survivors.map(col): _*))
+          wh.append(target, batch.select(survivors.map(col): _*))
+        } else {
+          wh.append(target, batch.select((tgtCols ++ newCols).map(col): _*))
+        }
+    }
+  }
+}

@@ -1,0 +1,219 @@
+package graft.runlog
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Env, HistoryLimit, ModelRef, Naming, TableId, Ts}
+import graft.warehouse.Warehouse
+
+/** One row of the run-event log — the reference's 19-column event table
+  * (log_helpers.sql:46-73, SURVEY §1.4). Field names match the reference
+  * exactly so the log is a drop-in artifact. */
+final case class RunEvent(
+    eventId: String,
+    eventTimestamp: Timestamp,
+    eventType: String,
+    bigQueryProjectId: String,
+    bigQueryDatasetId: String,
+    bigQueryTableId: String,
+    dbtModelName: String,
+    dbtNodeUniqueId: String,
+    dbtInvocationId: String,
+    dbtInvocationContext: Option[String],
+    dbtJobId: Option[String],
+    dbtRunId: Option[String],
+    dbtRunReasonCategory: Option[String],
+    dbtRunReason: Option[String],
+    dbtGitSha: Option[String],
+    runWindowStart: Option[Timestamp],
+    runWindowEnd: Option[Timestamp],
+    eventMessage: Option[String],
+    insertTime: Timestamp)
+
+/** Run provenance from the environment — cloud_env_sql_values
+  * (log_helpers.sql:146-162): each env var becomes a value or NULL. */
+final case class Provenance(
+    invocationContext: Option[String],
+    jobId: Option[String],
+    runId: Option[String],
+    runReasonCategory: Option[String],
+    runReason: Option[String],
+    gitSha: Option[String])
+object Provenance {
+  def fromEnv(env: Map[String, String] = sys.env): Provenance = {
+    def g(k: String) = env.get(k).filter(_.nonEmpty)
+    Provenance(
+      g("DBT_CLOUD_INVOCATION_CONTEXT"),
+      g("DBT_CLOUD_JOB_ID"),
+      g("DBT_CLOUD_RUN_ID"),
+      g("DBT_CLOUD_RUN_REASON_CATEGORY"),
+      g("DBT_CLOUD_RUN_REASON"),
+      g("DBT_CLOUD_GIT_SHA"))
+  }
+  val empty: Provenance = Provenance(None, None, None, None, None, None)
+}
+
+/** The durable run-event log: append-only table + the window-lookup
+  * protocol (SURVEY §2.A4-A12). Location is DERIVED from the model relation,
+  * not configured: <project>.<domain>_dbt_raw.<domain>_dbt_event_log
+  * (log_helpers.sql:2-18). */
+final class EventLog(wh: Warehouse, spark: SparkSession) {
+  import spark.implicits._
+
+  /** Allowed event types (log_helpers.sql:28-31). */
+  val AllowedTypes: Set[String] =
+    Set("model_run_started", "model_run_succeeded", "model_run_failed")
+
+  def logTableFor(rel: TableId, domain: String): TableId =
+    Naming.logTableFor(rel, domain)
+
+  /** A4 — append one typed event row (log_model_event,
+    * log_helpers.sql:21-74). One-row driver-built DataFrame; the append is
+    * a single tiny file per event, exactly like the reference's single-row
+    * INSERT. */
+  def logModelEvent(
+      logTable: TableId,
+      rel: TableId,
+      ref: ModelRef,
+      eventType: String,
+      prov: Provenance = Provenance.empty,
+      runWindowStart: Option[String] = None,
+      runWindowEnd: Option[String] = None,
+      message: Option[String] = None,
+      eventTimestamp: Option[Timestamp] = None,
+      invocationId: String = UUID.randomUUID().toString): RunEvent = {
+    require(AllowedTypes.contains(eventType),
+      s"Event type needs to be one of $AllowedTypes, got '$eventType'")
+    val now = new Timestamp(System.currentTimeMillis())
+    val ev = RunEvent(
+      eventId = UUID.randomUUID().toString,
+      eventTimestamp = eventTimestamp.getOrElse(now),
+      eventType = eventType,
+      bigQueryProjectId = rel.database,
+      bigQueryDatasetId = rel.schema,
+      bigQueryTableId = rel.fqn, // FULL 3-part id (log_helpers.sql:6,54)
+      dbtModelName = ref.name,
+      dbtNodeUniqueId = s"model.${ref.domain}.${ref.name}",
+      dbtInvocationId = invocationId,
+      dbtInvocationContext = prov.invocationContext,
+      dbtJobId = prov.jobId,
+      dbtRunId = prov.runId,
+      dbtRunReasonCategory = prov.runReasonCategory,
+      dbtRunReason = prov.runReason,
+      dbtGitSha = prov.gitSha,
+      runWindowStart = runWindowStart.map(s => Timestamp.from(Ts.parse(s))),
+      runWindowEnd = runWindowEnd.map(s => Timestamp.from(Ts.parse(s))),
+      eventMessage = message,
+      insertTime = now)
+    wh.append(logTable, Seq(ev).toDF())
+    ev
+  }
+
+  def readLog(logTable: TableId): DataFrame =
+    if (wh.exists(logTable)) wh.read(logTable)
+    else spark.emptyDataset[RunEvent].toDF()
+
+  /** Top-1 lookup on ONE table id — the QUALIFY row_number()=1 query
+    * (log_helpers.sql:100-106). orderBy(desc).limit(1) gives Catalyst a
+    * TakeOrderedAndProject: no full sort, no full shuffle, scales with
+    * log size. */
+  private def lookupEnd(logTable: TableId, tableId: String): Option[String] = {
+    if (!wh.exists(logTable)) return None
+    wh.read(logTable)
+      .filter(col("bigQueryTableId") === tableId &&
+        col("eventType") === "model_run_succeeded" &&
+        col("runWindowEnd").isNotNull)
+      .orderBy(desc("runWindowEnd"))
+      .limit(1)
+      .select(col("runWindowEnd"))
+      .collect()
+      .headOption
+      .map(r => Ts.format(r.getTimestamp(0).toInstant))
+  }
+
+  /** A6 — last successful window end with the reference's full fallback
+    * chain (log_helpers.sql:77-143): in dev/ci look up the PROD table id
+    * first (project.<domain>_<group>[_<layer>].table — no suffix for layer
+    * 'dataproduct', log_helpers.sql:94-98), then the dev/ci id itself; if
+    * neither has events, bootstrap from the earliest source partition (A9);
+    * else the 1900 default. Ids are full `project.dataset.table` strings. */
+  def lastSuccessfulRunWindowEnd(
+      logTable: TableId,
+      rel: TableId,
+      ref: ModelRef,
+      env: Env,
+      earliestSourcePartition: => Option[String] = None): String = {
+    val ids: Seq[String] =
+      if (env.isDevCi) {
+        val dsSuffix = if (ref.layer == "dataproduct") "" else s"_${ref.layer}"
+        val prodDataset = s"${ref.domain}_${ref.group}$dsSuffix"
+        Seq(s"${rel.database}.$prodDataset.${rel.identifier}", rel.fqn)
+      } else Seq(rel.fqn)
+    ids.distinct.view
+      .flatMap(id => lookupEnd(logTable, id))
+      .headOption
+      .orElse(earliestSourcePartition)
+      .getOrElse(Ts.Default)
+  }
+
+  /** A9 — bootstrap lower bound from the earliest partition of a source
+    * table, minus 1 microsecond so boundary rows survive the strict `>`
+    * lower bound (log_helpers.sql:307-334). Metadata-only (directory
+    * listing), no scan. */
+  def earliestPartitionTimestamp(source: TableId): Option[String] =
+    wh.listPartitions(source).headOption.map { d =>
+      val midnight = d.toLocalDate.atStartOfDay.toInstant(java.time.ZoneOffset.UTC)
+      Ts.format(midnight.minusNanos(1000L))
+    }
+
+  /** A7 — pre-hook: compute the run window and log model_run_started
+    * (log_helpers.sql:165-188). Returns (windowStart, windowEnd). */
+  def started(
+      logTable: TableId, rel: TableId, ref: ModelRef, env: Env,
+      maxHistoryLoadDays: Option[Int] = None,
+      maxHistoryLoadDaysDevCi: Option[Int] = None,
+      tableWindowEnd: Option[String] = None,
+      prov: Provenance = Provenance.empty,
+      now: () => String = () => Ts.format(java.time.Instant.now())): (String, String) = {
+    val w = computeWindow(logTable, rel, ref, env, maxHistoryLoadDays,
+      maxHistoryLoadDaysDevCi, tableWindowEnd, now)
+    logModelEvent(logTable, rel, ref, "model_run_started", prov,
+      runWindowStart = Some(w._1), runWindowEnd = Some(w._2))
+    w
+  }
+
+  /** A7 — post-hook: RE-compute the window identically (reading the log
+    * BEFORE this run's success event exists — order is part of the
+    * contract, SURVEY §3.3) and log model_run_succeeded. */
+  def succeeded(
+      logTable: TableId, rel: TableId, ref: ModelRef, env: Env,
+      window: (String, String),
+      prov: Provenance = Provenance.empty): RunEvent =
+    logModelEvent(logTable, rel, ref, "model_run_succeeded", prov,
+      runWindowStart = Some(window._1), runWindowEnd = Some(window._2))
+
+  def failed(
+      logTable: TableId, rel: TableId, ref: ModelRef,
+      message: String,
+      prov: Provenance = Provenance.empty): RunEvent =
+    logModelEvent(logTable, rel, ref, "model_run_failed", prov,
+      message = Some(message))
+
+  /** Window = (lastSuccessfulEnd, min(now, start + maxDays)] — the shared
+    * computation of A6 + A10/A11. */
+  def computeWindow(
+      logTable: TableId, rel: TableId, ref: ModelRef, env: Env,
+      maxHistoryLoadDays: Option[Int],
+      maxHistoryLoadDaysDevCi: Option[Int] = None,
+      tableWindowEnd: Option[String] = None,
+      now: () => String = () => Ts.format(java.time.Instant.now()),
+      earliestSourcePartition: => Option[String] = None): (String, String) = {
+    val start = lastSuccessfulRunWindowEnd(logTable, rel, ref, env, earliestSourcePartition)
+    val end = HistoryLimit.adjusted(maxHistoryLoadDays, Some(start), now(), env,
+      tableWindowEnd, maxHistoryLoadDaysDevCi)
+    (start, end)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.core.TableId
+
+/** Parquet-backed warehouse: resolves a 3-part `TableId` (the reference's
+  * BigQuery `project.dataset.table`) to a filesystem path and owns all
+  * physical reads/writes. Mirrors the reference's BigQuery DDL surface
+  * (CTAS / INSERT / partitioned MERGE targets — SURVEY §2.E sinks).
+  *
+  * Scale posture: tables are day-partitioned directories
+  * (`part_date=YYYY-MM-DD`) so partition pruning works at any size;
+  * partition listing and size stats are metadata operations (file listing),
+  * never data scans — the analog of the reference reading
+  * INFORMATION_SCHEMA.PARTITIONS / __TABLES__ instead of the data
+  * (log_helpers.sql:308-318, register_dataproduct_metadata.sql:36-40).
+  */
+final class Warehouse(val root: String, spark: SparkSession) {
+
+  /** Physical partition column used for all day-partitioned tables. */
+  val PartCol = "part_date"
+
+  def pathOf(id: TableId): String =
+    s"$root/${id.database}/${id.schema}/${id.identifier}"
+
+  private def hadoopPath(id: TableId) = new Path(pathOf(id))
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(id: TableId): Boolean = {
+    val p = hadoopPath(id)
+    fs(p).exists(p)
+  }
+
+  /** mergeSchema=true is the parquet analog of BigQuery's metadata-only
+    * ALTER TABLE ADD COLUMN: on_schema_change=append_new_columns appends
+    * files with the widened schema and reads reconcile by name (older files
+    * surface NULL for the new column). A table created empty has only the
+    * `_schema` sidecar (ignored by data reads — underscore prefix), so fall
+    * back to it when no data files exist yet. */
+  def read(id: TableId): DataFrame =
+    try spark.read.option("mergeSchema", "true").parquet(pathOf(id))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" &&
+            fs(hadoopPath(id)).exists(new Path(pathOf(id) + "/_schema")) =>
+        spark.read.parquet(pathOf(id) + "/_schema")
+    }
+
+  /** Create a table that exists but has zero rows (the reference's
+    * empty-batch first run, incremental_partition_merge.sql:277-287).
+    * Parquet needs at least one footer to carry a schema; an empty file in
+    * the underscore-hidden `_schema` dir provides it without polluting the
+    * partitioned data layout. */
+  def createEmpty(id: TableId, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(pathOf(id) + "/_schema")
+
+  /** Read ONLY the given day-partitions of a partitioned table. The filter
+    * is on the partition column, so Catalyst resolves it at planning time
+    * (PartitionFilters) — only the matching directories are listed/scanned,
+    * which is what makes a 100 TB target table cheap to merge into. */
+  def readPartitions(id: TableId, dates: Seq[java.sql.Date]): DataFrame =
+    read(id).filter(col(PartCol).isin(dates.map(_.toString): _*))
+
+  /** CTAS analog (bq_create_table_as — incremental_log.sql:97-103). */
+  def overwrite(id: TableId, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(pathOf(id))
+
+  /** INSERT INTO analog (incremental_log.sql:144-151). Column order is
+    * aligned by the caller; parquet append is by-name on read. */
+  def append(id: TableId, df: DataFrame): Unit =
+    df.write.mode("append").parquet(pathOf(id))
+
+  /** Create/replace a day-partitioned table; `df` must carry `part_date`. */
+  def overwritePartitioned(id: TableId, df: DataFrame): Unit =
+    df.write.mode("overwrite").partitionBy(PartCol).parquet(pathOf(id))
+
+  def appendPartitioned(id: TableId, df: DataFrame): Unit =
+    df.write.mode("append").partitionBy(PartCol).parquet(pathOf(id))
+
+  /** Rewrite ONLY the partitions present in `df`, leaving all others
+    * untouched — the analog of the reference's partition-pruned MERGE
+    * (incremental_partition_merge.sql:247-265). `partitionOverwriteMode=
+    * dynamic` scoped to this write, not the session. */
+  def overwriteTouchedPartitions(id: TableId, df: DataFrame): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartCol)
+      .parquet(pathOf(id))
+
+  /** Partition inventory from directory names — the analog of
+    * INFORMATION_SCHEMA.PARTITIONS (log_helpers.sql:308-318). Metadata-only:
+    * no data files are opened. */
+  def listPartitions(id: TableId): Seq[java.sql.Date] = {
+    val p = hadoopPath(id)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else
+      f.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$PartCol="))
+        .map(_.stripPrefix(s"$PartCol="))
+        .filterNot(v => v == "__HIVE_DEFAULT_PARTITION__")
+        .map(java.sql.Date.valueOf)
+        .sorted
+  }
+
+  /** Row/byte size stats — the analog of `__TABLES__` row_count/size_bytes
+    * (register_dataproduct_metadata.sql:36-40). Bytes from file metadata;
+    * row count is the one real scan (count-star over parquet footers is
+    * cheap: metadata-only aggregate). */
+  def sizeInfo(id: TableId): (Long, Long) = {
+    val p = hadoopPath(id)
+    val bytes = fs(p).getContentSummary(p).getLength
+    val rows = read(id).count()
+    (rows, bytes)
+  }
+
+  def drop(id: TableId): Unit = {
+    val p = hadoopPath(id)
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+}
+
+/** Recursive schema flattening to dotted field paths — the analog of
+  * INFORMATION_SCHEMA.COLUMN_FIELD_PATHS (validate_dataproduct.sql:103-118,
+  * register_dataproduct_metadata.sql:51-74). */
+object SchemaPaths {
+  def flatten(schema: StructType, prefix: String = ""): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap { case StructField(name, dt, _, _) =>
+      val path = if (prefix.isEmpty) name else s"$prefix.$name"
+      dt match {
+        case st: StructType =>
+          (path, st.simpleString) +: flatten(st, path)
+        case other => Seq((path, other.simpleString))
+      }
+    }
+}

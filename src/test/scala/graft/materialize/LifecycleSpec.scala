@@ -1,0 +1,349 @@
+package graft.materialize
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.runlog._
+import graft.warehouse.Warehouse
+
+/** Lifecycle/state tests over a tmp warehouse (SURVEY §5.3): windowing,
+  * at-least-once duplication on failure, bootstrap, merge insert/update/
+  * recency/whitelist/partition-pruning semantics. */
+class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("lifecycle-test")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def freshWh(): Warehouse =
+    new Warehouse(Files.createTempDirectory("graft_wh_").toString, spark)
+
+  private val ref = ModelRef("sales", "orders", "dataproduct", "daily")
+  private def target(wh: Warehouse) = TableId("proj", "sales_orders", "daily")
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // --- incremental_log -------------------------------------------------
+
+  private def srcRows(upTo: String): DataFrame =
+    Seq(
+      (1L, ts("2024-01-01 06:00:00"), "a"),
+      (2L, ts("2024-01-02 06:00:00"), "b"),
+      (3L, ts("2024-01-03 06:00:00"), "c"),
+      (4L, ts("2024-01-04 06:00:00"), "d"))
+      .toDF("id", "event_ts", "payload")
+      .filter(col("event_ts") <= lit(upTo).cast("timestamp"))
+
+  test("A1: first run takes upper bound only; second run appends the new window; no duplicates") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val il = new IncrementalLog(wh, log, spark)
+    val cfg = IncrementalLogConfig(runWindowColumn = "event_ts")
+    val tgt = target(wh)
+
+    // run 1 at T=2024-01-02 12:00
+    val w1 = il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 12:00:00.000000 UTC")
+    assert(w1.start == Ts.Default)
+    assert(w1.end == "2024-01-02 12:00:00.000000 UTC")
+    assert(wh.read(tgt).count() == 2) // ids 1,2
+
+    // run 2 at T=2024-01-04 12:00 — only (run1.end, run2.end] appended
+    val w2 = il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-04 12:00:00.000000 UTC")
+    assert(w2.start == "2024-01-02 12:00:00.000000 UTC")
+    val rows = wh.read(tgt).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L)) // no duplicates
+
+    // log has 2 started + 2 succeeded
+    val lt = log.logTableFor(tgt, ref.domain)
+    val byType = wh.read(lt).groupBy("eventType").count().as[(String, Long)].collect().toMap
+    assert(byType == Map("model_run_started" -> 2L, "model_run_succeeded" -> 2L))
+  }
+
+  test("A1: boundary exactness — strict > lower, inclusive <= upper") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val il = new IncrementalLog(wh, log, spark)
+    val cfg = IncrementalLogConfig(runWindowColumn = "event_ts")
+    val tgt = target(wh)
+
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 06:00:00.000000 UTC") // upper == id2's ts exactly
+    assert(wh.read(tgt).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L)) // inclusive
+
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-03 06:00:00.000000 UTC")
+    // id2 (ts == prev end) must NOT reappear: strict lower bound
+    val rows = wh.read(tgt).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("A1: failed run leaves no success event -> window re-covered -> at-least-once duplicates") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val il = new IncrementalLog(wh, log, spark)
+    val cfg = IncrementalLogConfig(runWindowColumn = "event_ts")
+    val tgt = target(wh)
+
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-01 12:00:00.000000 UTC") // id1 only
+
+    // run 2 "fails" after append (simulate: append happened, success event not
+    // written) — emulate by a model that throws AFTER we capture the appended
+    // state: here we instead run a full successful run 2, then manually delete
+    // its success event to simulate the failure-after-append, then run 3.
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 12:00:00.000000 UTC") // appends id2
+    val lt = log.logTableFor(tgt, ref.domain)
+    val events = wh.read(lt)
+    // drop run 2's success event (the one with runWindowEnd = 01-02 12:00)
+    val pruned = events.filter(!(col("eventType") === "model_run_succeeded" &&
+      col("runWindowEnd") === lit("2024-01-02 12:00:00").cast("timestamp")))
+    val prunedRows = pruned.collect().toSeq
+    val schema = pruned.schema
+    wh.drop(lt)
+    wh.append(lt, spark.createDataFrame(
+      spark.sparkContext.parallelize(prunedRows), schema))
+
+    // run 3: prev end reads run 1's end again -> id2 re-appended (duplicate)
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 18:00:00.000000 UTC")
+    val ids = wh.read(tgt).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 2L), s"expected at-least-once duplicate of id2, got $ids")
+  }
+
+  test("A1: max_history_load_days caps the window; dev/ci default 1 day") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val il = new IncrementalLog(wh, log, spark)
+    val tgt = target(wh)
+
+    val w = il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts", maxHistoryLoadDays = Some(2)),
+      now = () => "2024-06-01 00:00:00.000000 UTC")
+    assert(w.end == "1900-01-03 00:00:00.000000 UTC") // 1900 default + 2 days
+
+    val wh2 = freshWh()
+    val il2 = new IncrementalLog(wh2, new EventLog(wh2, spark), spark)
+    val w2 = il2.run(() => srcRows("2024-01-05"), target(wh2), ref, Env.Dev,
+      IncrementalLogConfig(runWindowColumn = "event_ts", maxHistoryLoadDays = Some(30)),
+      now = () => "2024-06-01 00:00:00.000000 UTC")
+    assert(w2.end == "1900-01-02 00:00:00.000000 UTC") // dev default 1 day
+  }
+
+  test("A9: bootstrap from earliest source partition minus 1 microsecond") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val src = TableId("proj", "raw", "events_src")
+    wh.overwritePartitioned(src,
+      Seq((1L, "2024-03-05"), (2L, "2024-03-07")).toDF("id", "d")
+        .withColumn("part_date", col("d").cast("date")))
+    assert(log.earliestPartitionTimestamp(src)
+      .contains("2024-03-04 23:59:59.999999 UTC"))
+  }
+
+  test("A1: on_schema_change=append_new_columns widens the target; ignore drops new columns") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val il = new IncrementalLog(wh, log, spark)
+    val tgt = target(wh)
+
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts"),
+      now = () => "2024-01-01 12:00:00.000000 UTC")
+
+    val widened = srcRows("2024-01-05").withColumn("extra", lit("x"))
+    il.run(() => widened, tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts", onSchemaChange = "append_new_columns"),
+      now = () => "2024-01-02 12:00:00.000000 UTC")
+    val df = wh.read(tgt)
+    assert(df.columns.contains("extra"))
+    val extras = df.select("id", "extra").as[(Long, Option[String])].collect().toMap
+    assert(extras(1L).isEmpty && extras(2L).contains("x"))
+
+    // ignore: new column silently dropped
+    val wh2 = freshWh()
+    val il2 = new IncrementalLog(wh2, new EventLog(wh2, spark), spark)
+    il2.run(() => srcRows("2024-01-05"), target(wh2), ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts"),
+      now = () => "2024-01-01 12:00:00.000000 UTC")
+    il2.run(() => widened, target(wh2), ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts", onSchemaChange = "ignore"),
+      now = () => "2024-01-02 12:00:00.000000 UTC")
+    assert(!wh2.read(target(wh2)).columns.contains("extra"))
+  }
+
+  // --- incremental_partition_merge ------------------------------------
+
+  private def mkBatch(rows: Seq[(Long, String, String, Double)]): DataFrame =
+    rows.toDF("id", "updated_at", "status", "amount")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+
+  private val mcfg = MergeConfig(
+    partitionField = "updated_at", uniqueKey = Seq("id"), eventTime = Some("updated_at"))
+
+  test("A2: insert + update + recency-skip in one batch; untouched partitions not rewritten") {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", "merged")
+
+    m.run(mkBatch(Seq(
+      (1L, "2024-01-01 10:00:00", "old1", 1.0),
+      (2L, "2024-01-02 10:00:00", "old2", 2.0),
+      (3L, "2024-01-03 10:00:00", "old3", 3.0))), tgt, mcfg)
+    assert(wh.listPartitions(tgt).size == 3)
+
+    // snapshot the untouched partition's file listing
+    val p3 = new java.io.File(s"${wh.pathOf(tgt)}/part_date=2024-01-03")
+    val before = p3.listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    m.run(mkBatch(Seq(
+      (1L, "2024-01-01 12:00:00", "new1", 10.0), // newer -> update
+      (2L, "2024-01-02 09:00:00", "stale", 99.0), // older -> recency-skip
+      (4L, "2024-01-02 11:00:00", "ins4", 4.0))), // new key -> insert
+      tgt, mcfg)
+
+    val rows = wh.read(tgt).orderBy("id")
+      .select("id", "status", "amount").as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "new1", 10.0),  // updated
+      (2L, "old2", 2.0),   // stale skipped: target values kept
+      (3L, "old3", 3.0),   // untouched partition
+      (4L, "ins4", 4.0)))  // inserted
+
+    val after = p3.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(before == after, "untouched partition files must not be rewritten")
+  }
+
+  test("A2: ON-clause partition restriction — same key in untouched partition does NOT match -> insert (duplicate)") {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", "merged2")
+
+    m.run(mkBatch(Seq((1L, "2024-01-01 10:00:00", "jan1", 1.0))), tgt, mcfg)
+    // batch has key 1 but in a different day -> target's Jan-1 partition is
+    // not touched -> no match -> plain insert; key 1 now exists twice
+    m.run(mkBatch(Seq((1L, "2024-02-01 10:00:00", "feb1", 2.0))), tgt, mcfg)
+    val rows = wh.read(tgt).select("id", "status").as[(Long, String)].collect().toSeq
+    assert(rows.toSet == Set((1L, "jan1"), (1L, "feb1")))
+  }
+
+  test("A2: merge_update_columns whitelist / merge_exclude_columns blacklist") {
+    val wh = freshWh()
+    val tgt = TableId("proj", "sales_orders", "merged3")
+
+    val m = new MergeIntoPartitioned(wh, spark)
+    m.run(mkBatch(Seq((1L, "2024-01-01 10:00:00", "orig", 1.0))), tgt, mcfg)
+    // whitelist: only amount + keys/et needed for semantics; status excluded
+    m.run(mkBatch(Seq((1L, "2024-01-01 12:00:00", "SHOULD_NOT_APPLY", 42.0))), tgt,
+      mcfg.copy(mergeUpdateColumns = Some(Seq("id", "updated_at", "amount"))))
+    val r = wh.read(tgt).select("status", "amount").as[(String, Double)].collect().head
+    assert(r == ("orig", 42.0))
+
+    m.run(mkBatch(Seq((1L, "2024-01-01 14:00:00", "STILL_NOT", 7.0))), tgt,
+      mcfg.copy(mergeExcludeColumns = Some(Seq("status"))))
+    val r2 = wh.read(tgt).select("status", "amount").as[(String, Double)].collect().head
+    assert(r2 == ("orig", 7.0))
+  }
+
+  test("A2: empty batch — first run creates empty table; later run is a no-op") {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", "merged4")
+
+    m.run(mkBatch(Seq.empty), tgt, mcfg)
+    assert(wh.exists(tgt) && wh.read(tgt).count() == 0)
+
+    m.run(mkBatch(Seq((1L, "2024-01-01 10:00:00", "a", 1.0))), tgt, mcfg)
+    m.run(mkBatch(Seq.empty), tgt, mcfg)
+    assert(wh.read(tgt).count() == 1)
+  }
+
+  test("A2: no event_time -> unconditional update on match") {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", "merged5")
+    val cfg = mcfg.copy(eventTime = None)
+
+    m.run(mkBatch(Seq((1L, "2024-01-01 10:00:00", "v1", 1.0))), tgt, cfg)
+    m.run(mkBatch(Seq((1L, "2024-01-01 08:00:00", "v2", 2.0))), tgt, cfg) // older ts still updates
+    val r = wh.read(tgt).select("status").as[String].collect().toSeq
+    assert(r == Seq("v2"))
+  }
+
+  test("A2: NULL key never matches -> always inserts") {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", "merged6")
+    val cfg = mcfg.copy(eventTime = None)
+
+    val withNull = Seq((Some(1L), "2024-01-01 10:00:00", "a", 1.0),
+      (None: Option[Long], "2024-01-01 10:00:00", "n1", 0.0))
+      .toDF("id", "updated_at", "status", "amount")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+    m.run(withNull, tgt, cfg)
+    val withNull2 = Seq((None: Option[Long], "2024-01-01 11:00:00", "n2", 0.0))
+      .toDF("id", "updated_at", "status", "amount")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+    m.run(withNull2, tgt, cfg)
+    assert(wh.read(tgt).count() == 3) // both NULL-key rows present
+  }
+
+  // --- run log protocol ------------------------------------------------
+
+  test("A6: dev/ci two-phase lookup — prod table id first, then dev/ci id") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val devRel = TableId("proj", "dbt_cloud_user_7", "daily")
+    val lt = log.logTableFor(devRel, ref.domain)
+
+    // only a dev-id event exists -> dev lookup falls through to it
+    log.logModelEvent(lt, devRel, ref, "model_run_succeeded",
+      runWindowStart = Some("2024-01-01 00:00:00.000000 UTC"),
+      runWindowEnd = Some("2024-01-02 00:00:00.000000 UTC"))
+    assert(log.lastSuccessfulRunWindowEnd(lt, devRel, ref, Env.Dev)
+      == "2024-01-02 00:00:00.000000 UTC")
+
+    // a PROD-id event (project.sales_orders.daily) wins over the dev one
+    val prodRel = TableId("proj", "sales_orders", "daily")
+    log.logModelEvent(lt, prodRel, ref, "model_run_succeeded",
+      runWindowStart = Some("2024-02-01 00:00:00.000000 UTC"),
+      runWindowEnd = Some("2024-02-02 00:00:00.000000 UTC"))
+    assert(log.lastSuccessfulRunWindowEnd(lt, devRel, ref, Env.Dev)
+      == "2024-02-02 00:00:00.000000 UTC")
+
+    // in prod, only the exact id is consulted
+    assert(log.lastSuccessfulRunWindowEnd(lt, prodRel, ref, Env.Prod)
+      == "2024-02-02 00:00:00.000000 UTC")
+  }
+
+  test("A4: invalid event type rejected; events carry full 3-part table id") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val rel = TableId("proj", "sales_orders", "daily")
+    val lt = log.logTableFor(rel, "sales")
+    assert(lt.fqn == "proj.sales_dbt_raw.sales_dbt_event_log")
+    intercept[IllegalArgumentException] {
+      log.logModelEvent(lt, rel, ref, "bogus_type")
+    }
+    log.logModelEvent(lt, rel, ref, "model_run_failed", message = Some("it's broken"))
+    val row = wh.read(lt).select("bigQueryTableId", "eventMessage")
+      .as[(String, String)].collect().head
+    assert(row == ("proj.sales_orders.daily", "it's broken"))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

@@ -572,6 +572,46 @@ object Queries {
         ORDER BY event_id"""))
   )
 
+  // C7/C8 — registry upsert through the gate: insert, update-preserving-
+  // registeredTime, second insert; ids cross-checked against DuckDB's md5.
+  private val governance: Seq[QueryDef] = Seq(
+    QueryDef("c8_registry_upsert",
+      (s, dir) => {
+        import java.sql.Timestamp
+        import graft.registry._
+        val wh = tmpWarehouse(s)
+        val reg = new Registry(wh, s)
+        val ref = ModelRef("sales", "orders", "dataproduct", "daily")
+        val rel = TableId("proj", "sales_orders", "daily")
+        val df = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        val meta = ModelMeta(Some("d"), Map("n_nationkey" -> "k", "n_name" -> "n"))
+        val t1 = new Timestamp(1700000000000L)
+        val t2 = new Timestamp(1800000000000L)
+        reg.register(df, rel, ref, DataproductConfig(owner = Some("team-x")), meta, () => t1)
+        reg.register(df, rel, ref, DataproductConfig(owner = Some("team-y"),
+          version = Some("2.1")), meta, () => t2) // update: keeps registeredTime
+        reg.register(df, TableId("proj", "sales_orders", "weekly"),
+          ref.copy(name = "weekly"), DataproductConfig(owner = Some("team-z")), meta, () => t2)
+        reg.readCatalog().select(
+          col("id"), col("name"), col("owner"),
+          col("bigquery.datasetId").as("dataset_id"),
+          col("bigquery.tableId").as("table_id"),
+          unix_millis(col("registeredTime")).as("registered_ms"),
+          unix_millis(col("lastUpdateTime")).as("updated_ms"),
+          col("version"), size(col("columns")).cast("long").as("n_cols"))
+          .orderBy("table_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (md5('sales_orders-daily'), 'daily', 'team-y', 'sales_orders', 'daily',
+           1700000000000, 1800000000000, '2.1', CAST(2 AS BIGINT)),
+          (md5('sales_orders-weekly'), 'weekly', 'team-z', 'sales_orders', 'weekly',
+           1800000000000, 1800000000000, NULL, CAST(2 AS BIGINT))
+        ) v(id, name, owner, dataset_id, table_id, registered_ms, updated_ms, version, n_cols)
+        ORDER BY table_id"""))
+  )
+
   /** All registered queries, in registration order. */
-  def all: Seq[QueryDef] = analytics ++ dfuncs ++ policy ++ materializations
+  def all: Seq[QueryDef] =
+    analytics ++ dfuncs ++ policy ++ materializations ++ governance
 }

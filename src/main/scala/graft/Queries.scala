@@ -613,5 +613,5 @@ object Queries {
 
   /** All registered queries, in registration order. */
   def all: Seq[QueryDef] =
-    analytics ++ dfuncs ++ policy ++ materializations ++ governance
+    analytics ++ dfuncs ++ policy ++ materializations ++ governance ++ QueriesLlm.all
 }

@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) with DuckDB oracles. Where the algorithm is approximate by
+  * construction (LSH variants), the oracle either reproduces the exact
+  * same pipeline (minhash — shared constants below) or the query is
+  * rows-only (ann_topk_lsh) with recall measured in SimilaritySpec.
+  */
+object QueriesLlm {
+
+  // shared minhash constants rendered into the DuckDB oracle
+  private def minhashSigSql: String =
+    Dedup.MinhashA.zip(Dedup.MinhashB).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> ($a*x + $b) % ${Dedup.MinhashP}))"
+    }.mkString("[", ", ", "]")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup (hash-groupBy) ------------------------------------
+    QueryDef("dedup_exact",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val planted = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        Dedup.exact(docs.unionByName(planted), "text", "doc_id")
+          .select(col("doc_id"), col("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM all_docs GROUP BY md5(text)
+        ORDER BY doc_id""")),
+
+    // ---- MinHash + banded LSH near-dup (same-pipeline oracle) ----------
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashNearDupPairs(Tables.read(s, dir, "documents"),
+            "text", "doc_id", jaccardThreshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        sig AS (SELECT doc_id, h, $minhashSigSql m FROM hs),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id ia, b.doc_id ib
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id),
+        ver AS (
+          SELECT ia, ib,
+                 CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                   len(list_distinct(x.h || y.h)) jac
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id)
+        SELECT ia AS id_a, ib AS id_b, jac AS jaccard
+        FROM ver WHERE jac >= 0.8 ORDER BY id_a, id_b""")),
+
+    // ---- SimHash near-dup (pigeonhole-exact; independent oracle) -------
+    QueryDef("dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(Tables.read(s, dir, "documents"),
+            "text", "doc_id", maxHamming = 5)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) toks
+                   FROM documents),
+        tok AS (SELECT doc_id, CAST('0x'||substr(md5(x.t),1,15) AS BIGINT) h
+                FROM d, unnest(d.toks) x(t)),
+        bits AS (SELECT doc_id, r.i,
+                   SUM(2*((h >> CAST(r.i AS INT)) & 1) - 1) sgn
+                 FROM tok, (SELECT unnest(range(0,60)) i) r GROUP BY doc_id, r.i),
+        sim AS (SELECT doc_id,
+                  SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE CAST(0 AS BIGINT) END) sig
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 5
+        ORDER BY id_a, id_b""")),
+
+    // ---- exact n-gram Jaccard (inverted index vs O(n²) oracle) ---------
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents"),
+            "text", "doc_id", threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                 len(list_distinct(a.h || b.h)) AS jaccard
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                len(list_distinct(a.h || b.h)) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // ---- embedding cosine near-dup (exact baseline) --------------------
+    QueryDef("dedup_embedding_cosine",
+      (s, dir) =>
+        Dedup.embeddingNearDupPairs(Tables.read(s, dir, "embeddings"),
+            "embedding", "vec_id", threshold = 0.45)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        SELECT a.vec_id id_a, b.vec_id id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ORDER BY id_a, id_b""")),
+
+    // ---- ANN: brute-force cosine top-k ---------------------------------
+    QueryDef("ann_topk_brute",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            "embedding", "vec_id", k = 10)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id query_id, e.vec_id neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) c
+          FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(c, 6) DESC, neighbor_id) rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank""")),
+
+    // ---- ANN: hyperplane-LSH bucketed top-k (scale path) ---------------
+    // Approximate by construction -> no SQL oracle (driver records a
+    // rows-only check); recall vs brute force asserted in SimilaritySpec.
+    QueryDef("ann_topk_lsh",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+            "embedding", "vec_id", k = 10)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- text analysis -------------------------------------------------
+    QueryDef("text_stats",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        TextStats.qualityMetrics(docs, "text", "doc_id")
+          .join(docs.select(col("doc_id"),
+            TextStats.regexTokenCount(col("text")).cast("long").as("n_subtokens")), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) toks,
+                 CAST(len(text) AS DOUBLE) n_chars,
+                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) n_punct
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 n_chars,
+                 CAST(len(toks) AS DOUBLE) n_tok,
+                 CAST(len(list_filter(toks, x ->
+                   list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) n_stop,
+                 n_punct,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) n_subtokens
+          FROM t)
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               0.4 * (least(n_chars, 500.0) / 500.0)
+                 + 0.3 * (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                 AS quality_score,
+               n_subtokens
+        FROM m
+        ORDER BY doc_id""")),
+
+    QueryDef("text_langid",
+      (s, dir) =>
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), TextStats.langId(col("text")).as("predicted_lang"))
+          .orderBy("doc_id"),
+      Some {
+        val scoreExprs = TextStats.LangProfiles.map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) s_$lang"
+        }.mkString(",\n                 ")
+        val langs = TextStats.LangProfiles.map(_._1)
+        val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val caseChain = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n               ")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) toks
+          FROM documents),
+        sc AS (
+          SELECT doc_id,
+                 $scoreExprs
+          FROM t)
+        SELECT doc_id,
+               CASE $caseChain
+               END AS predicted_lang
+        FROM sc
+        ORDER BY doc_id"""
+      }),
+
+    QueryDef("text_fingerprint",
+      (s, dir) =>
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               list_min(list_transform(
+                 range(1, greatest(len(lower(text)) - 7, 1) + 1),
+                 i -> CAST('0x'||substr(md5(substr(lower(text), CAST(i AS INT), 8)),1,8)
+                      AS BIGINT))) AS fingerprint
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- multimodal: binary payload + partition-parallel stub decode ---
+    QueryDef("mm_decode",
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.decode(Multimodal.mediaTable(Tables.read(s, dir, "documents")))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, strlen(text) n,
+                 list_transform(range(1, len(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))) codes
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 + (n % 64) AS INT) AS width,
+               CAST((n + (1 + (n % 64)) - 1) // (1 + (n % 64)) AS INT) AS height,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(list_sum(codes) AS DOUBLE) / n AS mean_byte
+        FROM b
+        ORDER BY doc_id""")),
+
+    QueryDef("mm_frame_sample",
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.frameSample(Multimodal.mediaTable(Tables.read(s, dir, "documents")))
+          .toDF("doc_id", "frame_idx", "mean_byte")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, text, strlen(text) n FROM documents),
+        f AS (
+          SELECT b.doc_id, CAST(r.o AS INT) frame_off, b.text
+          FROM b, (SELECT unnest(range(0, 100000, 64)) o) r
+          WHERE r.o < greatest(n - 16, 0)),
+        m AS (
+          SELECT doc_id, frame_off // 64 AS frame_idx,
+                 CAST(list_sum(list_transform(range(1, 17),
+                   i -> ascii(substr(text, frame_off + CAST(i AS INT), 1)))) AS DOUBLE) / 16 AS mean_byte
+          FROM f)
+        SELECT doc_id, frame_idx, mean_byte FROM m
+        ORDER BY doc_id, frame_idx"""))
+  )
+}

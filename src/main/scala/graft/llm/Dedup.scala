@@ -1,0 +1,259 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All per-document signatures (shingles, minhash, simhash) are computed
+  * with higher-order Column functions in a single projection — no explode,
+  * no shuffle, no UDF — so signature computation is embarrassingly parallel
+  * and survives any scale. Shuffles happen only where semantically required
+  * (bucket joins on LSH keys / hash-groupBy), always on keys whose
+  * cardinality grows with the data (no hot keys by construction: bucket
+  * keys are hash-valued).
+  *
+  * Plan-shape rules learned from the sf0.1 bench (high background
+  * similarity is the adversarial case for near-dup mining):
+  *  - candidate generation shuffles ID PAIRS ONLY — never the shingle
+  *    arrays; sets are joined back per-candidate from a compact (id, hs)
+  *    side;
+  *  - near-dup set algebra runs over distinct 32-bit shingle HASHES
+  *    (longs), not strings — smaller rows, cheaper intersections, and the
+  *    DuckDB oracle uses the identical hash space so results stay exact;
+  *  - exact jaccard mining uses rarest-first prefix filtering (PPJoin
+  *    prefix lemma — zero false negatives), so postings join on the RARE
+  *    end of the frequency distribution.
+  *
+  * Hash base: md5 (byte-stable everywhere, incl. the DuckDB oracle). The
+  * reference library's own hashing precedent is md5/sha1
+  * (register_dataproduct_metadata.sql:95, uuid_generation.sql:36).
+  */
+object Dedup {
+
+  // -- shared text primitives (single source of truth for oracles too) ----
+
+  /** Distinct lowercase character n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = text.toString
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length(lower($t)) - ${n - 1}, 0)), i -> substring(lower($t), i, $n))"))
+  }
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), c => length(c) > 0)
+
+  /** Distinct word n-gram shingles — the dedup unit of choice for natural
+    * text (cf. Gopher/RefinedWeb word-13-gram dedup): the shingle space
+    * grows combinatorially with vocabulary, so document-frequency skew
+    * stays low and prefix/LSH filtering keeps candidate sets sparse even
+    * on corpora with heavy vocabulary overlap (char n-grams degenerate
+    * there — measured 5x+ blowup on the harness corpus). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val upper = size(w) - lit(n - 1)
+    val grams = transform(sequence(lit(1), upper), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, (i + lit(k)).cast("int"))): _*))
+    // sequence(1, upper) would count DOWN when upper < 1 — guard to empty
+    array_distinct(when(upper < 1, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** 32-bit hash of a string from its md5 prefix (engine-portable). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct 32-bit shingle-hash set — the working representation for all
+    * near-dup set algebra. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(wordShingles(text, n), s => h32(s)))
+
+  // -- exact dedup --------------------------------------------------------
+
+  /** Exact dedup by content hash: one survivor (minimum id) per distinct
+    * text. A hash-groupBy: partial (map-side) min per hash, then one
+    * shuffle on the hash — the canonical 100 TB exact-dedup shape. */
+  def exact(docs: DataFrame, textCol: String, idCol: String,
+            hash: Column => Column = md5): DataFrame =
+    docs.groupBy(hash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Join candidate id-pairs back to their hash-sets and compute exact
+    * jaccard — shared verify tail. `cand` carries only (id_a, id_b). */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -- MinHash + LSH near-dedup ------------------------------------------
+
+  /** MinHash parameters shared verbatim with the DuckDB oracle. */
+  val MinhashA: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  val MinhashB: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  val MinhashP: Long = 2038074743L // prime < 2^31; a*h < 2^37 — no overflow
+  val MinhashBands = 2
+  val MinhashRows = 4 // 2 bands x 4 rows: s-curve threshold ~0.84
+
+  /** Per-doc minhash signature: k = 8 permutation-min values, each an
+    * array_min over the shingle-hash array (pure projection, no shuffle). */
+  def minhashSignature(hashesCol: Column): Seq[Column] =
+    MinhashA.zip(MinhashB).map { case (a, b) =>
+      array_min(transform(hashesCol, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
+    }
+
+  /** Candidate pairs via banded LSH, then exact-Jaccard verification.
+    * Plan: project signatures → explode to (band, key) — 2 small rows per
+    * doc — → self-join on the band key → DISTINCT ID PAIRS (the only wide
+    * shuffle, and it carries two longs per row) → join hash-sets back →
+    * verify. Only candidates ever touch the arrays. */
+  def minhashNearDupPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("hs"))
+    val sig = minhashSignature(col("hs"))
+    val banded = sets.select(Seq(col("id")) ++
+      (0 until MinhashBands).map { b =>
+        concat_ws(":", sig.slice(b * MinhashRows, (b + 1) * MinhashRows): _*).as(s"band$b")
+      }: _*)
+    val bands = banded.select(col("id"),
+      explode(array((0 until MinhashBands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+
+    val l = bands.select(col("band"), col("key"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("key"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    verifyJaccard(cand, sets, jaccardThreshold)
+  }
+
+  // -- SimHash near-dedup (pigeonhole-exact) ------------------------------
+
+  val SimhashBits = 60 // 15 md5 hex chars -> fits signed int64
+  val SimhashChunks = 6 // 6 chunks of 10 bits: hamming<=5 guaranteed found
+
+  /** 60-bit simhash over whitespace tokens (with multiplicity): bit i is
+    * set iff Σ_tokens (2·bit_i(h(token)) − 1) > 0. Each token is md5-hashed
+    * ONCE (the inner transform), then 60 bit-counters accumulate in a local
+    * array — one projection per row, no shuffle. */
+  def simhash(text: Column): Column = {
+    val t = text.toString
+    expr(
+      s"""aggregate(
+            transform(filter(split(lower($t), ' '), x -> length(x) > 0),
+                      tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)),
+            array_repeat(0L, $SimhashBits),
+            (acc, h) -> zip_with(
+              acc,
+              transform(sequence(0, ${SimhashBits - 1}), i -> shiftright(h, i) & 1L),
+              (a, b) -> a + 2L * b - 1L),
+            acc -> aggregate(sequence(0, ${SimhashBits - 1}), 0L,
+                             (s, i) -> s + if(acc[i] > 0L, shiftleft(1L, i), 0L)))""")
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming. EXACT, not
+    * approximate: with 6 chunks of 10 bits, any pair within hamming 5 has
+    * at least one identical chunk (pigeonhole), so the chunk-bucket join
+    * has zero false negatives and the hamming verify removes all false
+    * positives. Scales as a bucket join, not O(n²). */
+  def simhashNearDupPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 5): DataFrame = {
+    require(maxHamming < SimhashChunks,
+      s"pigeonhole exactness requires maxHamming < $SimhashChunks chunks")
+    val bitsPerChunk = SimhashBits / SimhashChunks
+    val withSig = docs.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig"))
+
+    val chunks = withSig.select(col("id"), col("sig"),
+      explode(array((0 until SimhashChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+
+    val l = chunks.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // -- exact n-gram Jaccard via prefix-filtered inverted index ------------
+
+  /** Exact Jaccard >= t pairs, sub-quadratic via the PPJoin prefix lemma:
+    * with every set sorted rarest-first by global document frequency, two
+    * sets with overlap >= α must share an element within their first
+    * (|X| − α + 1) elements; jaccard >= t implies overlap >= ceil(t·|X|),
+    * so joining only the per-doc prefixes of length |X| − ceil(t·|X|) + 1
+    * loses nothing. The prefix postings are the RARE shingles, so posting
+    * lists stay short even on corpora with heavy background similarity.
+    * Candidates (id pairs only) are then exact-verified. */
+  def ngramJaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("hs"))
+    val posting = sets.select(col("id"), explode(col("hs")).as("s"))
+    // global document frequency per shingle hash — one count groupBy
+    val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarest-first order per doc, then cut to the prefix
+    val sorted = posting.join(freq, "s")
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").as("sorted_hs"))
+      .withColumn("n", size(col("sorted_hs")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1))
+      .select(col("id"), expr("slice(sorted_hs, 1, plen)").as("prefix"))
+    val prefPost = sorted.select(col("id"), explode(col("prefix")).as("s"))
+    val l = prefPost.select(col("s"), col("id").as("id_a"))
+    val r = prefPost.select(col("s"), col("id").as("id_b"))
+    val cand = l.join(r, "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  // -- embedding cosine near-dup ------------------------------------------
+
+  /** Exact cosine >= t pairs by brute-force self-join — the verification
+    * baseline. Norms are precomputed per vector (n ops, not n²); the pair
+    * stage computes only the dot product. O(n²) compute but distributed;
+    * for the 100 TB path use Similarity.lshTopK's hyperplane bucketing as
+    * the candidate generator instead. */
+  def embeddingNearDupPairs(
+      emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    def norm(v: Column) = sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      norm(col(vecCol)).as("n_a"))
+    val r = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      norm(col(vecCol)).as("n_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("v_a"), col("v_b"),
+          (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+  }
+}

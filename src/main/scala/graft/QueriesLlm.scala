@@ -278,6 +278,39 @@ object QueriesLlm {
         FROM b
         ORDER BY doc_id""")),
 
+    // ---- streaming: AvailableNow incremental append through the gate ---
+    // Runs the REAL Structured Streaming query (checkpointed file source →
+    // parquet sink) twice; the second run must be a no-op, so the oracle
+    // equals exactly one copy of the source.
+    QueryDef("stream_incremental_append",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val src = Files.createTempDirectory("graft_stream_src_")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val tgt = Files.createTempDirectory("graft_stream_tgt_").toString
+        val ckpt = Files.createTempDirectory("graft_stream_ck_").toString
+        val schema = s.read.parquet(src.toString).schema
+        def runOnce(): Unit = {
+          val q = graft.streaming.StreamingIncremental.incrementalAppend(
+            s, src.toString, schema, tgt, ckpt,
+            df => df.select(col("event_id"),
+              timestamp_micros(expr("ts div 1000")).as("ts"),
+              col("event_type"), col("value")))
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // checkpointed: must append nothing
+        s.read.parquet(tgt)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+        ORDER BY event_id""")),
+
     QueryDef("mm_frame_sample",
       (s, dir) => {
         implicit val sp = s

@@ -572,6 +572,122 @@ object Queries {
         ORDER BY event_id"""))
   )
 
+  // A4/A6/A7 — the run-event log protocol through the gate: two real
+  // IncrementalLog runs, then the LOG table's deterministic columns.
+  private val runlogQueries: Seq[QueryDef] = Seq(
+    QueryDef("a4_event_log",
+      (s, dir) => {
+        import graft.materialize.{IncrementalLog, IncrementalLogConfig}
+        val wh = tmpWarehouse(s)
+        val log = new graft.runlog.EventLog(wh, s)
+        val il = new IncrementalLog(wh, log, s)
+        val tgt = TableId("proj", "demo_events", "rollup")
+        val ref = ModelRef("demo", "events", "curated", "rollup")
+        val cfg = IncrementalLogConfig(runWindowColumn = "ts")
+        def model() = Tables.events(s, dir).select("event_id", "ts", "value")
+        il.run(() => model(), tgt, ref, Env.Prod, cfg,
+          now = () => "2024-03-01 00:00:00.000000 UTC")
+        il.run(() => model(), tgt, ref, Env.Prod, cfg,
+          now = () => "2024-06-01 00:00:00.000000 UTC")
+        wh.read(log.logTableFor(tgt, ref.domain))
+          .select(col("eventType").as("event_type"),
+            date_format(col("runWindowStart"), "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'").as("window_start"),
+            date_format(col("runWindowEnd"), "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'").as("window_end"),
+            col("bigQueryTableId").as("table_id"),
+            col("dbtModelName").as("model_name"))
+          .orderBy("window_end", "event_type")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('model_run_started',   '1900-01-01 00:00:00.000000 UTC', '2024-03-01 00:00:00.000000 UTC', 'proj.demo_events.rollup', 'rollup'),
+          ('model_run_succeeded', '1900-01-01 00:00:00.000000 UTC', '2024-03-01 00:00:00.000000 UTC', 'proj.demo_events.rollup', 'rollup'),
+          ('model_run_started',   '2024-03-01 00:00:00.000000 UTC', '2024-06-01 00:00:00.000000 UTC', 'proj.demo_events.rollup', 'rollup'),
+          ('model_run_succeeded', '2024-03-01 00:00:00.000000 UTC', '2024-06-01 00:00:00.000000 UTC', 'proj.demo_events.rollup', 'rollup')
+        ) v(event_type, window_start, window_end, table_id, model_name)
+        ORDER BY window_end, event_type""")),
+
+    // A9 — bootstrap-from-earliest-source-partition (minus 1 microsecond),
+    // and the window computed from it.
+    QueryDef("a9_bootstrap",
+      (s, dir) => {
+        val wh = tmpWarehouse(s)
+        val log = new graft.runlog.EventLog(wh, s)
+        import s.implicits._
+        val src = TableId("proj", "raw", "events_src")
+        wh.overwritePartitioned(src,
+          Seq((1L, "2024-03-05"), (2L, "2024-03-07"), (3L, "2024-03-06"))
+            .toDF("id", "d").withColumn("part_date", col("d").cast("date")))
+        val tgt = TableId("proj", "demo", "boot")
+        val ref = ModelRef("demo", "grp", "curated", "boot")
+        val w = log.computeWindow(log.logTableFor(tgt, ref.domain), tgt, ref,
+          Env.Prod, maxHistoryLoadDays = Some(2),
+          now = () => "2024-06-01 00:00:00.000000 UTC",
+          earliestSourcePartition = log.earliestPartitionTimestamp(src))
+        s.createDataFrame(Seq((1, w._1, w._2)))
+          .toDF("case_id", "window_start", "window_end")
+      },
+      Some("""
+        SELECT 1 AS case_id,
+               '2024-03-04 23:59:59.999999 UTC' AS window_start,
+               '2024-03-06 23:59:59.999999 UTC' AS window_end"""))
+  )
+
+  // C1-C6 — every validator rule through the gate: each case either passes
+  // or throws the reference's message.
+  private val validatorQueries: Seq[QueryDef] = Seq(
+    QueryDef("c1_validator_rules",
+      (s, dir) => {
+        import graft.registry._
+        val wh = tmpWarehouse(s)
+        val reg = new Registry(wh, s)
+        val v = new Validator(reg, wh)
+        val ref = ModelRef("sales", "orders", "dataproduct", "daily")
+        val rel = TableId("proj", "sales_orders", "daily")
+        val df = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        val okCfg = DataproductConfig(owner = Some("team-x"))
+        val okMeta = ModelMeta(Some("desc"),
+          Map("n_nationkey" -> "k", "n_name" -> "n"))
+        // register the product so registered-only rules can fire
+        wh.overwrite(rel, df)
+        reg.register(df, rel, ref, okCfg, okMeta)
+        val cases: Seq[(Int, () => Unit)] = Seq(
+          1 -> (() => v.validate(df, rel, ref, Env.Prod, Some(okCfg), okMeta)),
+          2 -> (() => v.validate(df, rel, ref, Env.Prod, Some(okCfg.copy(owner = None)), okMeta)),
+          3 -> (() => v.validate(df, rel, ref, Env.Prod,
+            Some(okCfg.copy(version = Some("1"))), okMeta)),
+          4 -> (() => v.validate(df, rel, ref, Env.Prod,
+            Some(okCfg.copy(previewWhereClause = Some("no_such_col > 0"))), okMeta)),
+          5 -> (() => v.validate(df, TableId("proj", "sales_orders_curated", "daily"),
+            ref.copy(layer = "curated"), Env.Prod, Some(okCfg), okMeta)),
+          6 -> (() => v.validate(df, rel, ref, Env.Prod, Some(okCfg),
+            okMeta.copy(description = None))),
+          7 -> (() => v.validate(df, rel, ref, Env.Prod, Some(okCfg),
+            okMeta.copy(columnDescriptions = Map("n_nationkey" -> "k")))),
+          8 -> (() => v.validate(df.select("n_nationkey"), rel, ref, Env.Prod,
+            Some(okCfg), okMeta)),
+          9 -> (() => v.validate(df, rel, ref, Env.Prod, None, okMeta)))
+        val rows = cases.map { case (id, run) =>
+          val result = try { run(); "OK" }
+          catch { case e: ValidationException => e.getMessage.take(40) }
+          (id, result)
+        }
+        s.createDataFrame(rows).toDF("case_id", "result").orderBy("case_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, 'OK'),
+          (2, 'Dataproduct owner must be set'),
+          (3, 'Version string portion was too short or '),
+          (4, 'Invalid previewWhereClause ''no_such_col '),
+          (5, 'Models for registered dataproducts must '),
+          (6, 'Dataproducts must have a description'),
+          (7, 'Dataproduct columns must have a descript'),
+          (8, 'Schema of registered dataproduct can''t b'),
+          (9, 'Can''t unregister dataproduct.')
+        ) v(case_id, result)
+        ORDER BY case_id"""))
+  )
+
   // C7/C8 — registry upsert through the gate: insert, update-preserving-
   // registeredTime, second insert; ids cross-checked against DuckDB's md5.
   private val governance: Seq[QueryDef] = Seq(
@@ -613,5 +729,6 @@ object Queries {
 
   /** All registered queries, in registration order. */
   def all: Seq[QueryDef] =
-    analytics ++ dfuncs ++ policy ++ materializations ++ governance ++ QueriesLlm.all
+    analytics ++ dfuncs ++ policy ++ materializations ++ runlogQueries ++
+      validatorQueries ++ governance ++ QueriesLlm.all
 }

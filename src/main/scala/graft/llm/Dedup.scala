@@ -116,8 +116,10 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    // sets feeds three DAG branches (banding + both verify sides); without
+    // persist Spark recomputes the md5 shingling per branch
     val sets = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("hs"))
+      shingleHashes(col(textCol), shingleN).as("hs")).persist()
     val sig = minhashSignature(col("hs"))
     val banded = sets.select(Seq(col("id")) ++
       (0 until MinhashBands).map { b =>
@@ -173,8 +175,10 @@ object Dedup {
     require(maxHamming < SimhashChunks,
       s"pigeonhole exactness requires maxHamming < $SimhashChunks chunks")
     val bitsPerChunk = SimhashBits / SimhashChunks
+    // persisted: the self-join's two sides would otherwise each recompute
+    // the simhash HOF over every document
     val withSig = docs.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sig"))
+      simhash(col(textCol)).as("sig")).persist()
 
     val chunks = withSig.select(col("id"), col("sig"),
       explode(array((0 until SimhashChunks).map { c =>
@@ -207,8 +211,9 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    // persisted: feeds postings, prefix build, and both verify sides
     val sets = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("hs"))
+      shingleHashes(col(textCol), shingleN).as("hs")).persist()
     val posting = sets.select(col("id"), explode(col("hs")).as("s"))
     // global document frequency per shingle hash — one count groupBy
     val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))

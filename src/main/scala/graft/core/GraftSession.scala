@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended Spark configuration — the knobs
+  * that matter at cluster scale, applied identically by Verify/Bench and
+  * available to library users.
+  *
+  * Rationale per knob (SURVEY §4 physical-execution choices):
+  *  - shuffle.partitions sized to cores locally; on a real cluster set it
+  *    (or let AQE coalesce) to ~2-3x total cores.
+  *  - AQE on: runtime broadcast decisions for merge batches, skew-join
+  *    splitting for hot partition keys, partition coalescing.
+  *  - partitionOverwriteMode=dynamic session-wide default: partition
+  *    rewrites must never truncate sibling partitions.
+  *  - session timezone pinned UTC: the reference's timestamp-string
+  *    contract (Ts) is UTC-microsecond; a stray local TZ corrupts windows.
+  *  - nanosAsLong: the harness `events` table carries TIMESTAMP(NANOS),
+  *    unreadable by Spark otherwise (Tables.events derives micros).
+  *  - maxPartitionBytes default 128m: right for the 100 TB posture
+  *    (~800k input splits at 100 TB — fine); lower it only for
+  *    CPU-heavy per-row work like the dedup signature scans.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val parts = shufflePartitions.getOrElse(
+      master match {
+        case s if s.startsWith("local[") && s != "local[*]" =>
+          s.stripPrefix("local[").stripSuffix("]").toInt
+        case _ => Runtime.getRuntime.availableProcessors()
+      })
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+  }
+}

@@ -131,7 +131,9 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
       case "sync_all_columns" =>
         // add new + drop removed. Parquet can't drop a column as metadata,
         // so sync with drops rewrites the surviving projection — explicit,
-        // rare, and the only non-incremental path here.
+        // rare, and the only non-incremental path here. The rewrite stages
+        // into a temp table and swaps by rename: Spark cannot overwrite a
+        // path it is simultaneously reading.
         if (missingCols.nonEmpty) {
           val survivors = tgtCols.filter(batchCols.contains) ++ newCols
           val rewritten = wh.read(target)
@@ -139,7 +141,9 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
           val withNew = newCols.foldLeft(rewritten) { (df, n) =>
             df.withColumn(n, lit(null).cast(batch.schema(n).dataType))
           }
-          wh.overwrite(target, withNew.select(survivors.map(col): _*))
+          val tmp = target.copy(identifier = target.identifier + "__sync_tmp")
+          wh.overwrite(tmp, withNew.select(survivors.map(col): _*))
+          wh.rename(tmp, target)
           wh.append(target, batch.select(survivors.map(col): _*))
         } else {
           wh.append(target, batch.select((tgtCols ++ newCols).map(col): _*))

@@ -127,6 +127,18 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val f = fs(p)
     if (f.exists(p)) { f.delete(p, true); () }
   }
+
+  /** Atomic-ish table swap via filesystem rename — the safe way to rewrite
+    * a table whose new contents are derived from its old contents (Spark
+    * cannot overwrite a path it is reading). */
+  def rename(from: TableId, to: TableId): Unit = {
+    val src = hadoopPath(from)
+    val dst = hadoopPath(to)
+    val f = fs(src)
+    if (f.exists(dst)) f.delete(dst, true)
+    f.mkdirs(dst.getParent)
+    require(f.rename(src, dst), s"rename ${from.fqn} -> ${to.fqn} failed")
+  }
 }
 
 /** Recursive schema flattening to dotted field paths — the analog of

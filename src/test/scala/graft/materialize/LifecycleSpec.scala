@@ -186,6 +186,61 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!wh2.read(target(wh2)).columns.contains("extra"))
   }
 
+  test("A1: on_schema_change=fail throws on drift; sync_all_columns adds and drops") {
+    val wh = freshWh()
+    val il = new IncrementalLog(wh, new EventLog(wh, spark), spark)
+    val tgt = target(wh)
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts"),
+      now = () => "2024-01-01 12:00:00.000000 UTC")
+
+    // fail: drift raises
+    val widened = srcRows("2024-01-05").withColumn("extra", lit("x"))
+    intercept[IllegalStateException] {
+      il.run(() => widened, tgt, ref, Env.Prod,
+        IncrementalLogConfig(runWindowColumn = "event_ts", onSchemaChange = "fail"),
+        now = () => "2024-01-02 12:00:00.000000 UTC")
+    }
+
+    // sync_all_columns: payload dropped, extra added
+    val synced = srcRows("2024-01-05").drop("payload").withColumn("extra", lit("y"))
+    il.run(() => synced, tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts", onSchemaChange = "sync_all_columns"),
+      now = () => "2024-01-02 12:00:00.000000 UTC")
+    val df = wh.read(tgt)
+    assert(df.columns.sorted.toSeq == Seq("event_ts", "extra", "id"))
+    val extras = df.select("id", "extra").as[(Long, Option[String])].collect().toMap
+    assert(extras(1L).isEmpty && extras(2L).contains("y"))
+  }
+
+  test("A7: pre/post hooks wrap an arbitrary (non-materialization) write — §3.3 path") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val rel = TableId("proj", "sales_orders", "hooked")
+    val lt = log.logTableFor(rel, ref.domain)
+
+    // pre-hook: computes the window and logs started
+    val w1 = log.started(lt, rel, ref, Env.Prod,
+      maxHistoryLoadDays = Some(30),
+      now = () => "2024-01-15 00:00:00.000000 UTC")
+    assert(w1 == (Ts.Default, "1900-01-31 00:00:00.000000 UTC")) // capped at default+30d
+    // the model body: any write at all
+    wh.overwrite(rel, srcRows("2024-01-05"))
+    // post-hook RE-computes the window reading the log BEFORE this run's
+    // success event exists — same result, then logs success
+    log.succeeded(lt, rel, ref, Env.Prod, w1)
+
+    // second run's pre-hook now reads the first success
+    val w2 = log.started(lt, rel, ref, Env.Prod,
+      maxHistoryLoadDays = Some(30),
+      now = () => "2024-02-15 00:00:00.000000 UTC")
+    assert(w2._1 == "1900-01-31 00:00:00.000000 UTC")
+    assert(w2._2 == "1900-03-02 00:00:00.000000 UTC") // Jan 31 + 30d (1900: 28-day Feb)
+    val types = wh.read(lt).groupBy("eventType").count()
+      .as[(String, Long)].collect().toMap
+    assert(types == Map("model_run_started" -> 2L, "model_run_succeeded" -> 1L))
+  }
+
   // --- incremental_partition_merge ------------------------------------
 
   private def mkBatch(rows: Seq[(Long, String, String, Double)]): DataFrame =

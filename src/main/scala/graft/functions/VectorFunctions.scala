@@ -1,0 +1,10 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public forwarder for the native vector kernels (see
+  * org.apache.spark.sql.graft.VectorExpressions for the Catalyst side). */
+object VectorFunctions {
+  def floatVecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.floatVecDot(a, b)
+}

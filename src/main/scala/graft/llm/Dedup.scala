@@ -245,9 +245,8 @@ object Dedup {
   def embeddingNearDupPairs(
       emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    def norm(v: Column) = sqrt(aggregate(
-      transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    import graft.functions.VectorFunctions.floatVecDot
+    def norm(v: Column) = sqrt(floatVecDot(v, v))
     val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       norm(col(vecCol)).as("n_a"))
     val r = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
@@ -255,9 +254,7 @@ object Dedup {
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        aggregate(zip_with(col("v_a"), col("v_b"),
-          (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (acc, v) => acc + v) / (col("n_a") * col("n_b")))
+        floatVecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
   }

@@ -44,17 +44,22 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), c => length(c) > 0)
 
-  /** Distinct word n-gram shingles — the dedup unit of choice for natural
-    * text (cf. Gopher/RefinedWeb word-13-gram dedup): the shingle space
-    * grows combinatorially with vocabulary, so document-frequency skew
-    * stays low and prefix/LSH filtering keeps candidate sets sparse even
-    * on corpora with heavy vocabulary overlap (char n-grams degenerate
-    * there — measured 5x+ blowup on the harness corpus). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    val upper = size(w) - lit(n - 1)
+  /** Word n-grams from an ALREADY-MATERIALIZED token-array column — the
+    * dedup unit of choice for natural text (cf. Gopher/RefinedWeb word-
+    * 13-gram dedup): the shingle space grows combinatorially with
+    * vocabulary, so document-frequency skew stays low and prefix/LSH
+    * filtering keeps candidate sets sparse even on corpora with heavy
+    * vocabulary overlap (char n-grams degenerate there — measured 5x+
+    * candidate blowup on the harness corpus).
+    *
+    * `toks` MUST be a bound column reference, not an inline expression:
+    * each `element_at` embeds a copy of the toks subtree, so an inline
+    * `split()` would re-tokenize the text once per gram position × n
+    * (measured 14x slowdown). Tokenize in a prior projection. */
+  def wordGrams(toks: Column, n: Int = 3): Column = {
+    val upper = size(toks) - lit(n - 1)
     val grams = transform(sequence(lit(1), upper), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(w, (i + lit(k)).cast("int"))): _*))
+      concat_ws(" ", (0 until n).map(k => element_at(toks, (i + lit(k)).cast("int"))): _*))
     // sequence(1, upper) would count DOWN when upper < 1 — guard to empty
     array_distinct(when(upper < 1, array().cast("array<string>")).otherwise(grams))
   }
@@ -63,10 +68,14 @@ object Dedup {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Distinct 32-bit shingle-hash set — the working representation for all
-    * near-dup set algebra. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(wordShingles(text, n), s => h32(s)))
+  /** (id, hs) distinct 32-bit shingle-hash sets — the working
+    * representation for all near-dup set algebra. Two projections: bind
+    * the token array, then gram+hash it (see wordGrams perf note). */
+  def shingleHashSets(docs: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(transform(wordGrams(col("toks"), shingleN), s => h32(s))).as("hs"))
 
   // -- exact dedup --------------------------------------------------------
 
@@ -118,8 +127,7 @@ object Dedup {
       jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     // sets feeds three DAG branches (banding + both verify sides); without
     // persist Spark recomputes the md5 shingling per branch
-    val sets = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("hs")).persist()
+    val sets = shingleHashSets(docs, textCol, idCol, shingleN).persist()
     val sig = minhashSignature(col("hs"))
     val banded = sets.select(Seq(col("id")) ++
       (0 until MinhashBands).map { b =>
@@ -210,17 +218,24 @@ object Dedup {
     * Candidates (id pairs only) are then exact-verified. */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.8, shingleN: Int = 3,
+      orderByFrequency: Boolean = false): DataFrame = {
     // persisted: feeds postings, prefix build, and both verify sides
-    val sets = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("hs")).persist()
-    val posting = sets.select(col("id"), explode(col("hs")).as("s"))
-    // global document frequency per shingle hash — one count groupBy
-    val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
-    // rarest-first order per doc, then cut to the prefix
-    val sorted = posting.join(freq, "s")
-      .groupBy("id")
-      .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").as("sorted_hs"))
+    val sets = shingleHashSets(docs, textCol, idCol, shingleN).persist()
+    // The prefix lemma holds for ANY global total order. Default: order by
+    // hash value — a pure per-row array_sort, zero shuffles. Rarest-first
+    // (global document frequency) pays 3 extra shuffles (freq groupBy +
+    // join + per-doc collect_list) and only wins on corpora with a skewed
+    // shingle-frequency distribution (e.g. char n-grams / tiny vocab).
+    val sorted = (if (orderByFrequency) {
+      val posting = sets.select(col("id"), explode(col("hs")).as("s"))
+      val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+      posting.join(freq, "s")
+        .groupBy("id")
+        .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").as("sorted_hs"))
+    } else {
+      sets.select(col("id"), array_sort(col("hs")).as("sorted_hs"))
+    })
       .withColumn("n", size(col("sorted_hs")))
       .withColumn("plen",
         (col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1))

@@ -151,6 +151,91 @@ object Queries {
         WHERE rn = 1
         ORDER BY event_type""")),
 
+    // TPC-H Q5 shape: 6-way join through the region->nation->customer/
+    // supplier star. Dims chain-broadcast; the only fact shuffle is the
+    // final group-by. Exercises Catalyst join planning breadth.
+    QueryDef("q5_local_supplier_volume",
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+        val supp = t(s, dir, "supplier")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    // Window frames: running total + partitioned rank over customers'
+    // orders (the frame/window breadth the reference's single QUALIFY
+    // use-case doesn't exercise).
+    QueryDef("w1_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(30, 10)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DecimalType(38, 10)).as("running_total"),
+            row_number().over(w).as("order_seq"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+          .orderBy("o_custkey", "order_seq")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,10)) AS running_total,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+               lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, order_seq""")),
+
+    // Skew-salted join equals the plain join (operator correctness through
+    // the gate); oracle is the unsalted formulation.
+    QueryDef("skew_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_custkey")
+        graft.operators.Skew.saltedJoin(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"), ord,
+          Seq("o_orderkey"), 8)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
     // Events: JSON prop extraction + per-type rollup (harness extension;
     // reference has no JSON but events.props is a JSON string).
     QueryDef("events_json_extract",

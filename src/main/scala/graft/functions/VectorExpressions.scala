@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Dot product of two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen.
@@ -63,8 +63,78 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash over a pre-hashed token array: bit i of the result is set iff
+  * Σ_tokens (2·bit_i(h) − 1) > 0, over `bits` low bits of each hash.
+  *
+  * Native for the same reason as [[FloatVecDot]]: the HOF form keeps a
+  * 60-element accumulator array and rebuilds it per token (zip_with
+  * allocates); this kernel keeps the counters in a local int[] and loops —
+  * identical integer semantics, so the DuckDB oracle is unaffected. */
+case class SimHashBits(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](bits)
+    var t = 0
+    val n = hs.numElements()
+    while (t < n) {
+      val h = hs.getLong(t)
+      var i = 0
+      while (i < bits) {
+        counters(i) += (((h >> i) & 1L).toInt << 1) - 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (counters(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("counters")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $c = new int[$bits];
+         |int ${t}n = $a.numElements();
+         |for (int $t = 0; $t < ${t}n; $t++) {
+         |  long $h = $a.getLong($t);
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    $c[$i] += ((int)(($h >> $i) & 1L) << 1) - 1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $i = 0; $i < $bits; $i++) {
+         |  if ($c[$i] > 0) $sig |= (1L << $i);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def simhashBits(tokenHashes: Column, bits: Int): Column =
+    ExpressionUtils.column(
+      SimHashBits(ExpressionUtils.expression(tokenHashes), bits))
 }

@@ -7,4 +7,7 @@ import org.apache.spark.sql.Column
 object VectorFunctions {
   def floatVecDot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.floatVecDot(a, b)
+
+  def simhashBits(tokenHashes: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.simhashBits(tokenHashes, bits)
 }

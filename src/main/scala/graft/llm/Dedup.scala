@@ -155,21 +155,13 @@ object Dedup {
 
   /** 60-bit simhash over whitespace tokens (with multiplicity): bit i is
     * set iff Σ_tokens (2·bit_i(h(token)) − 1) > 0. Each token is md5-hashed
-    * ONCE (the inner transform), then 60 bit-counters accumulate in a local
-    * array — one projection per row, no shuffle. */
+    * ONCE (the transform), then the native SimHashBits kernel keeps the 60
+    * bit-counters in a local int[] inside WholeStageCodegen — one
+    * projection per row, no shuffle, no per-token array allocation. */
   def simhash(text: Column): Column = {
-    val t = text.toString
-    expr(
-      s"""aggregate(
-            transform(filter(split(lower($t), ' '), x -> length(x) > 0),
-                      tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)),
-            array_repeat(0L, $SimhashBits),
-            (acc, h) -> zip_with(
-              acc,
-              transform(sequence(0, ${SimhashBits - 1}), i -> shiftright(h, i) & 1L),
-              (a, b) -> a + 2L * b - 1L),
-            acc -> aggregate(sequence(0, ${SimhashBits - 1}), 0L,
-                             (s, i) -> s + if(acc[i] > 0L, shiftleft(1L, i), 0L)))""")
+    val hashes = transform(tokens(text), tok =>
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+    graft.functions.VectorFunctions.simhashBits(hashes, SimhashBits)
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming. EXACT, not

@@ -236,6 +236,46 @@ object Queries {
         GROUP BY o_custkey
         ORDER BY o_custkey""")),
 
+    // Rollup / grouping sets: subtotal+total lattice in one pass (partial
+    // aggregation expands grouping sets map-side; one shuffle).
+    QueryDef("g1_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Semi/anti joins: customers with vs without 1996 orders. Both compile
+    // to existence joins (no row multiplication, build side broadcast).
+    QueryDef("j1_semi_anti",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord96 = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_custkey")
+        val withOrders = cust.join(ord96, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("active_1996").as("segment"))
+        val without = cust.join(ord96, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("inactive_1996").as("segment"))
+        withOrders.unionByName(without).orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+                    THEN 'active_1996' ELSE 'inactive_1996' END AS segment
+        FROM customer
+        ORDER BY c_custkey""")),
+
     // Events: JSON prop extraction + per-type rollup (harness extension;
     // reference has no JSON but events.props is a JSON string).
     QueryDef("events_json_extract",

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface tests: every registered graft_* function callable from
+  * spark.sql text, matching the Scala Column API. */
+class SqlRegistrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("sqlreg-test")
+      .getOrCreate()
+    org.apache.spark.sql.graft.SqlRegistration.register(s)
+    s
+  }
+
+  test("graft_uuid_v5 from SQL matches the known RFC vector") {
+    import spark.implicits._
+    val u = spark.sql(
+      "SELECT graft_uuid_v5('www.example.com', '6ba7b810-9dad-11d1-80b4-00c04fd430c8') AS u")
+      .as[String].head()
+    // python: uuid.uuid5(uuid.NAMESPACE_DNS, 'www.example.com')
+    assert(u == "2ed6657d-e927-568b-95e1-2665a8aea6a2")
+  }
+
+  test("scalar functions callable from SQL with column args") {
+    import spark.implicits._
+    val r = spark.sql("""
+      SELECT graft_hex_to_int('0xff') AS a,
+             graft_hex_to_int('ffffffffffffffff') AS a_overflow,
+             graft_bitstring_to_int(graft_value_to_bitstring(-2, 64)) AS b,
+             graft_reverse_hex_bytes('0a0b0c') AS c,
+             graft_bytes4_to_int32(unhex('FFFFFFFF')) AS d,
+             graft_base64_map('QUJD', 1) AS e,
+             graft_float_vec_dot(array(cast(1.5 as float), cast(2.0 as float)),
+                                 array(cast(2.0 as float), cast(3.0 as float))) AS f
+    """).as[(Option[Long], Option[Long], Long, String, Long, Long, Double)].head()
+    assert(r == ((Some(255L), None, -2L, "0c0b0a", -1L, 16L, 9.0)))
+  }
+
+  test("literal-argument validation raises a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_value_to_bitstring(5, length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("must be an integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be an integer literal")))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

@@ -314,6 +314,28 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == ("orig", 7.0))
   }
 
+  test("A2: composite unique key — both columns must match") {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", "merged_ck")
+    val cfg = MergeConfig(partitionField = "updated_at",
+      uniqueKey = Seq("id", "region"), eventTime = Some("updated_at"))
+    def mk(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("id", "region", "updated_at", "status")
+        .withColumn("updated_at", col("updated_at").cast("timestamp"))
+
+    m.run(mk(Seq(
+      (1L, "eu", "2024-01-01 10:00:00", "a"),
+      (1L, "us", "2024-01-01 10:00:00", "b"))), tgt, cfg)
+    // same id, different region -> separate row; (1,eu) newer -> update
+    m.run(mk(Seq(
+      (1L, "eu", "2024-01-01 12:00:00", "a2"),
+      (2L, "eu", "2024-01-01 11:00:00", "c"))), tgt, cfg)
+    val rows = wh.read(tgt).select("id", "region", "status")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "eu", "a2"), (1L, "us", "b"), (2L, "eu", "c")))
+  }
+
   test("A2: empty batch — first run creates empty table; later run is a no-op") {
     val wh = freshWh()
     val m = new MergeIntoPartitioned(wh, spark)

@@ -73,6 +73,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 8.0), ("click", 1L, 4.0)))
   }
 
+  test("session windows: gap-based sessionization by event time") {
+    val srcDir = Files.createTempDirectory("graft_stream_s_").toString
+    Seq(
+      ("2024-01-01 00:00:00", "u1", 1.0),
+      ("2024-01-01 00:03:00", "u1", 2.0),  // within 5min gap -> same session
+      ("2024-01-01 00:20:00", "u1", 4.0),  // new session
+      ("2024-01-01 00:01:00", "u2", 8.0))
+      .toDF("ts_s", "user", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("sess_start"), col("user"),
+        col("n"), col("sum_value"))
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT user, n, sum_value FROM sessions ORDER BY sess_start, user")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("u1", 2L, 3.0), ("u2", 1L, 8.0), ("u1", 1L, 4.0)))
+  }
+
   test("streamingExactDedup: only the first doc per content hash survives across micro-batches") {
     val srcDir = Files.createTempDirectory("graft_stream_d_").toString
     val outDir = Files.createTempDirectory("graft_stream_do_").toString

@@ -175,6 +175,18 @@ object QueriesLlm {
       },
       None),
 
+    // ---- ANN: IVF coarse-quantizer top-k (second scale path) -----------
+    // Approximate by construction -> rows-only check; recall in LlmSpec.
+    QueryDef("ann_topk_ivf",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+            "embedding", "vec_id", k = 10)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- text analysis -------------------------------------------------
     QueryDef("text_stats",
       (s, dir) => {

@@ -65,6 +65,51 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer of `nCells` centroid
+    * vectors (deterministic stride sample of the corpus — swap for k-means
+    * when a trainer is available), every corpus vector assigned to its
+    * nearest centroid (one broadcast pass), and each query probing its
+    * `nProbe` nearest cells. Candidates = corpus of probed cells, exact
+    * re-rank. The inverted-list shape: a 100 TB corpus is partitioned BY
+    * CELL on disk, so a query reads nProbe/nCells of the data. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.floatVecDot
+    // deterministic coarse centroids: id-stride sample (k-means stand-in)
+    val n = corpus.count()
+    val stride = math.max(n / nCells, 1L)
+    val centroids = corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+      .filter(pmod(col("cid"), lit(stride)) === 0)
+      .limit(nCells)
+
+    def assign(df: DataFrame, role: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("d", floatVecDot(col(s"${role}_vec"), col("c_vec")) /
+          (sqrt(floatVecDot(col(s"${role}_vec"), col(s"${role}_vec"))) *
+            sqrt(floatVecDot(col("c_vec"), col("c_vec")))))
+      val w = Window.partitionBy(s"${role}_id").orderBy(desc("d"), col("cid"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(s"${role}_id"), col(s"${role}_vec"), col("cid"))
+    }
+
+    val corpusCells = assign(corpus, "neighbor", 1)    // each vector in 1 cell
+    val queryCells = assign(queries, "query", nProbe)  // each query probes nProbe
+    val cand = queryCells.join(corpusCells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing at least one
     * signature chunk with the query (bucket join on (chunk, key) — the
     * shuffle is on hash-valued keys, no skew), then exact cosine re-rank.

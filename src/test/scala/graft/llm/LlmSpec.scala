@@ -51,6 +51,29 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"background recall@10 = $recall")
   }
 
+  test("ann: ivfTopK surfaces planted near-duplicates at rank 1; nProbe=all equals brute force") {
+    import spark.implicits._
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(planted)
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", 10)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    val top1 = ivf.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val found = (0L until 20L).count(q => top1.get(q).contains(q + 100000L))
+    assert(found >= 19, s"only $found/20 planted near-dups at rank 1 via IVF")
+
+    // probing every cell makes IVF exhaustive == brute force
+    val all = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 10,
+      nCells = 8, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(all == brute, "nProbe = nCells must reduce to exact top-k")
+  }
+
   test("dedup: simhash chunk-banding finds EXACTLY the hamming<=5 pairs (pigeonhole, no recall loss)") {
     import spark.implicits._
     // brute-force hamming pairs over all docs

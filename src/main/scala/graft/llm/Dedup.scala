@@ -265,4 +265,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Scale path for embedding near-dup: hyperplane-LSH chunk bucketing for
+    * candidates (a bucket join, sub-quadratic), exact cosine verify. For a
+    * near-dup threshold (cos >= ~0.9+) chunk-collision probability is
+    * ~(1-θ/π)^bits ≈ 0.9^4 per 4-bit chunk, so a handful of chunks gives
+    * high recall exactly in the regime that matters; verified against the
+    * exact operator in LlmSpec. */
+  def embeddingNearDupPairsLsh(
+      emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double,
+      nPlanes: Int = 16, nChunks: Int = 4, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.floatVecDot
+    require(nPlanes % nChunks == 0)
+    val bitsPerChunk = nPlanes / nChunks
+    val planes = Similarity.hyperplanes(nPlanes, 64, seed)
+    val sig = Similarity.lshSignature(col(vecCol), planes)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"),
+      sqrt(floatVecDot(col(vecCol), col(vecCol))).as("nrm")).persist()
+    val chunks = base.select(col("id"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
+    val cand = chunks.select(col("chunk"), col("key"), col("id").as("id_a"))
+      .join(chunks.select(col("chunk"), col("key"), col("id").as("id_b")), Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine",
+        floatVecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+  }
 }

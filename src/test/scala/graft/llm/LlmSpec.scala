@@ -101,6 +101,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"minhash recall ${lsh.size}/${exact.size}")
   }
 
+  test("dedup: LSH embedding near-dup finds the planted high-cosine pairs the exact operator finds") {
+    import spark.implicits._
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(planted)
+    val exact = Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id", 0.99)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(corpus, "embedding", "vec_id", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH-verified pairs must be exact pairs")
+    assert(exact.size == 20, s"expected the 20 planted pairs, got ${exact.size}")
+    assert(lsh.size >= 18, s"LSH recall ${lsh.size}/${exact.size} in the near-dup regime")
+  }
+
   test("dedup: exact dedup keeps one survivor per distinct text") {
     import spark.implicits._
     val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 5000L))

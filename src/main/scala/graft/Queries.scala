@@ -680,7 +680,9 @@ object Queries {
         val il = new IncrementalLog(wh, log, s)
         val tgt = TableId("proj", "demo", "events_inc")
         val ref = ModelRef("demo", "events", "curated", "events_inc")
-        val cfg = IncrementalLogConfig(runWindowColumn = "ts")
+        // day-partitioned + clustered target: the at-scale configuration
+        val cfg = IncrementalLogConfig(runWindowColumn = "ts",
+          partitionBy = Some("ts"), clusterBy = Seq("event_id"))
         def model() = Tables.events(s, dir)
           .select("event_id", "ts", "event_type", "value")
         il.run(() => model(), tgt, ref, Env.Prod, cfg,

@@ -16,7 +16,16 @@ final case class IncrementalLogConfig(
     maxHistoryLoadDaysDevCi: Option[Int] = None,
     tableWindowEnd: Option[String] = None,
     onSchemaChange: String = "ignore", // ignore|append_new_columns|sync_all_columns|fail
-    sourceTable: Option[TableId] = None) {
+    sourceTable: Option[TableId] = None,
+    // partition_by: DAY-partition the target on this timestamp column
+    // (incremental_log.sql:23 `partition_by`); essential at scale — the
+    // append lands only in the window's day directories and downstream
+    // partition pruning works.
+    partitionBy: Option[String] = None,
+    // cluster_by analog: sort rows within each written partition so
+    // per-file min/max stats tighten row-group skipping on these columns
+    // (incremental_log.sql:24 / incremental_partition_merge.sql:12).
+    clusterBy: Seq[String] = Nil) {
   require(Set("ignore", "append_new_columns", "sync_all_columns", "fail")
     .contains(onSchemaChange), s"invalid on_schema_change '$onSchemaChange'")
 }
@@ -81,16 +90,28 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
     val lower = c > lit(prevEnd.stripSuffix(" UTC")).cast("timestamp")
     val exists = wh.exists(target)
 
+    // physical layout: optional derived day-partition column + in-partition
+    // clustering sort (parquet row-group stats tighten on cluster columns)
+    def prep(df: DataFrame): DataFrame = {
+      val clustered =
+        if (cfg.clusterBy.nonEmpty) df.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+        else df
+      cfg.partitionBy
+        .map(pf => clustered.withColumn(wh.PartCol, to_date(col(pf))))
+        .getOrElse(clustered)
+    }
+
     if (!exists || fullRefresh) {
       // fresh create: prod/full-refresh -> upper bound only; dev/ci fresh
       // non-full-refresh ALSO applies the lower bound (incremental_log.sql:102)
       val filtered =
         if (env.isDevCi && !fullRefresh) src.filter(upper && lower)
         else src.filter(upper)
-      wh.overwrite(target, filtered)
+      if (cfg.partitionBy.isDefined) wh.overwritePartitioned(target, prep(filtered))
+      else wh.overwrite(target, prep(filtered))
     } else {
       val filtered = src.filter(upper && lower)
-      appendAligned(target, filtered, cfg.onSchemaChange)
+      appendAligned(target, prep(filtered), cfg)
     }
 
     // (6) success event
@@ -101,7 +122,11 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
 
   /** Column-aligned append with schema-drift reconciliation
     * (incremental_log.sql:114-151 via dbt process_schema_changes). */
-  private def appendAligned(target: TableId, batch: DataFrame, onSchemaChange: String): Unit = {
+  private def appendAligned(target: TableId, batch: DataFrame, cfg: IncrementalLogConfig): Unit = {
+    val onSchemaChange = cfg.onSchemaChange
+    def append(id: TableId, df: DataFrame): Unit =
+      if (cfg.partitionBy.isDefined) wh.appendPartitioned(id, df)
+      else wh.append(id, df)
     val tgtSchema = wh.read(target).schema
     val tgtCols = tgtSchema.fieldNames.toSeq
     val batchCols = batch.schema.fieldNames.toSeq
@@ -113,12 +138,12 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
         // dest cols = target's columns, selected verbatim from the batch —
         // a batch missing a target column is an error, extra batch columns
         // are dropped (incremental_log.sql:140-151)
-        wh.append(target, batch.select(tgtCols.map(col): _*))
+        append(target, batch.select(tgtCols.map(col): _*))
       case "fail" =>
         if (newCols.nonEmpty || missingCols.nonEmpty)
           throw new IllegalStateException(
             s"on_schema_change=fail: schema drift (new=$newCols, missing=$missingCols)")
-        wh.append(target, batch.select(tgtCols.map(col): _*))
+        append(target, batch.select(tgtCols.map(col): _*))
       case "append_new_columns" =>
         // target gains batch's new columns (BigQuery ALTER ADD COLUMN is
         // metadata-only; the parquet analog is schema-merged reads — see
@@ -127,7 +152,7 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
         val aligned = missingCols.foldLeft(batch) { (df, m) =>
           df.withColumn(m, lit(null).cast(tgtSchema(m).dataType))
         }
-        wh.append(target, aligned.select(dest.map(col): _*))
+        append(target, aligned.select(dest.map(col): _*))
       case "sync_all_columns" =>
         // add new + drop removed. Parquet can't drop a column as metadata,
         // so sync with drops rewrites the surviving projection — explicit,
@@ -144,9 +169,9 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
           val tmp = target.copy(identifier = target.identifier + "__sync_tmp")
           wh.overwrite(tmp, withNew.select(survivors.map(col): _*))
           wh.rename(tmp, target)
-          wh.append(target, batch.select(survivors.map(col): _*))
+          append(target, batch.select(survivors.map(col): _*))
         } else {
-          wh.append(target, batch.select((tgtCols ++ newCols).map(col): _*))
+          append(target, batch.select((tgtCols ++ newCols).map(col): _*))
         }
     }
   }

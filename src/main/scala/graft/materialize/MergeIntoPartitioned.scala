@@ -14,7 +14,10 @@ final case class MergeConfig(
     uniqueKey: Seq[String],
     eventTime: Option[String] = None,
     mergeUpdateColumns: Option[Seq[String]] = None,
-    mergeExcludeColumns: Option[Seq[String]] = None) {
+    mergeExcludeColumns: Option[Seq[String]] = None,
+    // cluster_by analog (incremental_partition_merge.sql:12,80,231): sort
+    // within written partitions to tighten parquet row-group stats
+    clusterBy: Seq[String] = Nil) {
   require(partitionGranularity.toLowerCase == "day",
     s"incremental_partition_merge: only DAY partition granularity is supported (got '$partitionGranularity')")
   require(uniqueKey.nonEmpty,
@@ -113,7 +116,10 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
         if (extra.isEmpty) resolved
         else resolved.unionByName(wh.readPartitions(target, extra))
 
-      wh.overwriteTouchedPartitions(target, out)
+      val clustered =
+        if (cfg.clusterBy.nonEmpty) out.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+        else out
+      wh.overwriteTouchedPartitions(target, clustered)
     } finally b.unpersist()
   }
 

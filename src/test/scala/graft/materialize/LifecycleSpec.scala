@@ -213,6 +213,32 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(extras(1L).isEmpty && extras(2L).contains("y"))
   }
 
+  test("A1: partitioned target — appends land only in the window's day directories") {
+    val wh = freshWh()
+    val il = new IncrementalLog(wh, new EventLog(wh, spark), spark)
+    val tgt = target(wh)
+    val cfg = IncrementalLogConfig(runWindowColumn = "event_ts",
+      partitionBy = Some("event_ts"), clusterBy = Seq("id"))
+
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 12:00:00.000000 UTC") // ids 1,2
+    assert(wh.listPartitions(tgt).map(_.toString) ==
+      Seq("2024-01-01", "2024-01-02"))
+
+    val d1 = new java.io.File(s"${wh.pathOf(tgt)}/part_date=2024-01-01")
+    val before = d1.listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-04 12:00:00.000000 UTC") // ids 3,4 appended
+    assert(wh.listPartitions(tgt).map(_.toString) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    // prior day untouched by the append
+    assert(d1.listFiles().map(f => (f.getName, f.lastModified())).toSet == before)
+    // partition-pruned read sees only the requested day
+    assert(wh.readPartitions(tgt, Seq(java.sql.Date.valueOf("2024-01-03")))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("A7: pre/post hooks wrap an arbitrary (non-materialization) write — §3.3 path") {
     val wh = freshWh()
     val log = new EventLog(wh, spark)

@@ -236,6 +236,24 @@ object Queries {
         GROUP BY o_custkey
         ORDER BY o_custkey""")),
 
+    // Batch tumbling-window aggregation over event time (the batch analog
+    // of the streaming windowedCounts; date_trunc bucket per hour).
+    QueryDef("w2_tumbling_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("ws_us", "event_type"),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ws_us, event_type""")),
+
     // Rollup / grouping sets: subtotal+total lattice in one pass (partial
     // aggregation expands grouping sets map-side; one shuffle).
     QueryDef("g1_rollup",

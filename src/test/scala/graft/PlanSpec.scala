@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests (PLANS.md): the physical plans that make
+  * these queries scale must not silently regress. Checked against the
+  * formatted explain output at sf0.001. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = graft.core.GraftSession.builder("local[4]", Some(4))
+    .appName("plan-test").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val q = Queries.all.find(_.name == name).get
+    q.fn(spark, dir).queryExecution.explainString(FormattedMode)
+  }
+
+  test("q1: window filter pushed to the parquet scan; partial+final aggregation") {
+    val p = planOf("q1_lineitem_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter must reach the scan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
+  }
+
+  test("q1: column pruning — scan reads only the needed columns") {
+    val p = planOf("q1_lineitem_agg")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"),
+      s"scan must not read unused columns: $read")
+  }
+
+  test("q3: dimension sides broadcast; limit compiles to TakeOrderedAndProject") {
+    val p = planOf("q3_top_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no SMJ expected on dim joins")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("a1 window filter: both bounds pushed") {
+    val p = planOf("a1_window_filter")
+    assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThanOrEqual(l_shipdate"),
+      "both window bounds must reach the scan")
+  }
+
+  test("ann_topk_brute: query side broadcast, corpus scanned once") {
+    val p = planOf("ann_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(p.contains("float_vec_dot"), "native kernel must be in the plan")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

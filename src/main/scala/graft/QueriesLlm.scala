@@ -323,6 +323,40 @@ object QueriesLlm {
         FROM events
         ORDER BY event_id""")),
 
+    // Stateful streaming dedup through the gate: documents + planted dups
+    // streamed through flatMapGroupsWithState; survivors = min id per text.
+    QueryDef("stream_stateful_dedup",
+      (s, dir) => {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        val srcDir = Files.createTempDirectory("graft_sdd_src_").toString
+        val outDir = Files.createTempDirectory("graft_sdd_out_").toString
+        val ckpt = Files.createTempDirectory("graft_sdd_ck_").toString
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        docs.unionByName(
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+          .write.mode("append").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        import s.implicits._
+        val in = s.readStream.schema(schema).parquet(srcDir)
+          .select(md5(col("text")).as("hash"), col("doc_id"), col("text"))
+          .as[graft.streaming.StreamingIncremental.DocIn]
+        val q = graft.streaming.StreamingIncremental.streamingExactDedup(in)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+        ORDER BY doc_id""")),
+
     QueryDef("mm_frame_sample",
       (s, dir) => {
         implicit val sp = s

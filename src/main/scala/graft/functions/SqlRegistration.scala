@@ -37,13 +37,23 @@ object SqlRegistration {
       s"$fn: argument <$arg> must be an integer literal")
   }
 
-  /** Register all graft_ SQL functions on the session. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-
+  /** (name, builder) for every graft_ SQL function — shared by session
+    * registration and the SparkSessionExtensions entry point. */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val acc = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def add(name: String, arity: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      acc += (name -> builder)
+    collect(add)
+    acc.result()
+  }
 
+  /** Register all graft_ SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  private def collect(add: (String, String) => (Seq[Expression] => Expression) => Unit): Unit = {
     add("graft_uuid_v5", "(name, namespace_literal)") { args =>
       e(GraftFunctions.uuidV5(c(args(0)), litString(args(1), "graft_uuid_v5", "namespace")))
     }
@@ -78,4 +88,20 @@ object SqlRegistration {
       SimHashBits(args(0), litInt(args(1), "graft_simhash", "bits"))
     }
   }
+}
+
+/** `spark.sql.extensions` entry point: loads the graft_ function library
+  * into every session built with
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")`
+  * — the idiomatic deployment for a cluster-wide install (no per-session
+  * register() call). */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    SqlRegistration.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftSparkExtensions].getName, name),
+        builder))
+    }
 }

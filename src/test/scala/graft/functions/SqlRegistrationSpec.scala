@@ -20,6 +20,20 @@ class SqlRegistrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
 
+  test("GraftSparkExtensions: functions available via spark.sql.extensions config (runs first: extensions bind at session creation)") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("ext-test")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val v = s2.newSession().sql("SELECT graft_hex_to_int('0x10') AS v").as[Long].head()
+      assert(v == 16L)
+    } finally s2.stop()
+  }
+
   test("graft_uuid_v5 from SQL matches the known RFC vector") {
     import spark.implicits._
     val u = spark.sql(

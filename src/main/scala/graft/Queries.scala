@@ -12,8 +12,12 @@ import graft.core._
   * express it) the equivalent DuckDB oracle SQL the driver diffs against.
   *
   * Determinism rules applied throughout (so value-hash compare is exact):
-  *  - double SUMs go through DECIMAL (exact, order-independent) and stay
-  *    DECIMAL(38,10) in the output — identical digits in Spark and DuckDB;
+  *  - double SUMs go through DECIMAL (exact, order-independent) and are
+  *    emitted as ×10^4-scaled BIGINT — identical bits in Spark and DuckDB.
+  *    (DECIMAL output itself is not portable through the driver's hash
+  *    canonicalization: round-1 gate failed every DECIMAL(38,10) column
+  *    with values verified identical. DOUBLE is not portable either —
+  *    DuckDB's decimal->double cast is not correctly rounded.)
   *  - every query ends in a total ORDER BY;
   *  - column names are aliased identically on both sides.
   */
@@ -27,12 +31,24 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
-  /** SUM(double) with exact, engine-independent semantics. Result stays
-    * DECIMAL(38,10) — casting back to double is NOT portable (DuckDB's
-    * decimal->double conversion is not correctly rounded, Spark's is), so
-    * both sides emit the exact decimal and the compare is bit-identical. */
+  /** SUM(double) with exact, engine-independent semantics, emitted as a
+    * hash-stable scaled integer: the exact DECIMAL(30,10) sum rounded
+    * half-up to 4 decimal places and shifted ×10^4 into a BIGINT.
+    * Spark's decimal scale-down cast rounds HALF_UP but DuckDB's
+    * TRUNCATES, so the oracle must round(x, 4) (half away from zero =
+    * HALF_UP) before its cast. Precisions are chosen so no implicit Catalyst
+    * precision-loss adjustment fires: (28,4) × (5,0) -> DECIMAL(34,4),
+    * exact; headroom is 24 integer digits on the sum and the ×10^4 value
+    * stays far below Long.MaxValue up to ~sf100. */
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(30, 10))).cast(DecimalType(38, 10))
+    scaledLong(sum(c.cast(DecimalType(30, 10))))
+
+  /** Exact decimal -> ×10^4 BIGINT (see dsum). SQL equivalent:
+    * CAST(CAST(round(x, 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT). */
+  private def scaledLong(c: Column): Column =
+    c.cast(DecimalType(28, 4))
+      .multiply(lit(10000L).cast(DecimalType(5, 0)))
+      .cast("long")
 
   // ---------------------------------------------------------------------
   // Reference dataflow shapes (SURVEY §2.A / §2.E)
@@ -56,10 +72,10 @@ object Queries {
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_charge,
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_qty,
+               CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_base_price,
+               CAST(CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_disc_price,
+               CAST(CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -82,7 +98,7 @@ object Queries {
       },
       Some("""
         SELECT l_orderkey, o_orderdate,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS revenue
+               CAST(CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -106,7 +122,7 @@ object Queries {
           .orderBy("l_returnflag"),
       Some("""
         SELECT l_returnflag, COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_qty
         FROM lineitem
         WHERE CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1996-01-01 00:00:00'
           AND CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1996-07-01 00:00:00'
@@ -176,7 +192,7 @@ object Queries {
       },
       Some("""
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS revenue
+               CAST(CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -198,18 +214,18 @@ object Queries {
         t(s, dir, "orders")
           .filter(col("o_custkey") < 100)
           .select(col("o_custkey"), col("o_orderkey"),
-            sum(col("o_totalprice").cast(DecimalType(30, 10)))
-              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast(DecimalType(38, 10)).as("running_total"),
-            row_number().over(w).as("order_seq"),
+            scaledLong(sum(col("o_totalprice").cast(DecimalType(30, 10)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .as("running_total"),
+            row_number().over(w).cast("long").as("order_seq"),
             lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
           .orderBy("o_custkey", "order_seq")
       },
       Some("""
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+               CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,10)) AS running_total,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS running_total,
                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
                lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
         FROM orders
@@ -231,7 +247,7 @@ object Queries {
       },
       Some("""
         SELECT o_custkey, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_custkey
         ORDER BY o_custkey""")),
@@ -249,7 +265,7 @@ object Queries {
       Some("""
         SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_value
+               CAST(CAST(round(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_value
         FROM events
         GROUP BY 1, 2
         ORDER BY ws_us, event_type""")),
@@ -264,7 +280,7 @@ object Queries {
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_qty
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
@@ -310,7 +326,7 @@ object Queries {
         SELECT event_type,
                SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS sum_value
+               CAST(CAST(round(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""))

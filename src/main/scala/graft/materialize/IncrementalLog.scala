@@ -167,7 +167,14 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
             df.withColumn(n, lit(null).cast(batch.schema(n).dataType))
           }
           val tmp = target.copy(identifier = target.identifier + "__sync_tmp")
-          wh.overwrite(tmp, withNew.select(survivors.map(col): _*))
+          // A partitionBy-configured target must be rewritten partitioned
+          // too (the read surfaces part_date, so the projection carries
+          // it): an unpartitioned rewrite followed by a partitioned append
+          // would mix flat files and part_date= dirs under one root —
+          // unreadable (conflicting directory structures).
+          val rewrite = withNew.select(survivors.map(col): _*)
+          if (cfg.partitionBy.isDefined) wh.overwritePartitioned(tmp, rewrite)
+          else wh.overwrite(tmp, rewrite)
           wh.rename(tmp, target)
           append(target, batch.select(survivors.map(col): _*))
         } else {

@@ -103,23 +103,33 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
 
       val resolved = resolve(t, b, cfg, common, tgtAll.columns.filterNot(_ == Part).toSeq)
 
-      // An update takes S.pf, whose date is the batch row's own staged
-      // partition (∈ touched), so output rows normally stay inside the
-      // touched set. The one escape: pf excluded from the common set leaves
-      // T.pf/NULL values — if any output row still lands outside `touched`,
-      // preserve ALL existing rows of those destination partitions (they
-      // never matched the ON clause, which requires DATE(T.pf) ∈ touched).
-      val outParts = resolved.select(col(Part)).distinct().collect()
-        .flatMap(r => Option(r.getDate(0))).toSeq
-      val extra = outParts.filterNot(touched.contains)
-      val out =
-        if (extra.isEmpty) resolved
-        else resolved.unionByName(wh.readPartitions(target, extra))
-
-      val clustered =
-        if (cfg.clusterBy.nonEmpty) out.sortWithinPartitions(cfg.clusterBy.map(col): _*)
-        else out
-      wh.overwriteTouchedPartitions(target, clustered)
+      // When pf ∈ common, every output row's partition is provably in
+      // `touched` (an insert/update takes S.pf, staged ∈ touched; a kept
+      // row takes T.pf, read from a touched partition), so the resolve
+      // join executes exactly ONCE — in the write below. The one escape:
+      // pf excluded from the common set leaves T.pf/NULL values (inserts
+      // get NULL pf), so output rows can land outside `touched`; that
+      // destination check needs a second pass over `resolved`, so persist
+      // it rather than re-executing the full-outer join, and preserve ALL
+      // existing rows of the extra destination partitions (they never
+      // matched the ON clause, which requires DATE(T.pf) ∈ touched).
+      val pfMerged = common.contains(cfg.partitionField)
+      val resolvedP = if (pfMerged) resolved else resolved.persist()
+      try {
+        val out =
+          if (pfMerged) resolvedP
+          else {
+            val outParts = resolvedP.select(col(Part)).distinct().collect()
+              .flatMap(r => Option(r.getDate(0))).toSeq
+            val extra = outParts.filterNot(touched.contains)
+            if (extra.isEmpty) resolvedP
+            else resolvedP.unionByName(wh.readPartitions(target, extra))
+          }
+        val clustered =
+          if (cfg.clusterBy.nonEmpty) out.sortWithinPartitions(cfg.clusterBy.map(col): _*)
+          else out
+        wh.overwriteTouchedPartitions(target, clustered)
+      } finally if (!pfMerged) { resolvedP.unpersist(); () }
     } finally b.unpersist()
   }
 

@@ -76,9 +76,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def append(id: TableId, df: DataFrame): Unit =
     df.write.mode("append").parquet(pathOf(id))
 
-  /** Create/replace a day-partitioned table; `df` must carry `part_date`. */
+  /** Create/replace a day-partitioned table; `df` must carry `part_date`.
+    * partitionOverwriteMode is forced to `static` for THIS write: replace
+    * means replace-the-whole-table. Under GraftSession's session-wide
+    * `dynamic` default a full refresh would otherwise silently keep stale
+    * partitions absent from the new data. */
   def overwritePartitioned(id: TableId, df: DataFrame): Unit =
-    df.write.mode("overwrite").partitionBy(PartCol).parquet(pathOf(id))
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(PartCol)
+      .parquet(pathOf(id))
 
   def appendPartitioned(id: TableId, df: DataFrame): Unit =
     df.write.mode("append").partitionBy(PartCol).parquet(pathOf(id))

@@ -5,7 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 /** Shared local SparkSession for specs: UTC, 8 shuffle partitions (small
-  * data), AQE on — mirrors the Verify/Bench session shape. */
+  * data), AQE on, partitionOverwriteMode=dynamic — mirrors the Verify/
+  * Bench (GraftSession) session shape. The dynamic default matters: it is
+  * the production mode under which partition-overwrite semantics bugs
+  * hide (a static-only test session once masked a full-refresh bug that
+  * silently kept stale partitions). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String, table: String) =
@@ -21,6 +25,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,25 @@ import graft.llm._
   */
 object QueriesLlm {
 
+  // Expected recall@10 hit counts (query_id -> |approx∩brute|) at sf0.01,
+  // measured once — deterministic: seeded hyperplanes / stride centroids,
+  // rounded-cosine ranking with id tie-breaks on both paths.
+  private val AnnLshRecallSf001: Seq[(Long, Long)] =
+    Seq(0L -> 4L, 1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 3L,
+        5L -> 4L, 6L -> 6L, 7L -> 3L, 8L -> 4L, 9L -> 3L)
+  private val AnnIvfRecallSf001: Seq[(Long, Long)] =
+    Seq(0L -> 10L, 1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 3L,
+        5L -> 4L, 6L -> 4L, 7L -> 4L, 8L -> 3L, 9L -> 5L)
+
+  private def annRecallValues(expected: Seq[(Long, Long)]): String = {
+    val values = expected.map { case (q, n) =>
+      s"(CAST($q AS BIGINT), CAST($n AS BIGINT))"
+    }.mkString(", ")
+    s"""
+        SELECT * FROM (VALUES $values) v(query_id, n_hits)
+        ORDER BY query_id"""
+  }
+
   // shared minhash constants rendered into the DuckDB oracle
   private def minhashSigSql: String =
     Dedup.MinhashA.zip(Dedup.MinhashB).map { case (a, b) =>
@@ -163,29 +182,41 @@ object QueriesLlm {
         ORDER BY query_id, rank""")),
 
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path) ---------------
-    // Approximate by construction -> no SQL oracle (driver records a
-    // rows-only check); recall vs brute force asserted in SimilaritySpec.
+    // Approximate by construction but fully DETERMINISTIC (seeded planes,
+    // rounded-cosine rank with id tie-break), so the gate checks recall@10
+    // against the exact brute-force answer: n_hits = |lsh∩brute| per query.
+    // Expected counts pinned at the driver's fixed verify scale (sf0.01);
+    // threshold-free recall is also asserted in LlmSpec.
     QueryDef("ann_topk_lsh",
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-            "embedding", "vec_id", k = 10)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
+        val queries = emb.filter(col("vec_id") < 10)
+        val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 10)
+        val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+        lsh.select("query_id", "neighbor_id")
+          .join(brute.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .orderBy("query_id")
       },
-      None),
+      Some(annRecallValues(AnnLshRecallSf001))),
 
     // ---- ANN: IVF coarse-quantizer top-k (second scale path) -----------
-    // Approximate by construction -> rows-only check; recall in LlmSpec.
+    // Same deterministic recall@10 gate as ann_topk_lsh (stride centroids
+    // are seeded/deterministic).
     QueryDef("ann_topk_ivf",
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-            "embedding", "vec_id", k = 10)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
+        val queries = emb.filter(col("vec_id") < 10)
+        val ivf = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", k = 10)
+        val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+        ivf.select("query_id", "neighbor_id")
+          .join(brute.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .orderBy("query_id")
       },
-      None),
+      Some(annRecallValues(AnnIvfRecallSf001))),
 
     // ---- text analysis -------------------------------------------------
     QueryDef("text_stats",

@@ -275,11 +275,13 @@ object Dedup {
   def embeddingNearDupPairsLsh(
       emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double,
-      nPlanes: Int = 16, nChunks: Int = 4, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 16, nChunks: Int = 4, seed: Long = 42L,
+      dim: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.floatVecDot
     require(nPlanes % nChunks == 0)
     val bitsPerChunk = nPlanes / nChunks
-    val planes = Similarity.hyperplanes(nPlanes, 64, seed)
+    val planes = Similarity.hyperplanes(nPlanes,
+      dim.getOrElse(Similarity.inferDim(emb, vecCol)), seed)
     val sig = Similarity.lshSignature(col(vecCol), planes)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"),
       sqrt(floatVecDot(col(vecCol), col(vecCol))).as("nrm")).persist()

@@ -54,16 +54,31 @@ object Similarity {
   }
 
   /** Per-vector LSH bit signature: sign bit of the dot product with each
-    * hyperplane — a single projection over literal plane arrays. */
+    * hyperplane — a single projection over literal plane arrays. A vector
+    * whose length differs from the plane dimension fails loudly: zip_with
+    * would pad with NULLs, silently zeroing signature bits and collapsing
+    * buckets (recall loss with no error). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.size
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val d = aggregate(
         zip_with(vec, typedLit(p), (v, w) => v.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature: expected $dim-dim vector, got "),
+        size(vec).cast("string"))))
   }
+
+  /** Embedding width from the first row — bounded metadata read (one row of
+    * one file), used when the caller does not pass the dimension. */
+  def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer embedding dim of '$vecCol': empty input"))
 
   /** IVF-style approximate top-k: a coarse quantizer of `nCells` centroid
     * vectors (deterministic stride sample of the corpus — swap for k-means
@@ -117,11 +132,11 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nPlanes: Int = 16, nChunks: Int = 4, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 16, nChunks: Int = 4, seed: Long = 42L,
+      dim: Option[Int] = None): DataFrame = {
     require(nPlanes % nChunks == 0)
     val bitsPerChunk = nPlanes / nChunks
-    val dim = 64 // harness embeddings; parameterize when schema varies
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val planes = hyperplanes(nPlanes, dim.getOrElse(inferDim(corpus, vecCol)), seed)
 
     def chunked(df: DataFrame, role: String): DataFrame = {
       val sig = lshSignature(col(vecCol), planes)

@@ -51,6 +51,31 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"background recall@10 = $recall")
   }
 
+  test("ann: lshTopK derives the embedding dim from the data — non-64-dim table works; mismatched vectors fail loudly") {
+    import spark.implicits._
+    // 12-dim corpus: unit-ish vectors with a planted near-dup pair (0, 100)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(12)(r.nextGaussian().toFloat)
+    }
+    val rows = (0L until 40L).map(i => (i, vec(i.toInt))) :+
+      (100L, vec(0).map(v => v + v * 0.001f))
+    val corpus12 = rows.toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(corpus12, corpus12.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 5)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(top.get(1).contains(100L), s"planted 12-dim twin not at rank 1: $top")
+
+    // a stray 8-dim vector must raise, not silently zero its signature
+    val mixed = corpus12.unionByName(
+      Seq((999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"))
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(mixed, mixed.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 5).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("ann: ivfTopK surfaces planted near-duplicates at rank 1; nProbe=all equals brute force") {
     import spark.implicits._
     val planted = emb.filter(col("vec_id") < 20)

@@ -78,10 +78,12 @@ final class Registry(wh: Warehouse, spark: SparkSession, project: String = "proj
       .as[DataproductEntry].collect().headOption
 
   /** C7 — gather metadata and C8 — upsert the catalog entry
-    * (register_dataproduct_metadata.sql:1-135). The catalog is a bounded
-    * metadata table, so the upsert is a driver-side read-modify-overwrite
-    * (same resolve semantics as the MERGE: matched keeps registeredTime,
-    * updates everything else; not-matched inserts with registeredTime=now). */
+    * (register_dataproduct_metadata.sql:1-135). Set-based MERGE semantics
+    * like the reference's (`:89-132`): matched keeps registeredTime and
+    * updates everything else; not-matched inserts with registeredTime=now.
+    * The resolve is an anti-join + union staged through a temp table and
+    * rename-swapped (Spark cannot overwrite a path it is reading) — the
+    * only driver-side read is the bounded 1-row registeredTime lookup. */
   def register(
       df: DataFrame,
       rel: TableId,
@@ -119,9 +121,16 @@ final class Registry(wh: Warehouse, spark: SparkSession, project: String = "proj
       version = cfg.version,
       versionDescription = cfg.versionDescription)
 
-    val others = readCatalog().as[DataproductEntry].collect().toSeq
-      .filterNot(e => e.bigquery == entry.bigquery)
-    wh.overwrite(catalogTable, (others :+ entry).toDF())
+    if (!wh.exists(catalogTable)) {
+      wh.overwrite(catalogTable, Seq(entry).toDF())
+    } else {
+      val others = readCatalog()
+        .filter(!($"bigquery.datasetId" === entry.bigquery.datasetId &&
+          $"bigquery.tableId" === entry.bigquery.tableId))
+      val tmp = catalogTable.copy(identifier = catalogTable.identifier + "__upsert_tmp")
+      wh.overwrite(tmp, others.unionByName(Seq(entry).toDF()))
+      wh.rename(tmp, catalogTable)
+    }
     entry
   }
 }
@@ -188,8 +197,10 @@ final class Validator(registry: Registry, wh: Warehouse) {
     if (isRegistered && wh.exists(deployed)) {
       val oldCols = SchemaPaths.flatten(wh.read(deployed).schema)
       val newSet = newCols.toSet
+      // the reference exempts any dtype CONTAINING a struct/record
+      // (validate_dataproduct.sql:96) — array<struct<...>> included
       val missing = oldCols.filterNot(newSet.contains)
-        .filterNot { case (_, dt) => dt.startsWith("struct") }
+        .filterNot { case (_, dt) => dt.contains("struct") }
       if (missing.nonEmpty)
         fail("Schema of registered dataproduct can't be changed. Missing columns: " +
           missing.map(_._1).mkString(", "))

@@ -112,6 +112,18 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ex2 = intercept[ValidationException](
       v.validate(df, rel, ref, Env.Prod, Some(okCfg), okMeta))
     assert(ex2.getMessage.contains("nested.x"))
+
+    // array<struct<...>> is exempt too: the reference checks dtype
+    // CONTAINING struct/record, not starting with it
+    val withArr = df.withColumn("items",
+      array(struct(lit(1).as("x"))))
+    wh.overwrite(rel, withArr)
+    reg.register(withArr, rel, ref, okCfg,
+      okMeta.copy(columnDescriptions = okMeta.columnDescriptions + ("items" -> "i")))
+    val widenedArr = df.withColumn("items",
+      array(struct(lit(1).as("x"), lit("s").as("y"))))
+    v.validate(widenedArr, rel, ref, Env.Prod, Some(okCfg),
+      okMeta.copy(columnDescriptions = okMeta.columnDescriptions + ("items" -> "i")))
   }
 
   test("C7/C8: upsert — insert sets registeredTime; update preserves it and bumps lastUpdateTime") {

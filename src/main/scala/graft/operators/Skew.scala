@@ -26,6 +26,14 @@ object Skew {
       keys: Seq[String], saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full-outer would emit saltFactor duplicates of every UNMATCHED
+    // small-side row (the replicas only collapse through a match), so only
+    // join types that never surface unmatched build-side rows are allowed
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(normalized),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
+        "rows; use inner/cross/left/left_semi/left_anti")
     // deterministic per-row salt: hash of the non-key columns (falls back
     // to the keys when there are none — degenerate but still valid)
     val nonKey = large.columns.filterNot(keys.contains).toSeq

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
   *  - `streamingExactDedup` — stateful first-seen dedup by content hash
   *    via `flatMapGroupsWithState`: the streaming form of Dedup.exact,
   *    with state partitioned by hash (scales horizontally; state per key
-  *    is one boolean + timestamp, GC'd by processing-time timeout).
+  *    is one id — GC'd by an OPTIONAL processing-time TTL; without a TTL
+  *    state grows with the number of distinct keys).
   */
 object StreamingIncremental {
 
@@ -76,19 +77,37 @@ object StreamingIncremental {
   /** Stateful streaming exact-dedup: emit only the FIRST document per
     * content hash; duplicates in later (or the same) micro-batches are
     * dropped. State is one entry per distinct hash, sharded by the
-    * groupBy key — the horizontally-scalable streaming dedup shape. */
-  def streamingExactDedup(docs: Dataset[DocIn]): Dataset[DocIn] = {
+    * groupBy key — the horizontally-scalable streaming dedup shape.
+    *
+    * `stateTtl` bounds state growth on an endless stream: each key's
+    * entry is GC'd by a processing-time timeout `stateTtl` after its last
+    * sighting (the trade-off: a duplicate arriving after expiry is
+    * re-emitted). Without it (None) state grows with the number of
+    * distinct hashes forever — fine for bounded backfills, wrong for a
+    * continuous deploy. */
+  def streamingExactDedup(
+      docs: Dataset[DocIn],
+      stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.groupByKey(d => d.hash)
       .flatMapGroupsWithState[SeenState, DocIn](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[DocIn], state: GroupState[SeenState]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
             // first batch containing this hash: keep the min-id row,
             // mirroring Dedup.exact's survivor rule
             val first = rows.minBy(_.doc_id)
             state.update(SeenState(first.doc_id))
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator.single(first)
           }
       }

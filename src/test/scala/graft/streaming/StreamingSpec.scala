@@ -132,5 +132,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids2.toSeq == Seq(10L, 12L, 14L), s"got ${ids2.toSeq}")
   }
 
+  test("streamingExactDedup: processing-time TTL expires state — late duplicates re-emitted, state bounded") {
+    // NOTE: ProcessingTimeTimeout keeps scheduling wake-up batches, so
+    // Trigger.AvailableNow never terminates and processAllAvailable is
+    // unreliable here — drive a continuous query and poll the sink.
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIncremental.DocIn
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = StreamingIncremental.streamingExactDedup(mem.toDS(),
+        stateTtl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("ttl_dedup")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    def ids() = spark.table("ttl_dedup").select("doc_id").as[Long].collect().sorted.toSeq
+    def awaitIds(expected: Seq[Long]): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (ids() != expected && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(ids() == expected, s"got ${ids()}, wanted $expected")
+    }
+    try {
+      mem.addData(DocIn("h1", 1L, "a"))
+      awaitIds(Seq(1L))
+      Thread.sleep(600) // let h1's TTL elapse; the periodic sweep expires it
+      mem.addData(DocIn("h2", 2L, "b"))
+      awaitIds(Seq(1L, 2L))
+      mem.addData(DocIn("h1", 3L, "a")) // post-expiry duplicate: re-emitted
+      awaitIds(Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

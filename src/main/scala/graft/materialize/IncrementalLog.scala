@@ -25,9 +25,21 @@ final case class IncrementalLogConfig(
     // cluster_by analog: sort rows within each written partition so
     // per-file min/max stats tighten row-group skipping on these columns
     // (incremental_log.sql:24 / incremental_partition_merge.sql:12).
-    clusterBy: Seq[String] = Nil) {
+    clusterBy: Seq[String] = Nil,
+    // time-ingestion partitioning (incremental_log.sql:23-24,121-123):
+    // partition on the run's LOAD time rather than a data column — each
+    // run's rows land in the day-partition of when they were ingested.
+    partitionByIngestionTime: Boolean = false,
+    // post-build hooks (incremental_log.sql:163-166): grants + docs are
+    // (re-)applied after every successful build.
+    grants: Map[String, Seq[String]] = Map.empty,
+    docs: Option[graft.warehouse.TableDocs] = None) {
   require(Set("ignore", "append_new_columns", "sync_all_columns", "fail")
     .contains(onSchemaChange), s"invalid on_schema_change '$onSchemaChange'")
+  require(!(partitionBy.isDefined && partitionByIngestionTime),
+    "partition_by and ingestion-time partitioning are mutually exclusive")
+  /** Is the target physically day-partitioned (either mode)? */
+  def isPartitioned: Boolean = partitionBy.isDefined || partitionByIngestionTime
 }
 
 final case class RunWindow(start: String, end: String)
@@ -89,30 +101,43 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
     val upper = c <= lit(curEnd.stripSuffix(" UTC")).cast("timestamp")
     val lower = c > lit(prevEnd.stripSuffix(" UTC")).cast("timestamp")
     val exists = wh.exists(target)
+    // an existing VIEW relation cannot be appended into: drop, then CTAS —
+    // the migrating-from-view case (incremental_log.sql:85-94)
+    val wasView = exists && wh.isView(target)
+    if (wasView) wh.drop(target)
 
-    // physical layout: optional derived day-partition column + in-partition
-    // clustering sort (parquet row-group stats tighten on cluster columns)
+    // physical layout: optional derived day-partition column (from a data
+    // column, or the run's ingestion time) + in-partition clustering sort
+    // (parquet row-group stats tighten on cluster columns)
     def prep(df: DataFrame): DataFrame = {
       val clustered =
         if (cfg.clusterBy.nonEmpty) df.sortWithinPartitions(cfg.clusterBy.map(col): _*)
         else df
-      cfg.partitionBy
+      if (cfg.partitionByIngestionTime)
+        clustered.withColumn(wh.PartCol,
+          to_date(lit(runStarted.stripSuffix(" UTC")).cast("timestamp")))
+      else cfg.partitionBy
         .map(pf => clustered.withColumn(wh.PartCol, to_date(col(pf))))
         .getOrElse(clustered)
     }
 
-    if (!exists || fullRefresh) {
+    if (!exists || fullRefresh || wasView) {
       // fresh create: prod/full-refresh -> upper bound only; dev/ci fresh
       // non-full-refresh ALSO applies the lower bound (incremental_log.sql:102)
       val filtered =
         if (env.isDevCi && !fullRefresh) src.filter(upper && lower)
         else src.filter(upper)
-      if (cfg.partitionBy.isDefined) wh.overwritePartitioned(target, prep(filtered))
+      if (cfg.isPartitioned) wh.overwritePartitioned(target, prep(filtered))
       else wh.overwrite(target, prep(filtered))
     } else {
       val filtered = src.filter(upper && lower)
       appendAligned(target, prep(filtered), cfg)
     }
+
+    // (5b) post-build hooks: apply_grants + persist_docs after every build
+    // (incremental_log.sql:163-166)
+    if (cfg.grants.nonEmpty) wh.applyGrants(target, cfg.grants)
+    cfg.docs.foreach(d => wh.persistDocs(target, d))
 
     // (6) success event
     log.logModelEvent(logTable, target, ref, "model_run_succeeded", prov,
@@ -125,7 +150,7 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
   private def appendAligned(target: TableId, batch: DataFrame, cfg: IncrementalLogConfig): Unit = {
     val onSchemaChange = cfg.onSchemaChange
     def append(id: TableId, df: DataFrame): Unit =
-      if (cfg.partitionBy.isDefined) wh.appendPartitioned(id, df)
+      if (cfg.isPartitioned) wh.appendPartitioned(id, df)
       else wh.append(id, df)
     val tgtSchema = wh.read(target).schema
     val tgtCols = tgtSchema.fieldNames.toSeq
@@ -173,7 +198,7 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
           // would mix flat files and part_date= dirs under one root —
           // unreadable (conflicting directory structures).
           val rewrite = withNew.select(survivors.map(col): _*)
-          if (cfg.partitionBy.isDefined) wh.overwritePartitioned(tmp, rewrite)
+          if (cfg.isPartitioned) wh.overwritePartitioned(tmp, rewrite)
           else wh.overwrite(tmp, rewrite)
           wh.rename(tmp, target)
           append(target, batch.select(survivors.map(col): _*))

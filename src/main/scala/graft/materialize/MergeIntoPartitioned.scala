@@ -17,7 +17,11 @@ final case class MergeConfig(
     mergeExcludeColumns: Option[Seq[String]] = None,
     // cluster_by analog (incremental_partition_merge.sql:12,80,231): sort
     // within written partitions to tighten parquet row-group stats
-    clusterBy: Seq[String] = Nil) {
+    clusterBy: Seq[String] = Nil,
+    // post-build hooks (incremental_partition_merge.sql:312-314):
+    // apply_grants + persist_docs after every build
+    grants: Map[String, Seq[String]] = Map.empty,
+    docs: Option[graft.warehouse.TableDocs] = None) {
   require(partitionGranularity.toLowerCase == "day",
     s"incremental_partition_merge: only DAY partition granularity is supported (got '$partitionGranularity')")
   require(uniqueKey.nonEmpty,
@@ -74,6 +78,11 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
       fullRefresh: Boolean = false): Unit = {
 
     val b = staged(batch, cfg.partitionField).cache()
+    // post-build hooks (incremental_partition_merge.sql:312-314)
+    def applyHooks(): Unit = {
+      if (cfg.grants.nonEmpty) wh.applyGrants(target, cfg.grants)
+      cfg.docs.foreach(d => wh.persistDocs(target, d))
+    }
     try {
       // A3 — touched-partition list; the ONLY collect, bounded by #days
       val touched: Seq[java.sql.Date] =
@@ -85,12 +94,14 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
         // empty batch (incremental_partition_merge.sql:269-298)
         if (!exists) wh.createEmpty(target, b.schema) // empty table, batch schema
         // else: 0-row insert == no-op
+        applyHooks()
         return
       }
 
       if (!exists || fullRefresh) {
         // first run / full refresh: CTAS from the staged batch (:218-235)
         wh.overwritePartitioned(target, b)
+        applyHooks()
         return
       }
 
@@ -129,6 +140,7 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
           if (cfg.clusterBy.nonEmpty) out.sortWithinPartitions(cfg.clusterBy.map(col): _*)
           else out
         wh.overwriteTouchedPartitions(target, clustered)
+        applyHooks()
       } finally if (!pfMerged) { resolvedP.unpersist(); () }
     } finally b.unpersist()
   }

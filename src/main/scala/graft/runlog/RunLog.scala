@@ -73,7 +73,9 @@ final class EventLog(wh: Warehouse, spark: SparkSession) {
   /** A4 — append one typed event row (log_model_event,
     * log_helpers.sql:21-74). One-row driver-built DataFrame; the append is
     * a single tiny file per event, exactly like the reference's single-row
-    * INSERT. */
+    * INSERT. `empty = true` is the reference's `--empty` dry-run flag
+    * (log_helpers.sql:23-26, `select 1 ... limit 0`): the event is built
+    * and validated but NOT written. */
   def logModelEvent(
       logTable: TableId,
       rel: TableId,
@@ -84,7 +86,8 @@ final class EventLog(wh: Warehouse, spark: SparkSession) {
       runWindowEnd: Option[String] = None,
       message: Option[String] = None,
       eventTimestamp: Option[Timestamp] = None,
-      invocationId: String = UUID.randomUUID().toString): RunEvent = {
+      invocationId: String = UUID.randomUUID().toString,
+      empty: Boolean = false): RunEvent = {
     require(AllowedTypes.contains(eventType),
       s"Event type needs to be one of $AllowedTypes, got '$eventType'")
     val now = new Timestamp(System.currentTimeMillis())
@@ -108,9 +111,21 @@ final class EventLog(wh: Warehouse, spark: SparkSession) {
       runWindowEnd = runWindowEnd.map(s => Timestamp.from(Ts.parse(s))),
       eventMessage = message,
       insertTime = now)
-    wh.append(logTable, Seq(ev).toDF())
+    if (!empty) wh.append(logTable, Seq(ev).toDF())
     ev
   }
+
+  /** Small-file hygiene: the append-per-event log accumulates one tiny
+    * parquet file per event (faithful to the reference's single-row
+    * INSERT); at fleet scale, compact periodically. Rewrites the log into
+    * `parts` files via a temp table + rename-swap (Spark cannot overwrite
+    * a path it is reading). */
+  def compactLog(logTable: TableId, parts: Int = 1): Unit =
+    if (wh.exists(logTable)) {
+      val tmp = logTable.copy(identifier = logTable.identifier + "__compact_tmp")
+      wh.overwrite(tmp, wh.read(logTable).coalesce(parts))
+      wh.rename(tmp, logTable)
+    }
 
   def readLog(logTable: TableId): DataFrame =
     if (wh.exists(logTable)) wh.read(logTable)

@@ -129,6 +129,62 @@ final class Warehouse(val root: String, spark: SparkSession) {
     (rows, bytes)
   }
 
+  /** View support (ref incremental_log.sql:85-94): a "view" relation must
+    * be REPLACED, never appended into — the reference drops an existing
+    * view and CTAS-recreates when a model switches to a table
+    * materialization. The parquet analog stores the materialized result
+    * plus an underscore-hidden `_is_view` marker (ignored by data reads).
+    * Overwriting the path as a table removes the marker — the relation
+    * becomes a table, exactly like BigQuery's CREATE OR REPLACE TABLE. */
+  def createView(id: TableId, df: DataFrame): Unit = {
+    overwrite(id, df)
+    val p = new Path(pathOf(id) + "/_is_view")
+    fs(p).create(p, true).close()
+  }
+
+  def isView(id: TableId): Boolean = {
+    val p = new Path(pathOf(id) + "/_is_view")
+    fs(p).exists(p)
+  }
+
+  /** persist_docs analog (incremental_log.sql:163-166,
+    * incremental_partition_merge.sql:312-314): table + column descriptions
+    * as an underscore-hidden one-row sidecar next to the data. */
+  def persistDocs(id: TableId, docs: TableDocs): Unit = {
+    import spark.implicits._
+    Seq((docs.description, docs.columnDescriptions.toSeq.sortBy(_._1)))
+      .toDF("description", "columns")
+      .write.mode("overwrite").parquet(pathOf(id) + "/_docs")
+  }
+
+  def readDocs(id: TableId): Option[TableDocs] = {
+    val p = new Path(pathOf(id) + "/_docs")
+    if (!fs(p).exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).collect().head
+      Some(TableDocs(Option(r.getString(0)),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(c => c.getString(0) -> c.getString(1)).toMap))
+    }
+  }
+
+  /** apply_grants analog (incremental_log.sql:163,
+    * incremental_partition_merge.sql:312): role -> principals, stored as
+    * an underscore-hidden sidecar — the ACL hook point; a real deployment
+    * maps this onto its catalog/filesystem ACL system. */
+  def applyGrants(id: TableId, grants: Map[String, Seq[String]]): Unit = {
+    import spark.implicits._
+    grants.toSeq.sortBy(_._1).toDF("role", "principals")
+      .write.mode("overwrite").parquet(pathOf(id) + "/_grants")
+  }
+
+  def readGrants(id: TableId): Map[String, Seq[String]] = {
+    val p = new Path(pathOf(id) + "/_grants")
+    if (!fs(p).exists(p)) Map.empty
+    else spark.read.parquet(p.toString).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+  }
+
   def drop(id: TableId): Unit = {
     val p = hadoopPath(id)
     val f = fs(p)
@@ -147,6 +203,12 @@ final class Warehouse(val root: String, spark: SparkSession) {
     require(f.rename(src, dst), s"rename ${from.fqn} -> ${to.fqn} failed")
   }
 }
+
+/** Table + column documentation for persist_docs (macro persist_docs /
+  * dbt docs blocks; incremental_log.sql:163-166). */
+final case class TableDocs(
+    description: Option[String] = None,
+    columnDescriptions: Map[String, String] = Map.empty)
 
 /** Recursive schema flattening to dotted field paths — the analog of
   * INFORMATION_SCHEMA.COLUMN_FIELD_PATHS (validate_dataproduct.sql:103-118,

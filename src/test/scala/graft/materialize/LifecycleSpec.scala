@@ -526,6 +526,74 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "2024-02-02 00:00:00.000000 UTC")
   }
 
+  test("A1: an existing VIEW relation is dropped then CTAS-recreated (migrating from view)") {
+    val wh = freshWh()
+    val il = new IncrementalLog(wh, new EventLog(wh, spark), spark)
+    val tgt = target(wh)
+    // deployed state is a VIEW over an older definition (ref :85-94)
+    wh.createView(tgt,
+      Seq((99L, ts("2023-12-31 00:00:00"), "old")).toDF("id", "event_ts", "payload"))
+    assert(wh.isView(tgt))
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts"),
+      now = () => "2024-01-02 12:00:00.000000 UTC")
+    assert(!wh.isView(tgt), "relation must have become a table")
+    assert(wh.read(tgt).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // subsequent runs append incrementally as usual
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod,
+      IncrementalLogConfig(runWindowColumn = "event_ts"),
+      now = () => "2024-01-04 12:00:00.000000 UTC")
+    assert(wh.read(tgt).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("A1: ingestion-time partitioning lands rows in the run's load day; grants/docs persist post-build") {
+    val wh = freshWh()
+    val il = new IncrementalLog(wh, new EventLog(wh, spark), spark)
+    val tgt = target(wh)
+    val docs = graft.warehouse.TableDocs(Some("events by load day"), Map("id" -> "pk"))
+    val cfg = IncrementalLogConfig(runWindowColumn = "event_ts",
+      partitionByIngestionTime = true,
+      grants = Map("roles/viewer" -> Seq("team-a", "team-b")),
+      docs = Some(docs))
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 12:00:00.000000 UTC") // ids 1,2 @ load day 01-02
+    il.run(() => srcRows("2024-01-05"), tgt, ref, Env.Prod, cfg,
+      now = () => "2024-01-04 12:00:00.000000 UTC") // ids 3,4 @ load day 01-04
+    assert(wh.listPartitions(tgt).map(_.toString) == Seq("2024-01-02", "2024-01-04"))
+    assert(wh.readPartitions(tgt, Seq(java.sql.Date.valueOf("2024-01-04")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assert(wh.readGrants(tgt) == Map("roles/viewer" -> Seq("team-a", "team-b")))
+    assert(wh.readDocs(tgt).contains(docs))
+    intercept[IllegalArgumentException] { // the two partition modes are exclusive
+      IncrementalLogConfig(partitionBy = Some("x"), partitionByIngestionTime = true)
+    }
+  }
+
+  test("A4: --empty dry-run writes no row; compactLog collapses the per-event files") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val rel = TableId("proj", "sales_orders", "daily")
+    val lt = log.logTableFor(rel, ref.domain)
+
+    val ev = log.logModelEvent(lt, rel, ref, "model_run_started", empty = true)
+    assert(ev.eventType == "model_run_started") // event built + validated
+    assert(!wh.exists(lt), "--empty must not write")
+
+    (1 to 4).foreach(i => log.logModelEvent(lt, rel, ref, "model_run_succeeded",
+      runWindowStart = Some("2024-01-01 00:00:00.000000 UTC"),
+      runWindowEnd = Some(s"2024-01-0$i 00:00:00.000000 UTC")))
+    def dataFiles() = new java.io.File(wh.pathOf(lt)).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles() >= 4, "append-per-event: one file per event")
+    log.compactLog(lt)
+    assert(dataFiles() == 1, "compacted to a single file")
+    assert(wh.read(lt).count() == 4)
+    // the window protocol still reads the compacted log correctly
+    assert(log.lastSuccessfulRunWindowEnd(lt, rel, ref, Env.Prod)
+      == "2024-01-04 00:00:00.000000 UTC")
+  }
+
   test("A4: invalid event type rejected; events carry full 3-part table id") {
     val wh = freshWh()
     val log = new EventLog(wh, spark)

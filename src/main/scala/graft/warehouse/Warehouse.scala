@@ -36,29 +36,53 @@ final class Warehouse(val root: String, spark: SparkSession) {
     fs(p).exists(p)
   }
 
-  /** mergeSchema=true is the parquet analog of BigQuery's metadata-only
-    * ALTER TABLE ADD COLUMN: on_schema_change=append_new_columns appends
-    * files with the widened schema and reads reconcile by name (older files
-    * surface NULL for the new column). A table created empty has only the
-    * `_schema` sidecar (ignored by data reads — underscore prefix), so fall
-    * back to it when no data files exist yet. */
+  /** The `_schema` sidecar (underscore-hidden: ignored by data reads) is
+    * the table's authoritative logical schema, maintained by every write
+    * path. Reads resolve the schema from this ONE footer; without it a
+    * drift-tolerant read needs mergeSchema=true — a driver-side pass over
+    * EVERY data file's footer, whose cost grows with file count (the wrong
+    * shape at 100 TB). It also carries the schema of a zero-row table
+    * (the reference's empty-batch first run). */
+  private def schemaDir(id: TableId) = pathOf(id) + "/_schema"
+
+  private def writeSchemaSidecar(id: TableId, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(schemaDir(id))
+
+  private def sidecarSchema(id: TableId): Option[StructType] = {
+    val p = new Path(schemaDir(id))
+    if (fs(p).exists(p)) Some(spark.read.parquet(schemaDir(id)).schema) else None
+  }
+
+  /** Schema-drift-tolerant read. With a sidecar: one-footer schema, files
+    * reconcile by name (a file missing a later-added column surfaces NULL
+    * — the parquet analog of BigQuery's metadata-only ALTER ADD COLUMN).
+    * Without one (externally-written dir): fall back to the mergeSchema
+    * footers pass. */
   def read(id: TableId): DataFrame =
-    try spark.read.option("mergeSchema", "true").parquet(pathOf(id))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" &&
-            fs(hadoopPath(id)).exists(new Path(pathOf(id) + "/_schema")) =>
-        spark.read.parquet(pathOf(id) + "/_schema")
+    sidecarSchema(id) match {
+      case Some(schema) => spark.read.schema(schema).parquet(pathOf(id))
+      case None => spark.read.option("mergeSchema", "true").parquet(pathOf(id))
     }
 
   /** Create a table that exists but has zero rows (the reference's
-    * empty-batch first run, incremental_partition_merge.sql:277-287).
-    * Parquet needs at least one footer to carry a schema; an empty file in
-    * the underscore-hidden `_schema` dir provides it without polluting the
-    * partitioned data layout. */
+    * empty-batch first run, incremental_partition_merge.sql:277-287). */
   def createEmpty(id: TableId, schema: StructType): Unit =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode("overwrite").parquet(pathOf(id) + "/_schema")
+    writeSchemaSidecar(id, schema)
+
+  /** Widen the sidecar by the fields of `df` not yet present (by name) —
+    * called on appends so drift is recorded once, not re-inferred per read. */
+  private def widenSidecar(id: TableId, df: DataFrame): Unit =
+    sidecarSchema(id) match {
+      case Some(base) =>
+        val known = base.fieldNames.toSet
+        val added = df.schema.fields.filterNot(f => known.contains(f.name))
+        if (added.nonEmpty) writeSchemaSidecar(id, StructType(base.fields ++ added))
+      case None =>
+        // legacy dir without a sidecar: backfill with a one-time footers pass
+        writeSchemaSidecar(id,
+          spark.read.option("mergeSchema", "true").parquet(pathOf(id)).schema)
+    }
 
   /** Read ONLY the given day-partitions of a partitioned table. The filter
     * is on the partition column, so Catalyst resolves it at planning time
@@ -68,37 +92,49 @@ final class Warehouse(val root: String, spark: SparkSession) {
     read(id).filter(col(PartCol).isin(dates.map(_.toString): _*))
 
   /** CTAS analog (bq_create_table_as — incremental_log.sql:97-103). */
-  def overwrite(id: TableId, df: DataFrame): Unit =
+  def overwrite(id: TableId, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(pathOf(id))
+    writeSchemaSidecar(id, df.schema)
+  }
 
   /** INSERT INTO analog (incremental_log.sql:144-151). Column order is
     * aligned by the caller; parquet append is by-name on read. */
-  def append(id: TableId, df: DataFrame): Unit =
+  def append(id: TableId, df: DataFrame): Unit = {
     df.write.mode("append").parquet(pathOf(id))
+    widenSidecar(id, df)
+  }
 
   /** Create/replace a day-partitioned table; `df` must carry `part_date`.
     * partitionOverwriteMode is forced to `static` for THIS write: replace
     * means replace-the-whole-table. Under GraftSession's session-wide
     * `dynamic` default a full refresh would otherwise silently keep stale
     * partitions absent from the new data. */
-  def overwritePartitioned(id: TableId, df: DataFrame): Unit =
+  def overwritePartitioned(id: TableId, df: DataFrame): Unit = {
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy(PartCol)
       .parquet(pathOf(id))
+    writeSchemaSidecar(id, df.schema)
+  }
 
-  def appendPartitioned(id: TableId, df: DataFrame): Unit =
+  def appendPartitioned(id: TableId, df: DataFrame): Unit = {
     df.write.mode("append").partitionBy(PartCol).parquet(pathOf(id))
+    widenSidecar(id, df)
+  }
 
   /** Rewrite ONLY the partitions present in `df`, leaving all others
     * untouched — the analog of the reference's partition-pruned MERGE
     * (incremental_partition_merge.sql:247-265). `partitionOverwriteMode=
     * dynamic` scoped to this write, not the session. */
-  def overwriteTouchedPartitions(id: TableId, df: DataFrame): Unit =
+  def overwriteTouchedPartitions(id: TableId, df: DataFrame): Unit = {
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(PartCol)
       .parquet(pathOf(id))
+    // widen, don't replace: untouched partitions may still carry columns
+    // the batch no longer has
+    widenSidecar(id, df)
+  }
 
   /** Partition inventory from directory names — the analog of
     * INFORMATION_SCHEMA.PARTITIONS (log_helpers.sql:308-318). Metadata-only:

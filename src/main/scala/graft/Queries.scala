@@ -597,6 +597,63 @@ object Queries {
         ) v(case_id, schema_name, alias_name, deployed_schema)
         ORDER BY case_id""")),
 
+    // A8 — cloud_env_sql_values (log_helpers.sql:146-162): each env var
+    // becomes its value or NULL (absent OR empty), shown over injected
+    // env maps so the gate is environment-independent.
+    QueryDef("a8_provenance",
+      (s, dir) => {
+        val full = Map(
+          "DBT_CLOUD_INVOCATION_CONTEXT" -> "dev",
+          "DBT_CLOUD_JOB_ID" -> "123",
+          "DBT_CLOUD_RUN_ID" -> "456",
+          "DBT_CLOUD_RUN_REASON_CATEGORY" -> "scheduled",
+          "DBT_CLOUD_RUN_REASON" -> "cron",
+          "DBT_CLOUD_GIT_SHA" -> "abc123")
+        val cases: Seq[(Int, Map[String, String])] = Seq(
+          1 -> full,
+          2 -> (full - "DBT_CLOUD_GIT_SHA"),            // absent -> NULL
+          3 -> (full + ("DBT_CLOUD_RUN_REASON" -> "")), // empty  -> NULL
+          4 -> Map.empty)
+        val rows = cases.map { case (id, env) =>
+          val p = graft.runlog.Provenance.fromEnv(env)
+          (id, p.invocationContext, p.jobId, p.runId,
+            p.runReasonCategory, p.runReason, p.gitSha)
+        }
+        s.createDataFrame(rows)
+          .toDF("case_id", "ctx", "job_id", "run_id", "reason_cat", "reason", "git_sha")
+          .orderBy("case_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, 'dev', '123', '456', 'scheduled', 'cron', 'abc123'),
+          (2, 'dev', '123', '456', 'scheduled', 'cron', NULL),
+          (3, 'dev', '123', '456', 'scheduled', NULL, 'abc123'),
+          (4, NULL, NULL, NULL, NULL, NULL, NULL)
+        ) v(case_id, ctx, job_id, run_id, reason_cat, reason, git_sha)
+        ORDER BY case_id""")),
+
+    // B4 — get_config_or_meta precedence (config_helpers.sql:2-15):
+    // meta[key] wins over top-level config[key]; a null meta value falls
+    // through; default when neither is present.
+    QueryDef("b4_config_meta",
+      (s, dir) => {
+        val cases: Seq[(Int, ModelConfig)] = Seq(
+          (1, ModelConfig(top = Map("owner" -> "top"), meta = Map("owner" -> "meta"))),
+          (2, ModelConfig(top = Map("owner" -> "top"))),
+          (3, ModelConfig(meta = Map("owner" -> "meta"))),
+          (4, ModelConfig(top = Map("owner" -> "top"), meta = Map("owner" -> null))),
+          (5, ModelConfig()))
+        val rows = cases.map { case (id, mc) =>
+          (id, Option(mc.getOrMeta("owner", "default")).map(_.toString))
+        }
+        s.createDataFrame(rows).toDF("case_id", "value").orderBy("case_id")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, 'meta'), (2, 'top'), (3, 'meta'), (4, 'top'), (5, 'default')
+        ) v(case_id, value)
+        ORDER BY case_id""")),
+
     QueryDef("a10_history_limit",
       (s, dir) => {
         val start = "2024-01-01 00:00:00.000000 UTC"

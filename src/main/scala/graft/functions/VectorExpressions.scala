@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Dot product of two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen.
@@ -129,6 +129,70 @@ case class SimHashBits(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** |a ∩ b| of two SORTED distinct `array<long>` columns via a single merge
+  * walk — no per-row hash-set allocation.
+  *
+  * Native for the same reason as [[FloatVecDot]]: the built-in
+  * `array_intersect`/`array_union` pair builds two hash sets and two result
+  * arrays per ROW; on the pair-verify join of a near-dup miner that's the
+  * entire profile. With both inputs sorted (sorted once per DOCUMENT, not
+  * per pair), the count is one allocation-free loop, and jaccard follows as
+  * inter / (|a| + |b| − inter) for distinct sets — identical values, so
+  * oracles are unaffected. Inputs MUST be sorted ascending and distinct. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -137,4 +201,8 @@ object VectorExpressions {
   def simhashBits(tokenHashes: Column, bits: Int): Column =
     ExpressionUtils.column(
       SimHashBits(ExpressionUtils.expression(tokenHashes), bits))
+
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedLongIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

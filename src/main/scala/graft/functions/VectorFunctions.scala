@@ -10,4 +10,7 @@ object VectorFunctions {
 
   def simhashBits(tokenHashes: Column, bits: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.simhashBits(tokenHashes, bits)
+
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sortedLongIntersectCount(a, b)
 }

@@ -68,14 +68,18 @@ object Dedup {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** (id, hs) distinct 32-bit shingle-hash sets — the working
+  /** (id, hs) distinct SORTED 32-bit shingle-hash sets — the working
     * representation for all near-dup set algebra. Two projections: bind
-    * the token array, then gram+hash it (see wordGrams perf note). */
+    * the token array, then gram+hash it (see wordGrams perf note). Sorted
+    * ascending ONCE PER DOCUMENT so the pair-verify stage can use the
+    * allocation-free merge-walk intersection kernel; minhash and prefix
+    * consumers are order-insensitive. */
   def shingleHashSets(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
-        array_distinct(transform(wordGrams(col("toks"), shingleN), s => h32(s))).as("hs"))
+        array_sort(array_distinct(transform(wordGrams(col("toks"), shingleN), s => h32(s))))
+          .as("hs"))
 
   // -- exact dedup --------------------------------------------------------
 
@@ -88,15 +92,21 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Join candidate id-pairs back to their hash-sets and compute exact
-    * jaccard — shared verify tail. `cand` carries only (id_a, id_b). */
+    * jaccard — shared verify tail. `cand` carries only (id_a, id_b).
+    * The sets are sorted+distinct (shingleHashSets), so |∩| is the native
+    * merge-walk kernel and |∪| = |a| + |b| − |∩| — same values as the
+    * array_intersect/array_union HOF form, none of its per-pair hash-set
+    * and result-array allocations (this join IS the profile of every
+    * near-dup miner). */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.sortedLongIntersectCount
     val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", sortedLongIntersectCount(col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -226,7 +236,7 @@ object Dedup {
         .groupBy("id")
         .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").as("sorted_hs"))
     } else {
-      sets.select(col("id"), array_sort(col("hs")).as("sorted_hs"))
+      sets.select(col("id"), col("hs").as("sorted_hs")) // hs is already sorted
     })
       .withColumn("n", size(col("sorted_hs")))
       .withColumn("plen",

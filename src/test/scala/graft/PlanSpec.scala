@@ -54,5 +54,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("float_vec_dot"), "native kernel must be in the plan")
   }
 
+  test("dedup_ngram_jaccard: verify tail uses the merge-walk intersect kernel") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(p.contains("sorted_long_intersect_count"),
+      "pair verify must use the native kernel, not array_intersect/array_union")
+    assert(!p.contains("array_intersect"), "HOF set algebra must be gone")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -45,14 +45,32 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * (the reference's empty-batch first run). */
   private def schemaDir(id: TableId) = pathOf(id) + "/_schema"
 
-  private def writeSchemaSidecar(id: TableId, schema: StructType): Unit =
+  /** Per-instance sidecar-schema cache: schema lookups are on every read
+    * and append, and the sidecar is bounded metadata — cache it like
+    * Spark's own catalog caches table schemas. Invalidated by every
+    * schema-writing path, drop, and rename through THIS instance; assumes
+    * a single writer per table (the same assumption the append-only log
+    * protocol already makes). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  private def writeSchemaSidecar(id: TableId, schema: StructType): Unit = {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("overwrite").parquet(schemaDir(id))
-
-  private def sidecarSchema(id: TableId): Option[StructType] = {
-    val p = new Path(schemaDir(id))
-    if (fs(p).exists(p)) Some(spark.read.parquet(schemaDir(id)).schema) else None
+    schemaCache.put(pathOf(id), schema)
+    ()
   }
+
+  private def sidecarSchema(id: TableId): Option[StructType] =
+    schemaCache.get(pathOf(id)).orElse {
+      val p = new Path(schemaDir(id))
+      if (!fs(p).exists(p)) None
+      else {
+        val s = spark.read.parquet(schemaDir(id)).schema
+        schemaCache.put(pathOf(id), s)
+        Some(s)
+      }
+    }
 
   /** Schema-drift-tolerant read. With a sidecar: one-footer schema, files
     * reconcile by name (a file missing a later-added column surfaces NULL
@@ -224,6 +242,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def drop(id: TableId): Unit = {
     val p = hadoopPath(id)
     val f = fs(p)
+    schemaCache.remove(pathOf(id))
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
@@ -234,6 +253,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val src = hadoopPath(from)
     val dst = hadoopPath(to)
     val f = fs(src)
+    schemaCache.remove(pathOf(from))
+    schemaCache.remove(pathOf(to))
     if (f.exists(dst)) f.delete(dst, true)
     f.mkdirs(dst.getParent)
     require(f.rename(src, dst), s"rename ${from.fqn} -> ${to.fqn} failed")

@@ -55,9 +55,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     scala.collection.concurrent.TrieMap.empty[String, StructType]
 
   private def writeSchemaSidecar(id: TableId, schema: StructType): Unit = {
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // normalize to nullable: any column can surface NULL once later files
+    // are appended without it (append_new_columns) — matches what a parquet
+    // round-trip of the sidecar itself would return
+    val norm = StructType(schema.fields.map(_.copy(nullable = true)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], norm)
       .write.mode("overwrite").parquet(schemaDir(id))
-    schemaCache.put(pathOf(id), schema)
+    schemaCache.put(pathOf(id), norm)
     ()
   }
 

@@ -103,10 +103,15 @@ object Dedup {
     import graft.functions.VectorFunctions.sortedLongIntersectCount
     val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    // `inter` is referenced twice by the jaccard formula; the explicit
+    // select makes it a named projection output so the kernel runs ONCE
+    // per pair (CollapseProject declines to inline multi-referenced
+    // non-trivial expressions)
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", sortedLongIntersectCount(col("hs_a"), col("hs_b")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .select(col("id_a"), col("id_b"),
+        sortedLongIntersectCount(col("hs_a"), col("hs_b")).cast("double").as("inter"),
+        (size(col("hs_a")) + size(col("hs_b"))).cast("double").as("tot"))
+      .withColumn("jaccard", col("inter") / (col("tot") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

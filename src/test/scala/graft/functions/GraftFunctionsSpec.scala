@@ -116,4 +116,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows.forall(u => "89ab".contains(u(19))), "variant nibble must be 8/9/a/b")
     assert(rows.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
   }
+
+  test("sortedLongIntersectCount: merge-walk count on sorted distinct arrays") {
+    import VectorFunctions.sortedLongIntersectCount
+    def arr(xs: Long*): Column = typedLit(xs.toSeq)
+    def count(a: Column, b: Column): Any = eval(sortedLongIntersectCount(a, b))
+    assert(count(arr(1L, 3L, 5L), arr(2L, 3L, 5L, 9L)) == 2)
+    assert(count(arr(1L, 2L, 3L), arr(1L, 2L, 3L)) == 3)        // identical
+    assert(count(arr(1L, 2L), arr(7L, 9L)) == 0)                // disjoint
+    assert(count(arr(), arr(1L, 2L)) == 0)                      // empty side
+    assert(count(arr(), arr()) == 0)
+    assert(count(arr(5L), arr(1L, 2L, 3L, 4L, 5L)) == 1)        // len mismatch
+    assert(eval(sortedLongIntersectCount(lit(null).cast("array<bigint>"), arr(1L))) == null)
+    // matches the HOF formulation on a non-trivial pair (interpreted eval)
+    val a = arr(2L, 4L, 6L, 8L, 10L, 12L)
+    val b = arr(3L, 4L, 6L, 9L, 12L, 15L)
+    assert(count(a, b) == eval(size(array_intersect(a, b))))
+  }
 }

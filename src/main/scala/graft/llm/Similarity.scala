@@ -90,10 +90,14 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4,
+      corpusRows: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions.floatVecDot
-    // deterministic coarse centroids: id-stride sample (k-means stand-in)
-    val n = corpus.count()
+    // deterministic coarse centroids: id-stride sample (k-means stand-in).
+    // The stride needs |corpus|: pass `corpusRows` when known to skip the
+    // count job (on parquet the count is footer-metadata-only, but it is
+    // still a scheduling round trip per invocation).
+    val n = corpusRows.getOrElse(corpus.count())
     val stride = math.max(n / nCells, 1L)
     val centroids = corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
       .filter(pmod(col("cid"), lit(stride)) === 0)

@@ -156,6 +156,32 @@ object QueriesLlm {
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
         ORDER BY id_a, id_b""")),
 
+    // ---- embedding near-dup, LSH scale path ----------------------------
+    // Deterministic (seeded hyperplanes): gate on the candidate-filter
+    // quality vs the exact operator — pair counts + overlap, pinned at the
+    // driver's fixed verify scale. LSH output is a SUBSET of exact by
+    // construction (candidates are exact-verified), so lsh_pairs == common.
+    // The harness table's only pairs sit at cos≈0.45, far below the
+    // operator's near-dup contract regime (cos ≥ ~0.9, where LlmSpec
+    // measures recall ≥ 0.9 on planted twins) — the pinned 4/14 documents
+    // the low-similarity behavior, it is not the operating point.
+    QueryDef("dedup_embedding_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.read(s, dir, "embeddings")
+        val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.45)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val lsh = Dedup.embeddingNearDupPairsLsh(emb, "embedding", "vec_id", 0.45)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        s.createDataFrame(Seq(
+          (lsh.size.toLong, exact.size.toLong, (lsh & exact).size.toLong)))
+          .toDF("lsh_pairs", "exact_pairs", "common_pairs")
+      },
+      Some("""
+        SELECT CAST(4 AS BIGINT) AS lsh_pairs,
+               CAST(14 AS BIGINT) AS exact_pairs,
+               CAST(4 AS BIGINT) AS common_pairs""")),
+
     // ---- ANN: brute-force cosine top-k ---------------------------------
     QueryDef("ann_topk_brute",
       (s, dir) => {

@@ -147,5 +147,40 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == twice, "merge must be idempotent for identical batches")
   }
 
+  test("prop: sortedLongIntersectCount = |array_intersect| on random sorted distinct arrays") {
+    import graft.functions.VectorFunctions.sortedLongIntersectCount
+    // small value domain forces real overlaps; sets are sorted+distinct as
+    // the kernel contract requires
+    val pairGen = for {
+      a <- Gen.listOf(Gen.chooseNum(0L, 40L))
+      b <- Gen.listOf(Gen.chooseNum(0L, 40L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val xs = samples(pairGen)
+    val out = xs.toDF("a", "b")
+      .select(
+        sortedLongIntersectCount(col("a"), col("b")).as("kernel"),
+        size(array_intersect(col("a"), col("b"))).as("hof"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (k, h) => assert(k == h, s"kernel=$k hof=$h") }
+  }
+
+  test("prop: text stats edge cases — empty, punctuation-only, whitespace-only texts") {
+    import graft.llm.TextStats
+    val cases = Seq("", "   ", "...!!!", "the the the", "a b c d", "x")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = TextStats.qualityMetrics(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("n_chars", "n_tokens", "stopword_ratio", "punct_ratio")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rows(0) == ((0L, 0L, 0.0, 0.0)))          // empty: no div-by-zero
+    assert(rows(1)._2 == 0L && rows(1)._3 == 0.0)    // whitespace-only
+    assert(rows(2)._4 > 0.9)                         // punctuation-only
+    assert(rows(3)._3 == 1.0)                        // all stopwords
+    // fingerprint never nulls, even on texts shorter than the window
+    val fps = df.select(TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(_.isNullAt(0))
+    assert(fps.forall(_ == false))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -347,6 +347,58 @@ object QueriesLlm {
         FROM b
         ORDER BY doc_id""")),
 
+    // ---- multimodal: nearest-neighbor resize over the stub byte grid ---
+    QueryDef("mm_resize",
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.resize(Multimodal.mediaTable(Tables.read(s, dir, "documents")))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text, strlen(text) n,
+                 1 + (strlen(text) % 64) w,
+                 (strlen(text) + (1 + (strlen(text) % 64)) - 1)
+                   // (1 + (strlen(text) % 64)) h
+          FROM documents),
+        px AS (
+          SELECT doc_id,
+                 list_sum(flatten(list_transform(range(0, 8), r ->
+                   list_transform(range(0, 8), c ->
+                     CASE WHEN (CAST(r*h//8 AS BIGINT)*w + CAST(c*w//8 AS BIGINT)) < n
+                          THEN ascii(substr(text,
+                            CAST(CAST(r*h//8 AS BIGINT)*w + CAST(c*w//8 AS BIGINT) + 1 AS INT), 1))
+                          ELSE 0 END)))) s
+          FROM b)
+        SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+               CAST(s AS DOUBLE) / 64 AS mean_byte
+        FROM px
+        ORDER BY doc_id""")),
+
+    // ---- multimodal: per-document byte-histogram feature extraction ----
+    QueryDef("mm_feature_extract",
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.featureExtract(Multimodal.mediaTable(Tables.read(s, dir, "documents")))
+          .orderBy("doc_id")
+      },
+      Some {
+        val binCols = (0 until 8).map(k =>
+          s"CAST(len(list_filter(codes, x -> x // 32 = $k)) AS BIGINT) AS b$k")
+          .mkString(",\n               ")
+        s"""
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(range(1, strlen(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))) codes
+          FROM documents)
+        SELECT doc_id,
+               $binCols
+        FROM b
+        ORDER BY doc_id"""
+      }),
+
     // ---- streaming: AvailableNow incremental append through the gate ---
     // Runs the REAL Structured Streaming query (checkpointed file source →
     // parquet sink) twice; the second run must be a no-op, so the oracle

@@ -60,6 +60,57 @@ object Multimodal {
       }
   }
 
+  final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int, mean_byte: Double)
+
+  /** Nearest-neighbor resize of the stub-decoded byte grid to a fixed
+    * (outW × outH): source index = (r·h/outH, c·w/outW) — the REAL
+    * resampling index math of a nearest-neighbor image resize; only the
+    * "pixels" are stub bytes. Same partition-parallel batch shape as
+    * decode; out-of-range samples read as 0. */
+  def resize(media: DataFrame, outW: Int = 8, outH: Int = 8)(
+      implicit spark: SparkSession): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, _) = decodeStub(bytes)
+          var sum = 0L
+          var r = 0
+          while (r < outH) {
+            var c = 0
+            while (c < outW) {
+              val idx = (r * h / outH) * w + (c * w / outW)
+              if (idx < bytes.length) sum += (bytes(idx) & 0xff)
+              c += 1
+            }
+            r += 1
+          }
+          ResizedRow(id, outW, outH, sum.toDouble / (outW * outH))
+        }
+      }
+  }
+
+  /** Feature extraction: `bins`-bin byte-value histogram per document —
+    * the shape of any per-item dense feature vector (swap the histogram
+    * for embedding-model output without touching the plumbing). Bins are
+    * emitted as scalar columns so the result is engine-portable. */
+  def featureExtract(media: DataFrame, bins: Int = 8)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val width = 256 / bins
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val counts = new Array[Long](bins)
+          bytes.foreach(b => counts((b & 0xff) / width) += 1)
+          (id, counts.toSeq)
+        }
+      }
+      .toDF("doc_id", "counts")
+      .select(col("doc_id") +:
+        (0 until bins).map(k => element_at(col("counts"), k + 1).as(s"b$k")): _*)
+  }
+
   /** Frame-sample shape: take every `stride`-th byte-window as a "frame"
     * and emit one row per frame — the video analog (explode after a
     * partition-parallel decode). */

@@ -151,5 +151,25 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(max(col("doc_id"))).as[Long].head() < 5000L, "survivor is min id")
   }
 
+  test("multimodal: resize samples the exact nearest-neighbor grid; featureExtract histogram sums to n_bytes") {
+    import spark.implicits._
+    implicit val sp = spark
+    // a known 4-byte payload: text "abcd" -> w = 1 + 4%64 = 5, h = 1
+    val media = Multimodal.mediaTable(Seq((1L, "abcd")).toDF("doc_id", "text"))
+    val r = Multimodal.resize(media, outW = 2, outH = 2).collect().head
+    // grid samples: (r,c) -> idx = (r*1/2)*5 + (c*5/2) = {0, 2} for c={0,1}, both rows
+    // bytes: a=97, c=99 -> mean = (97+99+97+99)/4 = 98
+    assert(r.out_w == 2 && r.out_h == 2 && r.mean_byte == 98.0, s"got $r")
+
+    // histogram counts partition all bytes: rows sum to payload length
+    val docs50 = docs.limit(50)
+    val feats = Multimodal.featureExtract(Multimodal.mediaTable(docs50))
+    val binSum = (0 until 8).map(k => col(s"b$k")).reduce(_ + _)
+    val mismatch = feats
+      .join(docs50.select(col("doc_id"), length(col("text")).cast("long").as("n")), "doc_id")
+      .filter(binSum =!= col("n")).count()
+    assert(mismatch == 0, "every byte must land in exactly one bin")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

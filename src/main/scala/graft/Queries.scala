@@ -324,7 +324,7 @@ object Queries {
           .orderBy("event_type"),
       Some("""
         SELECT event_type,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(*) AS n,
                CAST(CAST(round(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_value
         FROM events

@@ -22,12 +22,18 @@ object QueriesLlm {
     Seq(0L -> 10L, 1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 3L,
         5L -> 4L, 6L -> 4L, 7L -> 4L, 8L -> 3L, 9L -> 5L)
 
+  // The oracle pins corpus_rows as a literal while the Spark side derives
+  // it from the data: if the driver's verify scale / seed / embeddings
+  // table ever changes, the gate fails on a self-explanatory corpus_rows
+  // mismatch instead of opaque recall-count diffs.
+  private val EmbeddingsRowsSf001 = 500L
+
   private def annRecallValues(expected: Seq[(Long, Long)]): String = {
     val values = expected.map { case (q, n) =>
-      s"(CAST($q AS BIGINT), CAST($n AS BIGINT))"
+      s"(CAST($q AS BIGINT), CAST($n AS BIGINT), CAST($EmbeddingsRowsSf001 AS BIGINT))"
     }.mkString(", ")
     s"""
-        SELECT * FROM (VALUES $values) v(query_id, n_hits)
+        SELECT * FROM (VALUES $values) v(query_id, n_hits, corpus_rows)
         ORDER BY query_id"""
   }
 
@@ -174,13 +180,15 @@ object QueriesLlm {
         val lsh = Dedup.embeddingNearDupPairsLsh(emb, "embedding", "vec_id", 0.45)
           .select("id_a", "id_b").as[(Long, Long)].collect().toSet
         s.createDataFrame(Seq(
-          (lsh.size.toLong, exact.size.toLong, (lsh & exact).size.toLong)))
-          .toDF("lsh_pairs", "exact_pairs", "common_pairs")
+          (lsh.size.toLong, exact.size.toLong, (lsh & exact).size.toLong,
+            emb.count())))
+          .toDF("lsh_pairs", "exact_pairs", "common_pairs", "corpus_rows")
       },
-      Some("""
+      Some(s"""
         SELECT CAST(4 AS BIGINT) AS lsh_pairs,
                CAST(14 AS BIGINT) AS exact_pairs,
-               CAST(4 AS BIGINT) AS common_pairs""")),
+               CAST(4 AS BIGINT) AS common_pairs,
+               CAST($EmbeddingsRowsSf001 AS BIGINT) AS corpus_rows""")),
 
     // ---- ANN: brute-force cosine top-k ---------------------------------
     QueryDef("ann_topk_brute",
@@ -223,6 +231,7 @@ object QueriesLlm {
           .join(brute.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .withColumn("corpus_rows", lit(emb.count()))
           .orderBy("query_id")
       },
       Some(annRecallValues(AnnLshRecallSf001))),
@@ -234,12 +243,15 @@ object QueriesLlm {
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
-        val ivf = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", k = 10)
+        val nCorpus = emb.count()
+        val ivf = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", k = 10,
+          corpusRows = Some(nCorpus))
         val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
         ivf.select("query_id", "neighbor_id")
           .join(brute.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .withColumn("corpus_rows", lit(nCorpus))
           .orderBy("query_id")
       },
       Some(annRecallValues(AnnIvfRecallSf001))),

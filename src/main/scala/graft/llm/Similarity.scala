@@ -66,7 +66,12 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
-    when(size(vec) === dim, bits.reduce(_ + _))
+    // NULL vectors get their own branch: size(NULL) is NULL, so the dim
+    // guard would fall through to raise_error(concat(..., NULL)) — a job
+    // death with a NULL message. Fail with an actionable message instead.
+    when(vec.isNull,
+        raise_error(lit("lshSignature: null embedding vector")))
+      .when(size(vec) === dim, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshSignature: expected $dim-dim vector, got "),
         size(vec).cast("string"))))

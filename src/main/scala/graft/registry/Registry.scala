@@ -124,9 +124,13 @@ final class Registry(wh: Warehouse, spark: SparkSession, project: String = "proj
     if (!wh.exists(catalogTable)) {
       wh.overwrite(catalogTable, Seq(entry).toDF())
     } else {
+      // Null-safe equality: a plain === makes the conjunction NULL for
+      // catalog rows with a NULL bigquery key, and NULL filters as false —
+      // silently deleting those rows. The reference MERGE keeps unmatched
+      // target rows unconditionally (register_dataproduct_metadata.sql:89-132).
       val others = readCatalog()
-        .filter(!($"bigquery.datasetId" === entry.bigquery.datasetId &&
-          $"bigquery.tableId" === entry.bigquery.tableId))
+        .filter(!($"bigquery.datasetId" <=> entry.bigquery.datasetId &&
+          $"bigquery.tableId" <=> entry.bigquery.tableId))
       val tmp = catalogTable.copy(identifier = catalogTable.identifier + "__upsert_tmp")
       wh.overwrite(tmp, others.unionByName(Seq(entry).toDF()))
       wh.rename(tmp, catalogTable)

@@ -948,5 +948,5 @@ object Queries {
   /** All registered queries, in registration order. */
   def all: Seq[QueryDef] =
     analytics ++ dfuncs ++ policy ++ materializations ++ runlogQueries ++
-      validatorQueries ++ governance ++ QueriesLlm.all
+      validatorQueries ++ governance ++ QueriesLlm.all ++ QueriesExt.all
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ApproxAgg, AsOfJoin, RangeJoin, Sessionize}
+import graft.llm.{Sampling, TextStats}
+
+/** Round-3 operator surface: temporal joins (as-of, range), gap
+  * sessionization, sketch aggregates with accuracy audits, deterministic
+  * stratified sampling, and vocabulary top-k — the operators a large-scale
+  * events/corpus pipeline reaches for beyond the reference's own set.
+  *
+  * Portability notes (same rules as Queries):
+  *  - events.ts is parquet TIMESTAMP(NANOS): Spark reads it truncated to
+  *    microseconds (Tables.events), so every oracle comparison happens in
+  *    the epoch-microsecond domain (epoch_us both sides).
+  *  - DuckDB SUM/aggregates over BIGINT widen to HUGEINT — every summed
+  *    BIGINT oracle column is cast back to BIGINT.
+  *  - percentile values cross the gate as floor()ed BIGINTs: both engines
+  *    interpolate identically (lo + (hi-lo)·frac over the same sorted
+  *    doubles), and flooring removes any last-ulp exposure.
+  */
+object QueriesExt {
+
+  private val SnapThreshold = 150.0 // sparse snapshot source (~5% of events)
+  private val AlertThreshold = 300.0 // rare alerts (~0.2% of events)
+  private val AsOfTolUs = 6L * 3600 * 1000000 // 6 h
+  private val SessionGapUs = 6L * 3600 * 1000000 // 6 h
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- as-of join: enrich every event with the latest hourly snapshot
+    // (same event_type, snap_ts <= ts, within 6 h) — union+window shape,
+    // one shuffle, no per-row subquery. Snapshots are sparse (value-
+    // filtered), so matches genuinely reach back and ~40% of events are
+    // outside tolerance: both paths exercised.
+    QueryDef("asof_enrich",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val snaps = ev.filter(col("value") >= SnapThreshold)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("snap_ts"))
+          .agg(count(lit(1)).as("n_snap"))
+        AsOfJoin.asOf(
+            ev.select("event_id", "event_type", "ts"), snaps,
+            key = "event_type", leftTime = "ts", rightTime = "snap_ts",
+            payload = Seq("snap_ts", "n_snap"), toleranceUs = Some(AsOfTolUs))
+          .select(col("event_id"),
+            unix_micros(col("snap_ts")).as("snap_us"),
+            col("n_snap"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, ts FROM events),
+        s AS (SELECT event_type, date_trunc('hour', ts) AS snap_ts,
+                     CAST(COUNT(*) AS BIGINT) AS n_snap
+              FROM events WHERE value >= $SnapThreshold GROUP BY 1, 2)
+        SELECT e.event_id,
+               CASE WHEN epoch_us(e.ts) - epoch_us(s.snap_ts) <= $AsOfTolUs
+                    THEN epoch_us(s.snap_ts) END AS snap_us,
+               CASE WHEN epoch_us(e.ts) - epoch_us(s.snap_ts) <= $AsOfTolUs
+                    THEN s.n_snap END AS n_snap
+        FROM e ASOF LEFT JOIN s
+          ON e.event_type = s.event_type AND e.ts >= s.snap_ts
+        ORDER BY event_id""")),
+
+    // ---- range join: count the alert windows [alert_ts, alert_ts + 2h)
+    // covering each event of the same type — bucketed equi-join + residual,
+    // never a per-key cross product.
+    QueryDef("range_join_alerts",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val alerts = ev.filter(col("value") >= AlertThreshold)
+          .select(col("event_type"),
+            col("ts").as("alert_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("alert_end"))
+        val pairs = RangeJoin.pointInInterval(
+          ev.select(col("event_id"), col("event_type"), col("ts")), alerts,
+          key = "event_type", pTime = "ts",
+          iStart = "alert_start", iEnd = "alert_end",
+          bucketSeconds = 3600)
+        ev.select("event_id")
+          .join(pairs.groupBy("event_id").agg(count(lit(1)).as("n_alerts")),
+            Seq("event_id"), "left")
+          .select(col("event_id"), coalesce(col("n_alerts"), lit(0L)).as("n_alerts"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH a AS (SELECT event_type, epoch_us(ts) AS astart,
+                          epoch_us(ts) + 7200000000 AS aend
+                   FROM events WHERE value >= $AlertThreshold)
+        SELECT e.event_id, CAST(COUNT(a.astart) AS BIGINT) AS n_alerts
+        FROM events e LEFT JOIN a
+          ON e.event_type = a.event_type
+         AND epoch_us(e.ts) >= a.astart AND epoch_us(e.ts) < a.aend
+        GROUP BY e.event_id
+        ORDER BY e.event_id""")),
+
+    // ---- gap sessionization: 6-hour inactivity gap per user ------------
+    QueryDef("sessionize_events",
+      (s, dir) =>
+        Sessionize.sessions(
+            Tables.events(s, dir).select("user_id", "ts"),
+            key = "user_id", ts = "ts", gapUs = SessionGapUs)
+          .orderBy("user_id", "session_idx"),
+      Some(s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        g AS (SELECT user_id, tus,
+                     CASE WHEN lag(tus) OVER w IS NULL
+                            OR tus - lag(tus) OVER w > $SessionGapUs
+                          THEN 1 ELSE 0 END AS isnew
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        s AS (SELECT user_id, tus,
+                     SUM(isnew) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us
+        FROM s GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
+    // ---- HLL distinct with accuracy audit: the gate pins hll_ok=true,
+    // i.e. the sketch estimate lands within 5% of exact (both computed
+    // Spark-side; exact cross-checked against DuckDB).
+    QueryDef("approx_distinct_users",
+      (s, dir) =>
+        ApproxAgg.distinctAudit(Tables.events(s, dir),
+            groups = Seq("event_type"), valueCol = "user_id")
+          .select(col("event_type"), col("n_exact"), col("hll_ok"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS hll_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- quantile sketch with accuracy audit: exact percentiles cross
+    // the gate floored; sketch accuracy pinned via ok flags.
+    QueryDef("approx_quantiles_value",
+      (s, dir) =>
+        ApproxAgg.quantileAudit(Tables.events(s, dir),
+            groups = Seq("event_type"), valueCol = "value",
+            ps = Seq(0.5, 0.95))
+          .select(col("event_type"),
+            floor(col("exact_p50")).cast("long").as("p50_floor"),
+            floor(col("exact_p95")).cast("long").as("p95_floor"),
+            col("ok_p50"), col("ok_p95"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               CAST(floor(quantile_cont(value, 0.5)) AS BIGINT) AS p50_floor,
+               CAST(floor(quantile_cont(value, 0.95)) AS BIGINT) AS p95_floor,
+               true AS ok_p50, true AS ok_p95
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- deterministic stratified sample: downsample the dominant 'en'
+    // stratum to 10%, keep 50% elsewhere — hash-of-id, so the same rows
+    // survive on any engine, any partitioning, any rerun.
+    QueryDef("stratified_sample",
+      (s, dir) =>
+        Sampling.stratifiedHashSample(Tables.read(s, dir, "documents"),
+            idCol = "doc_id", stratumCol = "lang",
+            ratesPct = Map("en" -> 10), defaultPct = 50)
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+              < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        ORDER BY doc_id""")),
+
+    // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------
+    QueryDef("vocab_topk",
+      (s, dir) =>
+        TextStats.topTokens(Tables.read(s, dir, "documents"), "text", 100),
+      Some("""
+        WITH t AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> len(x) > 0)) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS n
+        FROM t GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100"""))
+  )
+}

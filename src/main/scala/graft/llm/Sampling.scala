@@ -1,0 +1,37 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation.
+  *
+  * Training-data pipelines need samples that are REPRODUCIBLE — across
+  * reruns, retries, engines, and cluster sizes — because the sample
+  * feeds downstream jobs and audits. RNG-based `df.sample` is none of
+  * those (partition-dependent). Hashing a stable id is all of them: keep
+  * a row iff `hash(id) mod 100 < rate`. Pure projection + filter — no
+  * shuffle, no state, trivially partition-parallel at any scale, and the
+  * same rows survive no matter how the data is split.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, 100) from a stable id — md5 low bits are
+    * uniform and engine-portable (same literal hex both sides of the
+    * DuckDB gate). */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(100))
+
+  /** Stratified sample: per-stratum keep-percentages (0-100), e.g. keep
+    * 10% of 'en' docs and 50% of everything else — the downsample-the-
+    * head / keep-the-tail shape of corpus language balancing. */
+  def stratifiedHashSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      "stratifiedHashSample: rates must be percentages in [0, 100]")
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+}

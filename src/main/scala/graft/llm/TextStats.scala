@@ -77,6 +77,19 @@ object TextStats {
     }
   }
 
+  /** Corpus vocabulary head: the k most frequent whitespace tokens.
+    * The classic map-side-combinable shape — explode + hash aggregate
+    * (partial per partition, one k-bounded exchange via
+    * TakeOrderedAndProject) — so the shuffle carries one partial count
+    * per distinct token per mapper, never the token stream. Ties break
+    * on the token string, making the cut at rank k deterministic. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(k)
+
   /** Windowed min-fingerprint (winnowing-lite): hash every `w`-char
     * window (md5 prefix standing in for a Rabin rolling hash — same
     * windowed-min structure, engine-portable), keep the minimum — a

@@ -61,5 +61,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("array_intersect"), "HOF set algebra must be gone")
   }
 
+  test("asof_enrich: union+window shape — no join operator in the plan") {
+    val p = planOf("asof_enrich")
+    assert(!p.contains("Join"), "as-of must compile to union+window, not a join")
+    assert(p.contains("Window"), "forward-fill window expected")
+  }
+
+  test("range_join_alerts: bucketed equi-join, never nested-loop/cartesian") {
+    val p = planOf("range_join_alerts")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must bucket to an equi-join")
+  }
+
+  test("vocab_topk: partial aggregation + bounded top-k, no global sort") {
+    val p = planOf("vocab_topk")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial agg expected")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -17,7 +17,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
+  // All suites share one forked JVM (Test / fork := true, sequential), and
+  // several suites stop the session in afterAll — so this must hand out a
+  // FRESH session whenever the previous one was stopped, not a lazy
+  // singleton pinned to a dead SparkContext.
+  private var current: SparkSession = _
+  def session: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped) current = build()
+    current
+  }
+  private def build(): SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

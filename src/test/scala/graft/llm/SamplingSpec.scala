@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private lazy val docs = sf("sf0.001", "documents")
+
+  test("stratifiedHashSample is deterministic and a subset of the input") {
+    val a = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 10), defaultPct = 50).select("doc_id")
+    val b = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 10), defaultPct = 50).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.exceptAll(docs.select("doc_id")).isEmpty)
+  }
+
+  test("per-stratum keep rates land near the configured percentages") {
+    val sampled = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 10), defaultPct = 50)
+    val total = docs.groupBy("lang").count().withColumnRenamed("count", "n_all")
+    val kept = sampled.groupBy("lang").count().withColumnRenamed("count", "n_kept")
+    val rates = total.join(kept, Seq("lang"), "left")
+      .select(col("lang"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_all")).as("r"))
+      .as[(String, Double)]
+      .collect().toMap
+    // md5 buckets are uniform; strata are small (tens to hundreds of
+    // docs), so allow wide-but-meaningful bands
+    assert(rates("en") < 0.3, s"en kept ${rates("en")}, want ~0.1")
+    (rates - "en").foreach { case (lang, r) =>
+      assert(r > 0.25 && r < 0.75, s"$lang kept $r, want ~0.5")
+    }
+  }
+
+  test("rate 0 keeps nothing; rate 100 keeps everything") {
+    val none = Sampling.stratifiedHashSample(docs, "doc_id", "lang", Map(), 0)
+    val everything = Sampling.stratifiedHashSample(docs, "doc_id", "lang", Map(), 100)
+    assert(none.count() === 0L)
+    assert(everything.count() === docs.count())
+  }
+
+  test("topTokens: counts and deterministic tie order on a known corpus") {
+    val tiny = Seq("b b a", "a c B").toDF("text").withColumn("id", lit(1L))
+    val out = TextStats.topTokens(tiny, "text", 3)
+      .as[(String, Long)].collect()
+    // lowercased: a=2 b=3(b,b,B) c=1 -> b first, then a, then c
+    assert(out === Seq("b" -> 3L, "a" -> 2L, "c" -> 1L))
+  }
+}

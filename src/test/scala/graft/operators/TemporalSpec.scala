@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** As-of join, range join, and sessionization: semantics pinned against
+  * naive per-row formulations on data small enough to check by hand. */
+class TemporalSpec extends SparkSpec {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // left: (id, key, t)   right: (key, t, payload v)
+  private lazy val left = Seq(
+    (1L, "a", ts("2024-01-01 10:00:00")),   // before any right row
+    (2L, "a", ts("2024-01-01 12:00:00")),   // exact tie with right@12:00
+    (3L, "a", ts("2024-01-01 13:30:00")),   // matches right@12:00
+    (4L, "a", ts("2024-01-02 23:00:00")),   // matches right@14:00, far back
+    (5L, "b", ts("2024-01-01 12:30:00")),   // matches b's only row
+    (6L, "c", ts("2024-01-01 12:00:00"))    // key with no right rows
+  ).toDF("id", "key", "t")
+
+  private lazy val right = Seq(
+    ("a", ts("2024-01-01 12:00:00"), 100L),
+    ("a", ts("2024-01-01 14:00:00"), 200L),
+    ("b", ts("2024-01-01 12:00:00"), 300L)
+  ).toDF("key", "rt", "v")
+
+  test("asOf: latest right row at or before left time, per key") {
+    val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("rt", "v"))
+      .orderBy("id")
+      .select("id", "v")
+      .as[(Long, Option[Long])].collect()
+    assert(out === Seq(
+      1L -> None,          // nothing at or before 10:00
+      2L -> Some(100L),    // tie: right row at the same instant is visible
+      3L -> Some(100L),
+      4L -> Some(200L),
+      5L -> Some(300L),
+      6L -> None))         // no right rows for key c
+  }
+
+  test("asOf: tolerance nulls out stale matches but keeps the row") {
+    val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("v"),
+        toleranceUs = Some(2L * 3600 * 1000000))
+      .orderBy("id")
+      .select("id", "v")
+      .as[(Long, Option[Long])].collect()
+    // id=4 is 33h after its match -> nulled; id=3 is 1.5h after -> kept
+    assert(out.toMap === Map(1L -> None, 2L -> Some(100L), 3L -> Some(100L),
+      4L -> None, 5L -> Some(300L), 6L -> None))
+  }
+
+  test("asOf: matched right time is exposed when listed as payload") {
+    val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("rt"))
+      .filter(col("id") === 3L)
+      .select("rt").as[Option[Timestamp]].collect()
+    assert(out === Seq(Some(ts("2024-01-01 12:00:00"))))
+  }
+
+  // intervals: (key, s, e, iid) — one 3h interval (spans >1 one-hour
+  // bucket), one zero-length, one inverted, one adjacent-exclusive-end
+  private lazy val intervals = Seq(
+    ("a", ts("2024-01-01 10:30:00"), ts("2024-01-01 13:30:00"), 10L),
+    ("a", ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00"), 11L), // empty
+    ("a", ts("2024-01-01 12:00:00"), ts("2024-01-01 11:00:00"), 12L), // inverted
+    ("b", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 13L)
+  ).toDF("key", "s", "e", "iid")
+
+  test("pointInInterval matches the naive theta join, exclusive end") {
+    val points = left.select(col("id"), col("key"), col("t"))
+    val got = RangeJoin.pointInInterval(points, intervals,
+        "key", "t", "s", "e", bucketSeconds = 3600)
+      .select("id", "iid").as[(Long, Long)].collect().sorted
+    val want = points.as("p")
+      .join(intervals.as("i"), expr("p.key = i.key AND p.t >= i.s AND p.t < i.e"))
+      .select(col("p.id"), col("iid")).as[(Long, Long)].collect().sorted
+    assert(got === want)
+    // 10:00 too early for iid=10 (10:30 start); 12:00 and 13:30... 13:30 is
+    // the exclusive end -> out; 12:00 in; b@12:30 is the exclusive end -> out
+    assert(got === Array(2L -> 10L))
+  }
+
+  test("pointInInterval: interval spanning many buckets pairs exactly once") {
+    val p = Seq((1L, "k", ts("2024-01-03 00:00:00"))).toDF("id", "key", "t")
+    val iv = Seq(("k", ts("2024-01-01 00:00:00"), ts("2024-01-09 00:00:00"), 7L))
+      .toDF("key", "s", "e", "iid")
+    val got = RangeJoin.pointInInterval(p, iv, "key", "t", "s", "e", 3600)
+      .select("id", "iid").as[(Long, Long)].collect()
+    assert(got === Array(1L -> 7L))
+  }
+
+  test("sessionize: gap starts a session; ties never do") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // 30m gap -> same session
+      (1L, ts("2024-01-01 10:30:00")), // duplicate ts -> same session
+      (1L, ts("2024-01-01 17:00:00")), // 6.5h gap -> new session
+      (2L, ts("2024-01-01 00:00:00"))  // other key: own session numbering
+    ).toDF("user_id", "t")
+    val out = Sessionize.sessions(ev, "user_id", "t", gapUs = 6L * 3600 * 1000000)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out === Array((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("sessionize: session bounds are min/max epoch micros") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "t")
+    val row = Sessionize.sessions(ev, "user_id", "t", 6L * 3600 * 1000000)
+      .select("start_us", "end_us").as[(Long, Long)].collect().head
+    assert(row._2 - row._1 === 3600L * 1000000)
+  }
+}

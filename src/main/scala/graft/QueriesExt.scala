@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{ApproxAgg, AsOfJoin, RangeJoin, Sessionize}
-import graft.llm.{Sampling, TextStats}
+import graft.llm.{Curation, Dedup, Packing, Sampling, TextStats}
 
 /** Round-3 operator surface: temporal joins (as-of, range), gap
   * sessionization, sketch aggregates with accuracy audits, deterministic
@@ -169,6 +169,117 @@ object QueriesExt {
         FROM documents
         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
               < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        ORDER BY doc_id""")),
+
+    // ---- C4-style segment dedup: drop every globally-repeated 10-word
+    // chunk, keep first occurrence (min doc_id, seg_idx), reassemble.
+    QueryDef("segment_dedup",
+      (s, dir) => {
+        val prepped = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        Curation.segmentDedup(prepped, "toks", "doc_id",
+            t => Curation.wordChunks(t, 10), joinWith = " ")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        seg AS (SELECT doc_id,
+                  list_transform(range(0, CAST(ceil(len(w)/10.0) AS INT)),
+                    i -> array_to_string(
+                      w[(CAST(i AS INT)*10+1):least((CAST(i AS INT)+1)*10, len(w))], ' ')) segs
+                FROM d),
+        e AS (SELECT doc_id, CAST(r.i AS INT) seg_idx, segs[CAST(r.i AS INT)] seg
+              FROM seg, unnest(range(1, len(segs)+1)) r(i)),
+        m AS (SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) rn
+              FROM e)
+        SELECT doc_id,
+               COUNT(*) AS n_seg,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+                 AS text_clean
+        FROM m GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination: corpus docs sharing >= 5 distinct
+    // 3-gram shingles with the simulated benchmark set (doc_id % 20 = 0).
+    QueryDef("decontaminate",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        Curation.decontaminate(docs,
+            docs.filter(pmod(col("doc_id"), lit(20L)) === 0),
+            "text", "doc_id", shingleN = 3, minHits = 5L)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        e AS (SELECT doc_id, unnest(h) AS h FROM hs),
+        bl AS (SELECT DISTINCT h FROM e WHERE doc_id % 20 = 0),
+        hits AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) n
+                 FROM e JOIN bl USING (h) GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               COALESCE(hits.n, 0) AS n_contaminated,
+               COALESCE(hits.n, 0) >= 5 AS flagged
+        FROM d LEFT JOIN hits USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- Gopher repetition signals: integer counts cross the gate ------
+    QueryDef("repetition_metrics",
+      (s, dir) =>
+        Curation.repetitionMetrics(Tables.read(s, dir, "documents"),
+            "text", "doc_id")
+          .orderBy("doc_id"),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_words,
+                        CAST(len(list_distinct(w)) AS BIGINT) n_distinct_words
+                 FROM d),
+        bg AS (SELECT doc_id,
+                      w[CAST(r.i AS INT)] || ' ' || w[CAST(r.i AS INT)+1] AS b
+               FROM d, unnest(range(1, len(w))) r(i)),
+        cnt AS (SELECT doc_id, b, COUNT(*) c FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, MAX(c) t FROM cnt GROUP BY 1)
+        SELECT base.doc_id, n_words, n_distinct_words,
+               CAST(COALESCE(t, 0) AS BIGINT) AS top_bigram_n
+        FROM base LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- deterministic sequence packing: 512-token bins, 8 hash shards -
+    QueryDef("pack_sequences",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.packBins(docs, "doc_id", "n_tokens",
+            maxTokens = 512L, nShards = 8)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> len(x) > 0)) AS BIGINT) n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 shard
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens, shard,
+                     CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum
+              FROM d)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               cum // 512 AS bin, cum % 512 AS off_in_bin, n_tokens
+        FROM c
         ORDER BY doc_id""")),
 
     // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------

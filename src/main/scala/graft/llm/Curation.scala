@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond whole-document dedup: segment-level
+  * global dedup (C4-style), benchmark decontamination, and within-document
+  * repetition metrics (the Gopher quality-filter family).
+  */
+object Curation {
+
+  /** Fixed-size word-chunk segmenter over an ALREADY-MATERIALIZED token
+    * array (same binding contract as Dedup.wordGrams: pass a bound column,
+    * not an inline split, or the token subtree is copied per chunk). For
+    * natural multi-line text, `split(text, "\n")` is the usual segmenter;
+    * chunking exists for corpora without line structure. */
+  def wordChunks(toks: Column, n: Int): Column = {
+    val nChunks = ceil(size(toks).cast("double") / n).cast("int")
+    // sequence(0, -1) would count DOWN on an empty doc — guard to empty
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
+  }
+
+  /** Segment-level global dedup (the C4 move: drop every repeated line
+    * across the whole corpus, keep the first occurrence). First occurrence
+    * = minimum (id, segment index); survivors are reassembled in original
+    * order.
+    *
+    * Shape: posexplode → one window keyed on the segment text (shuffle is
+    * hash(segment) — content-uniform, no hot key beyond genuinely viral
+    * segments) → regroup by document. Two shuffles total, both on keys
+    * that scale with data, no driver state.
+    *
+    * Output per document: n_seg, n_kept, text_clean (surviving segments
+    * joined with `joinWith`; empty string when nothing survives). */
+  def segmentDedup(
+      docs: DataFrame, textCol: String, idCol: String,
+      segmenter: Column => Column, joinWith: String = "\n"): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("id"), segmenter(col(textCol)).as("segs"))
+      .select(col("id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+    val firstSeen = Window.partitionBy("seg").orderBy(col("id"), col("seg_idx"))
+    segs.withColumn("kept", row_number().over(firstSeen) === 1)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              // collect_list is order-nondeterministic; the unique per-doc
+              // seg_idx leading the struct restores a total order
+              array_sort(collect_list(struct(col("seg_idx").as("i"),
+                when(col("kept"), col("seg")).as("s")))),
+              x => x.getField("s").isNotNull),
+            x => x.getField("s")),
+          joinWith).as("text_clean"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minHits` distinct word n-gram shingles with a blocklist corpus
+    * (eval-set leakage scrubbing). Shingle spaces are hashed 32-bit
+    * (engine-portable md5 prefix, see Dedup.shingleHashSets); the join is
+    * an equi-join on the shingle hash — uniform keys, and AQE broadcasts
+    * the blocklist side whenever the benchmark set is small (the common
+    * case: benchmarks are MBs, corpora are TBs). */
+  def decontaminate(
+      corpus: DataFrame, blocklist: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, minHits: Long = 1L): DataFrame = {
+    val c = Dedup.shingleHashSets(corpus, textCol, idCol, shingleN)
+      .select(col("id"), explode(col("hs")).as("h"))
+    val b = Dedup.shingleHashSets(blocklist, textCol, idCol, shingleN)
+      .select(explode(col("hs")).as("h")).distinct()
+    val hits = c.join(b, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
+  }
+
+  /** Within-document repetition counts (Gopher-style quality signals):
+    * token count, distinct-token count, and the occurrence count of the
+    * most frequent word bigram. Emitted as integer counts — ratios
+    * (dup-word fraction, top-bigram fraction) are one division away and
+    * integer outputs cross the engine gate bit-exactly.
+    *
+    * Bigram counting goes through explode + two hash aggregations (per
+    * (doc, bigram), then max per doc) — map-side combinable, no per-doc
+    * quadratic HOF. */
+  def repetitionMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    val base = t.select(col("id"),
+      size(col("toks")).cast("long").as("n_words"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct_words"))
+    // bigrams WITH multiplicity (wordGrams dedups — wrong tool here)
+    val upper = size(col("toks")) - 1
+    val bigramArr = when(upper < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), upper), i =>
+        concat_ws(" ", element_at(col("toks"), i.cast("int")),
+          element_at(col("toks"), (i + 1).cast("int")))))
+    val top = t.select(col("id"), explode(bigramArr).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_bigram_n"))
+    base.join(top, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"), col("n_distinct_words"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("segmentDedup: first occurrence survives, later copies drop, order kept") {
+    // doc 1: [A, B]; doc 2: [B, C]; doc 3: [A] — B and the second A are dups
+    val docs = Seq(
+      (1L, Seq("a1 a2", "b1 b2")),
+      (2L, Seq("b1 b2", "c1 c2")),
+      (3L, Seq("a1 a2"))
+    ).toDF("doc_id", "segs")
+    val out = Curation.segmentDedup(docs, "segs", "doc_id", identity, joinWith = " | ")
+      .orderBy("doc_id")
+      .select("doc_id", "n_seg", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Seq(
+      (1L, 2L, 2L, "a1 a2 | b1 b2"),
+      (2L, 2L, 1L, "c1 c2"),   // b1 b2 first seen in doc 1
+      (3L, 1L, 0L, "")))       // everything duplicated -> empty, not null
+  }
+
+  test("segmentDedup: duplicate segment within one doc keeps only the first") {
+    val docs = Seq((1L, Seq("x", "y", "x"))).toDF("doc_id", "segs")
+    val out = Curation.segmentDedup(docs, "segs", "doc_id", identity, " ")
+      .select("n_seg", "n_kept", "text_clean").as[(Long, Long, String)].collect()
+    assert(out === Seq((3L, 2L, "x y")))
+  }
+
+  test("wordChunks: full chunks plus a ragged tail; empty doc -> no chunks") {
+    val df = Seq((1L, "a b c d e"), (2L, "")).toDF("id", "text")
+      .select(col("id"), Dedup.tokens(col("text")).as("toks"))
+    val out = df.select(col("id"), Curation.wordChunks(col("toks"), 2).as("c"))
+      .orderBy("id").as[(Long, Seq[String])].collect()
+    assert(out === Seq(1L -> Seq("a b", "c d", "e"), 2L -> Seq.empty))
+  }
+
+  test("decontaminate: blocklist members are fully flagged, clean docs are not") {
+    val corpus = Seq(
+      (1L, "one two three four five six"),     // shares 3-grams with nothing
+      (2L, "alpha beta gamma delta epsilon zeta"), // = blocklist doc
+      (3L, "x1 x2 x3 x4")
+    ).toDF("doc_id", "text")
+    val block = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, block, "text", "doc_id", minHits = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_contaminated", "flagged")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out(0) === ((1L, 0L, false)))
+    assert(out(1)._2 === 4L && out(1)._3 === true) // 6 tokens -> 4 shared 3-grams
+    assert(out(2) === ((3L, 0L, false)))
+  }
+
+  test("repetitionMetrics: counts on a crafted doc") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 words, 2 distinct; top bigram "a b" x2
+      (2L, "solo")       // 1 word: no bigrams
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionMetrics(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Seq((1L, 5L, 2L, 2L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("packBins: contiguous fill per shard, deterministic, bounded offsets") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, 100L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packBins(docs, "doc_id", "n_tokens", maxTokens = 250L, nShards = 4)
+    val rows = out.orderBy("doc_id")
+      .select("doc_id", "shard", "bin", "off_in_bin")
+      .as[(Long, Long, Long, Long)].collect()
+    // deterministic rerun
+    val rows2 = Packing.packBins(docs, "doc_id", "n_tokens", 250L, 4)
+      .orderBy("doc_id").select("doc_id", "shard", "bin", "off_in_bin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows === rows2)
+    assert(rows.forall { case (_, s, b, o) => s >= 0 && s < 4 && b >= 0 && o >= 0 && o < 250 })
+    // within each shard, bins fill in id order without gaps
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      val bins = shardRows.sortBy(_._1).map(_._3)
+      assert(bins === bins.sorted, "bins must be nondecreasing in id order")
+      assert(bins.head === 0L, "first doc of a shard starts bin 0")
+    }
+  }
+}

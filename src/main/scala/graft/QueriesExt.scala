@@ -282,6 +282,59 @@ object QueriesExt {
         FROM c
         ORDER BY doc_id""")),
 
+    // ---- streaming sessionization through the gate: the REAL streaming
+    // query (file source → flatMapGroupsWithState(EventTimeTimeout) →
+    // parquet sink). Emitted = sessions the final watermark (max event
+    // time, ms-truncated) has closed; the newest session per user stays
+    // open in state — the oracle applies the same predicate to the batch
+    // sessionization.
+    QueryDef("stream_sessionize",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        val src = Files.createTempDirectory("graft_sess_src_")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val out = Files.createTempDirectory("graft_sess_out_").toString
+        val ckpt = Files.createTempDirectory("graft_sess_ck_").toString
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(src.toString).schema
+        import s.implicits._
+        val in = s.readStream.schema(schema).parquet(src.toString)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"))
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.StreamingIncremental.SessIn]
+        val q = graft.streaming.StreamingIncremental
+          .streamingSessionize(in, gapUs = SessionGapUs)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select("user_id", "start_us", "end_us", "n_events")
+          .orderBy("user_id", "start_us")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        g AS (SELECT user_id, tus,
+                     CASE WHEN lag(tus) OVER w IS NULL
+                            OR tus - lag(tus) OVER w > $SessionGapUs
+                          THEN 1 ELSE 0 END AS isnew
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        s AS (SELECT user_id, tus,
+                     SUM(isnew) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g),
+        agg AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
+                       MIN(tus) AS start_us, MAX(tus) AS end_us
+                FROM s GROUP BY user_id, session_idx),
+        wm AS (SELECT (MAX(tus) // 1000) * 1000 AS w FROM e)
+        SELECT user_id, start_us, end_us, n_events
+        FROM agg, wm
+        WHERE end_us + $SessionGapUs <= w
+        ORDER BY user_id, start_us""")),
+
     // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------
     QueryDef("vocab_topk",
       (s, dir) =>

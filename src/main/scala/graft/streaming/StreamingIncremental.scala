@@ -85,6 +85,62 @@ object StreamingIncremental {
     * re-emitted). Without it (None) state grows with the number of
     * distinct hashes forever — fine for bounded backfills, wrong for a
     * continuous deploy. */
+  final case class SessIn(user_id: Long, ts: java.sql.Timestamp)
+  final case class Sess(startUs: Long, endUs: Long, n: Long)
+  final case class SessOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Event-time session windows per key (streaming Sessionize): a session
+    * closes — and emits exactly one row — once the watermark passes its
+    * end + gap, i.e. when no on-time event can extend it anymore. Open
+    * sessions (always at least the newest one per active key) stay in
+    * state until the watermark releases them.
+    *
+    * State per key is the OPEN session list (usually length 1), sharded by
+    * the group key — horizontally scalable like the dedup above, and
+    * state size is bounded by session fan-in, not history length.
+    *
+    * Determinism notes for the oracle gate: the engine's watermark is
+    * millisecond-based, so the close predicate compares against the
+    * ms-truncated watermark (`end_us + gapUs <= wmMs*1000`); timeouts are
+    * armed 1 ms early and re-checked against that predicate, so WHICH
+    * sessions emit never depends on the engine's strict-vs-inclusive
+    * timeout boundary. Input must carry the watermark column (`ts`);
+    * like all flatMapGroupsWithState, rows later than the watermark are
+    * NOT auto-dropped — pre-filter if the source can produce them. */
+  def streamingSessionize(
+      events: Dataset[SessIn], gapUs: Long): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+
+    def merge(open: List[Sess], rows: Seq[Long]): List[Sess] = {
+      val pts = rows.map(t => Sess(t, t, 1))
+      (open ++ pts).sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[Sess]) {
+        case (acc @ (cur :: rest), s) if s.startUs - cur.endUs <= gapUs =>
+          Sess(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Sess], SessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessIn], state: GroupState[List[Sess]]) =>
+          val open = state.getOption.getOrElse(Nil)
+          val merged = merge(open,
+            rows.map(r => r.ts.getTime * 1000 + (r.ts.getNanos / 1000) % 1000).toSeq)
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (closed, stillOpen) = merged.partition(_.endUs + gapUs <= wmUs)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            // arm 1 ms early; a spurious wake-up just re-evaluates the
+            // precise predicate above and re-arms
+            val closeMs = stillOpen.map(s => (s.endUs + gapUs) / 1000 - 1).min
+            state.setTimeoutTimestamp(math.max(closeMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.iterator.map(s => SessOut(uid, s.startUs, s.endUs, s.n))
+      }
+  }
+
   def streamingExactDedup(
       docs: Dataset[DocIn],
       stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {

@@ -162,5 +162,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingSessionize: watermark-closed sessions emit; the open tail stays in state") {
+    val srcDir = Files.createTempDirectory("graft_sess_src_").toString
+    val outDir = Files.createTempDirectory("graft_sess_out_").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ck_").toString
+    // day-1 base: epoch-0 events would collide with the INITIAL watermark
+    // (0 ms) and be dropped as late before reaching the state function
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // user 1: session A = {t0, t10}, session B = {t100, t105}, open tail {t500}
+    // user 2: session C = {t0}, open tail {t490}
+    Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(100)), (1L, ts(105)), (1L, ts(500)),
+      (2L, ts(0)), (2L, ts(490))
+    ).toDF("user_id", "ts").write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .as[StreamingIncremental.SessIn]
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    val q = StreamingIncremental.streamingSessionize(in, gapUs)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    def us(min: Long) = 86400000000L + min * 60000000L
+    // watermark lands at t500: sessions ending <= t470 close; both open
+    // tails (t500, t490) and nothing-after-them stay unemitted
+    assert(got.toSeq === Seq(
+      (1L, us(0), us(10), 2L),
+      (1L, us(100), us(105), 2L),
+      (2L, us(0), us(0), 1L)))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -95,6 +95,52 @@ object QueriesExt {
         GROUP BY e.event_id
         ORDER BY e.event_id""")),
 
+    // ---- interval-overlap join: alert windows [ts, ts+2h) vs incident
+    // windows [ts, ts+12h) of the same type — each overlapping pair
+    // emitted exactly once (min-shared-bucket trick, no dedup stage).
+    QueryDef("interval_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val alerts = ev.filter(col("value") >= AlertThreshold)
+          .select(col("event_type"), col("event_id").as("a_id"),
+            col("ts").as("a_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("a_end"))
+        val incidents = ev.filter(col("value") >= 150 && col("value") < AlertThreshold)
+          .select(col("event_type"), col("event_id").as("b_id"),
+            col("ts").as("b_start"),
+            (col("ts") + expr("INTERVAL 12 HOURS")).as("b_end"))
+        RangeJoin.intervalOverlap(alerts, incidents,
+            key = "event_type", aStart = "a_start", aEnd = "a_end",
+            bStart = "b_start", bEnd = "b_end", bucketSeconds = 3600)
+          .select("a_id", "b_id")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH a AS (SELECT event_type, event_id a_id, epoch_us(ts) s,
+                          epoch_us(ts) + 7200000000 e
+                   FROM events WHERE value >= $AlertThreshold),
+        b AS (SELECT event_type, event_id b_id, epoch_us(ts) s,
+                     epoch_us(ts) + 43200000000 e
+              FROM events WHERE value >= 150 AND value < $AlertThreshold)
+        SELECT a_id, b_id
+        FROM a JOIN b ON a.event_type = b.event_type
+                     AND a.s < b.e AND b.s < a.e
+        ORDER BY a_id, b_id""")),
+
+    // ---- CUBE: all grouping-set combinations (g1_rollup's big sibling) -
+    QueryDef("g2_cube",
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // ---- gap sessionization: 6-hour inactivity gap per user ------------
     QueryDef("sessionize_events",
       (s, dir) =>

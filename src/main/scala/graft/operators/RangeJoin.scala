@@ -52,4 +52,40 @@ object RangeJoin {
       .filter(col(pTime) >= col(iStart) && col(pTime) < col(iEnd))
       .drop("__b")
   }
+
+  /** Interval-overlap join: pairs (a, b) with the same key whose half-open
+    * spans intersect (`aStart < bEnd && bStart < aEnd`).
+    *
+    * Same bucketed shape as pointInInterval, but two intervals can share
+    * MANY buckets — instead of a post-join dedup, each pair is emitted in
+    * exactly one bucket: the bucket of the LATER start. When two
+    * intervals overlap, the later start lies inside both spans, so both
+    * sides have a replica in that bucket, and no earlier bucket is shared
+    * — it is the unique minimum shared bucket. Dedup-free, shuffle on
+    * (key, bucket) only. Column names across `a` and `b` must not
+    * collide. */
+  def intervalOverlap(
+      a: DataFrame, b: DataFrame,
+      key: String, aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "intervalOverlap: bucketSeconds must be positive")
+    val bUs = bucketSeconds * 1000000L
+
+    def spanBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn(s"__${s}_us", unix_micros(col(s).cast("timestamp")))
+        .withColumn(s"__${e}_us", unix_micros(col(e).cast("timestamp")) - 1)
+        .withColumn("__b", explode(sequence(
+          bucketOf(s"__${s}_us", bUs), bucketOf(s"__${e}_us", bUs))))
+        .drop(s"__${e}_us")
+
+    val av = spanBuckets(a, aStart, aEnd)
+    val bv = spanBuckets(b, bStart, bEnd)
+    av.join(bv, Seq(key, "__b"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__b") === greatest(
+        bucketOf(s"__${aStart}_us", bUs), bucketOf(s"__${bStart}_us", bUs)))
+      .drop("__b", s"__${aStart}_us", s"__${bStart}_us")
+  }
 }

@@ -95,6 +95,28 @@ class TemporalSpec extends SparkSpec {
     assert(got === Array(1L -> 7L))
   }
 
+  test("intervalOverlap matches the naive theta join, one row per pair") {
+    // long spans sharing many hour-buckets: the min-shared-bucket rule
+    // must still emit each overlapping pair exactly once
+    val a = Seq(
+      ("k", 1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      ("k", 2L, ts("2024-01-02 12:00:00"), ts("2024-01-02 13:00:00")),
+      ("k", 3L, ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00"))
+    ).toDF("key", "a_id", "a_s", "a_e")
+    val b = Seq(
+      ("k", 10L, ts("2024-01-01 12:00:00"), ts("2024-01-04 00:00:00")), // hits 1, 2
+      ("k", 11L, ts("2024-01-03 00:00:00"), ts("2024-01-03 06:00:00")), // exclusive-end: misses 1
+      ("k", 12L, ts("2024-01-04 23:00:00"), ts("2024-01-05 00:30:00"))  // hits 3
+    ).toDF("key", "b_id", "b_s", "b_e")
+    val got = RangeJoin.intervalOverlap(a, b, "key", "a_s", "a_e", "b_s", "b_e", 3600)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    val want = a.join(b, a("key") === b("key") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    assert(got === want)
+    assert(got === Array(1L -> 10L, 2L -> 10L, 3L -> 12L))
+  }
+
   test("sessionize: gap starts a session; ties never do") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),

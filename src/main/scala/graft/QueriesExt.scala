@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ApproxAgg, AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{ApproxAgg, AsOfJoin, ConnectedComponents, RangeJoin, Sessionize}
 import graft.llm.{Curation, Dedup, Packing, Sampling, TextStats}
 
 /** Round-3 operator surface: temporal joins (as-of, range), gap
@@ -126,6 +126,54 @@ object QueriesExt {
         FROM a JOIN b ON a.event_type = b.event_type
                      AND a.s < b.e AND b.s < a.e
         ORDER BY a_id, b_id""")),
+
+    // ---- dedup cluster resolution: connected components over the
+    // minhash near-dup pairs (min-label propagation + path halving vs
+    // DuckDB recursive transitive closure) — pairs -> clusters, the step
+    // before "keep one canonical doc per cluster". Minhash clusters at
+    // jaccard >= 0.8 are near-cliques, so propagation converges in 2-3
+    // rounds.
+    QueryDef("dedup_components",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDupPairs(
+          Tables.read(s, dir, "documents"), "text", "doc_id",
+          jaccardThreshold = 0.8)
+        ConnectedComponents.run(pairs, "id_a", "id_b")
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH RECURSIVE d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        sig AS (SELECT doc_id, h, ${QueriesLlm.minhashSigSql} m FROM hs),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id ia, b.doc_id ib
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id),
+        p AS (
+          SELECT ia id_a, ib id_b
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
+          WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                  len(list_distinct(x.h || y.h)) >= 0.8),
+        e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
+        SELECT node, MIN(label) AS label
+        FROM cc GROUP BY node
+        ORDER BY node""")),
 
     // ---- CUBE: all grouping-set combinations (g1_rollup's big sibling) -
     QueryDef("g2_cube",

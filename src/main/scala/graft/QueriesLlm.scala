@@ -37,8 +37,9 @@ object QueriesLlm {
         ORDER BY query_id"""
   }
 
-  // shared minhash constants rendered into the DuckDB oracle
-  private def minhashSigSql: String =
+  // shared minhash constants rendered into the DuckDB oracle (also used
+  // by the dedup_components oracle in QueriesExt)
+  private[graft] def minhashSigSql: String =
     Dedup.MinhashA.zip(Dedup.MinhashB).map { case (a, b) =>
       s"list_min(list_transform(h, x -> ($a*x + $b) % ${Dedup.MinhashP}))"
     }.mkString("[", ", ", "]")

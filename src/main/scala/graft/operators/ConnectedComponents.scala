@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the cluster-
+  * resolution step every near-dup pipeline needs between "pairs found"
+  * (MinHash/SimHash/Jaccard emit PAIRS) and "pick one canonical doc per
+  * cluster" (drop the rest).
+  *
+  * Algorithm: minimum-label propagation with PATH HALVING — each round
+  * every node takes the min label among itself and its neighbors (one
+  * equi-join on node id + a map-side-combinable min), then chases one
+  * pointer hop (`label := label-of(label)`, a join on the tiny label
+  * table). The hop compresses label chains geometrically, so rounds
+  * needed are O(log diameter) instead of O(diameter) — a 9-node path
+  * converges in 3 rounds, and near-dup graphs (stars/near-cliques,
+  * diameter 2-4) in 2. Per-round wall-clock is dominated by fixed job
+  * overhead once components collapse, so halving rounds matters more
+  * than shaving per-round work.
+  *
+  * Convergence detection: labels only ever DECREASE, so the label sum is
+  * strictly monotone until fixpoint — one scalar aggregate on the
+  * already-materialized round output replaces a change-count join.
+  * Driver holds that one long, never data; each round's labels are
+  * localCheckpoint'ed to cut lineage (without it, round k replays rounds
+  * 1..k-1 and iteration goes quadratic).
+  */
+object ConnectedComponents {
+
+  /** @return (node, label) — label is the minimum node id reachable from
+    *         `node`; isolated ids absent from `pairs` are absent here
+    *         (union the full id universe in with label = id if needed). */
+  def run(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // Materialize the pair list ONCE before fanning it into both edge
+    // directions: `pairs` is typically the output of an expensive LSH
+    // pipeline, and two lazy references would run that pipeline twice.
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
+    p.count()
+    // Undirected = both directions, plus a self-loop per node so one
+    // join+agg computes min(own, neighbors') directly. No distinct():
+    // duplicate edges cannot change a MIN.
+    val nodes = p.select(col("u")).unionByName(p.select(col("v").as("u"))).distinct()
+    val edges = p
+      .unionByName(p.select(col("v").as("u"), col("u").as("v")))
+      .unionByName(nodes.withColumn("v", col("u")))
+      .persist()
+    var labels = nodes.select(col("u").as("node"), col("u").as("label"))
+      .localCheckpoint()
+    var prevSum = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // sweep: label <- min over self+neighborhood (self-loops make the
+      // "own label" term part of the same aggregation)
+      val swept = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vlab")), "v")
+        .groupBy(col("u")).agg(min(col("vlab")).as("label"))
+        .select(col("u").as("node"), col("label"))
+        .persist() // self-joined below
+      // path halving: label <- label's label (labels are node ids, so the
+      // lookup table is the sweep itself; a root keeps its own label via
+      // the left join's null)
+      val next = swept
+        .join(swept.select(col("node").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+        .localCheckpoint()
+      swept.unpersist()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    p.unpersist()
+    edges.unpersist()
+    labels
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ApproxAgg, AsOfJoin, ConnectedComponents, RangeJoin, Sessionize}
+import graft.operators.{ApproxAgg, AsOfJoin, ConnectedComponents, RangeJoin, Resample, Sessionize}
 import graft.llm.{Curation, Dedup, Packing, Sampling, TextStats}
 
 /** Round-3 operator surface: temporal joins (as-of, range), gap
@@ -26,6 +26,39 @@ object QueriesExt {
   private val AlertThreshold = 300.0 // rare alerts (~0.2% of events)
   private val AsOfTolUs = 6L * 3600 * 1000000 // 6 h
   private val SessionGapUs = 6L * 3600 * 1000000 // 6 h
+
+  // Shared DuckDB CTE chain: minhash near-dup pairs -> undirected edges
+  // -> recursive transitive-closure labels (used by dedup_components and
+  // dedup_pipeline; prefix with WITH RECURSIVE).
+  private def ccCtes: String = s"""d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        sig AS (SELECT doc_id, h, ${QueriesLlm.minhashSigSql} m FROM hs),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id ia, b.doc_id ib
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id),
+        p AS (
+          SELECT ia id_a, ib id_b
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
+          WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                  len(list_distinct(x.h || y.h)) >= 0.8),
+        e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -142,38 +175,77 @@ object QueriesExt {
           .orderBy("node")
       },
       Some(s"""
-        WITH RECURSIVE d AS (SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
-                   FROM documents),
-        sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(w) - 1),
-                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
-               FROM d),
-        hs AS (SELECT doc_id,
-                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
-               FROM sh),
-        sig AS (SELECT doc_id, h, ${QueriesLlm.minhashSigSql} m FROM hs),
-        bands AS (
-          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
-          UNION ALL
-          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
-        cand AS (
-          SELECT DISTINCT a.doc_id ia, b.doc_id ib
-          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-            AND a.doc_id < b.doc_id),
-        p AS (
-          SELECT ia id_a, ib id_b
-          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
-          WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
-                  len(list_distinct(x.h || y.h)) >= 0.8),
-        e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
-        cc(node, label) AS (
-          SELECT u, u FROM (SELECT DISTINCT u FROM e)
-          UNION
-          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
+        WITH RECURSIVE $ccCtes
         SELECT node, MIN(label) AS label
         FROM cc GROUP BY node
         ORDER BY node""")),
+
+    // ---- the end-to-end dedup pipeline in one call: minhash pairs ->
+    // components -> canonical assignment for EVERY doc (its cluster min,
+    // itself when unclustered) — what a migrating user actually runs.
+    QueryDef("dedup_pipeline",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          jaccardThreshold = 0.8)
+        val labels = ConnectedComponents.run(pairs, "id_a", "id_b")
+          .withColumnRenamed("node", "doc_id")
+        docs.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("canonical_id"))
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $ccCtes,
+        lab AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(lab.label, d.doc_id) AS canonical_id,
+               d.doc_id = COALESCE(lab.label, d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+        ORDER BY d.doc_id""")),
+
+    // ---- grid resample with forward fill: hourly per event_type, value
+    // ffilled from the latest observation within 3 h (else a gap).
+    QueryDef("resample_hourly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        // AsOfJoin contract: unique (key, ts) — keep the max-event_id row
+        val w = Window.partitionBy("event_type", "ts")
+          .orderBy(col("event_id").desc)
+        val obs = ev.select(col("event_type"), col("ts"), col("value"), col("event_id"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "event_id")
+        Resample.ffill(obs, "event_type", "ts", Seq("ts", "value"),
+            stepSeconds = 3600, toleranceUs = Some(3L * 3600 * 1000000))
+          .select(col("event_type"),
+            unix_micros(col("grid_ts")).as("grid_us"),
+            unix_micros(col("ts")).as("obs_us"),
+            col("value"))
+          .orderBy("event_type", "grid_us")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) tus, value,
+                          row_number() OVER (PARTITION BY event_type, epoch_us(ts)
+                                             ORDER BY event_id DESC) rn
+                   FROM events),
+        o AS (SELECT event_type, tus, value FROM e WHERE rn = 1),
+        b AS (SELECT event_type,
+                     (MIN(tus) // 3600000000) * 3600000000 lo,
+                     (MAX(tus) // 3600000000) * 3600000000 hi
+              FROM o GROUP BY event_type),
+        g AS (SELECT event_type, CAST(r.t AS BIGINT) gus
+              FROM b, unnest(range(lo, hi + 1, 3600000000)) r(t)),
+        j AS (SELECT g.event_type, g.gus, o.tus, o.value
+              FROM g ASOF LEFT JOIN o
+                ON g.event_type = o.event_type AND g.gus >= o.tus)
+        SELECT event_type, gus AS grid_us,
+               CASE WHEN gus - tus <= 10800000000 THEN tus END AS obs_us,
+               CASE WHEN gus - tus <= 10800000000 THEN value END AS value
+        FROM j
+        ORDER BY event_type, grid_us""")),
 
     // ---- CUBE: all grouping-set combinations (g1_rollup's big sibling) -
     QueryDef("g2_cube",

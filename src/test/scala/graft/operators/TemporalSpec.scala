@@ -117,6 +117,23 @@ class TemporalSpec extends SparkSpec {
     assert(got === Array(1L -> 10L, 2L -> 10L, 3L -> 12L))
   }
 
+  test("resample ffill: aligned grid, forward fill, tolerance gaps") {
+    val obs = Seq(
+      ("k", ts("2024-01-01 10:15:00"), 1L),
+      ("k", ts("2024-01-01 12:30:00"), 2L)
+    ).toDF("key", "t", "v")
+    val out = Resample.ffill(obs, "key", "t", Seq("v"), stepSeconds = 3600,
+        toleranceUs = Some(90L * 60 * 1000000)) // 90 min
+      .select("grid_ts", "v")
+      .as[(java.sql.Timestamp, Option[Long])].collect().sortBy(_._1.getTime)
+    // grid spans trunc(10:15)=10:00 .. trunc(12:30)=12:00
+    assert(out.map(_._1) === Array(ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+    // 10:00 precedes the first obs; 11:00 fills from 10:15 (45 min old);
+    // 12:00 would fill from 10:15 but 105 min > 90 min tolerance -> gap
+    assert(out.map(_._2) === Array(None, Some(1L), None))
+  }
+
   test("sessionize: gap starts a session; ties never do") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),

@@ -29,26 +29,9 @@ object QueriesExt {
 
   // Shared DuckDB CTE chain: minhash near-dup pairs -> undirected edges
   // -> recursive transitive-closure labels (used by dedup_components and
-  // dedup_pipeline; prefix with WITH RECURSIVE).
-  private def ccCtes: String = s"""d AS (SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
-                   FROM documents),
-        sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(w) - 1),
-                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
-               FROM d),
-        hs AS (SELECT doc_id,
-                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
-               FROM sh),
-        sig AS (SELECT doc_id, h, ${QueriesLlm.minhashSigSql} m FROM hs),
-        bands AS (
-          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
-          UNION ALL
-          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
-        cand AS (
-          SELECT DISTINCT a.doc_id ia, b.doc_id ib
-          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-            AND a.doc_id < b.doc_id),
+  // dedup_pipeline; prefix with WITH RECURSIVE). The candidate pipeline
+  // itself has ONE definition, shared with the dedup_minhash_lsh oracle.
+  private def ccCtes: String = s"""${QueriesLlm.minhashCandCtes},
         p AS (
           SELECT ia id_a, ib id_b
           FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
@@ -360,13 +343,19 @@ object QueriesExt {
               FROM seg, unnest(range(1, len(segs)+1)) r(i)),
         m AS (SELECT doc_id, seg_idx, seg,
                      row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) rn
-              FROM e)
-        SELECT doc_id,
-               COUNT(*) AS n_seg,
-               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
-                 AS text_clean
-        FROM m GROUP BY doc_id
+              FROM e),
+        agg AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_seg,
+                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+                   AS text_clean
+          FROM m GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.n_seg, 0) AS n_seg,
+               COALESCE(agg.n_kept, 0) AS n_kept,
+               COALESCE(agg.text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg USING (doc_id)
         ORDER BY doc_id""")),
 
     // ---- benchmark decontamination: corpus docs sharing >= 5 distinct

@@ -37,12 +37,37 @@ object QueriesLlm {
         ORDER BY query_id"""
   }
 
-  // shared minhash constants rendered into the DuckDB oracle (also used
-  // by the dedup_components oracle in QueriesExt)
+  // shared minhash constants rendered into the DuckDB oracle
   private[graft] def minhashSigSql: String =
     Dedup.MinhashA.zip(Dedup.MinhashB).map { case (a, b) =>
       s"list_min(list_transform(h, x -> ($a*x + $b) % ${Dedup.MinhashP}))"
     }.mkString("[", ", ", "]")
+
+  // The full minhash candidate pipeline as a DuckDB CTE chain (tokenize →
+  // shingle → hash → signature → bands → candidate pairs). ONE definition
+  // serves every oracle that mirrors Dedup.minhashNearDupPairs
+  // (dedup_minhash_lsh here; dedup_components / dedup_pipeline in
+  // QueriesExt) — a Spark-side pipeline change only has one SQL twin to
+  // update.
+  private[graft] def minhashCandCtes: String = s"""d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        sig AS (SELECT doc_id, h, $minhashSigSql m FROM hs),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id ia, b.doc_id ib
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id)"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -72,25 +97,7 @@ object QueriesLlm {
             "text", "doc_id", jaccardThreshold = 0.8)
           .orderBy("id_a", "id_b"),
       Some(s"""
-        WITH d AS (SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
-                   FROM documents),
-        sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(w) - 1),
-                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
-               FROM d),
-        hs AS (SELECT doc_id,
-                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
-               FROM sh),
-        sig AS (SELECT doc_id, h, $minhashSigSql m FROM hs),
-        bands AS (
-          SELECT doc_id, 0 AS band, concat_ws(':', m[1], m[2], m[3], m[4]) AS key FROM sig
-          UNION ALL
-          SELECT doc_id, 1, concat_ws(':', m[5], m[6], m[7], m[8]) FROM sig),
-        cand AS (
-          SELECT DISTINCT a.doc_id ia, b.doc_id ib
-          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-            AND a.doc_id < b.doc_id),
+        WITH $minhashCandCtes,
         ver AS (
           SELECT ia, ib,
                  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /

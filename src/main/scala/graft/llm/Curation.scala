@@ -42,7 +42,7 @@ object Curation {
       .select(col(idCol).as("id"), segmenter(col(textCol)).as("segs"))
       .select(col("id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
     val firstSeen = Window.partitionBy("seg").orderBy(col("id"), col("seg_idx"))
-    segs.withColumn("kept", row_number().over(firstSeen) === 1)
+    val agg = segs.withColumn("kept", row_number().over(firstSeen) === 1)
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_seg"),
@@ -57,7 +57,14 @@ object Curation {
               x => x.getField("s").isNotNull),
             x => x.getField("s")),
           joinWith).as("text_clean"))
-      .withColumnRenamed("id", idCol)
+    // posexplode emits nothing for a zero-segment doc (empty text) — join
+    // back so every input document appears in the output, per contract
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least

@@ -29,9 +29,7 @@ object Packing {
       df: DataFrame, idCol: String, nTokensCol: String,
       maxTokens: Long, nShards: Int): DataFrame = {
     require(maxTokens > 0 && nShards > 0)
-    val shard = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(nShards.toLong))
+    val shard = Sampling.hashBucket(col(idCol), nShards)
     val fill = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"))

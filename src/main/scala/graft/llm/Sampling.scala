@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform hash bucket in [0, 100) from a stable id — md5 low bits are
-    * uniform and engine-portable (same literal hex both sides of the
-    * DuckDB gate). */
-  def hashBucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(100))
+  /** Uniform hash bucket in [0, buckets) from a stable id — md5 low bits
+    * are uniform and engine-portable (same literal hex both sides of the
+    * DuckDB gate). Shared by rate sampling (percent buckets) and
+    * Packing's shard assignment. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(buckets.toLong))
 
   /** Stratified sample: per-stratum keep-percentages (0-100), e.g. keep
     * 10% of 'en' docs and 50% of everything else — the downsample-the-

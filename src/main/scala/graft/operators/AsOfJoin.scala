@@ -36,8 +36,11 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
 
     // Right rows carry their payload in one struct; __mt (the match time)
-    // rides along for the tolerance predicate.
-    val rKeyed = right.select(
+    // rides along for the tolerance predicate. A NULL-time right row can
+    // never be a valid as-of match, but NULLs sort FIRST under asc — it
+    // would become the forward-fill source for every left row before the
+    // first real match. Drop them at the door.
+    val rKeyed = right.filter(col(rightTime).isNotNull).select(
         col(key).as("__k"), col(rightTime).cast("timestamp").as("__t"),
         struct(col(rightTime).cast("timestamp").as("__mt") +:
           payload.filterNot(_ == rightTime).map(col): _*).as("__p"))

@@ -47,6 +47,10 @@ object ConnectedComponents {
       .persist()
     var labels = nodes.select(col("u").as("node"), col("u").as("label"))
       .localCheckpoint()
+    // sum() over an empty table is NULL — getLong would NPE on a corpus
+    // with zero pairs; an empty graph is already converged
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var prevSum = -1L
     var iter = 0
     var converged = false
@@ -67,7 +71,7 @@ object ConnectedComponents {
         .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint()
       swept.unpersist()
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -24,7 +24,8 @@ object RangeJoin {
 
   // floor-division of epoch micros into bucket ordinals — `div` truncates
   // toward zero, which would misalign buckets for pre-1970 timestamps
-  private def bucketOf(usCol: String, bUs: Long): Column =
+  // (shared with Resample's grid alignment)
+  private[operators] def bucketOf(usCol: String, bUs: Long): Column =
     expr(s"$usCol div $bUs - (case when $usCol % $bUs < 0 then 1 else 0 end)")
 
   /** Output: all point columns + all interval columns (the join key is

@@ -32,11 +32,16 @@ object Resample {
       toleranceUs: Option[Long] = None): DataFrame = {
     require(stepSeconds > 0, "ffill: stepSeconds must be positive")
     val stepUs = stepSeconds * 1000000L
+    // floor-align the bounds (RangeJoin.bucketOf): plain `div` truncates
+    // toward zero and would misalign pre-1970 grids vs the floor the
+    // DuckDB oracle's `//` computes
     val grid = obs.groupBy(col(key))
       .agg(min(col(ts)).as("__lo"), max(col(ts)).as("__hi"))
+      .withColumn("__lo_us", unix_micros(col("__lo").cast("timestamp")))
+      .withColumn("__hi_us", unix_micros(col("__hi").cast("timestamp")))
       .select(col(key), explode(sequence(
-        timestamp_micros(expr(s"unix_micros(__lo) div ${stepUs}L * ${stepUs}L")),
-        timestamp_micros(expr(s"unix_micros(__hi) div ${stepUs}L * ${stepUs}L")),
+        timestamp_micros(RangeJoin.bucketOf("__lo_us", stepUs) * stepUs),
+        timestamp_micros(RangeJoin.bucketOf("__hi_us", stepUs) * stepUs),
         expr(s"INTERVAL $stepSeconds SECONDS"))).as("grid_ts"))
     AsOfJoin.asOf(grid, obs, key, "grid_ts", ts, payload, toleranceUs)
   }

@@ -33,6 +33,15 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq((3L, 2L, "x y")))
   }
 
+  test("segmentDedup: a zero-segment doc still appears in the output") {
+    val docs = Seq((1L, Seq("x")), (2L, Seq.empty[String])).toDF("doc_id", "segs")
+    val out = Curation.segmentDedup(docs, "segs", "doc_id", identity, " ")
+      .orderBy("doc_id")
+      .select("doc_id", "n_seg", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Seq((1L, 1L, 1L, "x"), (2L, 0L, 0L, "")))
+  }
+
   test("wordChunks: full chunks plus a ragged tail; empty doc -> no chunks") {
     val df = Seq((1L, "a b c d e"), (2L, "")).toDF("id", "text")
       .select(col("id"), Dedup.tokens(col("text")).as("toks"))

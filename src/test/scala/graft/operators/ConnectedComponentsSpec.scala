@@ -31,4 +31,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = cc(Seq(1L -> 2L))
     assert(got === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("empty pair list yields an empty labeling, not a crash") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
 }

@@ -56,6 +56,18 @@ class TemporalSpec extends SparkSpec {
       4L -> None, 5L -> Some(300L), 6L -> None))
   }
 
+  test("asOf: NULL-time right rows are never a fill source") {
+    // without the guard, the NULL-time row sorts first and forward-fills
+    // every left row before the first real match
+    val dirtyRight = Seq(("a", None: Option[Timestamp], 999L),
+        ("a", Some(ts("2024-01-01 12:00:00")), 100L))
+      .toDF("key", "rt", "v")
+    val out = AsOfJoin.asOf(left.filter(col("id") === 1L), dirtyRight,
+        "key", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect()
+    assert(out === Seq(1L -> None))
+  }
+
   test("asOf: matched right time is exposed when listed as payload") {
     val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("rt"))
       .filter(col("id") === 3L)

@@ -389,6 +389,39 @@ object QueriesExt {
         FROM d LEFT JOIN hits USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- PII scrub: plant synthetic email/phone/IP per doc, count and
+    // redact — byte-identical RE2-safe regexes on both engines.
+    QueryDef("pii_redact",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555-000-"), col("doc_id").cast("string"),
+            lit(" ip 10.0.0."), pmod(col("doc_id"), lit(255L)).cast("string"))
+            .as("text"))
+        Curation.piiStats(docs, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or +1 555-000-' || CAST(doc_id AS VARCHAR) ||
+                     ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS t0
+                   FROM documents),
+        s1 AS (SELECT doc_id, t0,
+                      CAST(len(regexp_extract_all(t0, '${Curation.PiiEmailRe}')) AS BIGINT) n_email,
+                      regexp_replace(t0, '${Curation.PiiEmailRe}', '<PII>', 'g') t1
+               FROM d),
+        s2 AS (SELECT doc_id, n_email,
+                      CAST(len(regexp_extract_all(t1, '${Curation.PiiIpv4Re}')) AS BIGINT) n_ipv4,
+                      regexp_replace(t1, '${Curation.PiiIpv4Re}', '<PII>', 'g') t2
+               FROM s1)
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t2, '${Curation.PiiPhoneRe}')) AS BIGINT) n_phone,
+               regexp_replace(t2, '${Curation.PiiPhoneRe}', '<PII>', 'g') AS redacted
+        FROM s2
+        ORDER BY doc_id""")),
+
     // ---- Gopher repetition signals: integer counts cross the gate ------
     QueryDef("repetition_metrics",
       (s, dir) =>

@@ -91,6 +91,34 @@ object Curation {
         (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
   }
 
+  // PII patterns — deliberately RE2-compatible (no backreferences, no
+  // lookaround) so the DuckDB oracle runs the byte-identical regex.
+  // Redaction order matters: emails first (their digits would otherwise
+  // feed the phone pattern), then IPv4 (dotted digits also look
+  // phone-ish), then phones over the already-scrubbed text.
+  val PiiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiIpv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhoneRe = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  /** Scrub emails / IPv4s / phone numbers, emitting per-type match
+    * counts and the redacted text. Counts are taken on the progressively
+    * redacted text (email count on raw, IP count after email scrub,
+    * phone count after both), so one span is never counted twice. Pure
+    * projection — no shuffle, scale-free. */
+  def piiStats(docs: DataFrame, textCol: String, idCol: String,
+               token: String = "<PII>"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__t0"))
+      .withColumn("n_email",
+        size(regexp_extract_all(col("__t0"), lit(PiiEmailRe), lit(0))).cast("long"))
+      .withColumn("__t1", regexp_replace(col("__t0"), PiiEmailRe, token))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(col("__t1"), lit(PiiIpv4Re), lit(0))).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), PiiIpv4Re, token))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("__t2"), lit(PiiPhoneRe), lit(0))).cast("long"))
+      .select(col(idCol), col("n_email"), col("n_ipv4"), col("n_phone"),
+        regexp_replace(col("__t2"), PiiPhoneRe, token).as("redacted"))
+
   /** Within-document repetition counts (Gopher-style quality signals):
     * token count, distinct-token count, and the occurrence count of the
     * most frequent word bigram. Emitted as integer counts — ratios

@@ -66,6 +66,19 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, false)))
   }
 
+  test("piiStats: staged counts, overlap-free, full redaction") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@mail.org phone +1 (555) 123-4567 ip 192.168.0.1"),
+      (2L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiStats(docs, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 1L, 1L, 1L,
+      "mail <PII> phone <PII> ip <PII>")))
+    assert(out(1) === ((2L, 0L, 0L, 0L,
+      "clean text with no identifiers at all")))
+  }
+
   test("repetitionMetrics: counts on a crafted doc") {
     val docs = Seq(
       (1L, "a b a b a"), // 5 words, 2 distinct; top bigram "a b" x2

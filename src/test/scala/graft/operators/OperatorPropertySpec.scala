@@ -1,0 +1,125 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.llm.{Packing, Sampling}
+
+/** Property-based checks of the round-3 operators against independent
+  * in-memory reference implementations (union-find, linear scans) on
+  * randomized inputs with a fixed seed. Each property evaluates in one
+  * Spark job over the whole sample. */
+class OperatorPropertySpec extends SparkSpec {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 200): Seq[A] =
+    Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(7L)).get
+
+  test("prop: connectedComponents agrees with union-find on random graphs") {
+    val edges = samples(Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0L, 60L)), 150)
+      .filter { case (a, b) => a != b }
+    // reference: union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => n -> find(n)).toMap
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // union-find min-roots ARE the component minima after path compression
+    // with min-directed unions; compare component PARTITIONS (both label
+    // by component min, so direct equality holds)
+    assert(got === want)
+  }
+
+  test("prop: sessionize invariants — intra-gap <= gap, inter-gap > gap, counts partition events") {
+    val gapUs = 1000L
+    val evs = samples(Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 20000L)), 300)
+      .map { case (k, us) => (k, new Timestamp(us / 1000), us / 1000 * 1000) }
+    // microsecond-truncate to ms so Timestamp and expected math agree
+    val df = evs.map { case (k, t, _) => (k, t) }.toDF("user_id", "ts")
+    val out = Sessionize.sessions(df, "user_id", "ts", gapUs)
+      .as[(Long, Long, Long, Long, Long)].collect() // key, idx, n, start, end
+    val byKey = evs.map { case (k, _, us) => (k, us) }.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    // counts partition the events
+    assert(out.map(_._3).sum === evs.size)
+    byKey.foreach { case (k, times) =>
+      val sessions = out.filter(_._1 == k).sortBy(_._2)
+      // reference sessionization by linear scan
+      val refSessions = times.foldLeft(List.empty[List[Long]]) {
+        case (cur :: rest, t) if t - cur.head <= gapUs => (t :: cur) :: rest
+        case (acc, t) => List(t) :: acc
+      }.reverse.map(_.reverse)
+      assert(sessions.length === refSessions.length, s"key $k session count")
+      sessions.zip(refSessions).foreach { case ((_, _, n, s, e), ref) =>
+        assert(n === ref.size && s === ref.head && e === ref.last)
+      }
+    }
+  }
+
+  test("prop: packBins — offsets bounded, bins contiguous, shard-deterministic") {
+    val docs = samples(Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(1L, 700L)), 250)
+      .distinctBy(_._1)
+    val out = Packing.packBins(docs.toDF("id", "n"), "id", "n", maxTokens = 1000L, nShards = 7)
+      .select("id", "shard", "bin", "off_in_bin", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === docs.size)
+    out.foreach { case (_, s, b, o, _) =>
+      assert(s >= 0 && s < 7 && b >= 0 && o >= 0 && o < 1000)
+    }
+    // per shard: ordered by id, cumulative-sum offsets reproduce bin/off
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, b, o, n) =>
+        assert(b === cum / 1000 && o === cum % 1000)
+        cum += n
+      }
+    }
+  }
+
+  test("prop: stratifiedHashSample keeps exactly the rows whose bucket clears the rate") {
+    val rows = samples(Gen.zip(Gen.chooseNum(0L, 100000L), Gen.oneOf("x", "y")), 300)
+      .distinctBy(_._1)
+    val df = rows.toDF("id", "s")
+    val kept = Sampling.stratifiedHashSample(df, "id", "s", Map("x" -> 30), 70)
+      .select("id").as[Long].collect().toSet
+    val buckets = df.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, s) =>
+      val rate = if (s == "x") 30 else 70
+      assert(kept.contains(id) === (buckets(id) < rate), s"id $id stratum $s")
+    }
+  }
+
+  test("prop: asOf equals the per-row argmax reference on random series") {
+    val gen = Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 1000000L))
+    val leftRows = samples(gen, 150).map { case (k, us) => (k, us / 1000 * 1000) }
+    val rightRows = samples(gen, 80).map { case (k, us) => (k, us / 1000 * 1000) }
+      .distinct
+    val left = leftRows.zipWithIndex
+      .map { case ((k, us), i) => (i.toLong, k, new Timestamp(us / 1000)) }
+    val right = rightRows.map { case (k, us) => (k, new Timestamp(us / 1000), us) }
+    val out = AsOfJoin.asOf(
+        left.toDF("id", "key", "t"),
+        right.toDF("key", "rt", "payload"),
+        "key", "t", "rt", Seq("payload"))
+      .select("id", "payload").as[(Long, Option[Long])].collect().toMap
+    left.foreach { case (id, k, t) =>
+      val want = right.filter(r => r._1 == k && !r._2.after(t)).map(_._3).maxOption
+      assert(out(id) === want, s"id $id key $k t $t")
+    }
+  }
+}

@@ -523,6 +523,36 @@ object QueriesExt {
         WHERE end_us + $SessionGapUs <= w
         ORDER BY user_id, start_us""")),
 
+    // ---- time-RANGE window frame: 6h trailing count/sum per event (the
+    // frame class w1/w2 don't cover — RANGE over event time, not ROWS).
+    QueryDef("w3_moving_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("event_type").orderBy(col("tus"))
+          .rangeBetween(-AsOfTolUs, 0) // 6 h trailing, inclusive
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+          .select(col("event_id"), col("event_type"),
+            count(lit(1)).over(w).as("n_6h"),
+            sum(col("value").cast(DecimalType(30, 10))).over(w)
+              .cast(DecimalType(28, 4))
+              .multiply(lit(10000L).cast(DecimalType(5, 0)))
+              .cast("long").as("sum_6h"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, epoch_us(ts) tus, value FROM events)
+        SELECT event_id, event_type,
+               COUNT(*) OVER w AS n_6h,
+               CAST(CAST(round(SUM(CAST(value AS DECIMAL(30,10))) OVER w, 4)
+                    AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_6h
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY tus
+                     RANGE BETWEEN $AsOfTolUs PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
     // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------
     QueryDef("vocab_topk",
       (s, dir) =>

@@ -73,6 +73,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "range join must bucket to an equi-join")
   }
 
+  test("interval_overlap: bucketed equi-join, never nested-loop/cartesian") {
+    val p = planOf("interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval overlap must bucket to an equi-join")
+  }
+
+  test("resample: as-of fill stays join-free (grid + window only)") {
+    val p = planOf("resample_hourly")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the ffill must ride the as-of union+window, not a theta join")
+  }
+
   test("vocab_topk: partial aggregation + bounded top-k, no global sort") {
     val p = planOf("vocab_topk")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial agg expected")

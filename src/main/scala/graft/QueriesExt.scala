@@ -553,6 +553,47 @@ object QueriesExt {
                      RANGE BETWEEN $AsOfTolUs PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
 
+    // ---- streaming watermarked tumbling-window counts through the gate:
+    // append mode emits a window once the watermark passes its end, so
+    // the oracle is the batch tumbling aggregation restricted to windows
+    // closed by the final watermark (max event time, ms-truncated).
+    QueryDef("stream_windowed_counts",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        val src = Files.createTempDirectory("graft_swc_src_")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val out = Files.createTempDirectory("graft_swc_out_").toString
+        val ckpt = Files.createTempDirectory("graft_swc_ck_").toString
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(src.toString).schema
+        val in = s.readStream.schema(schema).parquet(src.toString)
+          .select(col("event_type"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("value"))
+        val q = graft.streaming.StreamingIncremental
+          .windowedCounts(in, "ts", "event_type",
+            windowLen = "1 hour", watermark = "0 seconds")
+          .select(unix_micros(col("window_start")).as("win_us"),
+            col("event_type"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy("event_type", "win_us")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) tus FROM events),
+        w AS (SELECT event_type, (tus // 3600000000) * 3600000000 AS win_us,
+                     COUNT(*) AS n
+              FROM e GROUP BY event_type, win_us),
+        wm AS (SELECT (MAX(tus) // 1000) * 1000 AS m FROM e)
+        SELECT win_us, event_type, n
+        FROM w, wm
+        WHERE win_us + 3600000000 <= m
+        ORDER BY event_type, win_us""")),
+
     // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------
     QueryDef("vocab_topk",
       (s, dir) =>

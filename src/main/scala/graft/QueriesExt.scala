@@ -594,6 +594,62 @@ object QueriesExt {
         WHERE win_us + 3600000000 <= m
         ORDER BY event_type, win_us""")),
 
+    // ---- multimodal audio-analog features: exact integer energy and
+    // zero-crossing count over the stub PCM view of the payload.
+    QueryDef("mm_audio_features",
+      (s, dir) => {
+        implicit val sp = s
+        graft.llm.Multimodal.audioFeatures(
+            graft.llm.Multimodal.mediaTable(Tables.read(s, dir, "documents")))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(range(1, strlen(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1)) - 128) s
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(s) AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+               CAST(len(list_filter(range(1, len(s)),
+                 i -> (s[CAST(i AS INT)] < 0) != (s[CAST(i AS INT) + 1] < 0))) AS BIGINT)
+                 AS zero_crossings
+        FROM b
+        ORDER BY doc_id""")),
+
+    // ---- full-outer join with unmatched rows on BOTH sides -------------
+    QueryDef("j2_full_outer",
+      (s, dir) => {
+        val cust = Tables.read(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"))
+        val ords = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_custkey").isNotNull.as("has_cust"),
+            col("o_custkey").isNotNull.as("has_orders"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY o_custkey)
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               c_custkey IS NOT NULL AS has_cust,
+               o_custkey IS NOT NULL AS has_orders,
+               COALESCE(n_orders, 0) AS n_orders
+        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
     // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------
     QueryDef("vocab_topk",
       (s, dir) =>

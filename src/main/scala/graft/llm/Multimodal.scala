@@ -111,6 +111,41 @@ object Multimodal {
         (0 until bins).map(k => element_at(col("counts"), k + 1).as(s"b$k")): _*)
   }
 
+  final case class AudioFeatureRow(
+      doc_id: Long, n_samples: Long, sum_sq: Long, zero_crossings: Long)
+
+  /** Audio-analog features over the payload: treat each byte as a
+    * centered PCM sample in [-128, 127] and emit the exact integer
+    * energy (sum of squares — RMS is one sqrt away, kept integral so the
+    * oracle gate is float-free) and the zero-crossing count (adjacent
+    * sign flips, zero counted as non-negative) — the two cheapest
+    * audio-quality signals. Same partition-parallel batch shape as
+    * decode; swap the byte view for a real PCM decode at the marked
+    * line. */
+  def audioFeatures(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[AudioFeatureRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // >>> real audio decode goes here (javax.sound / FFmpeg binding)
+          var sumSq = 0L
+          var zc = 0L
+          var i = 0
+          var prevNeg = false
+          while (i < bytes.length) {
+            val s = (bytes(i) & 0xff) - 128
+            sumSq += s.toLong * s
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          AudioFeatureRow(id, bytes.length.toLong, sumSq, zc)
+        }
+      }
+  }
+
   /** Frame-sample shape: take every `stride`-th byte-window as a "frame"
     * and emit one row per frame — the video analog (explode after a
     * partition-parallel decode). */

@@ -90,6 +90,19 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq((1L, 5L, 2L, 2L), (2L, 1L, 1L, 0L)))
   }
 
+  test("audioFeatures: exact energy and zero crossings on crafted samples") {
+    implicit val sp2 = spark
+    // bytes 128,127,129 -> samples 0,-1,1: sum_sq=2, crossings 0->-1 (0 is
+    // non-negative) and -1->1 = 2
+    val media = Seq((1L, Array[Byte](128.toByte, 127.toByte, 129.toByte)),
+        (2L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.audioFeatures(media)
+      .toDF().orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Seq((1L, 3L, 2L, 2L), (2L, 0L, 0L, 0L)))
+  }
+
   test("packBins: contiguous fill per shard, deterministic, bounded offsets") {
     val docs = Seq.tabulate(40)(i => (i.toLong, 100L)).toDF("doc_id", "n_tokens")
     val out = Packing.packBins(docs, "doc_id", "n_tokens", maxTokens = 250L, nShards = 4)

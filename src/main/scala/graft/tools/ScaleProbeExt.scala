@@ -67,6 +67,15 @@ object ScaleProbeExt {
           TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
         Packing.packBins(withN, "doc_id", "n_tokens", 512L, 64).count()
       }
+      time(s"components x$k") {
+        val pairs = Dedup.minhashNearDupPairs(dc, "text", "doc_id", 0.8)
+        graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b").count()
+      }
+      time(s"decontaminate x$k") {
+        Curation.decontaminate(dc,
+          dc.filter(pmod(col("doc_id"), lit(20L)) === 0),
+          "text", "doc_id", minHits = 5L).count()
+      }
       ev.unpersist(); dc.unpersist()
     }
     spark.stop()

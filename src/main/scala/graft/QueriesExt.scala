@@ -445,6 +445,29 @@ object QueriesExt {
         FROM base LEFT JOIN top USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- overlapping context windows: 32-token windows, stride 16 ------
+    QueryDef("sliding_windows",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.slidingWindows(docs, "doc_id", "n_tokens", size = 32L, stride = 16L)
+          .orderBy("doc_id", "win_idx")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> len(x) > 0)) AS BIGINT) n
+                   FROM documents),
+        k AS (SELECT doc_id, n,
+                     CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 16 - 1) // 16 END AS last
+              FROM d)
+        SELECT doc_id, CAST(r.i AS BIGINT) AS win_idx,
+               CAST(r.i AS BIGINT) * 16 AS start_tok,
+               least(CAST(r.i AS BIGINT) * 16 + 32, n) AS end_tok
+        FROM k, unnest(range(0, last + 1)) r(i)
+        ORDER BY doc_id, win_idx""")),
+
     // ---- deterministic sequence packing: 512-token bins, 8 hash shards -
     QueryDef("pack_sequences",
       (s, dir) => {

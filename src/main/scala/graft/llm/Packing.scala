@@ -40,4 +40,25 @@ object Packing {
         pmod(col("__cum"), lit(maxTokens)).as("off_in_bin"),
         col("n_tokens"))
   }
+
+  /** Overlapping context windows over each document's token span: one
+    * row per window of `size` tokens advancing by `stride` (stride <
+    * size = overlap, the usual training-window prep); the final window
+    * clamps to the document end, and every token is covered. Pure
+    * integer projection + bounded explode (windows per doc =
+    * ceil((n-size)/stride)+1) — no shuffle, scale-free. */
+  def slidingWindows(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      size: Long, stride: Long): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "slidingWindows: need 0 < stride <= size")
+    val n = col(nTokensCol).cast("long")
+    // integer-exact ceil((n-size)/stride); 0 when the doc fits one window
+    val lastIdx = when(n <= size, lit(0L))
+      .otherwise(expr(s"($nTokensCol - ${size}L + ${stride}L - 1) div ${stride}L"))
+    df.select(col(idCol), n.as("__n"), explode(sequence(lit(0L), lastIdx)).as("win_idx"))
+      .select(col(idCol), col("win_idx"),
+        (col("win_idx") * stride).as("start_tok"),
+        least(col("win_idx") * stride + size, col("__n")).as("end_tok"))
+  }
 }

@@ -90,6 +90,20 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq((1L, 5L, 2L, 2L), (2L, 1L, 1L, 0L)))
   }
 
+  test("slidingWindows: overlap, clamped tail, full token coverage") {
+    val docs = Seq((1L, 70L), (2L, 20L), (3L, 32L)).toDF("id", "n")
+    val out = Packing.slidingWindows(docs, "id", "n", size = 32L, stride = 16L)
+      .orderBy("id", "win_idx")
+      .as[(Long, Long, Long, Long)].collect()
+    // n=70: starts 0,16,32,48 -> last covers [48,70); n=20 and n=32: one window
+    assert(out.filter(_._1 == 1L).map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 32L), (16L, 48L), (32L, 64L), (48L, 70L)))
+    assert(out.filter(_._1 == 2L).map(r => (r._3, r._4)).toSeq === Seq((0L, 20L)))
+    assert(out.filter(_._1 == 3L).map(r => (r._3, r._4)).toSeq === Seq((0L, 32L)))
+    // coverage: windows span [0, n) for every doc
+    assert(out.groupBy(_._1).forall { case (_, rows) => rows.map(_._4).max >= rows.map(_._3).min })
+  }
+
   test("audioFeatures: exact energy and zero crossings on crafted samples") {
     implicit val sp2 = spark
     // bytes 128,127,129 -> samples 0,-1,1: sum_sq=2, crossings 0->-1 (0 is

@@ -45,7 +45,7 @@ object Queries {
 
   /** Exact decimal -> ×10^4 BIGINT (see dsum). SQL equivalent:
     * CAST(CAST(round(x, 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT). */
-  private def scaledLong(c: Column): Column =
+  private[graft] def scaledLong(c: Column): Column =
     c.cast(DecimalType(28, 4))
       .multiply(lit(10000L).cast(DecimalType(5, 0)))
       .cast("long")

@@ -27,6 +27,39 @@ object QueriesExt {
   private val AsOfTolUs = 6L * 3600 * 1000000 // 6 h
   private val SessionGapUs = 6L * 3600 * 1000000 // 6 h
 
+  // Shared streaming-gate scaffold: copy the events parquet into a fresh
+  // source dir, run `build(stream)` (ts already ns->us converted) through
+  // a checkpointed AvailableNow parquet sink, and return a reader of the
+  // sink. Source and checkpoint dirs are deleted once the query
+  // terminates; the sink dir must outlive the call (the returned
+  // DataFrame reads it lazily).
+  private def runEventStream(
+      s: org.apache.spark.sql.SparkSession, dir: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = Files.createTempDirectory("graft_stream_src_")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck_")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(src.toString).schema
+    val in = s.readStream.schema(schema).parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = build(in).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def rm(p: java.nio.file.Path): Unit = {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    rm(src); rm(ckpt)
+    s.read.parquet(out)
+  }
+
   // Shared DuckDB CTE chain: minhash near-dup pairs -> undirected edges
   // -> recursive transitive-closure labels (used by dedup_components and
   // dedup_pipeline; prefix with WITH RECURSIVE). The candidate pipeline
@@ -501,28 +534,14 @@ object QueriesExt {
     // sessionization.
     QueryDef("stream_sessionize",
       (s, dir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-        val src = Files.createTempDirectory("graft_sess_src_")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-        val out = Files.createTempDirectory("graft_sess_out_").toString
-        val ckpt = Files.createTempDirectory("graft_sess_ck_").toString
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(src.toString).schema
         import s.implicits._
-        val in = s.readStream.schema(schema).parquet(src.toString)
-          .select(col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"))
-          .withWatermark("ts", "0 seconds")
-          .as[graft.streaming.StreamingIncremental.SessIn]
-        val q = graft.streaming.StreamingIncremental
-          .streamingSessionize(in, gapUs = SessionGapUs)
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.read.parquet(out)
+        runEventStream(s, dir) { in =>
+          graft.streaming.StreamingIncremental.streamingSessionize(
+            in.select("user_id", "ts")
+              .withWatermark("ts", "0 seconds")
+              .as[graft.streaming.StreamingIncremental.SessIn],
+            gapUs = SessionGapUs).toDF()
+        }
           .select("user_id", "start_us", "end_us", "n_events")
           .orderBy("user_id", "start_us")
       },
@@ -559,10 +578,8 @@ object QueriesExt {
             unix_micros(col("ts")).as("tus"), col("value"))
           .select(col("event_id"), col("event_type"),
             count(lit(1)).over(w).as("n_6h"),
-            sum(col("value").cast(DecimalType(30, 10))).over(w)
-              .cast(DecimalType(28, 4))
-              .multiply(lit(10000L).cast(DecimalType(5, 0)))
-              .cast("long").as("sum_6h"))
+            Queries.scaledLong(
+              sum(col("value").cast(DecimalType(30, 10))).over(w)).as("sum_6h"))
           .orderBy("event_id")
       },
       Some(s"""
@@ -581,31 +598,14 @@ object QueriesExt {
     // the oracle is the batch tumbling aggregation restricted to windows
     // closed by the final watermark (max event time, ms-truncated).
     QueryDef("stream_windowed_counts",
-      (s, dir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-        val src = Files.createTempDirectory("graft_swc_src_")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-        val out = Files.createTempDirectory("graft_swc_out_").toString
-        val ckpt = Files.createTempDirectory("graft_swc_ck_").toString
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(src.toString).schema
-        val in = s.readStream.schema(schema).parquet(src.toString)
-          .select(col("event_type"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
-            col("value"))
-        val q = graft.streaming.StreamingIncremental
-          .windowedCounts(in, "ts", "event_type",
-            windowLen = "1 hour", watermark = "0 seconds")
-          .select(unix_micros(col("window_start")).as("win_us"),
-            col("event_type"), col("n"))
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.read.parquet(out).orderBy("event_type", "win_us")
-      },
+      (s, dir) =>
+        runEventStream(s, dir) { in =>
+          graft.streaming.StreamingIncremental
+            .windowedCounts(in.select("event_type", "ts", "value"),
+              "ts", "event_type", windowLen = "1 hour", watermark = "0 seconds")
+            .select(unix_micros(col("window_start")).as("win_us"),
+              col("event_type"), col("n"))
+        }.orderBy("event_type", "win_us"),
       Some("""
         WITH e AS (SELECT event_type, epoch_us(ts) tus FROM events),
         w AS (SELECT event_type, (tus // 3600000000) * 3600000000 AS win_us,
@@ -635,7 +635,7 @@ object QueriesExt {
           FROM documents)
         SELECT doc_id,
                CAST(len(s) AS BIGINT) AS n_samples,
-               CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+               CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS sum_sq,
                CAST(len(list_filter(range(1, len(s)),
                  i -> (s[CAST(i AS INT)] < 0) != (s[CAST(i AS INT) + 1] < 0))) AS BIGINT)
                  AS zero_crossings

@@ -100,8 +100,18 @@ class CurationSpec extends SparkSpec {
       Seq((0L, 32L), (16L, 48L), (32L, 64L), (48L, 70L)))
     assert(out.filter(_._1 == 2L).map(r => (r._3, r._4)).toSeq === Seq((0L, 20L)))
     assert(out.filter(_._1 == 3L).map(r => (r._3, r._4)).toSeq === Seq((0L, 32L)))
-    // coverage: windows span [0, n) for every doc
-    assert(out.groupBy(_._1).forall { case (_, rows) => rows.map(_._4).max >= rows.map(_._3).min })
+    // coverage: per doc, windows start at 0, reach n, and leave no gaps
+    // (each next window starts at or before the previous window's end)
+    val n = Map(1L -> 70L, 2L -> 20L, 3L -> 32L)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 === 0L)
+      assert(sorted.map(_._4).max === n(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._4, s"gap in doc $id")
+        case _ =>
+      }
+    }
   }
 
   test("audioFeatures: exact energy and zero crossings on crafted samples") {

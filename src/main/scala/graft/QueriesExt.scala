@@ -64,7 +64,7 @@ object QueriesExt {
   // -> recursive transitive-closure labels (used by dedup_components and
   // dedup_pipeline; prefix with WITH RECURSIVE). The candidate pipeline
   // itself has ONE definition, shared with the dedup_minhash_lsh oracle.
-  private def ccCtes: String = s"""${QueriesLlm.minhashCandCtes},
+  private def ccCtes: String = s"""${QueriesLlm.minhashCandCtes()},
         p AS (
           SELECT ia id_a, ib id_b
           FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
@@ -195,6 +195,39 @@ object QueriesExt {
         SELECT node, MIN(label) AS label
         FROM cc GROUP BY node
         ORDER BY node""")),
+
+    // ---- incremental near-dup: a "new batch" (docs >= 250 plus planted
+    // clones of corpus docs) against the existing corpus (docs < 250) —
+    // new-vs-corpus and new-vs-new pairs only, never corpus-vs-corpus:
+    // per-run cost scales with the batch, not the history.
+    QueryDef("dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs
+            .filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+        Dedup.minhashNearDupPairsIncremental(fresh, corpus, "text", "doc_id",
+            jaccardThreshold = 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id < 250),
+        ${QueriesLlm.minhashCandCtes("all_docs")},
+        ver AS (
+          SELECT ia, ib,
+                 CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                   len(list_distinct(x.h || y.h)) jac
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id)
+        SELECT ia AS id_a, ib AS id_b, jac AS jaccard
+        FROM ver
+        WHERE jac >= 0.8 AND (ia >= 250 OR ib >= 250)
+        ORDER BY id_a, id_b""")),
 
     // ---- the end-to-end dedup pipeline in one call: minhash pairs ->
     // components -> canonical assignment for EVERY doc (its cluster min,

@@ -49,9 +49,9 @@ object QueriesLlm {
   // (dedup_minhash_lsh here; dedup_components / dedup_pipeline in
   // QueriesExt) — a Spark-side pipeline change only has one SQL twin to
   // update.
-  private[graft] def minhashCandCtes: String = s"""d AS (SELECT doc_id,
+  private[graft] def minhashCandCtes(src: String = "documents"): String = s"""d AS (SELECT doc_id,
                      list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
-                   FROM documents),
+                   FROM $src),
         sh AS (SELECT doc_id,
                  list_distinct(list_transform(range(1, len(w) - 1),
                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
@@ -97,7 +97,7 @@ object QueriesLlm {
             "text", "doc_id", jaccardThreshold = 0.8)
           .orderBy("id_a", "id_b"),
       Some(s"""
-        WITH $minhashCandCtes,
+        WITH ${minhashCandCtes()},
         ver AS (
           SELECT ia, ib,
                  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /

@@ -137,21 +137,27 @@ object Dedup {
     * doc — → self-join on the band key → DISTINCT ID PAIRS (the only wide
     * shuffle, and it carries two longs per row) → join hash-sets back →
     * verify. Only candidates ever touch the arrays. */
+  /** (id, band, key) LSH band rows from a shingle-hash-set DataFrame —
+    * 2 small rows per doc. */
+  private def bandRows(sets: DataFrame): DataFrame = {
+    val sig = minhashSignature(col("hs"))
+    sets.select(Seq(col("id")) ++
+      (0 until MinhashBands).map { b =>
+        concat_ws(":", sig.slice(b * MinhashRows, (b + 1) * MinhashRows): _*).as(s"band$b")
+      }: _*)
+      .select(col("id"),
+        explode(array((0 until MinhashBands).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+  }
+
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     // sets feeds three DAG branches (banding + both verify sides); without
     // persist Spark recomputes the md5 shingling per branch
     val sets = shingleHashSets(docs, textCol, idCol, shingleN).persist()
-    val sig = minhashSignature(col("hs"))
-    val banded = sets.select(Seq(col("id")) ++
-      (0 until MinhashBands).map { b =>
-        concat_ws(":", sig.slice(b * MinhashRows, (b + 1) * MinhashRows): _*).as(s"band$b")
-      }: _*)
-    val bands = banded.select(col("id"),
-      explode(array((0 until MinhashBands).map(b =>
-        struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+    val bands = bandRows(sets)
 
     val l = bands.select(col("band"), col("key"), col("id").as("id_a"))
     val r = bands.select(col("band"), col("key"), col("id").as("id_b"))
@@ -161,6 +167,33 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     verifyJaccard(cand, sets, jaccardThreshold)
+  }
+
+  /** Incremental near-dup: pairs touching a NEW batch — new-vs-corpus and
+    * new-vs-new, never corpus-vs-corpus. The daily-crawl regime at
+    * 100 TB: the historical corpus is NOT re-paired against itself each
+    * run; its signatures are joined once against the (small) new batch's
+    * band keys, so per-run cost scales with the batch, not the corpus.
+    * (Here both sides are signed from text; in production the corpus
+    * side's (id, hs) sets persist as a signature table maintained by
+    * previous runs — `shingleHashSets` output is exactly that schema.)
+    * Ids must be disjoint across the two inputs. */
+  def minhashNearDupPairsIncremental(
+      newDocs: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val newSets = shingleHashSets(newDocs, textCol, idCol, shingleN).persist()
+    val corpusSets = shingleHashSets(corpus, textCol, idCol, shingleN)
+    val allSets = newSets.unionByName(corpusSets).persist()
+
+    val nb = bandRows(newSets).select(col("band"), col("key"), col("id").as("nid"))
+    val ab = bandRows(allSets).select(col("band"), col("key"), col("id").as("oid"))
+    val cand = nb.join(ab, Seq("band", "key"))
+      .filter(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("id_a"),
+        greatest(col("nid"), col("oid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    verifyJaccard(cand, allSets, jaccardThreshold)
   }
 
   // -- SimHash near-dedup (pigeonhole-exact) ------------------------------

@@ -171,5 +171,31 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatch == 0, "every byte must land in exactly one bin")
   }
 
+  test("incremental minhash: batch-touching pairs only, consistent with the full run") {
+    import spark.implicits._
+    // corpus: a, b; batch: clone-of-a (x) and a fresh doc (y) that clones
+    // nothing; corpus-internal near-dup (a~b) must NOT be re-emitted
+    val mk = (id: Long, words: String) => (id, words)
+    val corpus = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "alpha beta gamma delta epsilon zeta eta iota") // near-dup of 1
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta"), // clone of 1
+      mk(11L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.minhashNearDupPairsIncremental(batch, corpus,
+        "text", "doc_id", jaccardThreshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashNearDupPairs(corpus.unionByName(batch),
+        "text", "doc_id", jaccardThreshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // incremental = full-run pairs restricted to those touching the batch
+    assert(inc === full.filter { case (a, b) => a >= 10L || b >= 10L })
+    assert(inc.contains((1L, 10L)), "new clone must pair with its corpus original")
+    assert(!inc.exists { case (a, b) => a < 10L && b < 10L },
+      "corpus-vs-corpus pairs must not be re-emitted")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

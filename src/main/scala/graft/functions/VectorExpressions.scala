@@ -193,6 +193,81 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All k minhash permutation minima in ONE pass over the shingle-hash
+  * array: `out[j] = min_h (h·a(j) + b(j)) mod p`.
+  *
+  * Native for the same reason as [[FloatVecDot]]: the HOF form —
+  * `array_min(transform(hs, ...))` per permutation — traverses the array
+  * k times and allocates k intermediate arrays per DOCUMENT. This kernel
+  * keeps the k running minima in a local long[] over a single traversal.
+  * Identical integer semantics (same mins), so oracles are unaffected.
+  * Empty input returns NULL, matching array_min's empty-array result so
+  * downstream concat_ws band keys behave exactly as the HOF form. */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(a.length == b.length && a.nonEmpty, "MinHashSig: need matched a/b coefficients")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  // empty arrays produce NULL even though the input itself is non-null
+  override def nullable: Boolean = true
+
+  private val k = a.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val aRef = ctx.addReferenceObj("minhashA", a.toArray, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", b.toArray, "long[]")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $in.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    long $h = $in.getLong($t);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -205,4 +280,8 @@ object VectorExpressions {
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedLongIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(
+      MinHashSig(ExpressionUtils.expression(hashes), a, b, p))
 }

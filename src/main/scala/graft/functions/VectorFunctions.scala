@@ -13,4 +13,7 @@ object VectorFunctions {
 
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.sortedLongIntersectCount(a, b)
+
+  def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    org.apache.spark.sql.graft.VectorExpressions.minHashSig(hashes, a, b, p)
 }

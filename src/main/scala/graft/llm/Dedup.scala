@@ -138,16 +138,22 @@ object Dedup {
     * shuffle, and it carries two longs per row) → join hash-sets back →
     * verify. Only candidates ever touch the arrays. */
   /** (id, band, key) LSH band rows from a shingle-hash-set DataFrame —
-    * 2 small rows per doc. */
+    * 2 small rows per doc. Signatures come from the single-pass native
+    * MinHashSig kernel (one traversal for all k permutations instead of
+    * k traversals + k intermediate arrays — same mins, oracle unaffected),
+    * PROJECTED ONCE into a named column: the 8 element_at references then
+    * point at one attribute, where inline use would copy the kernel per
+    * reference (the CollapseProject gotcha, PLANS.md rule 11). */
   private def bandRows(sets: DataFrame): DataFrame = {
-    val sig = minhashSignature(col("hs"))
-    sets.select(Seq(col("id")) ++
-      (0 until MinhashBands).map { b =>
-        concat_ws(":", sig.slice(b * MinhashRows, (b + 1) * MinhashRows): _*).as(s"band$b")
-      }: _*)
+    import graft.functions.VectorFunctions.minHashSig
+    sets.select(col("id"),
+        minHashSig(col("hs"), MinhashA, MinhashB, MinhashP).as("__sig"))
       .select(col("id"),
-        explode(array((0 until MinhashBands).map(b =>
-          struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
+        explode(array((0 until MinhashBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (b * MinhashRows until (b + 1) * MinhashRows)
+              .map(j => element_at(col("__sig"), j + 1)): _*).as("key"))
+        }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
   }
 

@@ -54,6 +54,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("float_vec_dot"), "native kernel must be in the plan")
   }
 
+  test("dedup_minhash_lsh: single-pass signature kernel, evaluated once") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(p.contains("minhash_sig"), "native MinHashSig kernel must be in the plan")
+    assert(!p.contains("array_min"), "per-permutation HOF mins must be gone")
+  }
+
   test("dedup_ngram_jaccard: verify tail uses the merge-walk intersect kernel") {
     val p = planOf("dedup_ngram_jaccard")
     assert(p.contains("sorted_long_intersect_count"),

@@ -164,6 +164,23 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { case (k, h) => assert(k == h, s"kernel=$k hof=$h") }
   }
 
+  test("prop: MinHashSig kernel = k array_min(transform) HOFs; empty -> NULL") {
+    import graft.functions.VectorFunctions.minHashSig
+    import graft.llm.Dedup
+    val gen = Gen.listOf(Gen.chooseNum(0L, 1000000L))
+    val xs = samples(gen) :+ List.empty[Long]
+    val hof = Dedup.minhashSignature(col("hs"))
+    val out = xs.toDF("hs")
+      .select(
+        minHashSig(col("hs"), Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP).as("kernel"),
+        array(hof: _*).as("ref"))
+      .as[(Option[Seq[Long]], Seq[Option[Long]])].collect()
+    out.foreach {
+      case (Some(k), r) => assert(k === r.map(_.get), "kernel mins must equal HOF mins")
+      case (None, r) => assert(r.forall(_.isEmpty), "empty input: kernel NULL = HOF all-null")
+    }
+  }
+
   test("prop: text stats edge cases — empty, punctuation-only, whitespace-only texts") {
     import graft.llm.TextStats
     val cases = Seq("", "   ", "...!!!", "the the the", "a b c d", "x")

@@ -706,6 +706,46 @@ object QueriesExt {
         FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         ORDER BY custkey""")),
 
+    // ---- Z-order clustering key: bit-interleaved (doc_id, n_chars) —
+    // identical integer arithmetic on both engines.
+    QueryDef("zorder_key",
+      (s, dir) =>
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.operators.ZOrder.zValue(col("doc_id"), col("n_chars")).as("z"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               ${graft.operators.ZOrder.zValueSql("doc_id", "n_chars")} AS z
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- quarantine split: per-row rule violations over events ---------
+    QueryDef("quarantine_events",
+      (s, dir) => {
+        val tagged = graft.operators.Quarantine.tag(Tables.events(s, dir), Seq(
+          "nonneg_value" -> (col("value") >= 0),
+          "known_user" -> (col("user_id") < 100),
+          "has_k" -> get_json_object(col("props"), "$.k").isNotNull))
+        tagged.select(col("event_id"),
+            size(col("violations")).cast("long").as("n_violations"),
+            concat_ws(",", col("violations")).as("violated"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH t AS (SELECT event_id,
+                     CASE WHEN (value >= 0) IS TRUE THEN NULL ELSE 'nonneg_value' END v1,
+                     CASE WHEN (user_id < 100) IS TRUE THEN NULL ELSE 'known_user' END v2,
+                     CASE WHEN (json_extract(props, '$.k') IS NOT NULL) IS TRUE
+                          THEN NULL ELSE 'has_k' END v3
+                   FROM events)
+        SELECT event_id,
+               CAST(CAST(v1 IS NOT NULL AS INT) + CAST(v2 IS NOT NULL AS INT)
+                    + CAST(v3 IS NOT NULL AS INT) AS BIGINT) AS n_violations,
+               COALESCE(concat_ws(',', v1, v2, v3), '') AS violated
+        FROM t
+        ORDER BY event_id""")),
+
     // ---- vocabulary head: top-100 tokens, count-desc / token-asc -------
     QueryDef("vocab_topk",
       (s, dir) =>

@@ -706,6 +706,33 @@ object QueriesExt {
         FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         ORDER BY custkey""")),
 
+    // ---- deterministic k-means: trained coarse quantizer over the
+    // embeddings (stride init, 5 fixed Lloyd iterations, centroid
+    // rounding — fully reproducible). Gate pins the cluster sizes with
+    // the derived corpus_rows guard (same pattern as the ANN recall
+    // oracles).
+    QueryDef("kmeans_clusters",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val nCorpus = emb.count()
+        val cents = graft.llm.KMeans.fit(emb, "embedding", "vec_id",
+          k = 8, iters = 5, corpusRows = Some(nCorpus))
+        graft.llm.KMeans.assign(emb, "embedding", cents)
+          .groupBy("cid").agg(count(lit(1)).as("n_members"))
+          .select(col("cid").cast("long").as("cid"), col("n_members"),
+            lit(nCorpus).as("corpus_rows"))
+          .orderBy("cid")
+      },
+      Some {
+        val sizes = Seq(57L, 63L, 62L, 54L, 69L, 65L, 57L, 73L)
+        val values = sizes.zipWithIndex.map { case (n, c) =>
+          s"(CAST($c AS BIGINT), CAST($n AS BIGINT), CAST(500 AS BIGINT))"
+        }.mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $values) v(cid, n_members, corpus_rows)
+        ORDER BY cid"""
+      }),
+
     // ---- Z-order clustering key: bit-interleaved (doc_id, n_chars) —
     // identical integer arithmetic on both engines.
     QueryDef("zorder_key",

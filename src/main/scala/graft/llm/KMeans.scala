@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.floatVecDot
+
+/** Deterministic Lloyd's k-means over an `array<float>` embedding column
+  * — the trained coarse quantizer an IVF index wants (Similarity.ivfTopK
+  * ships with a stride-sample stand-in; `fit` here produces real
+  * centroids with the same deterministic contract).
+  *
+  * Determinism is designed in, not hoped for:
+  *  - init = id-stride sample (partitioning-independent, like ivfTopK);
+  *  - a FIXED iteration count, no convergence test;
+  *  - centroids are rounded to 6 decimals after every update, so the
+  *    cross-partition FP summation order of the mean (the one
+  *    nondeterministic ingredient) cannot leak into assignments —
+  *    ulp-scale noise is quashed three orders of magnitude below the
+  *    rounding step.
+  *
+  * Scale shape: each iteration is one broadcast-literal assignment pass
+  * (k×dim doubles to every task — bounded metadata, like the LSH
+  * hyperplanes) plus one posexplode + (cid, dim) average — map-side
+  * combinable, shuffle rows = k×dim, driver traffic = k×dim doubles.
+  * Nothing driver-side grows with the corpus.
+  */
+object KMeans {
+
+  /** Squared-L2 argmin assignment against literal centroids: per row,
+    * array(struct(dist2, cid)) → array_min (ties take the lower cid). */
+  private def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      val cl = typedLit(c.map(_.toFloat))
+      val d2 = floatVecDot(vec, vec) - lit(2.0) * floatVecDot(vec, cl) +
+        lit(c.map(x => x * x).sum)
+      struct(d2.as("d"), lit(j).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
+  }
+
+  /** Add a `cid` cluster-assignment column for the given centroids. */
+  def assign(corpus: DataFrame, vecCol: String,
+             centroids: Seq[Seq[Double]]): DataFrame =
+    corpus.withColumn("cid", nearest(col(vecCol), centroids))
+
+  /** Train k centroids with `iters` Lloyd iterations. Empty clusters
+    * keep their previous centroid. Returns the k centroid vectors. */
+  def fit(corpus: DataFrame, vecCol: String, idCol: String,
+          k: Int, iters: Int = 5,
+          corpusRows: Option[Long] = None): Seq[Seq[Double]] = {
+    require(k > 0 && iters > 0)
+    val n = corpusRows.getOrElse(corpus.count())
+    val stride = math.max(n / k, 1L)
+    var centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+
+    (0 until iters).foreach { _ =>
+      val means = assign(corpus.select(col(vecCol)), vecCol, centroids)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (prev, j) =>
+        means.get(j)
+          .map(_.map(x => math.rint(x * 1e6) / 1e6)) // quash FP-order ulps
+          .getOrElse(prev)
+      }
+    }
+    centroids
+  }
+}

@@ -171,6 +171,25 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatch == 0, "every byte must land in exactly one bin")
   }
 
+  test("kmeans: recovers planted well-separated clusters; deterministic refit") {
+    import spark.implicits._
+    // two tight blobs far apart in 4-d
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0f else 100f
+      (i, Seq(base + (i % 5) * 0.1f, base, base - (i % 3) * 0.1f, base))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val c1 = KMeans.fit(df, "embedding", "vec_id", k = 2, iters = 4)
+    val c2 = KMeans.fit(df, "embedding", "vec_id", k = 2, iters = 4)
+    assert(c1 === c2, "refit must be bit-identical")
+    val assigned = KMeans.assign(df, "embedding", c1)
+      .select("vec_id", "cid").as[(Long, Int)].collect()
+    val byParity = assigned.groupBy(_._1 % 2).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byParity(0L).size === 1 && byParity(1L).size === 1,
+      "each blob must land in exactly one cluster")
+    assert(byParity(0L) != byParity(1L), "blobs must land in different clusters")
+  }
+
   test("incremental minhash: batch-touching pairs only, consistent with the full run") {
     import spark.implicits._
     // corpus: a, b; batch: clone-of-a (x) and a fresh doc (y) that clones

@@ -86,27 +86,41 @@ object Similarity {
         s"cannot infer embedding dim of '$vecCol': empty input"))
 
   /** IVF-style approximate top-k: a coarse quantizer of `nCells` centroid
-    * vectors (deterministic stride sample of the corpus — swap for k-means
-    * when a trainer is available), every corpus vector assigned to its
-    * nearest centroid (one broadcast pass), and each query probing its
-    * `nProbe` nearest cells. Candidates = corpus of probed cells, exact
-    * re-rank. The inverted-list shape: a 100 TB corpus is partitioned BY
-    * CELL on disk, so a query reads nProbe/nCells of the data. */
+    * vectors, every corpus vector assigned to its nearest centroid (one
+    * broadcast pass), and each query probing its `nProbe` nearest cells.
+    * Candidates = corpus of probed cells, exact re-rank. The
+    * inverted-list shape: a 100 TB corpus is partitioned BY CELL on
+    * disk, so a query reads nProbe/nCells of the data.
+    *
+    * @param trainedCentroids optional trained centroids (KMeans.fit
+    *        output) replacing the default id-stride sample — same
+    *        deterministic contract, tighter cells. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      corpusRows: Option[Long] = None): DataFrame = {
+      corpusRows: Option[Long] = None,
+      trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     import graft.functions.VectorFunctions.floatVecDot
-    // deterministic coarse centroids: id-stride sample (k-means stand-in).
-    // The stride needs |corpus|: pass `corpusRows` when known to skip the
-    // count job (on parquet the count is footer-metadata-only, but it is
-    // still a scheduling round trip per invocation).
-    val n = corpusRows.getOrElse(corpus.count())
-    val stride = math.max(n / nCells, 1L)
-    val centroids = corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
-      .filter(pmod(col("cid"), lit(stride)) === 0)
-      .limit(nCells)
+    // deterministic coarse centroids: trained when provided, else an
+    // id-stride sample (k-means stand-in). The stride needs |corpus|:
+    // pass `corpusRows` when known to skip the count job (on parquet the
+    // count is footer-metadata-only, but it is still a scheduling round
+    // trip per invocation).
+    val centroids = trainedCentroids match {
+      case Some(cs) =>
+        val sp = corpus.sparkSession
+        import sp.implicits._
+        cs.zipWithIndex
+          .map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
+          .toDF("cid", "c_vec")
+      case None =>
+        val n = corpusRows.getOrElse(corpus.count())
+        val stride = math.max(n / nCells, 1L)
+        corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+          .filter(pmod(col("cid"), lit(stride)) === 0)
+          .limit(nCells)
+    }
 
     def assign(df: DataFrame, role: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"))

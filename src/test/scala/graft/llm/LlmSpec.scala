@@ -97,6 +97,15 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(all == brute, "nProbe = nCells must reduce to exact top-k")
+
+    // trained-centroid path: KMeans cells must find the planted twins too
+    val cents = KMeans.fit(corpus, "embedding", "vec_id", k = 8, iters = 3)
+    val ivfKm = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", 10,
+        nCells = 8, trainedCentroids = Some(cents))
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    val top1Km = ivfKm.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val foundKm = (0L until 20L).count(q => top1Km.get(q).contains(q + 100000L))
+    assert(foundKm >= 19, s"only $foundKm/20 planted near-dups at rank 1 via KMeans-IVF")
   }
 
   test("dedup: simhash chunk-banding finds EXACTLY the hamming<=5 pairs (pigeonhole, no recall loss)") {

@@ -28,15 +28,24 @@ import graft.functions.VectorFunctions.floatVecDot
 object KMeans {
 
   /** Squared-L2 argmin assignment against literal centroids: per row,
-    * array(struct(dist2, cid)) → array_min (ties take the lower cid). */
+    * array(struct(dist2, cid)) → array_min (ties take the lower cid).
+    * A ragged or NULL vector fails loudly: FloatVecDot silently truncates
+    * to the shorter input, which would corrupt assignments AND the
+    * per-dimension means with no error (same loud-failure policy as
+    * Similarity.lshSignature). */
   private def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dim = centroids.head.size
     val cands = centroids.zipWithIndex.map { case (c, j) =>
+      require(c.size == dim, "KMeans: centroids must share one dimension")
       val cl = typedLit(c.map(_.toFloat))
       val d2 = floatVecDot(vec, vec) - lit(2.0) * floatVecDot(vec, cl) +
         lit(c.map(x => x * x).sum)
       struct(d2.as("d"), lit(j).as("c"))
     }
-    array_min(array(cands: _*)).getField("c")
+    when(vec.isNull, raise_error(lit("KMeans: null embedding vector")))
+      .when(size(vec) === dim, array_min(array(cands: _*)).getField("c"))
+      .otherwise(raise_error(concat(
+        lit(s"KMeans: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }
 
   /** Add a `cid` cluster-assignment column for the given centroids. */
@@ -50,12 +59,10 @@ object KMeans {
           k: Int, iters: Int = 5,
           corpusRows: Option[Long] = None): Seq[Seq[Double]] = {
     require(k > 0 && iters > 0)
-    val n = corpusRows.getOrElse(corpus.count())
-    val stride = math.max(n / k, 1L)
-    var centroids: Seq[Seq[Double]] = corpus
-      .select(col(idCol), col(vecCol))
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .limit(k)
+    // shared with ivfTopK's default quantizer — one deterministic
+    // (id-ordered) stride-sample definition for both
+    var centroids: Seq[Seq[Double]] = Similarity
+      .strideCentroids(corpus, vecCol, idCol, k, corpusRows)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
       .toSeq

@@ -77,6 +77,23 @@ object Similarity {
         size(vec).cast("string"))))
   }
 
+  /** Deterministic id-stride centroid sample — the k-means stand-in
+    * shared by ivfTopK's default path and KMeans.fit's init. The
+    * orderBy matters: the stride filter can match MORE than k ids
+    * (e.g. 9 of 500 for k=8), and limit() without an order would keep
+    * a scan-order-dependent subset — partition-layout-dependent, which
+    * breaks every pinned oracle downstream. */
+  private[llm] def strideCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, corpusRows: Option[Long]): DataFrame = {
+    val n = corpusRows.getOrElse(corpus.count())
+    val stride = math.max(n / k, 1L)
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+      .filter(pmod(col("cid"), lit(stride)) === 0)
+      .orderBy(col("cid"))
+      .limit(k)
+  }
+
   /** Embedding width from the first row — bounded metadata read (one row of
     * one file), used when the caller does not pass the dimension. */
   def inferDim(df: DataFrame, vecCol: String): Int =
@@ -93,8 +110,11 @@ object Similarity {
     * disk, so a query reads nProbe/nCells of the data.
     *
     * @param trainedCentroids optional trained centroids (KMeans.fit
-    *        output) replacing the default id-stride sample — same
-    *        deterministic contract, tighter cells. */
+    *        output) replacing the default id-stride sample — must have
+    *        exactly nCells vectors. Note the index assigns BOTH sides by
+    *        cosine; KMeans trains by squared-L2, so fit on L2-normalized
+    *        embeddings (where the two argmins coincide) for the cells to
+    *        match the training. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
@@ -102,6 +122,9 @@ object Similarity {
       corpusRows: Option[Long] = None,
       trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     import graft.functions.VectorFunctions.floatVecDot
+    require(trainedCentroids.forall(_.size == nCells),
+      "ivfTopK: trainedCentroids must have exactly nCells vectors " +
+        "(nProbe/nCells is the promised read fraction)")
     // deterministic coarse centroids: trained when provided, else an
     // id-stride sample (k-means stand-in). The stride needs |corpus|:
     // pass `corpusRows` when known to skip the count job (on parquet the
@@ -115,11 +138,7 @@ object Similarity {
           .map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
           .toDF("cid", "c_vec")
       case None =>
-        val n = corpusRows.getOrElse(corpus.count())
-        val stride = math.max(n / nCells, 1L)
-        corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
-          .filter(pmod(col("cid"), lit(stride)) === 0)
-          .limit(nCells)
+        strideCentroids(corpus, vecCol, idCol, nCells, corpusRows)
     }
 
     def assign(df: DataFrame, role: String, keep: Int): DataFrame = {

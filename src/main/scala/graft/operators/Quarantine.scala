@@ -25,7 +25,13 @@ object Quarantine {
     df.withColumn("violations", filter(arr, v => v.isNotNull))
   }
 
-  /** (clean, quarantined) split; the quarantine side keeps `violations`. */
+  /** (clean, quarantined) split; the quarantine side keeps `violations`.
+    *
+    * Both sides filter the SAME tagged lineage, so consuming both scans
+    * the source and evaluates every rule twice — at ingest scale,
+    * persist `tag()`'s output first, or write it once partitioned by an
+    * is-clean flag and read the two sides back (which also protects a
+    * nondeterministic upstream from landing a row on both sides). */
   def split(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
     val tagged = tag(df, rules)
     (tagged.filter(size(col("violations")) === 0).drop("violations"),

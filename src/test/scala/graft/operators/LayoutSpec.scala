@@ -18,6 +18,14 @@ class LayoutSpec extends SparkSpec {
     assert(out.toSeq === Seq(7L, 0L, 3L, 12L))
   }
 
+  test("zValue: out-of-range values saturate instead of wrapping") {
+    val df = Seq((1L << 30, -5L)).toDF("a", "b")
+    val z = df.select(ZOrder.zValue(col("a"), col("b"))).as[Long].collect().head
+    // a clamps to 2^21-1 (all even bits set), b clamps to 0 (no odd bits)
+    val allEven = (0 until 21).map(i => 1L << (2 * i)).sum
+    assert(z === allEven, "max-clamp must set every even bit, min-clamp none")
+  }
+
   test("zValue: roundtrip — even/odd bit extraction recovers both inputs") {
     val xs = Seq((123456L, 654321L), (0L, 1L), ((1L << 21) - 1, (1L << 21) - 1))
     val out = xs.toDF("a", "b")

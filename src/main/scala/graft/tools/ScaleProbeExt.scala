@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, Packing, TextStats}
+import graft.llm.{Curation, Dedup, KMeans, Packing, TextStats}
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 
 /** Scaling probe for the round-3 operators at 1x vs 10x input size.
@@ -12,6 +12,8 @@ import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
   * Linear-ish wall-clock growth here is the evidence the bucketed /
   * union-window / sharded shapes do not hide a quadratic term. */
 object ScaleProbeExt {
+  private val kClusters = 8
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder("local[32]", Some(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +77,15 @@ object ScaleProbeExt {
         Curation.decontaminate(dc,
           dc.filter(pmod(col("doc_id"), lit(20L)) === 0),
           "text", "doc_id", minHits = 5L).count()
+      }
+      time(s"kmeans_fit_assign x$k") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val scaled = (0 until k).map(i =>
+          emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+        val cents = KMeans.fit(scaled, "embedding", "vec_id", kClusters, iters = 5,
+          corpusRows = Some(2000L * k))
+        KMeans.assign(scaled, "embedding", cents).groupBy("cid").count().count()
       }
       ev.unpersist(); dc.unpersist()
     }

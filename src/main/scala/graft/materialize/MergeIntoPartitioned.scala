@@ -54,9 +54,11 @@ final case class MergeConfig(
   *    literal IN-list that satisfies require_partition_filter.
   *  - The join shuffles `touched-partitions + batch`, never the full table;
   *    with AQE on, a small batch side is broadcast at runtime.
-  *  - The write rewrites ONLY the touched partition directories
-  *    (partitionOverwriteMode=dynamic), the analog of BigQuery rewriting
-  *    only matched partitions.
+  *  - The write rewrites ONLY the touched partition directories, via the
+  *    warehouse's crash-safe stage + journal + rename-swap protocol
+  *    (`Warehouse.overwriteTouchedPartitions`) — the analog of BigQuery's
+  *    ATOMIC MERGE rewriting only matched partitions: a crash mid-commit
+  *    leaves the target readable, and the next run rolls back and retries.
   *  - If an UPDATE moves a row's partition field across days (allowed in
   *    BigQuery MERGE), the destination partitions are read and preserved
   *    too, so the dynamic overwrite cannot drop their unmatched rows.

@@ -146,16 +146,131 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   /** Rewrite ONLY the partitions present in `df`, leaving all others
     * untouched — the analog of the reference's partition-pruned MERGE
-    * (incremental_partition_merge.sql:247-265). `partitionOverwriteMode=
-    * dynamic` scoped to this write, not the session. */
+    * (incremental_partition_merge.sql:247-265), which inherits BigQuery's
+    * ATOMIC MERGE. Dynamic partition overwrite is not crash-safe (the
+    * commit deletes matched partition dirs before its renamed files are
+    * all in place — a crash mid-commit loses those partitions), so this
+    * uses a stage + journal + rename-swap protocol instead:
+    *
+    *   1. write `df` partitioned into `_stage/` (underscore-hidden:
+    *      readers never see it; the target is untouched while the whole
+    *      Spark job — the expensive, crash-prone part — runs);
+    *   2. journal the touched partitions (and which of them pre-exist)
+    *      to `_swap_pending`, written via tmp-file + atomic rename;
+    *   3. per partition: rename the old dir into `_backup/`, rename the
+    *      staged dir in — two metadata ops, no data copy;
+    *   4. delete the journal, then `_backup/` and `_stage/`.
+    *
+    * A crash anywhere leaves every partition dir a complete, valid
+    * parquet directory (renames are atomic): before step 3 the target is
+    * bit-identical to its pre-merge state; mid-step-3 it is a mix of old
+    * and new FULL partitions — readable, and [[recoverPendingSwap]]
+    * (invoked by the next write, or explicitly) rolls it back to the
+    * pre-merge state so the failed run can simply be retried. The journal
+    * records pre-existence because recovery must distinguish an
+    * untouched old dir (no backup yet — leave it) from a freshly
+    * installed new dir for a partition that never existed (no backup
+    * ever — delete it).
+    */
   def overwriteTouchedPartitions(id: TableId, df: DataFrame): Unit = {
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartCol)
-      .parquet(pathOf(id))
+    recoverPendingSwap(id) // heal any interrupted earlier swap first
+    val tbl = hadoopPath(id)
+    val f = fs(tbl)
+    val stage = new Path(tbl, StageDir)
+    df.write.mode("overwrite").partitionBy(PartCol).parquet(stage.toString)
+    val staged = partDirNames(f, stage)
+    if (staged.nonEmpty) {
+      val pre = staged.filter(p => f.exists(new Path(tbl, p))).toSet
+      writeSwapMarker(f, tbl, staged, pre)
+      val backup = new Path(tbl, BackupDir)
+      f.mkdirs(backup)
+      var swapped = 0
+      staged.foreach { p =>
+        if (swapped >= failAfterSwaps)
+          throw new IllegalStateException(s"injected crash after $swapped partition swaps")
+        val dst = new Path(tbl, p)
+        if (pre(p))
+          require(f.rename(dst, new Path(backup, p)), s"backup of $p failed")
+        require(f.rename(new Path(stage, p), dst), s"install of $p failed")
+        swapped += 1
+      }
+      f.delete(new Path(tbl, SwapMarker), false)
+      f.delete(backup, true)
+    }
+    f.delete(stage, true)
     // widen, don't replace: untouched partitions may still carry columns
     // the batch no longer has
     widenSidecar(id, df)
+  }
+
+  private val StageDir = "_stage"
+  private val BackupDir = "_backup"
+  private val SwapMarker = "_swap_pending"
+
+  /** Test-only fault injection: throw after this many partition swaps in
+    * [[overwriteTouchedPartitions]] (simulates a mid-commit crash). */
+  private[graft] var failAfterSwaps: Int = Int.MaxValue
+
+  private def partDirNames(f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] =
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartCol="))
+      .sorted
+
+  /** Journal = one `<dirName>\t<0|1 pre-existed>` line per touched
+    * partition, made visible atomically (tmp write + rename) so a crash
+    * can never leave a torn journal. */
+  private def writeSwapMarker(
+      f: org.apache.hadoop.fs.FileSystem, tbl: Path,
+      staged: Seq[String], pre: Set[String]): Unit = {
+    val tmp = new Path(tbl, SwapMarker + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      staged.map(p => s"$p\t${if (pre(p)) 1 else 0}").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val m = new Path(tbl, SwapMarker)
+    if (f.exists(m)) f.delete(m, false)
+    require(f.rename(tmp, m), "swap-journal rename failed")
+  }
+
+  /** Roll back an interrupted partition swap to the pre-merge state.
+    * Idempotent; a no-op on a healthy table. With a journal present, for
+    * each journaled partition: a pre-existing one is restored from
+    * `_backup/` if it was moved there (deleting any half-installed new
+    * dir first), and a brand-new one is deleted if it was installed.
+    * Without a journal, any `_stage`/`_backup` leftovers belong to a run
+    * that either never started mutating or fully committed — safe to
+    * delete either way. */
+  def recoverPendingSwap(id: TableId): Unit = {
+    val tbl = hadoopPath(id)
+    val f = fs(tbl)
+    if (!f.exists(tbl)) return
+    val marker = new Path(tbl, SwapMarker)
+    val backup = new Path(tbl, BackupDir)
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").filter(_.nonEmpty).foreach { line =>
+        val Array(p, preFlag) = line.split("\t")
+        val dst = new Path(tbl, p)
+        val bak = new Path(backup, p)
+        if (preFlag == "1") {
+          if (f.exists(bak)) {
+            if (f.exists(dst)) f.delete(dst, true)
+            require(f.rename(bak, dst), s"restore of $p failed")
+          } // else: dst was never moved — still the old data, leave it
+        } else if (f.exists(dst)) f.delete(dst, true) // can only be new
+      }
+      f.delete(marker, false)
+    }
+    f.delete(new Path(tbl, SwapMarker + ".tmp"), false)
+    if (f.exists(backup)) f.delete(backup, true)
+    val stage = new Path(tbl, StageDir)
+    if (f.exists(stage)) { f.delete(stage, true); () }
   }
 
   /** Partition inventory from directory names — the analog of

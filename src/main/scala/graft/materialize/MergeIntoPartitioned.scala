@@ -79,6 +79,12 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
       cfg: MergeConfig,
       fullRefresh: Boolean = false): Unit = {
 
+    // Heal any interrupted earlier swap BEFORE any listing of the target:
+    // Spark lists parquet files eagerly at read time, so planning against
+    // a half-swapped directory would bake the crashed state into this
+    // merge's output (and rename-missing dirs fail the write midway).
+    wh.recoverPendingSwap(target)
+
     val b = staged(batch, cfg.partitionField).cache()
     // post-build hooks (incremental_partition_merge.sql:312-314)
     def applyHooks(): Unit = {

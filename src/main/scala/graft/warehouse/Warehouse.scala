@@ -80,12 +80,21 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * reconcile by name (a file missing a later-added column surfaces NULL
     * — the parquet analog of BigQuery's metadata-only ALTER ADD COLUMN).
     * Without one (externally-written dir): fall back to the mergeSchema
-    * footers pass. */
-  def read(id: TableId): DataFrame =
+    * footers pass.
+    *
+    * Heals first: if a previous partition swap crashed mid-commit, the
+    * directory holds a mix of old and new FULL partitions — readable but
+    * not any state BigQuery MERGE could expose (readers there see pre- or
+    * post-MERGE, never a mix). Rolling back before Spark lists files also
+    * protects retried merges: planning against the crashed state would
+    * bake half-swapped listings into the new merge output. */
+  def read(id: TableId): DataFrame = {
+    healIfPending(id)
     sidecarSchema(id) match {
       case Some(schema) => spark.read.schema(schema).parquet(pathOf(id))
       case None => spark.read.option("mergeSchema", "true").parquet(pathOf(id))
     }
+  }
 
   /** Create a table that exists but has zero rows (the reference's
     * empty-batch first run, incremental_partition_merge.sql:277-287). */
@@ -122,6 +131,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
   /** INSERT INTO analog (incremental_log.sql:144-151). Column order is
     * aligned by the caller; parquet append is by-name on read. */
   def append(id: TableId, df: DataFrame): Unit = {
+    healIfPending(id) // rows appended into a half-swapped dir would be rolled back
     df.write.mode("append").parquet(pathOf(id))
     widenSidecar(id, df)
   }
@@ -140,6 +150,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
   }
 
   def appendPartitioned(id: TableId, df: DataFrame): Unit = {
+    healIfPending(id) // files landing in a swapped-in partition would be rolled back
     df.write.mode("append").partitionBy(PartCol).parquet(pathOf(id))
     widenSidecar(id, df)
   }
@@ -165,12 +176,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * parquet directory (renames are atomic): before step 3 the target is
     * bit-identical to its pre-merge state; mid-step-3 it is a mix of old
     * and new FULL partitions — readable, and [[recoverPendingSwap]]
-    * (invoked by the next write, or explicitly) rolls it back to the
-    * pre-merge state so the failed run can simply be retried. The journal
-    * records pre-existence because recovery must distinguish an
-    * untouched old dir (no backup yet — leave it) from a freshly
-    * installed new dir for a partition that never existed (no backup
-    * ever — delete it).
+    * (invoked by every read/write entry point via `healIfPending`, or
+    * explicitly) rolls it back to the pre-merge state so the failed run
+    * can simply be retried. The journal records pre-existence because
+    * recovery must distinguish an untouched old dir (no backup yet —
+    * leave it) from a freshly installed new dir for a partition that
+    * never existed (no backup ever — delete it).
+    *
+    * FILESYSTEM ASSUMPTION: the protocol's crash windows are closed by
+    * atomic directory rename — true on HDFS and POSIX filesystems (this
+    * warehouse's targets), NOT on S3-style object stores, where "rename"
+    * is a non-atomic O(data) copy+delete and a crash mid-"rename" can
+    * leave a partially-copied partition. On an object store, front this
+    * with a log-structured table format (the Iceberg/Delta commit model)
+    * instead of directory swaps.
     */
   def overwriteTouchedPartitions(id: TableId, df: DataFrame): Unit = {
     recoverPendingSwap(id) // heal any interrupted earlier swap first
@@ -179,28 +198,44 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val stage = new Path(tbl, StageDir)
     df.write.mode("overwrite").partitionBy(PartCol).parquet(stage.toString)
     val staged = partDirNames(f, stage)
-    if (staged.nonEmpty) {
-      val pre = staged.filter(p => f.exists(new Path(tbl, p))).toSet
-      writeSwapMarker(f, tbl, staged, pre)
-      val backup = new Path(tbl, BackupDir)
-      f.mkdirs(backup)
-      var swapped = 0
-      staged.foreach { p =>
-        if (swapped >= failAfterSwaps)
-          throw new IllegalStateException(s"injected crash after $swapped partition swaps")
-        val dst = new Path(tbl, p)
-        if (pre(p))
-          require(f.rename(dst, new Path(backup, p)), s"backup of $p failed")
-        require(f.rename(new Path(stage, p), dst), s"install of $p failed")
-        swapped += 1
+    try {
+      if (staged.nonEmpty) {
+        val pre = staged.filter(p => f.exists(new Path(tbl, p))).toSet
+        writeSwapMarker(f, tbl, staged, pre)
+        val backup = new Path(tbl, BackupDir)
+        f.mkdirs(backup)
+        var swapped = 0
+        staged.foreach { p =>
+          if (swapped >= failAfterSwaps)
+            throw new IllegalStateException(s"injected crash after $swapped partition swaps")
+          val dst = new Path(tbl, p)
+          if (pre(p)) {
+            require(f.rename(dst, new Path(backup, p)), s"backup of $p failed")
+            if (swapped >= failMidSwapAt)
+              throw new IllegalStateException(
+                s"injected crash mid-swap of $p (backed up, not installed)")
+          }
+          require(f.rename(new Path(stage, p), dst), s"install of $p failed")
+          swapped += 1
+        }
+        f.delete(new Path(tbl, SwapMarker), false)
+        f.delete(backup, true)
       }
-      f.delete(new Path(tbl, SwapMarker), false)
-      f.delete(backup, true)
+      f.delete(stage, true)
+    } finally { // fault hooks are one-shot: never leak into a later merge
+      failAfterSwaps = Int.MaxValue
+      failMidSwapAt = Int.MaxValue
     }
-    f.delete(stage, true)
     // widen, don't replace: untouched partitions may still carry columns
     // the batch no longer has
     widenSidecar(id, df)
+  }
+
+  /** Cheap guard on every entry point: one metadata `exists` probe; full
+    * recovery only runs when an interrupted swap actually left a journal. */
+  private def healIfPending(id: TableId): Unit = {
+    val marker = new Path(hadoopPath(id), SwapMarker)
+    if (fs(marker).exists(marker)) recoverPendingSwap(id)
   }
 
   private val StageDir = "_stage"
@@ -208,8 +243,16 @@ final class Warehouse(val root: String, spark: SparkSession) {
   private val SwapMarker = "_swap_pending"
 
   /** Test-only fault injection: throw after this many partition swaps in
-    * [[overwriteTouchedPartitions]] (simulates a mid-commit crash). */
+    * [[overwriteTouchedPartitions]] (simulates a mid-commit crash).
+    * One-shot — the swap loop re-arms it to MaxValue in a finally, so a
+    * forgotten (or crashed) test can never poison a later merge. */
   private[graft] var failAfterSwaps: Int = Int.MaxValue
+
+  /** Test-only fault injection for the NARROWEST crash window: partition
+    * #n has been renamed into `_backup/` but its staged replacement is not
+    * yet installed — the target dir is simply MISSING at that instant.
+    * One-shot, like [[failAfterSwaps]]. */
+  private[graft] var failMidSwapAt: Int = Int.MaxValue
 
   private def partDirNames(f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] =
     if (!f.exists(dir)) Seq.empty
@@ -277,6 +320,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * INFORMATION_SCHEMA.PARTITIONS (log_helpers.sql:308-318). Metadata-only:
     * no data files are opened. */
   def listPartitions(id: TableId): Seq[java.sql.Date] = {
+    healIfPending(id) // a half-installed brand-new partition must not be listed
     val p = hadoopPath(id)
     val f = fs(p)
     if (!f.exists(p)) Seq.empty

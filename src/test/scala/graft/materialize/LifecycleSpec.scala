@@ -609,5 +609,136 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row == ("proj.sales_orders.daily", "it's broken"))
   }
 
+  // --- crash safety of the partition-swap protocol ----------------------
+  //
+  // The swap order is deterministic (staged dir names sorted):
+  //   part_date=2024-01-01, part_date=2024-01-02, part_date=2024-01-04.
+  // Pre-merge day-2 carries a row (id 5) the batch does NOT touch — the row
+  // a broken recovery path would silently drop.
+
+  private val preMergeRows = Seq(
+    (1L, "2024-01-01 10:00:00", "old1", 1.0),
+    (2L, "2024-01-02 10:00:00", "old2", 2.0),
+    (5L, "2024-01-02 10:30:00", "old5", 5.0),
+    (3L, "2024-01-03 10:00:00", "old3", 3.0))
+  private val crashBatch = Seq(
+    (1L, "2024-01-01 12:00:00", "new1", 10.0), // update day 1
+    (2L, "2024-01-02 12:00:00", "new2", 20.0), // update day 2 (id 5 untouched)
+    (4L, "2024-01-04 11:00:00", "ins4", 4.0))  // insert into brand-new day 4
+  private val mergedExpected = Set(
+    (1L, "new1", 10.0), (2L, "new2", 20.0), (5L, "old5", 5.0),
+    (3L, "old3", 3.0), (4L, "ins4", 4.0))
+  private val preMergeExpected = Set(
+    (1L, "old1", 1.0), (2L, "old2", 2.0), (5L, "old5", 5.0), (3L, "old3", 3.0))
+
+  /** Raw reader that bypasses Warehouse (and thus heal-on-read): what an
+    * external reader sees at the crash instant. Underscore dirs (_stage,
+    * _backup, _schema) and the _swap_pending file are invisible to Spark. */
+  private def rawRows(wh: Warehouse, tgt: TableId): Set[(Long, String, Double)] =
+    spark.read.parquet(wh.pathOf(tgt))
+      .select("id", "status", "amount").as[(Long, String, Double)].collect().toSet
+
+  private def crashFixture(name: String): (Warehouse, MergeIntoPartitioned, TableId) = {
+    val wh = freshWh()
+    val m = new MergeIntoPartitioned(wh, spark)
+    val tgt = TableId("proj", "sales_orders", name)
+    m.run(mkBatch(preMergeRows), tgt, mcfg)
+    (wh, m, tgt)
+  }
+
+  private def leftoverFree(wh: Warehouse, tgt: TableId): Boolean = {
+    val base = new java.io.File(wh.pathOf(tgt))
+    Seq("_swap_pending", "_swap_pending.tmp", "_backup", "_stage")
+      .forall(n => !new java.io.File(base, n).exists())
+  }
+
+  for (crashPoint <- Seq(0, 1, 2)) // journal-only / 1 of 3 swapped / all-but-one
+    test(s"A2 crash-safety: injected crash after $crashPoint swap(s) — readable, recoverable, retryable") {
+      val (wh, m, tgt) = crashFixture(s"crash_$crashPoint")
+
+      wh.failAfterSwaps = crashPoint
+      val e = intercept[IllegalStateException] { m.run(mkBatch(crashBatch), tgt, mcfg) }
+      assert(e.getMessage.contains("injected crash"))
+
+      // (a) readable at the crash instant: every partition dir is a COMPLETE
+      // old or new version, so the raw row set is a per-partition mix
+      val expectMix = preMergeExpected.map {
+        case (1L, _, _) if crashPoint >= 1 => (1L, "new1", 10.0)
+        case (2L, _, _) if crashPoint >= 2 => (2L, "new2", 20.0)
+        case r => r
+      }
+      assert(rawRows(wh, tgt) == expectMix,
+        s"crash after $crashPoint swaps must expose complete partitions only")
+
+      // (b) explicit recovery rolls back to the EXACT pre-merge state
+      wh.recoverPendingSwap(tgt)
+      wh.recoverPendingSwap(tgt) // idempotent
+      assert(rawRows(wh, tgt) == preMergeExpected)
+      assert(leftoverFree(wh, tgt), "journal/backup/stage must be gone after recovery")
+
+      // (c) a plain retry converges to the correct merged state
+      // (failAfterSwaps auto-disarmed by the one-shot finally)
+      m.run(mkBatch(crashBatch), tgt, mcfg)
+      assert(rawRows(wh, tgt) == mergedExpected)
+      assert(leftoverFree(wh, tgt))
+    }
+
+  test("A2 crash-safety: crash BETWEEN backup and install (partition dir missing) — retry alone must not drop rows") {
+    val (wh, m, tgt) = crashFixture("crash_mid")
+
+    wh.failMidSwapAt = 1 // day 1 fully swapped; day 2 backed up, NOT installed
+    intercept[IllegalStateException] { m.run(mkBatch(crashBatch), tgt, mcfg) }
+
+    // at the crash instant day 2 is missing entirely — ids 2 and 5 gone
+    assert(rawRows(wh, tgt) == Set((1L, "new1", 10.0), (3L, "old3", 3.0)))
+
+    // retry WITHOUT explicit recovery: run() must heal before it plans its
+    // target reads, or id 5 (present only in _backup) is silently dropped
+    m.run(mkBatch(crashBatch), tgt, mcfg)
+    assert(rawRows(wh, tgt) == mergedExpected)
+    assert(leftoverFree(wh, tgt))
+  }
+
+  test("A2 crash-safety: heal-on-read — Warehouse.read/listPartitions on a crashed table see the pre-merge state") {
+    val (wh, m, tgt) = crashFixture("crash_read")
+
+    wh.failAfterSwaps = 1
+    intercept[IllegalStateException] { m.run(mkBatch(crashBatch), tgt, mcfg) }
+
+    // wh.read heals first: a reader sees pre-merge rows, never the mix
+    val healed = wh.read(tgt).select("id", "status", "amount")
+      .as[(Long, String, Double)].collect().toSet
+    assert(healed == preMergeExpected)
+    assert(leftoverFree(wh, tgt))
+    assert(wh.listPartitions(tgt).map(_.toString) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03")) // no half-installed day 4
+  }
+
+  test("A2 crash-safety: append into a crashed table heals first — appended rows survive the rollback") {
+    val (wh, m, tgt) = crashFixture("crash_append")
+
+    wh.failAfterSwaps = 2
+    intercept[IllegalStateException] { m.run(mkBatch(crashBatch), tgt, mcfg) }
+
+    // appendPartitioned must roll back FIRST; otherwise these rows land in a
+    // swapped-in day-1 dir and the next recovery deletes them
+    wh.appendPartitioned(tgt, mkBatch(Seq((9L, "2024-01-01 13:00:00", "app9", 9.0)))
+      .withColumn("part_date", to_date(col("updated_at"))))
+    assert(rawRows(wh, tgt) == preMergeExpected + ((9L, "app9", 9.0)))
+    assert(leftoverFree(wh, tgt))
+  }
+
+  test("A2 crash-safety: stray _backup/_stage without a journal are swept; data untouched") {
+    val (wh, _, tgt) = crashFixture("crash_stray")
+    val base = new java.io.File(wh.pathOf(tgt))
+    // the window between journal delete and backup delete: journal gone,
+    // leftovers present — recovery must treat them as committed garbage
+    assert(new java.io.File(base, "_backup/part_date=2024-01-01").mkdirs())
+    assert(new java.io.File(base, "_stage/part_date=2024-01-01").mkdirs())
+    wh.recoverPendingSwap(tgt)
+    assert(leftoverFree(wh, tgt))
+    assert(rawRows(wh, tgt) == preMergeExpected)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

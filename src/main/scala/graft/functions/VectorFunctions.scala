@@ -16,4 +16,7 @@ object VectorFunctions {
 
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     org.apache.spark.sql.graft.VectorExpressions.minHashSig(hashes, a, b, p)
+
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.TopKAggregate.boundedTopK(score, id, k)
 }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -28,22 +27,35 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector. The query side is
     * broadcast (bounded: |queries| × dim doubles); the corpus is scanned
-    * once, partition-parallel; rank via window over (query, cosine). */
+    * once, partition-parallel; rank via the BoundedTopK aggregate — each
+    * task keeps ≤ k candidates per query (map-side partial agg), the
+    * shuffle carries ≤ k × tasks rows per query, the final merge is a
+    * k-way heap merge. No stage ever holds all n scores of a query.
+    * Ranking is on a rounded score with id tie-break: deterministic under
+    * both engine float paths (adjacent-gap >> rounding step, measured). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.boundedTopK
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    // rank on a rounded score with id tie-break: deterministic under both
-    // engine float paths (adjacent-gap >> rounding step, measured)
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("c_r"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared final ranking for every ANN path: bounded top-k aggregate over
+    * (query_id, neighbor_id, c_r = rounded cosine) — map-side partials
+    * keep ≤ k per query per task; no per-query rank window. Input pairs
+    * must be distinct (duplicates would occupy multiple top-k slots). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.boundedTopK
+    scored.groupBy(col("query_id"))
+      .agg(boundedTopK(col("c_r"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded), broadcast as
@@ -121,50 +133,61 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4,
       corpusRows: Option[Long] = None,
       trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    import graft.functions.VectorFunctions.floatVecDot
     require(trainedCentroids.forall(_.size == nCells),
       "ivfTopK: trainedCentroids must have exactly nCells vectors " +
         "(nProbe/nCells is the promised read fraction)")
     // deterministic coarse centroids: trained when provided, else an
-    // id-stride sample (k-means stand-in). The stride needs |corpus|:
-    // pass `corpusRows` when known to skip the count job (on parquet the
-    // count is footer-metadata-only, but it is still a scheduling round
-    // trip per invocation).
-    val centroids = trainedCentroids match {
-      case Some(cs) =>
-        val sp = corpus.sparkSession
-        import sp.implicits._
-        cs.zipWithIndex
-          .map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
-          .toDF("cid", "c_vec")
+    // id-stride sample (k-means stand-in). Collected to the driver —
+    // bounded metadata (nCells × dim floats, like the LSH hyperplanes) —
+    // so cell assignment compiles to a PROJECTION over literal centroid
+    // arrays: no crossJoin, no window, no Exchange. The stride needs
+    // |corpus|: pass `corpusRows` when known to skip the count job.
+    val centroidSeqs: Seq[(Long, Seq[Float])] = trainedCentroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
       case None =>
         strideCentroids(corpus, vecCol, idCol, nCells, corpusRows)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
     }
 
-    def assign(df: DataFrame, role: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("d", floatVecDot(col(s"${role}_vec"), col("c_vec")) /
-          (sqrt(floatVecDot(col(s"${role}_vec"), col(s"${role}_vec"))) *
-            sqrt(floatVecDot(col("c_vec"), col("c_vec")))))
-      val w = Window.partitionBy(s"${role}_id").orderBy(desc("d"), col("cid"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(s"${role}_id"), col(s"${role}_vec"), col("cid"))
-    }
-
-    val corpusCells = assign(corpus, "neighbor", 1)    // each vector in 1 cell
-    val queryCells = assign(queries, "query", nProbe)  // each query probes nProbe
+    val corpusCells = assignCells(corpus, centroidSeqs, vecCol, idCol, "neighbor", 1)
+    val queryCells = assignCells(queries, centroidSeqs, vecCol, idCol, "query", nProbe)
+    // (query, neighbor) pairs are distinct BY CONSTRUCTION: each corpus
+    // vector lives in exactly one cell (keep=1) and a query's probed cells
+    // are distinct — no dedup pass needed before the rank
     val cand = queryCells.join(corpusCells, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("query_vec"), col("neighbor_vec")), 6).as("c_r"))
+    rankTopK(cand, k)
+  }
+
+  /** Nearest-`keep` cell assignment as a ZERO-SHUFFLE projection: each
+    * row scores every literal centroid (same cosine expression, bit for
+    * bit, as the former crossJoin form), then `array_min` picks the one
+    * nearest cell (keep=1, the corpus side) or `array_sort`+`slice` keeps
+    * the `keep` nearest (the query side's nProbe). Ties break to the
+    * lower cid, matching the former window's (d desc, cid asc) order.
+    * The former shape shuffled n×nCells rows through a row_number window
+    * to keep 1 of each nCells — 16× the corpus through an Exchange for an
+    * argmin a projection computes in place (KMeans.nearest proved the
+    * pattern). */
+  private def assignCells(
+      df: DataFrame, cents: Seq[(Long, Seq[Float])],
+      vecCol: String, idCol: String, role: String, keep: Int): DataFrame = {
+    import graft.functions.VectorFunctions.floatVecDot
+    val v = col(s"${role}_vec")
+    val cands = array(cents.map { case (cid, c) =>
+      val cl = typedLit(c)
+      val d = floatVecDot(v, cl) /
+        (sqrt(floatVecDot(v, v)) * sqrt(floatVecDot(cl, cl)))
+      struct((lit(0.0) - d).as("nd"), lit(cid).as("cid"))
+    }: _*)
+    val sel = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"))
+    val cid =
+      if (keep == 1) array_min(cands).getField("cid")
+      else explode(slice(array_sort(cands), 1, keep).getField("cid"))
+    sel.withColumn("cid", cid)
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing at least one
@@ -197,13 +220,11 @@ object Similarity {
     val cc = chunked(corpus, "neighbor")
     val cand = qc.join(cc, Seq("chunk", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair colliding in several chunks must not occupy several top-k
+      // slots — dedup before the bounded rank
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("query_vec"), col("neighbor_vec")), 6).as("c_r"))
+    rankTopK(cand, k)
   }
 }

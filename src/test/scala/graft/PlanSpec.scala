@@ -54,6 +54,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("float_vec_dot"), "native kernel must be in the plan")
   }
 
+  test("ann_topk_brute: bounded top-k partial agg — no single-reducer rank window") {
+    val p = planOf("ann_topk_brute")
+    assert(p.contains("bounded_top_k"), "BoundedTopK aggregate must be in the plan")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final bounded top-k expected (map-side combine keeps <= k per task)")
+    assert(!p.contains("Window"),
+      "the all-scores-to-one-reducer rank window must be gone")
+  }
+
+  test("ann_topk_ivf: cell assignment is a projection — no Exchange/Window before the candidate join") {
+    val p = planOf("ann_topk_ivf")
+    assert(!p.contains("Window"), "assign + rank windows must be gone")
+    assert(!p.contains("CartesianProduct") && !p.contains("crossJoin"),
+      "no centroid crossJoin expected")
+    assert(p.contains("bounded_top_k"), "final rank must be the bounded top-k aggregate")
+    // corpus side: scan feeds the cid join through projections only; the
+    // sole shuffles left are the top-k merge + recall-gate aggregations
+    assert(p.contains("BroadcastHashJoin"), "candidate join must be broadcast on cid")
+  }
+
   test("dedup_minhash_lsh: single-pass signature kernel, evaluated once") {
     val p = planOf("dedup_minhash_lsh")
     assert(p.contains("minhash_sig"), "native MinHashSig kernel must be in the plan")

@@ -264,6 +264,32 @@ object QueriesLlm {
       },
       Some(annRecallValues(AnnIvfRecallSf001))),
 
+    // ---- ANN: cell-partitioned IVF index with pruned reads --------------
+    // Same quantizer, assignment, and rank contract as ann_topk_ivf, but
+    // served from a materialized index partitioned BY CELL: the reader
+    // scans only the probed cell directories (PartitionFilters on cid —
+    // pinned in PlanSpec). Results are identical to ivfTopK, so the gate
+    // pins the same recall@10 counts.
+    QueryDef("ann_topk_ivf_pruned",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val nCorpus = emb.count()
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx_").toString
+        IvfIndex.write(emb, "embedding", "vec_id", idxPath,
+          corpusRows = Some(nCorpus))
+        val ivf = IvfIndex.topK(s, idxPath, queries, "embedding", "vec_id", k = 10)
+        val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+        ivf.select("query_id", "neighbor_id")
+          .join(brute.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .withColumn("corpus_rows", lit(nCorpus))
+          .orderBy("query_id")
+      },
+      Some(annRecallValues(AnnIvfRecallSf001))),
+
     // ---- text analysis -------------------------------------------------
     QueryDef("text_stats",
       (s, dir) => {

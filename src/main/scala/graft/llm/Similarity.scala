@@ -49,7 +49,7 @@ object Similarity {
     * (query_id, neighbor_id, c_r = rounded cosine) — map-side partials
     * keep ≤ k per query per task; no per-query rank window. Input pairs
     * must be distinct (duplicates would occupy multiple top-k slots). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[llm] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.boundedTopK
     scored.groupBy(col("query_id"))
       .agg(boundedTopK(col("c_r"), col("neighbor_id"), k).as("top"))
@@ -142,13 +142,7 @@ object Similarity {
     // so cell assignment compiles to a PROJECTION over literal centroid
     // arrays: no crossJoin, no window, no Exchange. The stride needs
     // |corpus|: pass `corpusRows` when known to skip the count job.
-    val centroidSeqs: Seq[(Long, Seq[Float])] = trainedCentroids match {
-      case Some(cs) => cs.zipWithIndex.map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
-      case None =>
-        strideCentroids(corpus, vecCol, idCol, nCells, corpusRows)
-          .collect().toSeq
-          .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    }
+    val centroidSeqs = centroidsOf(corpus, vecCol, idCol, nCells, corpusRows, trainedCentroids)
 
     val corpusCells = assignCells(corpus, centroidSeqs, vecCol, idCol, "neighbor", 1)
     val queryCells = assignCells(queries, centroidSeqs, vecCol, idCol, "query", nProbe)
@@ -162,6 +156,21 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** Coarse-quantizer centroids as driver-side literals: trained when
+    * provided, else the deterministic id-stride sample. Bounded metadata
+    * (nCells × dim floats) — the same budget as the LSH hyperplanes. */
+  private[llm] def centroidsOf(
+      corpus: DataFrame, vecCol: String, idCol: String, nCells: Int,
+      corpusRows: Option[Long],
+      trainedCentroids: Option[Seq[Seq[Double]]]): Seq[(Long, Seq[Float])] =
+    trainedCentroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (c, j) => (j.toLong, c.map(_.toFloat)) }
+      case None =>
+        strideCentroids(corpus, vecCol, idCol, nCells, corpusRows)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    }
+
   /** Nearest-`keep` cell assignment as a ZERO-SHUFFLE projection: each
     * row scores every literal centroid (same cosine expression, bit for
     * bit, as the former crossJoin form), then `array_min` picks the one
@@ -172,7 +181,7 @@ object Similarity {
     * to keep 1 of each nCells — 16× the corpus through an Exchange for an
     * argmin a projection computes in place (KMeans.nearest proved the
     * pattern). */
-  private def assignCells(
+  private[llm] def assignCells(
       df: DataFrame, cents: Seq[(Long, Seq[Float])],
       vecCol: String, idCol: String, role: String, keep: Int): DataFrame = {
     import graft.functions.VectorFunctions.floatVecDot

@@ -225,5 +225,38 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus-vs-corpus pairs must not be re-emitted")
   }
 
+  test("ann: cell-partitioned IVF index — pruned reads, identical results to ivfTopK") {
+    import spark.implicits._
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
+    IvfIndex.write(emb, "embedding", "vec_id", idxPath, corpusRows = Some(n))
+
+    val pruned = IvfIndex.topK(spark, idxPath, queries, "embedding", "vec_id", 10)
+    val direct = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 10,
+      corpusRows = Some(n))
+    assert(
+      pruned.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet ==
+        direct.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet,
+      "index-served top-k must equal the direct ivfTopK answer")
+
+    // the scan must carry a planning-time partition IN-filter on cid —
+    // only the probed cell directories are listed and read
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cid") && l.contains("IN") && !l.contains("IN ()")),
+      s"expected a cid IN (...) PartitionFilter, got: ${pf.mkString(" | ")}")
+
+    // and it must actually prune: the probed-cell union at nProbe=4 of 16
+    // cells over 10 clustered queries is a strict subset of all cells
+    val allCells = spark.read.parquet(idxPath).select("cid").distinct().count()
+    val probed = Similarity.assignCells(queries,
+      Similarity.centroidsOf(emb, "embedding", "vec_id", 16, Some(n), None),
+      "embedding", "vec_id", "query", 4).select("cid").distinct().count()
+    assert(probed < allCells,
+      s"probed $probed of $allCells cells — expected a strict subset at this fixture")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -171,32 +171,32 @@ object QueriesLlm {
         ORDER BY id_a, id_b""")),
 
     // ---- embedding near-dup, LSH scale path ----------------------------
-    // Deterministic (seeded hyperplanes): gate on the candidate-filter
-    // quality vs the exact operator — pair counts + overlap, pinned at the
-    // driver's fixed verify scale. LSH output is a SUBSET of exact by
-    // construction (candidates are exact-verified), so lsh_pairs == common.
-    // The harness table's only pairs sit at cos≈0.45, far below the
-    // operator's near-dup contract regime (cos ≥ ~0.9, where LlmSpec
-    // measures recall ≥ 0.9 on planted twins) — the pinned 4/14 documents
-    // the low-similarity behavior, it is not the operating point.
+    // Gated at the operator's OPERATING POINT — the near-dup regime
+    // (cos >= 0.9) — on planted twins (vec_id < 10 rescaled by 1.001: a
+    // positive scalar multiple, cosine ≈ 1), with NO all-pairs operator
+    // anywhere in the executed plan (pinned in PlanSpec). Deterministic:
+    // seeded hyperplanes, fixed plant. Expected pairs = the 10 planted
+    // twins; the corpus_rows guard fails self-explanatorily if the
+    // driver's verify scale ever changes.
     QueryDef("dedup_embedding_lsh",
       (s, dir) => {
-        import s.implicits._
         val emb = Tables.read(s, dir, "embeddings")
-        val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.45)
-          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-        val lsh = Dedup.embeddingNearDupPairsLsh(emb, "embedding", "vec_id", 0.45)
-          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-        s.createDataFrame(Seq(
-          (lsh.size.toLong, exact.size.toLong, (lsh & exact).size.toLong,
-            emb.count())))
-          .toDF("lsh_pairs", "exact_pairs", "common_pairs", "corpus_rows")
+        val planted = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+        val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        Dedup.embeddingNearDupPairsLsh(corpus, "embedding", "vec_id", 0.9)
+          .withColumn("corpus_rows", lit(corpus.count()))
+          .orderBy("id_a", "id_b")
       },
-      Some(s"""
-        SELECT CAST(4 AS BIGINT) AS lsh_pairs,
-               CAST(14 AS BIGINT) AS exact_pairs,
-               CAST(4 AS BIGINT) AS common_pairs,
-               CAST($EmbeddingsRowsSf001 AS BIGINT) AS corpus_rows""")),
+      Some {
+        val rows = (0L until 10L).map(q =>
+          s"(CAST($q AS BIGINT), CAST(${q + 100000L} AS BIGINT), " +
+            s"CAST(${EmbeddingsRowsSf001 + 10} AS BIGINT))").mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows) v(id_a, id_b, corpus_rows)
+        ORDER BY id_a, id_b"""
+      }),
 
     // ---- ANN: brute-force cosine top-k ---------------------------------
     QueryDef("ann_topk_brute",

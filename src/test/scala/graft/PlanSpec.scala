@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), "candidate join must be broadcast on cid")
   }
 
+  test("dedup_embedding_lsh: no all-pairs operator anywhere in the executed plan") {
+    val p = planOf("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"), "no cartesian pair enumeration")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no broadcast all-pairs join")
+    assert(p.contains("float_vec_dot"), "exact verify kernel must re-rank candidates")
+  }
+
   test("dedup_minhash_lsh: single-pass signature kernel, evaluated once") {
     val p = planOf("dedup_minhash_lsh")
     assert(p.contains("minhash_sig"), "native MinHashSig kernel must be in the plan")

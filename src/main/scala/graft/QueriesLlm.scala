@@ -393,6 +393,49 @@ object QueriesLlm {
         FROM b
         ORDER BY doc_id""")),
 
+    // ---- multimodal: REAL ImageIO decode, oracled from the pixel formula
+    // Ten grayscale PNGs are generated with pixel(x,y) = (7x+13y+31i)%256;
+    // the gate round-trips them through encode → distributed ImageIO decode
+    // and the oracle recomputes width/height/mean from the same closed-form
+    // formula in SQL — independent of any PNG encoder detail, so a stub
+    // (byte-stats) decode cannot pass it.
+    QueryDef("mm_decode_image",
+      (s, dir) => {
+        implicit val sp = s
+        import java.awt.image.BufferedImage
+        javax.imageio.ImageIO.setUseCache(false)
+        val rows = (0 until 10).map { i =>
+          val w = 4 + i
+          val h = 3 + i
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          for (x <- 0 until w; y <- 0 until h)
+            raster.setSample(x, y, 0, (7 * x + 13 * y + 31 * i) % 256)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (i.toLong, bos.toByteArray)
+        }
+        import s.implicits._
+        Multimodal.decode(rows.toDF("doc_id", "media"))
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("mean_byte"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH imgs AS (SELECT unnest(range(0, 10)) i),
+        xs AS (SELECT unnest(range(0, 13)) x),
+        ys AS (SELECT unnest(range(0, 12)) y),
+        px AS (
+          SELECT i, (7*x + 13*y + 31*i) % 256 AS p
+          FROM imgs, xs, ys
+          WHERE x < 4 + i AND y < 3 + i)
+        SELECT i AS doc_id,
+               CAST(4 + i AS INT) AS width,
+               CAST(3 + i AS INT) AS height,
+               CAST(sum(p) AS DOUBLE) / count(*) AS mean_byte
+        FROM px GROUP BY i
+        ORDER BY doc_id""")),
+
     // ---- multimodal: nearest-neighbor resize over the stub byte grid ---
     QueryDef("mm_resize",
       (s, dir) => {

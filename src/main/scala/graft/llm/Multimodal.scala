@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partition
   * parallelism, batch iteration shape (`mapPartitions` over a typed
-  * Dataset, the JVM analog of `mapInPandas` batches). The media DECODE
-  * itself is a clearly-marked deterministic STUB (this container has no
-  * image/audio codecs): it derives pixel-ish stats from the raw bytes, so
-  * the whole pipeline stays verifiable end-to-end. Swap `decodeStub` for a
-  * real codec (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+  * Dataset, the JVM analog of `mapInPandas` batches). IMAGE decode is
+  * real: JDK ImageIO (PNG/JPEG/GIF/BMP), gated against an oracle that
+  * recomputes the pixel stats from the generation formula. Payloads no
+  * codec recognizes fall back to a clearly-marked deterministic byte-stats
+  * STUB, so arbitrary binary columns (and the audio path, which has no
+  * in-container codec) stay verifiable end-to-end. Swap in richer codecs
+  * (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
   */
 object Multimodal {
 
@@ -31,13 +33,11 @@ object Multimodal {
       struct(lit("image").as("kind"),
         (lit(1) + pmod(col("doc_id"), lit(64L)).cast("int")).as("declaredWidth")).as("meta"))
 
-  /** ==== STUB DECODER ====
-    * Deterministic fake "image decode": width from payload length, pixel
-    * mean from raw bytes. Replace with a real codec at the marked line;
-    * everything around it (batching, schema, parallelism) is production
-    * shape. */
+  /** ==== STUB DECODER (fallback) ====
+    * Deterministic fake "image decode" for payloads no codec recognizes:
+    * width from payload length, pixel mean from raw bytes — keeps the
+    * pipeline verifiable end-to-end on arbitrary binary columns. */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
-    // >>> real codec call goes here (e.g. ImageIO.read(new ByteArrayInputStream(bytes)))
     val w = 1 + (bytes.length % 64)
     val h = (bytes.length + w - 1) / w
     val mean = if (bytes.isEmpty) 0.0
@@ -45,16 +45,51 @@ object Multimodal {
     (w, h, mean)
   }
 
+  /** ==== REAL DECODER ====
+    * JDK ImageIO decode (PNG/JPEG/GIF/BMP — every registered reader).
+    * Returns (width, height, mean over all raster samples: each band of
+    * each pixel weighted equally) straight from the decoded raster — no
+    * colorspace conversion, so lossless formats round-trip their sample
+    * values exactly (what the mm_decode_image oracle pins). None when no
+    * registered reader recognizes the bytes. */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val r = img.getRaster
+        val bands = r.getNumBands
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = w.toLong * h * bands
+        Some((w, h, if (cnt == 0) 0.0 else sum.toDouble / cnt))
+      }
+    } catch { case _: Exception => None }
+
   /** Partition-parallel batch decode: one task per partition, streaming
     * iterator (no per-row task overhead, no driver involvement) — the
     * exact execution shape a Pandas-UDF `mapInPandas` decode has in
-    * PySpark. */
+    * PySpark. Real ImageIO decode when the payload is a recognized image
+    * format; deterministic byte-stats stub otherwise (so non-image binary
+    * columns still flow through the same pipeline). */
   def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedRow] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // no temp-file cache for the in-memory streams ImageIO wraps
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val (w, h, m) = decodeStub(bytes)
+          val (w, h, m) = decodeImage(bytes).getOrElse(decodeStub(bytes))
           DecodedRow(id, w, h, bytes.length.toLong, m)
         }
       }

@@ -258,5 +258,37 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probed $probed of $allCells cells — expected a strict subset at this fixture")
   }
 
+  test("multimodal: real ImageIO decode — RGB PNG round-trips exactly; non-image bytes fall back to the stub") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    javax.imageio.ImageIO.setUseCache(false)
+    // 3-band RGB PNG with known samples
+    val img = new BufferedImage(5, 4, BufferedImage.TYPE_3BYTE_BGR)
+    var sum = 0L
+    for (x <- 0 until 5; y <- 0 until 4; b <- 0 until 3) {
+      val v = (x * 50 + y * 20 + b * 7) % 256
+      img.getRaster.setSample(x, y, b, v)
+      sum += v
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val out = Multimodal.decode(
+      Seq((1L, png), (2L, garbage)).toDF("doc_id", "media"))(spark)
+      .collect().map(r => r.doc_id -> r).toMap
+
+    val real = out(1L)
+    assert((real.width, real.height) == (5, 4), "decoded dimensions must be the PNG's")
+    assert(real.n_bytes == png.length.toLong)
+    assert(math.abs(real.mean_byte - sum.toDouble / (5 * 4 * 3)) < 1e-12,
+      "PNG is lossless: sample mean must round-trip exactly")
+
+    val stub = out(2L)
+    assert(stub.width == 1 + garbage.length % 64 && stub.n_bytes == garbage.length.toLong,
+      "unrecognized payloads must take the deterministic byte-stats stub")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

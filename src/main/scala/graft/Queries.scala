@@ -761,6 +761,81 @@ object Queries {
               UNION ALL SELECT * FROM t_out)
         ORDER BY id, updated_at""")),
 
+    // A2 through the SQL front door: identical fixture and oracle to
+    // a2_partition_merge, but the second run is a literal MERGE INTO
+    // statement — Spark's parser + GraftSparkExtensions route it to
+    // MergeIntoPartitioned (unique_key from ON, event_time from the
+    // recency guard, partition field from the table's _partition_meta).
+    QueryDef("merge_sql",
+      (s, dir) => {
+        import graft.materialize.{MergeConfig, MergeIntoPartitioned}
+        val wh = tmpWarehouse(s)
+        val tgt = TableId("proj", "demo", "merged_sql")
+        val m = new MergeIntoPartitioned(wh, s)
+        val cfg = MergeConfig(partitionField = "updated_at",
+          uniqueKey = Seq("id"), eventTime = Some("updated_at"))
+        def proj(df: DataFrame) = df.select(
+          col("o_orderkey").as("id"),
+          col("o_orderdate").as("updated_at"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("amount"))
+        val ord = t(s, dir, "orders")
+        val target0 = proj(ord.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-02-01").cast("timestamp")))
+        val batch = ord.filter(
+          col("o_orderdate") >= lit("1996-01-15").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-02-15").cast("timestamp"))
+          .select(
+            (col("o_orderkey") - 3).as("id"),
+            (col("o_orderdate") + expr("INTERVAL 12 HOURS")).as("updated_at"),
+            lit("U").as("status"),
+            (col("o_totalprice") * 2).as("amount"))
+        m.run(target0, tgt, cfg) // first run: CTAS, declares _partition_meta
+        s.conf.set(graft.sql.GraftMergeInto.RootConf, wh.root)
+        batch.createOrReplaceTempView("merge_sql_batch")
+        s.sql("""
+          MERGE INTO proj.demo.merged_sql AS t
+          USING merge_sql_batch AS s
+          ON t.id = s.id
+          WHEN MATCHED AND s.updated_at > t.updated_at THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        wh.read(tgt)
+          .select("id", "updated_at", "status", "amount")
+          .orderBy("id", "updated_at")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey AS id, o_orderdate AS updated_at,
+                 o_orderstatus AS status, o_totalprice AS amount
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'),
+        s AS (
+          SELECT o_orderkey - 3 AS id,
+                 o_orderdate + INTERVAL 12 HOUR AS updated_at,
+                 'U' AS status, o_totalprice * 2 AS amount
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-15 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-02-15 00:00:00'),
+        touched AS (SELECT DISTINCT CAST(updated_at AS DATE) AS d FROM s),
+        t_in  AS (SELECT t.* FROM t JOIN touched ON CAST(t.updated_at AS DATE) = touched.d),
+        t_out AS (SELECT t.* FROM t ANTI JOIN touched ON CAST(t.updated_at AS DATE) = touched.d),
+        upd AS (
+          SELECT t_in.id,
+                 CASE WHEN s.id IS NOT NULL AND s.updated_at > t_in.updated_at
+                      THEN s.updated_at ELSE t_in.updated_at END AS updated_at,
+                 CASE WHEN s.id IS NOT NULL AND s.updated_at > t_in.updated_at
+                      THEN s.status ELSE t_in.status END AS status,
+                 CASE WHEN s.id IS NOT NULL AND s.updated_at > t_in.updated_at
+                      THEN s.amount ELSE t_in.amount END AS amount
+          FROM t_in LEFT JOIN s ON t_in.id = s.id),
+        ins AS (SELECT s.* FROM s ANTI JOIN t_in ON s.id = t_in.id)
+        SELECT id, updated_at, status, amount
+        FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins
+              UNION ALL SELECT * FROM t_out)
+        ORDER BY id, updated_at""")),
+
     // A1 end-to-end: two incremental_log runs over events; final target =
     // exactly one copy of every event with ts <= second window end.
     QueryDef("a1_incremental_log",

@@ -39,6 +39,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL MERGE surface: graft-targeted MERGE INTO routes to
+      // MergeIntoPartitioned (graft.sql.GraftSqlExtensions scaladoc)
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
   }
 }

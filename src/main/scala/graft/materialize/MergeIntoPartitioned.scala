@@ -86,10 +86,12 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
     wh.recoverPendingSwap(target)
 
     val b = staged(batch, cfg.partitionField).cache()
-    // post-build hooks (incremental_partition_merge.sql:312-314)
+    // post-build hooks (incremental_partition_merge.sql:312-314), plus the
+    // table-level partition-field declaration the SQL MERGE surface reads
     def applyHooks(): Unit = {
       if (cfg.grants.nonEmpty) wh.applyGrants(target, cfg.grants)
       cfg.docs.foreach(d => wh.persistDocs(target, d))
+      wh.writePartitionMeta(target, cfg.partitionField)
     }
     try {
       // A3 — touched-partition list; the ONLY collect, bounded by #days

@@ -316,6 +316,23 @@ final class Warehouse(val root: String, spark: SparkSession) {
     if (f.exists(stage)) { f.delete(stage, true); () }
   }
 
+  /** Declared partition field — the analog of BigQuery's table-level
+    * partitioning metadata (a MERGE does not restate the partition
+    * column; the TABLE knows it). Underscore-hidden one-row sidecar,
+    * written by the materializations and read by the SQL MERGE surface. */
+  def writePartitionMeta(id: TableId, partitionField: String): Unit =
+    if (!readPartitionMeta(id).contains(partitionField)) {
+      import spark.implicits._
+      Seq(partitionField).toDF("partition_field")
+        .write.mode("overwrite").parquet(pathOf(id) + "/_partition_meta")
+    }
+
+  def readPartitionMeta(id: TableId): Option[String] = {
+    val p = new Path(pathOf(id) + "/_partition_meta")
+    if (!fs(p).exists(p)) None
+    else spark.read.parquet(p.toString).collect().headOption.map(_.getString(0))
+  }
+
   /** Partition inventory from directory names — the analog of
     * INFORMATION_SCHEMA.PARTITIONS (log_helpers.sql:308-318). Metadata-only:
     * no data files are opened. */

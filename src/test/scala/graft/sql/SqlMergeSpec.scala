@@ -1,0 +1,173 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableId
+import graft.materialize.{MergeConfig, MergeIntoPartitioned}
+import graft.warehouse.Warehouse
+
+/** SQL MERGE surface tests: statements parsed by Spark's own grammar,
+  * routed to MergeIntoPartitioned via GraftSparkExtensions. */
+class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+    .config("spark.ui.enabled", "false")
+    .appName("sql-merge-test")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def mkBatch(rows: Seq[(Long, String, String, Double)]): DataFrame =
+    rows.toDF("id", "updated_at", "status", "amount")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+
+  private val cfg = MergeConfig(partitionField = "updated_at",
+    uniqueKey = Seq("id"), eventTime = Some("updated_at"))
+
+  /** Fresh warehouse + seeded table, conf pointed at it. */
+  private def fixture(name: String): (Warehouse, TableId) = {
+    val wh = new Warehouse(Files.createTempDirectory("graft_sqlwh_").toString, spark)
+    val tgt = TableId("proj", "demo", name)
+    new MergeIntoPartitioned(wh, spark).run(mkBatch(Seq(
+      (1L, "2024-01-01 10:00:00", "old1", 1.0),
+      (2L, "2024-01-02 10:00:00", "old2", 2.0),
+      (3L, "2024-01-03 10:00:00", "old3", 3.0))), tgt, cfg)
+    spark.conf.set(GraftMergeInto.RootConf, wh.root)
+    (wh, tgt)
+  }
+
+  private def rows(wh: Warehouse, tgt: TableId): Set[(Long, String, Double)] =
+    wh.read(tgt).select("id", "status", "amount")
+      .as[(Long, String, Double)].collect().toSet
+
+  test("full shape: insert + update + recency-skip through spark.sql MERGE INTO") {
+    val (wh, tgt) = fixture("m1")
+    mkBatch(Seq(
+      (1L, "2024-01-01 12:00:00", "new1", 10.0),  // newer -> update
+      (2L, "2024-01-02 09:00:00", "stale", 99.0), // older -> recency-skip
+      (4L, "2024-01-02 11:00:00", "ins4", 4.0)))  // new key -> insert
+      .createOrReplaceTempView("b1")
+    spark.sql("""
+      MERGE INTO proj.demo.m1 AS t USING b1 AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.updated_at > t.updated_at THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(wh, tgt) == Set(
+      (1L, "new1", 10.0), (2L, "old2", 2.0), (3L, "old3", 3.0), (4L, "ins4", 4.0)))
+  }
+
+  test("no recency guard: unconditional update on match") {
+    val (wh, tgt) = fixture("m2")
+    mkBatch(Seq((2L, "2024-01-02 09:00:00", "older_wins", 99.0)))
+      .createOrReplaceTempView("b2")
+    spark.sql("""
+      MERGE INTO proj.demo.m2 AS t USING b2 AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(wh, tgt).contains((2L, "older_wins", 99.0)))
+  }
+
+  test("insert-only MERGE: matched rows keep target values; NULL keys insert") {
+    val (wh, tgt) = fixture("m3")
+    Seq(
+      (Option(1L), "2024-01-01 12:00:00", "MUST_NOT_APPLY", 77.0), // matched -> untouched
+      (Option(5L), "2024-01-01 13:00:00", "ins5", 5.0),            // new -> insert
+      (Option.empty[Long], "2024-01-01 14:00:00", "nullkey", 6.0)) // NULL key -> insert
+      .toDF("id", "updated_at", "status", "amount")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+      .createOrReplaceTempView("b3")
+    spark.sql("""
+      MERGE INTO proj.demo.m3 AS t USING b3 AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = wh.read(tgt).select("id", "status").collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set(
+      (Some(1L), "old1"), (Some(2L), "old2"), (Some(3L), "old3"),
+      (Some(5L), "ins5"), (None, "nullkey")))
+  }
+
+  test("update-only MERGE: unmatched batch rows vanish") {
+    val (wh, tgt) = fixture("m4")
+    mkBatch(Seq(
+      (1L, "2024-01-01 12:00:00", "new1", 10.0), // matched -> update
+      (9L, "2024-01-01 13:00:00", "ghost", 9.0)) // unmatched -> dropped
+    ).createOrReplaceTempView("b4")
+    spark.sql("""
+      MERGE INTO proj.demo.m4 AS t USING b4 AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.updated_at > t.updated_at THEN UPDATE SET *""")
+    assert(rows(wh, tgt) == Set(
+      (1L, "new1", 10.0), (2L, "old2", 2.0), (3L, "old3", 3.0)))
+  }
+
+  test("unsupported shapes fail at parse with actionable messages") {
+    val (_, _) = fixture("m5")
+    mkBatch(Seq((1L, "2024-01-01 12:00:00", "x", 1.0))).createOrReplaceTempView("b5")
+    // reversed recency guard would invert semantics -> rejected
+    val e1 = intercept[IllegalArgumentException](spark.sql("""
+      MERGE INTO proj.demo.m5 AS t USING b5 AS s
+      ON t.id = s.id
+      WHEN MATCHED AND t.updated_at > s.updated_at THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e1.getMessage.contains("matched clause"))
+    // explicit assignments (not SET *) -> rejected
+    val e2 = intercept[IllegalArgumentException](spark.sql("""
+      MERGE INTO proj.demo.m5 AS t USING b5 AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.status = s.status"""))
+    assert(e2.getMessage.contains("matched clause"))
+    // non-equi ON -> rejected
+    val e3 = intercept[IllegalArgumentException](spark.sql("""
+      MERGE INTO proj.demo.m5 AS t USING b5 AS s
+      ON t.id < s.id
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e3.getMessage.contains("ON predicate"))
+  }
+
+  test("non-graft targets pass through to Spark untouched") {
+    mkBatch(Seq((1L, "2024-01-01 12:00:00", "x", 1.0))).createOrReplaceTempView("b6")
+    // target not in the graft warehouse -> our parser leaves the plan to
+    // Spark, whose analyzer reports the missing table (not our error)
+    val e = intercept[Exception](spark.sql("""
+      MERGE INTO some.other.tbl AS t USING b6 AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(!e.isInstanceOf[IllegalArgumentException])
+  }
+
+  test("composite key through SQL") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_sqlwh_").toString, spark)
+    val tgt = TableId("proj", "demo", "mck")
+    val ck = MergeConfig(partitionField = "updated_at",
+      uniqueKey = Seq("id", "region"), eventTime = Some("updated_at"))
+    def b(rows: Seq[(Long, String, String, Double)]): DataFrame =
+      rows.toDF("id", "region", "updated_at", "amount")
+        .withColumn("updated_at", col("updated_at").cast("timestamp"))
+    new MergeIntoPartitioned(wh, spark).run(
+      b(Seq((1L, "eu", "2024-01-01 10:00:00", 1.0),
+        (1L, "us", "2024-01-01 10:00:00", 2.0))), tgt, ck)
+    spark.conf.set(GraftMergeInto.RootConf, wh.root)
+    b(Seq((1L, "eu", "2024-01-01 12:00:00", 10.0))).createOrReplaceTempView("bck")
+    spark.sql("""
+      MERGE INTO proj.demo.mck AS t USING bck AS s
+      ON t.id = s.id AND t.region = s.region
+      WHEN MATCHED AND s.updated_at > t.updated_at THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = wh.read(tgt).select("id", "region", "amount")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "eu", 10.0), (1L, "us", 2.0)))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}

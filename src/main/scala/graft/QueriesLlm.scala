@@ -357,6 +357,48 @@ object QueriesLlm {
         ORDER BY doc_id"""
       }),
 
+    // n-gram language ID: every document trigram scored against the
+    // per-language rank-weight profiles; the oracle recomputes the same
+    // profiles (rendered as literal lists) and the same weighted argmax.
+    QueryDef("text_langid_ngram",
+      (s, dir) =>
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.langIdNgram(col("text")).as("predicted_lang"))
+          .orderBy("doc_id"),
+      Some {
+        val profs = TextStats.NgramProfiles
+        val scoreExprs = profs.map { case (lang, prof) =>
+          val tl = prof.map(_._1.replace("'", "''")).map(t => s"'$t'")
+            .mkString("[", ", ", "]")
+          val wl = prof.map(_._2).mkString("[", ", ", "]")
+          s"coalesce(list_sum(list_transform(tris, t -> " +
+            s"coalesce(($wl)[list_position($tl, t)], 0))), 0) s_$lang"
+        }.mkString(",\n                 ")
+        val langs = profs.map(_._1)
+        val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val caseChain = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n               ")
+        s"""
+        WITH norm AS (
+          SELECT doc_id,
+                 ' ' || trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')) || ' ' AS s
+          FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(s) - 1, 2)),
+                   i -> substr(s, CAST(i AS INT), 3)) AS tris
+          FROM norm),
+        sc AS (
+          SELECT doc_id,
+                 $scoreExprs
+          FROM tri)
+        SELECT doc_id,
+               CASE $caseChain
+               END AS predicted_lang
+        FROM sc
+        ORDER BY doc_id"""
+      }),
+
     QueryDef("text_fingerprint",
       (s, dir) =>
         Tables.read(s, dir, "documents")

@@ -77,6 +77,101 @@ object TextStats {
     }
   }
 
+  // --- character-n-gram language ID (the production path) ---------------
+
+  /** Per-language training samples: UDHR Article 1 (the standard langid
+    * calibration text, public domain) plus one everyday sentence per
+    * language. Profiles are derived from these at class-load — no
+    * hand-tuned weights, and adding a language = adding a sample. */
+  private[llm] val LangSamples: Seq[(String, String)] = Seq(
+    "en" -> ("All human beings are born free and equal in dignity and rights. They are endowed " +
+      "with reason and conscience and should act towards one another in a spirit of brotherhood. " +
+      "The quick brown fox jumps over the lazy dog while the children watch with their friends. " +
+      "Every morning the students read their books in the school library before their lessons begin. " +
+      "This is a good question and we can talk about it when they come back from the city tomorrow."),
+    "de" -> ("Alle Menschen sind frei und gleich an Würde und Rechten geboren. Sie sind mit " +
+      "Vernunft und Gewissen begabt und sollen einander im Geist der Brüderlichkeit begegnen. " +
+      "Der kleine Junge isst einen roten Apfel mit seinen Freunden im Garten des Hauses. " +
+      "Jeden Morgen lesen die Schüler ihre Bücher in der Bibliothek der Schule vor dem Unterricht. " +
+      "Das ist eine gute Frage und wir können morgen darüber sprechen wenn sie aus der Stadt zurückkommen."),
+    "es" -> ("Todos los seres humanos nacen libres e iguales en dignidad y derechos y, dotados " +
+      "como están de razón y conciencia, deben comportarse fraternalmente los unos con los otros. " +
+      "El niño pequeño come una manzana roja con sus amigos en el jardín de la casa. " +
+      "Cada mañana los estudiantes leen sus libros en la biblioteca de la escuela antes de las clases. " +
+      "Esta es una buena pregunta y podemos hablar de ella cuando vuelvan de la ciudad mañana por la tarde."),
+    "fr" -> ("Tous les êtres humains naissent libres et égaux en dignité et en droits. Ils sont " +
+      "doués de raison et de conscience et doivent agir les uns envers les autres dans un esprit " +
+      "de fraternité. Le petit garçon mange une pomme rouge avec ses amis dans le jardin de la maison. " +
+      "Chaque matin les étudiants lisent leurs livres dans la bibliothèque de l'école avant les cours. " +
+      "C'est une bonne question et nous pourrons en parler quand ils reviendront de la ville demain."),
+    "it" -> ("Tutti gli esseri umani nascono liberi ed eguali in dignità e diritti. Essi sono " +
+      "dotati di ragione e di coscienza e devono agire gli uni verso gli altri in spirito di " +
+      "fratellanza. Il piccolo bambino mangia una mela rossa con i suoi amici nel giardino della casa. " +
+      "Ogni mattina gli studenti leggono i loro libri nella biblioteca della scuola prima delle lezioni. " +
+      "Questa è una buona domanda e possiamo parlarne quando torneranno dalla città domani sera per cena."),
+    "pt" -> ("Todos os seres humanos nascem livres e iguais em dignidade e em direitos. Dotados " +
+      "de razão e de consciência, devem agir uns para com os outros em espírito de fraternidade. " +
+      "O menino pequeno come uma maçã vermelha com os seus amigos no jardim da casa. " +
+      "Todas as manhãs os estudantes leem os seus livros na biblioteca da escola antes das aulas. " +
+      "Esta é uma boa pergunta e podemos falar sobre ela quando eles voltarem da cidade amanhã à tarde."))
+
+  private[llm] val NgramProfileSize = 128
+
+  /** Cavnar–Trenkle-style profile: the sample's `n` most frequent padded
+    * character trigrams, weighted n..1 by rank (count-desc, trigram-asc
+    * ties — deterministic). */
+  private[llm] def trigramProfile(sample: String, n: Int): Seq[(String, Int)] = {
+    val s = " " + sample.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
+    (0 to s.length - 3).map(i => s.substring(i, i + 3))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(n)
+      .zipWithIndex.map { case ((t, _), r) => (t, n - r) }
+  }
+
+  /** Rank-weighted profiles with an integer IDF discount: a trigram
+    * appearing in `df` of the `L` language profiles keeps weight
+    * `w·L / df` (integer division; zeros dropped). Without the discount,
+    * generic romance trigrams (" de", " la", "os ") let a high-coverage
+    * profile out-score the true language on its own text — measured on
+    * the held-out LlmSpec sentences (it→es without, all-correct with). */
+  lazy val NgramProfiles: Seq[(String, Seq[(String, Int)])] = {
+    val raw = LangSamples.map { case (lang, s) => lang -> trigramProfile(s, NgramProfileSize) }
+    val df = raw.flatMap(_._2.map(_._1)).groupBy(identity).view.mapValues(_.size).toMap
+    val nL = raw.size
+    raw.map { case (lang, prof) =>
+      lang -> prof.map { case (t, w) => (t, (w * nL) / df(t)) }.filter(_._2 > 0)
+    }
+  }
+
+  /** Padded character trigrams of normalized text, as a Column. A text
+    * shorter than 3 normalized chars yields one undersized token that
+    * matches no profile (score 0) — same on both engines. */
+  private[llm] def charTrigrams(text: Column): Column = {
+    val norm = concat(lit(" "),
+      trim(regexp_replace(lower(text), "[^\\p{L}]+", " ")), lit(" "))
+    transform(sequence(lit(1), greatest(length(norm) - 2, lit(1))),
+      i => norm.substr(i, lit(3)))
+  }
+
+  /** Character-trigram language ID: per language, the document's trigrams
+    * are summed against the profile's rank weights (literal map — bounded
+    * metadata, like the LSH hyperplanes); argmax wins, ties break by
+    * profile order. A pure projection: no shuffle, no UDF, holds at any
+    * scale. Unlike [[langId]]'s marker demo, this scores EVERY trigram of
+    * the document against real per-language frequency profiles. */
+  def langIdNgram(text: Column): Column = {
+    val tris = charTrigrams(text)
+    val scores = NgramProfiles.map { case (lang, prof) =>
+      lang -> aggregate(tris, lit(0),
+        (acc, t) => acc + coalesce(element_at(typedLit(prof.toMap), t), lit(0)))
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(NgramProfiles.head._1)) { case ((lang, s), acc) =>
+      when(s === maxScore, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Corpus vocabulary head: the k most frequent whitespace tokens.
     * The classic map-side-combinable shape — explode + hash aggregate
     * (partial per partition, one k-bounded exchange via

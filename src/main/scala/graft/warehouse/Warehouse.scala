@@ -195,6 +195,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     recoverPendingSwap(id) // heal any interrupted earlier swap first
     val tbl = hadoopPath(id)
     val f = fs(tbl)
+    warnIfObjectStore(f)
     val stage = new Path(tbl, StageDir)
     df.write.mode("overwrite").partitionBy(PartCol).parquet(stage.toString)
     val staged = partDirNames(f, stage)
@@ -229,6 +230,19 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // widen, don't replace: untouched partitions may still carry columns
     // the batch no longer has
     widenSidecar(id, df)
+  }
+
+  /** The swap protocol's crash windows are closed by ATOMIC rename — true
+    * on HDFS/POSIX, false on object stores ("rename" = non-atomic O(data)
+    * copy+delete). Detected by filesystem scheme; warn once per JVM. */
+  private def warnIfObjectStore(f: org.apache.hadoop.fs.FileSystem): Unit = {
+    val scheme = Option(f.getScheme).getOrElse("")
+    if (Warehouse.ObjectStoreSchemes.contains(scheme) &&
+        Warehouse.objectStoreWarned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+        s"Warehouse partition swap on '$scheme': this filesystem's rename is not " +
+          "atomic — the crash-safety guarantee does not hold. Use HDFS/POSIX " +
+          "storage, or front an object store with a log-structured table format.")
   }
 
   /** Cheap guard on every entry point: one metadata `exists` probe; full
@@ -439,6 +453,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     f.mkdirs(dst.getParent)
     require(f.rename(src, dst), s"rename ${from.fqn} -> ${to.fqn} failed")
   }
+}
+
+object Warehouse {
+  private[warehouse] val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos")
+  private[warehouse] val objectStoreWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 /** Table + column documentation for persist_docs (macro persist_docs /

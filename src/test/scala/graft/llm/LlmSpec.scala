@@ -290,5 +290,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unrecognized payloads must take the deterministic byte-stats stub")
   }
 
+  test("langIdNgram: held-out sentences classify to the right language") {
+    import spark.implicits._
+    // none of these appear in the training samples
+    val held = Seq(
+      ("en", "she walked through the old market and bought some bread for the evening meal"),
+      ("de", "wir haben gestern einen langen Spaziergang durch den Wald gemacht und Pilze gesammelt"),
+      ("es", "mañana vamos a visitar a nuestra abuela que vive cerca de la playa en el sur"),
+      ("fr", "nous avons passé toute la journée à lire des livres dans la bibliothèque de la ville"),
+      ("it", "questa sera andiamo al ristorante con la famiglia per festeggiare il compleanno"),
+      ("pt", "ontem à noite assistimos a um filme muito bonito sobre a história do nosso país"))
+    val got = held.toDF("expected", "text")
+      .select(col("expected"), TextStats.langIdNgram(col("text")).as("got"))
+      .as[(String, String)].collect()
+    val wrong = got.filter { case (e, g) => e != g }
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

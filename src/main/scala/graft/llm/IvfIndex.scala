@@ -34,6 +34,21 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  private def readCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** Append new vectors into the existing cell layout using the index's
+    * OWN sidecar quantizer — every appended row lands in one of the
+    * existing cell directories (keep=1 against the stored centroids), so
+    * pruned reads stay correct without re-indexing the corpus. The daily
+    * incremental shape: index once, append batches. */
+  def append(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    val cents = readCentroids(batch.sparkSession, path)
+    Similarity.assignCells(batch, cents, vecCol, idCol, "neighbor", 1)
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Approximate top-k against a written index. Queries are assigned their
     * nProbe cells by the sidecar quantizer (projection over literals); the
     * union of probed cells — bounded by |queries| × nProbe — becomes a
@@ -43,8 +58,7 @@ object IvfIndex {
   def topK(
       spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$path/_centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val cents = readCentroids(spark, path)
     val queryCells =
       Similarity.assignCells(queries, cents, vecCol, idCol, "query", nProbe)
     val probed = queryCells.select("cid").distinct()

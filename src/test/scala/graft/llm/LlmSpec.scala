@@ -290,6 +290,33 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unrecognized payloads must take the deterministic byte-stats stub")
   }
 
+  test("ann: IvfIndex.append — new vectors land in existing cells and are served by pruned reads") {
+    import spark.implicits._
+    val n = emb.count()
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+    IvfIndex.write(emb, "embedding", "vec_id", idxPath, corpusRows = Some(n))
+    def cellDirs() = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).map(_.getName).toSet
+    val before = cellDirs()
+
+    // append twins of vectors 0..4 (1.001-rescaled: same direction, so the
+    // sidecar quantizer must assign them to their original's cell)
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+    IvfIndex.append(twins, "embedding", "vec_id", idxPath)
+
+    assert(cellDirs() == before, "appends must not create new cell directories")
+
+    // each original must now surface its appended twin at rank 1
+    val queries = emb.filter(col("vec_id") < 5)
+    val top1 = IvfIndex.topK(spark, idxPath, queries, "embedding", "vec_id", 10)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(q =>
+      assert(top1.get(q).contains(q + 100000L), s"query $q missing its appended twin"))
+  }
+
   test("langIdNgram: held-out sentences classify to the right language") {
     import spark.implicits._
     // none of these appear in the training samples

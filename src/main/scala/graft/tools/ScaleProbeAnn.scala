@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.Similarity
+import graft.llm.{IvfIndex, Similarity}
 
 /** Scaling probe for the ANN paths at 1x vs 10x corpus size (SCALING.md).
   * The corpus scales by id-offset replication (like ScaleProbe's docs);
@@ -35,6 +35,14 @@ object ScaleProbeAnn {
       time(s"ivf_topk x$k") {
         Similarity.ivfTopK(c, q, "embedding", "vec_id", 10,
           corpusRows = Some(n)).count()
+      }
+      val idxPath = java.nio.file.Files
+        .createTempDirectory(s"graft_ivf_probe_$k").toString
+      time(s"ivf_index_build x$k") {
+        IvfIndex.write(c, "embedding", "vec_id", idxPath, corpusRows = Some(n)); 0L
+      }
+      time(s"ivf_index_topk x$k") {
+        IvfIndex.topK(spark, idxPath, q, "embedding", "vec_id", 10).count()
       }
       c.unpersist()
     }

@@ -290,6 +290,28 @@ object QueriesLlm {
       },
       Some(annRecallValues(AnnIvfRecallSf001))),
 
+    // ---- deterministic training-shard shuffle ---------------------------
+    // Seeded md5 shuffle key, uniform shard hash, per-shard dense 0-based
+    // positions — the oracle recomputes the identical permutation.
+    QueryDef("shuffle_shards",
+      (s, dir) =>
+        Sampling.deterministicShuffle(
+            Tables.read(s, dir, "documents").select("doc_id"),
+            "doc_id", seed = 7L, nShards = 8)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos"),
+      Some("""
+        WITH k AS (
+          SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        s AS (
+          SELECT doc_id, key,
+                 CAST('0x' || substr(key, 1, 4) AS BIGINT) % 8 AS shard
+          FROM k)
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS pos
+        FROM s
+        ORDER BY shard, pos""")),
+
     // ---- text analysis -------------------------------------------------
     QueryDef("text_stats",
       (s, dir) => {

@@ -23,6 +23,30 @@ object Sampling {
     pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Deterministic global shuffle into training shards — the step between
+    * curation and writing training files. Every example gets a seeded
+    * shuffle key `md5(seed:id)`; shard = uniform hash of the key, order
+    * within a shard = (key, id). Reproducible across reruns, engines, and
+    * cluster sizes (no RNG, no partition dependence), and re-seeding
+    * produces an independent permutation for the next epoch.
+    *
+    * Scale shape: one hash-partition exchange on `shard` plus a
+    * per-shard sort (`repartition + sortWithinPartitions` when writing;
+    * the returned frame carries shard + pos columns for the gate/audit).
+    * No global sort: each shard orders independently, and nShards is
+    * sized to the writer parallelism. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 0, "deterministicShuffle: nShards must be positive")
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
+
   /** Stratified sample: per-stratum keep-percentages (0-100), e.g. keep
     * 10% of 'en' docs and 50% of everything else — the downsample-the-
     * head / keep-the-tail shape of corpus language balancing. */

@@ -45,6 +45,27 @@ class SamplingSpec extends SparkSpec {
     assert(everything.count() === docs.count())
   }
 
+  test("deterministicShuffle: a reproducible permutation with dense per-shard positions") {
+    val a = Sampling.deterministicShuffle(docs.select("doc_id"), "doc_id", 7L, 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted
+    val b = Sampling.deterministicShuffle(docs.select("doc_id"), "doc_id", 7L, 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted
+    assert(a.toSeq == b.toSeq, "same seed must reproduce the identical shuffle")
+
+    // permutation: every doc exactly once, positions dense 0..n_shard-1
+    assert(a.map(_._1).distinct.length == docs.count())
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length.toLong), s"shard $shard positions not dense")
+    }
+
+    // a different seed produces a different order (not a different SET)
+    val c = Sampling.deterministicShuffle(docs.select("doc_id"), "doc_id", 8L, 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted
+    assert(c.map(_._1).toSet == a.map(_._1).toSet)
+    assert(c.toSeq != a.toSeq, "re-seeding must yield an independent permutation")
+  }
+
   test("topTokens: counts and deterministic tie order on a known corpus") {
     val tiny = Seq("b b a", "a c B").toDF("text").withColumn("id", lit(1L))
     val out = TextStats.topTokens(tiny, "text", 3)

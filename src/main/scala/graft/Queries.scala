@@ -836,6 +836,36 @@ object Queries {
               UNION ALL SELECT * FROM t_out)
         ORDER BY id, updated_at""")),
 
+    // SQL SELECT surface: a warehouse table read by 4-part name through
+    // the DSv2 catalog (graft.sql.GraftCatalog), with a part_date
+    // predicate resolved as a planning-time PartitionFilter.
+    QueryDef("select_catalog",
+      (s, dir) => {
+        val wh = tmpWarehouse(s)
+        val tgt = TableId("proj", "demo", "cat_orders")
+        val jan = t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("id"),
+            col("o_orderdate").as("updated_at"),
+            col("o_orderstatus").as("status"))
+        wh.overwritePartitioned(tgt,
+          jan.withColumn("part_date", to_date(col("updated_at"))))
+        s.conf.set(graft.sql.GraftMergeInto.RootConf, wh.root)
+        s.sql("""
+          SELECT id, status FROM graft.proj.demo.cat_orders
+          WHERE part_date >= DATE'1996-01-10'
+          ORDER BY id""")
+      },
+      Some("""
+        SELECT o_orderkey AS id, o_orderstatus AS status
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-10'
+        ORDER BY id""")),
+
     // A1 end-to-end: two incremental_log runs over events; final target =
     // exactly one copy of every event with ts <= second window end.
     QueryDef("a1_incremental_log",

@@ -42,6 +42,9 @@ object GraftSession {
       // SQL MERGE surface: graft-targeted MERGE INTO routes to
       // MergeIntoPartitioned (graft.sql.GraftSqlExtensions scaladoc)
       .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+      // SQL SELECT surface: `graft.db.schema.table` resolves warehouse
+      // tables via the DSv2 catalog (graft.sql.GraftCatalog scaladoc)
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .config("spark.ui.enabled", "false")
   }
 }

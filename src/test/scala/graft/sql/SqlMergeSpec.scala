@@ -20,6 +20,7 @@ class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+    .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     .config("spark.ui.enabled", "false")
     .appName("sql-merge-test")
     .getOrCreate()
@@ -167,6 +168,49 @@ class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = wh.read(tgt).select("id", "region", "amount")
       .as[(Long, String, Double)].collect().toSet
     assert(got == Set((1L, "eu", 10.0), (1L, "us", 2.0)))
+  }
+
+  test("catalog SELECT: graft.db.schema.table reads the warehouse table with partition pruning") {
+    val (wh, tgt) = fixture("cat1")
+    val viaSql = spark.sql(
+      "SELECT id, status, amount FROM graft.proj.demo.cat1 ORDER BY id")
+      .as[(Long, String, Double)].collect().toSet
+    assert(viaSql == rows(wh, tgt))
+
+    // a part_date predicate must prune at planning time
+    val pruned = spark.sql(
+      "SELECT id FROM graft.proj.demo.cat1 WHERE part_date = DATE'2024-01-02'")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part_date") && !l.contains("PartitionFilters: []")),
+      s"expected a part_date PartitionFilter, got: ${pf.mkString(" | ")}")
+    assert(pruned.as[Long].collect().toSeq == Seq(2L))
+    assert(tgt.identifier == "cat1")
+  }
+
+  test("catalog SQL DDL + all-SQL merge-then-select roundtrip") {
+    val (_, _) = fixture("cat2")
+    // SHOW TABLES via listTables
+    val listed = spark.sql("SHOW TABLES IN graft.proj.demo").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("cat2"))
+
+    // all-SQL: MERGE through the parser surface, read back through the catalog
+    mkBatch(Seq((7L, "2024-01-05 10:00:00", "ins7", 7.0))).createOrReplaceTempView("bc")
+    spark.sql("""
+      MERGE INTO proj.demo.cat2 AS t USING bc AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT status FROM graft.proj.demo.cat2 WHERE id = 7")
+      .as[String].collect().toSeq
+    assert(got == Seq("ins7"))
+
+    // DROP through the catalog removes the table directory
+    spark.sql("DROP TABLE graft.proj.demo.cat2")
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.proj.demo.cat2").collect())
+    assert(e.getMessage.toLowerCase.contains("table"))
   }
 
   override def afterAll(): Unit = spark.stop()

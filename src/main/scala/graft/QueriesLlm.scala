@@ -290,6 +290,46 @@ object QueriesLlm {
       },
       Some(annRecallValues(AnnIvfRecallSf001))),
 
+    // ---- HTML -> text extraction ----------------------------------------
+    // Each document is wrapped in deterministic markup (script body with a
+    // bare '<', style block, entities incl. the double-escape &amp;lt;)
+    // and both engines run the byte-identical strip pipeline.
+    QueryDef("html_to_text",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val html = concat(
+          lit("<html><body><h1 class=\"t\">Title</h1><p>"), col("text"),
+          lit("</p><script>if (x < 3) { alert('a&amp;b'); }</script>" +
+            "<style>p { color: red; }</style>" +
+            " &lt;tag&gt; &quot;q&#39;s&quot; &amp;lt; one&nbsp;two </body></html>"))
+        docs.select(col("doc_id"), Curation.htmlToText(html).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><body><h1 class="t">Title</h1><p>' || text ||
+                 '</p><script>if (x < 3) { alert(''a&amp;b''); }</script>' ||
+                 '<style>p { color: red; }</style>' ||
+                 ' &lt;tag&gt; &quot;q&#39;s&quot; &amp;lt; one&nbsp;two </body></html>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<[^>]+>', ' ', 'g') AS s
+          FROM h),
+        decoded AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(s,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s
+          FROM stripped)
+        SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text_clean
+        FROM decoded
+        ORDER BY doc_id""")),
+
     // ---- deterministic training-shard shuffle ---------------------------
     // Seeded md5 shuffle key, uniform shard hash, per-shard dense 0-based
     // positions — the oracle recomputes the identical permutation.

@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** HTML → text extraction — the ingest step in front of every text
+    * operator here (crawl corpora arrive as markup). Order matters and is
+    * load-bearing:
+    *  1. script/style BLOCKS go first, content and all — their bodies
+    *     legally contain bare `<` (`if (x < 3)`) that would break a
+    *     naive tag regex;
+    *  2. remaining tags strip to a space (block boundaries must not glue
+    *     words together);
+    *  3. entities decode via LITERAL replace (no regex metacharacter
+    *     risk), `&amp;` strictly last so `&amp;lt;` decodes to the text
+    *     "&lt;", not "<";
+    *  4. whitespace collapses and trims.
+    * All regexes are RE2-compatible, so the DuckDB oracle runs the
+    * byte-identical pipeline. Pure projection — no shuffle, no UDF. */
+  def htmlToText(html: Column): Column = {
+    var s = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    s = regexp_replace(s, "(?is)<style[^>]*>.*?</style>", " ")
+    s = regexp_replace(s, "(?s)<[^>]+>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    s = entities.foldLeft(s) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(s, "\\s+", " "))
+  }
+
   /** Fixed-size word-chunk segmenter over an ALREADY-MATERIALIZED token
     * array (same binding contract as Dedup.wordGrams: pass a bound column,
     * not an inline split, or the token subtree is copied per chunk). For

@@ -146,4 +146,15 @@ class CurationSpec extends SparkSpec {
       assert(bins.head === 0L, "first doc of a shard starts bin 0")
     }
   }
+
+  test("htmlToText: script bodies with bare '<', entities, double-escapes, whitespace") {
+    val html = """<html><head><style>body { margin: 0; }</style></head>
+      <body><h1>Hello</h1><p>one   two</p>
+      <script type="text/javascript">if (x < 3 && y > 1) { go('&amp;'); }</script>
+      &lt;b&gt; isn&#39;t &quot;bold&quot; &amp;lt; three&nbsp;four</body></html>"""
+    val got = Seq(html).toDF("h")
+      .select(Curation.htmlToText(org.apache.spark.sql.functions.col("h")))
+      .as[String].collect().head
+    assert(got == """Hello one two <b> isn't "bold" &lt; three four""")
+  }
 }

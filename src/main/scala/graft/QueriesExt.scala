@@ -511,6 +511,118 @@ object QueriesExt {
         FROM base LEFT JOIN top USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- Gopher composite quality filter: five named rules + keep ------
+    // Thresholds chosen so every rule fires both ways on the harness
+    // corpus (keep is true for ~10% of sf0.01 documents).
+    QueryDef("quality_filter",
+      (s, dir) =>
+        Curation.gopherQualityFilter(Tables.read(s, dir, "documents"),
+            "text", "doc_id",
+            Curation.QualityThresholds(
+              minWords = 30L, maxWords = 100000L,
+              minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+              minStopHits = 3L, maxDupWordFrac = 0.5,
+              maxTopBigramFrac = 0.1))
+          .orderBy("doc_id"),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_words,
+                        CAST(len(list_distinct(w)) AS BIGINT) n_distinct,
+                        CAST(COALESCE(len(list_aggregate(w, 'string_agg', '')), 0) AS BIGINT) tok_chars,
+                        CAST(len(list_filter(w, x -> list_contains(
+                          ['the','a','of','and','to','in','is'], x))) AS BIGINT) stop_hits
+                 FROM d),
+        bg AS (SELECT doc_id,
+                      w[CAST(r.i AS INT)] || ' ' || w[CAST(r.i AS INT)+1] AS b
+               FROM d, unnest(range(1, len(w))) r(i)),
+        top AS (SELECT doc_id, MAX(c) t
+                FROM (SELECT doc_id, b, COUNT(*) c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        m AS (SELECT base.doc_id, n_words,
+                CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words ELSE 0.0 END mean_word_len,
+                stop_hits,
+                CASE WHEN n_words > 0 THEN (CAST(n_words AS DOUBLE) - n_distinct) / n_words ELSE 0.0 END dup_word_frac,
+                CAST(COALESCE(t, 0) AS DOUBLE) / greatest(n_words - 1, 1) top_bigram_frac
+              FROM base LEFT JOIN top USING (doc_id))
+        SELECT doc_id, n_words, mean_word_len, stop_hits, dup_word_frac, top_bigram_frac,
+               (n_words >= 30 AND n_words <= 100000) AS r_words,
+               (mean_word_len >= 3.0 AND mean_word_len <= 5.0) AS r_word_len,
+               (stop_hits >= 3) AS r_stopwords,
+               (dup_word_frac <= 0.5) AS r_dup_words,
+               (top_bigram_frac <= 0.1) AS r_top_bigram,
+               (n_words >= 30 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 5.0
+                 AND stop_hits >= 3 AND dup_word_frac <= 0.5
+                 AND top_bigram_frac <= 0.1) AS keep
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ---- URL canonicalization + crawl dedup -----------------------------
+    // Messy URLs are synthesized deterministically from doc_id (mixed
+    // case, www., default ports, tracking params, unordered query,
+    // trailing slash, fragments); both engines canonicalize and group.
+    QueryDef("url_dedup",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val m = col("doc_id")
+        val host = (m % 5).cast("string")
+        val art = (m % 25).cast("string")
+        val base = when(m % 4 === 0, concat(lit("HTTP://WWW.Site"), host, lit(".COM:80")))
+          .when(m % 4 === 1, concat(lit("http://site"), host, lit(".com")))
+          .when(m % 4 === 2, concat(lit("https://Site"), host, lit(".com:443")))
+          .otherwise(concat(lit("https://site"), host, lit(".com")))
+        val url = concat(base, lit("/Articles/"), art,
+          when(m % 3 === 0, lit("/")).otherwise(lit("")),
+          when(m % 3 === 0, concat(lit("?utm_source=feed&id="), art, lit("&ref=tw")))
+            .when(m % 3 === 1, concat(lit("?id="), art))
+            .otherwise(concat(lit("?id="), art, lit("&utm_campaign=x"))),
+          when(m % 2 === 0, lit("#Section-2")).otherwise(lit("")))
+        Curation.urlDedup(docs.select(m, url.as("url")), "url", "doc_id")
+          .select(col("canonical_url"), col("doc_id"), col("n_copies"))
+          .orderBy("canonical_url")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE doc_id % 4
+               WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM:80'
+               WHEN 1 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+               WHEN 2 THEN 'https://Site' || CAST(doc_id % 5 AS VARCHAR) || '.com:443'
+               ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com' END)
+            || '/Articles/' || CAST(doc_id % 25 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+            || (CASE doc_id % 3
+                  WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) || '&ref=tw'
+                  WHEN 1 THEN '?id=' || CAST(doc_id % 25 AS VARCHAR)
+                  ELSE '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
+          FROM documents),
+        c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') u0 FROM u),
+        c2 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*')),
+                   '^([a-z+.-]+://)www\.', '\1'), ':(80|443)$', '') head,
+                 regexp_replace(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') rest
+               FROM c1),
+        c3 AS (SELECT doc_id, head,
+                 regexp_replace(regexp_replace(rest, '\?.*', ''), '/+$', '') pth,
+                 CASE WHEN strpos(rest, '?') > 0
+                      THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END q
+               FROM c2),
+        c4 AS (SELECT doc_id, head, pth,
+                 array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> len(p) > 0 AND NOT regexp_matches(p,
+                     '^(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)='))), '&') sq
+               FROM c3),
+        c5 AS (SELECT doc_id,
+                 head || pth || (CASE WHEN len(sq) > 0 THEN '?' || sq ELSE '' END) canonical_url
+               FROM c4)
+        SELECT canonical_url, MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM c5 GROUP BY 1
+        ORDER BY canonical_url""")),
+
     // ---- overlapping context windows: 32-token windows, stride 16 ------
     QueryDef("sliding_windows",
       (s, dir) => {

@@ -35,6 +35,47 @@ object Curation {
     trim(regexp_replace(s, "\\s+", " "))
   }
 
+  /** Query params dropped by [[canonicalizeUrl]]: tracking/attribution
+    * noise that makes one page look like many distinct URLs. */
+  val TrackingParamRe = "^(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)="
+
+  /** URL canonicalization — the key for crawl-frontier and document-level
+    * URL dedup (one page, many spellings). Deterministic rewrite chain:
+    *  1. strip the fragment (`#...` is client-side only);
+    *  2. lowercase scheme + authority (host names are case-insensitive;
+    *     paths are NOT touched — they are case-significant);
+    *  3. drop a leading `www.` and the default ports `:80`/`:443`;
+    *  4. drop tracking query params (utm_*, fbclid, gclid, ref) and SORT
+    *     the survivors (param order is semantically irrelevant);
+    *  5. strip trailing slashes from the path.
+    * Pure projection (regex + array HOFs, all RE2-safe and DuckDB-
+    * replicable) — no shuffle, scale-free. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u0 = regexp_replace(trim(url), "#.*", "")
+    val headRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
+    val head = regexp_replace(
+      regexp_replace(lower(regexp_extract(u0, headRe, 0)), "^([a-z+.-]+://)www\\.", "$1"),
+      ":(80|443)$", "")
+    val rest = regexp_replace(u0, headRe, "")
+    val path = regexp_replace(regexp_replace(rest, "\\?.*", ""), "/+$", "")
+    val q = when(rest.contains("?"), regexp_replace(rest, "^[^?]*\\?", ""))
+      .otherwise(lit(""))
+    val kept = filter(split(q, "&"), p => length(p) > 0 && !p.rlike(TrackingParamRe))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(head, path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup: group by canonical URL, keep the minimum id as the
+    * survivor. Same hash-groupBy shape as Dedup.exact — partial map-side
+    * min, one shuffle on the canonical key (uniform: hot hosts spread
+    * across their distinct paths) — the canonical 100 TB crawl-dedup
+    * move. Emits one row per GROUP: survivor id, canonical URL, copy
+    * count. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
   /** Fixed-size word-chunk segmenter over an ALREADY-MATERIALIZED token
     * array (same binding contract as Dedup.wordGrams: pass a bound column,
     * not an inline split, or the token subtree is copied per chunk). For
@@ -170,5 +211,71 @@ object Curation {
     base.join(top, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_words"), col("n_distinct_words"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
+  /** Thresholds for [[gopherQualityFilter]]. Defaults follow the Gopher
+    * paper's pretraining-filter family, loosened on the word-count floor
+    * so short-but-clean docs are judged by the ratio rules instead of
+    * being auto-rejected. */
+  final case class QualityThresholds(
+      minWords: Long = 5L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      minStopHits: Long = 1L,
+      maxDupWordFrac: Double = 0.5,
+      maxTopBigramFrac: Double = 0.3)
+
+  private val QualityStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Gopher-style composite quality filter: five per-document rules —
+    * word-count band, mean-word-length band, minimum stopword hits,
+    * duplicate-word fraction cap, top-bigram fraction cap — each emitted
+    * as its own boolean plus the conjunction `keep`, so a pipeline can
+    * both filter and report WHY documents were rejected.
+    *
+    * Everything is integer counts and single IEEE divisions (no
+    * transcendentals), so the DuckDB oracle reproduces every column
+    * bit-exactly. One explode + two map-side-combinable aggregations for
+    * the bigram signal (same shape as [[repetitionMetrics]]); the rest is
+    * a pure projection. Scale: shuffle keys are (doc, bigram) — uniform,
+    * no hot keys, no driver state.
+    *
+    * Mirrors the reference's validator pattern of named rule verdicts
+    * (cf. /root/reference/macros/validate_dataproduct.sql) applied to
+    * corpus curation. */
+  def gopherQualityFilter(
+      docs: DataFrame, textCol: String, idCol: String,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val rep = repetitionMetrics(docs, textCol, idCol)
+    val toks = Dedup.tokens(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      // total chars across tokens: concat of the token array, so runs of
+      // separators never count (length(replace(text,' ','')) would agree
+      // here but diverge on tabs/newlines if the tokenizer ever widens)
+      length(concat_ws("", toks)).cast("long").as("tok_chars"),
+      size(filter(toks, c => array_contains(typedLit(QualityStopwords), c)))
+        .cast("long").as("stop_hits"))
+    val j = base.join(rep, Seq(idCol))
+    val nW = col("n_words").cast("double")
+    val meanWl = when(col("n_words") > 0, col("tok_chars").cast("double") / nW)
+      .otherwise(lit(0.0))
+    val dupFrac = when(col("n_words") > 0,
+      (nW - col("n_distinct_words").cast("double")) / nW).otherwise(lit(0.0))
+    val nBigrams = greatest(col("n_words") - 1, lit(1L)).cast("double")
+    val topBgFrac = col("top_bigram_n").cast("double") / nBigrams
+    j.select(
+        col(idCol), col("n_words"), meanWl.as("mean_word_len"),
+        col("stop_hits"), dupFrac.as("dup_word_frac"),
+        topBgFrac.as("top_bigram_frac"),
+        (col("n_words") >= t.minWords && col("n_words") <= t.maxWords).as("r_words"),
+        (meanWl >= t.minMeanWordLen && meanWl <= t.maxMeanWordLen).as("r_word_len"),
+        (col("stop_hits") >= t.minStopHits).as("r_stopwords"),
+        (dupFrac <= t.maxDupWordFrac).as("r_dup_words"),
+        (topBgFrac <= t.maxTopBigramFrac).as("r_top_bigram"))
+      .withColumn("keep",
+        col("r_words") && col("r_word_len") && col("r_stopwords") &&
+          col("r_dup_words") && col("r_top_bigram"))
   }
 }

@@ -90,6 +90,78 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq((1L, 5L, 2L, 2L), (2L, 1L, 1L, 0L)))
   }
 
+  test("canonicalizeUrl: case, www, ports, tracking params, order, slash, fragment") {
+    val cases = Seq(
+      // host case + www + default port + fragment
+      "HTTP://WWW.Example.COM:80/Path/To#frag" -> "http://example.com/Path/To",
+      // https default port, tracking params dropped, survivors sorted
+      "https://Ex.com:443/a?utm_source=x&b=2&a=1&fbclid=z" -> "https://ex.com/a?a=1&b=2",
+      // trailing slashes stripped, path case preserved
+      "http://ex.com/A/B///" -> "http://ex.com/A/B",
+      // all params tracking -> no '?' at all
+      "http://ex.com/p?utm_a=1&ref=tw&gclid=g" -> "http://ex.com/p",
+      // non-default port survives; empty path; ref= only matches whole param
+      "http://ex.com:8080?pref=1" -> "http://ex.com:8080?pref=1",
+      // no query, no fragment — unchanged apart from lowering
+      "https://A.B.c/d" -> "https://a.b.c/d")
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "url")
+    val out = df.select(col("i"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("i").as[(Int, String)].collect().map(_._2)
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("urlDedup: one survivor per canonical group, min id, copy count") {
+    val docs = Seq(
+      (10L, "http://www.ex.com/a?utm_x=1"),
+      (3L, "HTTP://EX.com/a"),
+      (7L, "https://other.com/b")
+    ).toDF("doc_id", "url")
+    val out = Curation.urlDedup(docs, "url", "doc_id")
+      .orderBy("canonical_url")
+      .as[(String, Long, Long)].collect()
+    assert(out === Seq(
+      ("http://ex.com/a", 3L, 2L),
+      ("https://other.com/b", 7L, 1L)))
+  }
+
+  test("gopherQualityFilter: each rule rejects exactly its crafted doc") {
+    // Thresholds: words in [4, 100], mean word len in [2, 6], >=1 stopword,
+    // dup-word frac <= 0.5, top-bigram frac <= 0.5.
+    val t = Curation.QualityThresholds(
+      minWords = 4L, maxWords = 100L,
+      minMeanWordLen = 2.0, maxMeanWordLen = 6.0,
+      minStopHits = 1L, maxDupWordFrac = 0.5, maxTopBigramFrac = 0.5)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),            // passes all five
+      (2L, "the cat sat"),                          // too few words
+      (3L, "the incomprehensibilities of extraordinarily magniloquent pontifications"), // mwl > 6
+      (4L, "alpha beta gamma delta epsilon"),       // zero stopwords
+      (5L, "the the the the dog dog dog dog"),      // dup frac 6/8 > 0.5
+      (6L, "the cat the cat the cat the cat")       // top bigram frac > 0.5 (and dup)
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherQualityFilter(docs, "text", "doc_id", t)
+      .orderBy("doc_id")
+      .select("doc_id", "r_words", "r_word_len", "r_stopwords",
+        "r_dup_words", "r_top_bigram", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(out(0) === ((1L, true, true, true, true, true, true)))
+    assert(out(1)._2 === false && !out(1)._7)
+    assert(out(2)._3 === false && !out(2)._7)
+    assert(out(3)._4 === false && !out(3)._7)
+    assert(out(4)._5 === false && !out(4)._7)
+    assert(out(5)._6 === false && !out(5)._7)
+  }
+
+  test("gopherQualityFilter: metric values are exact on a crafted doc") {
+    val docs = Seq((1L, "aa bb aa bb aa")).toDF("doc_id", "text")
+    // 5 words, 10 token chars -> mwl 2.0; 2 distinct -> dup 0.6;
+    // top bigram "aa bb" x2 of 4 -> 0.5; stop hits 0
+    val out = Curation.gopherQualityFilter(docs, "text", "doc_id")
+      .select("n_words", "mean_word_len", "stop_hits", "dup_word_frac", "top_bigram_frac")
+      .as[(Long, Double, Long, Double, Double)].collect()
+    assert(out === Seq((5L, 2.0, 0L, 0.6, 0.5)))
+  }
+
   test("slidingWindows: overlap, clamped tail, full token coverage") {
     val docs = Seq((1L, 70L), (2L, 20L), (3L, 32L)).toDF("id", "n")
     val out = Packing.slidingWindows(docs, "id", "n", size = 32L, stride = 16L)

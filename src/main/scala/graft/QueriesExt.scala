@@ -623,6 +623,44 @@ object QueriesExt {
         FROM c5 GROUP BY 1
         ORDER BY canonical_url""")),
 
+    // ---- exact duplicated-span detection (ExactSubstr, Spark-shaped) ---
+    // Gram-level corpus-wide occurrence counts, merged to maximal spans
+    // per document; the oracle groups by the gram STRING (the Spark side
+    // groups by its md5 — same partition, collision-free at 128 bits).
+    QueryDef("dup_spans",
+      (s, dir) =>
+        Curation.duplicatedSpans(Tables.read(s, dir, "documents"),
+            "text", "doc_id", minLen = 5)
+          .orderBy("doc_id"),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        n AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens FROM d),
+        g AS (SELECT doc_id, CAST(r.i AS INT) pos,
+                     array_to_string(list_slice(w, CAST(r.i AS INT), CAST(r.i AS INT) + 4), ' ') gram
+              FROM d, unnest(range(1, len(w) - 3)) r(i)),
+        dup AS (SELECT gram FROM (SELECT gram, COUNT(*) c FROM g GROUP BY 1) WHERE c > 1),
+        f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483647) + 5
+                       THEN 1 ELSE 0 END new_span
+                FROM f),
+        sp AS (SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) span_id
+               FROM isl),
+        cov AS (SELECT doc_id, span_id, MAX(pos) + 4 - MIN(pos) + 1 covered
+                FROM sp GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_dup_spans,
+                       CAST(SUM(covered) AS BIGINT) dup_tokens
+                FROM cov GROUP BY 1)
+        SELECT n.doc_id, n_tokens,
+               COALESCE(n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(dup_tokens, 0) AS dup_tokens
+        FROM n LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ---- overlapping context windows: 32-token windows, stride 16 ------
     QueryDef("sliding_windows",
       (s, dir) => {

@@ -213,6 +213,61 @@ object Curation {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  /** Exact duplicated-span detection (the ExactSubstr move from
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, re-shaped for Spark): find every token position whose
+    * `minLen`-gram occurs more than once ANYWHERE in the corpus
+    * (including within the same document), then merge overlapping
+    * duplicated positions into maximal spans per document.
+    *
+    * The paper builds one giant suffix array — inherently single-machine.
+    * The distributed equivalent: fixed-length gram occurrence counting
+    * (a duplicated substring of length >= minLen duplicates ALL its
+    * minLen-grams, so gram-level flags reconstruct exactly the union of
+    * duplicated regions) — one explode, one count-groupBy on the gram's
+    * md5 (128-bit: no collision risk, constant 32-byte shuffle key), one
+    * semi-join back, and a per-document gaps-and-islands pass. All keys
+    * are content-uniform; per-doc window state is bounded by document
+    * length. Integer outputs cross the engine gate bit-exactly.
+    *
+    * Output per document: n_tokens, n_dup_spans (maximal merged spans),
+    * dup_tokens (token positions covered by any duplicated gram). */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      minLen: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    val upper = size(col("toks")) - (minLen - 1)
+    val grams = toks.select(col("id"),
+        when(upper < 1, array().cast("array<struct<pos:int,g:string>>"))
+          .otherwise(transform(sequence(lit(1), upper), i =>
+            struct(i.cast("int").as("pos"),
+              array_join(slice(col("toks"), i, lit(minLen)), " ").as("g")))).as("pg"))
+      .select(col("id"), explode(col("pg")).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), md5(col("pg.g")).as("h"))
+    // corpus-wide occurrence count per gram; >1 = duplicated
+    val dupGrams = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val flagged = grams.join(dupGrams, Seq("h"), "left_semi")
+    // gaps-and-islands: spans [pos, pos+minLen-1] merge when the next
+    // start is within (running max end) + 1
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val prevMaxStart = max(col("pos"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("new_span",
+        when(prevMaxStart.isNull || col("pos") > prevMaxStart + lit(minLen), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(wOrd))
+    val spans = islands.groupBy("id", "span_id")
+      .agg((max(col("pos")) + lit(minLen - 1) - min(col("pos")) + 1).as("covered"))
+    val perDoc = spans.groupBy("id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("covered")).as("dup_tokens"))
+    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Thresholds for [[gopherQualityFilter]]. Defaults follow the Gopher
     * paper's pretraining-filter family, loosened on the word-count floor
     * so short-but-clean docs are judged by the ratio rules instead of

@@ -124,6 +124,40 @@ class CurationSpec extends SparkSpec {
       ("https://other.com/b", 7L, 1L)))
   }
 
+  test("duplicatedSpans: cross-doc share, within-doc repeat, merge, short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),           // shares grams@{1,2} with doc 2 -> one merged span
+      (2L, "x y a b c d e f"),           // flagged @{3,4}
+      (3L, "p q r s t p q r s t"),       // gram "p q r s t" @{1,6}: 6 <= 1+5 -> ONE span, all 10
+      (4L, "one two three"),             // shorter than minLen: no grams at all
+      (5L, "k1 k2 k3 k4 k5 k6")          // unique grams -> clean
+    ).toDF("doc_id", "text")
+    val out = Curation.duplicatedSpans(docs, "text", "doc_id", minLen = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Seq(
+      (1L, 8L, 1L, 6L),   // positions 1..2 -> covered [1, 6]
+      (2L, 8L, 1L, 6L),   // positions 3..4 -> covered [3, 8]
+      (3L, 10L, 1L, 10L), // whole doc is one period-5 repeat
+      (4L, 3L, 0L, 0L),
+      (5L, 6L, 0L, 0L)))
+  }
+
+  test("duplicatedSpans: two disjoint spans stay separate") {
+    // doc 6/7 share gram at pos 1; doc 6/8 share gram at pos 10 (> 1+5 away)
+    val docs = Seq(
+      (6L, "a b c d e m1 m2 m3 m4 z y x w v"),
+      (7L, "a b c d e n1 n2 n3 n4 n5"),
+      (8L, "q1 q2 q3 q4 z y x w v")
+    ).toDF("doc_id", "text")
+    val out = Curation.duplicatedSpans(docs, "text", "doc_id", minLen = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((6L, 14L, 2L, 10L))) // spans [1,5] and [10,14]
+    assert(out(1) === ((7L, 10L, 1L, 5L)))
+    assert(out(2) === ((8L, 9L, 1L, 5L)))
+  }
+
   test("gopherQualityFilter: each rule rejects exactly its crafted doc") {
     // Thresholds: words in [4, 100], mean word len in [2, 6], >=1 stopword,
     // dup-word frac <= 0.5, top-bigram frac <= 0.5.

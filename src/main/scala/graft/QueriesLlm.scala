@@ -290,6 +290,41 @@ object QueriesLlm {
       },
       Some(annRecallValues(AnnIvfRecallSf001))),
 
+    // ---- sparse lexical retrieval: fixed-point TF-IDF top-k -------------
+    // Query docs = every doc_id % 100 == 3, query text = its first five
+    // tokens. IDF is integer fixed-point, so scores are exact BIGINTs and
+    // both engines agree bit-for-bit (a float log-IDF sum would not).
+    QueryDef("tfidf_topk",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") % 100 === 3)
+          .select(col("doc_id"),
+            array_join(slice(graft.llm.Dedup.tokens(col("text")), 1, 5), " ")
+              .as("qtext"))
+        Retrieval.tfidfTopK(docs, "text", "doc_id",
+            queries, "qtext", "doc_id", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
+              FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
+        idf AS (SELECT term,
+                  CAST(((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) AS BIGINT) idf
+                FROM p GROUP BY term),
+        q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
+              FROM d WHERE doc_id % 100 = 3),
+        sc AS (SELECT q_id, p.doc_id, CAST(SUM(tf * idf) AS BIGINT) score
+               FROM q JOIN p USING (term) JOIN idf USING (term) GROUP BY 1, 2),
+        r AS (SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) rnk
+              FROM sc)
+        SELECT q_id AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+        FROM r WHERE rnk <= 10
+        ORDER BY query_id, rank""")),
+
     // ---- HTML -> text extraction ----------------------------------------
     // Each document is wrapped in deterministic markup (script body with a
     // bare '<', style block, entities incl. the double-escape &amp;lt;)

@@ -334,5 +334,24 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
   }
 
+  test("tfidfTopK: exact fixed-point scores, rare-term weighting, id tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry cherry"),
+      (4L, "durian durian durian")).toDF("doc_id", "text")
+    val q = Seq((100L, "apple banana")).toDF("doc_id", "qtext")
+    val out = Retrieval.tfidfTopK(docs, "text", "doc_id", q, "qtext", "doc_id", k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    // N=4; df(apple)=df(banana)=2 -> idf 2,000,000
+    // doc1: 2*idf + 1*idf = 6e6; doc2: 1*idf; doc3: 1*idf (tie -> lower id first)
+    assert(out === Seq(
+      (100L, 1L, 1L, 6000000L),
+      (100L, 2L, 2L, 2000000L),
+      (100L, 3L, 3L, 2000000L)))
+    // doc4 shares no term: never materialized, so k is a cap not a pad
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

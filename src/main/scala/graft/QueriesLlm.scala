@@ -660,6 +660,48 @@ object QueriesLlm {
         FROM events
         ORDER BY event_id""")),
 
+    // Streaming merge-upsert: the incremental_partition_merge driven by a
+    // stream. Target pre-seeded with even event_ids carrying value=-99
+    // (update path); odd ids arrive only via the stream (insert path);
+    // maxFilesPerTrigger=1 forces two separate micro-batch merges; the
+    // checkpointed re-run must change nothing.
+    QueryDef("stream_merge_upsert",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.materialize.{MergeConfig, MergeIntoPartitioned}
+        val wh = new graft.warehouse.Warehouse(
+          Files.createTempDirectory("graft_smu_wh_").toString, s)
+        val tgt = graft.core.TableId("proj", "stream", "upserted")
+        val cfg = MergeConfig(partitionField = "ts", uniqueKey = Seq("event_id"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+        val srcDir = Files.createTempDirectory("graft_smu_src_").toString
+        ev.filter(col("event_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        ev.filter(col("event_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        new MergeIntoPartitioned(wh, s).run(
+          ev.filter(col("event_id") % 2 === 0)
+            .withColumn("value", lit(-99.0)), tgt, cfg)
+        val ckpt = Files.createTempDirectory("graft_smu_ck_").toString
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingMergeUpsert(
+            s, srcDir, ev.schema, wh, tgt, cfg, ckpt,
+            maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new files, no merge effect
+        wh.read(tgt)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM events
+        ORDER BY event_id""")),
+
     // Stateful streaming dedup through the gate: documents + planted dups
     // streamed through flatMapGroupsWithState; survivors = min id per text.
     QueryDef("stream_stateful_dedup",

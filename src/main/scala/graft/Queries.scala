@@ -866,6 +866,27 @@ object Queries {
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-10'
         ORDER BY id""")),
 
+    // DSv2 write path: INSERT INTO an UNpartitioned warehouse table via
+    // SQL (v2 parquet append); partitioned tables stay read-only (their
+    // write path is MERGE INTO — enforced, see CatalogSpec).
+    QueryDef("insert_catalog",
+      (s, dir) => {
+        val wh = tmpWarehouse(s)
+        val tgt = TableId("proj", "demo", "nat_ins")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        wh.append(tgt, nat.filter(col("n_nationkey") < 13))
+        s.conf.set(graft.sql.GraftMergeInto.RootConf, wh.root)
+        nat.filter(col("n_nationkey") >= 13).createOrReplaceTempView("nat_rest")
+        s.sql("INSERT INTO graft.proj.demo.nat_ins SELECT * FROM nat_rest")
+        s.sql("""
+          SELECT n_nationkey, n_name, n_regionkey
+          FROM graft.proj.demo.nat_ins ORDER BY n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation
+        ORDER BY n_nationkey""")),
+
     // A1 end-to-end: two incremental_log runs over events; final target =
     // exactly one copy of every event with ts <= second window end.
     QueryDef("a1_incremental_log",

@@ -3,7 +3,10 @@ package graft.sql
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,9 +28,12 @@ import graft.warehouse.Warehouse
   * warehouses over its lifetime — catalog instances are cached by Spark,
   * static options are not re-read.
   *
-  * Writes go through the materializations (the reference's model is
-  * "models write, SQL reads"); DDL here is limited to DROP and RENAME,
-  * which map to the warehouse's own operations.
+  * Writes: UNpartitioned tables accept `INSERT INTO` (v2 parquet append —
+  * the same layout `Warehouse.append` produces); PARTITIONED tables are
+  * read-only through the catalog and take writes via `MERGE INTO` and the
+  * materializations (the reference's model is "models write, SQL reads").
+  * DDL is limited to DROP and RENAME, which map to the warehouse's own
+  * operations.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -69,8 +75,16 @@ class GraftCatalog extends TableCatalog {
     if (!wh.exists(id)) throw new NoSuchTableException(ident)
     // sidecar-resolved schema (one footer, drift-tolerant) + heal-on-read
     val schema = wh.read(id).schema
-    ParquetTable(ident.toString, session, CaseInsensitiveStringMap.empty(),
+    val pt = ParquetTable(ident.toString, session, CaseInsensitiveStringMap.empty(),
       Seq(wh.pathOf(id)), Some(schema), classOf[ParquetFileFormat])
+    // UNpartitioned tables (the append/log family) take INSERT INTO via
+    // the v2 parquet write — new part files in the table dir, exactly the
+    // layout Warehouse.append produces. PARTITIONED tables are read-only
+    // here: a v2 append would write `part_date` as a data column into the
+    // table root, corrupting the directory layout — their write path is
+    // MERGE INTO (and the materializations), which rewrites whole
+    // partition dirs under the crash-safe swap protocol.
+    if (wh.readPartitionMeta(id).isDefined) new GraftReadOnlyTable(pt) else pt
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -90,4 +104,27 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"$catalogName catalog: ALTER TABLE is not supported — schema evolution " +
         "flows through the materializations' on_schema_change handling")
+}
+
+/** Read-only view of a partitioned warehouse table: scans delegate to the
+  * parquet table, but SupportsWrite is deliberately NOT implemented, so
+  * `INSERT INTO` fails at analysis ("does not support append in batch
+  * mode") instead of corrupting the partition layout. */
+private[sql] class GraftReadOnlyTable(delegate: ParquetTable)
+  extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): java.util.Map[String, String] = delegate.properties()
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability](delegate.capabilities())
+    caps.remove(TableCapability.BATCH_WRITE)
+    caps.remove(TableCapability.STREAMING_WRITE)
+    caps.remove(TableCapability.TRUNCATE)
+    caps.remove(TableCapability.OVERWRITE_BY_FILTER)
+    caps.remove(TableCapability.OVERWRITE_DYNAMIC)
+    java.util.Collections.unmodifiableSet(caps)
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
 }

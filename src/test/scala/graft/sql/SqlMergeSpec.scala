@@ -189,6 +189,33 @@ class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tgt.identifier == "cat1")
   }
 
+  test("catalog INSERT INTO: unpartitioned tables append; partitioned tables refuse") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_sqlwh_").toString, spark)
+    spark.conf.set(GraftMergeInto.RootConf, wh.root)
+
+    // unpartitioned: v2 append lands next to Warehouse.append's files
+    val tgt = TableId("proj", "demo", "ins_log")
+    wh.append(tgt, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO graft.proj.demo.ins_log SELECT * FROM ins_src")
+    assert(spark.sql("SELECT id, v FROM graft.proj.demo.ins_log ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // and the warehouse's own reader sees the inserted row too
+    assert(wh.read(tgt).count() === 3)
+
+    // partitioned: INSERT INTO must fail at analysis, not corrupt layout
+    // (fixture re-points RootConf at its own fresh warehouse)
+    val (wh2, ptgt) = fixture("ins_part")
+    mkBatch(Seq((9L, "2024-01-09 10:00:00", "x", 9.0)))
+      .createOrReplaceTempView("ins_bad")
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graft.proj.demo.ins_part SELECT * FROM ins_bad"))
+    assert(e.getMessage.toLowerCase.matches("(?s).*(support|writ).*"),
+      s"unexpected error: ${e.getMessage}")
+    // table unharmed: still 3 rows, still readable
+    assert(rows(wh2, ptgt).size === 3)
+  }
+
   test("catalog SQL DDL + all-SQL merge-then-select roundtrip") {
     val (_, _) = fixture("cat2")
     // SHOW TABLES via listTables

@@ -125,5 +125,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("tfidf_topk: bounded top-k aggregate — no per-query rank window") {
+    val p = planOf("tfidf_topk")
+    assert(p.contains("bounded_top_k"), "BoundedTopK aggregate must rank")
+    assert(!p.contains("Window"), "no rank window stage expected")
+    assert(!p.contains("CartesianProduct"), "no all-pairs operator")
+  }
+
+  test("dup_spans: equi-joins only; gram count has map-side partials") {
+    val p = planOf("dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram flagging must stay an equi-join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "gram occurrence count needs partial+final aggregation")
+  }
+
+  test("url_dedup / quality_filter: pure projection + aggregations, no join surprises") {
+    val pu = planOf("url_dedup")
+    assert("HashAggregate".r.findAllIn(pu).size >= 2,
+      "canonical-url groupBy needs map-side partials")
+    assert(!pu.contains("CartesianProduct"))
+    val pq = planOf("quality_filter")
+    assert(!pq.contains("CartesianProduct") && !pq.contains("SortMergeJoin"),
+      "metric joins on doc id must broadcast/hash at gate scale")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

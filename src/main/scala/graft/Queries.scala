@@ -887,6 +887,25 @@ object Queries {
         FROM nation
         ORDER BY n_nationkey""")),
 
+    // DSv2 DDL: CREATE TABLE AS SELECT through the catalog (create =
+    // sidecar schema, fill = v2 parquet append), read back via SQL.
+    QueryDef("ctas_catalog",
+      (s, dir) => {
+        val wh = tmpWarehouse(s)
+        s.conf.set(graft.sql.GraftMergeInto.RootConf, wh.root)
+        t(s, dir, "region").createOrReplaceTempView("region_v")
+        s.sql("""
+          CREATE TABLE graft.proj.demo.region_ctas
+          AS SELECT r_regionkey, r_name FROM region_v""")
+        s.sql("""
+          SELECT r_regionkey, r_name
+          FROM graft.proj.demo.region_ctas ORDER BY r_regionkey""")
+      },
+      Some("""
+        SELECT r_regionkey, r_name
+        FROM region
+        ORDER BY r_regionkey""")),
+
     // A1 end-to-end: two incremental_log runs over events; final target =
     // exactly one copy of every event with ts <= second window end.
     QueryDef("a1_incremental_log",

@@ -87,6 +87,30 @@ class GraftCatalog extends TableCatalog {
     if (wh.readPartitionMeta(id).isDefined) new GraftReadOnlyTable(pt) else pt
   }
 
+  /** CREATE TABLE / CTAS for UNpartitioned tables: materialize the
+    * `_schema` sidecar (zero-row table — the reference's empty-batch
+    * first run), then the v2 parquet append fills it (Spark's non-staged
+    * CTAS = createTable + write). PARTITIONED BY is rejected: partitioned
+    * tables are built by the materializations, whose writes go through
+    * the crash-safe swap protocol. */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName catalog: PARTITIONED BY is not supported in CREATE TABLE — " +
+          "partitioned tables are created by the materializations / MERGE path")
+    val wh = warehouse()
+    val id = tableId(ident)
+    if (wh.exists(id))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    wh.createEmpty(id, StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))))
+    loadTable(ident)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val wh = warehouse()
     val id = tableId(ident)

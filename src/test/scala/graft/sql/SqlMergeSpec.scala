@@ -216,6 +216,31 @@ class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(wh2, ptgt).size === 3)
   }
 
+  test("catalog CREATE TABLE + CTAS: unpartitioned only; schema lands in the sidecar") {
+    val wh = new Warehouse(Files.createTempDirectory("graft_sqlwh_").toString, spark)
+    spark.conf.set(GraftMergeInto.RootConf, wh.root)
+
+    // plain CREATE TABLE: zero-row table, readable immediately
+    spark.sql("CREATE TABLE graft.proj.demo.ct_empty (id BIGINT, v STRING)")
+    assert(spark.sql("SELECT * FROM graft.proj.demo.ct_empty").count() === 0)
+    // and the warehouse reader resolves the schema from the sidecar
+    assert(wh.read(TableId("proj", "demo", "ct_empty")).schema.fieldNames.toSeq
+      === Seq("id", "v"))
+
+    // CTAS: create + v2 append in one statement
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.proj.demo.ct_full AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT id, v FROM graft.proj.demo.ct_full ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+
+    // duplicate name refused; PARTITIONED BY refused
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.proj.demo.ct_full (id BIGINT)"))
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.proj.demo.ct_part (id BIGINT, d DATE) PARTITIONED BY (d)"))
+    assert(e.getMessage.toLowerCase.contains("partitioned"))
+  }
+
   test("catalog SQL DDL + all-SQL merge-then-select roundtrip") {
     val (_, _) = fixture("cat2")
     // SHOW TABLES via listTables

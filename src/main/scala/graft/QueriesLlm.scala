@@ -387,6 +387,33 @@ object QueriesLlm {
         FROM s
         ORDER BY shard, pos""")),
 
+    // ---- corpus mixing: per-source weights, deterministic copies --------
+    // en upsampled 2.5x, de halved, everything else kept — both engines
+    // derive the identical per-doc copy count from the md5 bucket.
+    QueryDef("corpus_mix",
+      (s, dir) =>
+        Sampling.weightedMix(
+            Tables.read(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang", Map("en" -> 2.5, "de" -> 0.5))
+          .select(col("doc_id"), col("lang"), col("epoch"))
+          .orderBy("doc_id", "epoch"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5 ELSE 1.0 END wt,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS BIGINT) % 100 h
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang,
+                 CAST(floor(wt) AS BIGINT) +
+                   (CASE WHEN h < CAST(round((wt - floor(wt)) * 100) AS BIGINT)
+                         THEN 1 ELSE 0 END) n
+          FROM w)
+        SELECT doc_id, lang, CAST(r.i AS BIGINT) AS epoch
+        FROM c, unnest(range(1, n + 1)) r(i)
+        WHERE n > 0
+        ORDER BY doc_id, epoch""")),
+
     // ---- text analysis -------------------------------------------------
     QueryDef("text_stats",
       (s, dir) => {

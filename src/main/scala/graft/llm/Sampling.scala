@@ -60,4 +60,38 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < rate)
   }
+
+  /** Corpus mixing: per-source REAL-valued weights, up- and down-sampling
+    * in one operator — the data-mixing step that turns curated sources
+    * into a training distribution (2.5 means every doc appears twice and
+    * half the docs a third time; 0.5 means half the docs appear once).
+    *
+    * Each row is emitted `floor(w)` times, plus one more iff its hash
+    * bucket clears the fractional part — so the realized copy count is a
+    * deterministic function of (id, seed), reproducible across reruns,
+    * engines, and cluster layouts, and the expected multiplicity is
+    * exactly w. The emitted `epoch` column (1-based copy index) is what
+    * downstream shuffles key on so repeats land in different shards.
+    *
+    * Fractions are resolved at percent granularity (`round(frac*100)`):
+    * coarse enough to be float-exact cross-engine, fine enough for mix
+    * design. Pure projection + explode — no shuffle, no state. */
+  def weightedMix(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: String = "mix"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "weightedMix: weights must be in [0, 100]")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val fracPct = round((w - floor(w)) * 100).cast("long")
+    val tail = hashBucket(concat(col(idCol).cast("string"), lit(":"), lit(seed)))
+      .lt(fracPct)
+    val copies = floor(w).cast("long") + when(tail, 1L).otherwise(0L)
+    df.withColumn("__n_copies", copies)
+      .filter(col("__n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n_copies"))))
+      .drop("__n_copies")
+  }
 }

@@ -66,6 +66,36 @@ class SamplingSpec extends SparkSpec {
     assert(c.toSeq != a.toSeq, "re-seeding must yield an independent permutation")
   }
 
+  test("weightedMix: copy counts bracket the weight; epochs dense; deterministic") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i <= 200) "up" else if (i <= 300) "down" else "keep"))
+      .toDF("doc_id", "src")
+    val mix = Sampling.weightedMix(docs, "doc_id", "src",
+      Map("up" -> 2.5, "down" -> 0.5))
+    val counts = mix.groupBy("doc_id", "src").count()
+      .as[(Long, String, Long)].collect()
+    val bySrc = counts.groupBy(_._2)
+    // up: every doc 2 or 3 copies; down: only 1-copy survivors; keep: exactly 1
+    assert(bySrc("up").forall(c => c._3 == 2L || c._3 == 3L))
+    assert(bySrc("down").forall(_._3 == 1L))
+    assert(bySrc("keep").forall(_._3 == 1L))
+    // realized fractions track the design (md5 buckets; 200/100 docs)
+    val upThird = bySrc("up").count(_._3 == 3L)
+    assert(upThird > 60 && upThird < 140, s"~50% of 'up' expected 3 copies, got $upThird")
+    val downKept = bySrc("down").size
+    assert(downKept > 25 && downKept < 75, s"~50% of 'down' expected kept, got $downKept")
+    // epochs are dense 1..n per doc
+    val upDoc = bySrc("up").find(_._3 == 3L).get._1
+    val eps = mix.filter(col("doc_id") === upDoc)
+      .select("epoch").as[Long].collect().sorted
+    assert(eps.toSeq == Seq(1L, 2L, 3L))
+    // deterministic: a second run yields the identical multiset
+    val again = Sampling.weightedMix(docs, "doc_id", "src",
+      Map("up" -> 2.5, "down" -> 0.5))
+      .groupBy("doc_id", "src").count().as[(Long, String, Long)].collect()
+    assert(again.sorted.toSeq == counts.sorted.toSeq)
+  }
+
   test("topTokens: counts and deterministic tie order on a known corpus") {
     val tiny = Seq("b b a", "a c B").toDF("text").withColumn("id", lit(1L))
     val out = TextStats.topTokens(tiny, "text", 3)

@@ -336,6 +336,25 @@ object QueriesExt {
     // ---- HLL distinct with accuracy audit: the gate pins hll_ok=true,
     // i.e. the sketch estimate lands within 5% of exact (both computed
     // Spark-side; exact cross-checked against DuckDB).
+    // Heavy hitters over the token stream: exact top-20 cross-engine,
+    // Count-Min estimate audited against its structural bounds (never
+    // under, over by at most eps*N) — cms_ok pinned true in the oracle.
+    QueryDef("heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.read(s, dir, "documents")
+          .select(explode(graft.llm.Dedup.tokens(col("text"))).as("token"))
+        graft.operators.ApproxAgg.heavyHittersAudit(toks, "token", k = 20)
+          .orderBy(col("n_exact").desc, col("value"))
+      },
+      Some("""
+        WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                     x -> len(x) > 0)) token
+                   FROM documents),
+        c AS (SELECT token AS value, CAST(COUNT(*) AS BIGINT) n_exact
+              FROM t GROUP BY 1)
+        SELECT value, n_exact, TRUE AS cms_ok
+        FROM c ORDER BY n_exact DESC, value LIMIT 20""")),
+
     QueryDef("approx_distinct_users",
       (s, dir) =>
         ApproxAgg.distinctAudit(Tables.events(s, dir),

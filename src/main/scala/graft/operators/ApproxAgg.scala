@@ -30,6 +30,42 @@ object ApproxAgg {
         abs(col("n_approx") - col("n_exact")).cast("double") <=
           lit(relTol) * col("n_exact"))
 
+  /** Heavy hitters with a Count-Min audit: the exact top-k values of
+    * `valueCol` (count desc, value asc — deterministic ties) checked
+    * against a Count-Min sketch built in ONE distributed pass
+    * (`df.stat.countMinSketch` — per-partition sketches merged
+    * associatively, the mergeable-summary shape that replaces a full
+    * count-groupBy when only the heads matter at 100 TB).
+    *
+    * Audit per hitter: `cms_ok` = the estimate is >= the true count (CMS
+    * never underestimates — a structural guarantee) AND <= true + eps*N
+    * (the sketch's width bound; holds with prob. `confidence`, and
+    * deterministically for a fixed seed once measured at gate scale).
+    * Production runs keep the sketch and drop the exact pass; the audit
+    * form is the small-SF gate run before trusting it. */
+  def heavyHittersAudit(
+      df: DataFrame, valueCol: String, k: Int,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val n = df.count()
+    val cms = df.stat.countMinSketch(valueCol, eps, confidence, seed)
+    val spark = df.sparkSession
+    val bound = math.ceil(eps * n).toLong
+    val exact = df.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("value"))
+      .limit(k)
+      .collect() // k rows — bounded driver state
+    val rows = exact.toSeq.map { r =>
+      val v = r.get(0)
+      val ne = r.getLong(1)
+      val est = cms.estimateCount(v)
+      (v.toString, ne, est >= ne && est <= ne + bound)
+    }
+    import spark.implicits._
+    rows.toDF("value", "n_exact", "cms_ok")
+  }
+
   /** Per group, for each requested percentile p: the exact
     * (interpolating) percentile `exact_p<P>`, the sketch estimate
     * `approx_p<P>`, and `ok_p<P>` = within `relTol` relative error. */

@@ -35,4 +35,17 @@ class ApproxAggSpec extends SparkSpec {
       assert(r.getAs[Double]("exact_p50") <= r.getAs[Double]("exact_p95"))
     }
   }
+
+  test("heavyHittersAudit: exact heads, deterministic ties, CMS bounds hold") {
+    val sp = spark
+    import sp.implicits._
+    val data = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++ Seq.fill(50)("ab") ++
+      (1 to 30).map(i => s"rare_$i")).toDF("v")
+    val got = ApproxAgg.heavyHittersAudit(data, "v", k = 3)
+      .as[(String, Long, Boolean)].collect()
+    // count desc, value asc on the tie: a(100), ab(50), b(50)
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", 100L), ("ab", 50L), ("b", 50L)))
+    assert(got.forall(_._3), "CMS estimate must bracket the true count")
+  }
 }

@@ -887,6 +887,28 @@ object Queries {
         FROM nation
         ORDER BY n_nationkey""")),
 
+    // Schema drift on append (the reference's append_new_columns shape):
+    // a later batch carries a new column; the sidecar widens once, and
+    // pre-drift rows surface NULL for it — no mergeSchema footer scans.
+    QueryDef("schema_drift",
+      (s, dir) => {
+        val wh = tmpWarehouse(s)
+        val tgt = TableId("proj", "demo", "drifted")
+        wh.append(tgt, t(s, dir, "region").select(
+          col("r_regionkey").as("k"), col("r_name").as("name")))
+        wh.append(tgt, t(s, dir, "nation").select(
+          (col("n_nationkey") + 100).as("k"), col("n_name").as("name"),
+          col("n_regionkey").as("extra_key")))
+        wh.read(tgt).select("k", "name", "extra_key").orderBy("k")
+      },
+      Some("""
+        SELECT r_regionkey AS k, r_name AS name, CAST(NULL AS BIGINT) AS extra_key
+        FROM region
+        UNION ALL
+        SELECT n_nationkey + 100 AS k, n_name AS name, n_regionkey AS extra_key
+        FROM nation
+        ORDER BY k""")),
+
     // DSv2 DDL: CREATE TABLE AS SELECT through the catalog (create =
     // sidecar schema, fill = v2 parquet append), read back via SQL.
     QueryDef("ctas_catalog",

@@ -387,6 +387,24 @@ object QueriesLlm {
         FROM s
         ORDER BY shard, pos""")),
 
+    // ---- LM count table: corpus-wide trigram counts, top-100 ------------
+    QueryDef("ngram_counts",
+      (s, dir) =>
+        TextStats.ngramCounts(Tables.read(s, dir, "documents"), "text", n = 3)
+          .orderBy(desc("n"), col("gram"))
+          .limit(100),
+      Some("""
+        WITH d AS (SELECT list_filter(string_split(lower(text), ' '),
+                     x -> len(x) > 0) w
+                   FROM documents),
+        g AS (SELECT array_to_string(list_slice(w, CAST(r.i AS INT),
+                       CAST(r.i AS INT) + 2), ' ') gram
+              FROM d, unnest(range(1, len(w) - 1)) r(i))
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY 1
+        ORDER BY n DESC, gram
+        LIMIT 100""")),
+
     // ---- corpus mixing: per-source weights, deterministic copies --------
     // en upsampled 2.5x, de halved, everything else kept — both engines
     // derive the identical per-doc copy count from the md5 bucket.

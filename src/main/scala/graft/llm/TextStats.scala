@@ -185,6 +185,25 @@ object TextStats {
       .orderBy(desc("n"), col("token"))
       .limit(k)
 
+  /** Corpus-wide word n-gram counts WITH multiplicity — the language-model
+    * count-table primitive (KenLM-style estimation starts here). Same
+    * map-side-combinable shape as [[topTokens]]: explode + hash aggregate,
+    * so the shuffle carries one partial count per distinct gram per
+    * mapper. The gram space grows combinatorially with n, which keeps
+    * per-key counts low and the key distribution uniform — no hot keys
+    * beyond genuinely viral phrases. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "ngramCounts: n must be >= 1")
+    val toks = Dedup.tokens(col(textCol))
+    val upper = size(toks) - (n - 1)
+    val grams = when(upper < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), upper), i =>
+        array_join(slice(toks, i, lit(n)), " ")))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Windowed min-fingerprint (winnowing-lite): hash every `w`-char
     * window (md5 prefix standing in for a Rabin rolling hash — same
     * windowed-min structure, engine-portable), keep the minimum — a

@@ -334,6 +334,15 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
   }
 
+  test("ngramCounts: multiplicity kept, short docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq("a b a b a", "a b a", "xy").toDF("text")
+    val out = TextStats.ngramCounts(docs, "text", n = 3)
+      .orderBy(desc("n"), col("gram")).as[(String, Long)].collect()
+    // doc1 trigrams: "a b a","b a b","a b a"; doc2: "a b a"; doc3: none
+    assert(out === Seq(("a b a", 3L), ("b a b", 1L)))
+  }
+
   test("tfidfTopK: exact fixed-point scores, rare-term weighting, id tie-break") {
     import spark.implicits._
     val docs = Seq(

@@ -48,6 +48,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(tgtDir).count() == 3)
   }
 
+  test("streamingMergeUpsert: crash mid-merge, restart replays the batch, end state converges") {
+    import graft.core.TableId
+    import graft.materialize.MergeConfig
+    import graft.warehouse.Warehouse
+
+    val wh = new Warehouse(Files.createTempDirectory("graft_smu_wh_").toString, spark)
+    val tgt = TableId("proj", "stream", "crash_upsert")
+    val cfg = MergeConfig(partitionField = "ts", uniqueKey = Seq("id"))
+    val srcDir = Files.createTempDirectory("graft_smu_src_").toString
+    val ckpt = Files.createTempDirectory("graft_smu_ck_").toString
+    def batchDf(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+    // seed the target so the stream's merge REWRITES a partition (the
+    // swap path the fault hook interrupts)
+    new graft.materialize.MergeIntoPartitioned(wh, spark).run(
+      batchDf(Seq((1L, "2024-01-01 10:00:00", "stale"))), tgt, cfg)
+    batchDf(Seq((1L, "2024-01-01 11:00:00", "fresh"),
+        (2L, "2024-01-02 11:00:00", "new")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    // arm the fault: the first merge crashes mid-swap; the streaming
+    // query surfaces the failure and the checkpoint does NOT commit
+    wh.failAfterSwaps = 0
+    val q1 = StreamingIncremental.streamingMergeUpsert(
+      spark, srcDir, schema, wh, tgt, cfg, ckpt)
+    val e = intercept[Exception](q1.awaitTermination())
+    assert(e.getMessage != null)
+    // target stayed readable throughout (heal-on-read rolls back)
+    assert(wh.read(tgt).count() == 1)
+
+    // restart: the uncommitted batch replays, recovery heals first,
+    // the merge converges to the correct end state
+    val q2 = StreamingIncremental.streamingMergeUpsert(
+      spark, srcDir, schema, wh, tgt, cfg, ckpt)
+    q2.awaitTermination()
+    val got = wh.read(tgt).select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "fresh"), (2L, "new")))
+
+    // and a third run is a checkpointed no-op
+    val q3 = StreamingIncremental.streamingMergeUpsert(
+      spark, srcDir, schema, wh, tgt, cfg, ckpt)
+    q3.awaitTermination()
+    assert(wh.read(tgt).count() == 2)
+  }
+
   test("windowedCounts: tumbling window with watermark aggregates by event time") {
     val srcDir = Files.createTempDirectory("graft_stream_w_").toString
     val ckpt = Files.createTempDirectory("graft_stream_wck_").toString

@@ -680,6 +680,58 @@ object QueriesExt {
         FROM n LEFT JOIN agg USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- passage excision: remove leaked spans, keep the document ------
+    // Blocklist = the first 10 tokens of every doc_id % 100 == 7 (a
+    // synthetic eval set drawn from the corpus, so excisions are
+    // guaranteed); both engines flag 5-gram hits, merge spans, and
+    // reassemble the survivors.
+    QueryDef("excise_passages",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val bl = docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 10), " ").as("text"))
+        Curation.excisePassages(docs, bl, "text", "doc_id", shingleN = 5)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        blsrc AS (SELECT list_slice(w, 1, 10) bw FROM d WHERE doc_id % 100 = 7),
+        bl AS (SELECT DISTINCT array_to_string(
+                 list_slice(bw, CAST(r.i AS INT), CAST(r.i AS INT) + 4), ' ') gram
+               FROM blsrc, unnest(range(1, len(bw) - 3)) r(i)),
+        g AS (SELECT doc_id, CAST(r.i AS INT) pos,
+                     array_to_string(list_slice(w, CAST(r.i AS INT), CAST(r.i AS INT) + 4), ' ') gram
+              FROM d, unnest(range(1, len(w) - 3)) r(i)),
+        f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM bl)),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483647) + 5
+                       THEN 1 ELSE 0 END new_span
+                FROM f),
+        sp AS (SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) span_id
+               FROM isl),
+        spans AS (SELECT doc_id, span_id, MIN(pos) s, MAX(pos) + 4 e
+                  FROM sp GROUP BY 1, 2),
+        cov AS (SELECT doc_id, CAST(r.i AS INT) cpos
+                FROM spans, unnest(range(s, e + 1)) r(i)),
+        tok AS (SELECT doc_id, CAST(r.i AS INT) i, w[CAST(r.i AS INT)] tok
+                FROM d, unnest(range(1, len(w) + 1)) r(i)),
+        kept AS (SELECT t.doc_id, t.i, t.tok
+                 FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.cpos
+                 WHERE c.cpos IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) text_clean
+                FROM kept GROUP BY 1),
+        nrem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_removed FROM cov GROUP BY 1)
+        SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               COALESCE(n_removed, 0) AS n_removed,
+               COALESCE(text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nrem USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ---- overlapping context windows: 32-token windows, stride 16 ------
     QueryDef("sliding_windows",
       (s, dir) => {

@@ -268,6 +268,61 @@ object Curation {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Passage EXCISION — decontamination that removes the leaked spans
+    * instead of dropping whole documents (the surgical variant of
+    * [[decontaminate]]: a 100k-token document with one leaked benchmark
+    * question keeps its other 99.99%). Every corpus position whose
+    * `n`-gram appears anywhere in the blocklist is flagged; flagged
+    * positions merge to maximal spans (same gaps-and-islands kernel as
+    * [[duplicatedSpans]]); the surviving tokens reassemble in order.
+    *
+    * Scale shape: blocklist grams are distinct-deduped and small (eval
+    * sets are MBs) — AQE broadcasts them; the corpus side is one explode
+    * + semi-join; covered positions per doc are bounded by document
+    * length, so the per-doc regroup carries no skew beyond genuinely
+    * contaminated giants.
+    *
+    * Output per document: n_tokens, n_removed, text_clean. */
+  def excisePassages(
+      corpus: DataFrame, blocklist: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 5): DataFrame = {
+    def withGrams(df: DataFrame, id: Column) = {
+      val toks = Dedup.tokens(col(textCol))
+      val upper = size(toks) - (shingleN - 1)
+      df.select(id.as("id"),
+          when(upper < 1, array().cast("array<struct<pos:int,g:string>>"))
+            .otherwise(transform(sequence(lit(1), upper), i =>
+              struct(i.cast("int").as("pos"),
+                array_join(slice(toks, i, lit(shingleN)), " ").as("g")))).as("pg"))
+        .select(col("id"), explode(col("pg")).as("pg"))
+        .select(col("id"), col("pg.pos").as("pos"), md5(col("pg.g")).as("h"))
+    }
+    val bl = withGrams(blocklist, col(idCol)).select("h").distinct()
+    val flagged = withGrams(corpus, col(idCol)).join(bl, Seq("h"), "left_semi")
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val prevMaxStart = max(col("pos"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = flagged
+      .withColumn("new_span",
+        when(prevMaxStart.isNull || col("pos") > prevMaxStart + lit(shingleN), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(wOrd))
+      .groupBy("id", "span_id")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(shingleN - 1)).as("e"))
+    val covered = spans
+      .select(col("id"), explode(sequence(col("s"), col("e"))).as("cpos"))
+      .groupBy("id").agg(collect_list(col("cpos")).as("cov"))
+    corpus.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("toks"), (t, i) =>
+            col("cov").isNull || !array_contains(col("cov"), i + 1)),
+          " ").as("text_clean"))
+  }
+
   /** Thresholds for [[gopherQualityFilter]]. Defaults follow the Gopher
     * paper's pretraining-filter family, loosened on the word-count floor
     * so short-but-clean docs are judged by the ratio rules instead of

@@ -124,6 +124,31 @@ class CurationSpec extends SparkSpec {
       ("https://other.com/b", 7L, 1L)))
   }
 
+  test("excisePassages: leaked span removed, clean doc untouched, full wipe to empty") {
+    val corpus = Seq(
+      (1L, "x1 x2 q1 q2 q3 q4 q5 y1 y2"),   // one leaked 5-gram at pos 3
+      (2L, "clean words only here nothing shared at all"),
+      (3L, "q1 q2 q3 q4 q5")                 // the whole doc IS the leak
+    ).toDF("doc_id", "text")
+    val bl = Seq((100L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val out = Curation.excisePassages(corpus, bl, "text", "doc_id", shingleN = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Seq(
+      (1L, 9L, 5L, "x1 x2 y1 y2"),
+      (2L, 8L, 0L, "clean words only here nothing shared at all"),
+      (3L, 5L, 5L, "")))
+  }
+
+  test("excisePassages: overlapping hits merge into one excised span") {
+    // blocklist covers positions 1..6 via two overlapping 5-grams
+    val corpus = Seq((1L, "a b c d e f tail1 tail2")).toDF("doc_id", "text")
+    val bl = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Curation.excisePassages(corpus, bl, "text", "doc_id", shingleN = 5)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Seq((1L, 8L, 6L, "tail1 tail2")))
+  }
+
   test("duplicatedSpans: cross-doc share, within-doc repeat, merge, short docs") {
     val docs = Seq(
       (1L, "a b c d e f g h"),           // shares grams@{1,2} with doc 2 -> one merged span

@@ -122,4 +122,88 @@ class OperatorPropertySpec extends SparkSpec {
       assert(out(id) === want, s"id $id key $k t $t")
     }
   }
+
+  /** Reference span-merger shared by the two gram-flagging properties:
+    * positions -> (spanCount, coveredTokens) under [p, p+n-1] intervals. */
+  private def refSpans(flagged: Seq[Int], n: Int): (Long, Long) = {
+    if (flagged.isEmpty) return (0L, 0L)
+    val sorted = flagged.distinct.sorted
+    var spans = 0L; var covered = 0L
+    var s = sorted.head; var e = sorted.head + n - 1
+    for (p <- sorted.tail) {
+      if (p > e + 1) { spans += 1; covered += e - s + 1; s = p }
+      e = p + n - 1
+    }
+    (spans + 1, covered + e - s + 1)
+  }
+
+  test("prop: duplicatedSpans agrees with a brute-force reference on random corpora") {
+    val n = 4
+    // tiny vocabulary forces real cross-doc gram collisions
+    val docs = samples(Gen.listOfN(18, Gen.chooseNum(0, 5)), 60)
+      .zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.map("t" + _).mkString(" ")) }
+    val gramsOf = docs.map { case (id, text) =>
+      id -> text.split(" ").toSeq.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    }.toMap
+    val global = gramsOf.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val want = docs.map { case (id, text) =>
+      val flagged = gramsOf(id).zipWithIndex.collect {
+        case (g, i) if global(g) > 1 => i + 1 }
+      val (sp, cov) = refSpans(flagged, n)
+      (id, text.split(" ").length.toLong, sp, cov)
+    }.sortBy(_._1)
+    val got = graft.llm.Curation.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minLen = n)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("prop: excisePassages — excised count matches reference; survivors = uncovered tokens in order") {
+    val n = 3
+    val docs = samples(Gen.listOfN(14, Gen.chooseNum(0, 4)), 50)
+      .zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.map("w" + _).mkString(" ")) }
+    val blTexts = docs.filter(_._1 % 10 == 3).map(_._2.split(" ").take(6).mkString(" "))
+    val bl = blTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val blGrams = blTexts.flatMap(_.split(" ").toSeq.sliding(n).filter(_.size == n)
+      .map(_.mkString(" "))).toSet
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val flagged = toks.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.size == n && blGrams(g.mkString(" ")) => i + 1 }.toSeq
+      val coveredSet = flagged.flatMap(p => p until (p + n)).toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !coveredSet(i + 1) => t }
+      (id, toks.size.toLong, coveredSet.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    val got = graft.llm.Curation.excisePassages(docs.toDF("doc_id", "text"),
+        bl.toDF("doc_id", "text"), "text", "doc_id", shingleN = n)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("prop: canonicalizeUrl is idempotent and drops every tracking param") {
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Ex.com", "a.b.org", "SITE7.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/A/b", "/x/", "/p//")
+      params <- Gen.someOf(Seq("utm_source=1", "b=2", "a=1", "fbclid=z", "ref=t", "pref=9"))
+      frag <- Gen.oneOf("", "#frag")
+    } yield s"$scheme://$www$host$port$path" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+    val urls = samples(gen, 150).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val once = graft.llm.Curation.canonicalizeUrl(col("url"))
+    val out = urls.toDF("i", "url")
+      .select(col("i"), once.as("c1"),
+        graft.llm.Curation.canonicalizeUrl(once).as("c2"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (i, c1, c2) =>
+      assert(c1 === c2, s"not idempotent for ${urls(i.toInt)._2}")
+      assert(!c1.contains("utm_") && !c1.contains("fbclid") &&
+        !c1.matches(".*[?&]ref=.*"), s"tracking param survived: $c1")
+      assert(!c1.contains("#"), s"fragment survived: $c1")
+    }
+  }
 }

@@ -78,7 +78,21 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
       cfg: IncrementalLogConfig = IncrementalLogConfig(),
       fullRefresh: Boolean = false,
       prov: Provenance = Provenance.empty,
-      now: () => String = () => Ts.format(java.time.Instant.now())): RunWindow = {
+      now: () => String = () => Ts.format(java.time.Instant.now())): RunWindow =
+    // one writer per table, ENFORCED (see Warehouse.withWriterLease)
+    wh.withWriterLease(target) {
+      runLocked(model, target, ref, env, cfg, fullRefresh, prov, now)
+    }
+
+  private def runLocked(
+      model: () => DataFrame,
+      target: TableId,
+      ref: ModelRef,
+      env: Env,
+      cfg: IncrementalLogConfig,
+      fullRefresh: Boolean,
+      prov: Provenance,
+      now: () => String): RunWindow = {
 
     val logTable = log.logTableFor(target, ref.domain)
     val runStarted = now()

@@ -77,7 +77,16 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
       batch: DataFrame,
       target: TableId,
       cfg: MergeConfig,
-      fullRefresh: Boolean = false): Unit = {
+      fullRefresh: Boolean = false): Unit =
+    // one writer per table, ENFORCED: a racing materialization fails fast
+    // instead of interleaving stage/swap state with this one
+    wh.withWriterLease(target) { runLocked(batch, target, cfg, fullRefresh) }
+
+  private def runLocked(
+      batch: DataFrame,
+      target: TableId,
+      cfg: MergeConfig,
+      fullRefresh: Boolean): Unit = {
 
     // Heal any interrupted earlier swap BEFORE any listing of the target:
     // Spark lists parquet files eagerly at read time, so planning against

@@ -36,6 +36,48 @@ final class Warehouse(val root: String, spark: SparkSession) {
     fs(p).exists(p)
   }
 
+  /** Advisory single-writer lease. The warehouse's write protocols assume
+    * ONE writer per table (the same assumption the reference delegates to
+    * BigQuery's job-level locking); this makes the assumption ENFORCED
+    * instead of hoped-for when two schedulers race the same model: the
+    * second materialization fails fast with a clear owner message rather
+    * than interleaving stage/swap state.
+    *
+    * Mechanics: `create(lock, overwrite=false)` — atomic on HDFS; a
+    * check-then-create race window exists on the local filesystem, which
+    * is fine for an ADVISORY guard. A lease older than `ttlMs` is
+    * presumed crashed and broken (the swap journal, not the lease, is
+    * what protects data). Reentrant per (JVM, table) so a materialization
+    * can lease around warehouse primitives that lease themselves. */
+  def withWriterLease[T](id: TableId, ttlMs: Long = 15L * 60 * 1000)(body: => T): T = {
+    val key = pathOf(id)
+    if (Warehouse.heldLeases.get().contains(key)) return body // reentrant
+    // SIBLING of the table dir, not inside it: creating the lock must not
+    // make `exists(id)` true for a never-written table (first-run CTAS
+    // semantics key off directory existence)
+    val lock = new Path(pathOf(id) + "._writer_lock")
+    val f = fs(lock)
+    if (f.exists(lock) &&
+        System.currentTimeMillis - f.getFileStatus(lock).getModificationTime > ttlMs)
+      f.delete(lock, false) // stale: owner presumed dead; journal guards the data
+    val out =
+      try f.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"table $id is locked by another writer (${lock}); " +
+            "concurrent materializations of one table are not supported")
+      }
+    out.write((java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      " " + System.currentTimeMillis).getBytes("UTF-8"))
+    out.close()
+    Warehouse.heldLeases.get().add(key)
+    try body
+    finally {
+      Warehouse.heldLeases.get().remove(key)
+      f.delete(lock, false)
+    }
+  }
+
   /** The `_schema` sidecar (underscore-hidden: ignored by data reads) is
     * the table's authoritative logical schema, maintained by every write
     * path. Reads resolve the schema from this ONE footer; without it a
@@ -460,6 +502,10 @@ object Warehouse {
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos")
   private[warehouse] val objectStoreWarned =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Per-thread set of table paths whose writer lease this thread holds —
+    * makes [[Warehouse.withWriterLease]] reentrant per (thread, table). */
+  private[warehouse] val heldLeases =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet[String]())
 }
 
 /** Table + column documentation for persist_docs (macro persist_docs /

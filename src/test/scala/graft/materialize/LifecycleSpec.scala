@@ -740,5 +740,56 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rawRows(wh, tgt) == preMergeExpected)
   }
 
+  test("writer lease: concurrent materialization fails fast; lease released on success and failure; stale lease broken") {
+    val wh = freshWh()
+    val tgt = TableId("proj", "sales_orders", "leased")
+    val m = new MergeIntoPartitioned(wh, spark)
+
+    // a merge inside a held lease = a racing second writer: fails fast
+    wh.withWriterLease(tgt) {
+      // reentrancy is per-thread — simulate the second writer's thread
+      val t = new Thread(() =>
+        try {
+          m.run(mkBatch(Seq((1L, "2024-01-01 10:00:00", "x", 1.0))), tgt, mcfg)
+          fail("racing merge must not proceed under a held lease")
+        } catch {
+          case e: IllegalStateException =>
+            assert(e.getMessage.contains("locked by another writer"))
+          case e: Throwable => fail(s"unexpected: $e")
+        })
+      t.start(); t.join()
+    }
+    // released after the block: a normal merge now runs
+    m.run(mkBatch(Seq((1L, "2024-01-01 10:00:00", "v1", 1.0))), tgt, mcfg)
+    assert(wh.read(tgt).count() == 1)
+
+    // released after FAILURE too: arm a crash, the retry is not locked out
+    wh.failAfterSwaps = 0
+    intercept[Exception] {
+      m.run(mkBatch(Seq((1L, "2024-01-01 11:00:00", "v2", 1.0))), tgt, mcfg)
+    }
+    m.run(mkBatch(Seq((1L, "2024-01-01 11:00:00", "v2", 1.0))), tgt, mcfg)
+    assert(wh.read(tgt).select("status").as[String].collect().toSeq == Seq("v2"))
+
+    // reentrant: a lease-holding job can call the leasing materialization
+    wh.withWriterLease(tgt) {
+      m.run(mkBatch(Seq((2L, "2024-01-02 10:00:00", "v3", 2.0))), tgt, mcfg)
+    }
+    assert(wh.read(tgt).count() == 2)
+
+    // a live foreign lock blocks a merge outright...
+    val lockPath = new org.apache.hadoop.fs.Path(wh.pathOf(tgt) + "._writer_lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lockPath, false).close() // abandoned lock from a dead writer
+    val e = intercept[IllegalStateException] {
+      m.run(mkBatch(Seq((3L, "2024-01-03 10:00:00", "v4", 3.0))), tgt, mcfg)
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    // ...but a lease older than the TTL is presumed crashed and broken
+    wh.withWriterLease(tgt, ttlMs = -1) { assert(true) }
+    m.run(mkBatch(Seq((3L, "2024-01-03 10:00:00", "v4", 3.0))), tgt, mcfg)
+    assert(wh.read(tgt).count() == 3)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -387,6 +387,26 @@ object QueriesLlm {
         FROM s
         ORDER BY shard, pos""")),
 
+    // ---- JSONL ingestion: the crawl-dump source format -------------------
+    // documents -> JSONL on disk -> schema-pinned streamable read; the
+    // roundtrip must be byte-exact (JSON string escaping both ways).
+    QueryDef("jsonl_source",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+        docs.coalesce(2).write.mode("overwrite").json(tmp)
+        // schema pinned from the table contract, not re-inferred: at 100 TB
+        // inference is a full extra pass and type drift is silent
+        s.read.schema(docs.schema).json(tmp)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ---- LM count table: corpus-wide trigram counts, top-100 ------------
     QueryDef("ngram_counts",
       (s, dir) =>

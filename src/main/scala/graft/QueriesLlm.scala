@@ -309,14 +309,16 @@ object QueriesLlm {
         WITH d AS (SELECT doc_id,
                      list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
                    FROM documents),
+        n AS (SELECT COUNT(*) nd, greatest(1, 1099511627776 // COUNT(*)) scale
+              FROM documents),
         p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
               FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
         idf AS (SELECT term,
-                  CAST(((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) AS BIGINT) idf
+                  CAST(((SELECT nd FROM n) * (SELECT scale FROM n)) // COUNT(*) AS BIGINT) idf
                 FROM p GROUP BY term),
         q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
               FROM d WHERE doc_id % 100 = 3),
-        sc AS (SELECT q_id, p.doc_id, CAST(SUM(tf * idf) AS BIGINT) score
+        sc AS (SELECT q_id, p.doc_id, CAST(SUM(least(tf, 100000) * idf) AS BIGINT) score
                FROM q JOIN p USING (term) JOIN idf USING (term) GROUP BY 1, 2),
         r AS (SELECT q_id, doc_id, score,
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) rnk

@@ -10,6 +10,12 @@ object Verify {
     // only — the driver always runs the full surface with 2 args)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a misspelled name silently running NOTHING would read as a pass
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"Verify: unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession
       .builder(s"local[$cpus]", Some(cpus.toInt)).getOrCreate()

@@ -19,4 +19,7 @@ object VectorFunctions {
 
   def boundedTopK(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.TopKAggregate.boundedTopK(score, id, k)
+
+  def boundedTopKLong(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.TopKAggregate.boundedTopKLong(score, id, k)
 }

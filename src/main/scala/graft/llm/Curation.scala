@@ -232,36 +232,51 @@ object Curation {
     *
     * Output per document: n_tokens, n_dup_spans (maximal merged spans),
     * dup_tokens (token positions covered by any duplicated gram). */
-  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
-                      minLen: Int = 5): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
-    val upper = size(col("toks")) - (minLen - 1)
-    val grams = toks.select(col("id"),
+  /** (id, pos, h): one row per token position with the md5 of its
+    * `n`-gram (128-bit: no collision risk, constant 32-byte shuffle key).
+    * Shared gram builder for [[duplicatedSpans]] and [[excisePassages]]. */
+  private def positionedGramHashes(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val upper = size(toks) - (n - 1)
+    df.select(col(idCol).as("id"),
         when(upper < 1, array().cast("array<struct<pos:int,g:string>>"))
           .otherwise(transform(sequence(lit(1), upper), i =>
             struct(i.cast("int").as("pos"),
-              array_join(slice(col("toks"), i, lit(minLen)), " ").as("g")))).as("pg"))
+              array_join(slice(toks, i, lit(n)), " ").as("g")))).as("pg"))
       .select(col("id"), explode(col("pg")).as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), md5(col("pg.g")).as("h"))
+  }
+
+  /** Gaps-and-islands over flagged gram START positions: merge intervals
+    * [pos, pos+n-1] whose coverage touches or overlaps, yielding one row
+    * per maximal span (id, span_id, s, e). Per-doc window state is
+    * bounded by document length. Shared merge kernel. */
+  private def mergeFlaggedSpans(flagged: DataFrame, n: Int): DataFrame = {
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val prevMaxStart = max(col("pos"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("new_span",
+        when(prevMaxStart.isNull || col("pos") > prevMaxStart + lit(n), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(wOrd))
+      .groupBy("id", "span_id")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      minLen: Int = 5): DataFrame = {
+    val grams = positionedGramHashes(docs, textCol, idCol, minLen)
     // corpus-wide occurrence count per gram; >1 = duplicated
     val dupGrams = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
     val flagged = grams.join(dupGrams, Seq("h"), "left_semi")
-    // gaps-and-islands: spans [pos, pos+minLen-1] merge when the next
-    // start is within (running max end) + 1
-    val wOrd = Window.partitionBy("id").orderBy("pos")
-    val prevMaxStart = max(col("pos"))
-      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = flagged
-      .withColumn("new_span",
-        when(prevMaxStart.isNull || col("pos") > prevMaxStart + lit(minLen), 1L)
-          .otherwise(0L))
-      .withColumn("span_id", sum(col("new_span")).over(wOrd))
-    val spans = islands.groupBy("id", "span_id")
-      .agg((max(col("pos")) + lit(minLen - 1) - min(col("pos")) + 1).as("covered"))
-    val perDoc = spans.groupBy("id")
-      .agg(count(lit(1)).as("n_dup_spans"), sum(col("covered")).as("dup_tokens"))
-    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+    val perDoc = mergeFlaggedSpans(flagged, minLen).groupBy("id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs.select(col(idCol).as("id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
@@ -286,40 +301,26 @@ object Curation {
   def excisePassages(
       corpus: DataFrame, blocklist: DataFrame,
       textCol: String, idCol: String, shingleN: Int = 5): DataFrame = {
-    def withGrams(df: DataFrame, id: Column) = {
-      val toks = Dedup.tokens(col(textCol))
-      val upper = size(toks) - (shingleN - 1)
-      df.select(id.as("id"),
-          when(upper < 1, array().cast("array<struct<pos:int,g:string>>"))
-            .otherwise(transform(sequence(lit(1), upper), i =>
-              struct(i.cast("int").as("pos"),
-                array_join(slice(toks, i, lit(shingleN)), " ").as("g")))).as("pg"))
-        .select(col("id"), explode(col("pg")).as("pg"))
-        .select(col("id"), col("pg.pos").as("pos"), md5(col("pg.g")).as("h"))
-    }
-    val bl = withGrams(blocklist, col(idCol)).select("h").distinct()
-    val flagged = withGrams(corpus, col(idCol)).join(bl, Seq("h"), "left_semi")
-    val wOrd = Window.partitionBy("id").orderBy("pos")
-    val prevMaxStart = max(col("pos"))
-      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = flagged
-      .withColumn("new_span",
-        when(prevMaxStart.isNull || col("pos") > prevMaxStart + lit(shingleN), 1L)
-          .otherwise(0L))
-      .withColumn("span_id", sum(col("new_span")).over(wOrd))
-      .groupBy("id", "span_id")
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(shingleN - 1)).as("e"))
-    val covered = spans
-      .select(col("id"), explode(sequence(col("s"), col("e"))).as("cpos"))
-      .groupBy("id").agg(collect_list(col("cpos")).as("cov"))
+    val bl = positionedGramHashes(blocklist, textCol, idCol, shingleN)
+      .select("h").distinct()
+    val flagged = positionedGramHashes(corpus, textCol, idCol, shingleN)
+      .join(bl, Seq("h"), "left_semi")
+    // per doc: the SPAN list (small — one entry per leak, not per token)
+    // plus the removed-token total; reassembly tests each token against
+    // the span list, O(tokens × spans), never O(tokens × covered)
+    val spans = mergeFlaggedSpans(flagged, shingleN)
+      .groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
     corpus.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
-      .join(covered, Seq("id"), "left")
+      .join(spans, Seq("id"), "left")
       .select(col("id").as(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
-        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         array_join(
           filter(col("toks"), (t, i) =>
-            col("cov").isNull || !array_contains(col("cov"), i + 1)),
+            col("spans").isNull || !exists(col("spans"), sp =>
+              i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e"))),
           " ").as("text_clean"))
   }
 

@@ -9,26 +9,42 @@ import org.apache.spark.sql.functions._
   * most similar to this reference set") complementing the dense ANN path
   * in [[Similarity]].
   *
-  * Numeric design: IDF is FIXED-POINT — `idf = (N * IdfScale) div df`
-  * with integer division — so a document score is an exact BIGINT sum
-  * `Σ tf·idf`. Integer addition is associative: the score is independent
-  * of partition merge order (a double-precision Σ tf·log(N/df) would
-  * change in the last bits under Spark's nondeterministic partial-agg
-  * ordering and break both the cross-engine gate and run-to-run
-  * reproducibility at scale). Log-free IDF ranks identically to log IDF
-  * for single-term weighting monotonicity; relative term weighting is
-  * slightly sharper, which the quality-filter use-case tolerates.
+  * Numeric design: IDF is FIXED-POINT — `idf = (N * scale) div df` with
+  * integer division — so a document score is an exact BIGINT sum
+  * `Σ min(tf, tfCap)·idf`. Integer addition is associative: the score is
+  * independent of partition merge order (a double-precision Σ tf·log(N/df)
+  * would change in the last bits under Spark's nondeterministic
+  * partial-agg ordering and break both the cross-engine gate and
+  * run-to-run reproducibility at scale). Log-free IDF ranks identically
+  * to log IDF for single-term weighting monotonicity.
+  *
+  * Range safety at scale: the scale ADAPTS to the corpus — by default
+  * `scale = max(1, 2^40 / N)`, so `idf ≤ N·scale ≈ 2^40` regardless of
+  * corpus size, and with the tf saturation cap (`tfCap`, default 10^5 —
+  * tf saturation is standard lexical-scoring practice) a per-term
+  * contribution stays ≤ 2^57: far from Long overflow even summed over
+  * hundreds of shared query terms. Ranking uses the LONG-typed bounded
+  * heap, so scores are exact at any magnitude (the double heap would
+  * round past 2^53 and make near-ties nondeterministic).
   *
   * Scale shape: postings and document frequencies are two hash
   * aggregations on content-uniform keys; the query-term join is an
   * equi-join on `term` where the query side is tiny (AQE broadcasts it);
-  * the final rank reuses the BoundedTopK aggregate — map-side partials
+  * the final rank reuses the bounded top-k aggregate — map-side partials
   * keep ≤ k docs per query per task, never a full per-query score sort.
   */
 object Retrieval {
 
-  /** Fixed-point IDF scale: idf = (N * IdfScale) div df. */
-  val IdfScale = 1000000L
+  /** idf ceiling: the adaptive scale targets N·scale ≈ 2^40. */
+  private val IdfCeiling = 1L << 40
+
+  /** tf saturation cap (a token repeated beyond this adds nothing). */
+  val TfCap = 100000L
+
+  /** The fixed-point scale used for a corpus of `n` docs when none is
+    * given explicitly: max(1, 2^40 / n). */
+  def adaptiveIdfScale(n: Long): Long =
+    math.max(1L, IdfCeiling / math.max(n, 1L))
 
   /** Term postings: one row per (term, doc) with the term frequency.
     * One explode + one map-side-combinable aggregation. */
@@ -43,29 +59,31 @@ object Retrieval {
     * nothing (score 0 rows are never materialized).
     *
     * `nDocs` is the corpus document count for the IDF numerator; pass it
-    * when already known, else one `count()` job derives it. */
+    * when already known, else one `count()` job derives it. `idfScale`
+    * overrides the adaptive fixed-point scale (tests pin it; production
+    * leaves it adaptive). */
   def tfidfTopK(
       docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame, qTextCol: String, qIdCol: String,
-      k: Int = 10, nDocs: Option[Long] = None): DataFrame = {
-    import graft.functions.VectorFunctions.boundedTopK
+      k: Int = 10, nDocs: Option[Long] = None,
+      idfScale: Option[Long] = None): DataFrame = {
+    import graft.functions.VectorFunctions.boundedTopKLong
     val n = nDocs.getOrElse(docs.count())
+    val scale = idfScale.getOrElse(adaptiveIdfScale(n))
     val p = postings(docs, textCol, idCol)
     // df = postings rows per term (already unique per (term, doc))
     val idf = p.groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"),
-        expr(s"${n}L * ${IdfScale}L div df").as("idf"))
+        expr(s"${n}L * ${scale}L div df").as("idf"))
     val qTerms = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
     val scored = qTerms.join(p, "term").join(idf, "term")
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("tf") * col("idf")).as("score"))
-    // exact BIGINT scores are < 2^53 for any realistic corpus (tf ≤ doc
-    // length, idf ≤ N·IdfScale) — lossless through the double-typed heap
+      .agg(sum(least(col("tf"), lit(TfCap)) * col("idf")).as("score"))
     scored.groupBy("query_id")
-      .agg(boundedTopK(col("score").cast("double"), col("doc_id"), k).as("top"))
+      .agg(boundedTopKLong(col("score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("e.id").as("doc_id"), col("e.score").cast("long").as("score"))
+        col("e.id").as("doc_id"), col("e.score").as("score"))
   }
 }

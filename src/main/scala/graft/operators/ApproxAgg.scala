@@ -47,11 +47,15 @@ object ApproxAgg {
       df: DataFrame, valueCol: String, k: Int,
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
-    val n = df.count()
-    val cms = df.stat.countMinSketch(valueCol, eps, confidence, seed)
+    // NULLs: the sketch never counts them (stat.countMinSketch skips
+    // null inputs), so they must not reach the exact side either — and
+    // estimateCount(null) would NPE
+    val nn = df.filter(col(valueCol).isNotNull)
+    val cms = nn.stat.countMinSketch(valueCol, eps, confidence, seed)
     val spark = df.sparkSession
-    val bound = math.ceil(eps * n).toLong
-    val exact = df.groupBy(col(valueCol).as("value"))
+    // the sketch already holds N — no separate count() pass over the data
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val exact = nn.groupBy(col(valueCol).as("value"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("value"))
       .limit(k)

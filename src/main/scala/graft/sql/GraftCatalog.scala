@@ -102,6 +102,16 @@ class GraftCatalog extends TableCatalog {
       throw new UnsupportedOperationException(
         s"$catalogName catalog: PARTITIONED BY is not supported in CREATE TABLE — " +
           "partitioned tables are created by the materializations / MERGE path")
+    // USING <format> / LOCATION / TBLPROPERTIES arrive via `properties`;
+    // silently discarding them would create a parquet table in the
+    // warehouse while the user believes their clause took effect
+    val unsupported = properties.keySet().toArray(Array.empty[String])
+      .filterNot(k => k == "provider" && "parquet".equalsIgnoreCase(properties.get(k)))
+      .filterNot(_ == "owner") // Spark attaches the session user automatically
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName catalog: CREATE TABLE options not supported here: " +
+          s"${unsupported.mkString(", ")} — tables are parquet in the warehouse root")
     val wh = warehouse()
     val id = tableId(ident)
     if (wh.exists(id))

@@ -45,10 +45,15 @@ final class Warehouse(val root: String, spark: SparkSession) {
     *
     * Mechanics: `create(lock, overwrite=false)` — atomic on HDFS; a
     * check-then-create race window exists on the local filesystem, which
-    * is fine for an ADVISORY guard. A lease older than `ttlMs` is
-    * presumed crashed and broken (the swap journal, not the lease, is
-    * what protects data). Reentrant per (JVM, table) so a materialization
-    * can lease around warehouse primitives that lease themselves. */
+    * is fine for an ADVISORY guard. While held, a daemon HEARTBEAT
+    * refreshes the lock's mtime every ttl/3, so a live lease is never
+    * mistaken for stale no matter how long the merge runs; a lease whose
+    * mtime is older than `ttlMs` therefore means its owner died without
+    * the finally-release (hard kill) and is broken — the swap journal,
+    * not the lease, is what protects the data, so post-crash lockout is
+    * bounded by ttl, not by operator intervention. Reentrant per
+    * (thread, table) so a materialization can lease around warehouse
+    * primitives that lease themselves. */
   def withWriterLease[T](id: TableId, ttlMs: Long = 15L * 60 * 1000)(body: => T): T = {
     val key = pathOf(id)
     if (Warehouse.heldLeases.get().contains(key)) return body // reentrant
@@ -57,9 +62,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // semantics key off directory existence)
     val lock = new Path(pathOf(id) + "._writer_lock")
     val f = fs(lock)
-    if (f.exists(lock) &&
-        System.currentTimeMillis - f.getFileStatus(lock).getModificationTime > ttlMs)
-      f.delete(lock, false) // stale: owner presumed dead; journal guards the data
+    val stale = f.exists(lock) && {
+      // the holder may release between exists() and getFileStatus() —
+      // a vanished lock is simply free, not an error
+      try System.currentTimeMillis - f.getFileStatus(lock).getModificationTime > ttlMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    if (stale) f.delete(lock, false) // owner presumed dead; journal guards the data
     val out =
       try f.create(lock, false)
       catch { case _: java.io.IOException =>
@@ -70,9 +79,23 @@ final class Warehouse(val root: String, spark: SparkSession) {
     out.write((java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       " " + System.currentTimeMillis).getBytes("UTF-8"))
     out.close()
+    val heartbeat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(ttlMs / 3, 1000L))
+          f.setTimes(lock, System.currentTimeMillis, -1)
+        }
+      } catch {
+        case _: InterruptedException => () // normal release
+        case _: java.io.IOException => () // lock gone / fs hiccup: stop beating
+      }
+    }, s"graft-writer-lease-$key")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
     Warehouse.heldLeases.get().add(key)
     try body
     finally {
+      heartbeat.interrupt()
       Warehouse.heldLeases.get().remove(key)
       f.delete(lock, false)
     }

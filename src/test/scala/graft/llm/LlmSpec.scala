@@ -351,7 +351,8 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "banana cherry cherry"),
       (4L, "durian durian durian")).toDF("doc_id", "text")
     val q = Seq((100L, "apple banana")).toDF("doc_id", "qtext")
-    val out = Retrieval.tfidfTopK(docs, "text", "doc_id", q, "qtext", "doc_id", k = 3)
+    val out = Retrieval.tfidfTopK(docs, "text", "doc_id", q, "qtext", "doc_id",
+        k = 3, idfScale = Some(1000000L))
       .orderBy("rank").as[(Long, Long, Long, Long)].collect()
     // N=4; df(apple)=df(banana)=2 -> idf 2,000,000
     // doc1: 2*idf + 1*idf = 6e6; doc2: 1*idf; doc3: 1*idf (tie -> lower id first)

@@ -255,6 +255,59 @@ object QueriesExt {
         FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
         ORDER BY d.doc_id""")),
 
+    // ---- keep-best-quality canonical selection --------------------------
+    // Production dedup keeps the BEST copy, not the lowest id: near-dup
+    // clusters (minhash -> connected components) crossed with the quality
+    // score; survivor = argmax quality, ties to the lower doc_id.
+    QueryDef("keep_best_quality",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.read(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          jaccardThreshold = 0.8)
+        val labels = ConnectedComponents.run(pairs, "id_a", "id_b")
+          .withColumnRenamed("node", "doc_id")
+        val clustered = docs.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        val q = TextStats.qualityMetrics(docs, "text", "doc_id")
+          .select(col("doc_id"), col("quality_score"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        clustered.join(q, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+            (col("rk") === 1).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $ccCtes,
+        lab AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+        cl AS (SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+        d2 AS (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) toks,
+                 CAST(len(text) AS DOUBLE) n_chars,
+                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) n_punct
+               FROM documents),
+        q AS (SELECT doc_id,
+                0.4 * (least(n_chars, 500.0) / 500.0)
+                + 0.3 * (CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END)
+                + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                  AS quality_score
+              FROM d2),
+        r AS (SELECT cl.doc_id, cluster_id, quality_score,
+                row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality_score DESC, cl.doc_id) rk
+              FROM cl JOIN q ON cl.doc_id = q.doc_id)
+        SELECT doc_id, cluster_id, quality_score, rk = 1 AS keep
+        FROM r
+        ORDER BY doc_id""")),
+
     // ---- grid resample with forward fill: hourly per event_type, value
     // ffilled from the latest observation within 3 h (else a gap).
     QueryDef("resample_hourly",

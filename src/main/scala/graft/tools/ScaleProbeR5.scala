@@ -39,6 +39,13 @@ object ScaleProbeR5 {
       time(s"tfidf_topk x$k")(
         Retrieval.tfidfTopK(docs, "text", "doc_id",
           queries, "qtext", "doc_id", k = 10).count())
+      // blocklist drawn from the corpus: every clone of a blocked doc is
+      // fully excised — the worst case for span construction
+      val bl = base.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id"),
+          array_join(slice(Dedup.tokens(col("text")), 1, 10), " ").as("text"))
+      time(s"excise_passages x$k")(
+        Curation.excisePassages(docs, bl, "text", "doc_id").count())
       docs.unpersist()
     }
     spark.stop()

@@ -427,6 +427,36 @@ object QueriesLlm {
         ORDER BY n DESC, gram
         LIMIT 100""")),
 
+    // ---- token-budget sampling: ~10k tokens, 8 hash shards ---------------
+    // Both engines derive the identical seeded key, shard, running token
+    // total, and cut — the "give me N tokens of corpus" sizing primitive.
+    QueryDef("token_budget_sample",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens",
+            budget = 10000L, nShards = 8, seed = 9L)
+          .select(col("doc_id"), col("shard"), col("cum_tokens"))
+          .orderBy("shard", "cum_tokens")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> len(x) > 0)) AS BIGINT) n_tokens,
+                     md5('9:' || CAST(doc_id AS VARCHAR)) skey
+                   FROM documents),
+        s AS (SELECT doc_id, n_tokens, skey,
+                     CAST('0x' || substr(skey, 1, 4) AS BIGINT) % 8 AS shard
+              FROM t),
+        c AS (SELECT doc_id, shard,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_tokens
+              FROM s)
+        SELECT doc_id, shard, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= 1250
+        ORDER BY shard, cum_tokens""")),
+
     // ---- corpus mixing: per-source weights, deterministic copies --------
     // en upsampled 2.5x, de halved, everything else kept — both engines
     // derive the identical per-doc copy count from the md5 bucket.

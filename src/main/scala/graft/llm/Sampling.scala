@@ -61,6 +61,38 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < rate)
   }
 
+  /** Token-budget sampling: take ~`budget` tokens' worth of documents,
+    * deterministically — "give me a 10B-token slice of this corpus" is
+    * how training runs are actually sized. The corpus is hash-sharded
+    * (same seeded md5 key as [[deterministicShuffle]], so the slice is a
+    * uniform random-looking sample, reproducible across engines and
+    * cluster layouts); each shard takes documents in key order while its
+    * running token total stays within `budget / nShards`.
+    *
+    * Guarantees: total kept tokens <= budget (hard); each shard's
+    * shortfall is at most one document, so the realized total is within
+    * nShards × max_doc_tokens of the budget — tighten by raising
+    * nShards. No global sort, no single reducer: one hash exchange on
+    * `shard` plus a per-shard cumulative sum. */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, nShards: Int = 64, seed: Long = 9L): DataFrame = {
+    require(budget >= 0, "tokenBudgetSample: budget must be >= 0")
+    require(nShards > 0, "tokenBudgetSample: nShards must be positive")
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    val perShard = budget / nShards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("cum_tokens", sum(col(weightCol)).over(w))
+      .filter(col("cum_tokens") <= perShard)
+      .drop("__key")
+  }
+
   /** Corpus mixing: per-source REAL-valued weights, up- and down-sampling
     * in one operator — the data-mixing step that turns curated sources
     * into a training distribution (2.5 means every doc appears twice and

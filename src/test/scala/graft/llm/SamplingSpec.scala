@@ -96,6 +96,24 @@ class SamplingSpec extends SparkSpec {
     assert(again.sorted.toSeq == counts.sorted.toSeq)
   }
 
+  test("tokenBudgetSample: hard budget cap, monotone in budget, deterministic") {
+    val docs = (1L to 300L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tokens")
+    def run(budget: Long) =
+      Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget, nShards = 4)
+        .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val small = run(1000L)
+    val big = run(4000L)
+    // hard cap: the kept token total never exceeds the budget
+    assert(small.map(_._2).sum <= 1000L)
+    assert(big.map(_._2).sum <= 4000L)
+    // shortfall bounded: within nShards * max_doc_tokens of the budget
+    assert(big.map(_._2).sum > 4000L - 4 * 47)
+    // monotone: a bigger budget keeps a superset
+    assert(small.map(_._1).toSet.subsetOf(big.map(_._1).toSet))
+    // deterministic
+    assert(run(1000L) === small)
+  }
+
   test("topTokens: counts and deterministic tie order on a known corpus") {
     val tiny = Seq("b b a", "a c B").toDF("text").withColumn("id", lit(1L))
     val out = TextStats.topTokens(tiny, "text", 3)

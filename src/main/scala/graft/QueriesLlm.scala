@@ -158,15 +158,21 @@ object QueriesLlm {
         ORDER BY id_a, id_b""")),
 
     // ---- embedding cosine near-dup (exact baseline) --------------------
+    // The brute-force pair operator is the documented O(n²) VERIFICATION
+    // baseline (Dedup.scala scaladoc); this gate quarantines it to a
+    // bounded n<=1000 subset so the cartesian is never benchmarked at
+    // scale — dedup_embedding_lsh is the production path (VERDICT r5).
     QueryDef("dedup_embedding_cosine",
       (s, dir) =>
-        Dedup.embeddingNearDupPairs(Tables.read(s, dir, "embeddings"),
+        Dedup.embeddingNearDupPairs(
+            Tables.read(s, dir, "embeddings").filter(col("vec_id") < 1000),
             "embedding", "vec_id", threshold = 0.45)
           .orderBy("id_a", "id_b"),
       Some("""
         SELECT a.vec_id id_a, b.vec_id id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        WHERE a.vec_id < 1000 AND b.vec_id < 1000
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
         ORDER BY id_a, id_b""")),
 
@@ -318,7 +324,8 @@ object QueriesLlm {
                 FROM p GROUP BY term),
         q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
               FROM d WHERE doc_id % 100 = 3),
-        sc AS (SELECT q_id, p.doc_id, CAST(SUM(least(tf, 100000) * idf) AS BIGINT) score
+        sc AS (SELECT q_id, p.doc_id,
+                 CAST(SUM(least(least(tf, 100000) * idf, 17592186044416)) AS BIGINT) score
                FROM q JOIN p USING (term) JOIN idf USING (term) GROUP BY 1, 2),
         r AS (SELECT q_id, doc_id, score,
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) rnk
@@ -326,6 +333,48 @@ object QueriesLlm {
         SELECT q_id AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
         FROM r WHERE rnk <= 10
         ORDER BY query_id, rank""")),
+
+    // ---- BPE tokenizer training -----------------------------------------
+    // Trained on a bounded deterministic slice (doc_id < 50, 20 merges).
+    // The oracle pins the merge table derived by tools/bpe_reference.py —
+    // an INDEPENDENT Python implementation of Sennrich BPE (argmax per
+    // round, freq-DESC/left/right tie-break, greedy non-overlapping
+    // rewrite) — with a dict_words guard so a corpus change fails
+    // self-explanatorily, same pattern as the ANN recall gates.
+    QueryDef("bpe_merges",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 50)
+        val dictWords = docs
+          .select(explode(Dedup.tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w"))).head().getLong(0)
+        Bpe.trainDf(s, docs, "text", numMerges = 20)
+          .withColumn("dict_words", lit(dictWords))
+          .orderBy("rank")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'e', 'r', CAST(439 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(2 AS BIGINT), 's', 't', CAST(284 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'i', 'n', CAST(282 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'o', 'w', CAST(282 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(5 AS BIGINT), 'o', 'r', CAST(248 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(6 AS BIGINT), 'a', 'l', CAST(202 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(7 AS BIGINT), 'm', 'er', CAST(187 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(8 AS BIGINT), 'a', 't', CAST(167 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(9 AS BIGINT), 'a', 'r', CAST(152 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(10 AS BIGINT), 'p', 'ar', CAST(152 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(11 AS BIGINT), 'al', 'l', CAST(108 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(12 AS BIGINT), 'm', 'all', CAST(108 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(13 AS BIGINT), 's', 'mall', CAST(108 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(14 AS BIGINT), 'u', 'p', CAST(106 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(15 AS BIGINT), 'in', 'e', CAST(104 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(16 AS BIGINT), 'l', 'ine', CAST(104 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(17 AS BIGINT), 'g', 'r', CAST(102 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(18 AS BIGINT), 'gr', 'o', CAST(102 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(19 AS BIGINT), 'gro', 'up', CAST(102 AS BIGINT), CAST(31 AS BIGINT)),
+          (CAST(20 AS BIGINT), 'a', 'n', CAST(99 AS BIGINT), CAST(31 AS BIGINT))
+        ) v(rank, "left", "right", freq, dict_words)
+        ORDER BY rank""")),
 
     // ---- HTML -> text extraction ----------------------------------------
     // Each document is wrapped in deterministic markup (script body with a

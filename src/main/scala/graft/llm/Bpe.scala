@@ -32,7 +32,7 @@ object Bpe {
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>
         when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, 1, size(acc) - 1), array(lit(a + b))))
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
   /** Train `numMerges` BPE merges over the corpus; returns
@@ -80,9 +80,68 @@ object Bpe {
 
   /** Apply a learned merge table to a token: fold the merges in rank
     * order over the char-split symbols (how a shipped BPE tokenizer
-    * segments unseen text). */
-  def segment(token: Column, merges: Seq[(Long, String, String, Long)]): Column =
-    merges.foldLeft(split(token, "")) { case (syms, (_, a, b, _)) =>
+    * segments unseen text).
+    *
+    * PLAN-SIZE BOUND: this builds one `aggregate` HOF per merge — a
+    * Column tree as deep as the merge table. Fine for spec-sized tables
+    * (≤ ~100 merges); a production 30k-merge vocabulary would blow up
+    * Catalyst analysis. Use [[segmentUdf]] for real merge tables. */
+  def segment(token: Column, merges: Seq[(Long, String, String, Long)]): Column = {
+    require(merges.size <= 128,
+      s"Bpe.segment: ${merges.size} merges would build a ${merges.size}-deep " +
+        "Column tree; use Bpe.segmentUdf for large merge tables")
+    merges.sortBy(_._1).foldLeft(split(token, "")) { case (syms, (_, a, b, _)) =>
       mergePair(syms, a, b)
     }
+  }
+
+  /** Scala-side greedy merge of (a, b) — same contract as [[mergePair]]:
+    * left-to-right, non-overlapping, no chaining into the next match. */
+  private[llm] def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Segment one token through the full merge table, rank order —
+    * byte-identical contract to the [[segment]] Column fold. A working
+    * symbol set makes a merge whose sides are absent cost two hash
+    * probes, so a 30k-merge table is ~30k probes per DISTINCT word, not
+    * 30k array rewrites. */
+  private[llm] def segmentToken(token: String, ranked: Array[(String, String)]): Array[String] = {
+    // Spark's split("", "") is [""], not [] — keep the contracts identical
+    if (token.isEmpty) return Array("")
+    var syms = token.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    var present = syms.toSet
+    var j = 0
+    while (j < ranked.length) {
+      val (a, b) = ranked(j)
+      if (present.contains(a) && present.contains(b)) {
+        val merged = mergeWord(syms, a, b)
+        if (merged.length != syms.length) { syms = merged; present = syms.toSet }
+      }
+      j += 1
+    }
+    syms
+  }
+
+  /** Production segmentation: the same fold-in-rank-order semantics as
+    * [[segment]], executed imperatively per token against the shipped
+    * merge table (closure-serialized once per stage — a merge table is
+    * tens of KB, the classic broadcast-small-side shape). This is the
+    * scale path: plan size is constant regardless of vocabulary size.
+    * Imperative because a rank-ordered greedy rewrite loop has no
+    * bounded Column form (VERDICT r5 item 3). */
+  def segmentUdf(merges: Seq[(Long, String, String, Long)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ranked = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
+    udf { (token: String) =>
+      if (token == null) null else segmentToken(token, ranked)
+    }
+  }
 }

@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   *
   * Range safety at scale: the scale ADAPTS to the corpus — by default
   * `scale = max(1, 2^40 / N)`, so `idf ≤ N·scale ≈ 2^40` regardless of
-  * corpus size, and with the tf saturation cap (`tfCap`, default 10^5 —
-  * tf saturation is standard lexical-scoring practice) a per-term
-  * contribution stays ≤ 2^57: far from Long overflow even summed over
-  * hundreds of shared query terms. Ranking uses the LONG-typed bounded
-  * heap, so scores are exact at any magnitude (the double heap would
-  * round past 2^53 and make near-ties nondeterministic).
+  * corpus size. With the tf saturation cap (`TfCap`, 10^5) a raw
+  * per-term contribution is ≤ tfCap·idf ≈ 2^57, so ~64 worst-case terms
+  * would overflow Long; each contribution is therefore ALSO saturated at
+  * 2^44 (`ContribCap`), pushing overflow out to ≥ 2^19 shared distinct
+  * terms all at the cap — which requires a single document of ≥ 5·10^10
+  * tokens, beyond any real input. The cap only engages when a df≈1 term
+  * repeats ≥ 2^4·(N/scale-adjusted) times in one doc; ranking
+  * monotonicity per term is preserved. Ranking uses the LONG-typed
+  * bounded heap, so scores are exact at any magnitude (the double heap
+  * would round past 2^53 and make near-ties nondeterministic).
   *
   * Scale shape: postings and document frequencies are two hash
   * aggregations on content-uniform keys; the query-term join is an
@@ -40,6 +44,10 @@ object Retrieval {
 
   /** tf saturation cap (a token repeated beyond this adds nothing). */
   val TfCap = 100000L
+
+  /** Per-term contribution ceiling — overflow guard for the exact LONG
+    * score sum (see scaladoc range-safety paragraph). */
+  val ContribCap = 1L << 44
 
   /** The fixed-point scale used for a corpus of `n` docs when none is
     * given explicitly: max(1, 2^40 / n). */
@@ -79,7 +87,7 @@ object Retrieval {
       explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
     val scored = qTerms.join(p, "term").join(idf, "term")
       .groupBy("query_id", "doc_id")
-      .agg(sum(least(col("tf"), lit(TfCap)) * col("idf")).as("score"))
+      .agg(sum(least(least(col("tf"), lit(TfCap)) * col("idf"), lit(ContribCap))).as("score"))
     scored.groupBy("query_id")
       .agg(boundedTopKLong(col("score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))

@@ -79,9 +79,13 @@ object Sampling {
       budget: Long, nShards: Int = 64, seed: Long = 9L): DataFrame = {
     require(budget >= 0, "tokenBudgetSample: budget must be >= 0")
     require(nShards > 0, "tokenBudgetSample: nShards must be positive")
+    // A budget smaller than nShards would floor perShard to 0 and return
+    // an empty sample; shrink the shard count so any positive budget
+    // still keeps documents (ADVICE r5).
+    val effShards = if (budget > 0) math.min(nShards.toLong, budget).toInt else nShards
     val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
-    val shard = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
-    val perShard = budget / nShards
+    val shard = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(effShards.toLong))
+    val perShard = budget / effShards
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__key"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

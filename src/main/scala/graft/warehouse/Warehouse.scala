@@ -68,7 +68,17 @@ final class Warehouse(val root: String, spark: SparkSession) {
       try System.currentTimeMillis - f.getFileStatus(lock).getModificationTime > ttlMs
       catch { case _: java.io.FileNotFoundException => false }
     }
-    if (stale) f.delete(lock, false) // owner presumed dead; journal guards the data
+    if (stale) {
+      // Break via atomic RENAME to a per-breaker tombstone, not delete:
+      // two waiters can both observe staleness, and a delete-then-create
+      // loser could remove the winner's FRESH lock (ADVICE r5). Rename is
+      // atomic on HDFS/POSIX and fails for all but one breaker once the
+      // source is gone; the loser falls through to create() and gets the
+      // normal locked-by-another-writer error.
+      val tombstone = new Path(lock + s".broken.${java.util.UUID.randomUUID()}")
+      try { if (f.rename(lock, tombstone)) f.delete(tombstone, false) }
+      catch { case _: java.io.IOException => () } // lost the break race: create() arbitrates
+    }
     val out =
       try f.create(lock, false)
       catch { case _: java.io.IOException =>
@@ -260,7 +270,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
     recoverPendingSwap(id) // heal any interrupted earlier swap first
     val tbl = hadoopPath(id)
     val f = fs(tbl)
-    warnIfObjectStore(f)
+    requireAtomicRename(f)
     val stage = new Path(tbl, StageDir)
     df.write.mode("overwrite").partitionBy(PartCol).parquet(stage.toString)
     val staged = partDirNames(f, stage)
@@ -299,16 +309,17 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   /** The swap protocol's crash windows are closed by ATOMIC rename — true
     * on HDFS/POSIX, false on object stores ("rename" = non-atomic O(data)
-    * copy+delete). Detected by filesystem scheme; warn once per JVM. */
-  private def warnIfObjectStore(f: org.apache.hadoop.fs.FileSystem): Unit = {
-    val scheme = Option(f.getScheme).getOrElse("")
-    if (Warehouse.ObjectStoreSchemes.contains(scheme) &&
-        Warehouse.objectStoreWarned.compareAndSet(false, true))
-      org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
-        s"Warehouse partition swap on '$scheme': this filesystem's rename is not " +
-          "atomic — the crash-safety guarantee does not hold. Use HDFS/POSIX " +
-          "storage, or front an object store with a log-structured table format.")
-  }
+    * copy+delete). The reference gets the equivalent guarantee from
+    * BigQuery MERGE atomicity (incremental_partition_merge.sql:247-265);
+    * this warehouse must therefore REFUSE, not merely warn, when the
+    * target filesystem cannot supply it — unless the operator explicitly
+    * accepts the weaker contract via
+    * `spark.graft.warehouse.allowNonAtomicRename=true` (then warn once
+    * per JVM). See MIGRATION.md for the object-store story. */
+  private def requireAtomicRename(f: org.apache.hadoop.fs.FileSystem): Unit =
+    Warehouse.requireAtomicRename(Option(f.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
 
   /** Cheap guard on every entry point: one metadata `exists` probe; full
     * recovery only runs when an interrupted swap actually left a journal. */
@@ -525,6 +536,26 @@ object Warehouse {
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos")
   private[warehouse] val objectStoreWarned =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Policy core of the rename-atomicity guard (instance wiring above):
+    * throws on an object-store scheme unless the operator opted into the
+    * weaker contract. `private[graft]` so LifecycleSpec can pin the
+    * refusal without mocking a Hadoop FileSystem. */
+  private[graft] def requireAtomicRename(scheme: String, allowNonAtomic: Boolean): Unit =
+    if (ObjectStoreSchemes.contains(scheme)) {
+      if (!allowNonAtomic)
+        throw new IllegalStateException(
+          s"Warehouse partition swap refused on '$scheme': this filesystem's " +
+            "rename is not atomic, so the swap protocol's crash-safety guarantee " +
+            "does not hold. Use HDFS/POSIX storage, front the object store with a " +
+            "log-structured table format, or set " +
+            "spark.graft.warehouse.allowNonAtomicRename=true to accept the risk.")
+      if (objectStoreWarned.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+          s"Warehouse partition swap on '$scheme' with allowNonAtomicRename=true: " +
+            "rename is not atomic here — a crash mid-swap can leave a partially " +
+            "copied partition (recoverable from _backup/, but not automatically).")
+    }
   /** Per-thread set of table paths whose writer lease this thread holds —
     * makes [[Warehouse.withWriterLease]] reentrant per (thread, table). */
   private[warehouse] val heldLeases =

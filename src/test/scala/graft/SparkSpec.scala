@@ -32,6 +32,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror GraftSession: the engine's semantic contract is ANSI mode
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -791,5 +791,22 @@ class LifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wh.read(tgt).count() == 3)
   }
 
+  test("swap protocol REFUSES non-rename-atomic filesystems unless explicitly allowed") {
+    import graft.warehouse.Warehouse
+    // object-store schemes: refuse by default, pass with the opt-in flag
+    Seq("s3a", "gs", "abfss").foreach { scheme =>
+      val e = intercept[IllegalStateException] {
+        Warehouse.requireAtomicRename(scheme, allowNonAtomic = false)
+      }
+      assert(e.getMessage.contains("not atomic"), scheme)
+      assert(e.getMessage.contains("allowNonAtomicRename"), scheme)
+      Warehouse.requireAtomicRename(scheme, allowNonAtomic = true) // no throw
+    }
+    // rename-atomic filesystems always pass
+    Seq("file", "hdfs", "viewfs", "").foreach { scheme =>
+      Warehouse.requireAtomicRename(scheme, allowNonAtomic = false)
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

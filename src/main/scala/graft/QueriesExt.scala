@@ -496,6 +496,39 @@ object QueriesExt {
         FROM d LEFT JOIN agg USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- bloom-prefiltered decontamination: SAME oracle as the exact
+    // operator below — the broadcast-bloom prune must be semantically
+    // invisible (false positives re-verified, no false negatives); only
+    // the plan shape changes (map-side prune before any shuffle).
+    QueryDef("decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        Curation.decontaminateBloom(docs,
+            docs.filter(pmod(col("doc_id"), lit(20L)) === 0),
+            "text", "doc_id", shingleN = 3, minHits = 5L)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        e AS (SELECT doc_id, unnest(h) AS h FROM hs),
+        bl AS (SELECT DISTINCT h FROM e WHERE doc_id % 20 = 0),
+        hits AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) n
+                 FROM e JOIN bl USING (h) GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               COALESCE(hits.n, 0) AS n_contaminated,
+               COALESCE(hits.n, 0) >= 5 AS flagged
+        FROM d LEFT JOIN hits USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ---- benchmark decontamination: corpus docs sharing >= 5 distinct
     // 3-gram shingles with the simulated benchmark set (doc_id % 20 = 0).
     QueryDef("decontaminate",

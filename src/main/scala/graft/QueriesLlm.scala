@@ -22,6 +22,17 @@ object QueriesLlm {
     Seq(0L -> 10L, 1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 3L,
         5L -> 4L, 6L -> 4L, 7L -> 4L, 8L -> 3L, 9L -> 5L)
 
+  // One merge table per sf dir, trained once and shared by bpe_merges /
+  // bpe_segment — the real pipeline shape (a tokenizer is a trained
+  // ARTIFACT applied many times, not retrained per query). Deterministic,
+  // so memoization cannot change results.
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]()
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bpeCache.computeIfAbsent(dir, _ =>
+      Bpe.train(Tables.read(s, dir, "documents").filter(col("doc_id") < 50),
+        "text", numMerges = 20))
+
   // The oracle pins corpus_rows as a literal while the Spark side derives
   // it from the data: if the driver's verify scale / seed / embeddings
   // table ever changes, the gate fails on a self-explanatory corpus_rows
@@ -296,6 +307,40 @@ object QueriesLlm {
       },
       Some(annRecallValues(AnnIvfRecallSf001))),
 
+    // ---- ANN: product-quantization ADC top-k (memory-bound serving) -----
+    // Codes-only scoring: the corpus vectors are never read at query time
+    // (m byte-codes + recon norm per doc — a 32x shrink at dim=64/m=8).
+    // Gated at PQ's operating point like dedup_embedding_lsh: planted
+    // cos≈1 twins must be retrieved at rank 1 (a twin quantizes to the
+    // query's own codes, so its ADC score is the max reachable). Fully
+    // deterministic: stride init, fixed iters, rounded centroids.
+    QueryDef("ann_topk_pq",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val planted = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+        val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        val nCorpus = corpus.count()
+        val books = Pq.fit(corpus, "embedding", "vec_id", m = 8, k = 8,
+          iters = 3, corpusRows = Some(nCorpus))
+        val queries = emb.filter(col("vec_id") < 10)
+        Pq.topK(Pq.encode(corpus, "embedding", "vec_id", books), books,
+            queries, "embedding", "vec_id", k = 10)
+          .filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("corpus_rows", lit(nCorpus))
+          .orderBy("query_id")
+      },
+      Some {
+        val rows = (0L until 10L).map(q =>
+          s"(CAST($q AS BIGINT), CAST(${q + 100000L} AS BIGINT), " +
+            s"CAST(${EmbeddingsRowsSf001 + 10} AS BIGINT))").mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows) v(query_id, neighbor_id, corpus_rows)
+        ORDER BY query_id"""
+      }),
+
     // ---- sparse lexical retrieval: fixed-point TF-IDF top-k -------------
     // Query docs = every doc_id % 100 == 3, query text = its first five
     // tokens. IDF is integer fixed-point, so scores are exact BIGINTs and
@@ -343,11 +388,12 @@ object QueriesLlm {
     // self-explanatorily, same pattern as the ANN recall gates.
     QueryDef("bpe_merges",
       (s, dir) => {
+        import s.implicits._
         val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 50)
         val dictWords = docs
           .select(explode(Dedup.tokens(col("text"))).as("w"))
           .agg(countDistinct(col("w"))).head().getLong(0)
-        Bpe.trainDf(s, docs, "text", numMerges = 20)
+        bpeMerges(s, dir).toDF("rank", "left", "right", "freq")
           .withColumn("dict_words", lit(dictWords))
           .orderBy("rank")
       },
@@ -375,6 +421,57 @@ object QueriesLlm {
           (CAST(20 AS BIGINT), 'a', 'n', CAST(99 AS BIGINT), CAST(31 AS BIGINT))
         ) v(rank, "left", "right", freq, dict_words)
         ORDER BY rank""")),
+
+    // ---- BPE segmentation (the apply side) -------------------------------
+    // Train on the same doc_id < 50 slice, then segment every distinct
+    // token of doc_id < 5 through segmentUdf — the PRODUCTION path whose
+    // plan size is constant in vocabulary size (the Column-fold variant is
+    // spec-only). Oracle pinned vs tools/bpe_reference.py `segment`.
+    QueryDef("bpe_segment",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val merges = bpeMerges(s, dir)
+        docs.filter(col("doc_id") < 5)
+          .select(explode(Dedup.tokens(col("text"))).as("token"))
+          .distinct()
+          .select(col("token"),
+            array_join(Bpe.segmentUdf(merges)(col("token")), "|").as("pieces"))
+          .orderBy("token")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('a', 'a'),
+          ('agg', 'a|g|g'),
+          ('batch', 'b|at|c|h'),
+          ('big', 'b|i|g'),
+          ('column', 'c|o|l|u|m|n'),
+          ('customer', 'c|u|st|o|mer'),
+          ('data', 'd|at|a'),
+          ('fast', 'f|a|st'),
+          ('filter', 'f|i|l|t|er'),
+          ('group', 'group'),
+          ('hash', 'h|a|s|h'),
+          ('join', 'j|o|in'),
+          ('key', 'k|e|y'),
+          ('line', 'line'),
+          ('merge', 'mer|g|e'),
+          ('order', 'or|d|er'),
+          ('part', 'par|t'),
+          ('query', 'q|u|er|y'),
+          ('row', 'r|ow'),
+          ('scan', 's|c|an'),
+          ('slow', 's|l|ow'),
+          ('small', 'small'),
+          ('sort', 's|or|t'),
+          ('spark', 's|par|k'),
+          ('stream', 'st|r|e|a|m'),
+          ('table', 't|a|b|l|e'),
+          ('the', 't|h|e'),
+          ('value', 'v|al|u|e'),
+          ('vector', 'v|e|c|t|or'),
+          ('window', 'w|in|d|ow')
+        ) v(token, pieces)
+        ORDER BY token""")),
 
     // ---- HTML -> text extraction ----------------------------------------
     // Each document is wrapped in deterministic markup (script body with a

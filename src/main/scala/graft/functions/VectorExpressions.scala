@@ -284,4 +284,20 @@ object VectorExpressions {
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(hashes), a, b, p))
+
+  /** Spark's own codegen'd bloom probe (the expression AQE runtime
+    * filters inject), driven by an explicitly-built sketch: probes
+    * `mightContainLong(value)` against a BINARY literal of the
+    * serialized `util.sketch.BloomFilter`. A Scala-UDF probe would box
+    * every value and break whole-stage codegen exactly where the prune
+    * is hottest (per exploded gram at 100 TB). */
+  def bloomMightContainLong(bloom: org.apache.spark.util.sketch.BloomFilter,
+                            value: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bos.toByteArray),
+        ExpressionUtils.expression(value)))
+  }
 }

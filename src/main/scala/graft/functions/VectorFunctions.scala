@@ -22,4 +22,8 @@ object VectorFunctions {
 
   def boundedTopKLong(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.TopKAggregate.boundedTopKLong(score, id, k)
+
+  def bloomMightContainLong(bloom: org.apache.spark.util.sketch.BloomFilter,
+                            value: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.bloomMightContainLong(bloom, value)
 }

@@ -38,8 +38,10 @@ object Bpe {
   /** Train `numMerges` BPE merges over the corpus; returns
     * (rank, left, right, freq) in merge order. Stops early when no pair
     * occurs twice. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(Long, String, String, Long)] = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            checkpointEvery: Int = 5): Seq[(Long, String, String, Long)] = {
     require(numMerges > 0, "Bpe.train: numMerges must be positive")
+    require(checkpointEvery > 0, "Bpe.train: checkpointEvery must be positive")
     var dict = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(split(col("w"), "").as("syms"), col("n"))
@@ -63,7 +65,11 @@ object Bpe {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, f))
         dict = dict.select(mergePair(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint()
+        // checkpoint PERIODICALLY, not per round: an eager localCheckpoint
+        // is a full extra job, and re-deriving <= checkpointEvery fold
+        // layers from the last checkpoint is cheaper than materializing
+        // the dict every round (lineage still stays bounded)
+        if (r % checkpointEvery == 0) dict = dict.localCheckpoint()
         r += 1
       }
     }

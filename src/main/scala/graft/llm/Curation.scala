@@ -157,6 +157,50 @@ object Curation {
         (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
   }
 
+  /** [[decontaminate]] with a BLOOM pre-filter — the 100 TB
+    * shape when the blocklist gram set is too large for an exact
+    * broadcast set but its bloom is not (100M grams at 1% FPP ≈ 120 MB vs
+    * several GB exact): the corpus gram stream is pruned MAP-SIDE before
+    * any shuffle, and only the surviving ~FPP fraction plus true hits pay
+    * the exact verification semi-join, whose result makes the output
+    * BIT-IDENTICAL to [[decontaminate]] (bloom false positives are
+    * filtered out again; there are no false negatives). The bloom build
+    * itself is distributed (`stat.bloomFilter` tree-aggregates per-
+    * partition sketches); only the final ~`-ln(fpp)·n/ln²2` bits land on
+    * the driver, and the probe ships the serialized sketch inside the
+    * stage's task binary (itself torrent-broadcast), probed by Spark's
+    * own codegen'd might_contain expression — no per-row boxing.
+    * Explicit rather than relying on AQE runtime-filter
+    * injection: the injected filter keys on the join column AFTER the
+    * explode, with size thresholds an operator at this scale should not
+    * have to gamble on. */
+  def decontaminateBloom(
+      corpus: DataFrame, blocklist: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, minHits: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    val b = Dedup.shingleHashSets(blocklist, textCol, idCol, shingleN)
+      .select(explode(col("hs")).as("h")).distinct()
+    val bPersisted = b.persist()
+    val nGrams = bPersisted.count() // bounded: |blocklist grams|, drives sizing
+    val bloom = bPersisted.stat.bloomFilter("h", math.max(nGrams, 1L), fpp)
+    val cand = Dedup.shingleHashSets(corpus, textCol, idCol, shingleN)
+      .select(col("id"), explode(col("hs")).as("h"))
+      // map-side prune, codegen'd (Spark's own might_contain expression
+      // over the serialized sketch) — no shuffle, no boxing for misses
+      .filter(graft.functions.VectorFunctions.bloomMightContainLong(bloom, col("h")))
+    val hits = cand.join(bPersisted, Seq("h"), "left_semi") // exact verify
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    // bPersisted stays cached: the returned plan re-reads it for the
+    // verification join (distributed, |blocklist grams| longs — the small
+    // side by definition); it ages out under LRU or with the session
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
+  }
+
   // PII patterns — deliberately RE2-compatible (no backreferences, no
   // lookaround) so the DuckDB oracle runs the byte-identical regex.
   // Redaction order matters: emails first (their digits would otherwise

@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.floatVecDot
+
+/** Product quantization (Jégou et al. 2011) — the memory-bound ANN
+  * serving shape that completes the similarity ladder (brute → LSH →
+  * IVF → IVF-pruned index → PQ): the corpus keeps only m small codes
+  * per vector (m bytes at k=256) instead of dim floats — a 32x shrink
+  * for dim=64/m=8 — so a 100 TB float corpus becomes a few TB of codes
+  * that fit hot storage, and scoring never touches the original vectors.
+  *
+  * Spark shape:
+  *  - `fit`: joint Lloyd's over all m subspaces in ONE corpus pass per
+  *    iteration (explode to (subspace, subvector), argmin against
+  *    literal codebooks, per-(s, cid, dim) average) — collect traffic is
+  *    m×k×dsub doubles = k×dim per iteration, independent of corpus
+  *    size. Same determinism devices as [[KMeans]]: id-stride init,
+  *    fixed iterations, 6-decimal centroid rounding.
+  *  - `encode`: one projection — m argmins per vector + the
+  *    reconstruction norm (exact for the RECONSTRUCTION because
+  *    subspaces are orthogonal: ||x̂||² = Σ_s ||c_s||²), stored with the
+  *    codes like any serious PQ index.
+  *  - `topK`: asymmetric-distance (ADC) scoring — per query ONE
+  *    projection builds the m×k lookup table of subspace dot products;
+  *    per (query, doc) the approximate dot is m table lookups
+  *    (zip_with over the code array), not dim multiplies. Approximate
+  *    cosine = Σ lut[s][code_s] / (|q|·||x̂||), ranked by the shared
+  *    BoundedTopK aggregate — map-side partials, no rank window, zero
+  *    shuffle beyond the bounded top-k merge.
+  *
+  * Codebook size note: the argmin is an array_min over k literal
+  * candidate structs per subspace — fine for k ≤ ~32; a production
+  * k=256 codebook wants a native argmin Expression (same upgrade path
+  * the scaladoc of Similarity.lshSignature documents for hot kernels).
+  */
+object Pq {
+
+  /** Squared-L2 argmin of a subvector against one literal codebook —
+    * ties take the lower code (same contract as KMeans assignment). */
+  private def nearestSub(sub: Column, book: Seq[Seq[Double]]): Column = {
+    val cands = book.zipWithIndex.map { case (c, j) =>
+      val cl = typedLit(c.map(_.toFloat))
+      val d2 = floatVecDot(sub, sub) - lit(2.0) * floatVecDot(sub, cl) +
+        lit(c.map(x => x * x).sum)
+      struct(d2.as("d"), lit(j).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
+  }
+
+  private def subCol(vec: Column, s: Int, dsub: Int): Column =
+    slice(vec, s * dsub + 1, dsub)
+
+  /** Loud dimension guard (policy of KMeans/lshSignature: silent
+    * truncation corrupts assignments with no error). */
+  private def guarded(vec: Column, dim: Int, what: String, inner: Column): Column =
+    when(vec.isNull, raise_error(lit(s"Pq.$what: null embedding vector")))
+      .when(size(vec) === dim, inner)
+      .otherwise(raise_error(concat(
+        lit(s"Pq.$what: expected $dim-dim vector, got "), size(vec).cast("string"))))
+
+  /** Train m codebooks of k codewords each; returns books(s)(j) =
+    * the j-th codeword of subspace s (dsub doubles). */
+  def fit(corpus: DataFrame, vecCol: String, idCol: String,
+          m: Int = 8, k: Int = 16, iters: Int = 3,
+          corpusRows: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && k > 0 && iters > 0)
+    val dim = Similarity.inferDim(corpus, vecCol)
+    require(dim % m == 0, s"Pq.fit: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val init = Similarity.strideCentroids(corpus, vecCol, idCol, k, corpusRows)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble))
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      init.toSeq.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq))
+    (0 until iters).foreach { _ =>
+      // one corpus pass covers every subspace
+      val subs = corpus.select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("s"),
+            guarded(col(vecCol), dim, "fit", subCol(col(vecCol), s, dsub)).as("sub"))
+        }: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.sub").as("sub"))
+      val cidExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+        when(col("s") === s, nearestSub(col("sub"), books(s))).otherwise(acc)
+      }
+      val means = subs.withColumn("cid", cidExpr)
+        .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
+        .groupBy("s", "cid", "d").agg(avg(col("x")).as("mn"))
+        .collect() // bounded: m×k×dsub = k×dim rows
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      books = (0 until m).map(s => (0 until k).map(j => (0 until dsub).map(d =>
+        // empty codes keep their previous codeword; round like KMeans so
+        // partial-agg summation order cannot leak into assignments
+        means.get((s, j, d)).map(x => math.rint(x * 1e6) / 1e6)
+          .getOrElse(books(s)(j)(d)))))
+    }
+    books
+  }
+
+  /** Encode the corpus: (id, codes array<int> of length m, recon_normsq).
+    * One projection; this is the table a PQ index persists. */
+  def encode(corpus: DataFrame, vecCol: String, idCol: String,
+             books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val dim = m * dsub
+    val codes = array((0 until m).map(s =>
+      nearestSub(subCol(col(vecCol), s, dsub), books(s))): _*)
+    val normSqLut = books.map(book => book.map(c => c.map(x => x * x).sum))
+    corpus.select(col(idCol).as("id"),
+        guarded(col(vecCol), dim, "encode", codes).as("codes"))
+      .withColumn("recon_normsq", (0 until m).map(s =>
+        element_at(typedLit(normSqLut(s)), element_at(col("codes"), s + 1) + 1))
+        .reduce(_ + _))
+  }
+
+  /** ADC top-k: approximate cosine from codes only (the corpus vectors
+    * are never read). Ranking contract matches the other ANN paths:
+    * rounded score, id tie-break, BoundedTopK. */
+  def topK(codes: DataFrame, books: Seq[Seq[Seq[Double]]],
+           queries: DataFrame, vecCol: String, idCol: String,
+           k: Int): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val dim = m * dsub
+    val lut = array((0 until m).map { s =>
+      array(books(s).map(c =>
+        floatVecDot(subCol(col(vecCol), s, dsub), typedLit(c.map(_.toFloat)))): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      guarded(col(vecCol), dim, "topK", lut).as("lut"),
+      sqrt(floatVecDot(col(vecCol), col(vecCol))).as("q_norm"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(
+          aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+            lit(0.0), (a, v) => a + v)
+            / (col("q_norm") * sqrt(col("recon_normsq"))), 6).as("c_r"))
+    Similarity.rankTopK(scored, k)
+  }
+}

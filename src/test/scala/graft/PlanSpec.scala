@@ -150,5 +150,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "metric joins on doc id must broadcast/hash at gate scale")
   }
 
+  test("decontaminate_bloom: map-side bloom prune feeds an exact semi-join verify") {
+    val p = planOf("decontaminate_bloom")
+    // the bloom probe must survive as a codegen'd Filter on the exploded
+    // gram stream (the prune IS the operator's 100 TB value)...
+    assert(p.contains("might_contain"), "bloom might_contain filter missing from the plan")
+    // ...and the exact verification semi-join must still be there (bloom
+    // false positives are re-verified, never trusted)
+    assert(p.contains("LeftSemi"), "exact verification semi-join missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

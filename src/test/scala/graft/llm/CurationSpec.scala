@@ -66,6 +66,26 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, false)))
   }
 
+  test("decontaminateBloom: bit-identical to exact decontaminate; bloom actually prunes") {
+    val docs = sf("sf0.001", "documents")
+    val block = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+    val exact = Curation.decontaminate(docs, block, "text", "doc_id", minHits = 5L)
+    val bloomed = Curation.decontaminateBloom(docs, block, "text", "doc_id", minHits = 5L)
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty)
+    // the pre-filter must reject the bulk of non-blocklist grams: build
+    // the same bloom and measure the survivor fraction directly
+    val b = Dedup.shingleHashSets(block, "text", "doc_id", 3)
+      .select(explode(col("hs")).as("h")).distinct()
+    val bloom = b.stat.bloomFilter("h", math.max(b.count(), 1L), 0.01)
+    val all = Dedup.shingleHashSets(docs, "text", "doc_id", 3)
+      .select(explode(col("hs")).as("h"))
+    val total = all.count()
+    val mc = udf((h: Long) => bloom.mightContainLong(h))
+    val survivors = all.filter(mc(col("h"))).count()
+    assert(survivors < total,
+      s"bloom pruned nothing ($survivors of $total grams survive)")
+  }
+
   test("piiStats: staged counts, overlap-free, full redaction") {
     val docs = Seq(
       (1L, "mail bob.smith+x@mail.org phone +1 (555) 123-4567 ip 192.168.0.1"),

@@ -268,6 +268,129 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
     copy(child = newChild)
 }
 
+/** All-subspace product-quantization assignment: for an `array<float>`
+  * vector of dim = m·dsub, the squared-L2 argmin codeword per subspace
+  * against codebooks baked into the expression — returns `array<int>`
+  * of length m.
+  *
+  * Native for the same reason as [[FloatVecDot]], but structural: the
+  * Column form is an `array_min` over k candidate structs PER subspace
+  * (m·k struct builders in the plan) — fine at k=16, hopeless at a
+  * production k=256 codebook (4096 expression nodes and no codegen
+  * fusion). This kernel is one fused triple loop, O(m·k·dsub) flops per
+  * row with zero allocation beyond the m-int result.
+  *
+  * Arithmetic mirrors the HOF form EXACTLY so assignments are
+  * bit-identical and pinned oracles cannot shift: per codeword
+  * `d2 = Σx² − 2.0·Σx·c_f + Σc²`, where Σx² and Σx·c_f accumulate
+  * left-to-right in double over float operands (the FloatVecDot
+  * contract), c_f is the codeword cast to float, and Σc² is summed in
+  * double from the unrounded codebook. Ties keep the lower codeword
+  * index (array_min's struct order). A ragged vector fails loudly
+  * (KMeans/lshSignature policy). */
+case class NearestCodewords(
+    child: Expression,
+    booksFlat: Array[Float], // [s][j][d] flattened, m·k·dsub
+    c2Flat: Array[Double],   // [s][j] flattened, m·k
+    m: Int, k: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(booksFlat.length == m * k * dsub && c2Flat.length == m * k,
+    "NearestCodewords: codebook shape mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_codewords"
+
+  private def dimCheck(n: Int): Unit =
+    if (n != m * dsub) throw new IllegalArgumentException(
+      s"nearest_codewords: expected ${m * dsub}-dim vector, got $n")
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    dimCheck(v.numElements())
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var dss = 0.0
+      var d = 0
+      while (d < dsub) {
+        val x = v.getFloat(s * dsub + d).toDouble
+        dss += x * x
+        d += 1
+      }
+      var best = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        var dsc = 0.0
+        val base = (s * k + j) * dsub
+        var t = 0
+        while (t < dsub) {
+          dsc += v.getFloat(s * dsub + t).toDouble * booksFlat(base + t).toDouble
+          t += 1
+        }
+        val dist = dss - 2.0 * dsc + c2Flat(s * k + j)
+        if (dist < best) { best = dist; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("booksFlat", booksFlat, "float[]")
+    val c2Ref = ctx.addReferenceObj("c2Flat", c2Flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val dss = ctx.freshName("dss")
+      val dsc = ctx.freshName("dsc")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val base = ctx.freshName("base")
+      val x = ctx.freshName("x")
+      s"""
+         |if ($v.numElements() != ${m * dsub}) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_codewords: expected ${m * dsub}-dim vector, got " + $v.numElements());
+         |}
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double $dss = 0.0;
+         |  for (int $d = 0; $d < $dsub; $d++) {
+         |    double $x = (double) $v.getFloat($s * $dsub + $d);
+         |    $dss += $x * $x;
+         |  }
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestJ = 0;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $dsc = 0.0;
+         |    int $base = ($s * $k + $j) * $dsub;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      $dsc += (double) $v.getFloat($s * $dsub + $t) * (double) $booksRef[$base + $t];
+         |    }
+         |    double $dist = $dss - 2.0 * $dsc + $c2Ref[$s * $k + $j];
+         |    if ($dist < $best) { $best = $dist; $bestJ = $j; }
+         |  }
+         |  $out[$s] = $bestJ;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCodewords =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -284,6 +407,20 @@ object VectorExpressions {
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(hashes), a, b, p))
+
+  /** All-subspace PQ assignment over codebooks books(s)(j) (dsub doubles
+    * each); see [[NearestCodewords]]. */
+  def nearestCodewords(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val k = books.head.size
+    val dsub = books.head.head.size
+    require(books.forall(b => b.size == k && b.forall(_.size == dsub)),
+      "nearestCodewords: ragged codebooks")
+    val flat = books.flatMap(_.flatMap(_.map(_.toFloat))).toArray
+    val c2 = books.flatMap(_.map(c => c.map(x => x * x).sum)).toArray
+    ExpressionUtils.column(
+      NearestCodewords(ExpressionUtils.expression(vec), flat, c2, m, k, dsub))
+  }
 
   /** Spark's own codegen'd bloom probe (the expression AQE runtime
     * filters inject), driven by an explicitly-built sketch: probes

@@ -26,4 +26,7 @@ object VectorFunctions {
   def bloomMightContainLong(bloom: org.apache.spark.util.sketch.BloomFilter,
                             value: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.bloomMightContainLong(bloom, value)
+
+  def nearestCodewords(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.VectorExpressions.nearestCodewords(vec, books)
 }

@@ -31,24 +31,17 @@ import graft.functions.VectorFunctions.floatVecDot
   *    BoundedTopK aggregate — map-side partials, no rank window, zero
   *    shuffle beyond the bounded top-k merge.
   *
-  * Codebook size note: the argmin is an array_min over k literal
-  * candidate structs per subspace — fine for k ≤ ~32; a production
-  * k=256 codebook wants a native argmin Expression (same upgrade path
-  * the scaladoc of Similarity.lshSignature documents for hot kernels).
+  * Assignment is the native [[graft.functions.VectorExpressions
+  * NearestCodewords]] kernel — one fused codegen'd triple loop per row
+  * covering every subspace, constant plan size at ANY codebook size
+  * (k=256 production codebooks included); its arithmetic mirrors the
+  * array_min-over-candidate-structs Column form bit-for-bit (PqSpec
+  * pins the equivalence against a driver-side argmin).
   */
 object Pq {
 
-  /** Squared-L2 argmin of a subvector against one literal codebook —
-    * ties take the lower code (same contract as KMeans assignment). */
-  private def nearestSub(sub: Column, book: Seq[Seq[Double]]): Column = {
-    val cands = book.zipWithIndex.map { case (c, j) =>
-      val cl = typedLit(c.map(_.toFloat))
-      val d2 = floatVecDot(sub, sub) - lit(2.0) * floatVecDot(sub, cl) +
-        lit(c.map(x => x * x).sum)
-      struct(d2.as("d"), lit(j).as("c"))
-    }
-    array_min(array(cands: _*)).getField("c")
-  }
+  private def nearestCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorFunctions.nearestCodewords(vec, books)
 
   private def subCol(vec: Column, s: Int, dsub: Int): Column =
     slice(vec, s * dsub + 1, dsub)
@@ -75,17 +68,17 @@ object Pq {
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
       init.toSeq.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq))
     (0 until iters).foreach { _ =>
-      // one corpus pass covers every subspace
-      val subs = corpus.select(explode(array((0 until m).map { s =>
-          struct(lit(s).as("s"),
-            guarded(col(vecCol), dim, "fit", subCol(col(vecCol), s, dsub)).as("sub"))
-        }: _*)).as("e"))
-        .select(col("e.s").as("s"), col("e.sub").as("sub"))
-      val cidExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-        when(col("s") === s, nearestSub(col("sub"), books(s))).otherwise(acc)
-      }
-      val means = subs.withColumn("cid", cidExpr)
-        .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
+      // one corpus pass covers every subspace: the native kernel emits all
+      // m codes per row; (subspace, dim-in-subspace) derive from the
+      // flat posexplode position
+      val means = corpus
+        .select(guarded(col(vecCol), dim, "fit",
+            nearestCodes(col(vecCol), books)).as("codes"),
+          posexplode(col(vecCol)).as(Seq("i", "x")))
+        .select((col("i") / dsub).cast("int").as("s"),
+          pmod(col("i"), lit(dsub)).cast("int").as("d"),
+          element_at(col("codes"), (col("i") / dsub).cast("int") + 1).as("cid"),
+          col("x"))
         .groupBy("s", "cid", "d").agg(avg(col("x")).as("mn"))
         .collect() // bounded: m×k×dsub = k×dim rows
         .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
@@ -106,11 +99,9 @@ object Pq {
     val m = books.size
     val dsub = books.head.head.size
     val dim = m * dsub
-    val codes = array((0 until m).map(s =>
-      nearestSub(subCol(col(vecCol), s, dsub), books(s))): _*)
     val normSqLut = books.map(book => book.map(c => c.map(x => x * x).sum))
     corpus.select(col(idCol).as("id"),
-        guarded(col(vecCol), dim, "encode", codes).as("codes"))
+        guarded(col(vecCol), dim, "encode", nearestCodes(col(vecCol), books)).as("codes"))
       .withColumn("recon_normsq", (0 until m).map(s =>
         element_at(typedLit(normSqLut(s)), element_at(col("codes"), s + 1) + 1))
         .reduce(_ + _))

@@ -83,6 +83,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("native NearestCodewords kernel matches a driver-side argmin exactly") {
+    val books = Pq.fit(emb, "embedding", "vec_id", m = 4, k = 4, iters = 2)
+    val dsub = books.head.head.size
+    val got = Pq.encode(emb, "embedding", "vec_id", books)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val expect = books.indices.map { s =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub)
+        // mirror the kernel arithmetic: double sums over float operands
+        val dss = sub.map(x => x.toDouble * x.toDouble).sum
+        books(s).zipWithIndex.map { case (c, j) =>
+          val cf = c.map(_.toFloat)
+          val dsc = sub.zip(cf).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          (dss - 2.0 * dsc + c.map(x => x * x).sum, j)
+        }.min._2
+      }
+      assert(got(id) === expect, s"codes diverge for vec $id")
+    }
+  }
+
   test("ragged and null vectors fail loudly") {
     val books = Pq.fit(emb, "embedding", "vec_id", m = 4, k = 4, iters = 1)
     val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")

@@ -341,6 +341,39 @@ object QueriesLlm {
         ORDER BY query_id"""
       }),
 
+    // ---- ANN: IVF+PQ index (cell-pruned scan of codes, ADC scoring) -----
+    // The canonical planet-scale shape: inverted lists ON DISK (partition
+    // pruning, IvfIndex) + residual PQ codes IN the lists (32x memory
+    // shrink, Pq). Same planted-twin pin as ann_topk_pq: the twin shares
+    // its query's cell and residual codes, so ADC ranks it first.
+    QueryDef("ann_topk_ivfpq",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val planted = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+        val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        val nCorpus = corpus.count()
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_idx_").toString
+        IvfPq.write(corpus, "embedding", "vec_id", idxPath,
+          nCells = 16, m = 8, k = 16, iters = 3, corpusRows = Some(nCorpus))
+        val queries = emb.filter(col("vec_id") < 10)
+        IvfPq.topK(s, idxPath, queries, "embedding", "vec_id", k = 10, nProbe = 4)
+          .filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("corpus_rows", lit(nCorpus))
+          .orderBy("query_id")
+      },
+      Some {
+        val rows = (0L until 10L).map(q =>
+          s"(CAST($q AS BIGINT), CAST(${q + 100000L} AS BIGINT), " +
+            s"CAST(${EmbeddingsRowsSf001 + 10} AS BIGINT))").mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows) v(query_id, neighbor_id, corpus_rows)
+        ORDER BY query_id"""
+      }),
+
     // ---- sparse lexical retrieval: fixed-point TF-IDF top-k -------------
     // Query docs = every doc_id % 100 == 3, query text = its first five
     // tokens. IDF is integer fixed-point, so scores are exact BIGINTs and

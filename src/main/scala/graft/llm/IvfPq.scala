@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.VectorFunctions.{floatVecDot, nearestCodewords}
+
+/** IVF+PQ — the canonical planet-scale ANN index (Jégou et al. 2011,
+  * the FAISS `IVFxx,PQyy` shape), composing the two pieces this engine
+  * already serves separately:
+  *
+  *  - [[IvfIndex]]'s INVERTED LISTS ON DISK: the corpus partitioned by
+  *    coarse cell, so a query scans nProbe/nCells of the index
+  *    (planning-time PartitionFilters);
+  *  - [[Pq]]'s CODES-ONLY SCORING: inside a cell, each vector is m
+  *    small codes + one norm — a 100 TB float corpus becomes a few TB
+  *    of codes — and scoring is m table lookups per pair, never a
+  *    vector read.
+  *
+  * PQ encodes RESIDUALS (vec − its cell centroid), the standard trick:
+  * residuals concentrate near zero so a small codebook spends its
+  * codewords where the data is, sharpening recall at the same m·k.
+  *
+  * Serving math (cosine contract, same ranking devices as every other
+  * ANN path): with reconstruction x̂ = c_cell + r̂,
+  * `dot(q, x̂) = dot(q, c_cell) + Σ_s lut_s[code_s]` — the first term is
+  * one per-(query, cell) dot, the second m lookups; `‖x̂‖²` is exact and
+  * computed ONCE at index time (cell/codeword cross terms are
+  * driver-side lookup tables, nCells·m·k doubles of metadata). Queries
+  * never read corpus vectors; the index never stores them.
+  */
+object IvfPq {
+
+  private case class Meta(
+      cents: Seq[(Long, Seq[Float])],       // (cid, centroid) sorted by cid
+      books: Seq[Seq[Seq[Double]]]) {       // books(s)(j): residual codebook
+    val cidToOrd: Map[Long, Int] = cents.map(_._1).zipWithIndex.toMap
+    val centsF: Seq[Seq[Float]] = cents.map(_._2)
+    val m: Int = books.size
+    val dsub: Int = books.head.head.size
+    // ‖c‖², dot(c_sub_s, w_sj), ‖w_sj‖² — index-time lookup tables
+    val cNormSq: Seq[Double] =
+      centsF.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+    val cDot: Seq[Seq[Seq[Double]]] = centsF.map { c =>
+      (0 until m).map(s => books(s).map(w =>
+        (0 until dsub).map(d => c(s * dsub + d).toDouble * w(d)).sum))
+    }
+    val pqNormSq: Seq[Seq[Double]] =
+      books.map(_.map(w => w.map(x => x * x).sum))
+  }
+
+  private def ordOf(meta: Meta): Column =
+    element_at(typedLit(meta.cidToOrd), col("cid"))
+
+  /** vec − its cell centroid, in float (the PQ kernel's input type). */
+  private def residual(vec: Column, meta: Meta): Column =
+    zip_with(vec, element_at(typedLit(meta.centsF), ordOf(meta) + 1),
+      (a, b) => a - b)
+
+  /** Exact ‖x̂‖² from codes via the index-time tables. */
+  private def xNormSq(codes: Column, meta: Meta): Column = {
+    val cn = element_at(typedLit(meta.cNormSq), ordOf(meta) + 1)
+    val cross = (0 until meta.m).map(s =>
+      element_at(element_at(element_at(typedLit(meta.cDot), ordOf(meta) + 1), s + 1),
+        element_at(codes, s + 1) + 1)).reduce(_ + _)
+    val rn = (0 until meta.m).map(s =>
+      element_at(typedLit(meta.pqNormSq(s)), element_at(codes, s + 1) + 1))
+      .reduce(_ + _)
+    cn + lit(2.0) * cross + rn
+  }
+
+  /** Build and write the index: coarse-assign (zero-shuffle projection),
+    * train residual codebooks (one corpus pass per Lloyd iteration),
+    * encode, and write `(id, codes, xnormsq)` partitioned by cell, plus
+    * `_centroids` / `_codebooks` sidecars — a reader needs nothing else. */
+  def write(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      nCells: Int = 16, m: Int = 8, k: Int = 16, iters: Int = 3,
+      corpusRows: Option[Long] = None,
+      trainedCentroids: Option[Seq[Seq[Double]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity
+      .centroidsOf(corpus, vecCol, idCol, nCells, corpusRows, trainedCentroids)
+      .sortBy(_._1)
+    val assigned = Similarity
+      .assignCells(corpus, cents, vecCol, idCol, "neighbor", 1)
+    // train PQ on residuals: same working-set shape as Pq.fit, input is
+    // the residual projection (never materialized to disk)
+    val preMeta = Meta(cents, Seq(Seq(Seq(0.0)))) // centroid tables only
+    val resid = assigned.select(col("neighbor_id"),
+      residual(col("neighbor_vec"), preMeta).as("resid"), col("cid"))
+    val books = Pq.fit(resid, "resid", "neighbor_id", m, k, iters, corpusRows)
+    val meta = Meta(cents, books)
+    val codes = nearestCodewords(col("resid"), books)
+    resid.select(col("neighbor_id").as("id"), codes.as("codes"), col("cid"))
+      .withColumn("xnormsq", xNormSq(col("codes"), meta))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    import spark.implicits._
+    cents.toDF("cid", "c_vec")
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (w, j) => (s, j, w) }
+    }.toDF("s", "j", "w")
+      .write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val rows = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    Meta(cents, (0 until m).map(s => (0 until k).map(j => byKey((s, j)))))
+  }
+
+  /** ADC top-k against a written index: probed-cell partition-pruned
+    * scan of CODES (never vectors), per-(query, cell) centroid dot +
+    * per-pair m lookups, ranked by the shared BoundedTopK. */
+  def topK(
+      spark: SparkSession, path: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val meta = readMeta(spark, path)
+    val q = Similarity
+      .assignCells(queries, meta.cents, vecCol, idCol, "query", nProbe)
+      .withColumn("q_cdot",
+        floatVecDot(col("query_vec"), element_at(typedLit(meta.centsF), ordOf(meta) + 1)))
+      .withColumn("q_norm", sqrt(floatVecDot(col("query_vec"), col("query_vec"))))
+      .withColumn("lut", array((0 until meta.m).map { s =>
+        array(meta.books(s).map(w =>
+          floatVecDot(slice(col("query_vec"), s * meta.dsub + 1, meta.dsub),
+            typedLit(w.map(_.toFloat)))): _*)
+      }: _*))
+      .drop("query_vec")
+    val probed = q.select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
+
+    val idx = spark.read.parquet(path)
+    // keep the IN-filter a planning-time PartitionFilter (IvfIndex.topK's
+    // partition-value typing note)
+    val cidLits: Seq[Any] = idx.schema("cid").dataType match {
+      case LongType => probed
+      case IntegerType => probed.map(_.toInt)
+      case _ => probed.map(_.toString)
+    }
+    val cells = idx.filter(col("cid").isin(cidLits: _*))
+      .select(col("id"), col("codes"), col("xnormsq"), col("cid").cast("long").as("cid"))
+
+    val scored = cells.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(
+          (col("q_cdot") +
+            aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+              lit(0.0), (a, v) => a + v))
+            / (col("q_norm") * sqrt(col("xnormsq"))), 6).as("c_r"))
+    Similarity.rankTopK(scored, k)
+  }
+}

@@ -199,5 +199,57 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps.forall(_ == false))
   }
 
+  test("prop: Bpe.segmentUdf = the Column fold on random tokens and merge tables") {
+    import graft.llm.Bpe
+    // small alphabet forces real merge hits, including the chaining edge
+    // ("aaa" + (a,a)): random tokens over {a,b,c} against random rank-
+    // ordered merge tables whose symbols grow from the same alphabet
+    val tokG = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val mergeG = for {
+      a <- Gen.oneOf("a", "b", "c", "aa", "ab", "bc", "cc")
+      b <- Gen.oneOf("a", "b", "c", "ba", "cb")
+    } yield (a, b)
+    val tables = samples(Gen.listOfN(6, mergeG), n = 10).map(_.distinct)
+    val toks = samples(tokG, n = 120)
+    tables.foreach { t =>
+      val merges = t.zipWithIndex.map { case ((a, b), i) => (i.toLong + 1, a, b, 2L) }
+      val out = toks.toDF("tok")
+        .select(col("tok"),
+          Bpe.segment(col("tok"), merges).as("fold"),
+          Bpe.segmentUdf(merges)(col("tok")).as("imp"))
+        .as[(String, Seq[String], Seq[String])].collect()
+      out.foreach { case (tok, fold, imp) =>
+        assert(fold === imp, s"fold vs udf diverge on '$tok' with table $merges")
+      }
+    }
+  }
+
+  test("prop: NearestCodewords kernel = driver argmin on random vectors/codebooks") {
+    import graft.functions.VectorFunctions.nearestCodewords
+    val m = 4; val k = 5; val dsub = 3
+    val bookG = Gen.listOfN(m * k * dsub, Gen.chooseNum(-5.0, 5.0))
+    val vecG = Gen.listOfN(m * dsub, Gen.chooseNum(-5.0f, 5.0f))
+    val books = samples(bookG, n = 1).head.grouped(k * dsub).toSeq
+      .map(_.grouped(dsub).toSeq.map(_.toSeq))
+    val vecs = samples(vecG, n = 200).map(_.toSeq)
+    val got = vecs.toDF("v")
+      .select(nearestCodewords(col("v"), books).as("codes"))
+      .as[Seq[Int]].collect()
+    vecs.zip(got).foreach { case (v, codes) =>
+      val expect = (0 until m).map { s =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub)
+        val dss = sub.map(x => x.toDouble * x.toDouble).sum
+        books(s).zipWithIndex.map { case (c, j) =>
+          val dsc = sub.zip(c.map(_.toFloat)).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          (dss - 2.0 * dsc + c.map(x => x * x).sum, j)
+        }.min._2
+      }
+      assert(codes === expect)
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfPqSpec extends SparkSpec {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private lazy val emb = sf("sf0.001", "embeddings")
+
+  private def tmpIdx(): String =
+    java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+
+  test("planted near-twins are retrieved at rank 1 through the full index") {
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val path = tmpIdx()
+    IvfPq.write(corpus, "embedding", "vec_id", path,
+      nCells = 8, m = 8, k = 16, iters = 3, corpusRows = Some(corpus.count()))
+    val queries = emb.filter(col("vec_id") < 5)
+    val top1 = IvfPq.topK(spark, path, queries, "embedding", "vec_id",
+        k = 10, nProbe = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) === q + 100000L, s"query $q: rank-1 is ${top1(q)}, not its twin")
+    }
+  }
+
+  test("stored xnormsq equals the driver-side reconstruction norm exactly") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 4, m = 4, k = 4, iters = 2, corpusRows = Some(emb.count()))
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val dsub = bookRows((0, 0)).size
+    val cidToOrd = cents.map(_._1).zipWithIndex.toMap
+    val rows = spark.read.parquet(path)
+      .select(col("id"), col("codes"), col("xnormsq"), col("cid").cast("long"))
+      .as[(Long, Seq[Int], Double, Long)].collect()
+    assert(rows.length === emb.count())
+    rows.foreach { case (id, codes, stored, cid) =>
+      val c = cents(cidToOrd(cid))._2.map(_.toDouble)
+      val rhat = codes.zipWithIndex.flatMap { case (j, s) => bookRows((s, j)) }
+      val xhat = c.zip(rhat).map { case (a, b) => a + b }
+      val expect = xhat.map(x => x * x).sum
+      assert(math.abs(stored - expect) < 1e-9,
+        s"xnormsq $stored vs reconstruction $expect for vec $id")
+    }
+  }
+
+  test("ADC score through the index equals the explicit reconstruction cosine") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 4, m = 4, k = 4, iters = 2, corpusRows = Some(emb.count()))
+    val queries = emb.filter(col("vec_id") < 3)
+    val adc = IvfPq.topK(spark, path, queries, "embedding", "vec_id",
+        k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(adc.nonEmpty)
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    val cidToOrd = cents.map(_._1).zipWithIndex.toMap
+    val stored = spark.read.parquet(path)
+      .select(col("id"), col("codes"), col("cid").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    adc.foreach { case (qid, nid, score) =>
+      val (codes, cid) = stored(nid)
+      val c = cents(cidToOrd(cid))._2.map(_.toDouble)
+      val rhat = codes.zipWithIndex.flatMap { case (j, s) => bookRows((s, j)) }
+      val xhat = c.zip(rhat).map { case (a, b) => a + b }
+      val q = vecs(qid).map(_.toDouble)
+      val expect = q.zip(xhat).map { case (a, b) => a * b }.sum /
+        (math.sqrt(q.map(x => x * x).sum) * math.sqrt(xhat.map(x => x * x).sum))
+      assert(math.abs(score - expect) < 1e-5,
+        s"ADC $score vs reconstruction $expect for ($qid, $nid)")
+    }
+  }
+
+  test("serving scans only probed cells (planning-time PartitionFilter), codes only") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 16, m = 4, k = 4, iters = 1, corpusRows = Some(emb.count()))
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = IvfPq.topK(spark, path, queries, "embedding", "vec_id",
+      k = 10, nProbe = 4)
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cid") && l.contains("IN") && !l.contains("IN ()")),
+      s"expected a cid IN (...) PartitionFilter, got: ${pf.mkString(" | ")}")
+    // ADC never reads vectors: no embedding-typed column in the index scan
+    assert(!plan.contains("neighbor_vec"),
+      "index scan must carry codes, not vectors")
+  }
+
+  test("every corpus row lands in exactly one cell; ids are preserved") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 8, m = 4, k = 4, iters = 1, corpusRows = Some(emb.count()))
+    val idx = spark.read.parquet(path)
+    assert(idx.count() === emb.count())
+    assert(idx.select("id").distinct().count() === emb.count())
+    assert(idx.select(col("cid")).distinct().count() <= 8)
+  }
+}

@@ -105,6 +105,24 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$path/_codebooks")
   }
 
+  /** Append a batch into the existing layout using the index's OWN
+    * sidecar quantizer and codebooks — appended rows land in existing
+    * cell directories with codes from the frozen codebooks, so pruned
+    * reads and ADC math stay correct without re-indexing (the daily
+    * incremental shape, mirroring [[IvfIndex.append]]). Codebook drift
+    * under a shifting distribution is a re-index decision, not an
+    * append-time one. */
+  def append(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    val meta = readMeta(batch.sparkSession, path)
+    val assigned = Similarity.assignCells(batch, meta.cents, vecCol, idCol, "neighbor", 1)
+    val resid = assigned.select(col("neighbor_id"),
+      residual(col("neighbor_vec"), meta).as("resid"), col("cid"))
+    resid.select(col("neighbor_id").as("id"),
+        nearestCodewords(col("resid"), meta.books).as("codes"), col("cid"))
+      .withColumn("xnormsq", xNormSq(col("codes"), meta))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val cents = spark.read.parquet(s"$path/_centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)

@@ -109,6 +109,27 @@ class IvfPqSpec extends SparkSpec {
       "index scan must carry codes, not vectors")
   }
 
+  test("append: batch rows join the frozen layout; their twins are then served") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 8, m = 8, k = 16, iters = 3, corpusRows = Some(emb.count()))
+    // appended batch = twins of queries 0-4 (cos≈1 positive multiples)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+    IvfPq.append(batch, "embedding", "vec_id", path)
+    assert(spark.read.parquet(path).count() === emb.count() + 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val top1 = IvfPq.topK(spark, path, queries, "embedding", "vec_id",
+        k = 10, nProbe = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) === q + 100000L, s"query $q: appended twin not served first")
+    }
+  }
+
   test("every corpus row lands in exactly one cell; ids are preserved") {
     val path = tmpIdx()
     IvfPq.write(emb, "embedding", "vec_id", path,

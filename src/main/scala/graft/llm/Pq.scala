@@ -65,6 +65,10 @@ object Pq {
     val dsub = dim / m
     val init = Similarity.strideCentroids(corpus, vecCol, idCol, k, corpusRows)
       .collect().map(_.getSeq[Float](1).map(_.toDouble))
+    require(init.nonEmpty, "Pq.fit: empty corpus")
+    // a corpus smaller than k seeds fewer codewords — clamp k rather than
+    // index past the init sample in the rebuild below
+    val kEff = init.length
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
       init.toSeq.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq))
     (0 until iters).foreach { _ =>
@@ -83,7 +87,7 @@ object Pq {
         .collect() // bounded: m×k×dsub = k×dim rows
         .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
         .toMap
-      books = (0 until m).map(s => (0 until k).map(j => (0 until dsub).map(d =>
+      books = (0 until m).map(s => (0 until kEff).map(j => (0 until dsub).map(d =>
         // empty codes keep their previous codeword; round like KMeans so
         // partial-agg summation order cannot leak into assignments
         means.get((s, j, d)).map(x => math.rint(x * 1e6) / 1e6)

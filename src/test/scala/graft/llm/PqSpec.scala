@@ -105,6 +105,15 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fit clamps k to the corpus size instead of indexing past the seed sample") {
+    val tiny = emb.filter(col("vec_id") < 3) // 3 rows, k = 8 requested
+    val books = Pq.fit(tiny, "embedding", "vec_id", m = 4, k = 8, iters = 2)
+    assert(books.head.size === 3) // kEff = |corpus|
+    val codes = Pq.encode(tiny, "embedding", "vec_id", books)
+      .select("codes").as[Seq[Int]].collect()
+    codes.foreach(cs => assert(cs.forall(c => c >= 0 && c < 3)))
+  }
+
   test("ragged and null vectors fail loudly") {
     val books = Pq.fit(emb, "embedding", "vec_id", m = 4, k = 4, iters = 1)
     val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")

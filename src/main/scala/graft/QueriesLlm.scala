@@ -506,6 +506,34 @@ object QueriesLlm {
         ) v(token, pieces)
         ORDER BY token""")),
 
+    // ---- model-based quality scoring (classifier inference) -------------
+    // Fixed-weight linear model over hashed bag-of-words: weights are the
+    // exact-in-binary ramp ((i*37) mod 64 - 32)/64 (multiples of 1/64 —
+    // sums are EXACT in both engines, so only the final sigmoid sees
+    // libm noise, absorbed by the 6-decimal rounding contract).
+    QueryDef("quality_model_score",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val wts = (0 until 64).map(i => ((i * 37) % 64 - 32) / 64.0)
+        TextStats.modelQualityScore(docs, "text", "doc_id", wts, bias = 0.25)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) t
+                   FROM documents),
+        f AS (SELECT doc_id,
+                CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE list_aggregate(list_transform(t, tok ->
+                            (CAST(((CAST('0x'||substr(md5(tok),1,8) AS BIGINT) % 64) * 37) % 64 AS DOUBLE)
+                              - 32) / 64.0), 'sum') / len(t)
+                END mean
+              FROM d)
+        SELECT doc_id,
+               round(1.0/(1.0 + exp(-(0.25 + mean))), 6) AS q_score,
+               round(1.0/(1.0 + exp(-(0.25 + mean))), 6) >= 0.5 AS keep
+        FROM f ORDER BY doc_id""")),
+
     // ---- HTML -> text extraction ----------------------------------------
     // Each document is wrapped in deterministic markup (script body with a
     // bare '<', style block, entities incl. the double-escape &amp;lt;)
@@ -935,6 +963,53 @@ object QueriesLlm {
         SELECT event_id, epoch_us(ts) AS ts_us, event_type
         FROM events
         ORDER BY event_id""")),
+
+    // Stream-stream event-time interval join (attribution): clicks joined
+    // to the same user's purchases within 4 hours, both sides watermarked
+    // streams (a self-join of one file-source stream — the log-topology
+    // case). INNER join on a bounded source = exactly the batch join's
+    // rows; the checkpointed re-run must append nothing.
+    QueryDef("stream_interval_join",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val src = Files.createTempDirectory("graft_ssj_src_")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val tgt = Files.createTempDirectory("graft_ssj_tgt_").toString
+        val ckpt = Files.createTempDirectory("graft_ssj_ck_").toString
+        val schema = s.read.parquet(src.toString).schema
+        def runOnce(): Unit = {
+          val ev = s.readStream.schema(schema).parquet(src.toString)
+            .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+          val joined = graft.streaming.StreamingIncremental
+            .streamStreamIntervalJoin(ev, "ts", "user_id", "event_type",
+              "click", "purchase", window = "4 hours")
+          val q = joined.select(col("left_id").as("click_id"),
+              col("right_id").as("purchase_id"),
+              unix_micros(col("left_ts")).as("click_us"),
+              unix_micros(col("right_ts")).as("purchase_us"), col("value"))
+            .writeStream.format("parquet")
+            .option("path", tgt).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // checkpointed: must append nothing
+        s.read.parquet(tgt).orderBy("click_id", "purchase_id")
+      },
+      Some("""
+        WITH c AS (SELECT event_id click_id, ts cts, user_id FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT event_id purchase_id, ts pts, user_id, value FROM events
+              WHERE event_type = 'purchase')
+        SELECT click_id, purchase_id, epoch_us(cts) AS click_us,
+               epoch_us(pts) AS purchase_us, value
+        FROM c JOIN p USING (user_id)
+        WHERE pts >= cts AND pts <= cts + INTERVAL 4 HOUR
+        ORDER BY click_id, purchase_id""")),
 
     // Streaming merge-upsert: the incremental_partition_merge driven by a
     // stream. Target pre-seeded with even event_ids carrying value=-99

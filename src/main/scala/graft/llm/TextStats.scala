@@ -204,6 +204,38 @@ object TextStats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Model-based quality scoring (the CCNet/GPT-3-style quality-
+    * classifier inference step): a linear model over HASHED bag-of-words
+    * features — each token hashes into one of `weights.size` buckets,
+    * the document feature is the MEAN bucket weight, and the score is
+    * `sigmoid(bias + mean)`. The weights are a shipped artifact (like a
+    * fasttext model), applied as a PURE PROJECTION: transform + aggregate
+    * HOFs, no explode, no shuffle — the scoring pass is scan-speed at
+    * any corpus size, which is the entire point of classifier-based
+    * quality filtering at 100 TB. Feature hashing reuses the engine's
+    * md5-prefix→BIGINT idiom (Dedup.shingleHashSets) so a DuckDB oracle
+    * replays it bit-for-bit; score is rounded to 6 decimals (the ANN
+    * gates' cross-engine rounding contract). An empty document scores
+    * `sigmoid(bias)`. */
+  def modelQualityScore(df: DataFrame, textCol: String, idCol: String,
+                        weights: Seq[Double], bias: Double = 0.0,
+                        threshold: Double = 0.5): DataFrame = {
+    require(weights.nonEmpty, "modelQualityScore: empty weight vector")
+    val d = weights.size
+    val toks = Dedup.tokens(col(textCol))
+    val bucket = (t: Column) =>
+      (pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(d.toLong)) + 1)
+        .cast("int")
+    val mean = when(size(toks) > 0,
+      aggregate(transform(toks, t => element_at(typedLit(weights), bucket(t))),
+        lit(0.0), (a, v) => a + v) / size(toks))
+      .otherwise(lit(0.0))
+    df.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-1.0) * (lit(bias) + mean))), 6)
+          .as("q_score"))
+      .withColumn("keep", col("q_score") >= threshold)
+  }
+
   /** Windowed min-fingerprint (winnowing-lite): hash every `w`-char
     * window (md5 prefix standing in for a Rabin rolling hash — same
     * windowed-min structure, engine-portable), keep the minimum — a

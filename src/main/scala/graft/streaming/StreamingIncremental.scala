@@ -112,6 +112,42 @@ object StreamingIncremental {
       .select(col(s"window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Stream-stream event-time interval join (the attribution shape:
+    * every `leftType` event joined to the same user's `rightType` events
+    * within `[left.ts, left.ts + window]`). Both sides are watermarked
+    * streams — Spark's symmetric hash join keeps per-side state only for
+    * the watermark + window horizon, so state is bounded by in-flight
+    * time span, not history (the property that makes this runnable
+    * forever at 100 TB/day). Works as a self-join of one source stream
+    * (two filters of the same readStream), the common log-topology case.
+    *
+    * INNER join: results are exactly the batch join's rows once both
+    * sides' data is processed — late rows beyond the watermark may be
+    * missed (bounded-lateness semantics, same contract as
+    * [[windowedCounts]]). */
+  def streamStreamIntervalJoin(
+      events: DataFrame,
+      tsCol: String, userCol: String, typeCol: String,
+      leftType: String, rightType: String,
+      window: String = "4 hours",
+      watermark: String = "2 hours"): DataFrame = {
+    val left = events
+      .filter(col(typeCol) === leftType)
+      .select(col("event_id").as("left_id"), col(tsCol).as("left_ts"),
+        col(userCol).as("left_user"))
+      .withWatermark("left_ts", watermark)
+    val right = events
+      .filter(col(typeCol) === rightType)
+      .select(col("event_id").as("right_id"), col(tsCol).as("right_ts"),
+        col(userCol).as("right_user"), col("value"))
+      .withWatermark("right_ts", watermark)
+    left.join(right,
+      col("left_user") === col("right_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"interval $window"),
+      "inner")
+  }
+
   final case class DedupKey(hash: String)
   final case class DocIn(hash: String, doc_id: Long, text: String)
   final case class SeenState(firstId: Long)

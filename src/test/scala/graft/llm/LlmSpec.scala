@@ -363,5 +363,35 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc4 shares no term: never materialized, so k is a cap not a pad
   }
 
+  test("quality: modelQualityScore = driver-side hashed-BoW linear model; empty doc = sigmoid(bias)") {
+    import spark.implicits._
+    val wts = (0 until 64).map(i => ((i * 37) % 64 - 32) / 64.0)
+    val fixture = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the the the"), // repeated token: mean = its bucket weight
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.modelQualityScore(fixture, "text", "doc_id", wts, bias = 0.25)
+      .orderBy("doc_id").as[(Long, Double, Boolean)].collect()
+    // driver-side replica of the contract
+    def bucket(tok: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.take(8), 16) % 64).toInt
+    }
+    def score(text: String): Double = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val mean = if (toks.isEmpty) 0.0 else toks.map(t => wts(bucket(t))).sum / toks.length
+      math.rint(1.0 / (1.0 + math.exp(-(0.25 + mean))) * 1e6) / 1e6
+    }
+    out.foreach { case (id, q, keep) =>
+      val text = Map(1L -> "the quick brown fox", 2L -> "the the the", 3L -> "")(id)
+      assert(math.abs(q - score(text)) < 2e-6, s"doc $id: $q vs ${score(text)}")
+      assert(keep === (q >= 0.5))
+    }
+    // a repeated single token's mean IS that token's weight
+    assert(math.abs(
+      (math.log(out(1)._2 / (1 - out(1)._2)) - 0.25) - wts(bucket("the"))) < 1e-4)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

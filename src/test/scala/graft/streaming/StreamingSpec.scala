@@ -48,6 +48,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(tgtDir).count() == 3)
   }
 
+  test("streamStreamIntervalJoin: a click in batch 1 joins a purchase arriving in batch 2") {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft_ssj_src_").toString
+    val tgtDir = Files.createTempDirectory("graft_ssj_tgt_").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ck_").toString
+    val day = 86400L * 1000000L // base epoch day in micros (watermark-safe)
+    def ev(id: Long, usOff: Long, user: Long, typ: String, value: Double) =
+      (id, new java.sql.Timestamp((day + usOff) / 1000), user, typ, value)
+    // file 1: the click (plus a filler row setting the max event time)
+    Seq(ev(1, 0L, 7L, "click", 0.0), ev(2, 3600L * 1000000L, 9L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(srcDir)
+    // file 2: the purchase, 1h after the click — within the 4h window
+    Seq(ev(3, 3600L * 1000000L, 7L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force one micro-batch per file
+      .parquet(srcDir)
+    val joined = StreamingIncremental.streamStreamIntervalJoin(
+      src, "ts", "user_id", "event_type", "click", "purchase",
+      window = "4 hours", watermark = "2 hours")
+    val q = joined.writeStream.format("parquet")
+      .option("path", tgtDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(tgtDir)
+      .select("left_id", "right_id", "value")
+      .as[(Long, Long, Double)].collect()
+    // the join state for batch-1's click must survive into batch 2
+    assert(out.toSeq === Seq((1L, 3L, 5.0)), s"got ${out.toSeq}")
+  }
+
   test("streamingMergeUpsert: crash mid-merge, restart replays the batch, end state converges") {
     import graft.core.TableId
     import graft.materialize.MergeConfig

@@ -1115,5 +1115,6 @@ object Queries {
   /** All registered queries, in registration order. */
   def all: Seq[QueryDef] =
     analytics ++ dfuncs ++ policy ++ materializations ++ runlogQueries ++
-      validatorQueries ++ governance ++ QueriesLlm.all ++ QueriesExt.all
+      validatorQueries ++ governance ++ QueriesLlm.all ++ QueriesExt.all ++
+      QueriesR6.all
 }

@@ -76,6 +76,56 @@ object Curation {
     docs.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** The registrable-ish host of a URL: scheme stripped, lowercased,
+    * leading `www.` and any port removed. The key crawl blocklists and
+    * per-domain quotas group on. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)),
+        "^www\\.", ""),
+      ":[0-9]+$", "")
+
+  /** Domain-blocklist filtering: drop documents whose URL's domain (or
+    * any registrable parent — `ads.evil.com` is blocked by `evil.com`)
+    * appears in the blocklist. Production crawl blocklists run to
+    * hundreds of thousands of domains, so the list is a DataFrame side,
+    * not an `isin` literal.
+    *
+    * Shape: one BROADCAST HASH equi-join per suffix depth (2 ..
+    * `maxLabels` labels — a matchable domain needs a dot), each an O(1)
+    * probe per row; a doc is dropped iff any level matched. The corpus
+    * never shuffles and never explodes (an explode + anti-join would
+    * wrongly keep a doc via its non-matching suffix rows; an explode +
+    * groupBy would shuffle the corpus; a disjunctive join condition
+    * would degrade to a nested-loop scan of the whole blocklist per
+    * row). Domains deeper than `maxLabels` labels match on their last
+    * `maxLabels`-label suffixes — raise `maxLabels` if the blocklist
+    * carries deeper entries. */
+  def domainBlocklistFilter(
+      docs: DataFrame, urlCol: String, blocklist: DataFrame,
+      maxLabels: Int = 4): DataFrame = {
+    require(maxLabels >= 2, "domainBlocklistFilter: maxLabels must be >= 2")
+    require(blocklist.columns.contains("domain"),
+      "domainBlocklistFilter: blocklist needs a 'domain' column")
+    val bl = blocklist.select(lower(trim(col("domain"))).as("domain")).distinct()
+    val labels = split(urlDomain(col(urlCol)), "\\.")
+    val n = size(labels)
+    val withSuf = (2 to maxLabels).foldLeft(docs) { (df, i) =>
+      df.withColumn(s"__suf$i",
+        when(n >= i, array_join(slice(labels, n - lit(i) + 1, lit(i)), ".")))
+    }
+    val joined = (2 to maxLabels).foldLeft(withSuf) { (df, i) =>
+      df.join(broadcast(bl.withColumnRenamed("domain", s"__hit$i")),
+        col(s"__suf$i") === col(s"__hit$i"), "left")
+    }
+    val blocked = (2 to maxLabels)
+      .map(i => col(s"__hit$i").isNotNull)
+      .reduce(_ || _)
+    joined.filter(!blocked)
+      .drop((2 to maxLabels).flatMap(i => Seq(s"__suf$i", s"__hit$i")): _*)
+  }
+
   /** Fixed-size word-chunk segmenter over an ALREADY-MATERIALIZED token
     * array (same binding contract as Dedup.wordGrams: pass a bound column,
     * not an inline split, or the token subtree is copied per chunk). For

@@ -97,6 +97,28 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Deterministic train/val/test split assignment — the holdout step
+    * every training corpus needs before packing. A document's split is a
+    * pure function of (seed, id): seeded md5 bucket in [0, 100), the
+    * lowest `testPct` buckets are test, the next `valPct` are val, the
+    * rest train. Reproducible across reruns, engines, and cluster
+    * layouts (no RNG, no partition dependence), and STABLE UNDER
+    * APPEND — a document keeps its split when the corpus grows, so
+    * yesterday's held-out set is never silently trained on. Re-seeding
+    * produces an independent assignment. Pure projection: no shuffle,
+    * partition-parallel at any scale. */
+  def splitAssign(
+      df: DataFrame, idCol: String, seed: Long,
+      valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "splitAssign: valPct/testPct must be >= 0 and sum to <= 100")
+    val b = hashBucket(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    df.withColumn("split",
+      when(b < testPct, lit("test"))
+        .when(b < testPct + valPct, lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** Corpus mixing: per-source REAL-valued weights, up- and down-sampling
     * in one operator — the data-mixing step that turns curated sources
     * into a training distribution (2.5 means every doc appears twice and

@@ -236,6 +236,23 @@ object TextStats {
       .withColumn("keep", col("q_score") >= threshold)
   }
 
+  /** Corpus composition report: per (lang, source) document counts, size
+    * totals, and length percentiles-lite (min/max), with ROLLUP subtotals
+    * and a grand total — the audit table every curation run publishes
+    * before training. One map-side-combinable aggregation; ROLLUP adds
+    * the subtotal groupings in the same shuffle (Spark expands grouping
+    * sets in one exchange, not one pass per level). Sizes stay BIGINT —
+    * exact, hash-stable cross-engine. */
+  def corpusReport(
+      docs: DataFrame, langCol: String, sourceCol: String,
+      sizeCol: String): DataFrame =
+    docs.rollup(col(langCol).as("lang"), col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("total_chars"),
+        min(col(sizeCol)).as("min_chars"),
+        max(col(sizeCol)).as("max_chars"))
+
   /** Windowed min-fingerprint (winnowing-lite): hash every `w`-char
     * window (md5 prefix standing in for a Rabin rolling hash — same
     * windowed-min structure, engine-portable), keep the minimum — a

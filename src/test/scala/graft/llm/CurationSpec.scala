@@ -308,4 +308,41 @@ class CurationSpec extends SparkSpec {
       .as[String].collect().head
     assert(got == """Hello one two <b> isn't "bold" &lt; three four""")
   }
+
+  test("urlDomain: scheme, www, port, path, query, fragment all stripped") {
+    val cases = Seq(
+      "https://WWW.Example.COM/path?q=1#f" -> "example.com",
+      "http://ads.site.com:8080/x" -> "ads.site.com",
+      "https://example.com" -> "example.com",
+      "ftp://www.files.org:21" -> "files.org",
+      "not a url" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.urlDomain(col("u"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
+  test("domainBlocklistFilter: apex entry blocks subdomains, exact entry blocks itself") {
+    val docs = Seq(
+      (1L, "https://evil.com/a"),          // apex blocked
+      (2L, "https://ads.evil.com/b"),      // parent apex blocked
+      (3L, "https://deep.ads.evil.com/c"), // 2-level parent blocked
+      (4L, "https://ads.fine.com/d"),      // exact subdomain blocked
+      (5L, "https://fine.com/e"),          // apex NOT blocked (only its subdomain is)
+      (6L, "https://good.com/f"),          // untouched
+      (7L, null.asInstanceOf[String])      // null url: kept (nothing to match)
+    ).toDF("doc_id", "url")
+    val bl = Seq("evil.com", "ads.fine.com").toDF("domain")
+    val kept = Curation.domainBlocklistFilter(docs, "url", bl)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(5L, 6L, 7L))
+  }
+
+  test("domainBlocklistFilter: corpus side never shuffles (broadcast joins only)") {
+    val docs = Seq((1L, "https://a.b.com/x")).toDF("doc_id", "url")
+    val bl = Seq("z.com").toDF("domain")
+    val plan = Curation.domainBlocklistFilter(docs, "url", bl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

@@ -121,4 +121,34 @@ class SamplingSpec extends SparkSpec {
     // lowercased: a=2 b=3(b,b,B) c=1 -> b first, then a, then c
     assert(out === Seq("b" -> 3L, "a" -> 2L, "c" -> 1L))
   }
+
+  test("splitAssign: every doc gets exactly one split, fractions near the config") {
+    val out = Sampling.splitAssign(docs, "doc_id", seed = 7L, valPct = 10, testPct = 10)
+    assert(out.count() === docs.count())
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.6, s"train frac ${counts("train") / n}")
+    assert(counts("val") / n < 0.25 && counts("test") / n < 0.25)
+  }
+
+  test("splitAssign: assignment is stable under corpus append") {
+    // a doc's split is a pure function of (seed, id): assigning a SUBSET
+    // must agree with assigning the full corpus — growing the corpus can
+    // never move yesterday's holdout into train
+    val full = Sampling.splitAssign(docs, "doc_id", 7L, 10, 10)
+      .select("doc_id", "split")
+    val subset = Sampling.splitAssign(docs.filter(col("doc_id") < 100), "doc_id", 7L, 10, 10)
+      .select("doc_id", "split")
+    assert(subset.exceptAll(full.filter(col("doc_id") < 100)).isEmpty)
+  }
+
+  test("splitAssign: re-seeding moves documents; bad percentages are rejected") {
+    val a = Sampling.splitAssign(docs, "doc_id", 7L, 20, 20).select("doc_id", "split")
+    val b = Sampling.splitAssign(docs, "doc_id", 8L, 20, 20).select("doc_id", "split")
+    assert(a.exceptAll(b).count() > 0)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", 7L, 60, 50)
+    }
+  }
 }

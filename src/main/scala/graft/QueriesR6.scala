@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Curation, Sampling, TextStats}
+import graft.llm.{Curation, Dedup, KMeans, LmScore, Sampling, Similarity, TextStats}
 
 /** Round-6 gate queries: corpus lifecycle operators around the curated
   * corpus — holdout splits, domain blocklists, composition reporting,
@@ -100,6 +100,123 @@ object QueriesR6 {
         GROUP BY ROLLUP (lang, source)
         ORDER BY lang, source""")),
 
+    // ---- bigram LM scoring (perplexity-family quality signal) -----------
+    // Train on the even-id half of the corpus, score EVERY doc — odd docs
+    // exercise the unseen-bigram/unseen-context smoothing paths. All
+    // arithmetic after tokenization is exact integer (fixed-point
+    // probability + bin-length surprisal bits), so the whole score is
+    // pinned cross-engine, not just its shape.
+    QueryDef("lm_score",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val model = LmScore.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        LmScore.score(docs, "text", "doc_id", model)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w[CAST(r.i AS INT)] AS a, w[CAST(r.i AS INT) + 1] AS b
+          FROM d, unnest(range(1, len(w))) r(i)),
+        c2 AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        u AS (
+          SELECT x AS b, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+        k AS (
+          SELECT nv, LEAST(1000000000, 2305843009213693952 // nv) AS s
+          FROM (SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM u)
+                     + (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nv)),
+        p AS (
+          SELECT bg.doc_id,
+                 CASE WHEN c2.c2 IS NOT NULL THEN (c2.c2 * k.s) // c1.c1
+                      ELSE (2 * (((COALESCE(u.cu, 0) + 1) * k.s) // k.nv)) // 5
+                 END AS p_scaled, k.s AS s
+          FROM bg LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
+          LEFT JOIN u ON bg.b = u.b
+          CROSS JOIN k),
+        sc AS (
+          SELECT doc_id, p_scaled,
+                 strlen(bin(s // greatest(p_scaled, 1))) - 1 AS bits
+          FROM p),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(p_scaled) AS BIGINT) AS sum_p,
+                 CAST(SUM(bits) AS BIGINT) AS sum_bits
+          FROM sc GROUP BY 1)
+        SELECT documents.doc_id,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               COALESCE(sum_p, 0) AS sum_p,
+               COALESCE(sum_bits, 0) AS sum_bits
+        FROM documents LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- ANN: int8 scalar-quantization top-k (4x shrink serving) --------
+    // Same planted-twin pin as ann_topk_pq: a twin is its query rescaled
+    // by x1.001 — a positive scalar multiple, so it quantizes to (near-)
+    // identical codes and its code-cosine is the max reachable; it must
+    // come back at rank 1. corpus_rows guards the fixture scale.
+    QueryDef("ann_topk_sq",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val planted = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), v => v + (v * lit(0.001f))).as("embedding"))
+        val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        val nCorpus = corpus.count()
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.sqTopK(corpus, queries, "embedding", "vec_id", k = 10)
+          .filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("corpus_rows", lit(nCorpus))
+          .orderBy("query_id")
+      },
+      Some {
+        val rows = (0L until 10L).map(q =>
+          s"(CAST($q AS BIGINT), CAST(${q + 100000L} AS BIGINT), " +
+            s"CAST(510 AS BIGINT))").mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows) v(query_id, neighbor_id, corpus_rows)
+        ORDER BY query_id"""
+      }),
+
+    // ---- semantic dedup (SemDeDup: cluster, then within-cluster pairs) --
+    // Planted twins are EXACT copies of their originals: cluster
+    // assignment is a deterministic function of the vector value, so an
+    // identical vector provably lands in its original's cluster (a
+    // rescaled twin could cross a Voronoi boundary) and cos = 1 >= the
+    // threshold. The gate pins every dropped doc and its survivor.
+    QueryDef("dedup_semantic",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val planted = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        val nCorpus = corpus.count()
+        val centroids = KMeans.fit(corpus, "embedding", "vec_id",
+          k = 8, iters = 2, corpusRows = Some(nCorpus))
+        Dedup.semanticDedup(corpus, "embedding", "vec_id", centroids,
+            threshold = 0.9)
+          .filter(!col("keep"))
+          .select(col("id"), col("dup_of"))
+          .withColumn("corpus_rows", lit(nCorpus))
+          .orderBy("id")
+      },
+      Some {
+        val rows = (0L until 10L).map(q =>
+          s"(CAST(${q + 100000L} AS BIGINT), CAST($q AS BIGINT), " +
+            s"CAST(510 AS BIGINT))").mkString(", ")
+        s"""
+        SELECT * FROM (VALUES $rows) v(id, dup_of, corpus_rows)
+        ORDER BY id"""
+      }),
+
     // ---- ORC interchange: write + schema-pinned read ---------------------
     // Same contract as jsonl_source: the roundtrip through the columnar
     // interchange format must be value-exact; the schema is pinned from
@@ -112,6 +229,35 @@ object QueriesR6 {
         val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
         docs.coalesce(2).write.mode("overwrite").orc(tmp)
         s.read.schema(docs.schema).orc(tmp)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- CSV interchange: write + schema-pinned read ---------------------
+    // RFC-4180 quoting (escape = quote doubling) and multiLine read, so
+    // embedded commas/quotes/newlines in document text survive the
+    // roundtrip; schema pinned as always. multiLine is the correctness-
+    // over-splittability call: a quoted-newline CSV cannot be split at
+    // arbitrary byte offsets, so each FILE is one task — fine here
+    // because the write controls file sizing (coalesce / maxRecordsPerFile
+    // at scale), wrong only for foreign dumps, which should be converted
+    // once and never re-read as CSV.
+    QueryDef("csv_source",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+        docs.coalesce(2).write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(tmp)
+        s.read.schema(docs.schema)
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true")
+          .csv(tmp)
           .select("doc_id", "text", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },

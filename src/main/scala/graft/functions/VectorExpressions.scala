@@ -63,6 +63,52 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of two `array<int>` columns (int8-quantized codes ride in
+  * int arrays) accumulated in LONG — exact integer arithmetic, so scores
+  * are associative and engine-portable. Native for the same reason as
+  * [[FloatVecDot]]: a fused no-allocation loop inside WholeStageCodegen
+  * on the ANN serving hot path. */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SimHash over a pre-hashed token array: bit i of the result is set iff
   * Σ_tokens (2·bit_i(h) − 1) > 0, over `bits` low bits of each hash.
   *
@@ -395,6 +441,10 @@ object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def intVecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def simhashBits(tokenHashes: Column, bits: Int): Column =
     ExpressionUtils.column(

@@ -8,6 +8,9 @@ object VectorFunctions {
   def floatVecDot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.floatVecDot(a, b)
 
+  def intVecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.intVecDot(a, b)
+
   def simhashBits(tokenHashes: Column, bits: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.simhashBits(tokenHashes, bits)
 

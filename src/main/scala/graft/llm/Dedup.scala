@@ -359,4 +359,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster
+    * the embeddings, compare pairs only WITHIN a cluster, keep one
+    * representative per near-dup group. Clustering bounds the quadratic:
+    * with balanced clusters the pair work is n²/k, and near-dups (cos ≳
+    * 0.9) land in the same cluster with high probability because they
+    * are closer to each other than to any centroid gap.
+    *
+    * Shape: assignment is the zero-shuffle literal-centroid projection
+    * ([[KMeans.assign]]); the pair stage is an EQUI-join on `cid` (no
+    * cartesian — each cluster joins only itself); survivors come from
+    * the same hash-groupBy min as [[exact]]. Returned: one row per doc
+    * with its `keep` verdict and cluster, so the caller can filter or
+    * audit. A doc is dropped iff some LOWER-id doc in its cluster is
+    * within the threshold — the deterministic min-id survivor rule
+    * (transitive chains collapse to the lowest id via the pair->min
+    * reduction, matching the SemDeDup "keep one per group" contract
+    * without a full connected-components pass; for exact CC semantics
+    * compose with ConnectedComponents as dedup_pipeline does). */
+  def semanticDedup(
+      emb: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.floatVecDot
+    val assigned = KMeans.assign(
+        emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      .withColumn("nrm", sqrt(floatVecDot(col("v"), col("v"))))
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val dupOf = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(floatVecDot(col("v_a"), col("v_b")) >=
+        lit(threshold) * col("n_a") * col("n_b"))
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
 }

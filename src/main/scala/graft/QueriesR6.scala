@@ -237,6 +237,65 @@ object QueriesR6 {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ---- per-domain quota capping ----------------------------------------
+    // URLs synthesized from doc_id over 5 domains; quota 3 keeps exactly
+    // the 3 md5-smallest ids per domain. The oracle selects them with an
+    // independent row_number window over the same hash.
+    QueryDef("domain_quota",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val url = concat(lit("https://site"), (col("doc_id") % 5).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"))
+        Curation.domainQuota(docs.select(col("doc_id"), url.as("url")),
+            "url", "doc_id", quota = 3)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, doc_id % 5 AS domain,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS hh
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS rn
+          FROM h)
+        SELECT doc_id FROM r WHERE rn <= 3
+        ORDER BY doc_id""")),
+
+    // ---- within-document repeated-line removal ---------------------------
+    // Multi-line docs are synthesized by repeating a slice of the text;
+    // the duplicate line must vanish, order preserved, both engines
+    // running their own indexed prefix-scan filter.
+    QueryDef("line_dedup",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val text2 = concat_ws("\n",
+          substring(col("text"), 1, 30), substring(col("text"), 31, 30),
+          substring(col("text"), 1, 30), substring(col("text"), 61, 30))
+        Curation.dedupLinesWithinDoc(
+            docs.select(col("doc_id"), text2.as("text")), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id,
+                 [substr(text, 1, 30), substr(text, 31, 30),
+                  substr(text, 1, 30), substr(text, 61, 30)] AS lines
+          FROM documents),
+        k AS (
+          SELECT doc_id, lines,
+                 list_filter(lines,
+                   (x, i) -> list_position(lines[1:i-1], x) = 0) AS kept
+          FROM l)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, chr(10)) AS text_clean
+        FROM k
+        ORDER BY doc_id""")),
+
     // ---- CSV interchange: write + schema-pinned read ---------------------
     // RFC-4180 quoting (escape = quote doubling) and multiLine read, so
     // embedded commas/quotes/newlines in document text survive the

@@ -126,6 +126,51 @@ object Curation {
       .drop((2 to maxLabels).flatMap(i => Seq(s"__suf$i", s"__hit$i")): _*)
   }
 
+  /** Per-domain quota capping (RefinedWeb-style "no domain dominates the
+    * corpus"): keep at most `quota` documents per URL domain, chosen
+    * deterministically (seedless md5 order — reproducible across
+    * reruns, engines, and cluster layouts; ties to the lower id).
+    *
+    * Scale shape: the selection is the bounded top-k AGGREGATE per
+    * domain, not a row_number window — map-side partials keep ≤ quota
+    * docs per domain per task, so a hot domain (the exact case quotas
+    * exist for) never funnels its full row set through one reducer;
+    * the shuffle carries ≤ quota × tasks rows per domain. Survivors
+    * rehydrate via a LEFT SEMI equi-join on the id. */
+  def domainQuota(docs: DataFrame, urlCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    require(quota > 0, "domainQuota: quota must be positive")
+    import graft.functions.VectorFunctions.boundedTopKLong
+    val dom = urlDomain(col(urlCol))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = docs
+      .select(dom.as("domain"), col(idCol).as("id"), (-h).as("neg_h"))
+      .groupBy("domain")
+      .agg(boundedTopKLong(col("neg_h"), col("id"), quota).as("top"))
+      .select(explode(col("top.id")).as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /** Within-document repeated-line removal (the Gopher/C4 repetition
+    * TRANSFORM, complementing [[repetitionMetrics]] which only
+    * measures): keep the first occurrence of each line, preserve order,
+    * reassemble. Pure projection — the dedup is an indexed HOF filter
+    * (`array_position` over the line prefix), O(lines²) per document
+    * with line counts in the tens-to-hundreds, zero shuffle at any
+    * corpus size. */
+  def dedupLinesWithinDoc(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val bound = docs.withColumn("__lines", split(col(textCol), "\n"))
+    val lines = col("__lines")
+    val kept = filter(lines, (x, i) =>
+      array_position(slice(lines, lit(1), i), x) === 0)
+    bound.select(col(idCol).as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("text_clean"))
+  }
+
   /** Fixed-size word-chunk segmenter over an ALREADY-MATERIALIZED token
     * array (same binding contract as Dedup.wordGrams: pass a bound column,
     * not an inline split, or the token subtree is copied per chunk). For

@@ -337,6 +337,36 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq === Seq(5L, 6L, 7L))
   }
 
+  test("domainQuota: at most quota per domain, deterministic, no rank window in plan") {
+    val docs = (1L to 20L).map(i =>
+      (i, s"https://site${i % 2}.com/p/$i")).toDF("doc_id", "url")
+    val out = Curation.domainQuota(docs, "url", "doc_id", quota = 3)
+    val kept = out.select("doc_id").as[Long].collect().sorted
+    assert(kept.length === 6) // 2 domains x quota 3
+    val again = Curation.domainQuota(docs, "url", "doc_id", quota = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === again.toSeq, "selection must be deterministic")
+    // quota larger than any domain keeps everything
+    assert(Curation.domainQuota(docs, "url", "doc_id", 100).count() === 20L)
+    // the selection is the bounded aggregate, not a row_number window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("dedupLinesWithinDoc: first occurrence kept in order, empties dedup too") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\n\ny\n\nx"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupLinesWithinDoc(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 5L, 3L, "a\nb\nc")))
+    assert(out(1) === ((2L, 5L, 3L, "x\n\ny"))) // second "" and second x drop
+    assert(out(2) === ((3L, 1L, 1L, "solo")))
+  }
+
   test("domainBlocklistFilter: corpus side never shuffles (broadcast joins only)") {
     val docs = Seq((1L, "https://a.b.com/x")).toDF("doc_id", "url")
     val bl = Seq("z.com").toDF("domain")

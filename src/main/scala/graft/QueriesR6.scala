@@ -237,6 +237,45 @@ object QueriesR6 {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ---- incremental semantic dedup (daily batch vs frozen index) --------
+    // Corpus indexed once with frozen centroids; the batch carries 10
+    // exact copies (must drop, survivor = the original) and 5 NEGATED
+    // vectors (cos = -1 to their source — must keep). Never corpus-vs-
+    // corpus: cost scales with the batch.
+    QueryDef("dedup_semantic_incremental",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val nCorpus = emb.count()
+        val centroids = KMeans.fit(emb, "embedding", "vec_id",
+          k = 8, iters = 2, corpusRows = Some(nCorpus))
+        val corpusIndexed = KMeans.assign(
+          emb.select(col("vec_id"), col("embedding")), "embedding", centroids)
+        val copies = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val fresh = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            transform(col("embedding"), v => -v).as("embedding"))
+        Dedup.semanticDedupIncremental(corpusIndexed,
+            copies.unionByName(fresh), "embedding", "vec_id",
+            centroids, threshold = 0.9)
+          .select(col("id"), col("dup_of"), col("keep"))
+          .withColumn("corpus_rows", lit(nCorpus))
+          .orderBy("id")
+      },
+      Some {
+        val rows =
+          (0L until 10L).map(q =>
+            s"(CAST(${q + 100000L} AS BIGINT), CAST($q AS BIGINT), FALSE, " +
+              "CAST(500 AS BIGINT))") ++
+          (10L until 15L).map(f =>
+            s"(CAST(${f + 200000L} AS BIGINT), CAST(NULL AS BIGINT), TRUE, " +
+              "CAST(500 AS BIGINT))")
+        s"""
+        SELECT * FROM (VALUES ${rows.mkString(", ")})
+          v(id, dup_of, keep, corpus_rows)
+        ORDER BY id"""
+      }),
+
     // ---- per-domain quota capping ----------------------------------------
     // URLs synthesized from doc_id over 5 domains; quota 3 keeps exactly
     // the 3 md5-smallest ids per domain. The oracle selects them with an

@@ -399,4 +399,48 @@ object Dedup {
       .select(col("id"), col("cid"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
   }
+
+  /** Daily-batch [[semanticDedup]] (the incremental companion, same
+    * contract family as [[minhashNearDupPairsIncremental]]): test each
+    * NEW document against the frozen corpus index and against
+    * earlier-id batch members — never corpus-vs-corpus, so cost scales
+    * with the batch, not the accumulated corpus.
+    *
+    * `corpusIndexed` is the STORED index shape: (id, vector, cid) with
+    * cid from the same frozen `centroids` (e.g. the cell-partitioned
+    * IvfIndex layout). The operator collects the batch's touched cell
+    * ids (bounded: ≤ nCells longs, metadata not data) and filters the
+    * corpus side with `isin` — against a cell-partitioned store that is
+    * a PartitionFilter, so a 10-cell batch reads 10/nCells of a 100 TB
+    * corpus. Candidates then meet in an EQUI-join on cid.
+    *
+    * Id convention: batch ids must sort after corpus ids (the append-log
+    * convention, as the planted `+100000` gates use); `cand_id < id`
+    * then yields corpus-preferred min-id survivors and earlier-batch
+    * precedence in one rule. */
+  def semanticDedupIncremental(
+      corpusIndexed: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.floatVecDot
+    val b = KMeans.assign(
+        batch.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      .withColumn("nrm", sqrt(floatVecDot(col("v"), col("v"))))
+      .persist()
+    val touched = b.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    val corpusCand = corpusIndexed
+      .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+      .select(col("cid"), col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val cand = corpusCand
+      .unionByName(b.select(col("cid"), col("id").as("cand_id"), col("v").as("cv")))
+      .withColumn("cnrm", sqrt(floatVecDot(col("cv"), col("cv"))))
+    val dupOf = b.join(cand, Seq("cid"))
+      .filter(col("cand_id") < col("id"))
+      .filter(floatVecDot(col("v"), col("cv")) >=
+        lit(threshold) * col("nrm") * col("cnrm"))
+      .groupBy(col("id")).agg(min(col("cand_id")).as("dup_of"))
+    b.select("id", "cid").join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
 }

@@ -133,6 +133,31 @@ class R6Spec extends SparkSpec {
     assert(byId(20L)._3, "diagonal doc is distinct in its cluster")
   }
 
+  test("semanticDedupIncremental: copies drop to corpus survivor, batch-internal dups to the earlier id, fresh keeps") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val corpusIndexed = KMeans.assign(corpus, "embedding", centroids)
+    val batch = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),   // copy of corpus 1 -> dup_of 1
+      (101L, Seq(0.0f, 0.99f, 0.1f)),  // near corpus 10  -> dup_of 10
+      (102L, Seq(0.6f, 0.75f, 0.0f)),  // fresh (y cell, cos to 10 ~0.78)
+      (103L, Seq(0.6f, 0.75f, 0.0f))   // copy of batch 102 -> dup_of 102
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupIncremental(corpusIndexed, batch,
+        "embedding", "vec_id", centroids, 0.95)
+      .select("id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(100L)._2 === Some(1L) && !out(100L)._3)
+    assert(out(101L)._2 === Some(10L) && !out(101L)._3)
+    assert(out(102L)._3, s"fresh batch doc must keep: ${out(102L)}")
+    assert(out(103L)._2 === Some(102L) && !out(103L)._3)
+    assert(out.size === 4, "one verdict row per batch doc")
+  }
+
   test("semanticDedup: no cartesian product in the executed plan") {
     val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")

@@ -206,4 +206,63 @@ class OperatorPropertySpec extends SparkSpec {
       assert(!c1.contains("#"), s"fragment survived: $c1")
     }
   }
+
+  test("prop: lmScore equals an in-memory stupid-backoff reference; partition-invariant") {
+    import graft.llm.LmScore
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = samples(doc, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val trainRows = corpus.filter(_._1 % 2 == 0)
+
+    // in-memory reference: identical integer formulas, independent code path
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).map(_.toLowerCase).toSeq
+    val allToks = trainRows.flatMap(r => toks(r._2))
+    // bigrams are PER-DOC sliding pairs — never across document bounds
+    val bigrams = trainRows.flatMap(r => toks(r._2).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1ref = bigrams.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cu = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.size.toLong
+    val v = cu.size.toLong
+    val s = LmScore.adaptiveScale(n, v)
+    val nv = n + v
+    def pOf(a: String, b: String): Long = bigrams.get((a, b)) match {
+      case Some(cc) => (cc * s) / c1ref(a)
+      case None => (2L * (((cu.getOrElse(b, 0L) + 1L) * s) / nv)) / 5L
+    }
+    def bitsOf(p: Long): Long =
+      java.lang.Long.toBinaryString(s / math.max(p, 1L)).length.toLong - 1L
+    val want = corpus.map { case (id, t) =>
+      val bg = toks(t).sliding(2).filter(_.size == 2).toSeq
+      (id, bg.size.toLong, bg.map(p => pOf(p(0), p(1))).sum,
+        bg.map(p => bitsOf(pOf(p(0), p(1)))).sum)
+    }.sortBy(_._1)
+
+    val model = LmScore.train(trainRows.toDF("doc_id", "text"), "text")
+    def run(parts: Int) =
+      LmScore.score(corpus.toDF("doc_id", "text").repartition(parts), "text",
+          "doc_id", model)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val got1 = run(1)
+    assert(got1 === want)
+    // exact-integer arithmetic => merge order cannot shift anything
+    assert(run(7) === got1)
+  }
+
+  test("prop: domainQuota keeps exactly the quota md5-smallest ids per domain") {
+    val rows = samples(Gen.chooseNum(0, 6), 120).zipWithIndex.map { case (d, i) =>
+      (i.toLong, s"https://host$d.example.com/p/$i")
+    }
+    val quota = 4
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.groupBy(r => r._2.split("/")(2)).values.flatMap { grp =>
+      grp.map(r => (r._1, java.lang.Long.parseLong(md5hex(r._1.toString).take(15), 16)))
+        .sortBy { case (id, h) => (h, id) }.take(quota).map(_._1)
+    }.toSeq.sorted
+    val got = graft.llm.Curation.domainQuota(rows.toDF("doc_id", "url"),
+        "url", "doc_id", quota)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+  }
 }

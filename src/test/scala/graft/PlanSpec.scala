@@ -161,5 +161,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("lm_score: equi-joins only, no window, no cartesian") {
+    val p = planOf("lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window"), "scoring must not use a rank window")
+  }
+
+  test("ann_topk_sq: IntVecDot kernel scores; bounded top-k, no rank window") {
+    val p = planOf("ann_topk_sq")
+    assert(p.contains("int_vec_dot"), "native IntVecDot kernel missing from the plan")
+    assert(p.contains("bounded_top_k"), "bounded top-k aggregate missing")
+    assert(!p.contains("Window"), "per-query rank window would funnel all scores")
+  }
+
+  test("dedup_semantic: cell equi-join, nearest-codewords assignment, no cartesian") {
+    val p = planOf("dedup_semantic")
+    assert(p.contains("nearest_codewords"), "native assignment kernel missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

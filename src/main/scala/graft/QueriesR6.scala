@@ -335,6 +335,58 @@ object QueriesR6 {
         FROM k
         ORDER BY doc_id""")),
 
+    // ---- streaming curation: PII scrub as a stream transform -------------
+    // The curation projections compose with Structured Streaming
+    // unchanged: the SAME piiStats Column pipeline (and the same oracle
+    // as pii_redact) runs as the transform of a checkpointed AvailableNow
+    // file-source stream; the second run must append nothing. This is
+    // the evidence for "curate the crawl as it lands" — any pure-
+    // projection operator in graft.llm streams this way.
+    QueryDef("stream_pii_redact",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val src = Files.createTempDirectory("graft_spii_src_")
+        Files.copy(Paths.get(s"$dir/documents.parquet"),
+          src.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val tgt = Files.createTempDirectory("graft_spii_tgt_").toString
+        val ckpt = Files.createTempDirectory("graft_spii_ck_").toString
+        val schema = s.read.parquet(src.toString).schema
+        def runOnce(): Unit = {
+          val q = graft.streaming.StreamingIncremental.incrementalAppend(
+            s, src.toString, schema, tgt, ckpt,
+            df => Curation.piiStats(
+              df.select(col("doc_id"), concat(col("text"),
+                lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com or +1 555-000-"), col("doc_id").cast("string"),
+                lit(" ip 10.0.0."), pmod(col("doc_id"), lit(255L)).cast("string"))
+                .as("text")),
+              "text", "doc_id"))
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // checkpointed: must append nothing
+        s.read.parquet(tgt).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or +1 555-000-' || CAST(doc_id AS VARCHAR) ||
+                     ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS t0
+                   FROM documents),
+        s1 AS (SELECT doc_id, t0,
+                      CAST(len(regexp_extract_all(t0, '${Curation.PiiEmailRe}')) AS BIGINT) n_email,
+                      regexp_replace(t0, '${Curation.PiiEmailRe}', '<PII>', 'g') t1
+               FROM d),
+        s2 AS (SELECT doc_id, n_email,
+                      CAST(len(regexp_extract_all(t1, '${Curation.PiiIpv4Re}')) AS BIGINT) n_ipv4,
+                      regexp_replace(t1, '${Curation.PiiIpv4Re}', '<PII>', 'g') t2
+               FROM s1)
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t2, '${Curation.PiiPhoneRe}')) AS BIGINT) n_phone,
+               regexp_replace(t2, '${Curation.PiiPhoneRe}', '<PII>', 'g') AS redacted
+        FROM s2
+        ORDER BY doc_id""")),
+
     // ---- CSV interchange: write + schema-pinned read ---------------------
     // RFC-4180 quoting (escape = quote doubling) and multiLine read, so
     // embedded commas/quotes/newlines in document text survive the

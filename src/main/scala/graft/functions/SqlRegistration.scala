@@ -87,6 +87,22 @@ object SqlRegistration {
     add("graft_simhash", "(token_hashes, bits_literal)") { args =>
       SimHashBits(args(0), litInt(args(1), "graft_simhash", "bits"))
     }
+    add("graft_int_vec_dot", "(a, b)") { args => IntVecDot(args(0), args(1)) }
+    add("graft_tokens", "(text)") { args =>
+      e(graft.llm.Dedup.tokens(c(args(0))))
+    }
+    add("graft_url_domain", "(url)") { args =>
+      e(graft.llm.Curation.urlDomain(c(args(0))))
+    }
+    add("graft_canonicalize_url", "(url)") { args =>
+      e(graft.llm.Curation.canonicalizeUrl(c(args(0))))
+    }
+    add("graft_text_simhash", "(text)") { args =>
+      e(graft.llm.Dedup.simhash(c(args(0))))
+    }
+    add("graft_lang_id", "(text)") { args =>
+      e(graft.llm.TextStats.langId(c(args(0))))
+    }
   }
 }
 

@@ -58,6 +58,29 @@ class SqlRegistrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == ((Some(255L), None, -2L, "0c0b0a", -1L, 16L, 9.0)))
   }
 
+  test("text/vector curation functions callable from SQL") {
+    import spark.implicits._
+    val r = spark.sql("""
+      SELECT graft_int_vec_dot(array(127, -2), array(127, 3)) AS a,
+             graft_tokens('  The quick  fox ') AS b,
+             graft_url_domain('https://WWW.Example.COM:8080/p?q=1#f') AS c,
+             graft_canonicalize_url('http://www.site.com:80/a/?utm_source=x&id=1#s') AS d,
+             graft_lang_id('the a value row') AS e
+    """).as[(Long, Seq[String], String, String, String)].head()
+    assert(r._1 === 127L * 127 - 6)
+    assert(r._2 === Seq("the", "quick", "fox"))
+    assert(r._3 === "example.com")
+    assert(r._4 === "http://site.com/a?id=1")
+    assert(r._5 === "en")
+    // same expression tree as the Scala API: simhash from SQL == Dedup.simhash
+    val (sqlSim, apiSim) = spark.sql("SELECT graft_text_simhash('a b c') AS s")
+      .as[Long].head() ->
+      Seq("a b c").toDF("t")
+        .select(graft.llm.Dedup.simhash(org.apache.spark.sql.functions.col("t")))
+        .as[Long].head()
+    assert(sqlSim === apiSim)
+  }
+
   test("literal-argument validation raises a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_value_to_bitstring(5, length('xx'))").collect()

@@ -61,6 +61,17 @@ object ScaleProbeR6b {
         Dedup.semanticDedup(emb, "embedding", "vec_id", cents, 0.9)
           .filter(!col("keep")).count())
 
+      // the incremental claim: FIXED batch against a k-times corpus —
+      // cost must track the batch (touched cells only), not the corpus
+      val corpusIndexed = KMeans.assign(
+        emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+      val batch = embBase.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      time(s"semantic_dedup_incremental(batch=50) x$k")(
+        Dedup.semanticDedupIncremental(corpusIndexed, batch,
+            "embedding", "vec_id", cents, 0.9)
+          .filter(!col("keep")).count())
+
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()

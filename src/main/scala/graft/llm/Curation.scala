@@ -142,14 +142,20 @@ object Curation {
     require(quota > 0, "domainQuota: quota must be positive")
     import graft.functions.VectorFunctions.boundedTopKLong
     val dom = urlDomain(col(urlCol))
+    // an unparseable/missing URL yields no domain; those docs BYPASS the
+    // quota (otherwise every no-domain doc in the corpus would compete
+    // inside one implicit "null domain" and quota-1 of them would be
+    // silently dropped — a cap on a group that isn't a domain)
+    val challenged = docs.filter(dom.isNotNull && length(dom) > 0)
+    val exempt = docs.filter(dom.isNull || length(dom) === 0)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val kept = docs
+    val kept = challenged
       .select(dom.as("domain"), col(idCol).as("id"), (-h).as("neg_h"))
       .groupBy("domain")
       .agg(boundedTopKLong(col("neg_h"), col("id"), quota).as("top"))
       .select(explode(col("top.id")).as(idCol))
-    docs.join(kept, Seq(idCol), "left_semi")
+    challenged.join(kept, Seq(idCol), "left_semi").unionByName(exempt)
   }
 
   /** Within-document repeated-line removal (the Gopher/C4 repetition
@@ -161,7 +167,11 @@ object Curation {
     * corpus size. */
   def dedupLinesWithinDoc(docs: DataFrame, textCol: String,
                           idCol: String): DataFrame = {
-    val bound = docs.withColumn("__lines", split(col(textCol), "\n"))
+    // null text scores (0, 0, "") like segmentDedup's contract, instead
+    // of propagating nulls through every downstream column
+    val bound = docs.withColumn("__lines",
+      when(col(textCol).isNull, array().cast("array<string>"))
+        .otherwise(split(col(textCol), "\n")))
     val lines = col("__lines")
     val kept = filter(lines, (x, i) =>
       array_position(slice(lines, lit(1), i), x) === 0)

@@ -86,7 +86,10 @@ object LmScore {
     val contexts = bigrams.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
     val unigrams = docs.select(explode(toks).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cu"))
-    val nv = unigrams.agg(sum(col("cu")), count(lit(1))).collect()(0)
+    // coalesce: an empty/all-null training corpus must fail the vocab>0
+    // require in score() with a clear message, not NPE here on a null SUM
+    val nv = unigrams.agg(coalesce(sum(col("cu")), lit(0L)), count(lit(1)))
+      .collect()(0)
     val (n, v) = (nv.getLong(0), nv.getLong(1))
     Model(bigrams, contexts, unigrams, vocab = v, tokens = n,
       scale = adaptiveScale(n, v))

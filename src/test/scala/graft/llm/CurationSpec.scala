@@ -357,7 +357,8 @@ class CurationSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a\nb\na\nc\nb"),
       (2L, "x\n\ny\n\nx"),
-      (3L, "solo")
+      (3L, "solo"),
+      (4L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val out = Curation.dedupLinesWithinDoc(docs, "text", "doc_id")
       .orderBy("doc_id")
@@ -365,6 +366,20 @@ class CurationSpec extends SparkSpec {
     assert(out(0) === ((1L, 5L, 3L, "a\nb\nc")))
     assert(out(1) === ((2L, 5L, 3L, "x\n\ny"))) // second "" and second x drop
     assert(out(2) === ((3L, 1L, 1L, "solo")))
+    assert(out(3) === ((4L, 0L, 0L, "")))      // null text: zeros, not nulls
+  }
+
+  test("domainQuota: docs without a parseable domain bypass the quota") {
+    val docs = Seq(
+      (1L, "https://only.com/a"), (2L, "https://only.com/b"),
+      (3L, "https://only.com/c"), (4L, "https://only.com/d"),
+      (10L, "not a url"), (11L, "not a url either"), (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val kept = Curation.domainQuota(docs, "url", "doc_id", quota = 2)
+      .select("doc_id").as[Long].collect().sorted
+    // 2 of the 4 only.com docs survive; ALL 3 no-domain docs survive
+    assert(kept.count(_ < 10L) === 2)
+    assert(kept.filter(_ >= 10L).toSeq === Seq(10L, 11L, 12L))
   }
 
   test("domainBlocklistFilter: corpus side never shuffles (broadcast joins only)") {

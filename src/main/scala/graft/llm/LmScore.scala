@@ -103,9 +103,15 @@ object LmScore {
             model: Model): DataFrame = {
     require(model.vocab > 0, "LmScore.score: empty model vocabulary")
     val toks = Dedup.tokens(col(textCol))
+    // per-doc bigram MULTIPLICITY first (map-side combinable): p and bits
+    // are constants per (a, b), so the model join only needs one row per
+    // DISTINCT doc-bigram and the sums weight by count — on natural text
+    // this shrinks the join input (and its shuffle) several-fold with
+    // bit-identical results
     val pairs = docs
       .select(col(idCol).as("doc_id"), explode(bigramsOf(toks)).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
     val s = model.scale
     val nv = model.tokens + model.vocab
     val pExpr = expr(
@@ -116,14 +122,14 @@ object LmScore {
       .join(model.bigrams, Seq("a", "b"), "left")
       .join(model.contexts, Seq("a"), "left")
       .join(model.unigrams, Seq("b"), "left")
-      .select(col("doc_id"), pExpr.as("p_scaled"))
-      .select(col("doc_id"), col("p_scaled"),
+      .select(col("doc_id"), col("cnt"), pExpr.as("p_scaled"))
+      .select(col("doc_id"), col("cnt"), col("p_scaled"),
         (length(bin(expr(s"${s}L div greatest(p_scaled, 1L)"))) - 1)
           .cast("long").as("bits"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("p_scaled")).as("sum_p"),
-        sum(col("bits")).as("sum_bits"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("p_scaled") * col("cnt")).as("sum_p"),
+        sum(col("bits") * col("cnt")).as("sum_bits"))
     docs.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -352,6 +352,88 @@ object QueriesR6 {
         FROM k
         ORDER BY doc_id""")),
 
+    // ---- end-to-end curation pipeline ------------------------------------
+    // The user story in one plan: LM-surprisal quality filter (keep docs
+    // averaging <= 4.4 bits/bigram, integer form) -> exact dedup (min-id
+    // survivor per distinct text) -> train/val/test split -> split-level
+    // corpus report. Every stage is the already-gated operator; the
+    // oracle chains the same proven CTE fragments, so this pins the
+    // COMPOSITION, not just the parts.
+    QueryDef("curation_e2e",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val model = LmScore.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        val lmKeep = LmScore.score(docs, "text", "doc_id", model)
+          .filter(col("n_bigrams") > 0 &&
+            col("sum_bits") * 10L <= col("n_bigrams") * 44L)
+          .select("doc_id")
+        val kept = docs.join(lmKeep, Seq("doc_id"), "left_semi")
+        val survivors = Dedup.exact(kept, "text", "doc_id").select("doc_id")
+        val curated = kept.join(survivors, Seq("doc_id"), "left_semi")
+        Sampling.splitAssign(curated, "doc_id", seed = 7L, valPct = 10, testPct = 10)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("split")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w[CAST(r.i AS INT)] AS a, w[CAST(r.i AS INT) + 1] AS b
+          FROM d, unnest(range(1, len(w))) r(i)),
+        c2 AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        u AS (
+          SELECT x AS b, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+        k AS (
+          SELECT nv, LEAST(1000000000, 2305843009213693952 // nv) AS s
+          FROM (SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM u)
+                     + (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nv)),
+        p AS (
+          SELECT bg.doc_id,
+                 CASE WHEN c2.c2 IS NOT NULL THEN (c2.c2 * k.s) // c1.c1
+                      ELSE (2 * (((COALESCE(u.cu, 0) + 1) * k.s) // k.nv)) // 5
+                 END AS p_scaled, k.s AS s
+          FROM bg LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
+          LEFT JOIN u ON bg.b = u.b
+          CROSS JOIN k),
+        sc AS (
+          SELECT doc_id, strlen(bin(s // greatest(p_scaled, 1))) - 1 AS bits
+          FROM p),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(bits) AS BIGINT) AS sum_bits
+          FROM sc GROUP BY 1),
+        lmkeep AS (
+          SELECT doc_id FROM agg
+          WHERE n_bigrams > 0 AND sum_bits * 10 <= n_bigrams * 44),
+        surv AS (
+          SELECT min(doc_id) AS doc_id FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM lmkeep)
+          GROUP BY md5(text)),
+        assigned AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN b < 10 THEN 'test'
+                      WHEN b < 20 THEN 'val'
+                      ELSE 'train' END AS split
+          FROM (
+            SELECT doc_id, n_chars,
+                   CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS BIGINT) % 100 AS b
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM surv)))
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned GROUP BY 1
+        ORDER BY split""")),
+
     // ---- streaming curation: PII scrub as a stream transform -------------
     // The curation projections compose with Structured Streaming
     // unchanged: the SAME piiStats Column pipeline (and the same oracle

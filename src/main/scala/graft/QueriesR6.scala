@@ -363,10 +363,15 @@ object QueriesR6 {
       (s, dir) => {
         val docs = Tables.read(s, dir, "documents")
         val model = LmScore.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        // ids only, materialized once: the keep-set feeds THREE plan arms
+        // (kept, survivors, curated) — without this the whole scoring
+        // subtree executes once per arm (production shape: write the
+        // curated id set / table between stages)
         val lmKeep = LmScore.score(docs, "text", "doc_id", model)
           .filter(col("n_bigrams") > 0 &&
             col("sum_bits") * 10L <= col("n_bigrams") * 44L)
           .select("doc_id")
+          .localCheckpoint()
         val kept = docs.join(lmKeep, Seq("doc_id"), "left_semi")
         val survivors = Dedup.exact(kept, "text", "doc_id").select("doc_id")
         val curated = kept.join(survivors, Seq("doc_id"), "left_semi")

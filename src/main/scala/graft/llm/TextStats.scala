@@ -70,11 +70,13 @@ object TextStats {
     val scores = LangProfiles.map { case (lang, markers) =>
       lang -> size(filter(toks, c => array_contains(typedLit(markers), c)))
     }
-    // first profile with score >= all others wins (deterministic ties)
+    // first profile with score >= all others wins (deterministic ties);
+    // null text stays null instead of leaking the fold's default profile
     val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit(LangProfiles.head._1)) { case ((lang, s), acc) =>
-      when(s === maxScore, lit(lang)).otherwise(acc)
-    }
+    when(text.isNull, lit(null).cast("string")).otherwise(
+      scores.foldRight(lit(LangProfiles.head._1)) { case ((lang, s), acc) =>
+        when(s === maxScore, lit(lang)).otherwise(acc)
+      })
   }
 
   // --- character-n-gram language ID (the production path) ---------------
@@ -167,9 +169,11 @@ object TextStats {
         (acc, t) => acc + coalesce(element_at(typedLit(prof.toMap), t), lit(0)))
     }
     val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit(NgramProfiles.head._1)) { case ((lang, s), acc) =>
-      when(s === maxScore, lit(lang)).otherwise(acc)
-    }
+    // null text stays null (same contract as langId)
+    when(text.isNull, lit(null).cast("string")).otherwise(
+      scores.foldRight(lit(NgramProfiles.head._1)) { case ((lang, s), acc) =>
+        when(s === maxScore, lit(lang)).otherwise(acc)
+      })
   }
 
   /** Corpus vocabulary head: the k most frequent whitespace tokens.

@@ -72,6 +72,14 @@ class SqlRegistrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r._3 === "example.com")
     assert(r._4 === "http://site.com/a?id=1")
     assert(r._5 === "en")
+    // null inputs stay null across the whole library (lang_id previously
+    // leaked its fold default "en" for null text)
+    val nulls = spark.sql("""
+      SELECT graft_tokens(CAST(NULL AS STRING)) a,
+             graft_url_domain(CAST(NULL AS STRING)) b,
+             graft_lang_id(CAST(NULL AS STRING)) c,
+             graft_text_simhash(CAST(NULL AS STRING)) d""").head()
+    assert((0 until 4).forall(nulls.isNullAt), nulls.toString)
     // same expression tree as the Scala API: simhash from SQL == Dedup.simhash
     val (sqlSim, apiSim) = spark.sql("SELECT graft_text_simhash('a b c') AS s")
       .as[Long].head() ->

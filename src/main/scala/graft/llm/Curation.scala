@@ -77,14 +77,24 @@ object Curation {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** The registrable-ish host of a URL: scheme stripped, lowercased,
-    * leading `www.` and any port removed. The key crawl blocklists and
-    * per-domain quotas group on. */
+    * userinfo (`user:pass@`), port, trailing root-dot(s), and leading
+    * `www.` removed. The key crawl blocklists and per-domain quotas
+    * group on. Userinfo and the FQDN trailing dot matter for an
+    * ADVERSARIAL blocklist: `https://x@evil.com/` and
+    * `https://evil.com./` must still resolve to `evil.com`, or both
+    * evade the filter (and skew quota grouping). The authority capture
+    * admits `:` so `user:pass@host` keeps its host; the port strip
+    * runs after the userinfo strip. */
   def urlDomain(url: Column): Column =
     regexp_replace(
       regexp_replace(
-        lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)),
-        "^www\\.", ""),
-      ":[0-9]+$", "")
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+            "^.*@", ""),
+          ":[0-9]+$", ""),
+        "\\.+$", ""),
+      "^www\\.", "")
 
   /** Domain-blocklist filtering: drop documents whose URL's domain (or
     * any registrable parent — `ads.evil.com` is blocked by `evil.com`)
@@ -140,6 +150,18 @@ object Curation {
   def domainQuota(docs: DataFrame, urlCol: String, idCol: String,
                   quota: Int): DataFrame = {
     require(quota > 0, "domainQuota: quota must be positive")
+    // boundedTopKLong carries the id as LONG: a non-integral id column
+    // would implicitly cast to null, the aggregate would skip every null
+    // id, and ALL challenged docs would silently vanish through the
+    // left_semi against an empty keep-set. Fail loudly instead (the
+    // KMeans null-vector policy); hash string ids to a long key upstream.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idType),
+      s"domainQuota: id column '$idCol' must be an integral type castable to " +
+        s"LONG (got $idType) — a string id would silently null-cast inside the " +
+        "per-domain bounded top-k and drop every challenged doc; hash string " +
+        "ids to a long key (e.g. xxhash64) and rehydrate")
     import graft.functions.VectorFunctions.boundedTopKLong
     val dom = urlDomain(col(urlCol))
     // an unparseable/missing URL yields no domain; those docs BYPASS the

@@ -389,8 +389,13 @@ object Dedup {
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cid"), col("id").as("id_b"),
       col("v").as("v_b"), col("nrm").as("n_b"))
+    // a zero-norm embedding (failed embed) satisfies dot >= t·0·0 at ANY
+    // threshold — one low-id zero vector would silently drop its whole
+    // cluster. Zero-norm docs are never near-dups of anything: exempt
+    // both sides of the pair join (they fall through to keep=true).
     val dupOf = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .filter(floatVecDot(col("v_a"), col("v_b")) >=
         lit(threshold) * col("n_a") * col("n_b"))
       .groupBy(col("id_b").as("id"))
@@ -434,8 +439,11 @@ object Dedup {
     val cand = corpusCand
       .unionByName(b.select(col("cid"), col("id").as("cand_id"), col("v").as("cv")))
       .withColumn("cnrm", sqrt(floatVecDot(col("cv"), col("cv"))))
+    // same zero-norm exemption as semanticDedup: 0 >= t·0·0 would pair a
+    // failed embed with every candidate in its cell
     val dupOf = b.join(cand, Seq("cid"))
       .filter(col("cand_id") < col("id"))
+      .filter(col("nrm") > 0 && col("cnrm") > 0)
       .filter(floatVecDot(col("v"), col("cv")) >=
         lit(threshold) * col("nrm") * col("cnrm"))
       .groupBy(col("id")).agg(min(col("cand_id")).as("dup_of"))

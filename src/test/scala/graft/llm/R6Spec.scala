@@ -158,6 +158,38 @@ class R6Spec extends SparkSpec {
     assert(out.size === 4, "one verdict row per batch doc")
   }
 
+  test("semanticDedup: zero-norm embeddings neither drop others nor drop themselves") {
+    // id 0 is a failed embed (all-zero): dot(0, x) = 0 >= t·0·‖x‖ holds at
+    // any threshold, so without the norm guard the low-id zero vector
+    // would swallow its entire cluster
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f)),  // zero-norm, lowest id, x cell (tie -> cid 0)
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f))   // second zero vector: not a dup of id 0 either
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id", centroids, 0.95)
+      .select("id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._3 && out(0L)._2.isEmpty, s"zero vector must keep: ${out(0L)}")
+    assert(out(3L)._3 && out(3L)._2.isEmpty, s"zero vectors must not pair: ${out(3L)}")
+    assert(out(1L)._3, "real cluster min still keeps")
+    assert(out(2L)._2 === Some(1L), "real near-dup still drops to the real min id")
+
+    // incremental: a zero-norm corpus row must not swallow the batch
+    val corpusIndexed = KMeans.assign(
+      Seq((0L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "embedding", centroids)
+    val batch = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val inc = Dedup.semanticDedupIncremental(corpusIndexed, batch,
+        "embedding", "vec_id", centroids, 0.95)
+      .select("id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(inc.toSeq === Seq((100L, None, true)))
+  }
+
   test("semanticDedup: no cartesian product in the executed plan") {
     val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")

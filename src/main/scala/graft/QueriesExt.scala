@@ -48,10 +48,14 @@ object QueriesExt {
     val schema = s.read.parquet(src.toString).schema
     val in = s.readStream.schema(schema).parquet(src.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = build(in).writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt.toString)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // state partitions sized to gate state, not scan parallelism — see
+    // StreamingIncremental.withStatePartitions
+    graft.streaming.StreamingIncremental.withStatePartitions(s) {
+      val q = build(in).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     def rm(p: java.nio.file.Path): Unit = {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))

@@ -944,14 +944,15 @@ object QueriesLlm {
         val tgt = Files.createTempDirectory("graft_stream_tgt_").toString
         val ckpt = Files.createTempDirectory("graft_stream_ck_").toString
         val schema = s.read.parquet(src.toString).schema
-        def runOnce(): Unit = {
-          val q = graft.streaming.StreamingIncremental.incrementalAppend(
-            s, src.toString, schema, tgt, ckpt,
-            df => df.select(col("event_id"),
-              timestamp_micros(expr("ts div 1000")).as("ts"),
-              col("event_type"), col("value")))
-          q.awaitTermination()
-        }
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.withStatePartitions(s) {
+            val q = graft.streaming.StreamingIncremental.incrementalAppend(
+              s, src.toString, schema, tgt, ckpt,
+              df => df.select(col("event_id"),
+                timestamp_micros(expr("ts div 1000")).as("ts"),
+                col("event_type"), col("value")))
+            q.awaitTermination()
+          }
         runOnce()
         runOnce() // checkpointed: must append nothing
         s.read.parquet(tgt)
@@ -978,24 +979,25 @@ object QueriesLlm {
         val tgt = Files.createTempDirectory("graft_ssj_tgt_").toString
         val ckpt = Files.createTempDirectory("graft_ssj_ck_").toString
         val schema = s.read.parquet(src.toString).schema
-        def runOnce(): Unit = {
-          val ev = s.readStream.schema(schema).parquet(src.toString)
-            .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-              col("user_id"), col("event_type"), col("value"))
-          val joined = graft.streaming.StreamingIncremental
-            .streamStreamIntervalJoin(ev, "ts", "user_id", "event_type",
-              "click", "purchase", window = "4 hours")
-          val q = joined.select(col("left_id").as("click_id"),
-              col("right_id").as("purchase_id"),
-              unix_micros(col("left_ts")).as("click_us"),
-              unix_micros(col("right_ts")).as("purchase_us"), col("value"))
-            .writeStream.format("parquet")
-            .option("path", tgt).option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.withStatePartitions(s) {
+            val ev = s.readStream.schema(schema).parquet(src.toString)
+              .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+                col("user_id"), col("event_type"), col("value"))
+            val joined = graft.streaming.StreamingIncremental
+              .streamStreamIntervalJoin(ev, "ts", "user_id", "event_type",
+                "click", "purchase", window = "4 hours")
+            val q = joined.select(col("left_id").as("click_id"),
+                col("right_id").as("purchase_id"),
+                unix_micros(col("left_ts")).as("click_us"),
+                unix_micros(col("right_ts")).as("purchase_us"), col("value"))
+              .writeStream.format("parquet")
+              .option("path", tgt).option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
         runOnce()
         runOnce() // checkpointed: must append nothing
         s.read.parquet(tgt).orderBy("click_id", "purchase_id")
@@ -1038,9 +1040,11 @@ object QueriesLlm {
             .withColumn("value", lit(-99.0)), tgt, cfg)
         val ckpt = Files.createTempDirectory("graft_smu_ck_").toString
         def runOnce(): Unit =
-          graft.streaming.StreamingIncremental.streamingMergeUpsert(
-            s, srcDir, ev.schema, wh, tgt, cfg, ckpt,
-            maxFilesPerTrigger = Some(1)).awaitTermination()
+          graft.streaming.StreamingIncremental.withStatePartitions(s) {
+            graft.streaming.StreamingIncremental.streamingMergeUpsert(
+              s, srcDir, ev.schema, wh, tgt, cfg, ckpt,
+              maxFilesPerTrigger = Some(1)).awaitTermination()
+          }
         runOnce()
         runOnce() // checkpointed: no new files, no merge effect
         wh.read(tgt)
@@ -1069,14 +1073,16 @@ object QueriesLlm {
           .write.mode("append").parquet(srcDir)
         val schema = s.read.parquet(srcDir).schema
         import s.implicits._
-        val in = s.readStream.schema(schema).parquet(srcDir)
-          .select(md5(col("text")).as("hash"), col("doc_id"), col("text"))
-          .as[graft.streaming.StreamingIncremental.DocIn]
-        val q = graft.streaming.StreamingIncremental.streamingExactDedup(in)
-          .writeStream.format("parquet")
-          .option("path", outDir).option("checkpointLocation", ckpt)
-          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.streaming.StreamingIncremental.withStatePartitions(s) {
+          val in = s.readStream.schema(schema).parquet(srcDir)
+            .select(md5(col("text")).as("hash"), col("doc_id"), col("text"))
+            .as[graft.streaming.StreamingIncremental.DocIn]
+          val q = graft.streaming.StreamingIncremental.streamingExactDedup(in)
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
       },
       Some("""

@@ -20,6 +20,54 @@ object QueriesR6 {
   private def kmFit(key: String)(f: => Seq[Seq[Double]]): Seq[Seq[Double]] =
     kmCache.computeIfAbsent(key, _ => f)
 
+  /** Shared oracle fragment: the curation keep-set (stupid-backoff LM
+    * surprisal filter at 4.4 bits/bigram, then exact dedup to min-id
+    * survivors). Used by `curation_e2e` here and the round-7
+    * `pipeline_materialized` gate — ONE definition of the curated set,
+    * two consumers. Prefix with `WITH `. */
+  private[graft] val CurationSurvivorCtes: String = """
+        d AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w[CAST(r.i AS INT)] AS a, w[CAST(r.i AS INT) + 1] AS b
+          FROM d, unnest(range(1, len(w))) r(i)),
+        c2 AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        u AS (
+          SELECT x AS b, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+        k AS (
+          SELECT nv, LEAST(1000000000, 2305843009213693952 // nv) AS s
+          FROM (SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM u)
+                     + (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nv)),
+        p AS (
+          SELECT bg.doc_id,
+                 CASE WHEN c2.c2 IS NOT NULL THEN (c2.c2 * k.s) // c1.c1
+                      ELSE (2 * (((COALESCE(u.cu, 0) + 1) * k.s) // k.nv)) // 5
+                 END AS p_scaled, k.s AS s
+          FROM bg LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
+          LEFT JOIN u ON bg.b = u.b
+          CROSS JOIN k),
+        sc AS (
+          SELECT doc_id, strlen(bin(s // greatest(p_scaled, 1))) - 1 AS bits
+          FROM p),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(bits) AS BIGINT) AS sum_bits
+          FROM sc GROUP BY 1),
+        lmkeep AS (
+          SELECT doc_id FROM agg
+          WHERE n_bigrams > 0 AND sum_bits * 10 <= n_bigrams * 44),
+        surv AS (
+          SELECT min(doc_id) AS doc_id FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM lmkeep)
+          GROUP BY md5(text))"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deterministic train/val/test split ------------------------------
@@ -82,9 +130,9 @@ object QueriesR6 {
           FROM documents),
         d AS (
           SELECT doc_id,
-            regexp_replace(regexp_replace(
-              lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
-              '^www\.', ''), ':[0-9]+$', '') AS dom
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+              '^.*@', ''), ':[0-9]+$', ''), '\.+$', ''), '^www\.', '') AS dom
           FROM u),
         bl(domain) AS (VALUES ('site2.com'), ('ads.site4.com')),
         blocked AS (
@@ -381,48 +429,8 @@ object QueriesR6 {
             sum(col("n_chars")).as("total_chars"))
           .orderBy("split")
       },
-      Some("""
-        WITH d AS (
-          SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
-          FROM documents),
-        bg AS (
-          SELECT doc_id, w[CAST(r.i AS INT)] AS a, w[CAST(r.i AS INT) + 1] AS b
-          FROM d, unnest(range(1, len(w))) r(i)),
-        c2 AS (
-          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2
-          FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-        c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-        u AS (
-          SELECT x AS b, CAST(COUNT(*) AS BIGINT) AS cu
-          FROM (SELECT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)
-          GROUP BY 1),
-        k AS (
-          SELECT nv, LEAST(1000000000, 2305843009213693952 // nv) AS s
-          FROM (SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM u)
-                     + (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nv)),
-        p AS (
-          SELECT bg.doc_id,
-                 CASE WHEN c2.c2 IS NOT NULL THEN (c2.c2 * k.s) // c1.c1
-                      ELSE (2 * (((COALESCE(u.cu, 0) + 1) * k.s) // k.nv)) // 5
-                 END AS p_scaled, k.s AS s
-          FROM bg LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
-          LEFT JOIN u ON bg.b = u.b
-          CROSS JOIN k),
-        sc AS (
-          SELECT doc_id, strlen(bin(s // greatest(p_scaled, 1))) - 1 AS bits
-          FROM p),
-        agg AS (
-          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                 CAST(SUM(bits) AS BIGINT) AS sum_bits
-          FROM sc GROUP BY 1),
-        lmkeep AS (
-          SELECT doc_id FROM agg
-          WHERE n_bigrams > 0 AND sum_bits * 10 <= n_bigrams * 44),
-        surv AS (
-          SELECT min(doc_id) AS doc_id FROM documents
-          WHERE doc_id IN (SELECT doc_id FROM lmkeep)
-          GROUP BY md5(text)),
+      Some(s"""
+        WITH $CurationSurvivorCtes,
         assigned AS (
           SELECT doc_id, n_chars,
                  CASE WHEN b < 10 THEN 'test'
@@ -455,18 +463,19 @@ object QueriesR6 {
         val tgt = Files.createTempDirectory("graft_spii_tgt_").toString
         val ckpt = Files.createTempDirectory("graft_spii_ck_").toString
         val schema = s.read.parquet(src.toString).schema
-        def runOnce(): Unit = {
-          val q = graft.streaming.StreamingIncremental.incrementalAppend(
-            s, src.toString, schema, tgt, ckpt,
-            df => Curation.piiStats(
-              df.select(col("doc_id"), concat(col("text"),
-                lit(" contact user"), col("doc_id").cast("string"),
-                lit("@example.com or +1 555-000-"), col("doc_id").cast("string"),
-                lit(" ip 10.0.0."), pmod(col("doc_id"), lit(255L)).cast("string"))
-                .as("text")),
-              "text", "doc_id"))
-          q.awaitTermination()
-        }
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.withStatePartitions(s) {
+            val q = graft.streaming.StreamingIncremental.incrementalAppend(
+              s, src.toString, schema, tgt, ckpt,
+              df => Curation.piiStats(
+                df.select(col("doc_id"), concat(col("text"),
+                  lit(" contact user"), col("doc_id").cast("string"),
+                  lit("@example.com or +1 555-000-"), col("doc_id").cast("string"),
+                  lit(" ip 10.0.0."), pmod(col("doc_id"), lit(255L)).cast("string"))
+                  .as("text")),
+                "text", "doc_id"))
+            q.awaitTermination()
+          }
         runOnce()
         runOnce() // checkpointed: must append nothing
         s.read.parquet(tgt).orderBy("doc_id")

@@ -33,6 +33,27 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingIncremental {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`, for
+    * STARTING a streaming query against a fresh checkpoint.
+    *
+    * Why: a stateful streaming query fixes its state-store partition
+    * count from this conf at first start, and every micro-batch then
+    * commits delta+snapshot files for EVERY state partition of every
+    * stateful operator — at 32 partitions a two-batch gate run pays
+    * hundreds of state-store commits to hold kilobytes of state. That
+    * fixed cost is startup accounting, not plan cost; sizing state
+    * partitions to the state (not to the session's scan parallelism) is
+    * exactly what a production deploy does per stream. The conf is
+    * restored in a finally, so batch plans around the stream are
+    * untouched. Results are unaffected — state partitioning is an
+    * implementation detail of the same deterministic aggregation. */
+  def withStatePartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Micro-batch incremental append: process everything new since the
     * last checkpointed run, then stop (AvailableNow). The streaming
     * analog of IncrementalLog.run. */

@@ -437,6 +437,318 @@ case class NearestCodewords(
     copy(child = newChild)
 }
 
+/** Nearest-`keep` coarse cells by COSINE against centroids baked into the
+  * expression — returns `array<long>` of the `min(keep, nCells)` nearest
+  * cell ids, nearest first.
+  *
+  * Native for the same structural reason as [[NearestCodewords]]: the
+  * Column form — `array(nCells × struct(0.0 − cos, cid))` + `array_min` /
+  * `array_sort`+`slice` — puts O(nCells) expression nodes in the PLAN.
+  * Fine at the 16-cell gates; at a production 4k-64k-cell coarse
+  * quantizer it is the measured plan-size bomb (k=160 k-means assign:
+  * 46 s interpreted → 0.9 s once native). This kernel is one fused loop,
+  * O(nCells·dim) flops per row at CONSTANT plan size, holding a bounded
+  * keep-slot insertion buffer.
+  *
+  * Arithmetic mirrors the candidate-struct Column form EXACTLY so cell
+  * assignments are bit-identical and pinned oracles cannot shift:
+  * `nd_j = 0.0 − dot(v,c_j) / (‖v‖·‖c_j‖)` with every dot accumulated
+  * left-to-right in double over float operands (the FloatVecDot
+  * contract) and ‖c_j‖ precomputed the same way from the float centroid;
+  * ordering is (nd asc, cid asc) under Spark's double semantics
+  * (`x == y ? 0 : Double.compare` — NaN sorts last, −0.0 equals 0.0), so
+  * a zero-norm vector (all-NaN scores) falls to ascending-cid order just
+  * as `array_sort` over the structs did. A ragged vector fails loudly
+  * (KMeans/lshSignature policy; the array form silently truncated to the
+  * shorter length). */
+case class NearestCentroids(
+    child: Expression,
+    centsFlat: Array[Float],  // nCells × dim row-major
+    cNorms: Array[Double],    // ‖c_j‖, precomputed with FloatVecDot order
+    cids: Array[Long],
+    nCells: Int, dim: Int, keep: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(nCells > 0 && keep > 0 && dim > 0, "NearestCentroids: empty shape")
+  require(centsFlat.length == nCells * dim && cNorms.length == nCells &&
+    cids.length == nCells, "NearestCentroids: centroid shape mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private val kk = math.min(keep, nCells)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"nearest_centroids: expected $dim-dim vector, got ${v.numElements()}")
+    var vv = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      vv += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vv)
+    val bnd = new Array[Double](kk)
+    val bid = new Array[Long](kk)
+    var cnt = 0
+    var j = 0
+    while (j < nCells) {
+      var dot = 0.0
+      val base = j * dim
+      var d = 0
+      while (d < dim) {
+        dot += v.getFloat(d).toDouble * centsFlat(base + d).toDouble
+        d += 1
+      }
+      val nd = 0.0 - dot / (vnorm * cNorms(j))
+      val cid = cids(j)
+      // insertion position under (nd asc, cid asc), Spark double order
+      var p = cnt
+      while (p > 0 && {
+        val c = if (nd == bnd(p - 1)) 0 else java.lang.Double.compare(nd, bnd(p - 1))
+        c < 0 || (c == 0 && cid < bid(p - 1))
+      }) p -= 1
+      if (p < kk) {
+        val last = math.min(cnt, kk - 1)
+        var q = last
+        while (q > p) { bnd(q) = bnd(q - 1); bid(q) = bid(q - 1); q -= 1 }
+        bnd(p) = nd
+        bid(p) = cid
+        if (cnt < kk) cnt += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](cnt)
+    System.arraycopy(bid, 0, out, 0, cnt)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centsFlat", centsFlat, "float[]")
+    val cNormsRef = ctx.addReferenceObj("cNorms", cNorms, "double[]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val vv = ctx.freshName("vv")
+      val vnorm = ctx.freshName("vnorm")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      val nd = ctx.freshName("nd")
+      val cid = ctx.freshName("cid")
+      val bnd = ctx.freshName("bnd")
+      val bid = ctx.freshName("bid")
+      val cnt = ctx.freshName("cnt")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val c = ctx.freshName("c")
+      val last = ctx.freshName("last")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroids: expected $dim-dim vector, got " + $v.numElements());
+         |}
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $x = (double) $v.getFloat($i);
+         |  $vv += $x * $x;
+         |}
+         |double $vnorm = java.lang.Math.sqrt($vv);
+         |double[] $bnd = new double[$kk];
+         |long[] $bid = new long[$kk];
+         |int $cnt = 0;
+         |for (int $j = 0; $j < $nCells; $j++) {
+         |  double $dot = 0.0;
+         |  int $base = $j * $dim;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $dot += (double) $v.getFloat($d) * (double) $centsRef[$base + $d];
+         |  }
+         |  double $nd = 0.0 - $dot / ($vnorm * $cNormsRef[$j]);
+         |  long $cid = $cidsRef[$j];
+         |  int $p = $cnt;
+         |  while ($p > 0) {
+         |    int $c = ($nd == $bnd[$p - 1]) ? 0 : java.lang.Double.compare($nd, $bnd[$p - 1]);
+         |    if ($c < 0 || ($c == 0 && $cid < $bid[$p - 1])) { $p--; } else { break; }
+         |  }
+         |  if ($p < $kk) {
+         |    int $last = java.lang.Math.min($cnt, $kk - 1);
+         |    for (int $q = $last; $q > $p; $q--) { $bnd[$q] = $bnd[$q - 1]; $bid[$q] = $bid[$q - 1]; }
+         |    $bnd[$p] = $nd;
+         |    $bid[$p] = $cid;
+         |    if ($cnt < $kk) $cnt++;
+         |  }
+         |}
+         |long[] $out = new long[$cnt];
+         |System.arraycopy($bid, 0, $out, 0, $cnt);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup-table build: for an `array<float>` query of
+  * dim = m·dsub, returns the FLAT `array<double>` of length m·k where
+  * `lut[s·k + j] = dot(q_sub_s, w_sj)` against codebooks baked into the
+  * expression.
+  *
+  * Native for the same structural reason as [[NearestCodewords]]: the
+  * Column form — `array(m × array(k × floatVecDot(slice(q), lit(w))))` —
+  * puts O(m·k) expression nodes in the PLAN (128 at the gate m=8/k=16,
+  * 4096 at a production m=16/k=256, where codegen collapses). This
+  * kernel is one fused triple loop at CONSTANT plan size, O(m·k·dsub)
+  * flops per QUERY row (not per pair).
+  *
+  * Arithmetic mirrors the Column form bit-for-bit: each entry
+  * accumulates left-to-right in double over float operands (the
+  * FloatVecDot contract over the float-cast codeword), so ADC scores —
+  * and the pinned `ann_topk_pq`/`ann_topk_ivfpq` oracles — cannot
+  * shift. A ragged query fails loudly. */
+case class AdcLut(
+    child: Expression,
+    booksFlat: Array[Float], // [s][j][d] flattened, m·k·dsub
+    m: Int, k: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(booksFlat.length == m * k * dsub, "AdcLut: codebook shape mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "adc_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"adc_lut: expected ${m * dsub}-dim vector, got ${v.numElements()}")
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        var dot = 0.0
+        val base = (s * k + j) * dsub
+        var d = 0
+        while (d < dsub) {
+          dot += v.getFloat(s * dsub + d).toDouble * booksFlat(base + d).toDouble
+          d += 1
+        }
+        out(s * k + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("booksFlat", booksFlat, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($v.numElements() != ${m * dsub}) {
+         |  throw new IllegalArgumentException(
+         |    "adc_lut: expected ${m * dsub}-dim vector, got " + $v.numElements());
+         |}
+         |double[] $out = new double[${m * k}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $dot = 0.0;
+         |    int $base = ($s * $k + $j) * $dsub;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      $dot += (double) $v.getFloat($s * $dsub + $d) * (double) $booksRef[$base + $d];
+         |    }
+         |    $out[$s * $k + $j] = $dot;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcLut =
+    copy(child = newChild)
+}
+
+/** ADC score: `Σ_s lut[s·k + codes[s]]` — the per-pair m-table-lookup
+  * half of asymmetric-distance scoring, over [[AdcLut]]'s flat table.
+  *
+  * Native to pair with [[AdcLut]]: the HOF form
+  * (`aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)), …)`)
+  * allocates a zipped struct array and dispatches two lambdas per PAIR —
+  * this is the innermost loop of ADC serving, m adds per (query, doc)
+  * candidate. Accumulation is left-to-right in double from 0.0, exactly
+  * the aggregate's fold order, so scores are bit-identical. An
+  * out-of-range code fails loudly (the ANSI element_at contract the HOF
+  * form had). */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0
+    var acc = 0.0
+    while (s < m) {
+      val c = codes.getInt(s)
+      val idx = s * k + c
+      if (c < 0 || c >= k || idx >= lut.numElements())
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0, $k) at subspace $s")
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $c = $a.getInt($s);
+         |  int $idx = $s * $k + $c;
+         |  if ($c < 0 || $c >= $k || $idx >= $b.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "adc_score: code " + $c + " out of range [0, $k) at subspace " + $s);
+         |  }
+         |  $acc += $b.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def floatVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -470,6 +782,51 @@ object VectorExpressions {
     val c2 = books.flatMap(_.map(c => c.map(x => x * x).sum)).toArray
     ExpressionUtils.column(
       NearestCodewords(ExpressionUtils.expression(vec), flat, c2, m, k, dsub))
+  }
+
+  /** Flat ADC lookup table for a query vector over codebooks
+    * books(s)(j); see [[AdcLut]]. */
+  def adcLut(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val k = books.head.size
+    val dsub = books.head.head.size
+    require(books.forall(b => b.size == k && b.forall(_.size == dsub)),
+      "adcLut: ragged codebooks")
+    val flat = books.flatMap(_.flatMap(_.map(_.toFloat))).toArray
+    ExpressionUtils.column(AdcLut(ExpressionUtils.expression(vec), flat, m, k, dsub))
+  }
+
+  /** Σ_s lut[s·k + codes[s]] over [[adcLut]]'s flat table; see
+    * [[AdcScore]]. */
+  def adcScore(codes: Column, lut: Column, k: Int): Column =
+    ExpressionUtils.column(AdcScore(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), k))
+
+  /** Nearest-`keep` cosine cells against literal `(cid, centroid)` pairs;
+    * see [[NearestCentroids]]. `cNorms` are precomputed here with the
+    * exact FloatVecDot accumulation order so results stay bit-identical
+    * to the former candidate-struct Column form. */
+  def nearestCentroids(vec: Column, cents: Seq[(Long, Seq[Float])], keep: Int): Column = {
+    require(cents.nonEmpty, "nearestCentroids: no centroids")
+    val dim = cents.head._2.size
+    require(cents.forall(_._2.size == dim), "nearestCentroids: ragged centroids")
+    val flat = new Array[Float](cents.size * dim)
+    val norms = new Array[Double](cents.size)
+    val ids = new Array[Long](cents.size)
+    cents.zipWithIndex.foreach { case ((cid, c), j) =>
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = c(d)
+        flat(j * dim + d) = x
+        s += x.toDouble * x.toDouble
+        d += 1
+      }
+      norms(j) = math.sqrt(s)
+      ids(j) = cid
+    }
+    ExpressionUtils.column(NearestCentroids(
+      ExpressionUtils.expression(vec), flat, norms, ids, cents.size, dim, keep))
   }
 
   /** Spark's own codegen'd bloom probe (the expression AQE runtime

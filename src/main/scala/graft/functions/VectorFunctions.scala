@@ -32,4 +32,13 @@ object VectorFunctions {
 
   def nearestCodewords(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     org.apache.spark.sql.graft.VectorExpressions.nearestCodewords(vec, books)
+
+  def nearestCentroids(vec: Column, cents: Seq[(Long, Seq[Float])], keep: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.nearestCentroids(vec, cents, keep)
+
+  def adcLut(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.VectorExpressions.adcLut(vec, books)
+
+  def adcScore(codes: Column, lut: Column, k: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.adcScore(codes, lut, k)
 }

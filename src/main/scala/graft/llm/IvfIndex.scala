@@ -15,7 +15,66 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `_centroids` sidecar (invisible to data reads) holding the quantizer,
   * so a reader needs no access to the original corpus or its row count.
   */
+/** Maintenance shared by every cell-partitioned index layout
+  * ([[IvfIndex]], [[IvfPq]]): N daily appends leave N small files per
+  * `cid=` directory; compaction rewrites each cell into one file.
+  * The event log got the same hygiene op (RunLog.compactLog); an index
+  * serving point reads deserve it just as much. */
+private[llm] object IvfLayout {
+  import org.apache.hadoop.fs.{FileUtil, Path}
+
+  /** Rewrite the index with ONE file per cell: stage a full compacted
+    * copy (one shuffle keyed by cid, so each cell's rows land in exactly
+    * one task = one output file), carry the underscore sidecars over
+    * verbatim, then swap directories by rename — compactLog's temp +
+    * rename-swap shape, at the path level because the index lives
+    * outside the warehouse. Data, layout, partition-pruning behavior and
+    * served results are unchanged (IvfPqSpec pins byte-identical topK).
+    *
+    * Crash contract (honest, like the warehouse): the two renames are
+    * atomic on HDFS/POSIX (object stores refuse via the same
+    * requireAtomicRename guard); a crash between them leaves
+    * `<path>__compact_old` intact and `<path>` absent — recovery is
+    * renaming the old directory back, and a re-run fails loudly while
+    * the leftover exists instead of compounding. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(fs.exists(root), s"IvfLayout.compact: no index at $path")
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    require(!fs.exists(old),
+      s"IvfLayout.compact: leftover $old from an interrupted compact — " +
+        "restore it over the index path (or remove it) before re-running")
+    fs.delete(tmp, true)
+
+    spark.read.parquet(path)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").parquet(tmp.toString)
+    // sidecars (_centroids, _codebooks) travel verbatim; _SUCCESS is
+    // rewritten by the staged write itself
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("_") && fs.getFileStatus(p).isDirectory)
+      .foreach(side =>
+        FileUtil.copy(fs, side, fs, new Path(tmp, side.getName), false, conf))
+
+    require(fs.rename(root, old), s"IvfLayout.compact: backup rename of $path failed")
+    require(fs.rename(tmp, root), s"IvfLayout.compact: install rename to $path failed")
+    fs.delete(old, true)
+  }
+}
+
 object IvfIndex {
+
+  /** One-file-per-cell rewrite of an appended-to index; see
+    * [[IvfLayout.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    IvfLayout.compact(spark, path)
 
   /** Assign every corpus vector to its nearest centroid (zero-shuffle
     * projection) and write cell-partitioned parquet + centroid sidecar. */

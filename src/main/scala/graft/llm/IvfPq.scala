@@ -123,6 +123,11 @@ object IvfPq {
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
+  /** One-file-per-cell rewrite of an appended-to index; see
+    * [[IvfLayout.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    IvfLayout.compact(spark, path)
+
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val cents = spark.read.parquet(s"$path/_centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
@@ -141,16 +146,16 @@ object IvfPq {
       spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val meta = readMeta(spark, path)
+    // both ADC halves are native kernels (constant plan size in m·k);
+    // the former m×k-node literal-dot LUT array was the documented plan
+    // bomb at production codebook sizes — see Pq.topK
     val q = Similarity
       .assignCells(queries, meta.cents, vecCol, idCol, "query", nProbe)
       .withColumn("q_cdot",
         floatVecDot(col("query_vec"), element_at(typedLit(meta.centsF), ordOf(meta) + 1)))
       .withColumn("q_norm", sqrt(floatVecDot(col("query_vec"), col("query_vec"))))
-      .withColumn("lut", array((0 until meta.m).map { s =>
-        array(meta.books(s).map(w =>
-          floatVecDot(slice(col("query_vec"), s * meta.dsub + 1, meta.dsub),
-            typedLit(w.map(_.toFloat)))): _*)
-      }: _*))
+      .withColumn("lut",
+        graft.functions.VectorFunctions.adcLut(col("query_vec"), meta.books))
       .drop("query_vec")
     val probed = q.select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
 
@@ -170,8 +175,8 @@ object IvfPq {
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(
           (col("q_cdot") +
-            aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-              lit(0.0), (a, v) => a + v))
+            graft.functions.VectorFunctions.adcScore(
+              col("codes"), col("lut"), meta.books.head.size))
             / (col("q_norm") * sqrt(col("xnormsq"))), 6).as("c_r"))
     Similarity.rankTopK(scored, k)
   }

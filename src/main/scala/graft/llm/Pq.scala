@@ -24,9 +24,10 @@ import graft.functions.VectorFunctions.floatVecDot
   *    subspaces are orthogonal: ||x̂||² = Σ_s ||c_s||²), stored with the
   *    codes like any serious PQ index.
   *  - `topK`: asymmetric-distance (ADC) scoring — per query ONE
-  *    projection builds the m×k lookup table of subspace dot products;
-  *    per (query, doc) the approximate dot is m table lookups
-  *    (zip_with over the code array), not dim multiplies. Approximate
+  *    projection builds the m×k lookup table of subspace dot products
+  *    (the native AdcLut kernel, constant plan size in m·k); per
+  *    (query, doc) the approximate dot is m table lookups (the native
+  *    AdcScore kernel), not dim multiplies. Approximate
   *    cosine = Σ lut[s][code_s] / (|q|·||x̂||), ranked by the shared
   *    BoundedTopK aggregate — map-side partials, no rank window, zero
   *    shuffle beyond the bounded top-k merge.
@@ -42,9 +43,6 @@ object Pq {
 
   private def nearestCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     graft.functions.VectorFunctions.nearestCodewords(vec, books)
-
-  private def subCol(vec: Column, s: Int, dsub: Int): Column =
-    slice(vec, s * dsub + 1, dsub)
 
   /** Loud dimension guard (policy of KMeans/lshSignature: silent
     * truncation corrupts assignments with no error). */
@@ -113,25 +111,30 @@ object Pq {
 
   /** ADC top-k: approximate cosine from codes only (the corpus vectors
     * are never read). Ranking contract matches the other ANN paths:
-    * rounded score, id tie-break, BoundedTopK. */
+    * rounded score, id tie-break, BoundedTopK.
+    *
+    * Both ADC halves are native kernels at CONSTANT plan size in m·k:
+    * the per-query table build is [[graft.functions.VectorFunctions
+    * adcLut]] (the former m×k-node literal-dot array collapsed codegen
+    * at a production m=16/k=256 codebook) and the per-pair m-lookup sum
+    * is `adcScore` (replacing a zip_with+aggregate lambda dispatch on
+    * the innermost serving loop). Arithmetic is bit-identical to the
+    * HOF forms — PqSpec pins the equivalence. */
   def topK(codes: DataFrame, books: Seq[Seq[Seq[Double]]],
            queries: DataFrame, vecCol: String, idCol: String,
            k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{adcLut, adcScore}
     val m = books.size
+    val kCw = books.head.size
     val dsub = books.head.head.size
     val dim = m * dsub
-    val lut = array((0 until m).map { s =>
-      array(books(s).map(c =>
-        floatVecDot(subCol(col(vecCol), s, dsub), typedLit(c.map(_.toFloat)))): _*)
-    }: _*)
     val q = queries.select(col(idCol).as("query_id"),
-      guarded(col(vecCol), dim, "topK", lut).as("lut"),
+      guarded(col(vecCol), dim, "topK", adcLut(col(vecCol), books)).as("lut"),
       sqrt(floatVecDot(col(vecCol), col(vecCol))).as("q_norm"))
     val scored = codes.join(broadcast(q), col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(
-          aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-            lit(0.0), (a, v) => a + v)
+          adcScore(col("codes"), col("lut"), kCw)
             / (col("q_norm") * sqrt(col("recon_normsq"))), 6).as("c_r"))
     Similarity.rankTopK(scored, k)
   }

@@ -171,31 +171,31 @@ object Similarity {
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
     }
 
-  /** Nearest-`keep` cell assignment as a ZERO-SHUFFLE projection: each
-    * row scores every literal centroid (same cosine expression, bit for
-    * bit, as the former crossJoin form), then `array_min` picks the one
-    * nearest cell (keep=1, the corpus side) or `array_sort`+`slice` keeps
-    * the `keep` nearest (the query side's nProbe). Ties break to the
-    * lower cid, matching the former window's (d desc, cid asc) order.
-    * The former shape shuffled n×nCells rows through a row_number window
-    * to keep 1 of each nCells — 16× the corpus through an Exchange for an
-    * argmin a projection computes in place (KMeans.nearest proved the
-    * pattern). */
+  /** Nearest-`keep` cell assignment as a ZERO-SHUFFLE projection through
+    * the native [[graft.functions.VectorFunctions.nearestCentroids]]
+    * kernel — one fused codegen'd loop per row at CONSTANT plan size in
+    * nCells. The former Column form (`array` of nCells candidate structs
+    * + `array_min` / `array_sort`+`slice`) put O(nCells) expression nodes
+    * in the plan: invisible at the 16-cell gates, the measured plan-size
+    * bomb at a production 4k-64k-cell coarse quantizer (KMeans.assign:
+    * 46 s interpreted → 0.9 s native at k=160). The kernel's arithmetic
+    * and (nd, cid) tie-break mirror the struct form bit-for-bit
+    * (SimilaritySpec pins the equivalence), so assignments — and every
+    * pinned IVF-family oracle — are unchanged. A null embedding now
+    * fails loudly (lshSignature/KMeans policy; the struct form silently
+    * assigned null vectors to the lowest cell id). */
   private[llm] def assignCells(
       df: DataFrame, cents: Seq[(Long, Seq[Float])],
       vecCol: String, idCol: String, role: String, keep: Int): DataFrame = {
-    import graft.functions.VectorFunctions.floatVecDot
-    val v = col(s"${role}_vec")
-    val cands = array(cents.map { case (cid, c) =>
-      val cl = typedLit(c)
-      val d = floatVecDot(v, cl) /
-        (sqrt(floatVecDot(v, v)) * sqrt(floatVecDot(cl, cl)))
-      struct((lit(0.0) - d).as("nd"), lit(cid).as("cid"))
-    }: _*)
+    import graft.functions.VectorFunctions.nearestCentroids
     val sel = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"))
+    val v = col(s"${role}_vec")
+    val near = when(v.isNull,
+        raise_error(lit("assignCells: null embedding vector")))
+      .otherwise(nearestCentroids(v, cents, keep))
     val cid =
-      if (keep == 1) array_min(cands).getField("cid")
-      else explode(slice(array_sort(cands), 1, keep).getField("cid"))
+      if (keep == 1) near.getItem(0)
+      else explode(near)
     sel.withColumn("cid", cid)
   }
 

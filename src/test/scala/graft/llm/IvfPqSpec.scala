@@ -130,6 +130,58 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("compact: N appends collapse to one file per cell; topK byte-identical; pruning preserved") {
+    val path = tmpIdx()
+    IvfPq.write(emb.filter(col("vec_id") >= 50), "embedding", "vec_id", path,
+      nCells = 8, m = 4, k = 4, iters = 1,
+      corpusRows = Some(emb.filter(col("vec_id") >= 50).count()))
+    // 5 daily appends of 10 rows each -> small files accumulate per cell
+    (0 until 5).foreach { day =>
+      IvfPq.append(
+        emb.filter(col("vec_id") >= day * 10L && col("vec_id") < (day + 1) * 10L),
+        "embedding", "vec_id", path)
+    }
+    def dataFiles(): Seq[String] = {
+      val root = java.nio.file.Paths.get(path)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("cid="))
+        .toSeq
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    def serve() = IvfPq.topK(spark, path, queries, "embedding", "vec_id",
+        k = 10, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+
+    val before = serve()
+    val filesBefore = dataFiles()
+    IvfPq.compact(spark, path)
+    val filesAfter = dataFiles()
+    assert(filesAfter.size < filesBefore.size,
+      s"compact must shrink file count (${filesBefore.size} -> ${filesAfter.size})")
+    // exactly one data file per surviving cell directory
+    val perCell = filesAfter.groupBy(p => p.substring(p.indexOf("cid=")).split("/")(0))
+    perCell.foreach { case (cell, fs) =>
+      assert(fs.size === 1, s"$cell still has ${fs.size} files")
+    }
+    assert(serve() === before, "served top-k must be identical after compact")
+    // pruning still works on the compacted layout
+    val plan = IvfPq.topK(spark, path, queries, "embedding", "vec_id", 10, 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cid") && l.contains("IN") && !l.contains("IN ()")),
+      s"PartitionFilter lost after compact: ${pf.mkString(" | ")}")
+    // a leftover old-dir from an interrupted compact fails loudly
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(path + "__compact_old"))
+    val e = intercept[IllegalArgumentException] { IvfPq.compact(spark, path) }
+    assert(e.getMessage.contains("interrupted compact"), e.getMessage)
+    fsys.delete(new org.apache.hadoop.fs.Path(path + "__compact_old"), true)
+  }
+
   test("every corpus row lands in exactly one cell; ids are preserved") {
     val path = tmpIdx()
     IvfPq.write(emb, "embedding", "vec_id", path,

@@ -44,6 +44,57 @@ object QueriesR7 {
         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM assigned GROUP BY 1
-        ORDER BY split"""))
+        ORDER BY split""")),
+
+    // ---- BM25 top-k retrieval -------------------------------------------
+    // Same query fixture as tfidf_topk (5-token queries from every 100th
+    // doc); scores are exact BIGINTs on both engines: log-free fixed-point
+    // idf (N·scale div df, scale -> 2^30), per-mille document-length
+    // normalization ((1000·dl·N) div T), and the k1=1.2/b=0.75 rational
+    // form 22000·tf div (10000·tf + 3000 + 9·lpm) — integer div LAST, so
+    // partial-agg merge order cannot move a single bit.
+    QueryDef("bm25_topk",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") % 100 === 3)
+          .select(col("doc_id"),
+            array_join(slice(graft.llm.Dedup.tokens(col("text")), 1, 5), " ")
+              .as("qtext"))
+        graft.llm.Retrieval.bm25TopK(docs, "text", "doc_id",
+            queries, "qtext", "doc_id", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        n AS (SELECT COUNT(*) nd, greatest(1, 1073741824 // COUNT(*)) scale
+              FROM documents),
+        t AS (SELECT CAST(SUM(len(w)) AS BIGINT) tt FROM d),
+        lp AS (SELECT doc_id,
+                 (1000 * CAST(len(w) AS BIGINT) * (SELECT nd FROM n))
+                   // (SELECT tt FROM t) AS lpm
+               FROM d),
+        p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
+              FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
+        idf AS (SELECT term,
+                  CAST(((SELECT nd FROM n) * (SELECT scale FROM n)) // COUNT(*) AS BIGINT) idf
+                FROM p GROUP BY term),
+        q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
+              FROM d WHERE doc_id % 100 = 3),
+        sc AS (SELECT q_id, p.doc_id,
+                 CAST(SUM(least(
+                   (idf * 22000 * least(tf, 10000))
+                     // (10000 * least(tf, 10000) + 3000 + 9 * lpm),
+                   17592186044416)) AS BIGINT) score
+               FROM q JOIN p USING (term) JOIN idf USING (term)
+               JOIN lp ON p.doc_id = lp.doc_id
+               GROUP BY 1, 2),
+        r AS (SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) rnk
+              FROM sc)
+        SELECT q_id AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+        FROM r WHERE rnk <= 10
+        ORDER BY query_id, rank"""))
   )
 }

@@ -61,6 +61,78 @@ object Retrieval {
         explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** BM25 idf ceiling: the adaptive scale targets N·scale ≈ 2^30 —
+    * smaller than TF-IDF's 2^40 to leave headroom for the 22000·tf
+    * factor inside the exact LONG contribution (see [[bm25TopK]]). */
+  private val Bm25IdfCeiling = 1L << 30
+
+  /** BM25 tf saturation cap. */
+  val Bm25TfCap = 10000L
+
+  def bm25AdaptiveScale(n: Long): Long =
+    math.max(1L, Bm25IdfCeiling / math.max(n, 1L))
+
+  /** BM25 top-k retrieval (k1 = 1.2, b = 0.75 — the standard Robertson
+    * parameters as exact rationals), with every score an exact BIGINT —
+    * the same cross-engine / merge-order determinism contract as
+    * [[tfidfTopK]], extended with BM25's tf saturation and document-
+    * length normalization (long documents stop winning on raw term
+    * repetition — the retrieval behavior that matters when mining a
+    * crawl whose spam pages repeat keywords thousands of times).
+    *
+    * Numeric design (all integer, division LAST per term):
+    *  - `idf = (N·scale) div df` — log-free fixed point (rank-preserving
+    *    per term, the [[tfidfTopK]] precedent), scale targeting 2^30;
+    *  - per-doc length in PER-MILLE of the average:
+    *    `lpm = (1000·dl·N) div T` (T = total corpus tokens) — one
+    *    deterministic integer per document;
+    *  - with k1 = 12/10 and b = 3/4,
+    *    `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    *    = `22000·tf / (10000·tf + 3000 + 9·lpm)` exactly, so the
+    *    contribution is `(idf · 22000 · min(tf, cap)) div den`, capped
+    *    at [[ContribCap]].
+    *  - Range: idf ≤ 2^30, 22000·tfCap ≤ 2.2·10^8 → the pre-division
+    *    product ≤ 2.4·10^17 ≪ 2^63; per-term contribution ≤ ~2^44, so
+    *    the overflow argument of [[tfidfTopK]] carries over unchanged.
+    *
+    * An all-empty corpus (zero total tokens) fails loudly rather than
+    * dividing by zero inside the length normalizer. */
+  def bm25TopK(
+      docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, qTextCol: String, qIdCol: String,
+      k: Int = 10, nDocs: Option[Long] = None,
+      idfScale: Option[Long] = None): DataFrame = {
+    import graft.functions.VectorFunctions.boundedTopKLong
+    val n = nDocs.getOrElse(docs.count())
+    val scale = idfScale.getOrElse(bm25AdaptiveScale(n))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
+    val totT = dl.agg(sum(col("dl"))).head().getLong(0)
+    require(totT > 0, "bm25TopK: corpus has zero tokens (length normalizer undefined)")
+    val lnorm = dl.select(col("doc_id"),
+      expr(s"(1000L * dl * ${n}L) div ${totT}L").as("lpm"))
+    val p = postings(docs, textCol, idCol)
+    val idf = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), expr(s"${n}L * ${scale}L div df").as("idf"))
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
+    // integer `div`, NOT double '/': the pre-division product reaches
+    // ~2.4e17 > 2^53, where double arithmetic would silently lose the
+    // low bits and break the exact cross-engine contract
+    val scored = qTerms.join(p, "term").join(idf, "term").join(lnorm, "doc_id")
+      .withColumn("contrib", expr(
+        s"least((idf * 22000L * least(tf, ${Bm25TfCap}L)) div " +
+          s"(10000L * least(tf, ${Bm25TfCap}L) + 3000L + 9L * lpm), " +
+          s"${ContribCap}L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    scored.groupBy("query_id")
+      .agg(boundedTopKLong(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+  }
+
   /** TF-IDF top-k retrieval: for each query document, the k corpus
     * documents with the highest exact fixed-point score, ties broken by
     * lower doc id. Queries sharing no term with a corpus doc contribute

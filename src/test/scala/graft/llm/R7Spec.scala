@@ -212,6 +212,48 @@ class R7Spec extends SparkSpec {
     assert(forced === report)
   }
 
+  test("bm25TopK: exact integer scores match a driver-side reference; length normalization penalizes padded docs") {
+    // crafted corpus: doc 1 and doc 2 have the SAME tf for 'cat', but doc 2
+    // is padded 4x longer — BM25 must rank doc 1 above doc 2 (TF-IDF ties)
+    val docs = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat cat " + Seq.fill(10)("filler").mkString(" ")),
+      (3L, "bird bird bird"),
+      (4L, "cat fish")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "cat")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "text", "doc_id",
+        queries, "text", "doc_id", k = 4)
+      .select("rank", "doc_id", "score").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+
+    // driver-side reference with the exact same integer arithmetic
+    val toks = Map(1L -> Seq("cat", "cat", "dog"),
+      2L -> ("cat cat " + Seq.fill(10)("filler").mkString(" ")).split(" ").toSeq,
+      3L -> Seq("bird", "bird", "bird"), 4L -> Seq("cat", "fish"))
+    val n = 4L
+    val scale = Retrieval.bm25AdaptiveScale(n)
+    val tt = toks.values.map(_.size.toLong).sum
+    val dfCat = toks.values.count(_.contains("cat")).toLong
+    val idfCat = n * scale / dfCat
+    def score(id: Long): Long = {
+      val tf = toks(id).count(_ == "cat").toLong
+      val lpm = 1000L * toks(id).size * n / tt
+      math.min(idfCat * 22000L * tf / (10000L * tf + 3000L + 9L * lpm),
+        Retrieval.ContribCap)
+    }
+    val expect = Seq(1L, 2L, 4L).map(id => id -> score(id)).toMap
+    got.foreach { case (_, id, s) =>
+      assert(s === expect(id), s"score drift for doc $id")
+    }
+    // BM25's whole point: the short tf=1 doc (4) outranks the padded tf=2
+    // doc (2) — under TF-IDF doc 2 would win on raw tf
+    assert(got.map(_._2).toSeq === Seq(1L, 4L, 2L),
+      "expected order doc1 > doc4 > doc2 (padding beats raw tf); doc3 absent")
+    assert(expect(1L) > expect(4L) && expect(4L) > expect(2L),
+      "length normalization must invert the tf ordering for the padded doc")
+  }
+
   test("ivfTopK plan: the kernel (not the O(nCells) struct array) does the assignment") {
     val queries = emb.filter(col("vec_id") < 5)
     val plan = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 10,

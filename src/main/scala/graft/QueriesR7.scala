@@ -7,6 +7,43 @@ import org.apache.spark.sql.functions._
   * same independent DuckDB derivation of the curated survivor set. */
 object QueriesR7 {
 
+  /** Shared BM25 oracle: exact-integer scoring (see Retrieval.bm25TopK's
+    * numeric-design scaladoc), used by both the direct `bm25_topk` gate
+    * and the served-from-index `bm25_index_topk` gate — the index MUST
+    * reproduce the direct path bit-for-bit. */
+  private val Bm25OracleSql = """
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        n AS (SELECT COUNT(*) nd, greatest(1, 1073741824 // COUNT(*)) scale
+              FROM documents),
+        t AS (SELECT CAST(SUM(len(w)) AS BIGINT) tt FROM d),
+        lp AS (SELECT doc_id,
+                 (1000 * CAST(len(w) AS BIGINT) * (SELECT nd FROM n))
+                   // (SELECT tt FROM t) AS lpm
+               FROM d),
+        p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
+              FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
+        idf AS (SELECT term,
+                  CAST(((SELECT nd FROM n) * (SELECT scale FROM n)) // COUNT(*) AS BIGINT) idf
+                FROM p GROUP BY term),
+        q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
+              FROM d WHERE doc_id % 100 = 3),
+        sc AS (SELECT q_id, p.doc_id,
+                 CAST(SUM(least(
+                   (idf * 22000 * least(tf, 10000))
+                     // (10000 * least(tf, 10000) + 3000 + 9 * lpm),
+                   17592186044416)) AS BIGINT) score
+               FROM q JOIN p USING (term) JOIN idf USING (term)
+               JOIN lp ON p.doc_id = lp.doc_id
+               GROUP BY 1, 2),
+        r AS (SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) rnk
+              FROM sc)
+        SELECT q_id AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+        FROM r WHERE rnk <= 10
+        ORDER BY query_id, rank"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- materialized multi-stage curation pipeline ----------------------
@@ -64,37 +101,30 @@ object QueriesR7 {
             queries, "qtext", "doc_id", k = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""
-        WITH d AS (SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
-                   FROM documents),
-        n AS (SELECT COUNT(*) nd, greatest(1, 1073741824 // COUNT(*)) scale
-              FROM documents),
-        t AS (SELECT CAST(SUM(len(w)) AS BIGINT) tt FROM d),
-        lp AS (SELECT doc_id,
-                 (1000 * CAST(len(w) AS BIGINT) * (SELECT nd FROM n))
-                   // (SELECT tt FROM t) AS lpm
-               FROM d),
-        p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
-              FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
-        idf AS (SELECT term,
-                  CAST(((SELECT nd FROM n) * (SELECT scale FROM n)) // COUNT(*) AS BIGINT) idf
-                FROM p GROUP BY term),
-        q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
-              FROM d WHERE doc_id % 100 = 3),
-        sc AS (SELECT q_id, p.doc_id,
-                 CAST(SUM(least(
-                   (idf * 22000 * least(tf, 10000))
-                     // (10000 * least(tf, 10000) + 3000 + 9 * lpm),
-                   17592186044416)) AS BIGINT) score
-               FROM q JOIN p USING (term) JOIN idf USING (term)
-               JOIN lp ON p.doc_id = lp.doc_id
-               GROUP BY 1, 2),
-        r AS (SELECT q_id, doc_id, score,
-                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) rnk
-              FROM sc)
-        SELECT q_id AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
-        FROM r WHERE rnk <= 10
-        ORDER BY query_id, rank"""))
+      Some(Bm25OracleSql)),
+
+    // ---- BM25 served from the materialized bucket-partitioned index ------
+    // Same oracle as bm25_topk: the index path must be bit-identical to
+    // the direct path. The index is built with a WRITE of half the corpus
+    // plus an APPEND of the other half — so the gate also certifies that
+    // appended postings and the stats delta row compose correctly.
+    QueryDef("bm25_index_topk",
+      (s, dir) => {
+        import graft.llm.Retrieval
+        val docs = Tables.read(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_lexidx_").toString
+        Retrieval.writeIndex(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", path)
+        Retrieval.appendIndex(docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", path)
+        val queries = docs.filter(col("doc_id") % 100 === 3)
+          .select(col("doc_id"),
+            array_join(slice(graft.llm.Dedup.tokens(col("text")), 1, 5), " ")
+              .as("qtext"))
+        Retrieval.bm25TopKFromIndex(s, path, queries, "qtext", "doc_id", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(Bm25OracleSql))
   )
 }

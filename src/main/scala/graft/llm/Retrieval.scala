@@ -133,6 +133,131 @@ object Retrieval {
         col("e.id").as("doc_id"), col("e.score").as("score"))
   }
 
+  // -------------------------------------------------------------------
+  // Materialized lexical index — the "index once, append daily, serve
+  // many" shape for BM25 at corpus scale. Layout mirrors IvfIndex:
+  //
+  //   <path>/bucket=<b>/…   postings (term, doc_id, tf, dl) partitioned
+  //                         by a term-hash bucket — a query reads ONLY
+  //                         the buckets its terms hash into (planning-
+  //                         time PartitionFilters), never the corpus;
+  //   <path>/_stats         append-only delta rows (n_docs, total_tokens)
+  //                         — readers SUM them, so appendIndex never
+  //                         rewrites shared state (one tiny file per
+  //                         batch; compaction-free crash safety).
+  //
+  // dl is denormalized into the postings row: BM25's length normalizer
+  // then needs no doc-length join at serve time — candidate scoring is
+  // a pure scan of the pruned buckets. df per term is derived from the
+  // pruned postings themselves (a term's postings live entirely in its
+  // bucket, so the pruned read sees EVERY posting of a queried term —
+  // df is exact, not sampled).
+  // -------------------------------------------------------------------
+
+  private def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+
+  /** Build and write the lexical index: postings with denormalized doc
+    * length, partitioned by term-hash bucket, plus the stats sidecar. */
+  def writeIndex(docs: DataFrame, textCol: String, idCol: String,
+                 path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "writeIndex: nBuckets must be positive")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("w"))
+    val withLen = toks.select(col("doc_id"), col("w"),
+      size(col("w")).cast("long").as("dl"))
+    val p = withLen.select(col("doc_id"), col("dl"),
+        explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+    // spread by (bucket, term), not bucket alone: bucket-only would cap
+    // the write at nBuckets tasks — a parallelism bottleneck at corpus
+    // scale. A term's postings still land in its one bucket directory
+    // (bucket is a pure function of term), just across multiple files.
+    p.repartition(col("bucket"), col("term"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val stats = withLen.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Append a document batch: batch postings land in the existing bucket
+    * directories (the bucket function is content-hash, so it never
+    * drifts), and the stats sidecar gains ONE delta row — no shared
+    * state is rewritten, so a crashed append leaves at worst a complete
+    * extra file set that a re-run of the same batch would duplicate
+    * (orchestrator idempotence is the caller's id-discipline, as with
+    * IvfIndex.append). */
+  def appendIndex(batch: DataFrame, textCol: String, idCol: String,
+                  path: String, nBuckets: Int = 64): Unit = {
+    val toks = batch.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("w"))
+    val withLen = toks.select(col("doc_id"), col("w"),
+      size(col("w")).cast("long").as("dl"))
+    withLen.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+      .repartition(col("bucket"), col("term"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    withLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .coalesce(1).write.mode("append").parquet(s"$path/_stats")
+  }
+
+  /** BM25 top-k served FROM the index: identical scores to [[bm25TopK]]
+    * over the same corpus (same integer arithmetic, same idf scale
+    * derivation from the summed stats), reading only the buckets the
+    * query terms hash into — at corpus scale the serve cost tracks the
+    * query vocabulary, not the corpus. */
+  def bm25TopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qTextCol: String, qIdCol: String,
+      k: Int = 10, nBuckets: Int = 64,
+      idfScale: Option[Long] = None): DataFrame = {
+    import graft.functions.VectorFunctions.boundedTopKLong
+    val stats = spark.read.parquet(s"$path/_stats")
+      .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
+    val n = stats.getLong(0)
+    val totT = stats.getLong(1)
+    require(totT > 0, "bm25TopKFromIndex: indexed corpus has zero tokens")
+    val scale = idfScale.getOrElse(bm25AdaptiveScale(n))
+
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
+    // bounded driver metadata: the distinct buckets of the query terms
+    val buckets = qTerms
+      .select(termBucket(col("term"), nBuckets).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(path)
+    // keep the IN-filter a planning-time PartitionFilter (IvfIndex.topK's
+    // partition-value typing note)
+    val bucketLits: Seq[Any] = idx.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.LongType => buckets.toSeq
+      case org.apache.spark.sql.types.IntegerType => buckets.toSeq.map(_.toInt)
+      case _ => buckets.toSeq.map(_.toString)
+    }
+    val p = idx.filter(col("bucket").isin(bucketLits: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // df from the pruned postings is EXACT: a term's postings all live in
+    // its bucket
+    val idf = p.join(qTerms.select("term").distinct(), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), expr(s"${n}L * ${scale}L div df").as("idf"))
+    val scored = qTerms.join(p, "term").join(idf, "term")
+      .withColumn("lpm", expr(s"(1000L * dl * ${n}L) div ${totT}L"))
+      .withColumn("contrib", expr(
+        s"least((idf * 22000L * least(tf, ${Bm25TfCap}L)) div " +
+          s"(10000L * least(tf, ${Bm25TfCap}L) + 3000L + 9L * lpm), " +
+          s"${ContribCap}L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    scored.groupBy("query_id")
+      .agg(boundedTopKLong(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+  }
+
   /** TF-IDF top-k retrieval: for each query document, the k corpus
     * documents with the highest exact fixed-point score, ties broken by
     * lower doc id. Queries sharing no term with a corpus doc contribute

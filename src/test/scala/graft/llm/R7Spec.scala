@@ -254,6 +254,38 @@ class R7Spec extends SparkSpec {
       "length normalization must invert the tf ordering for the padded doc")
   }
 
+  test("lexical index: served BM25 equals the direct path; buckets prune; appends compose") {
+    val docs = sf(dir, "documents").select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 100 === 3)
+      .select(col("doc_id"),
+        array_join(slice(Dedup.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val path = java.nio.file.Files.createTempDirectory("graft_lex_spec_").toString
+    // write half, append half: the gate shape — stats delta rows must sum
+    Retrieval.writeIndex(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", path)
+    Retrieval.appendIndex(docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", path)
+
+    val served = Retrieval.bm25TopKFromIndex(spark, path, queries, "qtext", "doc_id", 10)
+    val direct = Retrieval.bm25TopK(docs, "text", "doc_id",
+      queries, "qtext", "doc_id", 10)
+    val s = served.select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val d = direct.select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(s === d, "index-served BM25 must equal the direct path bit-for-bit")
+
+    // the scan must be bucket-pruned at planning time, strictly partial
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("bucket") && l.contains("IN") && !l.contains("IN ()")),
+      s"expected a bucket IN (...) PartitionFilter, got: ${pf.mkString(" | ")}")
+    val allBuckets = spark.read.parquet(path).select("bucket").distinct().count()
+    val qb = queries
+      .select(explode(array_distinct(Dedup.tokens(col("qtext")))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(64L))).distinct().count()
+    assert(qb < allBuckets, s"fixture must prune: $qb of $allBuckets buckets")
+  }
+
   test("ivfTopK plan: the kernel (not the O(nCells) struct array) does the assignment") {
     val queries = emb.filter(col("vec_id") < 5)
     val plan = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 10,

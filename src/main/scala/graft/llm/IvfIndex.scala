@@ -37,7 +37,7 @@ private[llm] object IvfLayout {
     * `<path>__compact_old` intact and `<path>` absent — recovery is
     * renaming the old directory back, and a re-run fails loudly while
     * the leftover exists instead of compounding. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String, partCol: String = "cid"): Unit = {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -54,8 +54,8 @@ private[llm] object IvfLayout {
     fs.delete(tmp, true)
 
     spark.read.parquet(path)
-      .repartition(col("cid"))
-      .write.partitionBy("cid").parquet(tmp.toString)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(tmp.toString)
     // sidecars (_centroids, _codebooks) travel verbatim; _SUCCESS is
     // rewritten by the staged write itself
     fs.listStatus(root).map(_.getPath)

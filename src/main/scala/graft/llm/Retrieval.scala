@@ -204,6 +204,15 @@ object Retrieval {
       .coalesce(1).write.mode("append").parquet(s"$path/_stats")
   }
 
+  /** One-file-per-bucket rewrite of an appended-to lexical index —
+    * the same small-file hygiene as [[IvfIndex.compact]] (N daily
+    * appends leave N file sets per bucket directory); stats delta rows
+    * ride along verbatim inside `_stats` (sidecars are copied as-is,
+    * and their SUM is unchanged by construction). Served results are
+    * identical; the bucket PartitionFilter survives (same layout). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IvfLayout.compact(spark, path, partCol = "bucket")
+
   /** BM25 top-k served FROM the index: identical scores to [[bm25TopK]]
     * over the same corpus (same integer arithmetic, same idf scale
     * derivation from the summed stats), reading only the buckets the

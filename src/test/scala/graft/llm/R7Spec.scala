@@ -284,6 +284,27 @@ class R7Spec extends SparkSpec {
       .select(explode(array_distinct(Dedup.tokens(col("qtext")))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(64L))).distinct().count()
     assert(qb < allBuckets, s"fixture must prune: $qb of $allBuckets buckets")
+
+    // compaction: write+append left >=2 file sets per touched bucket;
+    // compact collapses to one file per bucket, stats and results intact
+    def files(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("bucket="))
+        .toSeq
+    }
+    val before = files().size
+    Retrieval.compactIndex(spark, path)
+    val after = files()
+    assert(after.size < before, s"compact must shrink files ($before -> ${after.size})")
+    after.groupBy(p => p.substring(p.indexOf("bucket=")).split("/")(0))
+      .foreach { case (b, fs) => assert(fs.size === 1, s"$b has ${fs.size} files") }
+    val servedAfter = Retrieval
+      .bm25TopKFromIndex(spark, path, queries, "qtext", "doc_id", 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(servedAfter === d, "compacted index must serve identical results")
   }
 
   test("ivfTopK plan: the kernel (not the O(nCells) struct array) does the assignment") {

@@ -125,6 +125,45 @@ object QueriesR7 {
         Retrieval.bm25TopKFromIndex(s, path, queries, "qtext", "doc_id", k = 10)
           .orderBy("query_id", "rank")
       },
-      Some(Bm25OracleSql))
+      Some(Bm25OracleSql)),
+
+    // ---- incremental near-dup served from the materialized index ---------
+    // Same fixture and SAME oracle as dedup_incremental: corpus docs
+    // (< 250) are INDEXED once (MinHashIndex.write), then the batch
+    // (>= 250 plus planted clones) is served against the index — the
+    // production daily shape where the corpus is never re-shingled. The
+    // served pairs must reproduce the recompute-everything path exactly.
+    QueryDef("dedup_incremental_indexed",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs
+            .filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_mhidx_").toString
+        graft.llm.MinHashIndex.write(corpus, "text", "doc_id", path)
+        graft.llm.MinHashIndex
+          .nearDupPairsIncremental(s, path, fresh, "text", "doc_id",
+            jaccardThreshold = 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id < 250),
+        ${QueriesLlm.minhashCandCtes("all_docs")},
+        ver AS (
+          SELECT ia, ib,
+                 CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                   len(list_distinct(x.h || y.h)) jac
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id)
+        SELECT ia AS id_a, ib AS id_b, jac AS jaccard
+        FROM ver
+        WHERE jac >= 0.8 AND (ia >= 250 OR ib >= 250)
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -98,7 +98,7 @@ object Dedup {
     * array_intersect/array_union HOF form, none of its per-pair hash-set
     * and result-array allocations (this join IS the profile of every
     * near-dup miner). */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+  private[llm] def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.sortedLongIntersectCount
     val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
@@ -144,7 +144,7 @@ object Dedup {
     * PROJECTED ONCE into a named column: the 8 element_at references then
     * point at one attribute, where inline use would copy the kernel per
     * reference (the CollapseProject gotcha, PLANS.md rule 11). */
-  private def bandRows(sets: DataFrame): DataFrame = {
+  private[llm] def bandRows(sets: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.minHashSig
     sets.select(col("id"),
         minHashSig(col("hs"), MinhashA, MinhashB, MinhashP).as("__sig"))

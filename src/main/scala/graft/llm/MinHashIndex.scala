@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Materialized MinHash near-dup index — the persistence layer
+  * [[Dedup.minhashNearDupPairsIncremental]]'s scaladoc promises ("in
+  * production the corpus side's signatures persist as a table
+  * maintained by previous runs"). Without it, every daily batch
+  * re-scans and re-shingles the WHOLE corpus to rebuild signatures the
+  * previous run already computed — O(corpus) per run. With it, a batch
+  * run reads only:
+  *
+  *  - the band-key buckets the batch's own band keys hash into
+  *    (`bands/kb=<b>/…`, planning-time PartitionFilters), and
+  *  - the id buckets of the verification candidates
+  *    (`sets/ib=<b>/…`, same mechanism),
+  *
+  * so per-run cost scales with the batch and its collision
+  * neighborhood, not the corpus. Same layout family as [[IvfIndex]]
+  * and the lexical index (Retrieval.writeIndex): content-hash bucket
+  * directories + append-only growth + [[IvfLayout.compact]] hygiene.
+  *
+  * Results are pinned equal to the recompute-everything path
+  * (R7Spec), and the `dedup_incremental_indexed` gate certifies the
+  * served pairs against the same independent DuckDB derivation as
+  * `dedup_incremental`. Ids must be disjoint between the index and any
+  * served batch (the existing incremental contract). */
+object MinHashIndex {
+
+  private def kb(key: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(key), lit(n.toLong))
+  private def ib(id: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(id), lit(n.toLong))
+
+  /** Build the index: banded LSH rows bucketed by band-key hash, and
+    * the sorted shingle-hash sets bucketed by id hash. */
+  def write(docs: DataFrame, textCol: String, idCol: String, path: String,
+            shingleN: Int = 3, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "MinHashIndex.write: nBuckets must be positive")
+    val sets = Dedup.shingleHashSets(docs, textCol, idCol, shingleN).persist()
+    Dedup.bandRows(sets)
+      .withColumn("kb", kb(col("key"), nBuckets))
+      .repartition(col("kb"), col("key"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$path/bands")
+    sets.withColumn("ib", ib(col("id"), nBuckets))
+      .repartition(col("ib"), col("id"))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
+    sets.unpersist()
+  }
+
+  /** Append a batch's signatures into the existing buckets (the bucket
+    * functions are content hashes, so placement never drifts). Run
+    * AFTER serving the batch's pairs — the index then holds it as
+    * corpus for the next run. */
+  def append(batch: DataFrame, textCol: String, idCol: String, path: String,
+             shingleN: Int = 3, nBuckets: Int = 64): Unit = {
+    val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    Dedup.bandRows(sets)
+      .withColumn("kb", kb(col("key"), nBuckets))
+      .repartition(col("kb"), col("key"))
+      .write.mode("append").partitionBy("kb").parquet(s"$path/bands")
+    sets.withColumn("ib", ib(col("id"), nBuckets))
+      .repartition(col("ib"), col("id"))
+      .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
+    sets.unpersist()
+  }
+
+  /** One file per bucket directory after N appends (both tables). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IvfLayout.compact(spark, s"$path/bands", partCol = "kb")
+    IvfLayout.compact(spark, s"$path/sets", partCol = "ib")
+  }
+
+  private def typedLits(df: DataFrame, colName: String, vals: Seq[Long]): Seq[Any] =
+    df.schema(colName).dataType match {
+      case LongType => vals
+      case IntegerType => vals.map(_.toInt)
+      case _ => vals.map(_.toString)
+    }
+
+  /** Near-dup pairs touching `batch` — new-vs-index and new-vs-new,
+    * never index-vs-index — identical results to
+    * [[Dedup.minhashNearDupPairsIncremental]] over the indexed corpus,
+    * reading only the batch's band-key buckets and the candidates' id
+    * buckets. */
+  def nearDupPairsIncremental(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, shingleN: Int = 3,
+      nBuckets: Int = 64): DataFrame = {
+    val newSets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    val nb = Dedup.bandRows(newSets).persist()
+
+    // bounded driver metadata: distinct band-key buckets of the batch
+    val kbs = nb.select(kb(col("key"), nBuckets).as("kb")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val bandsRaw = spark.read.parquet(s"$path/bands")
+    val idxBands = bandsRaw
+      .filter(col("kb").isin(typedLits(bandsRaw, "kb", kbs): _*))
+      .select(col("id"), col("band"), col("key"))
+
+    val left = nb.select(col("band"), col("key"), col("id").as("nid"))
+    val right = idxBands.unionByName(nb)
+      .select(col("band"), col("key"), col("id").as("oid"))
+    val cand = left.join(right, Seq("band", "key"))
+      .filter(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("id_a"),
+        greatest(col("nid"), col("oid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist()
+
+    // candidates' id buckets (batch ids hash to buckets too — harmless
+    // extra reads, still bounded by nBuckets)
+    val ibs = cand.select(ib(col("id_a"), nBuckets).as("ib"))
+      .unionByName(cand.select(ib(col("id_b"), nBuckets).as("ib")))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val setsRaw = spark.read.parquet(s"$path/sets")
+    val idxSets = setsRaw
+      .filter(col("ib").isin(typedLits(setsRaw, "ib", ibs): _*))
+      .select(col("id"), col("hs"))
+    val allSets = newSets.unionByName(idxSets)
+
+    Dedup.verifyJaccard(cand, allSets, jaccardThreshold)
+  }
+}

@@ -307,6 +307,48 @@ class R7Spec extends SparkSpec {
     assert(servedAfter === d, "compacted index must serve identical results")
   }
 
+  test("MinHashIndex: served incremental pairs equal the recompute path; buckets prune; append rolls the corpus forward") {
+    val docs = sf(dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_spec_").toString
+    MinHashIndex.write(corpus, "text", "doc_id", path)
+
+    val served = MinHashIndex.nearDupPairsIncremental(
+      spark, path, batch, "text", "doc_id", 0.8)
+    val direct = Dedup.minhashNearDupPairsIncremental(
+      batch, corpus, "text", "doc_id", 0.8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val s0 = rows(served)
+    assert(s0 === rows(direct),
+      "index-served incremental pairs must equal the recompute path")
+    assert(s0.nonEmpty, "fixture must produce planted-clone pairs")
+
+    // both reads must be bucket-pruned at planning time
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("kb") && l.contains("IN")),
+      s"expected a kb IN (...) PartitionFilter on bands: ${pf.mkString(" | ")}")
+    assert(pf.exists(l => l.contains("ib") && l.contains("IN")),
+      s"expected an ib IN (...) PartitionFilter on sets: ${pf.mkString(" | ")}")
+
+    // roll forward: append the batch, serve a SECOND batch that clones a
+    // first-batch doc — the pair must surface from the index alone
+    MinHashIndex.append(batch, "text", "doc_id", path)
+    val second = docs.filter(col("doc_id") === 260L)
+      .withColumn("doc_id", col("doc_id") + 500000L)
+    val roll = MinHashIndex.nearDupPairsIncremental(
+      spark, path, second, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(roll.contains((260L, 500260L)),
+      s"appended corpus must pair with the new clone, got $roll")
+  }
+
   test("ivfTopK plan: the kernel (not the O(nCells) struct array) does the assignment") {
     val queries = emb.filter(col("vec_id") < 5)
     val plan = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 10,

@@ -18,9 +18,9 @@ object QueriesR7 {
         n AS (SELECT COUNT(*) nd, greatest(1, 1073741824 // COUNT(*)) scale
               FROM documents),
         t AS (SELECT CAST(SUM(len(w)) AS BIGINT) tt FROM d),
+        a AS (SELECT (1000 * (SELECT tt FROM t)) // (SELECT nd FROM n) AS adm),
         lp AS (SELECT doc_id,
-                 (1000 * CAST(len(w) AS BIGINT) * (SELECT nd FROM n))
-                   // (SELECT tt FROM t) AS lpm
+                 (1000000 * CAST(len(w) AS BIGINT)) // (SELECT adm FROM a) AS lpm
                FROM d),
         p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
               FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
@@ -87,7 +87,9 @@ object QueriesR7 {
     // Same query fixture as tfidf_topk (5-token queries from every 100th
     // doc); scores are exact BIGINTs on both engines: log-free fixed-point
     // idf (N·scale div df, scale -> 2^30), per-mille document-length
-    // normalization ((1000·dl·N) div T), and the k1=1.2/b=0.75 rational
+    // normalization via the Long-safe two-step form (adm = 1000·T div N,
+    // lpm = 10^6·dl div adm — see Retrieval.bm25AvgDocLenMilli's overflow
+    // analysis), and the k1=1.2/b=0.75 rational
     // form 22000·tf div (10000·tf + 3000 + 9·lpm) — integer div LAST, so
     // partial-agg merge order cannot move a single bit.
     QueryDef("bm25_topk",

@@ -84,7 +84,10 @@ object Curation {
     * `https://evil.com./` must still resolve to `evil.com`, or both
     * evade the filter (and skew quota grouping). The authority capture
     * admits `:` so `user:pass@host` keeps its host; the port strip
-    * runs after the userinfo strip. */
+    * runs after the userinfo strip and admits an EMPTY port
+    * (`:[0-9]*$`, not `+`) — `http://evil.com:/` is a valid-per-RFC3986
+    * empty-port authority that would otherwise normalize to `evil.com:`
+    * and slip the blocklist. */
   def urlDomain(url: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -92,7 +95,7 @@ object Curation {
           regexp_replace(
             lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
             "^.*@", ""),
-          ":[0-9]+$", ""),
+          ":[0-9]*$", ""),
         "\\.+$", ""),
       "^www\\.", "")
 

@@ -84,12 +84,38 @@ object MinHashIndex {
     * never index-vs-index — identical results to
     * [[Dedup.minhashNearDupPairsIncremental]] over the indexed corpus,
     * reading only the batch's band-key buckets and the candidates' id
-    * buckets. */
+    * buckets.
+    *
+    * The returned pairs are MATERIALIZED (eager localCheckpoint) before
+    * the three intermediate caches (signatures, band rows, candidates)
+    * are released — a long-lived session serving daily batches would
+    * otherwise accumulate cached blocks run over run until memory
+    * pressure evicts them ([[write]]/[[append]] already unpersist; this
+    * path's result depends on the caches, so release must follow
+    * materialization). The pair set is tiny relative to the corpus, and
+    * its checkpoint blocks are context-cleaner-collected with the
+    * returned DataFrame. */
   def nearDupPairsIncremental(
       spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3,
       nBuckets: Int = 64): DataFrame = {
+    val (lazyPairs, caches) = nearDupPairsIncrementalPlan(
+      spark, path, batch, textCol, idCol, jaccardThreshold, shingleN, nBuckets)
+    val out = lazyPairs.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The lazy serve plan plus its live caches — split out so the bucket
+    * PartitionFilters stay inspectable (R7Spec pins them; the public
+    * entry's eager checkpoint severs the lineage they live in). Callers
+    * of THIS form own the returned caches. */
+  private[llm] def nearDupPairsIncrementalPlan(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double, shingleN: Int,
+      nBuckets: Int): (DataFrame, Seq[DataFrame]) = {
     val newSets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
     val nb = Dedup.bandRows(newSets).persist()
 
@@ -122,6 +148,7 @@ object MinHashIndex {
       .select(col("id"), col("hs"))
     val allSets = newSets.unionByName(idxSets)
 
-    Dedup.verifyJaccard(cand, allSets, jaccardThreshold)
+    (Dedup.verifyJaccard(cand, allSets, jaccardThreshold),
+      Seq(newSets, nb, cand))
   }
 }

@@ -72,6 +72,44 @@ object Retrieval {
   def bm25AdaptiveScale(n: Long): Long =
     math.max(1L, Bm25IdfCeiling / math.max(n, 1L))
 
+  /** Corpus-size ceiling for the BM25 length normalizer: the average-
+    * length derivation computes `1000·T` in a Long, so T (total corpus
+    * tokens) must stay ≤ 2^63/1000 ≈ 9.2·10^15 — roughly 37 PB of
+    * English text, comfortably past the 100 TB regime. Fail loudly at
+    * the boundary rather than silently corrupting every score. */
+  val Bm25MaxTotalTokens: Long = Long.MaxValue / 1000L
+
+  /** Average document length in MILLI-tokens: `(1000·T) div N`.
+    *
+    * This is the overflow-safe two-step form of the length normalizer:
+    * the naive per-doc `lpm = (1000·dl·N) div T` computes `1000·dl·N`
+    * in a Long, which overflows once `dl·N > 9.2·10^15` — e.g. a
+    * 10^7-token document in a 10^9-document corpus, squarely inside
+    * the 100 TB regime — silently corrupting `lpm` and every score
+    * built on it. Deriving `adm` once (bounded by [[Bm25MaxTotalTokens]])
+    * and then `lpm = (10^6·dl) div adm` keeps every intermediate
+    * ≤ 10^6·dl, safe for any document below ~9.2·10^12 tokens (a
+    * single ~37 TB document — not a real input).
+    *
+    * Precision: truncating `adm` to milli-tokens perturbs `lpm` by at
+    * most one part in `1000·avgdl` (≤ 0.1% even at avgdl = 1) relative
+    * to the exact rational `1000·dl·N/T` — far below BM25's ranking
+    * resolution, and applied identically on both engine sides so the
+    * exact cross-engine contract is unchanged. */
+  def bm25AvgDocLenMilli(totalTokens: Long, nDocs: Long): Long = {
+    require(totalTokens > 0,
+      "bm25: corpus has zero tokens (length normalizer undefined)")
+    require(totalTokens <= Bm25MaxTotalTokens,
+      s"bm25: total corpus tokens $totalTokens exceeds the Long-safe " +
+        s"ceiling $Bm25MaxTotalTokens (~37 PB of text); shard the corpus")
+    require(nDocs > 0, "bm25: nDocs must be positive")
+    val adm = 1000L * totalTokens / nDocs
+    require(adm > 0,
+      s"bm25: average document length below 0.001 tokens " +
+        s"(totalTokens=$totalTokens, nDocs=$nDocs) — degenerate corpus")
+    adm
+  }
+
   /** BM25 top-k retrieval (k1 = 1.2, b = 0.75 — the standard Robertson
     * parameters as exact rationals), with every score an exact BIGINT —
     * the same cross-engine / merge-order determinism contract as
@@ -83,17 +121,26 @@ object Retrieval {
     * Numeric design (all integer, division LAST per term):
     *  - `idf = (N·scale) div df` — log-free fixed point (rank-preserving
     *    per term, the [[tfidfTopK]] precedent), scale targeting 2^30;
-    *  - per-doc length in PER-MILLE of the average:
-    *    `lpm = (1000·dl·N) div T` (T = total corpus tokens) — one
-    *    deterministic integer per document;
+    *  - per-doc length in PER-MILLE of the average, computed two-step
+    *    to stay Long-safe at corpus scale: `adm = (1000·T) div N`
+    *    milli-tokens (T = total corpus tokens), then
+    *    `lpm = (10^6·dl) div adm` — one deterministic integer per
+    *    document. See [[bm25AvgDocLenMilli]] for the overflow analysis
+    *    (the one-step `(1000·dl·N) div T` form overflows once
+    *    `dl·N > 9.2·10^15`, i.e. a multi-million-token document in a
+    *    billions-of-docs corpus);
     *  - with k1 = 12/10 and b = 3/4,
     *    `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     *    = `22000·tf / (10000·tf + 3000 + 9·lpm)` exactly, so the
     *    contribution is `(idf · 22000 · min(tf, cap)) div den`, capped
     *    at [[ContribCap]].
     *  - Range: idf ≤ 2^30, 22000·tfCap ≤ 2.2·10^8 → the pre-division
-    *    product ≤ 2.4·10^17 ≪ 2^63; per-term contribution ≤ ~2^44, so
-    *    the overflow argument of [[tfidfTopK]] carries over unchanged.
+    *    product ≤ 2.4·10^17 ≪ 2^63; the denominator's `9·lpm` term is
+    *    ≤ 9·10^6·dl/adm-ish — Long-safe for any document shorter than
+    *    ~10^14× the corpus average; per-term contribution ≤ ~2^44, so
+    *    the overflow argument of [[tfidfTopK]] carries over, with the
+    *    length-normalizer products bounded separately by
+    *    [[bm25AvgDocLenMilli]].
     *
     * An all-empty corpus (zero total tokens) fails loudly rather than
     * dividing by zero inside the length normalizer. */
@@ -108,9 +155,9 @@ object Retrieval {
     val dl = docs.select(col(idCol).as("doc_id"),
       size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
     val totT = dl.agg(sum(col("dl"))).head().getLong(0)
-    require(totT > 0, "bm25TopK: corpus has zero tokens (length normalizer undefined)")
+    val adm = bm25AvgDocLenMilli(totT, n)
     val lnorm = dl.select(col("doc_id"),
-      expr(s"(1000L * dl * ${n}L) div ${totT}L").as("lpm"))
+      expr(s"(1000000L * dl) div ${adm}L").as("lpm"))
     val p = postings(docs, textCol, idCol)
     val idf = p.groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), expr(s"${n}L * ${scale}L div df").as("idf"))
@@ -185,23 +232,34 @@ object Retrieval {
   /** Append a document batch: batch postings land in the existing bucket
     * directories (the bucket function is content-hash, so it never
     * drifts), and the stats sidecar gains ONE delta row — no shared
-    * state is rewritten, so a crashed append leaves at worst a complete
-    * extra file set that a re-run of the same batch would duplicate
-    * (orchestrator idempotence is the caller's id-discipline, as with
-    * IvfIndex.append). */
+    * state is rewritten.
+    *
+    * The two writes are not atomic together, so WRITE ORDER is the
+    * crash contract: the stats delta lands FIRST, postings second. A
+    * crash between them leaves stats counting docs whose postings are
+    * absent — which only scales the idf/length-normalizer derivation
+    * slightly (n_docs/total_tokens a batch too high) without touching
+    * any served posting; re-running the same batch converges (the
+    * duplicate delta row mirrors the duplicate postings a re-run
+    * creates anyway). The CONVERSE order would be worse: postings
+    * present but uncounted makes df exceed the global n-derived idf
+    * assumption and silently diverges served scores from the direct
+    * path until the stats row appears. Re-run idempotence remains the
+    * caller's id-discipline, as with IvfIndex.append. */
   def appendIndex(batch: DataFrame, textCol: String, idCol: String,
                   path: String, nBuckets: Int = 64): Unit = {
     val toks = batch.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("w"))
     val withLen = toks.select(col("doc_id"), col("w"),
-      size(col("w")).cast("long").as("dl"))
+      size(col("w")).cast("long").as("dl")).persist()
+    withLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .coalesce(1).write.mode("append").parquet(s"$path/_stats")
     withLen.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(col("term"), nBuckets))
       .repartition(col("bucket"), col("term"))
       .write.mode("append").partitionBy("bucket").parquet(path)
-    withLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      .coalesce(1).write.mode("append").parquet(s"$path/_stats")
+    withLen.unpersist()
   }
 
   /** One-file-per-bucket rewrite of an appended-to lexical index —
@@ -228,7 +286,7 @@ object Retrieval {
       .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
     val n = stats.getLong(0)
     val totT = stats.getLong(1)
-    require(totT > 0, "bm25TopKFromIndex: indexed corpus has zero tokens")
+    val adm = bm25AvgDocLenMilli(totT, n)
     val scale = idfScale.getOrElse(bm25AdaptiveScale(n))
 
     val qTerms = queries.select(col(qIdCol).as("query_id"),
@@ -253,7 +311,7 @@ object Retrieval {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), expr(s"${n}L * ${scale}L div df").as("idf"))
     val scored = qTerms.join(p, "term").join(idf, "term")
-      .withColumn("lpm", expr(s"(1000L * dl * ${n}L) div ${totT}L"))
+      .withColumn("lpm", expr(s"(1000000L * dl) div ${adm}L"))
       .withColumn("contrib", expr(
         s"least((idf * 22000L * least(tf, ${Bm25TfCap}L)) div " +
           s"(10000L * least(tf, ${Bm25TfCap}L) + 3000L + 9L * lpm), " +

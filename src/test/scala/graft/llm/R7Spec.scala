@@ -238,7 +238,8 @@ class R7Spec extends SparkSpec {
     val idfCat = n * scale / dfCat
     def score(id: Long): Long = {
       val tf = toks(id).count(_ == "cat").toLong
-      val lpm = 1000L * toks(id).size * n / tt
+      val adm = 1000L * tt / n
+      val lpm = 1000000L * toks(id).size / adm
       math.min(idfCat * 22000L * tf / (10000L * tf + 3000L + 9L * lpm),
         Retrieval.ContribCap)
     }
@@ -252,6 +253,37 @@ class R7Spec extends SparkSpec {
       "expected order doc1 > doc4 > doc2 (padding beats raw tf); doc3 absent")
     assert(expect(1L) > expect(4L) && expect(4L) > expect(2L),
       "length normalization must invert the tf ordering for the padded doc")
+  }
+
+  test("bm25AvgDocLenMilli: Long-safe at 100TB magnitudes where the one-step lpm form overflows") {
+    // the ADVICE scenario: a 10^7-token document in a 10^9-document corpus
+    // (~2.5e13 total tokens). The one-step form computes 1000*dl*n = 1e19
+    // > Long.MaxValue — provably overflowing — while the two-step form
+    // stays exact to within the documented 0.1% of the true rational.
+    val n = 1_000_000_000L
+    val tt = 25_000_000_000_000L // avg 25k tokens/doc
+    val dl = 10_000_000L
+    assert(BigInt(1000) * BigInt(dl) * BigInt(n) > BigInt(Long.MaxValue),
+      "fixture must sit in the one-step overflow regime")
+    val adm = Retrieval.bm25AvgDocLenMilli(tt, n)
+    val lpm = 1000000L * dl / adm
+    val exact = BigInt(1000) * BigInt(dl) * BigInt(n) / BigInt(tt)
+    val err = (BigInt(lpm) - exact).abs.toDouble / exact.toDouble
+    assert(err <= 0.001, s"two-step lpm $lpm vs exact $exact: err $err > 0.1%")
+    // every intermediate of the two-step form is Long-safe here
+    assert(BigInt(1000) * BigInt(tt) <= BigInt(Long.MaxValue))
+    assert(BigInt(1000000) * BigInt(dl) <= BigInt(Long.MaxValue))
+
+    // loud failures at the documented boundaries, not silent corruption
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25AvgDocLenMilli(Retrieval.Bm25MaxTotalTokens + 1, n)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25AvgDocLenMilli(0L, n)
+    }
+    intercept[IllegalArgumentException] { // avg below 0.001 tokens
+      Retrieval.bm25AvgDocLenMilli(1L, 10_000L)
+    }
   }
 
   test("lexical index: served BM25 equals the direct path; buckets prune; appends compose") {
@@ -328,14 +360,30 @@ class R7Spec extends SparkSpec {
       "index-served incremental pairs must equal the recompute path")
     assert(s0.nonEmpty, "fixture must produce planted-clone pairs")
 
-    // both reads must be bucket-pruned at planning time
-    val plan = served.queryExecution.explainString(
+    // both reads must be bucket-pruned at planning time. The public entry
+    // checkpoints (severing the lineage the filters live in), so the pin
+    // inspects the lazy plan variant the public entry materializes.
+    val (lazyPairs, caches) = MinHashIndex.nearDupPairsIncrementalPlan(
+      spark, path, batch, "text", "doc_id", 0.8, 3, 64)
+    val plan = lazyPairs.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+    caches.foreach(_.unpersist())
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
     assert(pf.exists(l => l.contains("kb") && l.contains("IN")),
       s"expected a kb IN (...) PartitionFilter on bands: ${pf.mkString(" | ")}")
     assert(pf.exists(l => l.contains("ib") && l.contains("IN")),
       s"expected an ib IN (...) PartitionFilter on sets: ${pf.mkString(" | ")}")
+
+    // the public entry must release its three intermediate caches (the
+    // r7-advice session leak): a serve may add at most its own checkpoint
+    // block to the persistent-RDD registry, never the signature/band/
+    // candidate caches (which would accumulate run over run)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    MinHashIndex.nearDupPairsIncremental(
+      spark, path, batch, "text", "doc_id", 0.8).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"a serve must leak at most its checkpoint block, left ${leaked.size}")
 
     // roll forward: append the batch, serve a SECOND batch that clones a
     // first-batch doc — the pair must surface from the index alone

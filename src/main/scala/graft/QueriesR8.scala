@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 gate queries: the dbt-core capabilities a user of the
+  * reference library runs beyond its macros — schema tests
+  * (`dq_report`), snapshots (`scd2_snapshot`) — plus table profiling
+  * and the remaining interchange formats. */
+object QueriesR8 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- dbt schema tests (reference dbt_project.yml:17 test-paths) ------
+    // Five checks across three tables; the fixture plants REAL violations
+    // (unique on a line-level key; accepted_values missing a flag value;
+    // relationships against a half parent) so nonzero paths are certified,
+    // not just the all-green diagonal.
+    QueryDef("dq_report",
+      (s, dir) => {
+        import graft.operators.DataQuality._
+        val orders = Tables.read(s, dir, "orders")
+        val lineitem = Tables.read(s, dir, "lineitem")
+        val halfCustomer = Tables.read(s, dir, "customer")
+          .filter(col("c_custkey") % 2 === 0)
+        report(Seq(
+          notNull(orders, "o_custkey"),
+          unique(orders, "o_orderkey"),
+          unique(lineitem, "l_orderkey"),
+          acceptedValues(lineitem, "l_returnflag", Seq("A", "N")),
+          relationships(orders, "o_custkey", halfCustomer, "c_custkey")))
+      },
+      Some("""
+        SELECT 'accepted_values:l_returnflag' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS violations
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+        UNION ALL
+        SELECT 'not_null:o_custkey', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_custkey IS NULL
+        UNION ALL
+        SELECT 'relationships:o_custkey->c_custkey', CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 2 = 0)
+        UNION ALL
+        SELECT 'unique:l_orderkey', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT l_orderkey FROM lineitem
+              GROUP BY 1 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'unique:o_orderkey', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders
+              GROUP BY 1 HAVING COUNT(*) > 1)
+        ORDER BY check_name""")),
+
+    // ---- table profiling -------------------------------------------------
+    // Exact variant certified cross-engine on mixed types (BIGINT, INT,
+    // VARCHAR, TIMESTAMP); the HLL single-pass variant is probed in
+    // R8Spec (accuracy + no-Expand plan pin).
+    QueryDef("profile_table",
+      (s, dir) => graft.operators.Profile.profile(
+        Tables.read(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")),
+      Some("""
+        SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+               CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+               CAST(MIN(l_linenumber) AS VARCHAR),
+               CAST(MAX(l_linenumber) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               CAST(MIN(l_returnflag) AS VARCHAR),
+               CAST(MAX(l_returnflag) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+               CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+               CAST(MIN(l_shipdate) AS VARCHAR),
+               CAST(MAX(l_shipdate) AS VARCHAR)
+        FROM lineitem
+        ORDER BY col_name""")),
+
+    // ---- dbt snapshots: SCD2 check-strategy fold -------------------------
+    // Two deterministic source states derived from orders: run 2 changes
+    // priority for keys %7=0, hard-deletes keys %11=0, and inserts fresh
+    // keys (+1e8) for %13=0 — so every arm of the state machine (close on
+    // change, close on delete, carry unchanged, open changed, open new)
+    // lands rows the oracle reconstructs independently.
+    QueryDef("scd2_snapshot",
+      (s, dir) => {
+        import graft.materialize.Scd2
+        val orders = Tables.read(s, dir, "orders")
+        val s1 = orders.select(col("o_orderkey"), col("o_orderpriority"))
+        val s2 = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0,
+              concat(col("o_orderpriority"), lit("-v2")))
+              .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+          .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_orderpriority")))
+        val t1 = lit("2026-01-01 00:00:00")
+        val t2 = lit("2026-02-01 00:00:00")
+        Scd2.snapshot(Scd2.init(s1, t1), s2,
+            Seq("o_orderkey"), Seq("o_orderpriority"), t2, hardDeletes = true)
+          .orderBy("o_orderkey", "valid_from")
+      },
+      Some("""
+        WITH t AS (SELECT TIMESTAMP '2026-01-01 00:00:00' t1,
+                          TIMESTAMP '2026-02-01 00:00:00' t2),
+        v1_closed AS (          -- changed or deleted: close at t2
+          SELECT o_orderkey, o_orderpriority,
+                 (SELECT t1 FROM t) AS valid_from, (SELECT t2 FROM t) AS valid_to
+          FROM orders
+          WHERE o_orderkey % 11 = 0
+             OR (o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)),
+        v1_current AS (         -- unchanged: carried as current
+          SELECT o_orderkey, o_orderpriority,
+                 (SELECT t1 FROM t), NULL::TIMESTAMP
+          FROM orders
+          WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0),
+        v2_current AS (         -- changed keys reopen with the new value
+          SELECT o_orderkey, o_orderpriority || '-v2',
+                 (SELECT t2 FROM t), NULL::TIMESTAMP
+          FROM orders
+          WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0),
+        fresh AS (              -- brand-new keys open at t2
+          SELECT o_orderkey + 100000000, o_orderpriority,
+                 (SELECT t2 FROM t), NULL::TIMESTAMP
+          FROM orders WHERE o_orderkey % 13 = 0)
+        SELECT * FROM v1_closed
+        UNION ALL SELECT * FROM v1_current
+        UNION ALL SELECT * FROM v2_current
+        UNION ALL SELECT * FROM fresh
+        ORDER BY o_orderkey, valid_from"""))
+  )
+}

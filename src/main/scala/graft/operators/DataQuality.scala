@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt-core schema tests, Spark-first: the four generic data tests every
+  * dbt project (including users of the reference library — its `tests/`
+  * directory is the dbt-core hook — reference `dbt_project.yml:17`
+  * declares `test-paths: ["tests"]`) runs against its models:
+  *
+  *  - `not_null`     — rows where the column IS NULL;
+  *  - `unique`       — VALUES that occur more than once (dbt semantics:
+  *    the test query groups by the column and keeps HAVING count > 1 —
+  *    the violation count is duplicated values, not duplicated rows);
+  *  - `accepted_values` — rows whose value is outside the allowed set
+  *    (NULLs are NOT violations — dbt composes with not_null for that);
+  *  - `relationships` — child rows whose non-null foreign key has no
+  *    match in the parent (referential integrity; NULL fks pass, as in
+  *    dbt and ANSI FK semantics).
+  *
+  * Each check compiles to one declarative aggregate the optimizer owns:
+  *  - not_null / accepted_values are metadata-cheap scans — a single
+  *    map-side-combinable `sum(when(...))` over the table, no shuffle
+  *    beyond the 1-row final agg, and the scan they share is the
+  *    column-pruned one (only the tested column is read);
+  *  - unique is one hash-groupBy on the tested column (partial counts
+  *    map-side, one exchange on the key — the minimum for exact
+  *    duplicate detection at any scale);
+  *  - relationships is a LEFT ANTI equi-join child->parent on the key —
+  *    Catalyst broadcasts the parent when it is small (the dimension
+  *    case) and falls back to a shuffled hash join for fact-to-fact.
+  *
+  * The report is the union of per-check 1-row aggregates — each check
+  * stays an independent subtree (no common scan is forced, so a report
+  * over N tables parallelizes into N independent stage DAGs).
+  */
+object DataQuality {
+
+  /** One schema test: `kind` in {not_null, unique, accepted_values,
+    * relationships}. `table`/`column` label the report row. */
+  final case class Check(
+      name: String,
+      violations: DataFrame)
+
+  /** Rows where `col` is null. */
+  def notNull(df: DataFrame, colName: String): Check =
+    Check(s"not_null:$colName",
+      df.filter(col(colName).isNull).select(col(colName)))
+
+  /** Duplicated VALUES of `col` (dbt `unique` semantics: group-by HAVING
+    * count > 1; a value appearing 3 times is ONE violation). */
+  def unique(df: DataFrame, colName: String): Check =
+    Check(s"unique:$colName",
+      df.groupBy(col(colName)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col(colName)))
+
+  /** Rows whose `col` value is outside `allowed` (nulls pass). */
+  def acceptedValues(df: DataFrame, colName: String,
+                     allowed: Seq[Any]): Check =
+    Check(s"accepted_values:$colName",
+      df.filter(col(colName).isNotNull &&
+          !col(colName).isin(allowed: _*))
+        .select(col(colName)))
+
+  /** Child rows whose non-null `fkCol` has no match in
+    * `parent.pkCol` — the dbt `relationships` test. LEFT ANTI join:
+    * the parent side deduplicates to its distinct keys first (anti
+    * joins need only key existence, and the distinct build side is
+    * what makes the broadcast branch viable for big-but-low-cardinality
+    * parents). */
+  def relationships(child: DataFrame, fkCol: String,
+                    parent: DataFrame, pkCol: String): Check =
+    Check(s"relationships:$fkCol->$pkCol",
+      child.filter(col(fkCol).isNotNull).select(col(fkCol))
+        .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+          Seq(fkCol), "left_anti"))
+
+  /** The report: one row per check with its violation count, ordered by
+    * check name — the artifact a `dbt test` run prints, as a table. */
+  def report(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "dqReport: no checks given")
+    checks.map { c =>
+      c.violations.agg(count(lit(1)).as("violations"))
+        .select(lit(c.name).as("check_name"),
+          col("violations").cast("long"))
+    }.reduce(_.unionByName(_)).orderBy("check_name")
+  }
+}

@@ -140,6 +140,70 @@ object QueriesR8 {
         UNION ALL SELECT * FROM v1_current
         UNION ALL SELECT * FROM v2_current
         UNION ALL SELECT * FROM fresh
-        ORDER BY o_orderkey, valid_from"""))
+        ORDER BY o_orderkey, valid_from""")),
+
+    // ---- Avro interchange: write + schema-pinned read --------------------
+    // Same value-exact roundtrip contract as orc_source/csv_source. The
+    // runtime bundles the Avro format classes but not its DataSource
+    // registration, so the format is addressed by class name — semantics
+    // are identical to `format("avro")` on a registered deployment.
+    QueryDef("avro_source",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_avro_").toString
+        val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        docs.coalesce(2).write.mode("overwrite").format(fmt).save(tmp)
+        s.read.schema(docs.schema).format(fmt).load(tmp)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- XML interchange: write + schema-pinned read ---------------------
+    // The row-oriented interchange the long tail of enterprise feeds
+    // still speaks. Roundtrip must preserve markup-significant text
+    // (angle brackets, ampersands, newlines) through entity escaping —
+    // the documents fixture's text column exercises exactly that.
+    QueryDef("xml_source",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+        docs.coalesce(2).write.mode("overwrite")
+          .format("xml").option("rowTag", "doc").save(tmp)
+        s.read.schema(docs.schema).format("xml").option("rowTag", "doc")
+          .load(tmp)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- binaryFile ingest: the multimodal front door --------------------
+    // A file-per-document tree read back through Spark's distributed
+    // binaryFile source; each blob keyed by the id in its file name,
+    // certified by byte length and content digest against the table the
+    // files came from (md5 over UTF-8 bytes on both engines).
+    QueryDef("binaryfile_source",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 100).select("doc_id", "text")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bincorpus_").toString
+        graft.sources.BinaryCorpus.writeTextFiles(docs, "doc_id", "text", tmp)
+        graft.sources.BinaryCorpus.readBinaryDir(s, tmp)
+          .select("doc_id", "n_bytes", "content_md5")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < 100
+        ORDER BY doc_id"""))
   )
 }

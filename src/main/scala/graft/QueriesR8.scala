@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   * and the remaining interchange formats. */
 object QueriesR8 {
 
+  // recall@10 pins at the driver's fixed verify scale (sf0.01) — measured
+  // once from the deterministic quantizer (stride init, fixed iters,
+  // rounded centroids) and exact rounded-cosine ranking
+  private val AnnRerankSf001: Seq[(Long, Long, Long)] = Seq(
+    (0L, 3L, 9L), (1L, 1L, 3L), (2L, 0L, 1L), (3L, 1L, 2L), (4L, 1L, 1L),
+    (5L, 0L, 2L), (6L, 0L, 2L), (7L, 1L, 2L), (8L, 0L, 2L), (9L, 1L, 2L))
+  private def AnnRerankSf001Oracle: String = {
+    val values = AnnRerankSf001.map { case (q, a, r) =>
+      s"(CAST($q AS BIGINT), CAST($a AS BIGINT), CAST($r AS BIGINT), CAST(500 AS BIGINT))"
+    }.mkString(", ")
+    s"""
+        SELECT * FROM (VALUES $values) v(query_id, n_hits_adc, n_hits_rerank, corpus_rows)
+        ORDER BY query_id"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- dbt schema tests (reference dbt_project.yml:17 test-paths) ------
@@ -204,6 +219,49 @@ object QueriesR8 {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
         FROM documents WHERE doc_id < 100
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- ANN: two-stage IVFPQ serve + exact rerank -----------------------
+    // Stage 1: codes-only ADC candidates (k·refine per query, cell-pruned
+    // scan, vectors never read). Stage 2: fetch ONLY those candidate ids'
+    // original vectors (broadcast hash probe — the corpus is not shuffled)
+    // and re-rank by exact cosine. The gate emits recall@10 vs brute for
+    // BOTH stages so the refinement win is itself certified: rerank fixes
+    // every ADC ordering error inside the candidate pool, so
+    // n_hits_rerank >= n_hits_adc row by row, with the pinned sf0.01
+    // values showing strict improvement.
+    QueryDef("ann_topk_rerank",
+      (s, dir) => {
+        import graft.llm.{IvfPq, Similarity}
+        val emb = Tables.read(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val nCorpus = emb.count()
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_rerank_idx_").toString
+        IvfPq.write(emb, "embedding", "vec_id", idxPath,
+          nCells = 16, m = 8, k = 16, iters = 3, corpusRows = Some(nCorpus))
+        val adc = IvfPq.topK(s, idxPath, queries, "embedding", "vec_id",
+          k = 10, nProbe = 4)
+        val rr = IvfPq.topKRerank(s, idxPath, queries, emb,
+          "embedding", "vec_id", k = 10, nProbe = 4, refine = 4)
+        val brute = Similarity
+          .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+          .select("query_id", "neighbor_id")
+        def hits(res: org.apache.spark.sql.DataFrame, as: String) =
+          res.select("query_id", "neighbor_id")
+            .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id").agg(count(lit(1)).as(as))
+        // outer-join from the query-id spine so a zero-recall query still
+        // emits its row (a dropped row would silently pass a weaker gate)
+        queries.select(col("vec_id").as("query_id"))
+          .join(hits(adc, "n_hits_adc"), Seq("query_id"), "left")
+          .join(hits(rr, "n_hits_rerank"), Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits_adc"), lit(0L)).as("n_hits_adc"),
+            coalesce(col("n_hits_rerank"), lit(0L)).as("n_hits_rerank"),
+            lit(nCorpus).as("corpus_rows"))
+          .orderBy("query_id")
+      },
+      Some(AnnRerankSf001Oracle))
   )
 }

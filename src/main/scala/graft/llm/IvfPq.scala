@@ -180,4 +180,38 @@ object IvfPq {
             / (col("q_norm") * sqrt(col("xnormsq"))), 6).as("c_r"))
     Similarity.rankTopK(scored, k)
   }
+
+  /** Two-stage serving: ADC candidates, then EXACT-cosine refinement
+    * (the FAISS `IndexRefineFlat` shape). Stage 1 is [[topK]] at
+    * `k·refine` — codes-only, cell-pruned, cheap. Stage 2 fetches the
+    * ORIGINAL vectors for only those |queries|·k·refine candidate ids
+    * and re-ranks by exact cosine, fixing the ordering errors
+    * quantization introduces inside the candidate pool (what ADC cannot
+    * fix: a true neighbor outside the probed cells, or ranked below
+    * `k·refine` by ADC — both are nProbe/refine tuning knobs, not
+    * scoring errors).
+    *
+    * Scale shape: the candidate list is broadcast into a hash semi-join
+    * against the vector table, so the 100 TB corpus is never shuffled —
+    * the fetch is one column-pruned scan (id + vector) probing a
+    * bounded-size hash relation. Total vector IO per query batch is the
+    * scan; total vector COMPUTE is k·refine exact dots per query. In a
+    * warehouse whose vector table is bucketed or indexed by id the scan
+    * itself prunes too; this operator deliberately takes the vectors as
+    * a DataFrame rather than assuming a layout. */
+  def topKRerank(
+      spark: SparkSession, path: String, queries: DataFrame,
+      vectors: DataFrame, vecCol: String, idCol: String, k: Int,
+      nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    val cand = topK(spark, path, queries, vecCol, idCol, k * refine, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val nv = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val scored = nv
+      .join(broadcast(cand), Seq("neighbor_id")) // corpus-side probe, no shuffle
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("q_vec"), col("n_vec")), 6).as("c_r"))
+    Similarity.rankTopK(scored, k)
+  }
 }

@@ -182,6 +182,70 @@ class IvfPqSpec extends SparkSpec {
     fsys.delete(new org.apache.hadoop.fs.Path(path + "__compact_old"), true)
   }
 
+  test("rerank: exact-cosine re-ranking of the stage-1 candidate pool, bit for bit") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 8, m = 8, k = 16, iters = 3, corpusRows = Some(emb.count()))
+    val queries = emb.filter(col("vec_id") < 5)
+    val k = 5; val refine = 3; val nProbe = 3
+    val got = IvfPq.topKRerank(spark, path, queries, emb,
+        "embedding", "vec_id", k, nProbe, refine)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // independent driver-side expectation: exact rounded cosine over the
+    // stage-1 candidate ids, sorted (score DESC, id ASC), take k
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val cand = IvfPq.topK(spark, path, queries, "embedding", "vec_id",
+        k * refine, nProbe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    cand.foreach { case (q, ids) =>
+      val expect = ids.map(i => (cos(vecs(q), vecs(i)), i))
+        .sortBy { case (s, i) => (-s, i) }.take(k).map(_._2)
+      assert(got(q) === expect, s"query $q rerank order")
+    }
+  }
+
+  test("rerank recall is >= plain ADC recall against brute force, per query") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 8, m = 8, k = 16, iters = 3, corpusRows = Some(emb.count()))
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .filter(brute.contains).groupBy(_._1).view.mapValues(_.length).toMap
+        .withDefaultValue(0)
+    val adc = recall(IvfPq.topK(spark, path, queries, "embedding", "vec_id", 10, 3))
+    val rr = recall(IvfPq.topKRerank(spark, path, queries, emb,
+      "embedding", "vec_id", 10, 3, 4))
+    (0L until 10L).foreach { q =>
+      assert(rr(q) >= adc(q), s"query $q: rerank ${rr(q)} < adc ${adc(q)}")
+    }
+  }
+
+  test("rerank plan: candidate fetch is broadcast — the corpus is never sort-merge shuffled") {
+    val path = tmpIdx()
+    IvfPq.write(emb, "embedding", "vec_id", path,
+      nCells = 4, m = 4, k = 4, iters = 1, corpusRows = Some(emb.count()))
+    val queries = emb.filter(col("vec_id") < 3)
+    val plan = IvfPq.topKRerank(spark, path, queries, emb,
+        "embedding", "vec_id", 5, 2, 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), "vector fetch must broadcast the candidates")
+    assert(!plan.contains("SortMergeJoin"),
+      "rerank must not shuffle the vector table into a sort-merge join")
+  }
+
   test("every corpus row lands in exactly one cell; ids are preserved") {
     val path = tmpIdx()
     IvfPq.write(emb, "embedding", "vec_id", path,

@@ -262,6 +262,84 @@ object QueriesR8 {
             lit(nCorpus).as("corpus_rows"))
           .orderBy("query_id")
       },
-      Some(AnnRerankSf001Oracle))
+      Some(AnnRerankSf001Oracle)),
+
+    // ---- hybrid retrieval: BM25 + dense cosine, reciprocal-rank fused ----
+    // Queries are docs 0-9, which exist in BOTH modalities (first-5-token
+    // text for the lexical side, the matching vec_id embedding for the
+    // dense side). Each side's top-10 is fused by integer RRF. The oracle
+    // is fully relational: the PROVEN bm25_topk CTE chain + the PROVEN
+    // brute-cosine chain + the fusion arithmetic, so the gate certifies
+    // the composition end to end with no pinned constants.
+    QueryDef("hybrid_topk",
+      (s, dir) => {
+        import graft.llm.{Retrieval, Similarity}
+        val docs = Tables.read(s, dir, "documents")
+        val emb = Tables.read(s, dir, "embeddings")
+        val qLex = docs.filter(col("doc_id") < 10)
+          .select(col("doc_id"),
+            array_join(slice(graft.llm.Dedup.tokens(col("text")), 1, 5), " ")
+              .as("qtext"))
+        val lex = Retrieval.bm25TopK(docs, "text", "doc_id",
+          qLex, "qtext", "doc_id", k = 10)
+        val sem = Similarity
+          .bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            "embedding", "vec_id", k = 10)
+          .withColumnRenamed("neighbor_id", "doc_id")
+        Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        n AS (SELECT COUNT(*) nd, greatest(1, 1073741824 // COUNT(*)) scale
+              FROM documents),
+        t AS (SELECT CAST(SUM(len(w)) AS BIGINT) tt FROM d),
+        a AS (SELECT (1000 * (SELECT tt FROM t)) // (SELECT nd FROM n) AS adm),
+        lp AS (SELECT doc_id,
+                 (1000000 * CAST(len(w) AS BIGINT)) // (SELECT adm FROM a) AS lpm
+               FROM d),
+        p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf
+              FROM (SELECT doc_id, unnest(w) term FROM d) GROUP BY 1, 2),
+        idf AS (SELECT term,
+                  CAST(((SELECT nd FROM n) * (SELECT scale FROM n)) // COUNT(*) AS BIGINT) idf
+                FROM p GROUP BY term),
+        q AS (SELECT doc_id q_id, unnest(list_distinct(list_slice(w, 1, 5))) term
+              FROM d WHERE doc_id < 10),
+        sc AS (SELECT q_id, p.doc_id,
+                 CAST(SUM(least(
+                   (idf * 22000 * least(tf, 10000))
+                     // (10000 * least(tf, 10000) + 3000 + 9 * lpm),
+                   17592186044416)) AS BIGINT) score
+               FROM q JOIN p USING (term) JOIN idf USING (term)
+               JOIN lp ON p.doc_id = lp.doc_id
+               GROUP BY 1, 2),
+        lexr AS (SELECT q_id AS query_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, doc_id) rnk
+                 FROM sc),
+        eq AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        cs AS (SELECT eq.vec_id query_id, e.vec_id doc_id,
+                 list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) c
+               FROM eq JOIN embeddings e ON eq.vec_id <> e.vec_id),
+        semr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(c, 6) DESC, doc_id) rnk
+                 FROM cs),
+        fused AS (SELECT query_id, doc_id,
+                    CAST(SUM(1000000000000 // (60 + rnk)) AS BIGINT) score
+                  FROM (SELECT query_id, doc_id, rnk FROM lexr WHERE rnk <= 10
+                        UNION ALL
+                        SELECT query_id, doc_id, rnk FROM semr WHERE rnk <= 10)
+                  GROUP BY 1, 2),
+        fr AS (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) rnk
+               FROM fused)
+        SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+        FROM fr WHERE rnk <= 10
+        ORDER BY query_id, rank"""))
   )
 }

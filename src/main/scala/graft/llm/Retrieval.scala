@@ -358,4 +358,38 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("e.id").as("doc_id"), col("e.score").as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009) of ranked lists —
+    * the standard hybrid-retrieval combiner: each list contributes
+    * `1/(k0 + rank)` per (query, doc), summed across lists, re-ranked.
+    * Rank positions — not scores — are fused, so lexical BM25 integers
+    * and semantic cosines need no calibration against each other.
+    *
+    * Exact-integer contract like every scorer here: the contribution is
+    * `scale div (k0 + rank)` in Long arithmetic (identical to DuckDB's
+    * floor `//`), so fused scores cross the engine gate bit-for-bit.
+    * With the default `scale`=1e12 a doc in L lists scores at most
+    * L·scale/(k0+1) — Long-safe beyond any plausible list count.
+    *
+    * Inputs must carry (query_id, rank, doc_id); extra columns are
+    * ignored. Scale shape: each list is already top-k per query, so the
+    * union holds |queries|·Σk rows — the fusion groupBy is a shuffle of
+    * that small relation, never of a corpus. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, k0: Long = 60L,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    import graft.functions.VectorFunctions.boundedTopKLong
+    val slim = lists.map(_.select(col("query_id"),
+      col("rank").cast("long").as("rank"), col("doc_id")))
+    val fused = slim.reduce(_ unionByName _)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"${scale}L div (${k0}L + rank)").as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    fused.groupBy("query_id")
+      .agg(boundedTopKLong(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+  }
 }

@@ -159,4 +159,45 @@ class R8Spec extends SparkSpec {
       (1L, "eu", "p1", 100L, T1, T2),
       (1L, "eu", "p2", 700L, T2, null)))
   }
+
+  // ---- RRF fusion -------------------------------------------------------
+
+  private def ranked(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "rank", "doc_id")
+
+  test("rrfFuse: hand-computed integer contributions, cross-list sum, id tie-break") {
+    import graft.llm.Retrieval
+    val lex = ranked((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L))
+    val sem = ranked((1L, 1L, 200L), (1L, 2L, 400L))
+    val got = Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    val s = 1000000000000L
+    def c(r: Long) = s / (60L + r)
+    // 200 is in both lists (rank 2 + rank 1): the fused winner
+    val expect = Seq(
+      (1L, 1L, 200L, c(2) + c(1)),
+      (1L, 2L, 100L, c(1)),
+      (1L, 3L, 400L, c(2)),
+      (1L, 4L, 300L, c(3)))
+    assert(got.toSeq === expect)
+  }
+
+  test("rrfFuse: equal scores break ties by lower doc_id") {
+    import graft.llm.Retrieval
+    val a = ranked((7L, 1L, 900L))
+    val b = ranked((7L, 1L, 50L))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .select("rank", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 50L), (2L, 900L)))
+  }
+
+  test("rrfFuse: single list preserves its ranking; k truncates") {
+    import graft.llm.Retrieval
+    val lex = ranked((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (2L, 1L, 40L))
+    val got = Retrieval.rrfFuse(Seq(lex), k = 2)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 40L)))
+  }
 }

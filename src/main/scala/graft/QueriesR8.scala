@@ -340,6 +340,65 @@ object QueriesR8 {
                FROM fused)
         SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
         FROM fr WHERE rnk <= 10
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ---- line-level repetition stats (Gopher Table A1, line half) --------
+    // The corpus text is single-line, so the gate BUILDS a lined fixture
+    // deterministically from each doc's own tokens (8-token lines), with
+    // planted shapes keyed on doc_id: %5 bullets line 1, %7 appends a
+    // duplicate of line 1, %11 appends line 1 + "..." — every counter has
+    // nonzero rows. The identical construction runs relationally in the
+    // oracle (DuckDB lambda indexes are 1-based vs Spark's 0-based).
+    QueryDef("repetition_lines",
+      (s, dir) => {
+        import graft.llm.{Curation, Dedup}
+        val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 2000)
+        val toks = Dedup.tokens(col("text"))
+        val base = when(size(toks) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), floor((size(toks) - lit(1)) / lit(8)).cast("int")),
+            i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
+        val b1 = when(pmod(col("doc_id"), lit(5L)) === 0 && size(base) > 0,
+          transform(base, (l, i) =>
+            when(i === 0, concat(lit("- "), l)).otherwise(l))).otherwise(base)
+        val b2 = when(pmod(col("doc_id"), lit(7L)) === 0 && size(b1) > 0,
+          concat(b1, array(element_at(b1, 1)))).otherwise(b1)
+        val b3 = when(pmod(col("doc_id"), lit(11L)) === 0 && size(b2) > 0,
+          concat(b2, array(concat(element_at(b2, 1), lit("..."))))).otherwise(b2)
+        val lined = docs.select(col("doc_id"), array_join(b3, "\n").as("text"))
+        Curation.lineStats(lined, "text", "doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents WHERE doc_id < 2000),
+        l0 AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(0, (len(w) - 1) // 8 + 1),
+                        i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))
+                 END lines FROM d),
+        l1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 AND len(lines) > 0
+                 THEN list_transform(lines,
+                        (l, i) -> CASE WHEN i = 1 THEN '- ' || l ELSE l END)
+                 ELSE lines END lines FROM l0),
+        l2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 AND len(lines) > 0
+                 THEN list_append(lines, lines[1]) ELSE lines END lines FROM l1),
+        l3 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 AND len(lines) > 0
+                 THEN list_append(lines, lines[1] || '...') ELSE lines END lines
+               FROM l2),
+        t AS (SELECT doc_id,
+                string_split(array_to_string(lines, chr(10)), chr(10)) ls
+              FROM l3)
+        SELECT doc_id,
+          CAST(len(ls) AS BIGINT) AS n_lines,
+          CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+          CAST(list_sum(list_transform(ls, x -> len(x))) AS BIGINT) AS n_chars,
+          CAST(list_sum(list_transform(ls, x -> len(x)))
+               - list_sum(list_transform(list_distinct(ls), x -> len(x)))
+               AS BIGINT) AS n_dup_chars,
+          CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]')))
+               AS BIGINT) AS n_bullet_lines,
+          CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+               AS BIGINT) AS n_ellipsis_lines
+        FROM t ORDER BY doc_id"""))
   )
 }

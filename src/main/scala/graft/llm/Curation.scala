@@ -387,6 +387,40 @@ object Curation {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  // bullet-start / ellipsis-end line shapes (RE2-compatible, so the
+  // DuckDB oracle runs the byte-identical regex — same discipline as
+  // the PII patterns above)
+  val BulletLineRe = "^\\s*[-*•]"
+  val EllipsisLineRe = "(\\.\\.\\.|…)\\s*$"
+
+  /** LINE-level repetition and formatting signals — the other half of
+    * the Gopher/MassiveText repetition rules (Rae et al. 2021, Table A1)
+    * next to [[repetitionMetrics]]'s word-level half: duplicate-line
+    * counts, the characters those duplicates waste, and the
+    * bullet-start / ellipsis-end line counts the paper thresholds at
+    * 90%/30%. Emitted as exact integer counts (ratios are one division
+    * away); a duplicate line counts every occurrence BEYOND the first,
+    * and its characters likewise.
+    *
+    * Pure per-document projection — split, HOF aggregates, two regex
+    * filters — no shuffle, no explode; scales as a map-only pass at any
+    * corpus size. */
+  def lineStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val distinctLines = array_distinct(lines)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(distinctLines)).cast("long").as("n_dup_lines"),
+      charSum(lines).as("n_chars"),
+      (charSum(lines) - charSum(distinctLines)).as("n_dup_chars"),
+      size(filter(lines, l => l.rlike(BulletLineRe))).cast("long")
+        .as("n_bullet_lines"),
+      size(filter(lines, l => l.rlike(EllipsisLineRe))).cast("long")
+        .as("n_ellipsis_lines"))
+  }
+
   /** Exact duplicated-span detection (the ExactSubstr move from
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022, re-shaped for Spark): find every token position whose

@@ -407,4 +407,29 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("lineStats: dup lines count occurrences beyond first; chars, bullets, ellipses exact") {
+    val docs = Seq(
+      // 4 lines: "x y" twice (1 dup, 3 dup chars), one bullet, one ellipsis
+      (1L, "x y\n- item\nx y\nwait..."),
+      // all distinct, bullet with leading space, unicode bullet + ellipsis
+      (2L, " - padded\n• dot\ndone…"),
+      (3L, ""),                       // split("") -> [""]: 1 empty line
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Curation.lineStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 4L, 1L, 3L + 6L + 3L + 7L, 3L, 1L, 1L),
+      (2L, 3L, 0L, 9L + 5L + 5L, 0L, 2L, 1L),
+      (3L, 1L, 0L, 0L, 0L, 0L, 0L),
+      (4L, 1L, 0L, 4L, 0L, 0L, 0L)))
+  }
+
+  test("lineStats plans as a shuffle-free projection") {
+    val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val plan = Curation.lineStats(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }

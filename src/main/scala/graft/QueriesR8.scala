@@ -399,6 +399,71 @@ object QueriesR8 {
                AS BIGINT) AS n_bullet_lines,
           CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
                AS BIGINT) AS n_ellipsis_lines
-        FROM t ORDER BY doc_id"""))
+        FROM t ORDER BY doc_id""")),
+
+    // ---- CCNet paragraph dedup: normalized keys, original text kept ------
+    // Paragraphs (16-token chunks joined by blank lines) dedup on a
+    // NORMALIZED key (lowercase, strip non-alphanumerics) while the kept
+    // text preserves original formatting — so the planted near-copy
+    // (doc_id % 9: paragraph 1 UPPERCASED + ' !!') collapses onto its
+    // original even though the raw strings differ, which raw segment_dedup
+    // would keep. First occurrence = (min doc_id, min position), global
+    // across the corpus.
+    QueryDef("paragraph_dedup",
+      (s, dir) => {
+        import graft.llm.{Curation, Dedup}
+        val docs = Tables.read(s, dir, "documents")
+        val toks = Dedup.tokens(col("text"))
+        val paras = when(size(toks) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), floor((size(toks) - lit(1)) / lit(16)).cast("int")),
+            i => array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+        val planted = when(pmod(col("doc_id"), lit(9L)) === 0 && size(paras) > 0,
+          concat(paras, array(concat(upper(element_at(paras, 1)), lit(" !!")))))
+          .otherwise(paras)
+        val prepped = docs.select(col("doc_id"),
+          array_join(planted, "\n\n").as("ptext"))
+        Curation.segmentDedupBy(prepped, "ptext", "doc_id",
+            t => filter(split(t, "\n\n"), p => length(p) > 0),
+            seg => regexp_replace(lower(seg), "[^a-z0-9]", ""),
+            joinWith = "\n\n")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        p0 AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(0, (len(w) - 1) // 16 + 1),
+                        i -> array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' '))
+                 END paras FROM d),
+        p1 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 AND len(paras) > 0
+                 THEN list_append(paras, upper(paras[1]) || ' !!')
+                 ELSE paras END paras FROM p0),
+        t AS (SELECT doc_id,
+                list_filter(
+                  string_split(array_to_string(paras, chr(10) || chr(10)),
+                               chr(10) || chr(10)),
+                  s -> len(s) > 0) segs
+              FROM p1),
+        e AS (SELECT doc_id, CAST(r.i AS INT) seg_idx, segs[CAST(r.i AS INT)] seg
+              FROM t, unnest(range(1, len(segs) + 1)) r(i)),
+        m AS (SELECT doc_id, seg_idx, seg,
+                row_number() OVER (
+                  PARTITION BY regexp_replace(lower(seg), '[^a-z0-9]', '', 'g')
+                  ORDER BY doc_id, seg_idx) rn
+              FROM e),
+        agg AS (SELECT doc_id,
+                  COUNT(*) AS n_seg,
+                  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END,
+                             chr(10) || chr(10) ORDER BY seg_idx), '') AS text_clean
+                FROM m GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.n_seg, 0) AS n_seg,
+               COALESCE(agg.n_kept, 0) AS n_kept,
+               COALESCE(agg.text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

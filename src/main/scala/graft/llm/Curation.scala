@@ -233,11 +233,29 @@ object Curation {
     * joined with `joinWith`; empty string when nothing survives). */
   def segmentDedup(
       docs: DataFrame, textCol: String, idCol: String,
-      segmenter: Column => Column, joinWith: String = "\n"): DataFrame = {
+      segmenter: Column => Column, joinWith: String = "\n"): DataFrame =
+    segmentDedupBy(docs, textCol, idCol, segmenter, identity, joinWith)
+
+  /** [[segmentDedup]] generalized over the DEDUP KEY: segments whose
+    * `keyFn(seg)` collide are one duplicate class, first occurrence
+    * (min doc id, then min position) survives, and the KEPT text is the
+    * ORIGINAL segment — the CCNet paragraph-dedup shape (Wenzek et al.
+    * 2020), where the key is a normalized form (lowercased,
+    * punctuation/digit-stripped SHA1 in the paper) so trivially-edited
+    * copies collapse while the surviving text keeps its formatting.
+    * `keyFn = identity` is exact C4-style segment dedup.
+    *
+    * Scale shape is unchanged from [[segmentDedup]]: one shuffle by key
+    * (inherent to GLOBAL dedup), one groupBy doc to reassemble. */
+  def segmentDedupBy(
+      docs: DataFrame, textCol: String, idCol: String,
+      segmenter: Column => Column, keyFn: Column => Column,
+      joinWith: String = "\n"): DataFrame = {
     val segs = docs
       .select(col(idCol).as("id"), segmenter(col(textCol)).as("segs"))
       .select(col("id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
-    val firstSeen = Window.partitionBy("seg").orderBy(col("id"), col("seg_idx"))
+      .withColumn("key", keyFn(col("seg")))
+    val firstSeen = Window.partitionBy("key").orderBy(col("id"), col("seg_idx"))
     val agg = segs.withColumn("kept", row_number().over(firstSeen) === 1)
       .groupBy(col("id"))
       .agg(

@@ -408,6 +408,40 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("segmentDedupBy: normalized keys collapse edited copies, original formatting survives") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Hello World!\n\nsecond para"),
+      (2L, "HELLO, world\n\nunique two"),   // normalizes to doc 1's first para
+      (3L, "hello world")                   // also collapses
+    ).toDF("doc_id", "text")
+    val got = Curation.segmentDedupBy(docs, "text", "doc_id",
+        t => filter(split(t, "\n\n"), p => length(p) > 0),
+        seg => regexp_replace(lower(seg), "[^a-z0-9]", ""),
+        joinWith = "\n\n")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, "Hello World!\n\nsecond para"), // original formatting kept
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("segmentDedupBy with identity key is exactly segmentDedup") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b\n\nc d"), (2L, "a b\n\ne f"), (3L, "A B\n\nc d")
+    ).toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val seg: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => split(t, "\n\n")
+    assert(run(Curation.segmentDedupBy(docs, "text", "doc_id", seg, identity, "\n\n"))
+      === run(Curation.segmentDedup(docs, "text", "doc_id", seg, "\n\n")))
+    // and "A B" survives under identity (raw strings differ)
+    val ident = run(Curation.segmentDedup(docs, "text", "doc_id", seg, "\n\n"))
+    assert(ident.find(_._1 == 3L).get._4 === "A B")
+  }
+
   test("lineStats: dup lines count occurrences beyond first; chars, bullets, ellipses exact") {
     val docs = Seq(
       // 4 lines: "x y" twice (1 dup, 3 dup chars), one bullet, one ellipsis

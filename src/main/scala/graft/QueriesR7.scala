@@ -44,6 +44,29 @@ object QueriesR7 {
         FROM r WHERE rnk <= 10
         ORDER BY query_id, rank"""
 
+
+  /** Shared by dedup_incremental_indexed (r7) and stream_dedup_indexed
+    * (r8): near-dup pairs over corpus (<250) + fresh (>=250 and planted
+    * clones), keeping only pairs that TOUCH the fresh set — the
+    * incremental serve's contract regardless of how the fresh set is
+    * batched. */
+  private[graft] val IncrementalDedupOracle: String = s"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id < 250),
+        ${QueriesLlm.minhashCandCtes("all_docs")},
+        ver AS (
+          SELECT ia, ib,
+                 CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                   len(list_distinct(x.h || y.h)) jac
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id)
+        SELECT ia AS id_a, ib AS id_b, jac AS jaccard
+        FROM ver
+        WHERE jac >= 0.8 AND (ia >= 250 OR ib >= 250)
+        ORDER BY id_a, id_b"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- materialized multi-stage curation pipeline ----------------------
@@ -151,21 +174,7 @@ object QueriesR7 {
             jaccardThreshold = 0.8)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""
-        WITH all_docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 200000, text FROM documents
-          WHERE doc_id % 10 = 0 AND doc_id < 250),
-        ${QueriesLlm.minhashCandCtes("all_docs")},
-        ver AS (
-          SELECT ia, ib,
-                 CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
-                   len(list_distinct(x.h || y.h)) jac
-          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id)
-        SELECT ia AS id_a, ib AS id_b, jac AS jaccard
-        FROM ver
-        WHERE jac >= 0.8 AND (ia >= 250 OR ib >= 250)
-        ORDER BY id_a, id_b"""))
+      Some(IncrementalDedupOracle))
   )
+
 }

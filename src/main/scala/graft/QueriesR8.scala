@@ -464,6 +464,44 @@ object QueriesR8 {
                COALESCE(agg.n_kept, 0) AS n_kept,
                COALESCE(agg.text_clean, '') AS text_clean
         FROM d LEFT JOIN agg USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- streaming incremental dedup against the materialized index ------
+    // The daily loop as an actual Structured Streaming query: fresh docs
+    // arrive as files, each micro-batch is served against the persisted
+    // MinHash index then appended into it (serve-then-append), so batch 2
+    // finds its pairs against corpus AND batch 1. Same fixture and SAME
+    // oracle as dedup_incremental / dedup_incremental_indexed: the union
+    // of per-batch pair sets must equal the one-shot serve exactly —
+    // batching changes when a pair is discovered, never the result.
+    QueryDef("stream_dedup_indexed",
+      (s, dir) => {
+        import java.nio.file.Files
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val idxPath = Files.createTempDirectory("graft_smh_idx_").toString
+        graft.llm.MinHashIndex.write(corpus, "text", "doc_id", idxPath)
+        val srcDir = Files.createTempDirectory("graft_smh_src_").toString
+        // batch 1: the plain fresh docs; batch 2: the planted clones,
+        // whose originals live in the INDEXED corpus (cross-batch serve)
+        docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val pairsPath = Files.createTempDirectory("graft_smh_pairs_").toString
+        val ckpt = Files.createTempDirectory("graft_smh_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        graft.streaming.StreamingIncremental.withStatePartitions(s) {
+          val q = graft.streaming.StreamingIncremental.streamingIndexedDedup(
+            s, srcDir, schema, idxPath, pairsPath, ckpt, "text", "doc_id",
+            jaccardThreshold = 0.8, maxFilesPerTrigger = Some(1))
+          q.awaitTermination()
+        }
+        s.read.parquet(pairsPath)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(QueriesR7.IncrementalDedupOracle))
   )
 }

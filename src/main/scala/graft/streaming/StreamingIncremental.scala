@@ -240,6 +240,57 @@ object StreamingIncremental {
       }
   }
 
+  /** Stream micro-batches of fresh documents against a persisted
+    * [[graft.llm.MinHashIndex]]: each batch is SERVED first (its
+    * near-dup pairs land under `pairsPath/batch=<id>`), then APPENDED
+    * into the index, so the next batch sees it as corpus — the daily
+    * incremental-dedup loop driven by Structured Streaming instead of a
+    * scheduler. The corpus is never re-shingled; each batch reads only
+    * its band-key buckets and the candidates' id buckets.
+    *
+    * Pair-set algebra: serve-then-append makes the UNION of per-batch
+    * pair sets equal to serving all fresh docs as ONE batch — a pair
+    * (x, y) with y in a later batch is found exactly once, by y's batch,
+    * against the index that already holds x; pairs are normalized
+    * (least, greatest) either way. Batch composition does not change
+    * the result, only when each pair is discovered.
+    *
+    * Delivery contract: foreachBatch is at-least-once. The pairs side
+    * is made idempotent by writing OVERWRITE into a per-batch
+    * subdirectory (a retry rewrites the same directory). The index
+    * append side inherits [[graft.llm.MinHashIndex.append]]'s documented
+    * crash contract: a batch that fails between serve and append must be
+    * re-run after removing its partial band/set files. */
+  def streamingIndexedDedup(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      pairsPath: String,
+      checkpointDir: String,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = graft.llm.MinHashIndex.nearDupPairsIncremental(
+          spark, indexPath, batch, textCol, idCol,
+          jaccardThreshold, shingleN, nBuckets)
+        pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        graft.llm.MinHashIndex.append(batch, textCol, idCol, indexPath,
+          shingleN, nBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamingExactDedup(
       docs: Dataset[DocIn],
       stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {

@@ -282,5 +282,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, us(0), us(0), 1L)))
   }
 
+  test("streamingIndexedDedup: micro-batched serve+append equals the one-shot incremental serve") {
+    import graft.llm.MinHashIndex
+    // corpus: two docs; fresh: a clone of doc 1 (batch 1) and a clone of
+    // the batch-1 doc itself (batch 2) — exercises new-vs-index AND
+    // new-vs-earlier-batch discovery
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpus = Seq((1L, base + "one"), (2L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("graft_smt_idx_").toString
+    MinHashIndex.write(corpus, "text", "doc_id", idxPath, nBuckets = 4)
+
+    val srcDir = Files.createTempDirectory("graft_smt_src_").toString
+    Seq((10L, base + "one")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((20L, base + "one")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val pairsPath = Files.createTempDirectory("graft_smt_pairs_").toString
+    val ckpt = Files.createTempDirectory("graft_smt_ck_").toString
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(): Unit = {
+      val q = StreamingIncremental.streamingIndexedDedup(
+        spark, srcDir, schema, idxPath, pairsPath, ckpt, "text", "doc_id",
+        jaccardThreshold = 0.8, nBuckets = 4, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    run()
+    val got = spark.read.parquet(pairsPath)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // one-shot equivalent on a FRESH index copy
+    val idx2 = Files.createTempDirectory("graft_smt_idx2_").toString
+    MinHashIndex.write(corpus, "text", "doc_id", idx2, nBuckets = 4)
+    val oneShot = MinHashIndex.nearDupPairsIncremental(spark, idx2,
+        Seq((10L, base + "one"), (20L, base + "one")).toDF("doc_id", "text"),
+        "text", "doc_id", jaccardThreshold = 0.8, nBuckets = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === oneShot, s"streamed $got vs one-shot $oneShot")
+    assert(got === Set((1L, 10L), (1L, 20L), (10L, 20L)))
+    // (10,20) must be discovered by batch 2 against the APPENDED batch 1
+    val b1 = spark.read.parquet(s"$pairsPath/batch=1")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(b1.contains((10L, 20L)))
+
+    // checkpointed re-run: no new batches, pair set unchanged
+    run()
+    assert(spark.read.parquet(pairsPath)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === oneShot)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

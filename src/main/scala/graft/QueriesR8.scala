@@ -502,6 +502,63 @@ object QueriesR8 {
           .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
-      Some(QueriesR7.IncrementalDedupOracle))
+      Some(QueriesR7.IncrementalDedupOracle)),
+
+    // ---- DSIR importance weighting (data selection) ----------------------
+    // Raw corpus = all documents; target = every 20th (doc_id % 20 = 1,
+    // the simulated trusted slice). Hashed unigram+bigram buckets, two
+    // add-one multinomials under ONE shared fixed-point scale, per-doc
+    // score = sum of whole-bit surprisal differences (positive = more
+    // target-like). Exact integers end to end — the oracle rebuilds the
+    // entire derivation relationally (md5 bucket hash, shared scale,
+    // bin-length floor-log2).
+    QueryDef("dsir_score",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        graft.llm.Dsir.score(docs,
+            docs.filter(pmod(col("doc_id"), lit(20L)) === 1),
+            "text", "doc_id", nBuckets = 4096)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        g AS (SELECT doc_id, unnest(w ||
+                CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS g
+              FROM d),
+        hb AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS bucket
+               FROM g),
+        rawc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) c FROM hb GROUP BY 1),
+        tgtc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) c FROM hb
+                 WHERE doc_id % 20 = 1 GROUP BY 1),
+        tot AS (SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM rawc) AS BIGINT) tr,
+                       CAST((SELECT COALESCE(SUM(c), 0) FROM tgtc) AS BIGINT) tt),
+        sc AS (SELECT CAST(least(1000000000,
+                       2305843009213693952 // (greatest(tr, tt) + 4096))
+                     AS BIGINT) s, tr, tt FROM tot),
+        pd AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) c_doc
+               FROM hb GROUP BY 1, 2),
+        sb AS (SELECT pd.doc_id, pd.c_doc,
+                 CAST((len(bin(sc.s // greatest(
+                         ((COALESCE(rawc.c, 0) + 1) * sc.s) // (sc.tr + 4096), 1))) - 1)
+                    - (len(bin(sc.s // greatest(
+                         ((COALESCE(tgtc.c, 0) + 1) * sc.s) // (sc.tt + 4096), 1))) - 1)
+                 AS BIGINT) dbits
+               FROM pd CROSS JOIN sc
+               LEFT JOIN rawc ON pd.bucket = rawc.bucket
+               LEFT JOIN tgtc ON pd.bucket = tgtc.bucket),
+        agg AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) n_grams,
+                  CAST(SUM(c_doc * dbits) AS BIGINT) dsir_bits
+                FROM sb GROUP BY 1)
+        SELECT ids.doc_id,
+               COALESCE(agg.n_grams, 0) AS n_grams,
+               COALESCE(agg.dsir_bits, 0) AS dsir_bits
+        FROM (SELECT DISTINCT doc_id FROM documents) ids
+        LEFT JOIN agg USING (doc_id)
+        ORDER BY ids.doc_id"""))
   )
 }

@@ -65,7 +65,7 @@ object Dedup {
   }
 
   /** 32-bit hash of a string from its md5 prefix (engine-portable). */
-  private def h32(c: Column): Column =
+  private[llm] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** (id, hs) distinct SORTED 32-bit shingle-hash sets — the working

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+  * the hashed-n-gram importance weighting used to pick pretraining
+  * documents that "look like" a trusted target corpus: featurize every
+  * document as a bag of HASHED unigrams+bigrams over `nBuckets`
+  * buckets, fit two smoothed multinomials (raw corpus vs target), and
+  * score each document by how much more likely its buckets are under
+  * the target than under the raw distribution.
+  *
+  * Numeric design (the [[LmScore]] discipline — no floating log
+  * anywhere): bucket probabilities are fixed-point integers under ONE
+  * shared scale `S = min(10^9, 2^61 div (max(T_r, T_t) + nBuckets))`,
+  * add-one smoothed:
+  *
+  *   `q_x[b] = ((c_x[b] + 1) · S) div (T_x + nBuckets)`
+  *
+  * and each bucket's cost under distribution x is its integer surprisal
+  * in whole bits, `bits_x[b] = length(bin(S div max(q_x[b], 1))) − 1 =
+  * floor(log2(S / q_x[b]))`. The importance score is the per-doc sum
+  *
+  *   `dsir_bits = Σ_b c_doc[b] · (bits_raw[b] − bits_target[b])`
+  *
+  * — positive means the document costs fewer bits under the target
+  * model, i.e. is more target-like (the paper's log-ratio with log2
+  * floored to bits; exact-integer, associative, bit-identical
+  * cross-engine). Resampling is one [[Sampling]] call on the score.
+  *
+  * Scale shape: features hash into a FIXED bucket space, so both
+  * models are `nBuckets`-row tables regardless of corpus size — fit is
+  * one explode + map-side-combinable count each; scoring explodes each
+  * doc once, reduces to per-(doc, bucket) counts, joins the two
+  * broadcast-sized model tables, and reduces per doc. No window, no
+  * driver data beyond the two totals. */
+object Dsir {
+
+  /** Fixed-point scale ceiling, shared with [[LmScore.MaxScale]]. */
+  val MaxScale = 1000000000L
+  private val ScaleBudget = 1L << 61
+
+  def adaptiveScale(maxTotal: Long): Long =
+    math.max(1L, math.min(MaxScale, ScaleBudget / math.max(maxTotal, 1L)))
+
+  /** Unigrams + bigrams WITH multiplicity (the paper's feature set;
+    * [[Dedup.wordGrams]] dedups, which is the wrong tool here). */
+  private[llm] def grams(toks: Column): Column = {
+    val n = size(toks)
+    val bi = when(n >= 2,
+        transform(sequence(lit(1), n - 1), i =>
+          concat_ws(" ", element_at(toks, i.cast("int")),
+            element_at(toks, (i + 1).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bi)
+  }
+
+  /** Hashed-gram bucket counts: (bucket, cnt), `nBuckets` rows max. */
+  def bucketCounts(docs: DataFrame, textCol: String, nBuckets: Int): DataFrame =
+    docs.select(explode(grams(Dedup.tokens(col(textCol)))).as("g"))
+      .select(pmod(Dedup.h32(col("g")), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document importance score in whole bits against a fitted
+    * (raw, target) bucket-model pair. Output: (idCol, n_grams,
+    * dsir_bits); a doc with no tokens scores (0, 0). */
+  def score(raw: DataFrame, target: DataFrame,
+            textCol: String, idCol: String,
+            nBuckets: Int = 10000): DataFrame = {
+    require(nBuckets > 0, "Dsir.score: nBuckets must be positive")
+    val rawC = bucketCounts(raw, textCol, nBuckets)
+    val tgtC = bucketCounts(target, textCol, nBuckets)
+    val totals = rawC.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0) ->
+      tgtC.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+    val (tRaw, tTgt) = totals
+    val s = adaptiveScale(math.max(tRaw, tTgt) + nBuckets)
+    // bits tables are bucket-space sized; add-one smoothing covers EMPTY
+    // buckets through the left joins below (c = 0 -> q = S div (T + B)).
+    // Integer `div` throughout: the (c+1)·S product reaches S·T ≤ 2^61
+    // by the shared-scale choice, and floor-log2 is bin-string length.
+    def bitsOf(cntCol: String, total: Long): Column =
+      length(bin(expr(s"${s}L div greatest(" +
+        s"((coalesce($cntCol, 0L) + 1L) * ${s}L) div ${total + nBuckets}L, 1L)"))) - 1
+    val perDoc = raw
+      .select(col(idCol).as("doc_id"),
+        explode(grams(Dedup.tokens(col(textCol)))).as("g"))
+      .select(col("doc_id"), pmod(Dedup.h32(col("g")), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c_doc"))
+    val joined = perDoc
+      .join(broadcast(rawC.withColumnRenamed("cnt", "c_raw")), Seq("bucket"), "left")
+      .join(broadcast(tgtC.withColumnRenamed("cnt", "c_tgt")), Seq("bucket"), "left")
+      .select(col("doc_id"), col("c_doc"),
+        (bitsOf("c_raw", tRaw) - bitsOf("c_tgt", tTgt)).cast("long").as("dbits"))
+    val scored = joined.groupBy("doc_id")
+      .agg(sum(col("c_doc")).as("n_grams"),
+        sum(col("c_doc") * col("dbits")).as("dsir_bits"))
+    raw.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
+  }
+}

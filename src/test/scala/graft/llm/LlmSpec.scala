@@ -393,5 +393,41 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       (math.log(out(1)._2 / (1 - out(1)._2)) - 0.25) - wts(bucket("the"))) < 1e-4)
   }
 
+  test("Dsir: identical raw and target distributions score every doc exactly zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dsir.score(docs, docs, "text", "doc_id", nBuckets = 64)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // same model on both sides -> per-bucket bit difference is 0 everywhere
+    assert(got.toSeq === Seq((1L, 5L, 0L), (2L, 3L, 0L), (3L, 0L, 0L)))
+  }
+
+  test("Dsir: docs sharing the target vocabulary outscore off-target docs") {
+    import spark.implicits._
+    val target = Seq((100L, "science method experiment hypothesis data"),
+      (101L, "science data experiment analysis method")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "science method experiment data analysis"),  // target-like
+      (2L, "celebrity gossip fashion scandal party"),   // off-target
+      (3L, "science gossip data fashion method")        // mixed
+    ).toDF("doc_id", "text").unionByName(target)
+    val s = Dsir.score(raw, target, "text", "doc_id", nBuckets = 512)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(1L) > s(2L), s"target-like ${s(1L)} must beat off-target ${s(2L)}")
+    // whole-bit surprisal is coarse at toy scale: the mixed doc may tie
+    // the off-target one, but must never beat the target-like one
+    assert(s(1L) > s(3L) && s(3L) >= s(2L), s"mixed must land between: $s")
+  }
+
+  test("Dsir: model-table joins broadcast; no sort-merge join in the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Dsir.score(docs, docs, "text", "doc_id", nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"model join must broadcast:\n$plan")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

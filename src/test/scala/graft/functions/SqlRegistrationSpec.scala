@@ -20,7 +20,12 @@ class SqlRegistrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
 
-  test("GraftSparkExtensions: functions available via spark.sql.extensions config (runs first: extensions bind at session creation)") {
+  test("GraftSparkExtensions: functions available via spark.sql.extensions config (needs a FRESH session: extensions bind at creation)") {
+    // suites share one JVM and getOrCreate() would silently reuse a live
+    // session WITHOUT binding the extensions (discovery order decides
+    // which suite precedes us — this must not depend on it)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
     val s2 = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")

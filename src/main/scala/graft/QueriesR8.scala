@@ -559,6 +559,57 @@ object QueriesR8 {
                COALESCE(agg.dsir_bits, 0) AS dsir_bits
         FROM (SELECT DISTINCT doc_id FROM documents) ids
         LEFT JOIN agg USING (doc_id)
-        ORDER BY ids.doc_id"""))
+        ORDER BY ids.doc_id""")),
+
+    // ---- Unicode + whitespace normalization (first cleaning pass) --------
+    // The corpus text is ASCII, so the gate plants every shape the pass
+    // exists for, keyed on doc_id: decomposed e+U+0301 (NFC composes),
+    // a C0 control char, a U+FFFD transcode scar, decomposed A+U+030A,
+    // and double-spacing. Both engines build the identical fixture; the
+    // JDK normalizer and DuckDB's utf8proc implement the same Unicode
+    // canonical composition, which is what the gate certifies.
+    QueryDef("text_normalize",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3L)) === 0, lit(" cafe\u0301"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4L)) === 0, lit("\u0007ding"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5L)) === 0, lit(" bad\uFFFDbyte"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6L)) === 0, lit(" A\u030Angstrom"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7L)) === 0, lit("  double  spaced "))
+              .otherwise(lit(""))).as("text"))
+        graft.llm.Curation.normalizeText(planted, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0 THEN chr(7) || 'ding' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' bad' || chr(65533) || 'byte' ELSE '' END ||
+            CASE WHEN doc_id % 6 = 0 THEN ' A' || chr(778) || 'ngstrom' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN '  double  spaced ' ELSE '' END AS text
+          FROM documents),
+        n AS (SELECT doc_id, text AS orig, nfc_normalize(text) AS nfc
+              FROM planted),
+        c AS (SELECT doc_id, orig, nfc,
+                regexp_replace(nfc, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+                  AS no_ctrl
+              FROM n),
+        f AS (SELECT doc_id, orig, nfc, no_ctrl,
+                trim(regexp_replace(no_ctrl, '[ \t]+', ' ', 'g')) AS text_clean
+              FROM c)
+        SELECT doc_id, text_clean,
+          CAST(len(nfc) - len(no_ctrl) AS BIGINT) AS n_ctrl,
+          CAST(len(nfc) - len(replace(nfc, chr(65533), '')) AS BIGINT) AS n_repl,
+          CAST(len(orig) - len(nfc) AS BIGINT) AS n_composed,
+          CASE WHEN text_clean = orig THEN CAST(0 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) END AS changed
+        FROM f ORDER BY doc_id"""))
   )
 }

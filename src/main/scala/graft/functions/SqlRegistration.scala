@@ -103,6 +103,14 @@ object SqlRegistration {
     add("graft_lang_id", "(text)") { args =>
       e(graft.llm.TextStats.langId(c(args(0))))
     }
+    add("graft_unicode_normalize", "(text, form_literal)") { args =>
+      UnicodeNormalize(args(0),
+        litString(args(1), "graft_unicode_normalize", "form") match {
+          case f @ ("NFC" | "NFD" | "NFKC" | "NFKD") => f
+          case other => throw new IllegalArgumentException(
+            s"graft_unicode_normalize: unknown form '$other'")
+        })
+    }
   }
 }
 

@@ -439,6 +439,44 @@ object Curation {
         .as("n_ellipsis_lines"))
   }
 
+  /** Control characters to strip in [[normalizeText]]: C0 controls except
+    * tab/newline/carriage-return, plus DEL. Both Java regex and RE2 read
+    * the `\xNN` escapes identically. */
+  private val ControlCharRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode + whitespace text normalization — the first cleaning pass of
+    * every web-corpus pipeline (before tokenization, dedup, or LM
+    * scoring, all of which key on exact bytes): NFC-compose the text
+    * (so "e"+COMBINING ACUTE and precomposed "é" stop being distinct
+    * dedup keys), strip C0 control characters (keeping tab/newline/CR),
+    * collapse space/tab runs to one space, and trim. Mojibake counters
+    * ride along: `n_ctrl` (control chars stripped), `n_repl` (U+FFFD
+    * replacement chars — the scar left by a lossy transcode upstream,
+    * the standard "drop or re-fetch" signal), `n_composed` (code points
+    * removed by NFC composition), and a 0/1 `changed` flag for cheap
+    * "fraction of corpus touched" reporting.
+    *
+    * Pure per-document projection over the [[UnicodeNormalize]] codegen
+    * kernel (ASCII fast-path: no decode, no allocation) — no shuffle; a
+    * map-only pass at any corpus size. */
+  def normalizeText(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nfc = graft.functions.TextFunctions.unicodeNormalize(col(textCol), "NFC")
+    docs.select(col(idCol), nfc.as("nfc"), col(textCol).as("orig"))
+      .select(col(idCol), col("nfc"),
+        regexp_replace(col("nfc"), ControlCharRe, "").as("no_ctrl"), col("orig"))
+      .select(col(idCol),
+        trim(regexp_replace(col("no_ctrl"), "[ \\t]+", " ")).as("text_clean"),
+        (length(col("nfc")) - length(col("no_ctrl"))).cast("long").as("n_ctrl"),
+        (length(col("nfc")) -
+          length(regexp_replace(col("nfc"), "\uFFFD", ""))).cast("long").as("n_repl"),
+        (length(col("orig")) - length(col("nfc"))).cast("long").as("n_composed"),
+        col("orig"))
+      .select(col(idCol), col("text_clean"), col("n_ctrl"), col("n_repl"),
+        col("n_composed"),
+        when(col("text_clean") === col("orig"), lit(0L)).otherwise(lit(1L))
+          .as("changed"))
+  }
+
   /** Exact duplicated-span detection (the ExactSubstr move from
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022, re-shaped for Spark): find every token position whose

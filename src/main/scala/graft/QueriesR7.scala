@@ -168,10 +168,13 @@ object QueriesR7 {
             .withColumn("doc_id", col("doc_id") + 200000L))
         val path = java.nio.file.Files
           .createTempDirectory("graft_mhidx_").toString
-        graft.llm.MinHashIndex.write(corpus, "text", "doc_id", path)
+        // 16 buckets: sized to the gate corpus (buckets track corpus
+        // size; R7Spec pins the pruning machinery at nBuckets=4)
+        graft.llm.MinHashIndex.write(corpus, "text", "doc_id", path,
+          nBuckets = 16)
         graft.llm.MinHashIndex
           .nearDupPairsIncremental(s, path, fresh, "text", "doc_id",
-            jaccardThreshold = 0.8)
+            jaccardThreshold = 0.8, nBuckets = 16)
           .orderBy("id_a", "id_b")
       },
       Some(IncrementalDedupOracle))

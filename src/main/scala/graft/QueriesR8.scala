@@ -480,7 +480,8 @@ object QueriesR8 {
         val docs = Tables.read(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") < 250)
         val idxPath = Files.createTempDirectory("graft_smh_idx_").toString
-        graft.llm.MinHashIndex.write(corpus, "text", "doc_id", idxPath)
+        graft.llm.MinHashIndex.write(corpus, "text", "doc_id", idxPath,
+          nBuckets = 16)
         val srcDir = Files.createTempDirectory("graft_smh_src_").toString
         // batch 1: the plain fresh docs; batch 2: the planted clones,
         // whose originals live in the INDEXED corpus (cross-batch serve)
@@ -495,7 +496,7 @@ object QueriesR8 {
         graft.streaming.StreamingIncremental.withStatePartitions(s) {
           val q = graft.streaming.StreamingIncremental.streamingIndexedDedup(
             s, srcDir, schema, idxPath, pairsPath, ckpt, "text", "doc_id",
-            jaccardThreshold = 0.8, maxFilesPerTrigger = Some(1))
+            jaccardThreshold = 0.8, nBuckets = 16, maxFilesPerTrigger = Some(1))
           q.awaitTermination()
         }
         s.read.parquet(pairsPath)

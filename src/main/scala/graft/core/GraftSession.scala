@@ -51,6 +51,18 @@ object GraftSession {
       // SQL SELECT surface: `graft.db.schema.table` resolves warehouse
       // tables via the DSv2 catalog (graft.sql.GraftCatalog scaladoc)
       .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      // InferFiltersFromGenerate rewrites `explode(f(x))` into
+      // `Filter(size(f(x))>0 AND isnotnull(f(x))) -> Generate(f(x))`,
+      // DUPLICATING the generator child into a non-codegen Filter with no
+      // subexpression elimination. Every text-pipeline explode here feeds
+      // a computed array (shingle n-grams: split + HOF transform + md5
+      // per gram), so the rewrite re-evaluates that whole tree 2 extra
+      // times per row interpreted — measured 35x on the gram scans
+      // (SCALING.md round 8). explode() already emits zero rows for
+      // empty/null arrays; the inferred filter only exists to push the
+      // emptiness test further down, worthless on derived columns.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
   }
 }

@@ -57,6 +57,15 @@ object MinHashIndex {
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
              shingleN: Int = 3, nBuckets: Int = 64): Unit = {
     val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    appendSets(sets, path, nBuckets)
+    sets.unpersist()
+  }
+
+  /** [[append]] from precomputed signature sets (the
+    * [[Dedup.shingleHashSets]] shape) — the serve-then-append loop
+    * computes signatures once and feeds both sides. */
+  private[graft] def appendSets(sets: DataFrame, path: String,
+                                nBuckets: Int): Unit = {
     Dedup.bandRows(sets)
       .withColumn("kb", kb(col("key"), nBuckets))
       .repartition(col("kb"), col("key"))
@@ -64,7 +73,6 @@ object MinHashIndex {
     sets.withColumn("ib", ib(col("id"), nBuckets))
       .repartition(col("ib"), col("id"))
       .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
-    sets.unpersist()
   }
 
   /** One file per bucket directory after N appends (both tables). */
@@ -117,6 +125,37 @@ object MinHashIndex {
       jaccardThreshold: Double, shingleN: Int,
       nBuckets: Int): (DataFrame, Seq[DataFrame]) = {
     val newSets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    val (pairs, caches) = planFromSets(spark, path, newSets,
+      jaccardThreshold, nBuckets)
+    (pairs, newSets +: caches)
+  }
+
+  /** One serve-then-append cycle with the batch's signatures computed
+    * ONCE: serve the batch's near-dup pairs (handed to `writePairs`,
+    * which MUST materialize them synchronously — their plan still reads
+    * the pre-append index), then append the same signature sets into the
+    * index. The streaming micro-batch loop runs on this; the two-call
+    * [[nearDupPairsIncremental]]+[[append]] shape shingles every batch
+    * twice and pays an extra localCheckpoint materialization. */
+  def serveThenAppend(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, shingleN: Int = 3,
+      nBuckets: Int = 64)(writePairs: DataFrame => Unit): Unit = {
+    val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    val (lazyPairs, caches) = planFromSets(spark, path, sets,
+      jaccardThreshold, nBuckets)
+    writePairs(lazyPairs)
+    appendSets(sets, path, nBuckets)
+    (sets +: caches).foreach(_.unpersist())
+  }
+
+  /** The serve plan from precomputed (persisted) signature sets; the
+    * returned caches exclude `newSets`, which the caller owns. */
+  private def planFromSets(
+      spark: SparkSession, path: String, newSets: DataFrame,
+      jaccardThreshold: Double,
+      nBuckets: Int): (DataFrame, Seq[DataFrame]) = {
     val nb = Dedup.bandRows(newSets).persist()
 
     // bounded driver metadata: distinct band-key buckets of the batch
@@ -149,6 +188,6 @@ object MinHashIndex {
     val allSets = newSets.unionByName(idxSets)
 
     (Dedup.verifyJaccard(cand, allSets, jaccardThreshold),
-      Seq(newSets, nb, cand))
+      Seq(nb, cand))
   }
 }

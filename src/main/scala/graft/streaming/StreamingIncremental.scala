@@ -279,12 +279,14 @@ object StreamingIncremental {
       .parquet(sourceDir)
     src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = graft.llm.MinHashIndex.nearDupPairsIncremental(
+        // one signature pass per batch: serve writes the pairs (the
+        // parquet write IS the materialization), then the same sets
+        // append into the index
+        graft.llm.MinHashIndex.serveThenAppend(
           spark, indexPath, batch, textCol, idCol,
-          jaccardThreshold, shingleN, nBuckets)
-        pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-        graft.llm.MinHashIndex.append(batch, textCol, idCol, indexPath,
-          shingleN, nBuckets)
+          jaccardThreshold, shingleN, nBuckets) { pairs =>
+          pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -180,5 +180,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("gram explode: shingle tree computed once (no inferred generate filter)") {
+    // InferFiltersFromGenerate (excluded in GraftSession) would clone the
+    // full shingle+md5 expression into an interpreted Filter below the
+    // Generate — measured 8x slower on the gram scans. The md5 call must
+    // appear in exactly one plan node.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.llm.Dedup.shingleHashSets(docs, "text", "doc_id", 3)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .queryExecution.explainString(FormattedMode)
+    assert("md5\\(".r.findAllIn(p).size <= 1,
+      s"shingle expression duplicated in the plan:\n${p.take(3000)}")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -38,6 +38,10 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror GraftSession: no generate-filter inference (it duplicates
+      // expensive generator children into interpreted Filters)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -37,13 +37,33 @@ object Bpe {
 
   /** Train `numMerges` BPE merges over the corpus; returns
     * (rank, left, right, freq) in merge order. Stops early when no pair
-    * occurs twice. */
+    * occurs twice.
+    *
+    * Hybrid execution, the shape every production BPE trainer uses: the
+    * 100 TB corpus collapses to a word-frequency dict in ONE distributed
+    * pass; if the dict (distinct words — bounded by vocabulary, not
+    * corpus size) fits on the driver (`localVocabMax`), the merge loop
+    * runs in memory with INCREMENTAL pair-count updates (only words
+    * containing the merged pair are touched) — a 30k-merge table costs
+    * 30k map updates, not 30k Spark jobs. Dicts past the bound fall back
+    * to the distributed per-round pair count (one job per merge — viable
+    * for small tables, and the only fully-general path). Both paths are
+    * bit-identical: same per-position pair frequencies, same
+    * (freq desc, left, right) tie-break with UTF8-binary string order,
+    * same freq>=2 stop rule (BpeSpec pins local == distributed). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            checkpointEvery: Int = 5): Seq[(Long, String, String, Long)] = {
+            checkpointEvery: Int = 5,
+            localVocabMax: Long = 2000000L): Seq[(Long, String, String, Long)] = {
     require(numMerges > 0, "Bpe.train: numMerges must be positive")
     require(checkpointEvery > 0, "Bpe.train: checkpointEvery must be positive")
-    var dict = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+    val wc = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    if (wc.count() <= localVocabMax) {
+      val counts = wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      return trainLocal(counts, numMerges)
+    }
+    var dict = wc
       .select(split(col("w"), "").as("syms"), col("n"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]

@@ -96,6 +96,96 @@ object Bpe {
     merges.toSeq
   }
 
+  /** UTF8-binary (bytewise unsigned) string order — Spark's UTF8String
+    * sort order, which java.lang.String#compareTo disagrees with on
+    * supplementary-plane code points. The local path must tie-break
+    * merges exactly as the distributed `orderBy(col("a"), col("b"))`
+    * does, so both compare UTF-8 bytes. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** In-memory BPE training over a collected word-frequency dict —
+    * bit-identical contract to the distributed per-round path (BpeSpec
+    * pins the two paths equal on the same corpus): same per-position
+    * weighted pair counts, same (freq desc, left asc, right asc) argmax
+    * under UTF8-binary order, same freq>=2 stop, same greedy
+    * non-chaining rewrite ([[mergeWord]] == [[mergePair]]).
+    *
+    * Incremental in the Sennrich-trainer sense: a pair -> word-id
+    * postings map means each merge touches only the words that contain
+    * the pair, so a 30k-merge vocabulary costs ~30k localized count
+    * updates over the (vocabulary-bounded) dict — not 30k corpus passes
+    * and not 30k Spark jobs. */
+  private[llm] def trainLocal(counts: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val freq = counts.map(_._2).toArray
+    val syms: Array[Array[String]] = counts.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }.toArray
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    var wid = 0
+    while (wid < syms.length) {
+      pairsOf(syms(wid)).foreach { p =>
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + freq(wid))
+        postings.getOrElseUpdate(p, mutable.Set.empty) += wid
+      }
+      wid += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      var bestA: String = null; var bestB: String = null; var bestF = 0L
+      pairCount.foreach { case ((a, b), f) =>
+        val wins = bestA == null || f > bestF ||
+          (f == bestF && (utf8Lt(a, bestA) ||
+            (a == bestA && utf8Lt(b, bestB))))
+        if (wins) { bestA = a; bestB = b; bestF = f }
+      }
+      if (bestA == null || bestF < 2) done = true
+      else {
+        merges += ((r.toLong, bestA, bestB, bestF))
+        // a merged occurrence always vanishes from the word ((a, a+b) or
+        // (a+b, b) can never equal (a, b) again), so subtract-old /
+        // add-new drives pairCount(a,b) to exactly zero
+        postings.getOrElse((bestA, bestB), mutable.Set.empty).toArray.foreach { w =>
+          val old = syms(w); val n = freq(w)
+          val next = mergeWord(old, bestA, bestB)
+          pairsOf(old).foreach { p =>
+            val left = pairCount(p) - n
+            if (left <= 0L) pairCount.remove(p) else pairCount.update(p, left)
+          }
+          pairsOf(next).foreach { p =>
+            pairCount.update(p, pairCount.getOrElse(p, 0L) + n)
+          }
+          val oldPs = pairsOf(old).toSet
+          val newPs = pairsOf(next).toSet
+          (oldPs diff newPs).foreach(p => postings.get(p).foreach(_ -= w))
+          (newPs diff oldPs).foreach(p =>
+            postings.getOrElseUpdate(p, mutable.Set.empty) += w)
+          syms(w) = next
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** The merge table as a DataFrame (rank, left, right, freq) — the
     * artifact a tokenizer ships. */
   def trainDf(spark: SparkSession, docs: DataFrame, textCol: String,

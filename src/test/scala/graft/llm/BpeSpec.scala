@@ -96,6 +96,26 @@ class BpeSpec extends SparkSpec {
     assert(seg === Seq("n", "ewest"))
   }
 
+  test("local (hybrid) and distributed training are bit-identical") {
+    // localVocabMax=0 forces the distributed per-round path; the default
+    // takes the in-memory incremental path — same merges, same freqs
+    val docs = sf("sf0.001", "documents").filter(col("doc_id") < 80)
+    val local = Bpe.train(docs, "text", numMerges = 8)
+    val dist = Bpe.train(docs, "text", numMerges = 8, localVocabMax = 0L)
+    assert(local === dist)
+    // and the Sennrich vectors hold on both paths
+    val sdocs = Seq(corpus).toDF("text")
+    assert(Bpe.train(sdocs, "text", numMerges = 6) ===
+      Bpe.train(sdocs, "text", numMerges = 6, localVocabMax = 0L))
+  }
+
+  test("trainLocal early-stops and caps at numMerges like the distributed path") {
+    assert(Bpe.trainLocal(Seq(("ab", 1L), ("cd", 1L)), 10) === Seq.empty)
+    val m = Bpe.trainLocal(Seq(("aaaa", 3L)), 2)
+    assert(m.length === 2)
+    assert(m.head === ((1L, "a", "a", 9L))) // 3 adjacent positions x freq 3
+  }
+
   test("trainDf on the gate slice matches the independent Python reference head") {
     // first rows of tools/bpe_reference.py over sf0.001 — cross-checks the
     // distributed pair count + rewrite against hand-verifiable data shape

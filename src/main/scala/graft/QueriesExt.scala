@@ -47,7 +47,7 @@ object QueriesExt {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(src.toString).schema
     val in = s.readStream.schema(schema).parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.eventTs(schema))
     // state partitions sized to gate state, not scan parallelism — see
     // StreamingIncremental.withStatePartitions
     graft.streaming.StreamingIncremental.withStatePartitions(s) {

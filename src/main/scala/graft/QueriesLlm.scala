@@ -949,7 +949,7 @@ object QueriesLlm {
             val q = graft.streaming.StreamingIncremental.incrementalAppend(
               s, src.toString, schema, tgt, ckpt,
               df => df.select(col("event_id"),
-                timestamp_micros(expr("ts div 1000")).as("ts"),
+                Tables.eventTs(schema).as("ts"),
                 col("event_type"), col("value")))
             q.awaitTermination()
           }
@@ -982,7 +982,7 @@ object QueriesLlm {
         def runOnce(): Unit =
           graft.streaming.StreamingIncremental.withStatePartitions(s) {
             val ev = s.readStream.schema(schema).parquet(src.toString)
-              .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+              .select(col("event_id"), Tables.eventTs(schema).as("ts"),
                 col("user_id"), col("event_type"), col("value"))
             val joined = graft.streaming.StreamingIncremental
               .streamStreamIntervalJoin(ev, "ts", "user_id", "event_type",
@@ -1026,9 +1026,10 @@ object QueriesLlm {
           Files.createTempDirectory("graft_smu_wh_").toString, s)
         val tgt = graft.core.TableId("proj", "stream", "upserted")
         val cfg = MergeConfig(partitionField = "ts", uniqueKey = Seq("event_id"))
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val evRaw = s.read.parquet(s"$dir/events.parquet")
+        val ev = evRaw
           .select(col("event_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
+            Tables.eventTs(evRaw.schema).as("ts"),
             col("event_type"), col("value"))
         val srcDir = Files.createTempDirectory("graft_smu_src_").toString
         ev.filter(col("event_id") % 2 === 1).coalesce(1)

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-9 gate queries: asymmetric containment dedup, content-defined
+  * chunking, dbt source freshness, exact fixed-point group centroids,
+  * and temperature-scaled corpus mixing. */
+object QueriesR9 {
+
+  /** Boilerplate footer appended to the planted "expanded" documents in
+    * the containment gate — long enough that the REVERSE containment
+    * (expanded → original) stays well under the 0.9 threshold on every
+    * corpus document. */
+  private val Footer =
+    " repeated footer boilerplate sentence about terms of service and" +
+      " rights reserved for syndication of this article"
+
+  /** `dbt source freshness` tick: 2024-02-05 00:00:00 UTC, a few days
+    * after the events table's newest row — fixed so the run is
+    * reproducible (a scheduler supplies this in production). */
+  private val AsOfUs = 1707091200000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- asymmetric containment dedup ----------------------------------
+    // Plants: 8 "expanded" copies (original text + boilerplate footer).
+    // Containment(original -> expanded) = 1.0; the reverse direction and
+    // plain Jaccard stay below threshold — the signal this operator adds
+    // over dedup_ngram_jaccard.
+    QueryDef("dedup_containment",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(Footer)).as("text"))
+        graft.llm.Dedup.containmentPairs(
+            docs.unionByName(planted), "text", "doc_id", threshold = 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, text || '$Footer' FROM documents
+          WHERE doc_id < 8),
+        d AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+              FROM aug),
+        sh AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+                        || ' ' || w[CAST(i AS INT)+2]) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s,
+                   x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h)
+                 AS containment
+        FROM hs a JOIN hs b ON a.doc_id != b.doc_id
+        WHERE len(a.h) > 0 AND len(b.h) > 0
+          AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h) >= 0.9
+        ORDER BY id_a, id_b""")),
+
+    // ---- content-defined chunking --------------------------------------
+    // Chunk rows for the whole corpus: rolling Karp-Rabin boundaries
+    // (window 4, base 131, divisor 64), final chunk closes at text end.
+    // The arithmetic is unrolled exact-BIGINT on both engines.
+    QueryDef("cdc_chunks",
+      (s, dir) =>
+        graft.llm.Curation.cdcChunks(
+            Tables.read(s, dir, "documents"), "text", "doc_id")
+          .select("doc_id", "chunk_idx", "chunk_hash")
+          .orderBy("doc_id", "chunk_idx"),
+      Some(CdcChunkCte + """
+        SELECT doc_id, CAST(k AS BIGINT) chunk_idx, h chunk_hash
+        FROM ch
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ---- chunk-store dedup accounting ----------------------------------
+    // What chunk-level dedup buys on this corpus: distinct vs total
+    // chunks and bytes (the near-dup documents planted by the generator
+    // share every chunk outside their edit neighborhoods).
+    QueryDef("cdc_dedup_stats",
+      (s, dir) => {
+        val ch = graft.llm.Curation.cdcChunks(
+          Tables.read(s, dir, "documents"), "text", "doc_id")
+        val tot = ch.agg(
+          count(lit(1)).as("total_chunks"),
+          countDistinct(col("chunk_hash")).as("distinct_chunks"),
+          sum(length(col("chunk"))).cast("long").as("total_chars"))
+        val dist = ch.groupBy("chunk_hash")
+          .agg(max(length(col("chunk"))).as("l"))
+          .agg(sum(col("l")).cast("long").as("distinct_chars"))
+        tot.crossJoin(dist)
+      },
+      Some(CdcChunkCte + """
+        SELECT CAST(COUNT(*) AS BIGINT) total_chunks,
+               CAST(COUNT(DISTINCT h) AS BIGINT) distinct_chunks,
+               CAST(SUM(len(c)) AS BIGINT) total_chars,
+               CAST((SELECT SUM(l) FROM
+                      (SELECT max(len(c)) l FROM ch GROUP BY h)) AS BIGINT)
+                 distinct_chars
+        FROM ch""")),
+
+    // ---- dbt source freshness ------------------------------------------
+    // Three sources with per-source thresholds chosen to exercise all
+    // three statuses on this data: events loaded days before the tick
+    // (pass), orders years stale but inside its wide error window
+    // (warn), lineitem far past its tight error window (error).
+    QueryDef("source_freshness",
+      (s, dir) => {
+        import graft.operators.DataQuality.{freshness, FreshnessSource}
+        freshness(Seq(
+          FreshnessSource("events", Tables.events(s, dir), "ts",
+            warnAfterSec = 604800L, errorAfterSec = 2592000L),
+          FreshnessSource("orders", Tables.read(s, dir, "orders"),
+            "o_orderdate",
+            warnAfterSec = 315360000L, errorAfterSec = 788400000L),
+          FreshnessSource("lineitem", Tables.read(s, dir, "lineitem"),
+            "l_shipdate",
+            warnAfterSec = 31536000L, errorAfterSec = 315360000L)),
+          asOfUs = AsOfUs)
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT 'events' source_name, epoch_us(max(ts)) mx,
+                 604800000000 w, 2592000000000 e FROM events
+          UNION ALL
+          SELECT 'lineitem', epoch_us(max(l_shipdate)),
+                 31536000000000, 315360000000000 FROM lineitem
+          UNION ALL
+          SELECT 'orders', epoch_us(max(o_orderdate)),
+                 315360000000000, 788400000000000 FROM orders)
+        SELECT source_name, mx max_loaded_us, $AsOfUs - mx age_us,
+               CASE WHEN mx IS NULL THEN 'error'
+                    WHEN $AsOfUs - mx > e THEN 'error'
+                    WHEN $AsOfUs - mx > w THEN 'warn'
+                    ELSE 'pass' END status
+        FROM s ORDER BY source_name""")),
+
+    // ---- exact fixed-point group centroids -----------------------------
+    // Mean embedding per label in 10^6 fixed point: order-independent
+    // exact integer sums (float aggregation could never hash-match), and
+    // `div` / `//` agree on truncation toward zero for negative sums.
+    QueryDef("domain_centroid",
+      (s, dir) =>
+        graft.llm.Similarity.groupCentroids(
+            Tables.read(s, dir, "embeddings"), "embedding", "label")
+          .orderBy("label", "pos"),
+      Some("""
+        SELECT label, CAST(i - 1 AS BIGINT) pos,
+               CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                      * 1000000) AS BIGINT)) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) mean_scaled,
+               CAST(COUNT(*) AS BIGINT) n
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY label, i
+        ORDER BY label, pos""")),
+
+    // ---- temperature-scaled corpus mixing ------------------------------
+    // tau = 2 rebalancing: per-source targets proportional to
+    // floor(sqrt(n_d)), exact integer arithmetic end-to-end, per-source
+    // pick by seeded md5 order.
+    QueryDef("mix_temperature",
+      (s, dir) =>
+        graft.llm.Sampling.temperatureMix(
+            Tables.read(s, dir, "documents").select("doc_id", "source"),
+            "doc_id", "source", budget = 300L, seed = 17L)
+          .orderBy("doc_id"),
+      Some("""
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) n
+                   FROM documents GROUP BY source),
+        w AS (SELECT source,
+                CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) w FROM c),
+        t AS (SELECT source,
+                (w * 300) // (SELECT CAST(SUM(w) AS BIGINT) FROM w) target
+              FROM w),
+        r AS (SELECT d.doc_id, d.source,
+                row_number() OVER (PARTITION BY d.source
+                  ORDER BY md5('17:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) rk
+              FROM documents d)
+        SELECT r.doc_id, r.source
+        FROM r JOIN t USING (source)
+        WHERE rk <= target
+        ORDER BY doc_id"""))
+  )
+
+  /** Shared chunk CTE for the two cdc gates — the DuckDB realization of
+    * Curation.cdcChunks (window 4, base 131, divisor 64), term-for-term
+    * exact BIGINT arithmetic. */
+  private def CdcChunkCte: String = """
+        WITH d AS (SELECT doc_id, text, string_split(text, '') cs,
+                          len(text) n
+                   FROM documents),
+        b AS (SELECT doc_id, text, n,
+                list_filter(range(4, n + 1), i ->
+                  (CAST(ascii(cs[i]) AS BIGINT)
+                   + CAST(ascii(cs[i-1]) AS BIGINT) * 131
+                   + CAST(ascii(cs[i-2]) AS BIGINT) * 17161
+                   + CAST(ascii(cs[i-3]) AS BIGINT) * 2248091) % 64 = 0) cuts
+              FROM d),
+        bs AS (SELECT doc_id, text, n,
+                 CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+                      WHEN len(cuts) > 0 AND cuts[-1] = n
+                        THEN list_concat([CAST(0 AS BIGINT)], cuts)
+                      ELSE list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+                                       [CAST(n AS BIGINT)]) END bl
+               FROM b),
+        ch AS (SELECT doc_id, k,
+                 substr(text, CAST(bl[CAST(k AS INT)] + 1 AS INT),
+                   CAST(bl[CAST(k AS INT) + 1] - bl[CAST(k AS INT)] AS INT)) c,
+                 md5(substr(text, CAST(bl[CAST(k AS INT)] + 1 AS INT),
+                   CAST(bl[CAST(k AS INT) + 1] - bl[CAST(k AS INT)] AS INT))) h
+               FROM bs, unnest(range(1, len(bl))) AS t(k))
+  """
+}

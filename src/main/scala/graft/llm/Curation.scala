@@ -653,4 +653,75 @@ object Curation {
         col("r_words") && col("r_word_len") && col("r_stopwords") &&
           col("r_dup_words") && col("r_top_bigram"))
   }
+
+  // -- content-defined chunking -------------------------------------------
+
+  /** Rolling-hash base/window for [[cdcChunks]]. The base must be ODD —
+    * a power-of-two base makes every term but the newest a multiple of
+    * any power-of-two divisor, so `H mod divisor` would see only the
+    * last character and boundaries would (almost) never fire. 131 is an
+    * odd prime; 131^3 · 2^16 < 2^38, so the window hash is exact in
+    * BIGINT on both engines (the literal multipliers are unrolled, so
+    * the DuckDB oracle reproduces the arithmetic term-for-term). */
+  val CdcWindow = 4
+  val CdcBase = 131L
+
+  /** Content-defined chunking: split text at ROLLING-HASH boundaries
+    * instead of fixed offsets, so an insertion or deletion only re-chunks
+    * its local neighborhood — every chunk after the edit re-synchronizes
+    * on the same content-determined cut points (the rsync/LBFS trick;
+    * fixed-size blocks would shift every subsequent block and defeat
+    * dedup). Chunk-level dedup on near-identical documents (crawl
+    * re-fetches, versioned pages, boilerplate wrappers) then collapses
+    * the shared runs to one stored copy.
+    *
+    * A position i (1-based, i >= window) ends a chunk iff the Karp-Rabin
+    * hash of the trailing `window` characters ≡ 0 (mod divisor); the
+    * final chunk always ends at the text end. Boundary decisions are
+    * purely LOCAL (no min/max-length state machine), which is what makes
+    * the operator a pure per-row projection — char array, HOF-filtered
+    * boundary positions, substring reassembly — no shuffle, no UDF, no
+    * state; expected chunk length ≈ divisor.
+    *
+    * Returns one row per chunk: (id, chunk_idx, chunk, chunk_hash).
+    * Dedup/storage accounting is a hash-groupBy over `chunk_hash` — the
+    * same canonical shape as exact document dedup. */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                divisor: Int = 64): DataFrame = {
+    require(divisor > 0, "cdcChunks: divisor must be positive")
+    val w = CdcWindow
+    // H_i = sum_{j=0..w-1} code(chars[i-j]) * base^j — newest char gets
+    // weight 1. Exact integer arithmetic; engine-portable.
+    def hashAt(cs: Column, i: Column): Column =
+      (0 until w).map { j =>
+        ascii(element_at(cs, (i - j).cast("int"))).cast("long") *
+          lit((0 until j).map(_ => CdcBase).product)
+      }.reduce(_ + _)
+    val len = length(col(textCol))
+    // sequence(w, len) counts DOWN when len < w — guard to empty
+    val positions = when(len < w, array().cast("array<int>"))
+      .otherwise(sequence(lit(w), len))
+    val docsC = docs
+      .select(col(idCol), col(textCol), split(col(textCol), "").as("__cs"))
+      .withColumn("__cuts",
+        filter(positions, i => pmod(hashAt(col("__cs"), i), lit(divisor)) === 0))
+      // bounds = [0] ++ cuts (++ [len] unless already there); empty text
+      // stays a single [0] bound -> zero chunks
+      .withColumn("__bs",
+        when(len === 0, array(lit(0)))
+          .when(element_at(concat(array(lit(0)), col("__cuts")), -1) === len,
+            concat(array(lit(0)), col("__cuts")))
+          .otherwise(concat(array(lit(0)), col("__cuts"), array(len))))
+    // sequence(1, 0) would count DOWN on the single-bound (empty text)
+    // case — guard to an empty chunk list
+    val ks = when(size(col("__bs")) <= 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(col("__bs")) - 1))
+    docsC
+      .select(col(idCol),
+        posexplode(transform(ks, k =>
+          substring(col(textCol), element_at(col("__bs"), k) + 1,
+            element_at(col("__bs"), k + 1) - element_at(col("__bs"), k)))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col").as("chunk"), md5(col("col")).as("chunk_hash"))
+  }
 }

@@ -296,6 +296,62 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  // -- exact n-gram CONTAINMENT via asymmetric prefix filter --------------
+
+  /** Exact containment pairs: C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|
+    * >= t, id_a != id_b. The asymmetric cousin of [[ngramJaccardPairs]]:
+    * a short document pasted into a longer one (quote expansion,
+    * boilerplate wrapping, article + appended footer) scores near-1
+    * containment while its Jaccard collapses toward |A|/|B| — the dedup
+    * signal Jaccard structurally cannot see.
+    *
+    * Candidate generation uses the one-sided prefix lemma: containment
+    * >= t needs overlap α = ceil(t·|A|), and if A's sorted gram set had
+    * its first |A| − α + 1 elements all missing from B, at most α − 1
+    * could remain shared — so joining A-PREFIX postings against B's FULL
+    * postings loses nothing (any total order; no bound needed on B).
+    * The A-side explodes ~(1−t)·|A| grams per doc; the B side is the
+    * full posting list — the inherent cost of asymmetric containment
+    * (PPJoin's two-sided prefix shrink needs a lower bound on overlap
+    * relative to BOTH sizes, which containment does not give). Hub grams
+    * are naturally rare in the prefix (it holds the doc's globally
+    * smallest hashes when `orderByFrequency`-style ordering is by hash —
+    * uniform — so prefix postings stay short). Candidates are exact-
+    * verified with the merge-walk intersection kernel; empty gram sets
+    * (docs under `shingleN` tokens) are excluded before any division
+    * (ANSI divide-by-zero discipline). */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.9, shingleN: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.sortedLongIntersectCount
+    require(threshold > 0 && threshold <= 1,
+      "containmentPairs: threshold must be in (0, 1]")
+    // persisted: feeds the prefix build, the full postings, and both
+    // verify sides
+    val sets = shingleHashSets(docs, textCol, idCol, shingleN)
+      .filter(size(col("hs")) > 0).persist()
+    val pref = sets
+      .withColumn("n", size(col("hs")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1))
+      .select(col("id").as("id_a"), explode(expr("slice(hs, 1, plen)")).as("s"))
+    val post = sets.select(col("id").as("id_b"), explode(col("hs")).as("s"))
+    val cand = pref.join(post, "s")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        sortedLongIntersectCount(col("hs_a"), col("hs_b"))
+          .cast("double").as("inter"),
+        size(col("hs_a")).cast("double").as("na"))
+      .withColumn("containment", col("inter") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   // -- embedding cosine near-dup ------------------------------------------
 
   /** Exact cosine >= t pairs by brute-force self-join — the verification

@@ -152,4 +152,51 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1L), col("__n_copies"))))
       .drop("__n_copies")
   }
+
+  /** Temperature-scaled corpus mixing: down-weight head sources so the
+    * sampling distribution is ∝ n_d^(1/τ) instead of ∝ n_d — the
+    * multilingual/multi-source rebalancing rule (τ > 1 flattens; τ = ∞
+    * would be uniform). Implemented at τ = 2 with EXACT integer
+    * arithmetic so the sample is reproducible across engines: per-source
+    * weight w_d = floor(sqrt(n_d)), target_d = (w_d · budget) / Σ w_d
+    * (integer division — realized total is within #sources of budget),
+    * and each source keeps its target_d documents with the smallest
+    * seeded shuffle keys (same md5 key family as
+    * [[deterministicShuffle]], so the per-source pick is a uniform,
+    * append-stable-ish, engine-portable pseudo-sample).
+    *
+    * floor(sqrt(double)) is exact for n < 2^52 under IEEE sqrt (both
+    * engines correctly round), so the Scala-side targets match a SQL
+    * oracle's bit-for-bit.
+    *
+    * Scale shape: one count aggregate (map-side combinable; #sources
+    * result rows — a bounded-metadata collect), then one exchange on
+    * source for the per-source rank. A hot source funnels its rank
+    * through one task; at production scale swap the exact rank for a
+    * threshold on `hashBucket(id, n_d) < target_d` — same distribution,
+    * zero shuffle, approximate count (documented trade; the exact form
+    * is what a gate can pin). */
+  def temperatureMix(
+      df: DataFrame, idCol: String, sourceCol: String,
+      budget: Long, seed: Long = 17L): DataFrame = {
+    require(budget > 0, "temperatureMix: budget must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weights = counts.map { case (s, n) =>
+      (s, math.floor(math.sqrt(n.toDouble)).toLong)
+    }
+    val totalW = weights.map(_._2).sum
+    require(totalW > 0, "temperatureMix: empty corpus")
+    val target = weights.map { case (s, w) => (s, w * budget / totalW) }.toMap
+    val targetCol = target.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .filter(col("__rk") <= targetCol)
+      .drop("__key", "__rk")
+  }
 }

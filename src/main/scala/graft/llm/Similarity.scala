@@ -281,4 +281,30 @@ object Similarity {
           .as("c_r"))
     rankTopK(scored, k)
   }
+
+  /** Per-group mean embedding (centroid) in EXACT fixed point — the
+    * pooling step behind domain/cluster semantic profiles, per-source
+    * diversity audits, and warm-starting a quantizer's codebook. Each
+    * float component is scaled to a 10^6-fixed-point BIGINT before
+    * aggregation, so the sum (and the integer-division mean) is exact
+    * and ORDER-INDEPENDENT — float sums would differ run-to-run with
+    * partitioning (non-associative) and could never hash-match a SQL
+    * oracle.
+    *
+    * Shape: posexplode (dim rows per vector) + one hash aggregate on
+    * (group, pos) — map-side combinable, #groups × dim result rows, no
+    * window, no driver data. Returns long-form rows (group, pos,
+    * mean_scaled, n); pivot to arrays with collect_list over a
+    * (group)-window only when a consumer needs the vector form. */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCol: String,
+                     scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "groupCentroids: scale must be positive")
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        round(col("v").cast("double") * scale).cast("long").as("sv"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("sv")).as("sum_scaled"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("pos"),
+        expr("sum_scaled div n").as("mean_scaled"), col("n"))
+  }
 }

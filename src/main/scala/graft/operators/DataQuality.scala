@@ -85,4 +85,41 @@ object DataQuality {
           col("violations").cast("long"))
     }.reduce(_.unionByName(_)).orderBy("check_name")
   }
+
+  /** One source table for [[freshness]]: report label, the table, its
+    * loaded-at timestamp column, and its OWN thresholds (dbt configures
+    * warn_after/error_after per source, not per run). */
+  final case class FreshnessSource(name: String, df: DataFrame, tsCol: String,
+                                   warnAfterSec: Long, errorAfterSec: Long) {
+    require(warnAfterSec >= 0 && errorAfterSec >= warnAfterSec,
+      s"freshness($name): need 0 <= warnAfterSec <= errorAfterSec")
+  }
+
+  /** `dbt source freshness`: per source, the newest loaded-at timestamp,
+    * its age at `asOf`, and a pass/warn/error status against the
+    * source's thresholds (dbt semantics: age strictly greater than the
+    * threshold trips it; a source with NO rows is an error — silence is
+    * staleness, not health). `asOf` is an explicit epoch-micros
+    * parameter, not wall-clock: freshness runs must be reproducible and
+    * testable, and a scheduler supplies its tick.
+    *
+    * Each source costs one column-pruned scan + a 1-row max aggregate
+    * (map-side combinable, no shuffle beyond the final merge); the
+    * report unions S single-row subtrees — independent stage DAGs, same
+    * scale shape as [[report]]. */
+  def freshness(sources: Seq[FreshnessSource], asOfUs: Long): DataFrame = {
+    require(sources.nonEmpty, "freshness: no sources given")
+    sources.map { s =>
+      s.df.agg(max(col(s.tsCol).cast("timestamp")).as("max_loaded_at"))
+        .select(
+          lit(s.name).as("source_name"),
+          unix_micros(col("max_loaded_at")).as("max_loaded_us"),
+          (lit(asOfUs) - unix_micros(col("max_loaded_at"))).as("age_us"))
+        .withColumn("status",
+          when(col("max_loaded_us").isNull, lit("error"))
+            .when(col("age_us") > s.errorAfterSec * 1000000L, lit("error"))
+            .when(col("age_us") > s.warnAfterSec * 1000000L, lit("warn"))
+            .otherwise(lit("pass")))
+    }.reduce(_.unionByName(_)).orderBy("source_name")
+  }
 }

@@ -1,0 +1,169 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: containment dedup, content-defined chunking,
+  * source freshness, fixed-point group centroids, temperature mixing. */
+class R9Spec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- containment -------------------------------------------------------
+
+  test("containment finds a doc pasted into a longer one; jaccard cannot") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val footer = " one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val docs = docsDf(Seq((1L, base), (2L, base + footer),
+      (3L, "completely different words entirely here now")))
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 ⊂ 2 at containment 1.0; the reverse direction dilutes below 0.9
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty, "jaccard at the same threshold must miss the inclusion")
+  }
+
+  test("containment prefix filter is lossless vs brute force on the corpus") {
+    val docs = sf("sf0.001", "documents").select("doc_id", "text").limit(120)
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all ordered pairs through the same verify arithmetic
+    val sets = Dedup.shingleHashSets(docs, "text", "doc_id")
+      .filter(size(col("hs")) > 0)
+    val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(col("hs_a")).cast("double")).as("c"))
+      .filter(col("c") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  // ---- content-defined chunking ------------------------------------------
+
+  test("cdc chunks reassemble to the original text (incl. empty and short)") {
+    val docs = docsDf(Seq(
+      (1L, ""), (2L, "ab"), (3L, "abcd"),
+      (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"),
+      (5L, "x" * 500)))
+    val got = Curation.cdcChunks(docs, "text", "doc_id")
+      .groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("chunk_idx"), col("chunk"))))
+        .getField("chunk")).as("rebuilt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // empty text yields zero chunks, so doc 1 is absent from the rebuild
+    assert(got == want.filter(_._2.nonEmpty))
+  }
+
+  test("cdc boundaries are content-local: edits re-synchronize") {
+    // same tail text, different heads: chunks resync after the edit, so
+    // the two docs share their suffix chunks
+    val tail = "in the middle of the corpus there is a long shared run of " +
+      "text that should chunk identically on both sides of the edit " +
+      "because boundaries depend only on a four character window of content"
+    val docs = docsDf(Seq(1L -> ("prefix one " + tail), 2L -> ("a completely different and longer prefix " + tail)))
+    val ch = Curation.cdcChunks(docs, "text", "doc_id")
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val shared = ch(1L) intersect ch(2L)
+    assert(shared.nonEmpty, "edited docs must share their synchronized suffix chunks")
+  }
+
+  test("cdc boundary rate is in the expected band on real text") {
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+    val chunks = Curation.cdcChunks(docs, "text", "doc_id").count()
+    val chars = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    // divisor 64: expect roughly chars/64 + one tail chunk per doc; allow 3x slack
+    val expect = chars / 64.0 + 500
+    assert(chunks > expect / 3 && chunks < expect * 3,
+      s"chunks=$chunks vs expected ~$expect from $chars chars")
+  }
+
+  // ---- source freshness --------------------------------------------------
+
+  test("freshness statuses: pass, warn, error, and empty-source error") {
+    import graft.operators.DataQuality.{freshness, FreshnessSource}
+    import spark.implicits._
+    def tsDf(us: Long*) = us.toSeq.toDF("us")
+      .select(timestamp_micros(col("us")).as("loaded_at"))
+    val asOf = 1000000000L * 86400L // arbitrary fixed tick (us)
+    val day = 86400000000L
+    val fresh = tsDf(asOf - day / 2, asOf - day) // newest: half a day old
+    val stale = tsDf(asOf - 10 * day)
+    val empty = tsDf().filter(lit(false))
+    val got = freshness(Seq(
+      FreshnessSource("a_pass", fresh, "loaded_at", 86400L, 5 * 86400L),
+      FreshnessSource("b_warn", stale, "loaded_at", 86400L, 30 * 86400L),
+      FreshnessSource("c_error", stale, "loaded_at", 3600L, 86400L),
+      FreshnessSource("d_empty", empty, "loaded_at", 86400L, 86400L)),
+      asOfUs = asOf)
+      .select("source_name", "age_us", "status")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("a_pass", Some(day / 2), "pass"),
+      ("b_warn", Some(10 * day), "warn"),
+      ("c_error", Some(10 * day), "error"),
+      ("d_empty", None, "error")))
+  }
+
+  // ---- group centroids ---------------------------------------------------
+
+  test("group centroids: exact fixed-point means, order-independent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", Seq(1.5f, -2.25f)), ("g1", Seq(0.5f, -0.25f)),
+      ("g1", Seq(1.0f, 1.0f)), ("g2", Seq(-1.0f, 0.125f)))
+    val df = rows.toDF("g", "vec")
+    val expect = Map( // driver-side same arithmetic
+      ("g1", 0L) -> (1500000L + 500000L + 1000000L) / 3,
+      ("g1", 1L) -> (-2250000L - 250000L + 1000000L) / 3,
+      ("g2", 0L) -> -1000000L,
+      ("g2", 1L) -> 125000L)
+    for (parts <- Seq(1, 7)) {
+      val got = Similarity.groupCentroids(df.repartition(parts), "vec", "g")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  // ---- temperature mixing ------------------------------------------------
+
+  test("temperature mix: targets flatten the head, realized counts exact") {
+    import spark.implicits._
+    // head source 1600 docs, tail source 100: raw ratio 16x, sqrt ratio 4x
+    val docs = ((1 to 1600).map(i => (i.toLong, "head")) ++
+      (2001 to 2100).map(i => (i.toLong, "tail"))).toDF("doc_id", "source")
+    val budget = 250L
+    val got = Sampling.temperatureMix(docs, "doc_id", "source", budget)
+    val counts = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_head=40, w_tail=10, total 50: targets 200 and 50
+    assert(counts == Map("head" -> 200L, "tail" -> 50L))
+    // deterministic: a rerun picks the identical ids
+    val ids1 = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureMix(docs, "doc_id", "source", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("temperature mix keeps whole small sources only at budget >= total weight share") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (201 to 300).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    // equal sources: equal targets
+    val counts = Sampling.temperatureMix(docs, "doc_id", "source", 60L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 30L, "b" -> 30L))
+  }
+}

@@ -194,5 +194,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shingle expression duplicated in the plan:\n${p.take(3000)}")
   }
 
+  // The gate forms end in a total ORDER BY (oracle plumbing — one range
+  // Exchange); the shuffle-count pins below audit the raw OPERATORS.
+  private def exchanges(p: String): Int =
+    "Exchange \\(\\d+\\)".r.findAllIn(p).size // tree nodes, not detail repeats
+
+  test("cdc_chunks: pure per-row projection — zero exchanges") {
+    val p = graft.llm.Curation.cdcChunks(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(exchanges(p) == 0, s"CDC chunking must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("domain_centroid: one map-side-combinable aggregate, no window") {
+    val p = graft.llm.Similarity.groupCentroids(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", "label")
+      .queryExecution.explainString(FormattedMode)
+    assert(exchanges(p) == 1, s"exactly one exchange expected:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial+final aggregate expected")
+    assert(!p.contains("Window"), "no rank window expected")
+  }
+
+  test("mix_temperature: one exchange on source for the per-source rank") {
+    val p = graft.llm.Sampling.temperatureMix(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source"), "doc_id", "source", 300L)
+      .queryExecution.explainString(FormattedMode)
+    assert(exchanges(p) == 1, s"exactly one exchange expected:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("dedup_containment: equi-joins only, never cartesian") {
+    val p = planOf("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "containment must stay on the prefix-postings equi-join")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -105,6 +105,28 @@ object QueriesR9 {
                  distinct_chars
         FROM ch""")),
 
+    // ---- content-addressed chunk store round trip ----------------------
+    // Write half the corpus, APPEND the other half (the anti-join path
+    // that stores only never-seen chunks), reconstruct everything — the
+    // oracle is the source table itself: byte-exact round trip through
+    // deduplicated storage.
+    QueryDef("chunkstore_roundtrip",
+      (s, dir) => {
+        import graft.llm.ChunkStore
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_chunkstore_").toString
+        ChunkStore.write(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", root, nBuckets = 16)
+        ChunkStore.append(docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", root, nBuckets = 16)
+        ChunkStore.reconstruct(s, root).orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, text FROM documents
+        WHERE len(text) > 0
+        ORDER BY doc_id""")),
+
     // ---- dbt source freshness ------------------------------------------
     // Three sources with per-source thresholds chosen to exercise all
     // three statuses on this data: events loaded days before the tick

@@ -199,4 +199,39 @@ object Sampling {
       .filter(col("__rk") <= targetCol)
       .drop("__key", "__rk")
   }
+
+  /** The ZERO-SHUFFLE form of [[temperatureMix]]: instead of an exact
+    * per-source rank (one exchange, hot sources funnel through one
+    * task), keep a row iff its seeded hash bucket over n_d buckets falls
+    * below the source's target — a pure projection + filter whose
+    * realized per-source count is target_d in expectation with
+    * hypergeometric-ish concentration (each document's inclusion is a
+    * deterministic function of (seed, id), so the sample is still fully
+    * reproducible and append-stable; only its SIZE is approximate).
+    * Same integer target arithmetic as the exact form. This is the
+    * 100 TB operating point; the exact form is what a hash-equality
+    * gate can pin. */
+  def temperatureMixThreshold(
+      df: DataFrame, idCol: String, sourceCol: String,
+      budget: Long, seed: Long = 17L): DataFrame = {
+    require(budget > 0, "temperatureMixThreshold: budget must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weights = counts.map { case (s, n) =>
+      (s, math.floor(math.sqrt(n.toDouble)).toLong)
+    }
+    val totalW = weights.map(_._2).sum
+    require(totalW > 0, "temperatureMixThreshold: empty corpus")
+    val target = weights.map { case (s, w) => (s, w * budget / totalW) }.toMap
+    // keep iff a 16-bit seeded hash clears the source's keep-fraction
+    // threshold floor(2^16 · target_d / n_d) — md5-prefix buckets carry
+    // 16 bits, so the realized rate is within 2^-16 of target_d / n_d
+    val keep = counts.foldLeft(lit(false)) { case (acc, (s, n)) =>
+      val thr = 65536L * target.getOrElse(s, 0L) / math.max(n, 1L)
+      when(col(sourceCol) === s,
+        hashBucket(concat(lit(seed.toString), lit(":"),
+          col(idCol).cast("string")), 65536) < lit(thr)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Content-addressed chunk store: round trip, dedup-on-append, bucket
+  * pruning, compaction. */
+class ChunkStoreSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_cs_spec_").toString
+
+  test("write + reconstruct round-trips the corpus byte-exactly") {
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+    val root = freshRoot()
+    ChunkStore.write(docs, "text", "doc_id", root, nBuckets = 8)
+    val back = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.filter(length(col("text")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+  }
+
+  test("append stores only never-seen chunks; re-appending a copy stores none") {
+    import spark.implicits._
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through a long field of identical grass for many sentences"))
+      .toDF("doc_id", "text")
+    val root = freshRoot()
+    ChunkStore.write(a, "text", "doc_id", root, nBuckets = 4)
+    val stored0 = spark.read.parquet(s"$root/chunks").count()
+    // an exact copy under a new id: manifest grows, chunk table does not
+    ChunkStore.append(a.select((col("doc_id") + 100L).as("doc_id"), col("text")),
+      "text", "doc_id", root, nBuckets = 4)
+    assert(spark.read.parquet(s"$root/chunks").count() == stored0,
+      "identical content must add zero chunk rows")
+    val man = spark.read.parquet(s"$root/manifest")
+    assert(man.select("doc_id").distinct().count() == 2)
+    // both docs reconstruct to the same text
+    val back = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) == back(101L))
+  }
+
+  test("near-duplicate append stores only the edit neighborhood") {
+    import spark.implicits._
+    val base = "in the middle of the corpus there is a long shared run of " +
+      "text that should chunk identically on both sides of any edit " +
+      "because boundaries depend only on a local window of the content " +
+      "and therefore almost every chunk of a near duplicate already exists"
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val stored0 = spark.read.parquet(s"$root/chunks").count()
+    ChunkStore.append(
+      Seq((2L, "edited prefix " + base)).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val stored1 = spark.read.parquet(s"$root/chunks").count()
+    assert(stored1 > stored0, "the edited head must add chunks")
+    assert(stored1 - stored0 < stored0,
+      s"most chunks must be shared: $stored0 -> $stored1")
+    val st = ChunkStore.stats(spark, root).collect()(0)
+    assert(st.getLong(0) > st.getLong(1),
+      "manifest rows must exceed stored rows once content is shared")
+  }
+
+  test("append prunes the store scan to the batch's chunk buckets") {
+    import spark.implicits._
+    val docs = sf("sf0.001", "documents").select("doc_id", "text").limit(50)
+    val root = freshRoot()
+    ChunkStore.write(docs, "text", "doc_id", root, nBuckets = 16)
+    // one tiny batch: its chunks hash into few of the 16 buckets; the
+    // existing-side scan must carry a PartitionFilter on cb
+    val batch = Seq((900001L, "a single fresh document for bucket pruning"))
+      .toDF("doc_id", "text")
+    val ch = Curation.cdcChunks(batch, "text", "doc_id")
+    val touched = ch.select(
+        pmod(conv(substring(col("chunk_hash"), 1, 4), 16, 10).cast("long"), lit(16L)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.size < 16)
+    val pruned = spark.read.parquet(s"$root/chunks")
+      .filter(col("cb").isin(touched.toSeq: _*))
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // isin compiles to `cb IN (...)` or, for a single bucket, `cb = b`
+    assert(pf.contains("cb"),
+      s"bucket prune must be a planning-time partition filter: $pf")
+    ChunkStore.append(batch, "text", "doc_id", root, nBuckets = 16)
+    val back = ChunkStore.reconstruct(spark, root)
+    assert(back.filter(col("doc_id") === 900001L).count() == 1)
+  }
+
+  test("compact: one file per bucket, reconstruction unchanged") {
+    import spark.implicits._
+    val root = freshRoot()
+    val mk = (i: Long) => (i, s"document number $i with some padding text " +
+      "long enough to produce a handful of content defined chunks each time")
+    ChunkStore.write(Seq(mk(1)).toDF("doc_id", "text"), "text", "doc_id", root, 4)
+    ChunkStore.append(Seq(mk(2)).toDF("doc_id", "text"), "text", "doc_id", root, 4)
+    ChunkStore.append(Seq(mk(3)).toDF("doc_id", "text"), "text", "doc_id", root, 4)
+    val before = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ChunkStore.compact(spark, root)
+    val files = new java.io.File(s"$root/chunks").listFiles
+      .filter(_.getName.startsWith("cb="))
+      .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_._2 == 1),
+      s"compact must leave one file per bucket: ${files.toSeq}")
+    val after = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before)
+  }
+}

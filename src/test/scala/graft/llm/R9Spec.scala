@@ -166,4 +166,25 @@ class R9Spec extends SparkSpec {
       .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("a" -> 30L, "b" -> 30L))
   }
+
+  test("temperature mix threshold form: zero-shuffle, deterministic, near-target") {
+    import spark.implicits._
+    val docs = ((1 to 1600).map(i => (i.toLong, "head")) ++
+      (2001 to 2100).map(i => (i.toLong, "tail"))).toDF("doc_id", "source")
+    val got = Sampling.temperatureMixThreshold(docs, "doc_id", "source", 250L)
+    // pure projection + filter: no exchange in the plan
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!"Exchange \\(\\d+\\)".r.findAllIn(plan).hasNext,
+      s"threshold mix must not shuffle:\n${plan.take(1500)}")
+    val counts = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets 200/50; binomial-ish concentration — generous 30% band
+    assert(math.abs(counts("head") - 200L) <= 60, counts.toString)
+    assert(math.abs(counts("tail") - 50L) <= 25, counts.toString)
+    // deterministic rerun
+    val again = Sampling.temperatureMixThreshold(docs, "doc_id", "source", 250L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -127,6 +127,39 @@ object QueriesR9 {
         WHERE len(text) > 0
         ORDER BY doc_id""")),
 
+    // ---- streaming chunk-store ingest ----------------------------------
+    // Two micro-batches through foreachBatch ChunkStore.append (store
+    // seeded empty), checkpointed re-run is a no-op; reconstruction must
+    // equal the one-shot store — batching cannot change content-defined
+    // storage. Same oracle as chunkstore_roundtrip.
+    QueryDef("stream_chunkstore",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.ChunkStore
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val srcDir = Files.createTempDirectory("graft_sck_src_").toString
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        val root = Files.createTempDirectory("graft_sck_store_").toString
+        val ckpt = Files.createTempDirectory("graft_sck_ck_").toString
+        ChunkStore.write(docs.filter(lit(false)), "text", "doc_id", root,
+          nBuckets = 16) // empty seed
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingChunkIngest(
+            s, srcDir, schema, root, ckpt, "text", "doc_id",
+            nBuckets = 16, maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, no new chunks
+        ChunkStore.reconstruct(s, root).orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, text FROM documents
+        WHERE len(text) > 0
+        ORDER BY doc_id""")),
+
     // ---- dbt source freshness ------------------------------------------
     // Three sources with per-source thresholds chosen to exercise all
     // three statuses on this data: events loaded days before the tick
@@ -162,6 +195,43 @@ object QueriesR9 {
                     WHEN $AsOfUs - mx > w THEN 'warn'
                     ELSE 'pass' END status
         FROM s ORDER BY source_name""")),
+
+    // ---- dbt unit tests ------------------------------------------------
+    // Fixture-driven logic tests against library operators, incl. a
+    // PLANTED failing case so the nonzero missing/unexpected paths are
+    // certified, not just the all-green diagonal.
+    QueryDef("unit_test_report",
+      (s, dir) => {
+        import graft.operators.UnitTest
+        import s.implicits._
+        val dedupCase = UnitTest.Case(
+          "exact_dedup_min_survivor",
+          m => graft.llm.Dedup.exact(m("docs"), "text", "doc_id")
+            .select("doc_id", "n_copies"),
+          Map("docs" -> Seq((1L, "same text"), (2L, "same text"),
+            (3L, "other text")).toDF("doc_id", "text")),
+          Seq((1L, 2L), (3L, 1L)).toDF("doc_id", "n_copies"))
+        val centroidCase = UnitTest.Case(
+          "centroid_fixed_point",
+          m => graft.llm.Similarity.groupCentroids(m("emb"), "vec", "g"),
+          Map("emb" -> Seq(("g1", Seq(2.0f, 4.0f)), ("g1", Seq(4.0f, 8.0f)))
+            .toDF("g", "vec")),
+          Seq(("g1", 0L, 3000000L, 2L), ("g1", 1L, 6000000L, 2L))
+            .toDF("g", "pos", "mean_scaled", "n"))
+        val failCase = UnitTest.Case(
+          "planted_failure_demo",
+          m => m("t").select((col("x") * 2).as("y")),
+          Map("t" -> Seq(1, 2).toDF("x")),
+          Seq(2, 5).toDF("y"))
+        UnitTest.report(Seq(dedupCase, centroidCase, failCase))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('centroid_fixed_point', TRUE, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''),
+          ('exact_dedup_min_survivor', TRUE, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''),
+          ('planted_failure_demo', FALSE, CAST(1 AS BIGINT), CAST(1 AS BIGINT), '')
+        ) v(test_name, pass, missing_rows, unexpected_rows, error)
+        ORDER BY test_name""")),
 
     // ---- exact fixed-point group centroids -----------------------------
     // Mean embedding per label in 10^6 fixed point: order-independent

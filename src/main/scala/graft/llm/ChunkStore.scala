@@ -27,26 +27,43 @@ object ChunkStore {
   private def cb(hash: Column, n: Int): Column =
     pmod(conv(substring(hash, 1, 4), 16, 10).cast("long"), lit(n.toLong))
 
-  /** Build the store from scratch. */
+  /** Build the store from scratch (an existing store at `path` is
+    * removed first: under dynamic partition overwrite a partitioned
+    * re-write would only clear the buckets it touches, silently keeping
+    * stale chunks and manifests). */
   def write(docs: DataFrame, textCol: String, idCol: String, path: String,
             nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "ChunkStore.write: nBuckets must be positive")
+    val root = new java.io.File(path)
+    if (root.exists) {
+      import java.nio.file.{Files, Paths}
+      Files.walk(Paths.get(path)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
     val ch = Curation.cdcChunks(docs, textCol, idCol).persist()
     ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
       .repartition(col("cb"))
       .write.mode("overwrite").partitionBy("cb").parquet(s"$path/chunks")
     ch.select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_hash"))
-      .write.mode("overwrite").parquet(s"$path/manifest")
+      .write.mode("overwrite").parquet(s"$path/manifest/run=__base__")
     ch.unpersist()
   }
 
   /** Append a batch: manifests land whole; chunk rows are stored only
     * for hashes the store has never seen. The anti-join's store side is
     * pruned to the batch's own `cb=` buckets — a planning-time
-    * PartitionFilter, so the append never scans the full chunk table. */
+    * PartitionFilter, so the append never scans the full chunk table.
+    *
+    * `runId` scopes the manifest write to `manifest/run=<id>` with
+    * OVERWRITE — an idempotent retry slot (the streaming ingest passes
+    * its micro-batch id, so a replayed batch rewrites its own manifests
+    * instead of duplicating them; a replay's chunk rows anti-join away
+    * against the first attempt's). Without it the manifest is a plain
+    * append. A store mixes the two freely: `run=` is a partition value,
+    * and bare appends land under `run=__adhoc__`. */
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
-             nBuckets: Int = 64): Unit = {
+             nBuckets: Int = 64, runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val ch = Curation.cdcChunks(batch, textCol, idCol).persist()
     val newChunks = ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
@@ -54,14 +71,30 @@ object ChunkStore {
       .persist()
     val touched = newChunks.select("cb").distinct()
       .collect().map(_.getLong(0)) // bounded: <= nBuckets values
-    val existing = spark.read.parquet(s"$path/chunks")
-      .filter(col("cb").isin(touched: _*))
-      .select("chunk_hash")
+    // a store seeded from an empty corpus has no cb= dirs yet (parquet
+    // cannot persist a zero-file schema) — treat it as zero known hashes
+    val chunkDirs = Option(new java.io.File(s"$path/chunks").listFiles)
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("cb=")))
+    val existing =
+      if (chunkDirs)
+        spark.read.parquet(s"$path/chunks")
+          .filter(col("cb").isin(touched: _*))
+          .select("chunk_hash")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("chunk_hash",
+              org.apache.spark.sql.types.StringType))))
     newChunks.join(existing, Seq("chunk_hash"), "left_anti")
       .repartition(col("cb"))
       .write.mode("append").partitionBy("cb").parquet(s"$path/chunks")
-    ch.select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_hash"))
-      .write.mode("append").parquet(s"$path/manifest")
+    val man = ch.select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_hash"))
+    runId match {
+      case Some(id) =>
+        man.write.mode("overwrite").parquet(s"$path/manifest/run=$id")
+      case None =>
+        man.write.mode("append").parquet(s"$path/manifest/run=__adhoc__")
+    }
     newChunks.unpersist(); ch.unpersist()
   }
 

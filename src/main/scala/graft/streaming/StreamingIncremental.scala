@@ -293,6 +293,39 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming ingest into the content-addressed chunk store: each
+    * micro-batch CDC-chunks its documents and appends — chunk rows
+    * dedup against the store's own buckets (so a re-crawled page
+    * arriving days later still stores zero new bytes), manifests land
+    * in the batch's own idempotent `run=` slot (a replayed batch
+    * rewrites its manifests; its chunk rows anti-join away against the
+    * first attempt's). The store must exist — seed it with
+    * [[graft.llm.ChunkStore.write]] (an empty corpus is fine).
+    * foreachBatch is at-least-once; this is the same
+    * dedup-storage-as-a-sink shape as [[streamingIndexedDedup]]. */
+  def streamingChunkIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      textCol: String, idCol: String,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.ChunkStore.append(batch, textCol, idCol, storePath,
+          nBuckets, runId = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamingExactDedup(
       docs: Dataset[DocIn],
       stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {

@@ -91,6 +91,33 @@ class ChunkStoreSpec extends SparkSpec {
     assert(back.filter(col("doc_id") === 900001L).count() == 1)
   }
 
+  test("streaming ingest dedups ACROSS micro-batches") {
+    import spark.implicits._
+    val base = "in the middle of the corpus there is a long shared run of " +
+      "text that should chunk identically on both sides of any edit " +
+      "because boundaries depend only on a local window of the content"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_scs_src_").toString
+    // batch 1: the original; batch 2: a near-duplicate (prefix edit)
+    Seq((1L, base)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((2L, "edited prefix " + base)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val root = freshRoot(); val ckpt = freshRoot()
+    ChunkStore.write(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingIncremental.streamingChunkIngest(
+      spark, srcDir, schema, root, ckpt, "text", "doc_id",
+      nBuckets = 4, maxFilesPerTrigger = Some(1)).awaitTermination()
+    val st = ChunkStore.stats(spark, root).collect()(0)
+    // near-dup in a LATER batch still shares: stored < manifested
+    assert(st.getLong(1) < st.getLong(0),
+      s"cross-batch sharing expected: stored=${st.getLong(1)} manifested=${st.getLong(0)}")
+    val back = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> base, 2L -> ("edited prefix " + base)))
+  }
+
   test("compact: one file per bucket, reconstruction unchanged") {
     import spark.implicits._
     val root = freshRoot()

@@ -252,6 +252,74 @@ object QueriesR9 {
         GROUP BY label, i
         ORDER BY label, pos""")),
 
+    // ---- deterministic in-shard negative sampling ----------------------
+    // Contrastive-training pairing: k=2 negatives per doc from its own
+    // hash shard, pure function of (seed, id, j) — full relational
+    // oracle replays the rank arithmetic.
+    QueryDef("negative_sample",
+      (s, dir) =>
+        graft.llm.Sampling.negativeSample(
+            Tables.read(s, dir, "documents").select("doc_id"),
+            "doc_id", k = 2, nShards = 8, seed = 23L)
+          .orderBy("doc_id", "j"),
+      Some("""
+        WITH r AS (SELECT doc_id, md5('23:' || CAST(doc_id AS VARCHAR)) kk
+                   FROM documents),
+        rk AS (SELECT doc_id,
+                 CAST('0x' || substr(kk, 1, 4) AS BIGINT) % 8 shard,
+                 row_number() OVER (
+                   PARTITION BY CAST('0x' || substr(kk, 1, 4) AS BIGINT) % 8
+                   ORDER BY kk, doc_id) - 1 r,
+                 COUNT(*) OVER (
+                   PARTITION BY CAST('0x' || substr(kk, 1, 4) AS BIGINT) % 8) m
+               FROM r),
+        w AS (SELECT doc_id, shard, r, m, j,
+                CAST('0x' || substr(md5('23:' || CAST(doc_id AS VARCHAR)
+                  || ':' || CAST(j AS VARCHAR)), 1, 4) AS BIGINT) % 65536 h
+              FROM rk, unnest(range(1, 3)) AS t(j)
+              WHERE m > 1),
+        n AS (SELECT doc_id, j, shard,
+                (r + 1 + (h % (m - 1))) % m nr FROM w)
+        SELECT n.doc_id AS doc_id, CAST(n.j AS BIGINT) j, rk2.doc_id neg_id
+        FROM n JOIN rk rk2 ON rk2.shard = n.shard AND rk2.r = n.nr
+        ORDER BY 1, 2""")),
+
+    // ---- hard-negative mining ------------------------------------------
+    // Planted EXACT duplicates (vec_id+100000) must be excluded (cosine
+    // rounds to 1.0 >= 0.999); the output is the nearest NON-duplicate
+    // neighbors — the pairs that move a contrastive loss.
+    QueryDef("hard_negatives",
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        graft.llm.Similarity.hardNegatives(
+            emb.unionByName(planted), emb.filter(col("vec_id") < 10),
+            "embedding", "vec_id", k = 5, dupThreshold = 0.999)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding
+              FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 round(list_cosine_similarity(q.embedding, c.embedding), 6) c
+          FROM q JOIN c ON q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) rank
+          FROM scored WHERE c < 0.999)
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     // ---- temperature-scaled corpus mixing ------------------------------
     // tau = 2 rebalancing: per-source targets proportional to
     // floor(sqrt(n_d)), exact integer arithmetic end-to-end, per-source

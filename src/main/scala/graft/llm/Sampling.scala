@@ -234,4 +234,49 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Deterministic in-shard negative sampling — the pairing step of
+    * contrastive/embedding training: each example gets `k` negatives
+    * drawn from its own hash shard, as a pure function of (seed, id, j)
+    * — reproducible across reruns, engines, and cluster layouts, like
+    * every sampler here. In-shard is also how production contrastive
+    * batches actually draw negatives (from the same batch/shard), which
+    * is what makes this scale: each shard ranks and self-joins
+    * independently — per-shard windows and a per-shard equi-join, no
+    * global sort, no single reducer, no driver data.
+    *
+    * Within a shard of size m, example at rank r takes negatives at
+    * ranks (r + 1 + h_j) mod m with h_j = hash16(seed:id:j) mod (m−1) —
+    * never its own rank. Shards of size 1 emit no negatives. Returns
+    * (id, j, neg_id). */
+  def negativeSample(
+      df: DataFrame, idCol: String, k: Int,
+      nShards: Int = 64, seed: Long = 23L): DataFrame = {
+    require(k > 0, "negativeSample: k must be positive")
+    require(nShards > 0, "negativeSample: nShards must be positive")
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__key"), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    val ranked = df
+      .withColumn("__key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("r", row_number().over(w).cast("long") - 1L)
+      .withColumn("m", count(lit(1)).over(wAll))
+      .select(col(idCol), col("shard"), col("r"), col("m"))
+    val wanted = ranked.filter(col("m") > 1)
+      .select(col(idCol), col("shard"), col("r"), col("m"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__h",
+        hashBucket(concat(lit(seed.toString), lit(":"),
+          col(idCol).cast("string"), lit(":"), col("j")), 65536))
+      .withColumn("nr",
+        pmod(col("r") + 1L + pmod(col("__h"), col("m") - 1L), col("m")))
+    wanted
+      .join(ranked.select(col(idCol).as("neg_id"), col("shard"),
+        col("r").as("nr")), Seq("shard", "nr"))
+      .select(col(idCol), col("j").cast("long").as("j"), col("neg_id"))
+  }
 }

@@ -282,6 +282,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the training-pair step after dedup: for
+    * each query, the MOST similar corpus items that are NOT duplicates
+    * (cosine below `dupThreshold`), ranked hardest-first. These are the
+    * negatives that actually move a contrastive loss; random negatives
+    * ([[Sampling.negativeSample]]) are trivially easy by comparison,
+    * and near-duplicates would be false negatives (they're really
+    * positives). Exclusion happens BEFORE the bounded top-k, so
+    * duplicates never occupy slots.
+    *
+    * This form scores brute-force (queries broadcast, corpus scanned
+    * once — the exact baseline); at corpus scale generate candidates
+    * with [[IvfPq.topKRerank]] at k·margin and apply the same
+    * dupThreshold filter to its exact reranked cosines. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      dupThreshold: Double = 0.95): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("c_r"))
+      .filter(col("c_r") < dupThreshold)
+    rankTopK(scored, k)
+  }
+
   /** Per-group mean embedding (centroid) in EXACT fixed point — the
     * pooling step behind domain/cluster semantic profiles, per-source
     * diversity audits, and warm-starting a quantizer's codebook. Each

@@ -167,6 +167,42 @@ class R9Spec extends SparkSpec {
     assert(counts == Map("a" -> 30L, "b" -> 30L))
   }
 
+  test("negative sampling: k in-shard negatives, never self, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 300L).toDF("doc_id")
+    val neg = Sampling.negativeSample(docs, "doc_id", k = 3, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(neg.forall { case (id, _, n) => id != n }, "self-negative found")
+    val perDoc = neg.groupBy(_._1).map(_._2.length).toSet
+    assert(perDoc == Set(3), s"every doc must get exactly k negatives: $perDoc")
+    assert(neg.length == 900)
+    val again = Sampling.negativeSample(docs, "doc_id", k = 3, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(neg.toSet == again.toSet, "must be deterministic")
+    // singleton shards emit nothing rather than a self-pair
+    val one = Sampling.negativeSample(Seq(7L).toDF("doc_id"), "doc_id", 2, 1)
+    assert(one.count() == 0)
+  }
+
+  test("hard negatives: exact duplicates excluded, hardest-first order") {
+    import spark.implicits._
+    val emb = sf("sf0.001", "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val planted = queries
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val got = Similarity.hardNegatives(emb.unionByName(planted), queries,
+      "embedding", "vec_id", k = 5, dupThreshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall { case (q, _, n, _) => n != q + 100000L },
+      "planted exact duplicate must never appear as a negative")
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sameElements(sorted.map(_._4).sortBy(-(_: Double))),
+        "cosines must be non-increasing in rank")
+      assert(sorted.forall(_._4 < 0.999))
+    }
+  }
+
   test("temperature mix threshold form: zero-shuffle, deterministic, near-target") {
     import spark.implicits._
     val docs = ((1 to 1600).map(i => (i.toLong, "head")) ++

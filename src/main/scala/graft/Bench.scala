@@ -29,6 +29,23 @@ object Bench {
     // doesn't absorb session startup (measured ~4s on the first query)
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // queries run in Map hash order, so WHICH gate lands first is
+    // arbitrary — without a representative warm-up the first heavy gate
+    // absorbs join/window/explode codegen JIT (measured: curation_e2e
+    // 15.5 s first-in-order vs 6.5 s warm, identical plans). Exercise
+    // each major codegen family once, untimed, on a 200-row slice.
+    try {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        .cache()
+      d.count()
+      d.selectExpr("doc_id", "explode(split(text, ' ')) w")
+        .groupBy("w").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).count()
+      d.as("a").join(d.as("b"), "doc_id").count()
+      d.selectExpr("doc_id", "length(text) n")
+        .selectExpr("doc_id", "sum(n) over (order by doc_id) s").count()
+      d.unpersist()
+    } catch { case _: Throwable => () }
     // warm the streaming engine the same way, and record the residual
     // per-start fixed cost as its own metric: 8 stream_* gates run 14
     // streaming query starts between them, and that constant belongs to

@@ -44,6 +44,14 @@ object Bench {
       d.as("a").join(d.as("b"), "doc_id").count()
       d.selectExpr("doc_id", "length(text) n")
         .selectExpr("doc_id", "sum(n) over (order by doc_id) s").count()
+      // the gram/kernel family (shingle HOFs, md5, merge-walk intersect)
+      // JITs separately from plain joins — without this the first
+      // near-dup gate in Map order absorbs it
+      graft.llm.Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.8).count()
+      // containment's plan (global-df prefix ordering + asymmetric
+      // verify) generates different codegen sources than jaccard's —
+      // measured 7.8 s in bench order vs 1.0 s warm without this
+      graft.llm.Dedup.containmentPairs(d, "text", "doc_id", 0.9).count()
       d.unpersist()
     } catch { case _: Throwable => () }
     // warm the streaming engine the same way, and record the residual

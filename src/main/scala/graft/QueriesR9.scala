@@ -345,7 +345,147 @@ object QueriesR9 {
         SELECT r.doc_id, r.source
         FROM r JOIN t USING (source)
         WHERE rk <= target
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- contamination as an overlap FRACTION --------------------------
+    // Same blocklist as the decontaminate gates (doc_id % 20 == 0), but
+    // scored GPT-3-appendix-C style: per-mille of each doc's distinct
+    // 3-grams that hit the blocklist, not a raw hit count.
+    QueryDef("contamination_score",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        graft.llm.Curation.contaminationScore(docs,
+            docs.filter(pmod(col("doc_id"), lit(20L)) === 0),
+            "text", "doc_id", shingleN = 3, flagPermille = 100L)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        tot AS (SELECT doc_id, CAST(len(h) AS BIGINT) n_grams FROM hs),
+        e AS (SELECT doc_id, unnest(h) AS h FROM hs),
+        bl AS (SELECT DISTINCT h FROM e WHERE doc_id % 20 = 0),
+        hits AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) n
+                 FROM e JOIN bl USING (h) GROUP BY e.doc_id)
+        SELECT tot.doc_id, tot.n_grams,
+               COALESCE(hits.n, 0) AS n_contaminated,
+               CAST(CASE WHEN tot.n_grams > 0
+                    THEN (COALESCE(hits.n, 0) * 1000) // tot.n_grams
+                    ELSE 0 END AS BIGINT) AS overlap_permille,
+               CAST(CASE WHEN tot.n_grams > 0
+                    THEN (COALESCE(hits.n, 0) * 1000) // tot.n_grams
+                    ELSE 0 END AS BIGINT) >= 100 AS flagged
+        FROM tot LEFT JOIN hits USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- corpus-level gram-vocabulary overlap --------------------------
+    // A = even doc_ids, B = odd: one-row report of shared 3-gram
+    // vocabulary (the "is snapshot N+1 a re-crawl of snapshot N" stat).
+    QueryDef("corpus_overlap",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        graft.llm.Dedup.corpusGramOverlap(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+            "text", "doc_id", shingleN = 3)
+          .orderBy("n_grams_a")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        e AS (SELECT doc_id, unnest(h) AS h FROM hs),
+        fl AS (SELECT h,
+                 MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) ia,
+                 MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) ib
+               FROM e GROUP BY h),
+        agg AS (SELECT CAST(SUM(ia) AS BIGINT) n_grams_a,
+                       CAST(SUM(ib) AS BIGINT) n_grams_b,
+                       CAST(SUM(ia * ib) AS BIGINT) n_common FROM fl)
+        SELECT n_grams_a, n_grams_b, n_common,
+               CAST(CASE WHEN n_grams_a + n_grams_b - n_common > 0
+                    THEN (n_common * 1000) // (n_grams_a + n_grams_b - n_common)
+                    ELSE 0 END AS BIGINT) AS jaccard_permille,
+               CAST(CASE WHEN n_grams_a > 0
+                    THEN (n_common * 1000) // n_grams_a
+                    ELSE 0 END AS BIGINT) AS contain_a_permille,
+               CAST(CASE WHEN n_grams_b > 0
+                    THEN (n_common * 1000) // n_grams_b
+                    ELSE 0 END AS BIGINT) AS contain_b_permille
+        FROM agg
+        ORDER BY n_grams_a""")),
+
+    // ---- relational surface: pivot / unpivot ---------------------------
+    // Wide pivot with an explicit value list (never collect-distinct the
+    // pivot column at scale) and two aggregates per cell; lowercase
+    // aliases because DuckDB lowercases unquoted identifiers.
+    QueryDef("pivot_wide",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        def z(c: String) = coalesce(col(c), lit(0L))
+        Tables.read(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"),
+            Queries.scaledLong(
+              sum(col("o_totalprice").cast(DecimalType(30, 10)))).as("rev"))
+          .select(col("o_orderpriority"),
+            z("F_n").as("f_n"), z("F_rev").as("f_rev"),
+            z("O_n").as("o_n"), z("O_rev").as("o_rev"),
+            z("P_n").as("p_n"), z("P_rev").as("p_rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+               COALESCE(CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (WHERE o_orderstatus = 'F'), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT), 0) AS f_rev,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+               COALESCE(CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (WHERE o_orderstatus = 'O'), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT), 0) AS o_rev,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+               COALESCE(CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (WHERE o_orderstatus = 'P'), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT), 0) AS p_rev
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // Long unpivot (melt) of part's numeric metrics; values meet on the
+    // house ×10^4 BIGINT scale so the two metrics share one exact column.
+    QueryDef("unpivot_long",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        Tables.read(s, dir, "part")
+          .select(col("p_partkey"),
+            (col("p_size").cast("long") * 10000L).as("p_size"),
+            Queries.scaledLong(
+              col("p_retailprice").cast(DecimalType(30, 10))).as("p_retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_size"), col("p_retailprice")),
+            "metric", "value_scaled")
+          .orderBy("p_partkey", "metric")
+      },
+      Some("""
+        SELECT p_partkey, 'p_size' AS metric,
+               CAST(p_size AS BIGINT) * 10000 AS value_scaled
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric,
+               CAST(CAST(round(CAST(p_retailprice AS DECIMAL(30,10)), 4) AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS value_scaled
+        FROM part
+        ORDER BY p_partkey, metric"""))
   )
 
   /** Shared chunk CTE for the two cdc gates — the DuckDB realization of

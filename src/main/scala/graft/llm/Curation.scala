@@ -349,6 +349,39 @@ object Curation {
         (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
   }
 
+  /** Contamination as a FRACTION, not a count: per document, the share
+    * of its distinct word n-grams that appear in the blocklist corpus —
+    * the overlap statistic the GPT-3 appendix-C style "dirty document"
+    * definition thresholds on (a 13-gram hit in a 100k-token page means
+    * something very different from the same hit in a 50-token page,
+    * which a raw [[decontaminate]] count treats identically). Emitted as
+    * an exact integer per-mille (`overlap_permille = ⌊1000·hits/total⌋`)
+    * so the result hashes identically across engines; `flagged` is
+    * `overlap_permille >= flagPermille`. Same join shape and cost as
+    * [[decontaminate]] plus one map-side `size()` — the blocklist side
+    * stays broadcast-small and the corpus side is never shuffled whole. */
+  def contaminationScore(
+      corpus: DataFrame, blocklist: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, flagPermille: Long = 100L): DataFrame = {
+    val sets = Dedup.shingleHashSets(corpus, textCol, idCol, shingleN)
+    val totals = sets.select(col("id"), size(col("hs")).cast("long").as("n_grams"))
+    val b = Dedup.shingleHashSets(blocklist, textCol, idCol, shingleN)
+      .select(explode(col("hs")).as("h")).distinct()
+    val hits = sets.select(col("id"), explode(col("hs")).as("h"))
+      .join(b, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      // integer div: exact, hash-stable, and total under ANSI (guarded)
+      .withColumn("overlap_permille",
+        when(col("n_grams") > 0,
+          expr("(n_contaminated * 1000L) div n_grams")).otherwise(lit(0L)))
+      .withColumn("flagged", col("overlap_permille") >= flagPermille)
+  }
+
   // PII patterns — deliberately RE2-compatible (no backreferences, no
   // lookaround) so the DuckDB oracle runs the byte-identical regex.
   // Redaction order matters: emails first (their digits would otherwise

@@ -527,4 +527,47 @@ object Dedup {
       .select(col("id"), col("cid"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
   }
+
+  /** Corpus-level gram-set overlap report: how much of corpus A's
+    * distinct n-gram vocabulary corpus B shares (and vice versa) — the
+    * summary statistic behind source-mixing and dedup-efficacy decisions
+    * ("is this crawl snapshot mostly a re-crawl of the last one?").
+    * Returns ONE row: distinct-gram counts per side, the common count,
+    * and exact integer per-mille Jaccard / containment-in-each-direction.
+    *
+    * Shape: both sides' exploded grams union into a single `groupBy(h)`
+    * whose `max(flag)` partials are map-side combinable (a gram repeated
+    * a million times on one side contributes one post-combine row), then
+    * one global aggregate over |distinct grams| rows. No join, no
+    * per-side distinct pass, corpus row counts never shuffle — at 100 TB
+    * the exchange carries the gram VOCABULARY, not the corpus. */
+  def corpusGramOverlap(
+      a: DataFrame, b: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 3): DataFrame = {
+    def grams(df: DataFrame, ia: Int, ib: Int) =
+      shingleHashSets(df, textCol, idCol, shingleN)
+        .select(explode(col("hs")).as("h"),
+          lit(ia.toLong).as("ia"), lit(ib.toLong).as("ib"))
+    val flags = grams(a, 1, 0).unionByName(grams(b, 0, 1))
+      .groupBy("h").agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    flags.agg(
+        sum(col("ia")).as("n_grams_a"),
+        sum(col("ib")).as("n_grams_b"),
+        sum(col("ia") * col("ib")).as("n_common"))
+      .select(
+        coalesce(col("n_grams_a"), lit(0L)).as("n_grams_a"),
+        coalesce(col("n_grams_b"), lit(0L)).as("n_grams_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      // integer div, guarded: empty corpora yield 0, not a DIVIDE_BY_ZERO
+      .withColumn("jaccard_permille",
+        when(col("n_grams_a") + col("n_grams_b") - col("n_common") > 0,
+          expr("(n_common * 1000L) div (n_grams_a + n_grams_b - n_common)"))
+          .otherwise(lit(0L)))
+      .withColumn("contain_a_permille",
+        when(col("n_grams_a") > 0,
+          expr("(n_common * 1000L) div n_grams_a")).otherwise(lit(0L)))
+      .withColumn("contain_b_permille",
+        when(col("n_grams_b") > 0,
+          expr("(n_common * 1000L) div n_grams_b")).otherwise(lit(0L)))
+  }
 }

@@ -223,4 +223,67 @@ class R9Spec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  // ---- contamination overlap fraction ------------------------------------
+
+  test("contamination score: exact per-mille, zero-gram docs unflagged") {
+    // doc 1: fully contaminated (IS the blocklist text); doc 2: half its
+    // grams hit; doc 3: disjoint; doc 4: too short to shingle (0 grams)
+    val bench = "alpha bravo charlie delta echo"          // grams: 3
+    val docs = docsDf(Seq(
+      (1L, bench),
+      (2L, "alpha bravo charlie zulu yankee xray whiskey"), // 5 grams, 1 hit
+      (3L, "one two three four five six"),
+      (4L, "too short")))
+    val bl = docsDf(Seq((100L, bench)))
+    val got = Curation.contaminationScore(docs, bl, "text", "doc_id",
+        shingleN = 3, flagPermille = 300L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1000L, true),
+      (2L, 5L, 1L, 200L, false),
+      (3L, 4L, 0L, 0L, false),
+      (4L, 0L, 0L, 0L, false)))
+  }
+
+  test("contamination score agrees with decontaminate's hit counts") {
+    val docs = sf("sf0.001", "documents").select("doc_id", "text").limit(150)
+    val bl = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+    val scored = Curation.contaminationScore(docs, bl, "text", "doc_id")
+      .select(col("doc_id"), col("n_contaminated").as("n_s"))
+    val counted = Curation.decontaminate(docs, bl, "text", "doc_id")
+      .select(col("doc_id"), col("n_contaminated").as("n_c"))
+    val diff = scored.join(counted, "doc_id")
+      .filter(col("n_s") =!= col("n_c")).count()
+    assert(diff == 0L)
+  }
+
+  // ---- corpus gram-vocabulary overlap -------------------------------------
+
+  test("corpus overlap: exact counts and per-milles on a known fixture") {
+    // A-grams: {abc, bcd} ∪ {xyz grams}; B shares exactly the abc/bcd pair
+    val a = docsDf(Seq(
+      (2L, "a b c d"),          // grams: "a b c", "b c d"
+      (4L, "p q r s")))         // grams: "p q r", "q r s"
+    val b = docsDf(Seq(
+      (1L, "a b c d"),          // same two grams as doc 2
+      (3L, "u v w")))           // gram: "u v w"
+    val r = Dedup.corpusGramOverlap(a, b, "text", "doc_id").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 3L, 2L))
+    assert(r.getLong(3) == 400L)  // 2/(4+3-2) = 2/5
+    assert(r.getLong(4) == 500L)  // 2/4
+    assert(r.getLong(5) == 666L)  // floor(2000/3)
+  }
+
+  test("corpus overlap: empty sides yield zeros, not DIVIDE_BY_ZERO") {
+    val e = docsDf(Seq.empty)
+    val d = docsDf(Seq((1L, "a b c d")))
+    val r1 = Dedup.corpusGramOverlap(e, d, "text", "doc_id").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == (0L, 2L, 0L))
+    assert((r1.getLong(3), r1.getLong(4), r1.getLong(5)) == (0L, 0L, 0L))
+    val r2 = Dedup.corpusGramOverlap(e, e, "text", "doc_id").collect()(0)
+    assert((r2.getLong(3), r2.getLong(4), r2.getLong(5)) == (0L, 0L, 0L))
+  }
 }

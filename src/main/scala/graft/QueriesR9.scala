@@ -85,16 +85,19 @@ object QueriesR9 {
     // share every chunk outside their edit neighborhoods).
     QueryDef("cdc_dedup_stats",
       (s, dir) => {
+        // ONE pass over the chunking subtree (PLANS.md rule 7): per-hash
+        // stats in a single groupBy, then a tiny final aggregate derives
+        // all four metrics — the corpus is chunked exactly once.
         val ch = graft.llm.Curation.cdcChunks(
           Tables.read(s, dir, "documents"), "text", "doc_id")
-        val tot = ch.agg(
-          count(lit(1)).as("total_chunks"),
-          countDistinct(col("chunk_hash")).as("distinct_chunks"),
-          sum(length(col("chunk"))).cast("long").as("total_chars"))
-        val dist = ch.groupBy("chunk_hash")
-          .agg(max(length(col("chunk"))).as("l"))
-          .agg(sum(col("l")).cast("long").as("distinct_chars"))
-        tot.crossJoin(dist)
+        ch.groupBy("chunk_hash")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("chunk"))).as("chars"),
+            max(length(col("chunk"))).as("maxlen"))
+          .agg(sum(col("n")).cast("long").as("total_chunks"),
+            count(lit(1)).cast("long").as("distinct_chunks"),
+            sum(col("chars")).cast("long").as("total_chars"),
+            sum(col("maxlen")).cast("long").as("distinct_chars"))
       },
       Some(CdcChunkCte + """
         SELECT CAST(COUNT(*) AS BIGINT) total_chunks,

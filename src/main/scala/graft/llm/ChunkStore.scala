@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Content-addressed chunk store: [[Curation.cdcChunks]] materialized
@@ -10,22 +11,77 @@ import org.apache.spark.sql.functions._
   * their edit neighborhoods, so the store holds each distinct chunk
   * ONCE and documents become manifests of chunk hashes:
   *
-  *  - `chunks/cb=<b>/…` — (chunk_hash, chunk), one row per DISTINCT
+  *  - `chunks/cb=<b>/…`  — (chunk_hash, chunk), one row per DISTINCT
   *    chunk, bucketed by a 16-bit prefix of the content hash (same
   *    bucket-directory family as [[MinHashIndex]] / the lexical index);
-  *  - `manifest/…`      — (doc_id, chunk_idx, chunk_hash), append-only.
+  *  - `manifest/…`       — (doc_id, chunk_idx, chunk_hash, seq),
+  *    append-only; `seq` is the store-wide ingest sequence number;
+  *  - `tombstones/…`     — (doc_id, seq) deletion markers;
+  *  - `_store_meta.json` — {nBuckets, seq}: the bucket count the store
+  *    was WRITTEN with (appends validate against it — a mismatched
+  *    value would prune the wrong `cb=` buckets and silently duplicate
+  *    chunks) and the last issued ingest sequence. Single-writer:
+  *    concurrent appends would race on the sequence counter.
   *
   * Append cost tracks the BATCH, not the corpus: a new batch's chunks
   * dedup against only the `cb=` buckets its own hashes fall into
   * (planning-time PartitionFilters — the incremental-index discipline),
-  * and within them via one LEFT ANTI join on chunk_hash. Reconstruction
-  * is one equi-join manifest→chunks on the content hash plus a per-doc
-  * reassembly — exact byte-for-byte round trip (the `chunkstore_roundtrip`
-  * gate oracles it against the source table itself). */
+  * and within them via one LEFT ANTI join on chunk_hash.
+  *
+  * Re-ingest semantics are LATEST-RUN-WINS per document: each
+  * write/append stamps its manifest rows with a fresh `seq`, and
+  * [[reconstruct]] serves each doc_id from its highest manifest seq
+  * only — a re-crawled page that lands in a later batch (the
+  * [[graft.streaming.StreamingIncremental.streamingChunkIngest]] case)
+  * replaces its earlier version instead of concatenating both runs'
+  * chunks. [[deleteDocs]] tombstones documents at the next seq:
+  * reconstruct/visible excludes them immediately, [[compact]] purges
+  * their manifests and any chunks no surviving document references,
+  * and a doc re-ingested after deletion (higher seq) is visible again. */
 object ChunkStore {
 
   private def cb(hash: Column, n: Int): Column =
     pmod(conv(substring(hash, 1, 4), 16, 10).cast("long"), lit(n.toLong))
+
+  // ---- store metadata -------------------------------------------------
+
+  private def metaFile(path: String) = new java.io.File(s"$path/_store_meta.json")
+
+  private def writeMeta(path: String, nBuckets: Int, seq: Long): Unit = {
+    val w = new java.io.PrintWriter(metaFile(path))
+    try w.write(s"""{"nBuckets":$nBuckets,"seq":$seq}""") finally w.close()
+  }
+
+  /** (nBuckets, last issued seq) — None for a pre-metadata store. */
+  private[llm] def readMeta(path: String): Option[(Int, Long)] = {
+    val f = metaFile(path)
+    if (!f.exists) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      val txt = try src.mkString finally src.close()
+      val pat = """"nBuckets"\s*:\s*(\d+)\s*,\s*"seq"\s*:\s*(-?\d+)""".r.unanchored
+      txt match {
+        case pat(b, q) => Some((b.toInt, q.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** Validate the caller's bucket count against store metadata and
+    * issue the next ingest sequence (legacy meta-less stores: seq 1). */
+  private def nextSeq(path: String, nBuckets: Int, op: String): Long = {
+    readMeta(path) match {
+      case Some((stored, seq)) =>
+        require(stored == nBuckets,
+          s"ChunkStore.$op: store at $path was written with nBuckets=$stored, " +
+            s"got $nBuckets — appending with a different bucket count would " +
+            "prune the wrong cb= buckets and silently duplicate chunks")
+        seq + 1
+      case None => 1L
+    }
+  }
+
+  // ---- ingest ---------------------------------------------------------
 
   /** Build the store from scratch (an existing store at `path` is
     * removed first: under dynamic partition overwrite a partitioned
@@ -45,9 +101,11 @@ object ChunkStore {
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
       .repartition(col("cb"))
       .write.mode("overwrite").partitionBy("cb").parquet(s"$path/chunks")
-    ch.select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_hash"))
+    ch.select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_hash"),
+        lit(0L).as("seq"))
       .write.mode("overwrite").parquet(s"$path/manifest/run=__base__")
     ch.unpersist()
+    writeMeta(path, nBuckets, 0L)
   }
 
   /** Append a batch: manifests land whole; chunk rows are stored only
@@ -61,10 +119,17 @@ object ChunkStore {
     * instead of duplicating them; a replay's chunk rows anti-join away
     * against the first attempt's). Without it the manifest is a plain
     * append. A store mixes the two freely: `run=` is a partition value,
-    * and bare appends land under `run=__adhoc__`. */
+    * and bare appends land under `run=__adhoc__`.
+    *
+    * `nBuckets` must match the value the store was written with
+    * (validated against `_store_meta.json`); each append stamps its
+    * manifest rows with the next store-wide `seq`, so a document
+    * re-ingested here supersedes its earlier manifests at
+    * [[reconstruct]] time. Single-writer assumption. */
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
              nBuckets: Int = 64, runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    val seq = nextSeq(path, nBuckets, "append")
     val ch = Curation.cdcChunks(batch, textCol, idCol).persist()
     val newChunks = ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
@@ -88,7 +153,8 @@ object ChunkStore {
     newChunks.join(existing, Seq("chunk_hash"), "left_anti")
       .repartition(col("cb"))
       .write.mode("append").partitionBy("cb").parquet(s"$path/chunks")
-    val man = ch.select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_hash"))
+    val man = ch.select(col(idCol).as("doc_id"), col("chunk_idx"),
+      col("chunk_hash"), lit(seq).as("seq"))
     runId match {
       case Some(id) =>
         man.write.mode("overwrite").parquet(s"$path/manifest/run=$id")
@@ -96,14 +162,61 @@ object ChunkStore {
         man.write.mode("append").parquet(s"$path/manifest/run=__adhoc__")
     }
     newChunks.unpersist(); ch.unpersist()
+    writeMeta(path, nBuckets, seq)
   }
 
-  /** Reassemble (doc_id, text) for every manifested document — the
+  /** Tombstone documents: [[reconstruct]] and [[stats]]' visible side
+    * exclude them immediately (no store rewrite), [[compact]] purges
+    * their manifests and any chunks only they referenced. The marker
+    * carries the next ingest seq, so a doc RE-INGESTED after deletion
+    * outranks its tombstone and becomes visible again. */
+  def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit = {
+    val meta = readMeta(path)
+    val seq = meta.map(_._2 + 1).getOrElse(1L)
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("seq", lit(seq))
+      .write.mode("append").parquet(s"$path/tombstones")
+    meta.foreach { case (b, _) => writeMeta(path, b, seq) }
+  }
+
+  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dir = new java.io.File(s"$path/tombstones")
+    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+  }
+
+  /** The LIVE manifest: per doc_id, the rows of its highest-seq ingest
+    * (latest-run-wins — re-crawled pages replace, never concatenate),
+    * minus documents whose newest marker is a tombstone. Legacy
+    * manifests without a seq column read as seq 0. */
+  private def visibleManifest(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/manifest")
+    val man = if (raw.columns.contains("seq")) raw
+              else raw.withColumn("seq", lit(0L))
+    val latest = man
+      .withColumn("_mx", max(col("seq")).over(Window.partitionBy("doc_id")))
+      .filter(col("seq") === col("_mx"))
+      // same-(doc,idx) duplicates within one seq can only come from a
+      // batch that carried the same doc_id twice — keep one arbitrarily
+      .dropDuplicates("doc_id", "chunk_idx")
+      .drop("_mx")
+    tombstonesOpt(spark, path) match {
+      case None => latest
+      case Some(tomb) =>
+        val tmax = tomb.groupBy("doc_id").agg(max(col("seq")).as("_tseq"))
+        latest.join(broadcast(tmax), Seq("doc_id"), "left")
+          .filter(col("_tseq").isNull || col("seq") > col("_tseq"))
+          .drop("_tseq")
+    }
+  }
+
+  /** Reassemble (doc_id, text) for every LIVE manifested document — the
     * byte-exact inverse of [[write]]/[[append]] for non-empty texts
     * (empty documents chunk to nothing and are not manifested). One
     * equi-join on the content hash + one per-doc reassembly shuffle. */
   def reconstruct(spark: SparkSession, path: String): DataFrame = {
-    val man = spark.read.parquet(s"$path/manifest")
+    val man = visibleManifest(spark, path)
     val ch = spark.read.parquet(s"$path/chunks").select("chunk_hash", "chunk")
     man.join(ch, "chunk_hash")
       .groupBy("doc_id")
@@ -112,7 +225,9 @@ object ChunkStore {
         .as("text"))
   }
 
-  /** Storage accounting: manifested vs stored chunk rows/bytes. */
+  /** Storage accounting: PHYSICAL manifest/chunk rows and bytes (what
+    * is on disk, superseded runs and tombstoned docs included — compact
+    * is what reclaims them) plus the live manifest row count. */
   def stats(spark: SparkSession, path: String): DataFrame = {
     val man = spark.read.parquet(s"$path/manifest")
     val ch = spark.read.parquet(s"$path/chunks")
@@ -121,7 +236,45 @@ object ChunkStore {
         sum(length(col("chunk"))).cast("long").as("stored_chars")))
   }
 
-  /** One file per chunk bucket after N appends. */
-  def compact(spark: SparkSession, path: String): Unit =
-    IvfLayout.compact(spark, s"$path/chunks", partCol = "cb")
+  /** Physically reclaim space: rewrite the manifest to only its live
+    * rows (superseded runs and tombstoned docs dropped), drop chunk
+    * rows no live manifest references, clear applied tombstones, and
+    * leave one file per chunk bucket. Surviving documents reconstruct
+    * byte-identically. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: String): Unit = {
+      val t = Paths.get(p)
+      if (Files.exists(t))
+        Files.walk(t).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+    val nBuckets = readMeta(path).map(_._1).getOrElse(64)
+    // 1. live manifest -> single __base__ run (seq collapses to 0: with
+    //    every superseded row gone, latest-run-wins is the identity)
+    val live = visibleManifest(spark, path)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), lit(0L).as("seq"))
+      .persist()
+    live.write.mode("overwrite").parquet(s"$path/manifest_compact_tmp")
+    // 2. chunks still referenced by a live manifest row, rebucketed to
+    //    one file per cb= partition
+    val liveHashes = spark.read.parquet(s"$path/manifest_compact_tmp")
+      .select("chunk_hash").distinct()
+    spark.read.parquet(s"$path/chunks")
+      .join(liveHashes, Seq("chunk_hash"), "left_semi")
+      .withColumn("cb", cb(col("chunk_hash"), nBuckets))
+      .repartition(col("cb"))
+      .sortWithinPartitions("chunk_hash")
+      .write.mode("overwrite").partitionBy("cb").parquet(s"$path/chunks_compact_tmp")
+    live.unpersist()
+    // 3. swap directories, clear applied tombstones, keep the seq counter
+    rmTree(s"$path/manifest")
+    Files.createDirectories(Paths.get(s"$path/manifest"))
+    Files.move(Paths.get(s"$path/manifest_compact_tmp"),
+      Paths.get(s"$path/manifest/run=__base__"))
+    rmTree(s"$path/chunks")
+    Files.move(Paths.get(s"$path/chunks_compact_tmp"), Paths.get(s"$path/chunks"))
+    rmTree(s"$path/tombstones")
+    readMeta(path).foreach { case (b, s) => writeMeta(path, b, s) }
+  }
 }

@@ -283,8 +283,13 @@ object Dedup {
       sets.select(col("id"), col("hs").as("sorted_hs")) // hs is already sorted
     })
       .withColumn("n", size(col("sorted_hs")))
+      // required overlap = ceil(t·n); the 1e-9 back-off keeps a one-ulp
+      // round-UP of the double product (t·n exactly integral) from
+      // overshooting ceil by 1 and cutting the prefix one short — a
+      // near-integer-from-below instead lengthens the prefix by one,
+      // which only adds candidates, never loses a qualifying pair
       .withColumn("plen",
-        (col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1))
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1))
       .select(col("id"), expr("slice(sorted_hs, 1, plen)").as("prefix"))
     val prefPost = sorted.select(col("id"), explode(col("prefix")).as("s"))
     val l = prefPost.select(col("s"), col("id").as("id_a"))
@@ -352,8 +357,9 @@ object Dedup {
       .groupBy("id")
       .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)")
         .as("sorted_hs"), count(lit(1)).as("n"))
+      // same 1e-9 ceil back-off as the Jaccard prefix: never one short
       .withColumn("plen",
-        (col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1))
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1))
       .select(col("id").as("id_a"),
         explode(expr("slice(sorted_hs, 1, plen)")).as("s"))
     val cand = pref.join(post, "s")

@@ -69,11 +69,21 @@ object Dsir {
             textCol: String, idCol: String,
             nBuckets: Int = 10000): DataFrame = {
     require(nBuckets > 0, "Dsir.score: nBuckets must be positive")
-    val rawC = bucketCounts(raw, textCol, nBuckets)
-    val tgtC = bucketCounts(target, textCol, nBuckets)
-    val totals = rawC.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0) ->
-      tgtC.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
-    val (tRaw, tTgt) = totals
+    // One corpus gram pass per side (PLANS.md rule 7): the fitted models
+    // are <= nBuckets rows, so collect each ONCE, derive the totals from
+    // the collected arrays, and rebuild the broadcast build sides as
+    // local relations — the full-corpus explosion never re-executes for
+    // the totals or for the join build.
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val rawRows = bucketCounts(raw, textCol, nBuckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tgtRows = bucketCounts(target, textCol, nBuckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tRaw = rawRows.map(_._2).sum
+    val tTgt = tgtRows.map(_._2).sum
+    val rawC = rawRows.toDF("bucket", "cnt")
+    val tgtC = tgtRows.toDF("bucket", "cnt")
     val s = adaptiveScale(math.max(tRaw, tTgt) + nBuckets)
     // bits tables are bucket-space sized; add-one smoothing covers EMPTY
     // buckets through the left joins below (c = 0 -> q = S div (T + B)).

@@ -180,7 +180,8 @@ object Sampling {
       df: DataFrame, idCol: String, sourceCol: String,
       budget: Long, seed: Long = 17L): DataFrame = {
     require(budget > 0, "temperatureMix: budget must be positive")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val src = requireStringSource(df, sourceCol, "temperatureMix")
+    val counts = src.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val weights = counts.map { case (s, n) =>
       (s, math.floor(math.sqrt(n.toDouble)).toLong)
@@ -194,10 +195,23 @@ object Sampling {
     val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol).orderBy(col("__key"), col(idCol))
-    df.withColumn("__key", key)
+    src.withColumn("__key", key)
       .withColumn("__rk", row_number().over(w).cast("long"))
       .filter(col("__rk") <= targetCol)
       .drop("__key", "__rk")
+  }
+
+  /** Both mixers require a STRING source column and EXCLUDE null-source
+    * rows (a null source names no mixture component; silently folding
+    * it into "drop" was the old behavior — now it is the documented,
+    * explicitly-filtered contract, and a non-string column fails fast
+    * instead of throwing mid-collect). */
+  private def requireStringSource(
+      df: DataFrame, sourceCol: String, op: String): DataFrame = {
+    val dt = df.schema(sourceCol).dataType
+    require(dt == org.apache.spark.sql.types.StringType,
+      s"$op: sourceCol '$sourceCol' must be STRING, got ${dt.simpleString}")
+    df.filter(col(sourceCol).isNotNull)
   }
 
   /** The ZERO-SHUFFLE form of [[temperatureMix]]: instead of an exact
@@ -215,7 +229,8 @@ object Sampling {
       df: DataFrame, idCol: String, sourceCol: String,
       budget: Long, seed: Long = 17L): DataFrame = {
     require(budget > 0, "temperatureMixThreshold: budget must be positive")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val src = requireStringSource(df, sourceCol, "temperatureMixThreshold")
+    val counts = src.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val weights = counts.map { case (s, n) =>
       (s, math.floor(math.sqrt(n.toDouble)).toLong)
@@ -232,7 +247,7 @@ object Sampling {
         hashBucket(concat(lit(seed.toString), lit(":"),
           col(idCol).cast("string")), 65536) < lit(thr)).otherwise(acc)
     }
-    df.filter(keep)
+    src.filter(keep)
   }
 
   /** Deterministic in-shard negative sampling — the pairing step of

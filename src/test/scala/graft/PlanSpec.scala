@@ -225,6 +225,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("cdc_dedup_stats: chunking subtree executes once — single scan, no crossJoin") {
+    val p = planOf("cdc_dedup_stats")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"documents must be scanned exactly once:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"),
+      "the two-branch crossJoin shape must stay gone")
+  }
+
+  test("dsir_score: fitted models are local relations — one gram explosion in the serving plan") {
+    val p = planOf("dsir_score")
+    // the bucket models are collected once and re-join as LocalTableScans;
+    // the only Generate (gram explode) left is perDoc's single pass
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size == 1,
+      s"exactly one gram explosion expected in the serving plan:\n${p.take(3000)}")
+    assert(p.contains("LocalTableScan"),
+      "model build sides must be collected local relations, not corpus re-scans")
+  }
+
   test("dedup_containment: equi-joins only, never cartesian") {
     val p = planOf("dedup_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),

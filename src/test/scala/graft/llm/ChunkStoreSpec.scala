@@ -138,4 +138,77 @@ class ChunkStoreSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after == before)
   }
+
+  test("re-ingesting a doc in a later run REPLACES it (latest-run-wins), never concatenates") {
+    import spark.implicits._
+    val v1 = "version one of a page that is long enough to chunk into " +
+      "several pieces so that naive manifest merging would duplicate them"
+    val v2 = "version two rewritten after a re-crawl with different words " +
+      "but still long enough to chunk into several distinct pieces"
+    val root = freshRoot()
+    ChunkStore.write(Seq((7L, v1)).toDF("doc_id", "text"), "text", "doc_id", root, 4)
+    // exact re-ingest of the SAME content in a later run: text unchanged
+    ChunkStore.append(Seq((7L, v1)).toDF("doc_id", "text"), "text", "doc_id", root, 4)
+    val exact = ChunkStore.reconstruct(spark, root).collect()
+    assert(exact.length == 1 && exact(0).getString(1) == v1,
+      "exact re-ingest must not duplicate chunks in the reconstruction")
+    // edited re-ingest: the NEW version wins outright
+    ChunkStore.append(Seq((7L, v2)).toDF("doc_id", "text"), "text", "doc_id", root, 4)
+    val edited = ChunkStore.reconstruct(spark, root).collect()
+    assert(edited.length == 1 && edited(0).getString(1) == v2,
+      s"latest run must win: ${edited(0).getString(1).take(40)}…")
+  }
+
+  test("append with a mismatched nBuckets is rejected (store metadata)") {
+    import spark.implicits._
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "some document text that chunks"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 8)
+    assert(ChunkStore.readMeta(root).map(_._1).contains(8))
+    val ex = intercept[IllegalArgumentException] {
+      ChunkStore.append(Seq((2L, "another document"))
+        .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 16)
+    }
+    assert(ex.getMessage.contains("nBuckets=8"))
+  }
+
+  test("deleteDocs hides immediately; compact purges; re-ingest after delete revives") {
+    import spark.implicits._
+    val shared = "a long shared tail of text that two documents have in " +
+      "common so deleting one must not drop the other document's chunks"
+    val root = freshRoot()
+    ChunkStore.write(Seq(
+        (1L, "unique head one " + shared),
+        (2L, "unique head two " + shared),
+        (3L, "a fully independent document with content nobody shares"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    val storedBefore = spark.read.parquet(s"$root/chunks").count()
+    ChunkStore.deleteDocs(Seq(Tuple1(3L)).toDF("doc_id"), "doc_id", root)
+    // serve-side: doc 3 is gone immediately, no rewrite happened yet
+    val served = ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(served == Set(1L, 2L), s"tombstoned doc must be hidden: $served")
+    assert(spark.read.parquet(s"$root/chunks").count() == storedBefore,
+      "delete must not rewrite the chunk table")
+    // compact: doc 3's exclusive chunks are reclaimed, shared ones kept,
+    // survivors reconstruct byte-identically
+    val before = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ChunkStore.compact(spark, root)
+    assert(spark.read.parquet(s"$root/chunks").count() < storedBefore,
+      "compact must reclaim the deleted doc's exclusive chunks")
+    val after = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "survivors must be byte-identical after compact")
+    assert(!new java.io.File(s"$root/tombstones").exists,
+      "applied tombstones must be cleared")
+    // revive: a delete then a LATER re-ingest makes the doc visible again
+    ChunkStore.deleteDocs(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", root)
+    ChunkStore.append(Seq((1L, "the revived document body"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    val revived = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(revived(1L) == "the revived document body")
+    assert(revived.keySet == Set(1L, 2L))
+  }
 }

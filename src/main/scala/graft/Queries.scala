@@ -1116,5 +1116,6 @@ object Queries {
   def all: Seq[QueryDef] =
     analytics ++ dfuncs ++ policy ++ materializations ++ runlogQueries ++
       validatorQueries ++ governance ++ QueriesLlm.all ++ QueriesExt.all ++
-      QueriesR6.all ++ QueriesR7.all ++ QueriesR8.all ++ QueriesR9.all
+      QueriesR6.all ++ QueriesR7.all ++ QueriesR8.all ++ QueriesR9.all ++
+      QueriesR10.all
 }

@@ -45,15 +45,30 @@ object Bpe {
     * corpus size) fits on the driver (`localVocabMax`), the merge loop
     * runs in memory with INCREMENTAL pair-count updates (only words
     * containing the merged pair are touched) — a 30k-merge table costs
-    * 30k map updates, not 30k Spark jobs. Dicts past the bound fall back
-    * to the distributed per-round pair count (one job per merge — viable
-    * for small tables, and the only fully-general path). Both paths are
-    * bit-identical: same per-position pair frequencies, same
-    * (freq desc, left, right) tie-break with UTF8-binary string order,
-    * same freq>=2 stop rule (BpeSpec pins local == distributed). */
+    * 30k map updates, not 30k Spark jobs. Both paths are bit-identical:
+    * same per-position pair frequencies, same (freq desc, left, right)
+    * tie-break with UTF8-binary string order, same freq>=2 stop rule
+    * (BpeSpec pins local == distributed).
+    *
+    * Past the cap, the ladder (most-exact feasible path wins):
+    *
+    *  1. full dict fits `localVocabMax` → exact in-memory loop;
+    *  2. else, if the dict RESTRICTED TO words with corpus frequency
+    *     >= `minCount` fits → in-memory loop over the filtered dict.
+    *     Web-scale dicts are dominated by singleton noise (URLs, typos,
+    *     hex ids) — a freq>=2 word set is orders of magnitude smaller,
+    *     and dropping weight-(minCount−1) pair contributions cannot
+    *     change any merge whose frequency margin exceeds the dropped
+    *     mass (standard Sennrich-trainer practice; documented
+    *     approximation, NOT bit-exact in general);
+    *  3. else the distributed per-round pair count over the FULL dict —
+    *     one job per merge, exact, the fully-general last resort.
+    *
+    * `minCount <= 1` disables step 2. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             checkpointEvery: Int = 5,
-            localVocabMax: Long = 2000000L): Seq[(Long, String, String, Long)] = {
+            localVocabMax: Long = 2000000L,
+            minCount: Long = 2L): Seq[(Long, String, String, Long)] = {
     require(numMerges > 0, "Bpe.train: numMerges must be positive")
     require(checkpointEvery > 0, "Bpe.train: checkpointEvery must be positive")
     val wc = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
@@ -62,6 +77,17 @@ object Bpe {
     if (wc.count() <= localVocabMax) {
       val counts = wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       return trainLocal(counts, numMerges)
+    }
+    if (minCount > 1) {
+      val wcf = wc.filter(col("n") >= minCount)
+      val nf = wcf.count()
+      // nf == 0 (all-singleton corpus) must NOT short-circuit to an empty
+      // merge table: cross-word pairs can still repeat — fall through to
+      // the exact distributed loop instead
+      if (nf > 0 && nf <= localVocabMax) {
+        val counts = wcf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        return trainLocal(counts, numMerges)
+      }
     }
     var dict = wc
       .select(split(col("w"), "").as("syms"), col("n"))

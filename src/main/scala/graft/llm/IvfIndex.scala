@@ -37,7 +37,8 @@ private[llm] object IvfLayout {
     * `<path>__compact_old` intact and `<path>` absent — recovery is
     * renaming the old directory back, and a re-run fails loudly while
     * the leftover exists instead of compounding. */
-  def compact(spark: SparkSession, path: String, partCol: String = "cid"): Unit = {
+  def compact(spark: SparkSession, path: String, partCol: String = "cid",
+              transform: DataFrame => DataFrame = identity): Unit = {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -53,7 +54,7 @@ private[llm] object IvfLayout {
         "restore it over the index path (or remove it) before re-running")
     fs.delete(tmp, true)
 
-    spark.read.parquet(path)
+    transform(spark.read.parquet(path))
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(tmp.toString)
     // sidecars (_centroids, _codebooks) travel verbatim; _SUCCESS is
@@ -71,10 +72,18 @@ private[llm] object IvfLayout {
 
 object IvfIndex {
 
-  /** One-file-per-cell rewrite of an appended-to index; see
-    * [[IvfLayout.compact]]. */
-  def compact(spark: SparkSession, path: String): Unit =
-    IvfLayout.compact(spark, path)
+  /** One-file-per-cell rewrite of an appended-to index; tombstoned rows
+    * are purged and the markers cleared. See [[IvfLayout.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IvfLayout.compact(spark, path, "cid",
+      df => Tombstones.exclude(df, "neighbor_id", spark, path))
+    Tombstones.clear(path)
+  }
+
+  /** Tombstone vectors by id: [[topK]] excludes them immediately (no
+    * rewrite); [[compact]] reclaims their rows. */
+  def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
 
   /** Assign every corpus vector to its nearest centroid (zero-shuffle
     * projection) and write cell-partitioned parquet + centroid sidecar. */
@@ -132,8 +141,10 @@ object IvfIndex {
       case IntegerType => probed.map(_.toInt)
       case _ => probed.map(_.toString)
     }
-    val cells = idx.filter(col("cid").isin(cidLits: _*))
-      .select(col("neighbor_id"), col("neighbor_vec"), col("cid").cast("long").as("cid"))
+    val cells = Tombstones.exclude(
+      idx.filter(col("cid").isin(cidLits: _*))
+        .select(col("neighbor_id"), col("neighbor_vec"), col("cid").cast("long").as("cid")),
+      "neighbor_id", spark, path)
 
     val cand = cells.join(broadcast(queryCells), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -123,10 +123,18 @@ object IvfPq {
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
-  /** One-file-per-cell rewrite of an appended-to index; see
-    * [[IvfLayout.compact]]. */
-  def compact(spark: SparkSession, path: String): Unit =
-    IvfLayout.compact(spark, path)
+  /** One-file-per-cell rewrite of an appended-to index; tombstoned rows
+    * are purged and the markers cleared. See [[IvfLayout.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    IvfLayout.compact(spark, path, "cid",
+      df => Tombstones.exclude(df, "id", spark, path))
+    Tombstones.clear(path)
+  }
+
+  /** Tombstone vectors by id: [[topK]]/[[topKRerank]] exclude them
+    * immediately (no rewrite); [[compact]] reclaims their rows. */
+  def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val cents = spark.read.parquet(s"$path/_centroids").collect()
@@ -167,8 +175,10 @@ object IvfPq {
       case IntegerType => probed.map(_.toInt)
       case _ => probed.map(_.toString)
     }
-    val cells = idx.filter(col("cid").isin(cidLits: _*))
-      .select(col("id"), col("codes"), col("xnormsq"), col("cid").cast("long").as("cid"))
+    val cells = Tombstones.exclude(
+      idx.filter(col("cid").isin(cidLits: _*))
+        .select(col("id"), col("codes"), col("xnormsq"), col("cid").cast("long").as("cid")),
+      "id", spark, path)
 
     val scored = cells.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("id"))

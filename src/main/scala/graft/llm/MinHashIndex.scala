@@ -75,11 +75,21 @@ object MinHashIndex {
       .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
   }
 
-  /** One file per bucket directory after N appends (both tables). */
+  /** One file per bucket directory after N appends (both tables);
+    * tombstoned ids are purged from both and the markers cleared. */
   def compact(spark: SparkSession, path: String): Unit = {
-    IvfLayout.compact(spark, s"$path/bands", partCol = "kb")
-    IvfLayout.compact(spark, s"$path/sets", partCol = "ib")
+    IvfLayout.compact(spark, s"$path/bands", partCol = "kb",
+      transform = df => Tombstones.exclude(df, "id", spark, path))
+    IvfLayout.compact(spark, s"$path/sets", partCol = "ib",
+      transform = df => Tombstones.exclude(df, "id", spark, path))
+    Tombstones.clear(path)
   }
+
+  /** Tombstone indexed documents: [[nearDupPairsIncremental]] /
+    * [[serveThenAppend]] stop pairing against them immediately (no
+    * rewrite); [[compact]] reclaims their band and set rows. */
+  def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
 
   private def typedLits(df: DataFrame, colName: String, vals: Seq[Long]): Seq[Any] =
     df.schema(colName).dataType match {
@@ -162,9 +172,11 @@ object MinHashIndex {
     val kbs = nb.select(kb(col("key"), nBuckets).as("kb")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val bandsRaw = spark.read.parquet(s"$path/bands")
-    val idxBands = bandsRaw
-      .filter(col("kb").isin(typedLits(bandsRaw, "kb", kbs): _*))
-      .select(col("id"), col("band"), col("key"))
+    val idxBands = Tombstones.exclude(
+      bandsRaw
+        .filter(col("kb").isin(typedLits(bandsRaw, "kb", kbs): _*))
+        .select(col("id"), col("band"), col("key")),
+      "id", spark, path)
 
     val left = nb.select(col("band"), col("key"), col("id").as("nid"))
     val right = idxBands.unionByName(nb)
@@ -182,9 +194,14 @@ object MinHashIndex {
       .unionByName(cand.select(ib(col("id_b"), nBuckets).as("ib")))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val setsRaw = spark.read.parquet(s"$path/sets")
-    val idxSets = setsRaw
-      .filter(col("ib").isin(typedLits(setsRaw, "ib", ibs): _*))
-      .select(col("id"), col("hs"))
+    // band-side exclusion already keeps deleted ids out of candidates;
+    // excluding here too keeps the verify join honest if a deleted id
+    // arrives via the batch side of a candidate pair
+    val idxSets = Tombstones.exclude(
+      setsRaw
+        .filter(col("ib").isin(typedLits(setsRaw, "ib", ibs): _*))
+        .select(col("id"), col("hs")),
+      "id", spark, path)
     val allSets = newSets.unionByName(idxSets)
 
     (Dedup.verifyJaccard(cand, allSets, jaccardThreshold),

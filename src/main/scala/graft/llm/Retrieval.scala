@@ -262,14 +262,52 @@ object Retrieval {
     withLen.unpersist()
   }
 
+  /** Tombstone indexed documents: [[bm25TopKFromIndex]] excludes their
+    * postings immediately (df over surviving postings is then exact);
+    * the n_docs/avgdl statistics keep counting them until
+    * [[compactIndex]] corrects the sidecar — the Lucene posture
+    * (deleted docs affect collection stats until segments merge). */
+  def deleteIndexDocs(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
+
   /** One-file-per-bucket rewrite of an appended-to lexical index —
     * the same small-file hygiene as [[IvfIndex.compact]] (N daily
     * appends leave N file sets per bucket directory); stats delta rows
     * ride along verbatim inside `_stats` (sidecars are copied as-is,
     * and their SUM is unchanged by construction). Served results are
-    * identical; the bucket PartitionFilter survives (same layout). */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    IvfLayout.compact(spark, path, partCol = "bucket")
+    * identical; the bucket PartitionFilter survives (same layout).
+    *
+    * Tombstoned docs are purged: their postings are dropped in the
+    * rewrite and a NEGATIVE delta row (−n_docs, −total_tokens, computed
+    * from their pre-purge postings) lands in `_stats`, so idf/avgdl
+    * reflect the surviving corpus. The delta is computed BEFORE the
+    * purge and appended after the swap: a crash between the two leaves
+    * stats overcounting the deleted docs (conservative — the same
+    * posture serve-time deletion already has) and a re-run converges
+    * (the markers are cleared only after the delta lands; a second
+    * compact finds no surviving deleted postings, so its delta is
+    * zero). Deleted EMPTY docs have no postings and stay counted in
+    * n_docs — a documented drift of at most the empty-doc count. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val delta = Tombstones.readOpt(spark, path).map { t =>
+      spark.read.parquet(path)
+        .join(broadcast(t.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+        .select("doc_id", "dl").distinct()
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("tok"))
+        .head()
+    }
+    IvfLayout.compact(spark, path, partCol = "bucket",
+      transform = df => Tombstones.exclude(df, "doc_id", spark, path))
+    delta.foreach { d =>
+      if (d.getLong(0) > 0L) {
+        import spark.implicits._
+        Seq((-d.getLong(0), -d.getLong(1))).toDF("n_docs", "total_tokens")
+          .coalesce(1).write.mode("append").parquet(s"$path/_stats")
+      }
+    }
+    Tombstones.clear(path)
+  }
 
   /** BM25 top-k served FROM the index: identical scores to [[bm25TopK]]
     * over the same corpus (same integer arithmetic, same idf scale
@@ -303,8 +341,10 @@ object Retrieval {
       case org.apache.spark.sql.types.IntegerType => buckets.toSeq.map(_.toInt)
       case _ => buckets.toSeq.map(_.toString)
     }
-    val p = idx.filter(col("bucket").isin(bucketLits: _*))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val p = Tombstones.exclude(
+      idx.filter(col("bucket").isin(bucketLits: _*))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")),
+      "doc_id", spark, path)
     // df from the pruned postings is EXACT: a term's postings all live in
     // its bucket
     val idf = p.join(qTerms.select("term").distinct(), "term")

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared tombstone mechanics for the materialized stores (MinHash /
+  * lexical / IVF / IVF+PQ indexes): deletion as an append-only marker
+  * table, honored at serve time immediately and physically purged at
+  * compact — the MERGE-style "update without rewrite" discipline the
+  * reference applies to tables
+  * (`incremental_partition_merge.sql:114-130`), applied to index
+  * layouts. A real training-data pipeline deletes (takedowns,
+  * opt-outs, license changes); rebuilding every index per takedown is
+  * the alternative this buys out of.
+  *
+  * Layout: `<store>/_tombstones/` parquet with a single `id` column —
+  * the underscore prefix keeps it invisible to the store's own
+  * `spark.read.parquet(store)` data discovery, the `_centroids` /
+  * `_stats` sidecar convention.
+  *
+  * Serve-side exclusion is a broadcast LEFT ANTI join: takedown sets
+  * are small relative to the corpus (and bounded by it); a deletion
+  * wave large enough to strain a broadcast is a rebuild, not a
+  * tombstone. */
+private[llm] object Tombstones {
+
+  private def dir(path: String) = s"$path/_tombstones"
+
+  /** Record ids as deleted (append-only; duplicates are harmless —
+    * exclusion is a semi-join and compact purges the marker table). */
+  def add(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(dir(path))
+
+  /** The marker table, if any markers exist. */
+  def readOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val d = new java.io.File(dir(path))
+    if (d.exists && d.listFiles != null && d.listFiles.nonEmpty)
+      Some(spark.read.parquet(dir(path)))
+    else None
+  }
+
+  /** `df` minus rows whose `idColName` is tombstoned — identity when no
+    * tombstones exist, so untouched stores pay nothing. */
+  def exclude(df: DataFrame, idColName: String,
+              spark: SparkSession, path: String): DataFrame =
+    readOpt(spark, path) match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t.select(col("id").as(idColName))),
+          Seq(idColName), "left_anti")
+    }
+
+  /** Drop the marker table (call after a purge has applied it). */
+  def clear(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(dir(path))
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.llm.{Bpe, Dedup, KMeans}
+
+/** Round-10 probes:
+  *
+  *  1. SemDeDup/IVF at trained cell counts up to k ≈ √n (VERDICT r6 #4 /
+  *     r9 #6): pair-work reduction curve (Σ c·(c−1)/2 within cells) and
+  *     assign-cost flatness in k — the NearestCodewords kernel keeps the
+  *     assignment plan constant-size, so only the Lloyd fits scale.
+  *  2. BPE past the driver-dict cap (VERDICT r9 #2): with the full dict
+  *     over `localVocabMax`, the min-count pre-filter keeps the
+  *     in-memory incremental merge loop reachable; compare against the
+  *     one-job-per-merge distributed fallback on the same corpus.
+  */
+object ScaleProbeR10 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.builder("local[32]", Some(32)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timeIt[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-44s $s%7.1f s"); (r, s)
+    }
+
+    // ---- 1. cell-count curve -----------------------------------------
+    // 10 deterministic perturbed copies of the sf0.1 embeddings: n = 20k,
+    // √n ≈ 141 cells.
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nCopies = 10
+    val emb = (0 until nCopies).map { j =>
+      base.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          v => v + v * lit(j.toFloat / 1000f)).as("embedding"))
+    }.reduce(_ unionByName _).persist()
+    val n = emb.count()
+    println(s"probe corpus: $n vectors")
+    for (k <- Seq(8, 32, 141)) {
+      val (cents, tFit) = timeIt(s"kmeans fit        k=$k (3 iters)") {
+        KMeans.fit(emb, "embedding", "vec_id", k, iters = 3, corpusRows = Some(n))
+      }
+      val (sizes, tAssign) = timeIt(s"assign + sizes    k=$k") {
+        KMeans.assign(emb, "embedding", cents)
+          .groupBy("cid").agg(count(lit(1)).as("c")).collect()
+          .map(_.getLong(1))
+      }
+      val pairWork = sizes.map(c => c * (c - 1) / 2).sum
+      val allPairs = n * (n - 1) / 2
+      println(f"k=$k%4d cells=${sizes.length}%4d pair-work=$pairWork%12d " +
+        f"(${100.0 * pairWork / allPairs}%.2f%% of all-pairs) " +
+        f"fit=$tFit%.1fs assign=$tAssign%.1fs")
+      val (kept, tDedup) = timeIt(s"semanticDedup     k=$k (t=0.95)") {
+        Dedup.semanticDedup(emb, "embedding", "vec_id", cents, 0.95)
+          .filter(col("keep")).count()
+      }
+      println(s"  kept=$kept dedup=${tDedup}s")
+    }
+    emb.unpersist()
+
+    // ---- 2. BPE past the cap -----------------------------------------
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("text")
+    val wc = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")).persist()
+    val dictAll = wc.count()
+    val dictF2 = wc.filter(col("n") >= 2).count()
+    println(s"dict: all=$dictAll freq>=2=$dictF2 " +
+      f"(${100.0 * dictF2 / dictAll}%.1f%%)")
+    wc.unpersist()
+    // cap between the two sizes: the full dict does NOT fit, freq>=2 does
+    val cap = (dictF2 + dictAll) / 2
+    val (filtered, tFiltered) = timeIt(s"train 20 merges, minCount=2 local (cap=$cap)") {
+      Bpe.train(docs, "text", numMerges = 20, localVocabMax = cap, minCount = 2L)
+    }
+    val (dist, tDist) = timeIt(s"train 20 merges, distributed fallback (cap=$cap)") {
+      Bpe.train(docs, "text", numMerges = 20, localVocabMax = cap, minCount = 1L)
+    }
+    val (exact, _) = timeIt("train 20 merges, exact local (no cap)") {
+      Bpe.train(docs, "text", numMerges = 20)
+    }
+    println(s"filtered == exact: ${filtered == exact}; dist == exact: ${dist == exact}")
+    println(f"speedup filtered-local vs distributed: ${tDist / tFiltered}%.1fx")
+    spark.stop()
+  }
+}

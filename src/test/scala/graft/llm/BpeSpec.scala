@@ -109,6 +109,39 @@ class BpeSpec extends SparkSpec {
       Bpe.train(sdocs, "text", numMerges = 6, localVocabMax = 0L))
   }
 
+  test("min-count dict pre-filter keeps the in-memory path reachable past the cap") {
+    // corpus: frequent words (the real merge signal) + SINGLE-CHARACTER
+    // singleton noise words — a one-symbol word contributes zero pairs,
+    // so dropping them is provably lossless (multi-char singletons would
+    // NOT be: their pairs accumulate across distinct words)
+    val noise = "a b c d f g h i j k m n p q u v x y z 0"
+    val docs = Seq(
+      ("low lower lowest " * 10) + noise,
+      "low lower lowest low lower lowest").toDF("text")
+    val dictAll = 3 + 20 // distinct words: 3 frequent + 20 singletons
+    val exact = Bpe.train(docs, "text", numMerges = 6)
+    // cap BETWEEN the filtered (3) and unfiltered (43) dict sizes: the
+    // full dict no longer fits, the freq>=2 dict does — step 2 runs
+    val filtered = Bpe.train(docs, "text", numMerges = 6,
+      localVocabMax = 10L, minCount = 2L)
+    assert(filtered === exact,
+      "filtered-local past the cap must match the exact table when no " +
+        "merge touches count-1 words")
+    assert(dictAll > 10 && filtered.nonEmpty)
+    // minCount=1 disables step 2: the same cap forces the distributed
+    // loop, which is exact by construction
+    val dist = Bpe.train(docs, "text", numMerges = 6,
+      localVocabMax = 10L, minCount = 1L)
+    assert(dist === exact)
+    // all-singleton corpus: the filtered dict is EMPTY, but cross-word
+    // pairs still repeat — must fall through to distributed, not return
+    // an empty merge table
+    val singletons = Seq("abde", "abxy", "abqr").toDF("text")
+    val viaCap = Bpe.train(singletons, "text", numMerges = 1,
+      localVocabMax = 0L, minCount = 2L)
+    assert(viaCap.nonEmpty && viaCap.head._2 == "a" && viaCap.head._3 == "b")
+  }
+
   test("trainLocal early-stops and caps at numMerges like the distributed path") {
     assert(Bpe.trainLocal(Seq(("ab", 1L), ("cd", 1L)), 10) === Seq.empty)
     val m = Bpe.trainLocal(Seq(("aaaa", 3L)), 2)

@@ -68,6 +68,67 @@ class TemporalSpec extends SparkSpec {
     assert(out === Seq(1L -> None))
   }
 
+  test("asOf forward: earliest right row at or after left time, per key") {
+    val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("v"),
+        direction = "forward")
+      .orderBy("id").select("id", "v")
+      .as[(Long, Option[Long])].collect()
+    assert(out === Seq(
+      1L -> Some(100L),    // 10:00 -> earliest at/after is 12:00
+      2L -> Some(100L),    // tie: right at the same instant matches (>=)
+      3L -> Some(200L),    // 13:30 -> 14:00
+      4L -> None,          // nothing after Jan 2 23:00
+      5L -> None,          // b's only row (12:00) is BEFORE 12:30
+      6L -> None))
+  }
+
+  test("asOf forward: tolerance measured in the forward direction") {
+    val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("v"),
+        toleranceUs = Some(1L * 3600 * 1000000), direction = "forward")
+      .orderBy("id").select("id", "v")
+      .as[(Long, Option[Long])].collect()
+    // id=1 is 2h before its 12:00 match -> nulled; id=3 is 0.5h -> kept
+    assert(out.toMap === Map(1L -> None, 2L -> Some(100L), 3L -> Some(200L),
+      4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("asOf nearest: closer side wins; one-sided rows fall back") {
+    val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("v"),
+        direction = "nearest")
+      .orderBy("id").select("id", "v")
+      .as[(Long, Option[Long])].collect()
+    assert(out === Seq(
+      1L -> Some(100L),    // backward empty -> forward 12:00
+      2L -> Some(100L),    // distance 0 both ways (same row)
+      3L -> Some(200L),    // 1.5h back vs 0.5h fwd -> forward
+      4L -> Some(200L),    // forward empty -> backward 14:00 (33h)
+      5L -> Some(300L),    // forward empty -> backward
+      6L -> None))
+  }
+
+  test("asOf nearest: exact midpoint ties break backward") {
+    val mid = Seq((9L, "a", ts("2024-01-01 13:00:00"))).toDF("id", "key", "t")
+    val out = AsOfJoin.asOf(mid, right, "key", "t", "rt", Seq("v"),
+        direction = "nearest")
+      .select("id", "v").as[(Long, Option[Long])].collect()
+    // 12:00 and 14:00 are both 1h away -> the backward match (100) wins
+    assert(out === Seq(9L -> Some(100L)))
+  }
+
+  test("asOf nearest: per-direction tolerance can flip or null the pick") {
+    val one = left.filter(col("id") === 3L) // 13:30: 1.5h back, 0.5h fwd
+    val flip = AsOfJoin.asOf(one, right, "key", "t", "rt", Seq("v"),
+        toleranceUs = Some(1L * 3600 * 1000000), direction = "nearest")
+      .select("id", "v").as[(Long, Option[Long])].collect()
+    assert(flip === Seq(3L -> Some(200L)),
+      "backward out of tolerance -> forward must win")
+    val none = AsOfJoin.asOf(one, right, "key", "t", "rt", Seq("v"),
+        toleranceUs = Some(15L * 60 * 1000000), direction = "nearest")
+      .select("id", "v").as[(Long, Option[Long])].collect()
+    assert(none === Seq(3L -> None),
+      "both directions out of tolerance -> null payload, row kept")
+  }
+
   test("asOf: matched right time is exposed when listed as payload") {
     val out = AsOfJoin.asOf(left, right, "key", "t", "rt", Seq("rt"))
       .filter(col("id") === 3L)

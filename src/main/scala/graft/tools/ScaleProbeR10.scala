@@ -59,28 +59,46 @@ object ScaleProbeR10 {
     emb.unpersist()
 
     // ---- 2. BPE past the cap -----------------------------------------
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      .select("text")
+    // The sf testdata's vocabulary is tiny (31 distinct words at sf0.1 —
+    // every path takes the exact-local branch), so synthesize the shape
+    // that motivates the min-count ladder: a web-like dict DOMINATED by
+    // singletons (ids, typos, urls) over a small high-frequency core.
+    val nDocs = 20000L
+    val docs = spark.range(nDocs).select(
+      concat_ws(" ",
+        lit("the quick brown fox jumps over the lazy dog again and again"),
+        expr("concat_ws(' ', transform(sequence(1, 10), i -> concat('u', id, 'x', i)))")
+      ).as("text"))
     val wc = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n")).persist()
     val dictAll = wc.count()
     val dictF2 = wc.filter(col("n") >= 2).count()
     println(s"dict: all=$dictAll freq>=2=$dictF2 " +
-      f"(${100.0 * dictF2 / dictAll}%.1f%%)")
+      f"(${100.0 * dictF2 / dictAll}%.2f%%)")
     wc.unpersist()
     // cap between the two sizes: the full dict does NOT fit, freq>=2 does
     val cap = (dictF2 + dictAll) / 2
-    val (filtered, tFiltered) = timeIt(s"train 20 merges, minCount=2 local (cap=$cap)") {
-      Bpe.train(docs, "text", numMerges = 20, localVocabMax = cap, minCount = 2L)
+    val (filtered, tFiltered) = timeIt(s"train 15 merges, minCount=2 local (cap=$cap)") {
+      Bpe.train(docs, "text", numMerges = 15, localVocabMax = cap, minCount = 2L)
     }
-    val (dist, tDist) = timeIt(s"train 20 merges, distributed fallback (cap=$cap)") {
-      Bpe.train(docs, "text", numMerges = 20, localVocabMax = cap, minCount = 1L)
+    val (dist, tDist) = timeIt(s"train 15 merges, distributed fallback (cap=$cap)") {
+      Bpe.train(docs, "text", numMerges = 15, localVocabMax = cap, minCount = 1L)
     }
-    val (exact, _) = timeIt("train 20 merges, exact local (no cap)") {
-      Bpe.train(docs, "text", numMerges = 20)
+    // the exact reference: full dict collected without a cap
+    val (exact, _) = timeIt("train 15 merges, exact local (no cap)") {
+      Bpe.train(docs, "text", numMerges = 15)
     }
-    println(s"filtered == exact: ${filtered == exact}; dist == exact: ${dist == exact}")
-    println(f"speedup filtered-local vs distributed: ${tDist / tFiltered}%.1fx")
+    println(s"dist == exact: ${dist == exact}")
+    // NOT expected to hold on THIS corpus: the singleton ids share char
+    // pairs (u/x/digits) whose aggregate mass is real merge signal here —
+    // the adversarial case for the filter. Report the drift honestly;
+    // on real text the noise floor claim is about merges whose margin
+    // exceeds the dropped mass.
+    val drift = filtered.zip(exact).indexWhere { case (a, b) => a != b }
+    println(s"filtered vs exact: first divergent rank = " +
+      s"${if (drift < 0) "none" else drift + 1} of ${exact.size}")
+    println(f"speedup filtered-local vs distributed: ${tDist / tFiltered}%.1fx " +
+      f"(filtered=$tFiltered%.1fs distributed=$tDist%.1fs, 15 merges)")
     spark.stop()
   }
 }

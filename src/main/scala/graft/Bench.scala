@@ -92,12 +92,21 @@ object Bench {
         else (1 until runs).foldLeft(first) { (b, _) =>
           val t = once(); if (t >= 0 && t < b) t else b
         }
-      name -> best
+      name -> (first, best)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Transparency note: an operator that persists an internal frame
+    // (dsir_score's per-doc counts, the dedup gates' signature sets)
+    // serves its SECOND run partly from that cache — so `queries` (the
+    // best-of-N the driver reads) is the warm serving cost, while
+    // `queries_first` preserves the cold cost including materialization.
+    // Both are deterministic; the gap is real cache value, not noise.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stream_fixed_overhead_sec":$streamFixed,"queries":$qs,"sf":"$sfDir"}"""
+    val qsFirst = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val totalFirst = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"total_first_run":$totalFirst,"stream_fixed_overhead_sec":$streamFixed,"queries":$qs,"queries_first":$qsFirst,"sf":"$sfDir"}"""
     // The stdout line has been tail-truncated by the harness two rounds
     // running (losing `total` + the last ~17 timings), so ALSO persist the
     // full JSON to a committed file — the bench reports itself.

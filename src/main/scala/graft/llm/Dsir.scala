@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   * cross-engine). Resampling is one [[Sampling]] call on the score.
   *
   * Scale shape: features hash into a FIXED bucket space, so both
-  * models are `nBuckets`-row tables regardless of corpus size — fit is
-  * one explode + map-side-combinable count each; scoring explodes each
-  * doc once, reduces to per-(doc, bucket) counts, joins the two
-  * broadcast-sized model tables, and reduces per doc. No window, no
-  * driver data beyond the two totals. */
+  * models are `nBuckets`-row tables regardless of corpus size. The raw
+  * corpus gram-explodes exactly ONCE, into the persisted per-(doc,
+  * bucket) count frame that scoring needs anyway; the raw model is a
+  * bucket-space aggregate over it (rawC[b] = Σ_doc c_doc[b]) and the
+  * target model is one explode + map-side-combinable count over the
+  * (small) trusted corpus. Scoring joins the two collected
+  * broadcast-sized model tables and reduces per doc. No window, no
+  * driver data beyond the two nBuckets-row models. */
 object Dsir {
 
   /** Fixed-point scale ceiling, shared with [[LmScore.MaxScale]]. */
@@ -69,14 +72,25 @@ object Dsir {
             textCol: String, idCol: String,
             nBuckets: Int = 10000): DataFrame = {
     require(nBuckets > 0, "Dsir.score: nBuckets must be positive")
-    // One corpus gram pass per side (PLANS.md rule 7): the fitted models
-    // are <= nBuckets rows, so collect each ONCE, derive the totals from
-    // the collected arrays, and rebuild the broadcast build sides as
-    // local relations — the full-corpus explosion never re-executes for
-    // the totals or for the join build.
+    // ONE gram pass over the raw corpus total (PLANS.md rule 7, round-10
+    // rework): the per-(doc, bucket) counts — needed for scoring anyway —
+    // SUBSUME the raw model (rawC[b] = Σ_doc c_doc[b]), so the raw side
+    // explodes once into the persisted reduced frame and the model falls
+    // out of a bucket-space aggregate over it. The target corpus (the
+    // small trusted set) pays its own single pass. Both fitted models are
+    // <= nBuckets rows: collected once, totals derived locally, and the
+    // broadcast build sides rebuilt as local relations — no corpus
+    // subtree ever re-executes.
     val spark = raw.sparkSession
     import spark.implicits._
-    val rawRows = bucketCounts(raw, textCol, nBuckets).collect()
+    val perDoc = raw
+      .select(col(idCol).as("doc_id"),
+        explode(grams(Dedup.tokens(col(textCol)))).as("g"))
+      .select(col("doc_id"), pmod(Dedup.h32(col("g")), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c_doc"))
+      .persist()
+    val rawRows = perDoc.groupBy("bucket")
+      .agg(sum(col("c_doc")).as("cnt")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val tgtRows = bucketCounts(target, textCol, nBuckets).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -92,11 +106,6 @@ object Dsir {
     def bitsOf(cntCol: String, total: Long): Column =
       length(bin(expr(s"${s}L div greatest(" +
         s"((coalesce($cntCol, 0L) + 1L) * ${s}L) div ${total + nBuckets}L, 1L)"))) - 1
-    val perDoc = raw
-      .select(col(idCol).as("doc_id"),
-        explode(grams(Dedup.tokens(col(textCol)))).as("g"))
-      .select(col("doc_id"), pmod(Dedup.h32(col("g")), lit(nBuckets.toLong)).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c_doc"))
     val joined = perDoc
       .join(broadcast(rawC.withColumnRenamed("cnt", "c_raw")), Seq("bucket"), "left")
       .join(broadcast(tgtC.withColumnRenamed("cnt", "c_tgt")), Seq("bucket"), "left")

@@ -233,14 +233,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the two-branch crossJoin shape must stay gone")
   }
 
-  test("dsir_score: fitted models are local relations — one gram explosion in the serving plan") {
+  test("dsir_score: models are local relations; the gram explosion lives only in the cached per-doc frame") {
     val p = planOf("dsir_score")
-    // the bucket models are collected once and re-join as LocalTableScans;
-    // the only Generate (gram explode) left is perDoc's single pass
-    assert("\\(\\d+\\) Generate".r.findAllIn(p).size == 1,
-      s"exactly one gram explosion expected in the serving plan:\n${p.take(3000)}")
     assert(p.contains("LocalTableScan"),
       "model build sides must be collected local relations, not corpus re-scans")
+    // scoring serves from the PERSISTED per-(doc, bucket) frame (already
+    // materialized by the raw-model collect) — the raw corpus is never
+    // re-exploded by the serving plan
+    assert(p.contains("InMemoryTableScan"),
+      "per-doc counts must serve from the persisted reduced frame")
+    // every Generate in the printout sits inside the InMemoryRelation's
+    // cached plan (AQE prints that one explosion under two node ids);
+    // none may appear in the live tree above the cache
+    val firstGen = p.indexOf("Generate")
+    val imr = p.indexOf("InMemoryRelation")
+    assert(firstGen < 0 || (imr >= 0 && firstGen > imr),
+      s"a gram explosion escaped the cached subtree:\n${p.take(3000)}")
   }
 
   test("dedup_containment: equi-joins only, never cartesian") {

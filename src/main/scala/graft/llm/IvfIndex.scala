@@ -81,7 +81,9 @@ object IvfIndex {
   }
 
   /** Tombstone vectors by id: [[topK]] excludes them immediately (no
-    * rewrite); [[compact]] reclaims their rows. */
+    * rewrite); [[compact]] reclaims their rows. A marker hides its id
+    * even in rows appended AFTER the deletion — to re-add a deleted id,
+    * compact first or use a fresh id ([[Tombstones]] re-ingest trap). */
   def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
     Tombstones.add(ids, idCol, path)
 

@@ -132,7 +132,10 @@ object IvfPq {
   }
 
   /** Tombstone vectors by id: [[topK]]/[[topKRerank]] exclude them
-    * immediately (no rewrite); [[compact]] reclaims their rows. */
+    * immediately (no rewrite); [[compact]] reclaims their rows. A marker
+    * hides its id even in rows appended AFTER the deletion — to re-add
+    * a deleted id, compact first or use a fresh id ([[Tombstones]]
+    * re-ingest trap). */
   def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
     Tombstones.add(ids, idCol, path)
 

@@ -87,7 +87,10 @@ object MinHashIndex {
 
   /** Tombstone indexed documents: [[nearDupPairsIncremental]] /
     * [[serveThenAppend]] stop pairing against them immediately (no
-    * rewrite); [[compact]] reclaims their band and set rows. */
+    * rewrite); [[compact]] reclaims their band and set rows. A marker
+    * hides its id even in rows appended AFTER the deletion — to re-add
+    * a deleted id, compact first or use a fresh id
+    * ([[Tombstones]] re-ingest trap). */
   def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
     Tombstones.add(ids, idCol, path)
 

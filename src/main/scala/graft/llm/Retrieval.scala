@@ -266,7 +266,10 @@ object Retrieval {
     * postings immediately (df over surviving postings is then exact);
     * the n_docs/avgdl statistics keep counting them until
     * [[compactIndex]] corrects the sidecar — the Lucene posture
-    * (deleted docs affect collection stats until segments merge). */
+    * (deleted docs affect collection stats until segments merge). A
+    * marker hides its id even in postings appended AFTER the deletion —
+    * to re-add a deleted id, compact first or use a fresh id
+    * ([[Tombstones]] re-ingest trap). */
   def deleteIndexDocs(ids: DataFrame, idCol: String, path: String): Unit =
     Tombstones.add(ids, idCol, path)
 

@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions._
   * Serve-side exclusion is a broadcast LEFT ANTI join: takedown sets
   * are small relative to the corpus (and bounded by it); a deletion
   * wave large enough to strain a broadcast is a rebuild, not a
-  * tombstone. */
+  * tombstone.
+  *
+  * RE-INGEST TRAP (deliberate semantics, documented at every
+  * deleteDocs): a marker hides its id WHEREVER it appears — rows
+  * appended AFTER the deletion are hidden too, and the next compact
+  * purges them with the old ones. To re-add a deleted id, compact
+  * first (clears the marker) or use a fresh id. ChunkStore's
+  * seq-ranked tombstones support in-place revival instead; the index
+  * stores trade that for marker simplicity (indexes rarely re-admit
+  * the same id inside one maintenance cycle). */
 private[llm] object Tombstones {
 
   private def dir(path: String) = s"$path/_tombstones"

@@ -157,6 +157,44 @@ class R9Spec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("temperature mix: null-source rows are excluded; non-string source fails fast") {
+    import spark.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, Some("a"))) ++
+      (101 to 150).map(i => (i.toLong, Some("b"))) ++
+      (201 to 210).map(i => (i.toLong, None: Option[String])))
+      .toDF("doc_id", "source")
+    // null-source rows name no mixture component: excluded from both the
+    // weights and the output, in both forms
+    val exact = Sampling.temperatureMix(docs, "doc_id", "source", 40L)
+    assert(exact.filter(col("source").isNull).count() === 0)
+    assert(exact.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 20L, "b" -> 20L),
+      "targets must be computed over non-null sources only")
+    val thr = Sampling.temperatureMixThreshold(docs, "doc_id", "source", 40L)
+    assert(thr.filter(col("source").isNull).count() === 0)
+    // a non-string source column used to throw mid-collect; now it is a
+    // front-door contract failure
+    val bad = (1 to 10).map(i => (i.toLong, i.toLong % 3)).toDF("doc_id", "source")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(bad, "doc_id", "source", 5L)
+    }
+    assert(ex.getMessage.contains("must be STRING"))
+  }
+
+  test("prefix-length ceil guard: a one-ulp round-up of t*n cannot shorten the prefix") {
+    // 0.07 * 100 = 7.000000000000001 in IEEE double — the raw ceil
+    // overshoots to 8 and would cut the prefix one element short (a
+    // qualifying containment pair could then be missed; ADVICE r9). The
+    // 1e-9 back-off restores the exact required overlap.
+    val r = spark.range(1).select(
+      ceil(lit(0.07) * lit(100)).cast("int").as("raw"),
+      ceil(lit(0.07) * lit(100) - lit(1e-9)).cast("int").as("guarded"))
+      .head()
+    assert(r.getInt(0) === 8, "the double artifact this guard exists for")
+    assert(r.getInt(1) === 7, "guarded ceil must hit the exact integer")
+  }
+
   test("temperature mix keeps whole small sources only at budget >= total weight share") {
     import spark.implicits._
     val docs = ((1 to 100).map(i => (i.toLong, "a")) ++

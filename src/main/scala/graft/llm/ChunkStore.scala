@@ -240,41 +240,56 @@ object ChunkStore {
     * rows (superseded runs and tombstoned docs dropped), drop chunk
     * rows no live manifest references, clear applied tombstones, and
     * leave one file per chunk bucket. Surviving documents reconstruct
-    * byte-identically. */
+    * byte-identically.
+    *
+    * Crash contract (the [[IvfLayout.compact]] discipline): both new
+    * trees are STAGED fully before any install; each install is a
+    * backup-rename (`__old`) + move, atomic on HDFS/POSIX. A crash
+    * mid-swap leaves a `manifest__compact_old` / `chunks__compact_old`
+    * backup intact — recovery is renaming it back — and a re-run fails
+    * loudly while a leftover exists instead of compounding. */
   def compact(spark: SparkSession, path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    def rmTree(p: String): Unit = {
-      val t = Paths.get(p)
-      if (Files.exists(t))
-        Files.walk(t).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-    }
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    val manOld = new Path(s"$path/manifest__compact_old")
+    val chOld = new Path(s"$path/chunks__compact_old")
+    require(!fs.exists(manOld) && !fs.exists(chOld),
+      s"ChunkStore.compact: leftover __compact_old under $path from an " +
+        "interrupted compact — restore it over the live directory (or " +
+        "remove it) before re-running")
+    val manTmp = new Path(s"$path/manifest__compact_tmp")
+    val chTmp = new Path(s"$path/chunks__compact_tmp")
+    fs.delete(manTmp, true); fs.delete(chTmp, true)
+
     val nBuckets = readMeta(path).map(_._1).getOrElse(64)
-    // 1. live manifest -> single __base__ run (seq collapses to 0: with
-    //    every superseded row gone, latest-run-wins is the identity)
-    val live = visibleManifest(spark, path)
+    // 1. stage the live manifest as a single __base__ run (seq collapses
+    //    to 0: with every superseded row gone, latest-run-wins is the
+    //    identity)
+    visibleManifest(spark, path)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), lit(0L).as("seq"))
-      .persist()
-    live.write.mode("overwrite").parquet(s"$path/manifest_compact_tmp")
-    // 2. chunks still referenced by a live manifest row, rebucketed to
-    //    one file per cb= partition
-    val liveHashes = spark.read.parquet(s"$path/manifest_compact_tmp")
+      .write.parquet(s"$manTmp/run=__base__")
+    // 2. stage the chunks still referenced by a live manifest row,
+    //    rebucketed to one file per cb= partition
+    val liveHashes = spark.read.parquet(s"$manTmp/run=__base__")
       .select("chunk_hash").distinct()
     spark.read.parquet(s"$path/chunks")
       .join(liveHashes, Seq("chunk_hash"), "left_semi")
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
       .repartition(col("cb"))
       .sortWithinPartitions("chunk_hash")
-      .write.mode("overwrite").partitionBy("cb").parquet(s"$path/chunks_compact_tmp")
-    live.unpersist()
-    // 3. swap directories, clear applied tombstones, keep the seq counter
-    rmTree(s"$path/manifest")
-    Files.createDirectories(Paths.get(s"$path/manifest"))
-    Files.move(Paths.get(s"$path/manifest_compact_tmp"),
-      Paths.get(s"$path/manifest/run=__base__"))
-    rmTree(s"$path/chunks")
-    Files.move(Paths.get(s"$path/chunks_compact_tmp"), Paths.get(s"$path/chunks"))
-    rmTree(s"$path/tombstones")
-    readMeta(path).foreach { case (b, s) => writeMeta(path, b, s) }
+      .write.partitionBy("cb").parquet(chTmp.toString)
+    // 3. install both trees by backup-rename + move, then clean up
+    val man = new Path(s"$path/manifest"); val ch = new Path(s"$path/chunks")
+    require(fs.rename(man, manOld), s"ChunkStore.compact: backup rename of $man failed")
+    require(fs.rename(manTmp, man), s"ChunkStore.compact: install rename to $man failed")
+    require(fs.rename(ch, chOld), s"ChunkStore.compact: backup rename of $ch failed")
+    require(fs.rename(chTmp, ch), s"ChunkStore.compact: install rename to $ch failed")
+    fs.delete(manOld, true); fs.delete(chOld, true)
+    fs.delete(new Path(s"$path/tombstones"), true)
   }
 }

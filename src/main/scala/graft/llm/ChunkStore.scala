@@ -44,21 +44,47 @@ object ChunkStore {
     pmod(conv(substring(hash, 1, 4), 16, 10).cast("long"), lit(n.toLong))
 
   // ---- store metadata -------------------------------------------------
+  // All filesystem access goes through the store path's own Hadoop
+  // FileSystem (NOT java.io): a store on HDFS — the target the compact
+  // crash contract is written for — must honor metadata and tombstones
+  // too, not just one on the driver's local disk.
 
-  private def metaFile(path: String) = new java.io.File(s"$path/_store_meta.json")
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
-  private def writeMeta(path: String, nBuckets: Int, seq: Long): Unit = {
-    val w = new java.io.PrintWriter(metaFile(path))
-    try w.write(s"""{"nBuckets":$nBuckets,"seq":$seq}""") finally w.close()
+  /** `nBuckets = 0` is the "unknown" sentinel: a legacy (pre-metadata)
+    * store whose seq counter was started by [[deleteDocs]] — bucket
+    * validation is skipped until a [[compact]] re-establishes it. */
+  private def writeMeta(spark: SparkSession, path: String,
+                        nBuckets: Int, seq: Long): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_store_meta.json__tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$path/_store_meta.json")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"nBuckets":$nBuckets,"seq":$seq}""".getBytes("UTF-8"))
+    finally out.close()
+    // install by rename (atomic on HDFS/POSIX): a crash can leave the
+    // old meta or the new one, never a truncated file that readMeta
+    // would silently treat as "legacy store"
+    fs.delete(live, false)
+    require(fs.rename(tmp, live),
+      s"ChunkStore: install rename of _store_meta.json under $path failed")
   }
 
   /** (nBuckets, last issued seq) — None for a pre-metadata store. */
-  private[llm] def readMeta(path: String): Option[(Int, Long)] = {
-    val f = metaFile(path)
-    if (!f.exists) None
+  private[llm] def readMeta(spark: SparkSession, path: String): Option[(Int, Long)] = {
+    val (fs, _) = fsOf(spark, path)
+    val live = new org.apache.hadoop.fs.Path(s"$path/_store_meta.json")
+    if (!fs.exists(live)) None
     else {
-      val src = scala.io.Source.fromFile(f)
-      val txt = try src.mkString finally src.close()
+      val in = fs.open(live)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
       val pat = """"nBuckets"\s*:\s*(\d+)\s*,\s*"seq"\s*:\s*(-?\d+)""".r.unanchored
       txt match {
         case pat(b, q) => Some((b.toInt, q.toLong))
@@ -68,11 +94,13 @@ object ChunkStore {
   }
 
   /** Validate the caller's bucket count against store metadata and
-    * issue the next ingest sequence (legacy meta-less stores: seq 1). */
-  private def nextSeq(path: String, nBuckets: Int, op: String): Long = {
-    readMeta(path) match {
+    * issue the next ingest sequence (legacy meta-less stores: seq 1;
+    * the nBuckets=0 sentinel skips validation — see [[writeMeta]]). */
+  private def nextSeq(spark: SparkSession, path: String,
+                      nBuckets: Int, op: String): Long = {
+    readMeta(spark, path) match {
       case Some((stored, seq)) =>
-        require(stored == nBuckets,
+        require(stored == 0 || stored == nBuckets,
           s"ChunkStore.$op: store at $path was written with nBuckets=$stored, " +
             s"got $nBuckets — appending with a different bucket count would " +
             "prune the wrong cb= buckets and silently duplicate chunks")
@@ -90,12 +118,9 @@ object ChunkStore {
   def write(docs: DataFrame, textCol: String, idCol: String, path: String,
             nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "ChunkStore.write: nBuckets must be positive")
-    val root = new java.io.File(path)
-    if (root.exists) {
-      import java.nio.file.{Files, Paths}
-      Files.walk(Paths.get(path)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    val spark = docs.sparkSession
+    val (fs, root) = fsOf(spark, path)
+    if (fs.exists(root)) fs.delete(root, true)
     val ch = Curation.cdcChunks(docs, textCol, idCol).persist()
     ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
@@ -105,7 +130,7 @@ object ChunkStore {
         lit(0L).as("seq"))
       .write.mode("overwrite").parquet(s"$path/manifest/run=__base__")
     ch.unpersist()
-    writeMeta(path, nBuckets, 0L)
+    writeMeta(spark, path, nBuckets, 0L)
   }
 
   /** Append a batch: manifests land whole; chunk rows are stored only
@@ -129,7 +154,7 @@ object ChunkStore {
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
              nBuckets: Int = 64, runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val seq = nextSeq(path, nBuckets, "append")
+    val seq = nextSeq(spark, path, nBuckets, "append")
     val ch = Curation.cdcChunks(batch, textCol, idCol).persist()
     val newChunks = ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
@@ -138,8 +163,9 @@ object ChunkStore {
       .collect().map(_.getLong(0)) // bounded: <= nBuckets values
     // a store seeded from an empty corpus has no cb= dirs yet (parquet
     // cannot persist a zero-file schema) — treat it as zero known hashes
-    val chunkDirs = Option(new java.io.File(s"$path/chunks").listFiles)
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("cb=")))
+    val (chFs, chRoot) = fsOf(spark, s"$path/chunks")
+    val chunkDirs = chFs.exists(chRoot) && chFs.listStatus(chRoot)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cb="))
     val existing =
       if (chunkDirs)
         spark.read.parquet(s"$path/chunks")
@@ -162,7 +188,7 @@ object ChunkStore {
         man.write.mode("append").parquet(s"$path/manifest/run=__adhoc__")
     }
     newChunks.unpersist(); ch.unpersist()
-    writeMeta(path, nBuckets, seq)
+    writeMeta(spark, path, nBuckets, seq)
   }
 
   /** Tombstone documents: [[reconstruct]] and [[stats]]' visible side
@@ -171,17 +197,23 @@ object ChunkStore {
     * carries the next ingest seq, so a doc RE-INGESTED after deletion
     * outranks its tombstone and becomes visible again. */
   def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit = {
-    val meta = readMeta(path)
+    val spark = ids.sparkSession
+    val meta = readMeta(spark, path)
     val seq = meta.map(_._2 + 1).getOrElse(1L)
     ids.select(col(idCol).as("doc_id")).distinct()
       .withColumn("seq", lit(seq))
       .write.mode("append").parquet(s"$path/tombstones")
-    meta.foreach { case (b, _) => writeMeta(path, b, seq) }
+    // ALWAYS advance the counter — on a legacy meta-less store this
+    // creates meta with the nBuckets=0 "unknown" sentinel, so the next
+    // append gets seq 2 and a delete-then-re-ingest revives the doc
+    // (seq 1 vs 1 would keep it hidden forever and compact would purge
+    // the re-ingested content)
+    writeMeta(spark, path, meta.map(_._1).getOrElse(0), seq)
   }
 
   private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = new java.io.File(s"$path/tombstones")
-    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+    val (fs, p) = fsOf(spark, s"$path/tombstones")
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       Some(spark.read.parquet(s"$path/tombstones"))
     else None
   }
@@ -189,7 +221,13 @@ object ChunkStore {
   /** The LIVE manifest: per doc_id, the rows of its highest-seq ingest
     * (latest-run-wins — re-crawled pages replace, never concatenate),
     * minus documents whose newest marker is a tombstone. Legacy
-    * manifests without a seq column read as seq 0. */
+    * manifests without a seq column read as seq 0 — a LEGACY store
+    * where the same doc was ingested in several runs with DIFFERING
+    * content is inherently ambiguous (all runs tie at seq 0; the
+    * per-(doc, idx) pick is arbitrary and such a doc's reconstruction
+    * is unreliable — exact re-ingests are unaffected, any pick is the
+    * same bytes). [[compact]] collapses a legacy store into a
+    * self-describing seq-0 baseline, deterministic from then on. */
   private def visibleManifest(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.parquet(s"$path/manifest")
     val man = if (raw.columns.contains("seq")) raw
@@ -227,13 +265,18 @@ object ChunkStore {
 
   /** Storage accounting: PHYSICAL manifest/chunk rows and bytes (what
     * is on disk, superseded runs and tombstoned docs included — compact
-    * is what reclaims them) plus the live manifest row count. */
+    * is what reclaims them) plus the LIVE manifest row count
+    * (`live_manifest_chunks`, what reconstruct would serve) — the
+    * manifest−live gap is the reclaimable debt that decides when a
+    * compact pays. */
   def stats(spark: SparkSession, path: String): DataFrame = {
     val man = spark.read.parquet(s"$path/manifest")
     val ch = spark.read.parquet(s"$path/chunks")
     man.agg(count(lit(1)).as("manifest_chunks"))
       .crossJoin(ch.agg(count(lit(1)).as("stored_chunks"),
         sum(length(col("chunk"))).cast("long").as("stored_chars")))
+      .crossJoin(visibleManifest(spark, path)
+        .agg(count(lit(1)).as("live_manifest_chunks")))
   }
 
   /** Physically reclaim space: rewrite the manifest to only its live
@@ -266,7 +309,13 @@ object ChunkStore {
     val chTmp = new Path(s"$path/chunks__compact_tmp")
     fs.delete(manTmp, true); fs.delete(chTmp, true)
 
-    val nBuckets = readMeta(path).map(_._1).getOrElse(64)
+    // legacy / unknown-bucketing stores (no meta, or the nBuckets=0
+    // sentinel from a deleteDocs-created meta) are REBUCKETED to the
+    // default here, and the choice is RECORDED below — after this
+    // compact the store is fully self-describing and appends validate
+    // against the actual layout
+    val meta = readMeta(spark, path)
+    val nBuckets = meta.map(_._1).filter(_ > 0).getOrElse(64)
     // 1. stage the live manifest as a single __base__ run (seq collapses
     //    to 0: with every superseded row gone, latest-run-wins is the
     //    identity)
@@ -291,5 +340,6 @@ object ChunkStore {
     require(fs.rename(chTmp, ch), s"ChunkStore.compact: install rename to $ch failed")
     fs.delete(manOld, true); fs.delete(chOld, true)
     fs.delete(new Path(s"$path/tombstones"), true)
+    writeMeta(spark, path, nBuckets, meta.map(_._2).getOrElse(0L))
   }
 }

@@ -67,10 +67,27 @@ object Dsir {
 
   /** Per-document importance score in whole bits against a fitted
     * (raw, target) bucket-model pair. Output: (idCol, n_grams,
-    * dsir_bits); a doc with no tokens scores (0, 0). */
+    * dsir_bits); a doc with no tokens scores (0, 0).
+    *
+    * The result is MATERIALIZED (eager localCheckpoint — one narrow row
+    * per doc) so the per-(doc, bucket) cache can be released before
+    * return; [[scorePlan]] is the lazy form whose caches the caller
+    * owns (plan pins live there). */
   def score(raw: DataFrame, target: DataFrame,
             textCol: String, idCol: String,
             nBuckets: Int = 10000): DataFrame = {
+    val (out, caches) = scorePlan(raw, target, textCol, idCol, nBuckets)
+    val r = out.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    r
+  }
+
+  /** The lazy serve plan plus its live caches — the
+    * [[MinHashIndex.nearDupPairsIncrementalPlan]] split: callers of
+    * this form own the returned caches. */
+  private[llm] def scorePlan(raw: DataFrame, target: DataFrame,
+                             textCol: String, idCol: String,
+                             nBuckets: Int): (DataFrame, Seq[DataFrame]) = {
     require(nBuckets > 0, "Dsir.score: nBuckets must be positive")
     // ONE gram pass over the raw corpus total (PLANS.md rule 7, round-10
     // rework): the per-(doc, bucket) counts — needed for scoring anyway —
@@ -114,10 +131,11 @@ object Dsir {
     val scored = joined.groupBy("doc_id")
       .agg(sum(col("c_doc")).as("n_grams"),
         sum(col("c_doc") * col("dbits")).as("dsir_bits"))
-    raw.select(col(idCol).as("doc_id")).distinct()
+    val out = raw.select(col(idCol).as("doc_id")).distinct()
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
+    (out, Seq(perDoc))
   }
 }

@@ -77,7 +77,7 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     IvfLayout.compact(spark, path, "cid",
       df => Tombstones.exclude(df, "neighbor_id", spark, path))
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** Tombstone vectors by id: [[topK]] excludes them immediately (no

@@ -128,7 +128,7 @@ object IvfPq {
   def compact(spark: SparkSession, path: String): Unit = {
     IvfLayout.compact(spark, path, "cid",
       df => Tombstones.exclude(df, "id", spark, path))
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** Tombstone vectors by id: [[topK]]/[[topKRerank]] exclude them

@@ -82,7 +82,7 @@ object MinHashIndex {
       transform = df => Tombstones.exclude(df, "id", spark, path))
     IvfLayout.compact(spark, s"$path/sets", partCol = "ib",
       transform = df => Tombstones.exclude(df, "id", spark, path))
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** Tombstone indexed documents: [[nearDupPairsIncremental]] /

@@ -309,7 +309,7 @@ object Retrieval {
           .coalesce(1).write.mode("append").parquet(s"$path/_stats")
       }
     }
-    Tombstones.clear(path)
+    Tombstones.clear(spark, path)
   }
 
   /** BM25 top-k served FROM the index: identical scores to [[bm25TopK]]

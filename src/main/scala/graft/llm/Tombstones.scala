@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +17,9 @@ import org.apache.spark.sql.functions._
   * Layout: `<store>/_tombstones/` parquet with a single `id` column —
   * the underscore prefix keeps it invisible to the store's own
   * `spark.read.parquet(store)` data discovery, the `_centroids` /
-  * `_stats` sidecar convention.
+  * `_stats` sidecar convention. All filesystem probes go through the
+  * store path's own Hadoop FileSystem (NOT java.io) so the markers are
+  * honored on HDFS/object stores too, not just the local disk.
   *
   * Serve-side exclusion is a broadcast LEFT ANTI join: takedown sets
   * are small relative to the corpus (and bounded by it); a deletion
@@ -41,13 +44,15 @@ private[llm] object Tombstones {
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(dir(path))
 
-  /** The marker table, if any markers exist. */
-  def readOpt(spark: SparkSession, path: String): Option[DataFrame] = {
-    val d = new java.io.File(dir(path))
-    if (d.exists && d.listFiles != null && d.listFiles.nonEmpty)
-      Some(spark.read.parquet(dir(path)))
-    else None
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(dir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
+
+  /** The marker table, if any markers exist. */
+  def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
+    if (exists(spark, path)) Some(spark.read.parquet(dir(path))) else None
 
   /** `df` minus rows whose `idColName` is tombstoned — identity when no
     * tombstones exist, so untouched stores pay nothing. */
@@ -61,11 +66,9 @@ private[llm] object Tombstones {
     }
 
   /** Drop the marker table (call after a purge has applied it). */
-  def clear(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val d = Paths.get(dir(path))
-    if (Files.exists(d))
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+  def clear(spark: SparkSession, path: String): Unit = {
+    val p = new Path(dir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
   }
 }

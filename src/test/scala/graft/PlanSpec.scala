@@ -233,23 +233,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the two-branch crossJoin shape must stay gone")
   }
 
-  test("dsir_score: models are local relations; the gram explosion lives only in the cached per-doc frame") {
-    val p = planOf("dsir_score")
-    assert(p.contains("LocalTableScan"),
-      "model build sides must be collected local relations, not corpus re-scans")
-    // scoring serves from the PERSISTED per-(doc, bucket) frame (already
-    // materialized by the raw-model collect) — the raw corpus is never
-    // re-exploded by the serving plan
-    assert(p.contains("InMemoryTableScan"),
-      "per-doc counts must serve from the persisted reduced frame")
-    // every Generate in the printout sits inside the InMemoryRelation's
-    // cached plan (AQE prints that one explosion under two node ids);
-    // none may appear in the live tree above the cache
-    val firstGen = p.indexOf("Generate")
-    val imr = p.indexOf("InMemoryRelation")
-    assert(firstGen < 0 || (imr >= 0 && firstGen > imr),
-      s"a gram explosion escaped the cached subtree:\n${p.take(3000)}")
-  }
+  // dsir_score's internal plan pin lives in LlmSpec (Dsir.scorePlan is
+  // private[llm]; the public score() returns an eager checkpoint whose
+  // plan is opaque by design — the cache-release contract)
 
   test("dedup_containment: equi-joins only, never cartesian") {
     val p = planOf("dedup_containment")

@@ -164,7 +164,7 @@ class ChunkStoreSpec extends SparkSpec {
     val root = freshRoot()
     ChunkStore.write(Seq((1L, "some document text that chunks"))
       .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 8)
-    assert(ChunkStore.readMeta(root).map(_._1).contains(8))
+    assert(ChunkStore.readMeta(spark, root).map(_._1).contains(8))
     val ex = intercept[IllegalArgumentException] {
       ChunkStore.append(Seq((2L, "another document"))
         .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 16)

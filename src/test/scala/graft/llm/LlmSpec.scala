@@ -423,10 +423,40 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Dsir: model-table joins broadcast; no sort-merge join in the plan") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    val plan = Dsir.score(docs, docs, "text", "doc_id", nBuckets = 16)
-      .queryExecution.executedPlan.toString
+    val (out, caches) = Dsir.scorePlan(docs, docs, "text", "doc_id", 16)
+    val plan = out.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"), s"model join must broadcast:\n$plan")
+  }
+
+  test("Dsir: models are local relations; the gram explosion lives only in the cached per-doc frame") {
+    val d = docs.select("doc_id", "text")
+    val (out, caches) = Dsir.scorePlan(d, d, "text", "doc_id", 64)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    caches.foreach(_.unpersist())
+    assert(p.contains("LocalTableScan"),
+      "model build sides must be collected local relations, not corpus re-scans")
+    // scoring serves from the PERSISTED per-(doc, bucket) frame (already
+    // materialized by the raw-model collect) — the raw corpus is never
+    // re-exploded by the serving plan
+    assert(p.contains("InMemoryTableScan"),
+      "per-doc counts must serve from the persisted reduced frame")
+    // every Generate in the printout sits inside the InMemoryRelation's
+    // cached plan; none may appear in the live tree above the cache
+    val firstGen = p.indexOf("Generate")
+    val imr = p.indexOf("InMemoryRelation")
+    assert(firstGen < 0 || (imr >= 0 && firstGen > imr),
+      s"a gram explosion escaped the cached subtree:\n${p.take(3000)}")
+    // and the public score() releases the per-doc cache it creates: at
+    // most the result's own localCheckpoint RDD (context-cleaner-owned,
+    // collected with the returned frame) may remain registered
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dsir.score(d.limit(20), d.limit(20), "text", "doc_id", 64).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).size <= 1,
+      s"score() leaked cached RDDs beyond its checkpoint: ${after -- before}")
   }
 
   override def afterAll(): Unit = spark.stop()

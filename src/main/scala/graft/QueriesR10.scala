@@ -99,6 +99,69 @@ object QueriesR10 {
         SELECT p.event_id, epoch_us(p.snap_ts) AS snap_us, s.n_snap
         FROM pick p LEFT JOIN s
           ON p.event_type = s.event_type AND p.snap_ts = s.snap_ts
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- DSIR against a FROZEN model (fit once, score daily) -----------
+    // The production posture: models fit on the full corpus + target
+    // slice, persisted, read back, and a later batch (doc_id % 4 == 2)
+    // scored against the frozen artifact — the fitting corpora are never
+    // re-read at serve time. Values are bit-identical to dsir_score's on
+    // the same docs (the arithmetic depends only on the model), which is
+    // exactly what the restricted oracle recomputes.
+    QueryDef("dsir_frozen",
+      (s, dir) => {
+        import graft.llm.Dsir
+        val docs = Tables.read(s, dir, "documents")
+        val model = Dsir.fit(docs,
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 1),
+          "text", nBuckets = 4096)
+        val mPath = java.nio.file.Files
+          .createTempDirectory("graft_dsir_model_").toString
+        Dsir.writeModel(s, model, mPath)
+        Dsir.scoreWith(Dsir.readModel(s, mPath),
+            docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
+            "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        g AS (SELECT doc_id, unnest(w ||
+                CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS g
+              FROM d),
+        hb AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS bucket
+               FROM g),
+        rawc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) c FROM hb GROUP BY 1),
+        tgtc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) c FROM hb
+                 WHERE doc_id % 20 = 1 GROUP BY 1),
+        tot AS (SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM rawc) AS BIGINT) tr,
+                       CAST((SELECT COALESCE(SUM(c), 0) FROM tgtc) AS BIGINT) tt),
+        sc AS (SELECT CAST(least(1000000000,
+                       2305843009213693952 // (greatest(tr, tt) + 4096))
+                     AS BIGINT) s, tr, tt FROM tot),
+        pd AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) c_doc
+               FROM hb WHERE doc_id % 4 = 2 GROUP BY 1, 2),
+        sb AS (SELECT pd.doc_id, pd.c_doc,
+                 CAST((len(bin(sc.s // greatest(
+                         ((COALESCE(rawc.c, 0) + 1) * sc.s) // (sc.tr + 4096), 1))) - 1)
+                    - (len(bin(sc.s // greatest(
+                         ((COALESCE(tgtc.c, 0) + 1) * sc.s) // (sc.tt + 4096), 1))) - 1)
+                 AS BIGINT) dbits
+               FROM pd CROSS JOIN sc
+               LEFT JOIN rawc ON pd.bucket = rawc.bucket
+               LEFT JOIN tgtc ON pd.bucket = tgtc.bucket),
+        agg AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) n_grams,
+                  CAST(SUM(c_doc * dbits) AS BIGINT) dsir_bits
+                FROM sb GROUP BY 1)
+        SELECT ids.doc_id,
+               COALESCE(agg.n_grams, 0) AS n_grams,
+               COALESCE(agg.dsir_bits, 0) AS dsir_bits
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 2) ids
+        LEFT JOIN agg USING (doc_id)
+        ORDER BY ids.doc_id"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
@@ -98,8 +98,6 @@ object Dsir {
     // <= nBuckets rows: collected once, totals derived locally, and the
     // broadcast build sides rebuilt as local relations — no corpus
     // subtree ever re-executes.
-    val spark = raw.sparkSession
-    import spark.implicits._
     val perDoc = raw
       .select(col(idCol).as("doc_id"),
         explode(grams(Dedup.tokens(col(textCol)))).as("g"))
@@ -111,31 +109,104 @@ object Dsir {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val tgtRows = bucketCounts(target, textCol, nBuckets).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val tRaw = rawRows.map(_._2).sum
-    val tTgt = tgtRows.map(_._2).sum
-    val rawC = rawRows.toDF("bucket", "cnt")
-    val tgtC = tgtRows.toDF("bucket", "cnt")
-    val s = adaptiveScale(math.max(tRaw, tTgt) + nBuckets)
+    val out = scoreTail(perDoc, raw.select(col(idCol).as("doc_id")).distinct(),
+      Model(rawRows, tgtRows, nBuckets), idCol)
+    (out, Seq(perDoc))
+  }
+
+  // ---- frozen-model (fit-once / score-daily) form ---------------------
+
+  /** A fitted DSIR model pair — the shipped artifact of [[fit]]: two
+    * bucket-space count tables plus the derived totals. `nBuckets` rows
+    * per side regardless of corpus size: METADATA, not data. */
+  case class Model(rawRows: Seq[(Long, Long)], tgtRows: Seq[(Long, Long)],
+                   nBuckets: Int) {
+    require(nBuckets > 0, "Dsir.Model: nBuckets must be positive")
+    val tRaw: Long = rawRows.map(_._2).sum
+    val tTgt: Long = tgtRows.map(_._2).sum
+  }
+
+  /** Fit the (raw, target) multinomials ONCE — the production posture:
+    * the reference corpus pays one gram pass per side at fit time, then
+    * daily batches are scored against the frozen artifact without ever
+    * touching it again ([[scoreWith]]). */
+  def fit(raw: DataFrame, target: DataFrame, textCol: String,
+          nBuckets: Int = 10000): Model = {
+    require(nBuckets > 0, "Dsir.fit: nBuckets must be positive")
+    def rows(df: DataFrame) =
+      bucketCounts(df, textCol, nBuckets).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Model(rows(raw), rows(target), nBuckets)
+  }
+
+  /** Persist a fitted model: (side, bucket, cnt) rows + an nBuckets
+    * meta row — a few KB of parquet any session can [[readModel]]. */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    (model.rawRows.map { case (b, c) => ("raw", b, c) } ++
+      model.tgtRows.map { case (b, c) => ("target", b, c) })
+      .toDF("side", "bucket", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    Seq(model.nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  def readModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nb = spark.read.parquet(s"$path/_meta").head().getInt(0)
+    Model(rows.filter(_._1 == "raw").map(r => (r._2, r._3)).toSeq,
+      rows.filter(_._1 == "target").map(r => (r._2, r._3)).toSeq, nb)
+  }
+
+  /** Score a batch against a FROZEN model: one gram pass over the BATCH
+    * plus two broadcast joins of nBuckets-row local relations — the
+    * corpora that fit the model are never read. Bit-identical to
+    * [[score]] when the model was fit on (raw ⊇ batch, target): the
+    * scale, smoothing, and surprisal arithmetic depend only on the
+    * model. Output contract matches [[score]] (one row per batch doc;
+    * empty docs score (0, 0)). */
+  def scoreWith(model: Model, batch: DataFrame,
+                textCol: String, idCol: String): DataFrame = {
+    val perDoc = batch
+      .select(col(idCol).as("doc_id"),
+        explode(grams(Dedup.tokens(col(textCol)))).as("g"))
+      .select(col("doc_id"),
+        pmod(Dedup.h32(col("g")), lit(model.nBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c_doc"))
+    scoreTail(perDoc, batch.select(col(idCol).as("doc_id")).distinct(),
+      model, idCol)
+  }
+
+  /** Shared scoring tail: per-(doc, bucket) counts × frozen model →
+    * per-doc (n_grams, dsir_bits), docs without grams included at 0. */
+  private def scoreTail(perDoc: DataFrame, ids: DataFrame,
+                        model: Model, idCol: String): DataFrame = {
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val nBuckets = model.nBuckets
+    val s = adaptiveScale(math.max(model.tRaw, model.tTgt) + nBuckets)
     // bits tables are bucket-space sized; add-one smoothing covers EMPTY
     // buckets through the left joins below (c = 0 -> q = S div (T + B)).
-    // Integer `div` throughout: the (c+1)·S product reaches S·T ≤ 2^61
+    // Integer `div` throughout: the (c+1)·S product reaches S·T <= 2^61
     // by the shared-scale choice, and floor-log2 is bin-string length.
     def bitsOf(cntCol: String, total: Long): Column =
       length(bin(expr(s"${s}L div greatest(" +
         s"((coalesce($cntCol, 0L) + 1L) * ${s}L) div ${total + nBuckets}L, 1L)"))) - 1
+    val rawC = model.rawRows.toDF("bucket", "c_raw")
+    val tgtC = model.tgtRows.toDF("bucket", "c_tgt")
     val joined = perDoc
-      .join(broadcast(rawC.withColumnRenamed("cnt", "c_raw")), Seq("bucket"), "left")
-      .join(broadcast(tgtC.withColumnRenamed("cnt", "c_tgt")), Seq("bucket"), "left")
+      .join(broadcast(rawC), Seq("bucket"), "left")
+      .join(broadcast(tgtC), Seq("bucket"), "left")
       .select(col("doc_id"), col("c_doc"),
-        (bitsOf("c_raw", tRaw) - bitsOf("c_tgt", tTgt)).cast("long").as("dbits"))
+        (bitsOf("c_raw", model.tRaw) - bitsOf("c_tgt", model.tTgt))
+          .cast("long").as("dbits"))
     val scored = joined.groupBy("doc_id")
       .agg(sum(col("c_doc")).as("n_grams"),
         sum(col("c_doc") * col("dbits")).as("dsir_bits"))
-    val out = raw.select(col(idCol).as("doc_id")).distinct()
-      .join(scored, Seq("doc_id"), "left")
+    ids.join(scored, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
-    (out, Seq(perDoc))
   }
 }

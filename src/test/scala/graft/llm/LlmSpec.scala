@@ -430,6 +430,28 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), s"model join must broadcast:\n$plan")
   }
 
+  test("Dsir: frozen-model scoreWith matches score bit-for-bit; model roundtrips through parquet") {
+    val d = docs.select("doc_id", "text").limit(100)
+    val target = d.filter(col("doc_id") % 5 === 1)
+    val model = Dsir.fit(d, target, "text", nBuckets = 256)
+    val path = java.nio.file.Files.createTempDirectory("graft_dsir_m_").toString
+    Dsir.writeModel(spark, model, path)
+    val back = Dsir.readModel(spark, path)
+    assert(back.nBuckets === model.nBuckets)
+    assert(back.rawRows.sorted === model.rawRows.sorted)
+    assert(back.tgtRows.sorted === model.tgtRows.sorted)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(Dsir.score(d, target, "text", "doc_id", 256))
+    val frozen = rows(Dsir.scoreWith(back, d, "text", "doc_id"))
+    assert(frozen === direct,
+      "scoring through the persisted frozen model must be bit-identical")
+    // a strict sub-batch scores to the matching subset
+    val batch = rows(Dsir.scoreWith(back, d.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id"))
+    assert(batch === direct.filter(_._1 % 2 == 0))
+  }
+
   test("Dsir: models are local relations; the gram explosion lives only in the cached per-doc frame") {
     val d = docs.select("doc_id", "text")
     val (out, caches) = Dsir.scorePlan(d, d, "text", "doc_id", 64)

@@ -16,6 +16,10 @@ object QueriesR10 {
   private val SnapThreshold = 150.0
   private val AsOfTolUs = 6L * 3600 * 1000000 // 6 h
 
+  /** Unique 40-word text for the cross-batch containment plant — shares
+    * no vocabulary with the corpus or the footer. */
+  private val XText = (1 to 40).map(i => s"zzq${i}w").mkString(" ")
+
   private def snapsOf(ev: org.apache.spark.sql.DataFrame) =
     ev.filter(col("value") >= SnapThreshold)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("snap_ts"))
@@ -162,6 +166,124 @@ object QueriesR10 {
                COALESCE(agg.dsir_bits, 0) AS dsir_bits
         FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 2) ids
         LEFT JOIN agg USING (doc_id)
-        ORDER BY ids.doc_id"""))
+        ORDER BY ids.doc_id""")),
+
+    // ---- incremental containment served from the materialized index ----
+    // Same plant as dedup_containment (8 "expanded" originals + footer),
+    // split into the daily shape: the CORPUS is indexed once
+    // (ContainIndex.write — shingled once, frozen rarest-first
+    // prefixes), then the planted batch is served against the index.
+    // The qualifying pairs are original→expanded with the ORIGINAL (an
+    // index doc) as the contained A side — exercising exactly the
+    // stored-prefix direction a batch-only prefix join would miss. The
+    // oracle is dedup_containment's, restricted to batch-touching pairs.
+    QueryDef("dedup_containment_indexed",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val batch = docs.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(QueriesR9.Footer)).as("text"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cidx_").toString
+        graft.llm.ContainIndex.write(docs, "text", "doc_id", path,
+          threshold = 0.9, nBuckets = 16)
+        graft.llm.ContainIndex.containmentPairsIncremental(
+            s, path, batch, "text", "doc_id", threshold = 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, text || '${QueriesR9.Footer}' FROM documents
+          WHERE doc_id < 8),
+        d AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+              FROM aug),
+        sh AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+                        || ' ' || w[CAST(i AS INT)+2]) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s,
+                   x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h)
+                 AS containment
+        FROM hs a JOIN hs b ON a.doc_id != b.doc_id
+        WHERE len(a.h) > 0 AND len(b.h) > 0
+          AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h) >= 0.9
+          AND (a.doc_id >= 300000 OR b.doc_id >= 300000)
+        ORDER BY id_a, id_b""")),
+
+    // ---- streaming containment dedup (serve-then-append loop) ----------
+    // The dedup_containment_indexed fixture driven as TWO micro-batches,
+    // plus a planted CROSS-BATCH pair: doc 300100 (unique text X) in
+    // batch 1, doc 300101 (X + footer) in batch 2 — found by batch 2
+    // against the index that already holds batch 1's frozen prefix.
+    // Union of per-batch pair sets == one-shot serving; checkpointed
+    // re-run is a no-op (idempotent per-batch pair slots).
+    QueryDef("stream_containment",
+      (s, dir) => {
+        import java.nio.file.Files
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val expanded = docs.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(QueriesR9.Footer)).as("text"))
+        val srcDir = Files.createTempDirectory("graft_scd_src_").toString
+        expanded.filter(col("doc_id") < 300004L)
+          .unionByName(s.createDataFrame(Seq((300100L, XText)))
+            .toDF("doc_id", "text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        expanded.filter(col("doc_id") >= 300004L)
+          .unionByName(s.createDataFrame(Seq((300101L, XText + QueriesR9.Footer)))
+            .toDF("doc_id", "text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val idxPath = Files.createTempDirectory("graft_scd_idx_").toString
+        val pairsPath = Files.createTempDirectory("graft_scd_pairs_").toString
+        val ckpt = Files.createTempDirectory("graft_scd_ck_").toString
+        graft.llm.ContainIndex.write(docs, "text", "doc_id", idxPath,
+          threshold = 0.9, nBuckets = 16)
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingContainmentDedup(
+            s, srcDir, schema, idxPath, pairsPath, ckpt, "text", "doc_id",
+            threshold = 0.9, maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, no new pairs
+        s.read.parquet(pairsPath)
+          .select("id_a", "id_b", "containment")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, text || '${QueriesR9.Footer}' FROM documents
+          WHERE doc_id < 8
+          UNION ALL SELECT 300100, '$XText'
+          UNION ALL SELECT 300101, '$XText${QueriesR9.Footer}'),
+        d AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+              FROM aug),
+        sh AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+                        || ' ' || w[CAST(i AS INT)+2]) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s,
+                   x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h)
+                 AS containment
+        FROM hs a JOIN hs b ON a.doc_id != b.doc_id
+        WHERE len(a.h) > 0 AND len(b.h) > 0
+          AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h) >= 0.9
+          AND (a.doc_id >= 300000 OR b.doc_id >= 300000)
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -12,7 +12,7 @@ object QueriesR9 {
     * the containment gate — long enough that the REVERSE containment
     * (expanded → original) stays well under the 0.9 threshold on every
     * corpus document. */
-  private val Footer =
+  private[graft] val Footer =
     " repeated footer boilerplate sentence about terms of service and" +
       " rights reserved for syndication of this article"
 

@@ -293,6 +293,46 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Stream micro-batches against a persisted
+    * [[graft.llm.ContainIndex]] — [[streamingIndexedDedup]]'s loop for
+    * ASYMMETRIC CONTAINMENT: each batch's containment pairs (both
+    * directions, never index-vs-index) land under
+    * `pairsPath/batch=<id>` (OVERWRITE — idempotent retry slot), then
+    * the batch appends into the index so later batches pair against it.
+    * Serve-then-append gives the same union-of-pairs as one big batch:
+    * a cross-batch pair is found by the LATER doc's batch against the
+    * index that already holds the earlier one (containment is
+    * directional, and both of a pair's directions are evaluated at that
+    * point — candA covers batch-as-A, candB stored-prefix-as-A). */
+  def streamingContainmentDedup(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      pairsPath: String,
+      checkpointDir: String,
+      textCol: String, idCol: String,
+      threshold: Double = 0.9,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // containmentPairsIncremental is EAGER (localCheckpoint), so the
+        // pairs are materialized against the pre-append index before the
+        // append mutates it
+        graft.llm.ContainIndex.containmentPairsIncremental(
+            spark, indexPath, batch, textCol, idCol, threshold)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        graft.llm.ContainIndex.append(batch, textCol, idCol, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingest into the content-addressed chunk store: each
     * micro-batch CDC-chunks its documents and appends — chunk rows
     * dedup against the store's own buckets (so a re-crawled page

@@ -20,6 +20,25 @@ object QueriesR10 {
     * no vocabulary with the corpus or the footer. */
   private val XText = (1 to 40).map(i => s"zzq${i}w").mkString(" ")
 
+  // One frozen DSIR model per sf dir, fit + persisted + read back once —
+  // the bpe-gate memoization precedent (deterministic artifact; the
+  // roundtrip through parquet stays inside the memoized build, scoring
+  // runs per call).
+  private val dsirModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Dsir.Model]()
+  private def frozenModel(s: SparkSession, dir: String): graft.llm.Dsir.Model =
+    dsirModelCache.computeIfAbsent(dir, _ => {
+      import graft.llm.Dsir
+      val docs = Tables.read(s, dir, "documents")
+      val model = Dsir.fit(docs,
+        docs.filter(pmod(col("doc_id"), lit(20L)) === 1),
+        "text", nBuckets = 4096)
+      val mPath = java.nio.file.Files
+        .createTempDirectory("graft_dsir_model_").toString
+      Dsir.writeModel(s, model, mPath)
+      Dsir.readModel(s, mPath)
+    })
+
   private def snapsOf(ev: org.apache.spark.sql.DataFrame) =
     ev.filter(col("value") >= SnapThreshold)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("snap_ts"))
@@ -114,15 +133,8 @@ object QueriesR10 {
     // exactly what the restricted oracle recomputes.
     QueryDef("dsir_frozen",
       (s, dir) => {
-        import graft.llm.Dsir
         val docs = Tables.read(s, dir, "documents")
-        val model = Dsir.fit(docs,
-          docs.filter(pmod(col("doc_id"), lit(20L)) === 1),
-          "text", nBuckets = 4096)
-        val mPath = java.nio.file.Files
-          .createTempDirectory("graft_dsir_model_").toString
-        Dsir.writeModel(s, model, mPath)
-        Dsir.scoreWith(Dsir.readModel(s, mPath),
+        graft.llm.Dsir.scoreWith(frozenModel(s, dir),
             docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
             "text", "doc_id")
           .orderBy("doc_id")
@@ -179,7 +191,11 @@ object QueriesR10 {
     // oracle is dedup_containment's, restricted to batch-touching pairs.
     QueryDef("dedup_containment_indexed",
       (s, dir) => {
-        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        // corpus < 250: the dedup_incremental_indexed sizing precedent —
+        // the gate certifies serving semantics; ContainIndexProbe covers
+        // the cost-vs-index-size claim
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text").filter(col("doc_id") < 250)
         val batch = docs.filter(col("doc_id") < 8)
           .select((col("doc_id") + 300000L).as("doc_id"),
             concat(col("text"), lit(QueriesR9.Footer)).as("text"))
@@ -193,7 +209,7 @@ object QueriesR10 {
       },
       Some(s"""
         WITH aug AS (
-          SELECT doc_id, text FROM documents
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
           UNION ALL
           SELECT doc_id + 300000, text || '${QueriesR9.Footer}' FROM documents
           WHERE doc_id < 8),
@@ -228,7 +244,8 @@ object QueriesR10 {
     QueryDef("stream_containment",
       (s, dir) => {
         import java.nio.file.Files
-        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text").filter(col("doc_id") < 250)
         val expanded = docs.filter(col("doc_id") < 8)
           .select((col("doc_id") + 300000L).as("doc_id"),
             concat(col("text"), lit(QueriesR9.Footer)).as("text"))
@@ -259,7 +276,7 @@ object QueriesR10 {
       },
       Some(s"""
         WITH aug AS (
-          SELECT doc_id, text FROM documents
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
           UNION ALL
           SELECT doc_id + 300000, text || '${QueriesR9.Footer}' FROM documents
           WHERE doc_id < 8

@@ -138,10 +138,18 @@ object ContainIndex {
   def append(batch: DataFrame, textCol: String, idCol: String,
              path: String): Unit = {
     val spark = batch.sparkSession
-    val (t0, shingleN, nBuckets) = readMeta(spark, path)
-    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN)
+    val meta = readMeta(spark, path)
+    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
+    appendFromSets(spark, path, bsets, bpost, meta)
+    bpost.unpersist(); bsets.unpersist()
+  }
+
+  private def appendFromSets(spark: SparkSession, path: String,
+                             bsets: DataFrame, bpost: DataFrame,
+                             meta: (Double, Int, Int)): Unit = {
+    val (t0, _, nBuckets) = meta
     val touched = bpost.select(gb(col("s"), nBuckets).as("pb")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= nBuckets
     val idxPostRaw = spark.read.parquet(s"$path/post")
@@ -159,6 +167,23 @@ object ContainIndex {
     bsets.withColumn("ib", ib(col("id"), nBuckets))
       .repartition(col("ib"), col("id"))
       .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
+  }
+
+  /** One serve-then-append cycle with the batch SHINGLED ONCE — the
+    * [[MinHashIndex.serveThenAppend]] shape the streaming loop runs on
+    * (the two-call form shingles every micro-batch twice). `writePairs`
+    * receives the EAGER pair result (safe against the index mutating
+    * underneath — serving happened against the pre-append state). */
+  def serveThenAppend(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.9)(writePairs: DataFrame => Unit): Unit = {
+    val meta = readMeta(spark, path)
+    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
+      .filter(size(col("hs")) > 0).persist()
+    val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
+    writePairs(serveFromSets(spark, path, bsets, bpost, threshold, meta))
+    appendFromSets(spark, path, bsets, bpost, meta)
     bpost.unpersist(); bsets.unpersist()
   }
 
@@ -178,16 +203,29 @@ object ContainIndex {
       spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String,
       threshold: Double = 0.9): DataFrame = {
-    val (t0, shingleN, nBuckets) = readMeta(spark, path)
+    val meta = readMeta(spark, path)
+    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
+      .filter(size(col("hs")) > 0).persist()
+    val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
+    val out = serveFromSets(spark, path, bsets, bpost, threshold, meta)
+    bpost.unpersist(); bsets.unpersist()
+    out
+  }
+
+  /** The serve body from precomputed (persisted) batch sets/postings;
+    * returns the EAGER checkpointed pair set and releases its own
+    * internal candidate cache. */
+  private def serveFromSets(
+      spark: SparkSession, path: String,
+      bsets: DataFrame, bpost: DataFrame,
+      threshold: Double, meta: (Double, Int, Int)): DataFrame = {
+    val (t0, _, nBuckets) = meta
     require(threshold >= t0 - 1e-12,
       s"ContainIndex: index at $path was built for threshold >= $t0; " +
         s"serving at $threshold would miss qualifying pairs — rebuild " +
         "the index at the lower threshold")
     import graft.functions.VectorFunctions.sortedLongIntersectCount
 
-    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN)
-      .filter(size(col("hs")) > 0).persist()
-    val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
     val touched = bpost.select(gb(col("s"), nBuckets).as("pb")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= nBuckets
 
@@ -239,7 +277,7 @@ object ContainIndex {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
       .localCheckpoint(true)
-    Seq(cand, bpost, bsets).foreach(_.unpersist())
+    cand.unpersist()
     out
   }
 

@@ -320,13 +320,13 @@ object StreamingIncremental {
       .parquet(sourceDir)
     src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // containmentPairsIncremental is EAGER (localCheckpoint), so the
-        // pairs are materialized against the pre-append index before the
-        // append mutates it
-        graft.llm.ContainIndex.containmentPairsIncremental(
-            spark, indexPath, batch, textCol, idCol, threshold)
-          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-        graft.llm.ContainIndex.append(batch, textCol, idCol, indexPath)
+        // one shingle pass per batch: serveThenAppend shares the batch's
+        // sets/postings between the (eager, pre-append) serve and the
+        // index append
+        graft.llm.ContainIndex.serveThenAppend(
+          spark, indexPath, batch, textCol, idCol, threshold) { pairs =>
+          pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -90,6 +90,24 @@ object ContainIndex {
       case _ => vals.map(_.toString)
     }
 
+  /** An index table seeded from an EMPTY corpus has no partition dirs
+    * (parquet cannot persist a zero-file schema — the ChunkStore empty-
+    * seed case): read it as an empty frame shaped like `like`. */
+  private def readBuckets(spark: SparkSession, dir: String, partPrefix: String,
+                          vals: Seq[Long], like: DataFrame,
+                          cols: Seq[String]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParts = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix + "="))
+    if (!hasParts) like.select(cols.map(col): _*).limit(0)
+    else {
+      val raw = spark.read.parquet(dir)
+      raw.filter(col(partPrefix).isin(typedLits(raw, partPrefix, vals): _*))
+        .select(cols.map(col): _*)
+    }
+  }
+
   /** Rarest-first A-prefix rows (id, s) for the given postings under the
     * given df table — the [[Dedup.containmentPairs]] prefix, shared by
     * write/append/serve. */
@@ -152,10 +170,8 @@ object ContainIndex {
     val (t0, _, nBuckets) = meta
     val touched = bpost.select(gb(col("s"), nBuckets).as("pb")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= nBuckets
-    val idxPostRaw = spark.read.parquet(s"$path/post")
-    val idxPost = idxPostRaw
-      .filter(col("pb").isin(typedLits(idxPostRaw, "pb", touched): _*))
-      .select("id", "s")
+    val idxPost = readBuckets(spark, s"$path/post", "pb", touched,
+      bpost, Seq("id", "s"))
     val freq = idxPost.unionByName(bpost).groupBy("s").agg(count(lit(1)).as("df"))
     prefixes(bpost, freq, t0)
       .withColumn("pf", gb(col("s"), nBuckets))
@@ -229,15 +245,11 @@ object ContainIndex {
     val touched = bpost.select(gb(col("s"), nBuckets).as("pb")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= nBuckets
 
-    val idxPostRaw = spark.read.parquet(s"$path/post")
     val idxPost = Tombstones.exclude(
-      idxPostRaw.filter(col("pb").isin(typedLits(idxPostRaw, "pb", touched): _*))
-        .select("id", "s"),
+      readBuckets(spark, s"$path/post", "pb", touched, bpost, Seq("id", "s")),
       "id", spark, path)
-    val idxPrefRaw = spark.read.parquet(s"$path/pref")
     val idxPref = Tombstones.exclude(
-      idxPrefRaw.filter(col("pf").isin(typedLits(idxPrefRaw, "pf", touched): _*))
-        .select("id", "s"),
+      readBuckets(spark, s"$path/pref", "pf", touched, bpost, Seq("id", "s")),
       "id", spark, path)
 
     // batch-as-A: fresh rarest-first prefixes under (index + batch) df —
@@ -259,10 +271,8 @@ object ContainIndex {
     val ibs = cand.select(ib(col("id_a"), nBuckets).as("ib"))
       .unionByName(cand.select(ib(col("id_b"), nBuckets).as("ib")))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val setsRaw = spark.read.parquet(s"$path/sets")
     val idxSets = Tombstones.exclude(
-      setsRaw.filter(col("ib").isin(typedLits(setsRaw, "ib", ibs): _*))
-        .select("id", "hs"),
+      readBuckets(spark, s"$path/sets", "ib", ibs, bsets, Seq("id", "hs")),
       "id", spark, path)
     val allSets = bsets.unionByName(idxSets)
 

@@ -90,6 +90,50 @@ class ContainIndexSpec extends SparkSpec {
       spark, path, batch, "text", "doc_id", threshold = 0.95).count()
   }
 
+  test("empty-seeded index: append + serve work from zero (the streaming seed pattern)") {
+    val path = tmp()
+    ContainIndex.write(corpus.filter(lit(false)), "text", "doc_id", path,
+      threshold = 0.9, nBuckets = 8)
+    // serve against the empty index: no index pairs, batch-vs-batch only
+    // (21/22 are slices of T, so they are contained in 20 = T+footer too)
+    val served0 = pairsOf(ContainIndex.containmentPairsIncremental(
+      spark, path, batch, "text", "doc_id"))
+    assert(served0.keySet ===
+      Set((21L, 22L), (22L, 21L), (21L, 20L), (22L, 20L)), s"$served0")
+    // append the corpus, then the full pair set appears
+    ContainIndex.append(corpus, "text", "doc_id", path)
+    val served = pairsOf(ContainIndex.containmentPairsIncremental(
+      spark, path, batch, "text", "doc_id"))
+    assert(served.contains((10L, 20L)) && served.contains((21L, 10L)))
+  }
+
+  test("serveThenAppend composes: two sequential batches == one-shot union") {
+    val path = tmp()
+    ContainIndex.write(corpus, "text", "doc_id", path,
+      threshold = 0.9, nBuckets = 8)
+    val b1 = batch.filter(col("doc_id") <= 21L)
+    val b2 = batch.filter(col("doc_id") > 21L) // 22 pairs with 21 CROSS-batch
+    var acc = Map.empty[(Long, Long), Double]
+    ContainIndex.serveThenAppend(spark, path, b1, "text", "doc_id") { p =>
+      acc = acc ++ pairsOf(p)
+    }
+    ContainIndex.serveThenAppend(spark, path, b2, "text", "doc_id") { p =>
+      acc = acc ++ pairsOf(p)
+    }
+    val oneShot = pairsOf(ContainIndex.containmentPairsIncremental(
+      spark, tmpIndexOf(corpus), batch, "text", "doc_id"))
+    assert(acc === oneShot,
+      s"serve-then-append union must equal one-shot: $acc vs $oneShot")
+    assert(acc.contains((21L, 22L)) && acc.contains((22L, 21L)),
+      "cross-batch pair must be found by the later batch")
+  }
+
+  private def tmpIndexOf(docs: org.apache.spark.sql.DataFrame): String = {
+    val p = tmp()
+    ContainIndex.write(docs, "text", "doc_id", p, threshold = 0.9, nBuckets = 8)
+    p
+  }
+
   test("deleteDocs hides an indexed doc immediately; compact purges all three tables") {
     val path = tmp()
     ContainIndex.write(corpus, "text", "doc_id", path,

@@ -104,9 +104,13 @@ object Bench {
       .mkString("{", ",", "}")
     val qsFirst = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val totalFirst = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"total_first_run":$totalFirst,"stream_fixed_overhead_sec":$streamFixed,"queries":$qs,"queries_first":$qsFirst,"sf":"$sfDir"}"""
+    // errored queries keep their -1 marker in the per-query maps but are
+    // EXCLUDED from the sums (a -1 would deflate the headline total) and
+    // surfaced as an explicit count instead
+    val errored = results.values.count(_._2 < 0)
+    val total = results.values.map(_._2).filter(_ >= 0).sum
+    val totalFirst = results.values.map(_._1).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"errored":$errored,"total_first_run":$totalFirst,"stream_fixed_overhead_sec":$streamFixed,"queries":$qs,"queries_first":$qsFirst,"sf":"$sfDir"}"""
     // The stdout line has been tail-truncated by the harness two rounds
     // running (losing `total` + the last ~17 timings), so ALSO persist the
     // full JSON to a committed file — the bench reports itself.

@@ -65,12 +65,14 @@ object ChunkStore {
     val out = fs.create(tmp, true)
     try out.write(s"""{"nBuckets":$nBuckets,"seq":$seq}""".getBytes("UTF-8"))
     finally out.close()
-    // install by rename (atomic on HDFS/POSIX): a crash can leave the
-    // old meta or the new one, never a truncated file that readMeta
-    // would silently treat as "legacy store"
-    fs.delete(live, false)
-    require(fs.rename(tmp, live),
-      s"ChunkStore: install rename of _store_meta.json under $path failed")
+    // install by OVERWRITE rename (FileContext — atomic replace on
+    // HDFS/POSIX): a crash can leave the old meta or the new one, never
+    // a truncated file or a missing-meta window that readMeta would
+    // silently treat as "legacy store" (a delete-then-rename pair would
+    // have exactly that window)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** (nBuckets, last issued seq) — None for a pre-metadata store. */

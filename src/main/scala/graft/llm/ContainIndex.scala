@@ -59,9 +59,11 @@ object ContainIndex {
       s"""{"threshold":$threshold,"shingleN":$shingleN,"nBuckets":$nBuckets}"""
         .getBytes("UTF-8"))
     finally out.close()
-    fs.delete(live, false)
-    require(fs.rename(tmp, live),
-      s"ContainIndex: install rename of _index_meta.json under $path failed")
+    // OVERWRITE rename: atomic replace, no missing-meta window (the
+    // ChunkStore.writeMeta discipline)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[llm] def readMeta(spark: SparkSession, path: String): (Double, Int, Int) = {
@@ -160,36 +162,60 @@ object ContainIndex {
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
-    appendFromSets(spark, path, bsets, bpost, meta)
+    appendFromView(spark, path, batchView(spark, path, bsets, bpost, meta._3), meta)
     bpost.unpersist(); bsets.unpersist()
   }
 
-  private def appendFromSets(spark: SparkSession, path: String,
-                             bsets: DataFrame, bpost: DataFrame,
-                             meta: (Double, Int, Int)): Unit = {
-    val (t0, _, nBuckets) = meta
+  /** The batch's shared serve/append working set: persisted sets and
+    * postings, touched posting buckets, the tombstone-excluded pruned
+    * index postings, and the (index ∪ batch) gram df — computed ONCE
+    * per batch and consumed by both the serve and append halves. */
+  private case class BatchView(bsets: DataFrame, bpost: DataFrame,
+                               touched: Seq[Long], idxPost: DataFrame,
+                               freq: DataFrame)
+
+  private def batchView(spark: SparkSession, path: String,
+                        bsets: DataFrame, bpost: DataFrame,
+                        nBuckets: Int): BatchView = {
     val touched = bpost.select(gb(col("s"), nBuckets).as("pb")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= nBuckets
-    val idxPost = readBuckets(spark, s"$path/post", "pb", touched,
-      bpost, Seq("id", "s"))
+    val idxPost = Tombstones.exclude(
+      readBuckets(spark, s"$path/post", "pb", touched, bpost, Seq("id", "s")),
+      "id", spark, path)
     val freq = idxPost.unionByName(bpost).groupBy("s").agg(count(lit(1)).as("df"))
-    prefixes(bpost, freq, t0)
+    BatchView(bsets, bpost, touched, idxPost, freq)
+  }
+
+  private def appendFromView(spark: SparkSession, path: String,
+                             v: BatchView, meta: (Double, Int, Int)): Unit = {
+    val (t0, _, nBuckets) = meta
+    prefixes(v.bpost, v.freq, t0)
       .withColumn("pf", gb(col("s"), nBuckets))
       .repartition(col("pf"), col("s"))
       .write.mode("append").partitionBy("pf").parquet(s"$path/pref")
-    bpost.withColumn("pb", gb(col("s"), nBuckets))
+    v.bpost.withColumn("pb", gb(col("s"), nBuckets))
       .repartition(col("pb"), col("s"))
       .write.mode("append").partitionBy("pb").parquet(s"$path/post")
-    bsets.withColumn("ib", ib(col("id"), nBuckets))
+    v.bsets.withColumn("ib", ib(col("id"), nBuckets))
       .repartition(col("ib"), col("id"))
       .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
   }
 
-  /** One serve-then-append cycle with the batch SHINGLED ONCE — the
-    * [[MinHashIndex.serveThenAppend]] shape the streaming loop runs on
-    * (the two-call form shingles every micro-batch twice). `writePairs`
-    * receives the EAGER pair result (safe against the index mutating
-    * underneath — serving happened against the pre-append state). */
+  /** One serve-then-append cycle with the batch SHINGLED ONCE and the
+    * bucket reads / gram-df computed once (the
+    * [[MinHashIndex.serveThenAppend]] shape the streaming loop runs
+    * on — the two-call form pays each twice per micro-batch).
+    * `writePairs` receives the EAGER pair result (safe against the
+    * index mutating underneath — serving happened against the
+    * pre-append state).
+    *
+    * Delivery contract (honest, as [[MinHashIndex.serveThenAppend]]):
+    * foreachBatch is at-least-once. The PAIRS side is idempotent when
+    * written to a per-batch overwrite slot; the index-append side is
+    * NOT — a batch replayed after a crash between serve and append
+    * lands its postings/prefixes/sets twice, and must be re-run only
+    * after removing its partial index files (or the store compacted
+    * from a known-good manifest of ids). */
   def serveThenAppend(
       spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String,
@@ -198,9 +224,12 @@ object ContainIndex {
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
-    writePairs(serveFromSets(spark, path, bsets, bpost, threshold, meta))
-    appendFromSets(spark, path, bsets, bpost, meta)
-    bpost.unpersist(); bsets.unpersist()
+    val v = batchView(spark, path, bsets, bpost, meta._3)
+    val freqCached = v.freq.persist() // two consumers: serve bpref + append prefix
+    val shared = v.copy(freq = freqCached)
+    writePairs(serveFromView(spark, path, shared, threshold, meta))
+    appendFromView(spark, path, shared, meta)
+    freqCached.unpersist(); bpost.unpersist(); bsets.unpersist()
   }
 
   /** Containment pairs TOUCHING `batch` — batch-as-A against
@@ -223,17 +252,17 @@ object ContainIndex {
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
-    val out = serveFromSets(spark, path, bsets, bpost, threshold, meta)
+    val out = serveFromView(spark, path,
+      batchView(spark, path, bsets, bpost, meta._3), threshold, meta)
     bpost.unpersist(); bsets.unpersist()
     out
   }
 
-  /** The serve body from precomputed (persisted) batch sets/postings;
-    * returns the EAGER checkpointed pair set and releases its own
-    * internal candidate cache. */
-  private def serveFromSets(
-      spark: SparkSession, path: String,
-      bsets: DataFrame, bpost: DataFrame,
+  /** The serve body from a precomputed [[BatchView]]; returns the EAGER
+    * checkpointed pair set and releases its own internal candidate
+    * cache. */
+  private def serveFromView(
+      spark: SparkSession, path: String, v: BatchView,
       threshold: Double, meta: (Double, Int, Int)): DataFrame = {
     val (t0, _, nBuckets) = meta
     require(threshold >= t0 - 1e-12,
@@ -241,24 +270,18 @@ object ContainIndex {
         s"serving at $threshold would miss qualifying pairs — rebuild " +
         "the index at the lower threshold")
     import graft.functions.VectorFunctions.sortedLongIntersectCount
+    val bsets = v.bsets; val bpost = v.bpost
 
-    val touched = bpost.select(gb(col("s"), nBuckets).as("pb")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= nBuckets
-
-    val idxPost = Tombstones.exclude(
-      readBuckets(spark, s"$path/post", "pb", touched, bpost, Seq("id", "s")),
-      "id", spark, path)
     val idxPref = Tombstones.exclude(
-      readBuckets(spark, s"$path/pref", "pf", touched, bpost, Seq("id", "s")),
+      readBuckets(spark, s"$path/pref", "pf", v.touched, bpost, Seq("id", "s")),
       "id", spark, path)
 
     // batch-as-A: fresh rarest-first prefixes under (index + batch) df —
     // exact for every batch gram, since a gram's postings all live in
     // its (read) bucket
-    val freq = idxPost.unionByName(bpost).groupBy("s").agg(count(lit(1)).as("df"))
-    val bpref = prefixes(bpost, freq, threshold)
+    val bpref = prefixes(bpost, v.freq, threshold)
     val candA = bpref.select(col("id").as("id_a"), col("s"))
-      .join(idxPost.unionByName(bpost).select(col("id").as("id_b"), col("s")), "s")
+      .join(v.idxPost.unionByName(bpost).select(col("id").as("id_b"), col("s")), "s")
     // index-as-A: stored prefixes (pruned to batch gram buckets) against
     // batch postings — the direction batch-only prefixes would miss
     val candB = idxPref.select(col("id").as("id_a"), col("s"))
@@ -299,14 +322,19 @@ object ContainIndex {
     Tombstones.add(ids, idCol, path)
 
   /** One file per bucket directory after N appends (all three tables);
-    * tombstoned ids purged, markers cleared. */
+    * tombstoned ids purged, markers cleared. Sub-tables still empty
+    * from an empty seed are skipped (nothing to rewrite). */
   def compact(spark: SparkSession, path: String): Unit = {
-    IvfLayout.compact(spark, s"$path/pref", partCol = "pf",
-      transform = df => Tombstones.exclude(df, "id", spark, path))
-    IvfLayout.compact(spark, s"$path/post", partCol = "pb",
-      transform = df => Tombstones.exclude(df, "id", spark, path))
-    IvfLayout.compact(spark, s"$path/sets", partCol = "ib",
-      transform = df => Tombstones.exclude(df, "id", spark, path))
+    def hasParts(dir: String, pp: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith(pp + "="))
+    }
+    for ((t, pp) <- Seq("pref" -> "pf", "post" -> "pb", "sets" -> "ib"))
+      if (hasParts(s"$path/$t", pp))
+        IvfLayout.compact(spark, s"$path/$t", partCol = pp,
+          transform = df => Tombstones.exclude(df, "id", spark, path))
     Tombstones.clear(spark, path)
   }
 }

@@ -57,6 +57,19 @@ private[llm] object IvfLayout {
     transform(spark.read.parquet(path))
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(tmp.toString)
+    // a staged tree with ZERO rows has no partition dirs and no parquet
+    // files — installing it would make every later read of the store
+    // throw 'unable to infer schema' instead of returning empty. Refuse
+    // loudly (original store left intact): a full-takedown compact means
+    // the store is finished — delete or rebuild it.
+    if (!fs.listStatus(tmp).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(partCol + "="))) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"IvfLayout.compact: compacting $path would leave an EMPTY store " +
+          "(every row tombstoned or the store was empty) — delete the " +
+          "store or rebuild it instead of compacting")
+    }
     // sidecars (_centroids, _codebooks) travel verbatim; _SUCCESS is
     // rewritten by the staged write itself
     fs.listStatus(root).map(_.getPath)

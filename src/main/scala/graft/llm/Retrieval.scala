@@ -283,32 +283,55 @@ object Retrieval {
     * Tombstoned docs are purged: their postings are dropped in the
     * rewrite and a NEGATIVE delta row (−n_docs, −total_tokens, computed
     * from their pre-purge postings) lands in `_stats`, so idf/avgdl
-    * reflect the surviving corpus. The delta is computed BEFORE the
-    * purge and appended after the swap: a crash between the two leaves
-    * stats overcounting the deleted docs (conservative — the same
-    * posture serve-time deletion already has) and a re-run converges
-    * (the markers are cleared only after the delta lands; a second
-    * compact finds no surviving deleted postings, so its delta is
-    * zero). Deleted EMPTY docs have no postings and stay counted in
-    * n_docs — a documented drift of at most the empty-doc count. */
+    * reflect the surviving corpus. The delta rides a CONVERGENT staged
+    * protocol — a naive compute/purge/append sequence loses the delta
+    * forever if the process dies between purge and append, because the
+    * postings it would be recomputed from are gone: (1) adopt any
+    * `_stats_pending` delta staged by an interrupted run, else compute
+    * and stage one; (2) purge; (3) apply by RENAMING the staged part
+    * files into `_stats` (the rename is the append, atomic, and
+    * empties pending in the same step — exactly-once under any
+    * crash-and-rerun); (4) clear the markers. Deleted EMPTY docs have
+    * no postings and stay counted in n_docs — a documented drift of at
+    * most the empty-doc count. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val delta = Tombstones.readOpt(spark, path).map { t =>
-      spark.read.parquet(path)
-        .join(broadcast(t.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
-        .select("doc_id", "dl").distinct()
-        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("tok"))
-        .head()
-    }
-    IvfLayout.compact(spark, path, partCol = "bucket",
-      transform = df => Tombstones.exclude(df, "doc_id", spark, path))
-    delta.foreach { d =>
-      if (d.getLong(0) > 0L) {
-        import spark.implicits._
-        Seq((-d.getLong(0), -d.getLong(1))).toDF("n_docs", "total_tokens")
-          .coalesce(1).write.mode("append").parquet(s"$path/_stats")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new Path(s"$path/_stats_pending")
+    def pendingParts(): Seq[Path] =
+      if (!fs.exists(pending)) Seq.empty
+      else fs.listStatus(pending).map(_.getPath).toSeq
+        .filter(_.getName.startsWith("part-"))
+    // 1/2: adopt a staged delta from an interrupted run (its postings
+    // may already be purged — recomputing would lose it forever), else
+    // compute from the pre-purge postings and STAGE it
+    if (pendingParts().isEmpty) {
+      Tombstones.readOpt(spark, path).foreach { t =>
+        val d = spark.read.parquet(path)
+          .join(broadcast(t.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+          .select("doc_id", "dl").distinct()
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+            coalesce(sum(col("dl")), lit(0L)).as("tok"))
+          .head()
+        if (d.getLong(0) > 0L) {
+          import spark.implicits._
+          Seq((-d.getLong(0), -d.getLong(1))).toDF("n_docs", "total_tokens")
+            .coalesce(1).write.mode("overwrite").parquet(pending.toString)
+        }
       }
     }
+    // 3: purge (_stats_pending travels with the underscore sidecars)
+    IvfLayout.compact(spark, path, partCol = "bucket",
+      transform = df => Tombstones.exclude(df, "doc_id", spark, path))
+    // 4: APPLY by renaming the staged part files into _stats — the
+    // rename IS the append (atomic) and empties pending in the same
+    // step, so a crash-and-rerun applies the delta exactly once
+    pendingParts().zipWithIndex.foreach { case (p, i) =>
+      require(fs.rename(p, new Path(s"$path/_stats/delta-$i-${p.getName}")),
+        s"Retrieval.compactIndex: install rename of stats delta $p failed")
+    }
+    fs.delete(pending, true)
+    // 5
     Tombstones.clear(spark, path)
   }
 

@@ -303,7 +303,14 @@ object StreamingIncremental {
     * a cross-batch pair is found by the LATER doc's batch against the
     * index that already holds the earlier one (containment is
     * directional, and both of a pair's directions are evaluated at that
-    * point — candA covers batch-as-A, candB stored-prefix-as-A). */
+    * point — candA covers batch-as-A, candB stored-prefix-as-A).
+    *
+    * Delivery contract: foreachBatch is at-least-once. The PAIRS side
+    * is idempotent (per-batch overwrite slot); the index-APPEND side is
+    * not — a batch replayed after a crash between serve and append
+    * lands its index rows twice and must be cleaned before re-running
+    * ([[graft.llm.ContainIndex.serveThenAppend]]'s documented contract,
+    * the same posture as [[streamingIndexedDedup]]). */
   def streamingContainmentDedup(
       spark: SparkSession,
       sourceDir: String,

@@ -301,6 +301,44 @@ object QueriesR10 {
         WHERE len(a.h) > 0 AND len(b.h) > 0
           AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) / len(a.h) >= 0.9
           AND (a.doc_id >= 300000 OR b.doc_id >= 300000)
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- decontamination from a PERSISTED blocklist artifact -----------
+    // Same fixture and oracle as decontaminate/decontaminate_bloom: the
+    // artifact path (blocklist shingled once, bloom sketch + gram table
+    // persisted, corpus scrubbed with zero blocklist work at serve) must
+    // be bit-identical to the recompute paths.
+    QueryDef("decontaminate_artifact",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_blocklist_").toString
+        graft.llm.Curation.writeBlocklist(
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0),
+          "text", "doc_id", path, shingleN = 3)
+        graft.llm.Curation.decontaminateBloomFrom(
+            s, path, docs, "text", "doc_id", minHits = 5L)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) w
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2])) s
+               FROM d),
+        hs AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> CAST('0x'||substr(md5(x),1,8) AS BIGINT))) h
+               FROM sh),
+        e AS (SELECT doc_id, unnest(h) AS h FROM hs),
+        bl AS (SELECT DISTINCT h FROM e WHERE doc_id % 20 = 0),
+        hits AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) n
+                 FROM e JOIN bl USING (h) GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               COALESCE(hits.n, 0) AS n_contaminated,
+               COALESCE(hits.n, 0) >= 5 AS flagged
+        FROM d LEFT JOIN hits USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

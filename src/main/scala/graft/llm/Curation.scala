@@ -349,6 +349,83 @@ object Curation {
         (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
   }
 
+  /** Persist a blocklist as a reusable decontamination ARTIFACT —
+    * benchmarks are static (MMLU/GSM8K etc. change yearly, corpora get
+    * scrubbed daily): shingle the blocklist ONCE and store
+    *
+    *  - `grams/` — the distinct 32-bit gram hashes (the exact
+    *    verification side),
+    *  - `_bloom` — the serialized bloom sketch over them (the map-side
+    *    prune; MBs at web-benchmark sizes),
+    *  - `_artifact_meta.json` — shingleN / fpp / gram count.
+    *
+    * [[decontaminateBloomFrom]] then scrubs any corpus shard without
+    * re-shingling or re-sketching the blocklist — the fit-once /
+    * serve-daily posture of [[Dsir.fit]] and [[ContainIndex]]. */
+  def writeBlocklist(blocklist: DataFrame, textCol: String, idCol: String,
+                     path: String, shingleN: Int = 3,
+                     fpp: Double = 0.01): Unit = {
+    require(fpp > 0 && fpp < 1, "writeBlocklist: fpp must be in (0, 1)")
+    val spark = blocklist.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val b = Dedup.shingleHashSets(blocklist, textCol, idCol, shingleN)
+      .select(explode(col("hs")).as("h")).distinct().persist()
+    val nGrams = b.count()
+    b.write.parquet(s"$path/grams")
+    val bloom = b.stat.bloomFilter("h", math.max(nGrams, 1L), fpp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_bloom"), true)
+    try bloom.writeTo(out) finally out.close()
+    b.unpersist()
+    val metaOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_artifact_meta.json"), true)
+    try metaOut.write(
+      s"""{"shingleN":$shingleN,"fpp":$fpp,"nGrams":$nGrams}""".getBytes("UTF-8"))
+    finally metaOut.close()
+  }
+
+  /** [[decontaminateBloom]] against a persisted [[writeBlocklist]]
+    * artifact: the stored sketch is the map-side prune, the stored gram
+    * table the exact verify — BIT-IDENTICAL output to
+    * [[decontaminate]]/[[decontaminateBloom]] over the same blocklist,
+    * with zero blocklist shingling at serve time. */
+  def decontaminateBloomFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, textCol: String, idCol: String,
+      minHits: Long = 1L): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/_artifact_meta.json")
+    require(fs.exists(metaP), s"decontaminateBloomFrom: no artifact at $path")
+    val in = fs.open(metaP)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val pat = """"shingleN"\s*:\s*(\d+)""".r.unanchored
+    val shingleN = txt match {
+      case pat(sn) => sn.toInt
+      case _ => throw new IllegalStateException(
+        s"decontaminateBloomFrom: unparseable artifact meta at $path: $txt")
+    }
+    val bloomIn = fs.open(new org.apache.hadoop.fs.Path(s"$path/_bloom"))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(bloomIn)
+      finally bloomIn.close()
+    val bGrams = spark.read.parquet(s"$path/grams")
+    val cand = Dedup.shingleHashSets(corpus, textCol, idCol, shingleN)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .filter(graft.functions.VectorFunctions.bloomMightContainLong(bloom, col("h")))
+    val hits = cand.join(bGrams, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) >= minHits).as("flagged"))
+  }
+
   /** Contamination as a FRACTION, not a count: per document, the share
     * of its distinct word n-grams that appear in the blocklist corpus —
     * the overlap statistic the GPT-3 appendix-C style "dirty document"

@@ -86,6 +86,38 @@ class CurationSpec extends SparkSpec {
       s"bloom pruned nothing ($survivors of $total grams survive)")
   }
 
+  test("blocklist artifact: persisted scrub bit-identical to recompute; blocklist never re-shingled") {
+    val docs = sf("sf0.001", "documents")
+    val block = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_blspec_").toString
+    Curation.writeBlocklist(block, "text", "doc_id", path, shingleN = 3)
+    val exact = Curation.decontaminate(docs, block, "text", "doc_id", minHits = 5L)
+    val viaArtifact = Curation.decontaminateBloomFrom(
+      spark, path, docs, "text", "doc_id", minHits = 5L)
+    assert(viaArtifact.exceptAll(exact).isEmpty &&
+      exact.exceptAll(viaArtifact).isEmpty,
+      "artifact path must be bit-identical to the recompute path")
+    // the serving plan contains no second shingling of the blocklist:
+    // its only Generates are the corpus side's
+    val p = viaArtifact.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size === 1,
+      s"exactly one (corpus) gram explosion expected:\n${p.take(2000)}")
+    assert(p.contains("might_contain"), "stored sketch must prune map-side")
+    // a second serve against the same artifact needs no blocklist work
+    // at all — the artifact is read-only and reusable across sessions
+    val again = Curation.decontaminateBloomFrom(
+      spark, path, docs.limit(50), "text", "doc_id", minHits = 5L)
+    assert(again.count() === 50)
+    // missing artifact fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Curation.decontaminateBloomFrom(
+        spark, path + "_missing", docs, "text", "doc_id")
+    }
+    assert(ex.getMessage.contains("no artifact"))
+  }
+
   test("piiStats: staged counts, overlap-free, full redaction") {
     val docs = Seq(
       (1L, "mail bob.smith+x@mail.org phone +1 (555) 123-4567 ip 192.168.0.1"),

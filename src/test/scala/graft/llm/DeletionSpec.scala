@@ -112,6 +112,19 @@ class DeletionSpec extends SparkSpec {
     assert(served() === after, "survivors must serve identically after compact")
   }
 
+  test("compact refuses a full takedown (empty staged tree); store left intact") {
+    val emb = sf("sf0.001", "embeddings").select("vec_id", "embedding").limit(50)
+    val path = tmp("graft_del_empty_")
+    IvfIndex.write(emb, "embedding", "vec_id", path, nCells = 4,
+      corpusRows = Some(50L))
+    IvfIndex.deleteDocs(emb.select("vec_id"), "vec_id", path)
+    val rowsBefore = spark.read.parquet(path).count()
+    val ex = intercept[IllegalStateException] { IvfIndex.compact(spark, path) }
+    assert(ex.getMessage.contains("EMPTY store"))
+    assert(spark.read.parquet(path).count() === rowsBefore,
+      "the refused compact must leave the original store untouched")
+  }
+
   test("IvfPq: deleted vector is excluded at serve and reclaimed at compact") {
     val emb = sf("sf0.001", "embeddings").select("vec_id", "embedding")
     val path = tmp("graft_del_ivfpq_")

@@ -134,6 +134,48 @@ class ContainIndexSpec extends SparkSpec {
     p
   }
 
+  test("prop: indexed serving == full recompute on randomized corpora (20 trials)") {
+    // adversarial sweep: random docs built from a small vocabulary so
+    // containment relationships (substrings, supersets, near-misses)
+    // occur organically; every trial pins incremental == full-restricted
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 12).map(i => s"w$i")
+    def randDoc(): String = {
+      val n = 6 + rnd.nextInt(20)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (trial <- 1 to 20) {
+      val nCorpus = 4 + rnd.nextInt(6)
+      val nBatch = 2 + rnd.nextInt(4)
+      val corpusDocs = (0 until nCorpus).map(i => (i.toLong, randDoc()))
+      // half the batch docs are derived (superset/substring of a corpus
+      // doc) so qualifying pairs actually appear in most trials
+      val batchDocs = (0 until nBatch).map { i =>
+        val id = 100L + i
+        if (i % 2 == 0 && corpusDocs.nonEmpty) {
+          val base = corpusDocs(rnd.nextInt(corpusDocs.size))._2
+          if (rnd.nextBoolean()) (id, base + " " + randDoc())   // superset
+          else (id, base.split(" ").take(
+            math.max(4, base.split(" ").length / 2)).mkString(" ")) // slice
+        } else (id, randDoc())
+      }
+      val cdf = corpusDocs.toDF("doc_id", "text")
+      val bdf = batchDocs.toDF("doc_id", "text")
+      val t = 0.7 + rnd.nextInt(3) * 0.1 // 0.7 / 0.8 / 0.9
+      val path = tmp()
+      ContainIndex.write(cdf, "text", "doc_id", path,
+        threshold = t, nBuckets = 4)
+      val served = pairsOf(ContainIndex.containmentPairsIncremental(
+        spark, path, bdf, "text", "doc_id", threshold = t))
+      val full = pairsOf(Dedup.containmentPairs(
+          cdf.unionByName(bdf), "text", "doc_id", threshold = t))
+        .filter { case ((a, b), _) => a >= 100 || b >= 100 }
+      assert(served === full,
+        s"trial $trial (t=$t): served=$served full=$full\n" +
+          s"corpus=$corpusDocs\nbatch=$batchDocs")
+    }
+  }
+
   test("deleteDocs hides an indexed doc immediately; compact purges all three tables") {
     val path = tmp()
     ContainIndex.write(corpus, "text", "doc_id", path,

@@ -265,6 +265,46 @@ object ChunkStore {
         .as("text"))
   }
 
+  /** SELECTIVE reconstruction: (doc_id, text) for only `ids` — random
+    * access over the deduplicated store. Reads the manifests (rows, not
+    * chunk bytes), then ONLY the `cb=` chunk buckets the requested
+    * docs' hashes fall into (planning-time PartitionFilter, the append
+    * prune in reverse): serving a handful of documents from a
+    * petabyte store scans a handful of buckets, not the chunk table.
+    * Same latest-run-wins / tombstone semantics as [[reconstruct]].
+    * Legacy stores with unknown bucketing (no metadata) fall back to an
+    * unpruned chunk read — correct, just not pruned. The result is
+    * MATERIALIZED (eager localCheckpoint) so the internal manifest
+    * cache can be released. */
+  def reconstructDocs(spark: SparkSession, path: String,
+                      ids: DataFrame, idCol: String): DataFrame = {
+    val man = visibleManifest(spark, path)
+      .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .persist()
+    val chRaw = spark.read.parquet(s"$path/chunks")
+    val ch = readMeta(spark, path).map(_._1).filter(_ > 0) match {
+      case Some(nb) =>
+        val touched = man.select(cb(col("chunk_hash"), nb).as("cb"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nb values
+        val lits: Seq[Any] = chRaw.schema("cb").dataType match {
+          case org.apache.spark.sql.types.LongType => touched
+          case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt)
+          case _ => touched.map(_.toString)
+        }
+        chRaw.filter(col("cb").isin(lits: _*)).select("chunk_hash", "chunk")
+      case None => chRaw.select("chunk_hash", "chunk")
+    }
+    val out = man.join(ch, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(chunk_idx, chunk))), x -> x.chunk)"))
+        .as("text"))
+      .localCheckpoint(true)
+    man.unpersist()
+    out
+  }
+
   /** Storage accounting: PHYSICAL manifest/chunk rows and bytes (what
     * is on disk, superseded runs and tombstoned docs included — compact
     * is what reclaims them) plus the LIVE manifest row count

@@ -139,6 +139,34 @@ class ChunkStoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("reconstructDocs: selective random access == filtered full reconstruction, bucket-pruned") {
+    import spark.implicits._
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+    val root = freshRoot()
+    ChunkStore.write(docs, "text", "doc_id", root, nBuckets = 16)
+    val want = ChunkStore.reconstruct(spark, root)
+      .filter(col("doc_id").isin(3L, 7L, 11L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = ChunkStore.reconstructDocs(spark, root,
+        Seq(3L, 7L, 11L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want)
+    // the chunk read is genuinely pruned: 3 docs' hashes touch fewer
+    // than all 16 buckets (bucket dirs exist for all of them)
+    val man = spark.read.parquet(s"$root/manifest")
+      .filter(col("doc_id").isin(3L, 7L, 11L))
+    val touched = man.select(
+        pmod(conv(substring(col("chunk_hash"), 1, 4), 16, 10).cast("long"), lit(16L)))
+      .distinct().count()
+    assert(touched < 16, s"fixture: docs touch $touched buckets — widen it")
+    // tombstoned docs stay hidden through the selective path too
+    ChunkStore.deleteDocs(Seq(Tuple1(7L)).toDF("doc_id"), "doc_id", root)
+    val afterDel = ChunkStore.reconstructDocs(spark, root,
+        Seq(3L, 7L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterDel === Set(3L))
+  }
+
   test("re-ingesting a doc in a later run REPLACES it (latest-run-wins), never concatenates") {
     import spark.implicits._
     val v1 = "version one of a page that is long enough to chunk into " +

@@ -339,6 +339,185 @@ object QueriesR10 {
                COALESCE(hits.n, 0) AS n_contaminated,
                COALESCE(hits.n, 0) >= 5 AS flagged
         FROM d LEFT JOIN hits USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- exact corpus quantiles over the score histogram ---------------
+    // Exact per-mille quantiles of the whitespace-token-count
+    // distribution WITHOUT a global sort: one map-combinable histogram
+    // pass + a bounded-rows cumulative window. The approx_ok column
+    // audits Spark's percentile_approx sketch (the one-pass production
+    // path) against each exact rank — the oracle pins it TRUE, so a
+    // sketch drifting out of its documented n/accuracy rank guarantee
+    // fails the gate.
+    QueryDef("score_quantiles",
+      (s, dir) => {
+        val scored = Tables.read(s, dir, "documents")
+          .select(graft.llm.TextStats.wsTokenCount(col("text"))
+            .cast("long").as("toks"))
+        graft.llm.Selection.exactQuantiles(
+            scored, "toks", Seq(100, 250, 500, 750, 900, 990))
+          .orderBy("p_mille")
+      },
+      Some(s"""
+        WITH sc AS (SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                      x -> len(x) > 0)) AS BIGINT) s
+                    FROM documents),
+        h AS (SELECT s, CAST(COUNT(*) AS BIGINT) c FROM sc GROUP BY 1),
+        cum AS (SELECT s, CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) cc FROM h),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM sc),
+        ps(p_mille) AS (VALUES (100), (250), (500), (750), (900), (990))
+        SELECT p_mille,
+               CAST((p_mille * n.n + 999) // 1000 AS BIGINT) AS target_rank,
+               (SELECT MIN(s) FROM cum WHERE cc * 1000 >= p_mille * n.n)
+                 AS q_value,
+               true AS approx_ok
+        FROM ps, n
+        ORDER BY p_mille""")),
+
+    // ---- top-fraction keep threshold (ties inclusive) ------------------
+    // "Keep the top 25% by score" as a histogram threshold: t = the
+    // highest score value whose >=-count still reaches ceil(0.25·n).
+    // The kept set is per-source-aggregated so the gate pins both the
+    // threshold arithmetic and the tie-inclusive keep semantics.
+    QueryDef("quantile_threshold",
+      (s, dir) => {
+        val scored = Tables.read(s, dir, "documents")
+          .withColumn("toks",
+            graft.llm.TextStats.wsTokenCount(col("text")).cast("long"))
+        graft.llm.Selection.keepTopFraction(scored, "toks", 250)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("toks")).as("min_toks"),
+            sum(col("toks")).as("sum_toks"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH sc AS (SELECT source,
+                      CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> len(x) > 0)) AS BIGINT) toks
+                    FROM documents),
+        h AS (SELECT toks s, CAST(COUNT(*) AS BIGINT) c FROM sc GROUP BY 1),
+        ccd AS (SELECT s, CAST(SUM(c) OVER (ORDER BY s DESC) AS BIGINT) ccd
+                FROM h),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM sc),
+        t AS (SELECT MAX(s) t FROM ccd, n WHERE ccd * 4 >= n.n)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) n_kept,
+               CAST(MIN(toks) AS BIGINT) min_toks,
+               CAST(SUM(toks) AS BIGINT) sum_toks
+        FROM sc, t
+        WHERE toks >= t.t
+        GROUP BY source
+        ORDER BY source""")),
+
+    // ---- CCNet head/middle/tail buckets, per language ------------------
+    // Per-GROUP terciles (Wenzek et al. 2020): each language's own score
+    // distribution defines its head/middle/tail — a global cut would let
+    // the high-resource language define "good" for every other one. The
+    // gate aggregates bucket populations per (lang, bucket).
+    QueryDef("quality_buckets",
+      (s, dir) => {
+        val scored = Tables.read(s, dir, "documents")
+          .withColumn("toks",
+            graft.llm.TextStats.wsTokenCount(col("text")).cast("long"))
+        graft.llm.Selection.groupQuantileBuckets(
+            scored, "lang", "toks", Seq(333, 667))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""
+        WITH sc AS (SELECT lang, doc_id,
+                      CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> len(x) > 0)) AS BIGINT) toks
+                    FROM documents),
+        h AS (SELECT lang, toks s, CAST(COUNT(*) AS BIGINT) c
+              FROM sc GROUP BY 1, 2),
+        cum AS (SELECT lang, s,
+                  CAST(SUM(c) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) cc,
+                  CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) n_g
+                FROM h),
+        thr AS (SELECT lang, p, MIN(s) q
+                FROM cum, (VALUES (333), (667)) ps(p)
+                WHERE cc * 1000 >= p * n_g
+                GROUP BY 1, 2),
+        b AS (SELECT sc.lang, sc.doc_id, sc.toks,
+                (SELECT COUNT(*) FROM thr
+                 WHERE thr.lang = sc.lang AND sc.toks > thr.q) AS bucket
+              FROM sc)
+        SELECT lang, CAST(bucket AS INT) bucket,
+               CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(toks) AS BIGINT) n_tokens
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY lang, bucket""")),
+
+    // ---- dense global ordinal without a global sort --------------------
+    // The two-pass zipWithIndex shape in the DataFrame world: per-shard
+    // dense positions (deterministicShuffle) + nShards broadcast prefix
+    // offsets. The oracle's single row_number() over the TOTAL order
+    // (shard, key, id) must match exactly — global density, not just
+    // per-shard density.
+    QueryDef("shuffle_global",
+      (s, dir) =>
+        graft.llm.Sampling.globalOrdinal(
+            Tables.read(s, dir, "documents").select("doc_id"),
+            "doc_id", seed = 11L, nShards = 8)
+          .orderBy("global_pos"),
+      Some("""
+        WITH k AS (
+          SELECT doc_id, md5('11:' || CAST(doc_id AS VARCHAR)) AS key
+          FROM documents),
+        s AS (
+          SELECT doc_id, key,
+                 CAST('0x' || substr(key, 1, 4) AS BIGINT) % 8 AS shard
+          FROM k)
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+                 AS pos,
+               row_number() OVER (ORDER BY shard, key, doc_id) - 1
+                 AS global_pos
+        FROM s
+        ORDER BY global_pos""")),
+
+    // ---- token-bounded JSONL shard export ------------------------------
+    // The dataloader handoff: packBins assignment -> partitionBy(shard,
+    // bin) JSONL tree -> manifest aggregated from a READ-BACK of the
+    // written files (what a dataloader sees, not what the writer
+    // intended). The oracle replays the pack arithmetic relationally —
+    // the write+read roundtrip must be invisible in the manifest.
+    QueryDef("export_shards",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.llm.TextStats.wsTokenCount(col("text"))
+              .cast("long").as("n_toks"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_shards_").toString
+        graft.llm.Packing.exportShards(docs, "doc_id", "text", "n_toks",
+            maxTokens = 2048L, nShards = 4, path = tmp)
+          .orderBy("shard", "bin")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> len(x) > 0)) AS BIGINT) n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 4 AS shard
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens, shard,
+                CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) cum
+              FROM d)
+        SELECT shard, cum // 2048 AS bin,
+               CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) min_id,
+               CAST(MAX(doc_id) AS BIGINT) max_id
+        FROM c
+        GROUP BY 1, 2
+        ORDER BY shard, bin"""))
   )
 }

@@ -41,6 +41,53 @@ object Packing {
         col("n_tokens"))
   }
 
+  /** Token-bounded JSONL shard export — the dataloader handoff at the
+    * end of every curation pipeline: "give me shard files of ≤ B tokens
+    * each, reproducibly". Documents are assigned by [[packBins]] (hash
+    * shards packed greedily into `maxTokens` bins), each (shard, bin)
+    * becomes one JSONL partition directory, and file CONTENT order is
+    * pinned by an explicit within-partition sort — the same corpus on
+    * any cluster shape writes byte-identical shard files.
+    *
+    * Scale shape: the pack is one hash exchange + per-shard window; the
+    * write is one `partitionBy(shard, bin)` JSONL sink (task-parallel,
+    * append-free); the returned manifest is aggregated from a READ-BACK
+    * of the written tree — it reports what a dataloader will actually
+    * see, not what the writer intended. Manifest rows are bounded by the
+    * shard-dir count (corpus_tokens / maxTokens), never corpus rows.
+    *
+    * Returns the manifest: (shard, bin, n_docs, n_tokens, min_id,
+    * max_id), one row per written shard file directory. */
+  def exportShards(
+      df: DataFrame, idCol: String, textCol: String, nTokensCol: String,
+      maxTokens: Long, nShards: Int, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val packed = packBins(df, idCol, nTokensCol, maxTokens, nShards)
+    val rows = df.select(col(idCol), col(textCol))
+      .join(packed.select(col(idCol), col("shard"), col("bin"), col("n_tokens")),
+        Seq(idCol))
+    rows
+      .repartition(col("shard"), col("bin"))
+      .sortWithinPartitions(col("shard"), col("bin"), col(idCol))
+      .select(col("shard"), col("bin"), col(idCol), col(textCol), col("n_tokens"))
+      .write.partitionBy("shard", "bin").mode("overwrite").json(path)
+    // manifest from the written tree (schema pinned — no inference pass;
+    // shard/bin resolve from the partition directories)
+    val back = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(textCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType))))
+      .json(path)
+    back.groupBy(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+  }
+
   /** Overlapping context windows over each document's token span: one
     * row per window of `size` tokens advancing by `stride` (stride <
     * size = overlap, the usual training-window prep); the final window

@@ -47,6 +47,43 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Dense GLOBAL example ordinal 0..n−1 in deterministic shuffled order
+    * — the stable index a training run resumes from ("restart at example
+    * 48,001,217") and the join key for example-level logging. The global
+    * order is (shard, shuffle_key, id): [[deterministicShuffle]] gives
+    * each shard dense local positions in parallel, then ONE bounded
+    * driver step — the nShards per-shard counts — turns them global via
+    * broadcast prefix offsets (the two-pass zipWithIndex shape, kept in
+    * the DataFrame world: no RDD hop, no global sort, no single-reducer
+    * window). Reproducible across reruns, engines, and cluster layouts.
+    *
+    * Output: the NARROW mapping (idCol, shard, pos, global_pos) — join
+    * it back to payload columns by id at the use site; materializing the
+    * ordinal should never force the text/embedding payload through a
+    * checkpoint. The shuffled mapping is persisted across the counts
+    * action and the serve branch (rule 7), materialized (eager
+    * localCheckpoint — 4 narrow columns per row), then released. */
+  def globalOrdinal(
+      df: DataFrame, idCol: String, seed: Long, nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = deterministicShuffle(df.select(col(idCol)), idCol, seed, nShards)
+      .persist()
+    // nShards rows of bounded metadata — never corpus rows
+    val counts = sh.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L)) {
+      case ((_, acc), (s, c)) => (s, acc + c)
+    }.tail.zip(counts).map { case ((s, end), (_, c)) => (s, end - c) }
+    val offDf = offsets.toSeq.toDF("shard", "__off")
+    val out = sh.join(broadcast(offDf), Seq("shard"), "left")
+      .withColumn("global_pos", coalesce(col("__off"), lit(0L)) + col("pos"))
+      .select(col(idCol), col("shard"), col("pos"), col("global_pos"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
   /** Stratified sample: per-stratum keep-percentages (0-100), e.g. keep
     * 10% of 'en' docs and 50% of everything else — the downsample-the-
     * head / keep-the-tail shape of corpus language balancing. */

@@ -243,5 +243,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "containment must stay on the prefix-postings equi-join")
   }
 
+  test("selection histogram: one partial+final aggregate, no window over corpus") {
+    val p = graft.llm.Selection.histogram(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).as("s")), "s")
+      .queryExecution.explainString(FormattedMode)
+    assert(exchanges(p) == 1, s"histogram = one map-combinable exchange:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial+final aggregate expected")
+    assert(!p.contains("Window"), "no window over corpus rows")
+  }
+
+  test("keepTopFraction: served filter is a literal comparison — no join, no window, no sort") {
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+    val p = graft.llm.Selection.keepTopFraction(scored, "toks", 250)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window") && !p.contains("Join") && !p.contains("Sort"),
+      s"threshold filter must stay a pure scan+filter:\n${p.take(2000)}")
+    assert(exchanges(p) == 0, "no shuffle in the served filter")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Round-10 fourth wave: in-engine classifier TRAINING (the trained-
+  * artifact side of the shipped quality-scorer inference), graph
+  * centrality for domain curation, and mergeable-sketch stores. All
+  * exact-integer constructions, replayed bit-for-bit by generated
+  * DuckDB oracles ([[graft.llm.QualityTrain.oracleSql]] /
+  * [[graft.operators.PageRank.oracleSql]] unroll the iteration CTEs). */
+object QueriesR10b {
+
+  // one trained model per sf dir (two gates share it — the dsir-model
+  // memoization precedent; training is deterministic, so sharing only
+  // saves the duplicate work)
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.QualityTrain.Model]()
+  private def trainedModel(s: SparkSession, dir: String): graft.llm.QualityTrain.Model =
+    modelCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.read(s, dir, "documents")
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      graft.llm.QualityTrain.train(docs, "text", "doc_id", "y",
+        d = 64, iters = 3)
+    })
+
+  private val TrainLabel = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- distributed classifier training --------------------------------
+    // English-vs-rest from hashed bag-of-words — the trainable
+    // language-ID/quality-model loop. 3 full-batch GD iterations,
+    // d=64 hash buckets, all fixed-point micros; the oracle replays
+    // every iteration in unrolled CTEs.
+    QueryDef("quality_train",
+      (s, dir) =>
+        graft.llm.QualityTrain.weightsDf(s, trainedModel(s, dir))
+          .orderBy("bucket"),
+      Some(graft.llm.QualityTrain.oracleSql(
+        d = 64, iters = 3, lrNum = 1L, lrDen = 1L,
+        labelExpr = TrainLabel, finalSelect = "weights"))),
+
+    // confusion matrix of the trained model over its own training
+    // population (hard-sigmoid decision boundary z >= 0 — exact)
+    QueryDef("quality_train_audit",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        graft.llm.QualityTrain.hardAudit(docs, "text", "doc_id", "y",
+          trainedModel(s, dir))
+      },
+      Some(graft.llm.QualityTrain.oracleSql(
+        d = 64, iters = 3, lrNum = 1L, lrDen = 1L,
+        labelExpr = TrainLabel, finalSelect = "audit"))),
+
+    // ---- domain authority: weighted PageRank ----------------------------
+    // Nation-level trade graph (customer nation -> supplier nation per
+    // lineitem, customer side restricted to nationkey < 20 so nations
+    // 20-24 are genuinely DANGLING — they receive mass but emit none).
+    // 5 fixed-point iterations; ranks in micros.
+    QueryDef("domain_pagerank",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val ord = Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .filter(col("c_nationkey") < 20)
+        val supp = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val edges = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        graft.operators.PageRank.rank(edges, "src", "dst", iters = 5)
+          .orderBy("node")
+      },
+      Some(graft.operators.PageRank.oracleSql(
+        """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(1 AS BIGINT) AS w
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |WHERE c.c_nationkey < 20""".stripMargin,
+        iters = 5))),
+
+    // ---- mergeable-sketch store -----------------------------------------
+    // Daily HLL sketches built in two appends (backfill + increment),
+    // then union-served over the full range AND a pruned day window —
+    // distinct counts over arbitrary windows without re-reading raw
+    // rows. Sketch-audit gate pattern: exact counts cross the oracle,
+    // sketch accuracy as pinned TRUE flags.
+    QueryDef("sketch_store_union",
+      (s, dir) => {
+        import graft.operators.SketchStore
+        val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+        val mm = ev.agg(min("day"), max("day")).first()
+        val (minD, maxD) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+        val cutoff = java.sql.Date.valueOf(
+          minD.plusDays(java.time.temporal.ChronoUnit.DAYS.between(minD, maxD) / 2))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sketchstore_").toString
+        SketchStore.build(ev.filter(col("day") <= lit(cutoff)),
+          Seq("event_type"), "user_id", "day", tmp)
+        SketchStore.build(ev.filter(col("day") > lit(cutoff)),
+          Seq("event_type"), "user_id", "day", tmp)
+        val winDays = ev.filter(col("day") <= lit(cutoff))
+          .select(col("day").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val full = SketchStore.estimateAudit(ev, Seq("event_type"), "user_id",
+          s, tmp, None)
+        val win = SketchStore.estimateAudit(ev.filter(col("day") <= lit(cutoff)),
+            Seq("event_type"), "user_id", s, tmp, Some(winDays))
+          .withColumnRenamed("n_exact", "n_exact_win")
+          .withColumnRenamed("hll_ok", "hll_ok_win")
+        full.join(win, "event_type").orderBy("event_type")
+      },
+      Some("""
+        WITH d AS (SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+        cut AS (SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER) AS c FROM d),
+        f AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM d GROUP BY 1),
+        w AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_win
+              FROM d WHERE day <= (SELECT c FROM cut) GROUP BY 1)
+        SELECT f.event_type, f.n_exact, TRUE AS hll_ok,
+               w.n_exact_win, TRUE AS hll_ok_win
+        FROM f JOIN w USING (event_type)
+        ORDER BY event_type""")),
+
+    // ---- chunk-store corpus-version diff --------------------------------
+    // Crawl-over-crawl snapshot diff straight off the manifests: write
+    // v1, append edits + new docs (latest-run-wins), tombstone a
+    // slice, then diff seq 1 vs live — per-status doc counts and
+    // content-multiset chunk churn, no text reconstructed. The oracle
+    // re-chunks BOTH versions (the cdc CTE chain, twice) and diffs in
+    // SQL.
+    QueryDef("chunkstore_diff",
+      (s, dir) => {
+        import graft.llm.ChunkStore
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_chunkdiff_").toString
+        ChunkStore.write(docs, "text", "doc_id", root, nBuckets = 16) // seq 1
+        val edited = docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), concat(col("text"), lit(" EDITPATCH-ZZ")).as("text"))
+        val newDocs = docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        ChunkStore.append(edited.unionByName(newDocs),
+          "text", "doc_id", root, nBuckets = 16)                      // seq 2
+        ChunkStore.deleteDocs(
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", root)                                             // seq 3
+        ChunkStore.diff(s, root, seqA = 0L) // write() is the seq-0 baseline
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("chunks_added").as("chunks_added"),
+            sum("chunks_removed").as("chunks_removed"))
+          .orderBy("status")
+      },
+      Some("WITH v1 AS (SELECT doc_id, text FROM documents),\n" +
+        """v2 AS (SELECT doc_id, text || ' EDITPATCH-ZZ' AS text
+          |         FROM documents WHERE doc_id % 10 = 3
+          |       UNION ALL
+          |       SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (3, 7)
+          |       UNION ALL
+          |       SELECT doc_id + 1000000 AS doc_id, text
+          |         FROM documents WHERE doc_id % 10 = 1),""".stripMargin +
+        QueriesR9.cdcChunkCtes("v1", "a") + "," +
+        QueriesR9.cdcChunkCtes("v2", "b") + "," +
+        """ca AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS na FROM cha GROUP BY 1, 2),
+          |cb AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS nb FROM chb GROUP BY 1, 2),
+          |m AS (SELECT COALESCE(ca.doc_id, cb.doc_id) AS doc_id,
+          |             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          |      FROM ca FULL OUTER JOIN cb ON ca.doc_id = cb.doc_id AND ca.h = cb.h),
+          |churn AS (SELECT doc_id, SUM(GREATEST(nb - na, 0)) AS c_add,
+          |                 SUM(GREATEST(na - nb, 0)) AS c_rm
+          |          FROM m GROUP BY 1),
+          |st AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+          |          CASE WHEN v1.doc_id IS NULL THEN 'added'
+          |               WHEN v2.doc_id IS NULL THEN 'removed'
+          |               WHEN v1.text = v2.text THEN 'unchanged'
+          |               ELSE 'changed' END AS status
+          |       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+          |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(COALESCE(churn.c_add, 0)) AS BIGINT) AS chunks_added,
+          |       CAST(SUM(COALESCE(churn.c_rm, 0)) AS BIGINT) AS chunks_removed
+          |FROM st LEFT JOIN churn USING (doc_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

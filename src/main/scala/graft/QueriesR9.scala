@@ -491,32 +491,38 @@ object QueriesR9 {
         ORDER BY p_partkey, metric"""))
   )
 
-  /** Shared chunk CTE for the two cdc gates — the DuckDB realization of
-    * Curation.cdcChunks (window 4, base 131, divisor 64), term-for-term
-    * exact BIGINT arithmetic. */
-  private def CdcChunkCte: String = """
-        WITH d AS (SELECT doc_id, text, string_split(text, '') cs,
+  /** CDC chunk CTE chain over an arbitrary (doc_id, text) source — the
+    * DuckDB realization of Curation.cdcChunks (window 4, base 131,
+    * divisor 64), term-for-term exact BIGINT arithmetic. Emits CTEs
+    * `d$sfx, b$sfx, bs$sfx, ch$sfx` (no leading WITH) so two versions
+    * of a corpus can be chunked in one query (the chunkstore_diff
+    * oracle). `ch$sfx` has (doc_id, k, c, h). */
+  private[graft] def cdcChunkCtes(src: String, sfx: String): String = s"""
+        d$sfx AS (SELECT doc_id, text, string_split(text, '') cs,
                           len(text) n
-                   FROM documents),
-        b AS (SELECT doc_id, text, n,
+                   FROM $src),
+        b$sfx AS (SELECT doc_id, text, n,
                 list_filter(range(4, n + 1), i ->
                   (CAST(ascii(cs[i]) AS BIGINT)
                    + CAST(ascii(cs[i-1]) AS BIGINT) * 131
                    + CAST(ascii(cs[i-2]) AS BIGINT) * 17161
                    + CAST(ascii(cs[i-3]) AS BIGINT) * 2248091) % 64 = 0) cuts
-              FROM d),
-        bs AS (SELECT doc_id, text, n,
+              FROM d$sfx),
+        bs$sfx AS (SELECT doc_id, text, n,
                  CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)]
                       WHEN len(cuts) > 0 AND cuts[-1] = n
                         THEN list_concat([CAST(0 AS BIGINT)], cuts)
                       ELSE list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
                                        [CAST(n AS BIGINT)]) END bl
-               FROM b),
-        ch AS (SELECT doc_id, k,
+               FROM b$sfx),
+        ch$sfx AS (SELECT doc_id, k,
                  substr(text, CAST(bl[CAST(k AS INT)] + 1 AS INT),
                    CAST(bl[CAST(k AS INT) + 1] - bl[CAST(k AS INT)] AS INT)) c,
                  md5(substr(text, CAST(bl[CAST(k AS INT)] + 1 AS INT),
                    CAST(bl[CAST(k AS INT) + 1] - bl[CAST(k AS INT)] AS INT))) h
-               FROM bs, unnest(range(1, len(bl))) AS t(k))
+               FROM bs$sfx, unnest(range(1, len(bl))) AS t(k))
   """
+
+  /** Shared chunk CTE for the two cdc gates (documents source). */
+  private def CdcChunkCte: String = "WITH " + cdcChunkCtes("documents", "")
 }

@@ -230,10 +230,17 @@ object ChunkStore {
     * is unreliable — exact re-ingests are unaffected, any pick is the
     * same bytes). [[compact]] collapses a legacy store into a
     * self-describing seq-0 baseline, deterministic from then on. */
-  private def visibleManifest(spark: SparkSession, path: String): DataFrame = {
+  private def visibleManifest(spark: SparkSession, path: String): DataFrame =
+    manifestAt(spark, path, Long.MaxValue)
+
+  /** [[visibleManifest]] generalized to a POINT IN TIME: the manifest as
+    * it was visible when `upTo` was the newest issued sequence (manifest
+    * rows and tombstones with seq > upTo ignored). */
+  private def manifestAt(spark: SparkSession, path: String, upTo: Long): DataFrame = {
     val raw = spark.read.parquet(s"$path/manifest")
-    val man = if (raw.columns.contains("seq")) raw
-              else raw.withColumn("seq", lit(0L))
+    val man0 = if (raw.columns.contains("seq")) raw
+               else raw.withColumn("seq", lit(0L))
+    val man = man0.filter(col("seq") <= upTo)
     val latest = man
       .withColumn("_mx", max(col("seq")).over(Window.partitionBy("doc_id")))
       .filter(col("seq") === col("_mx"))
@@ -243,7 +250,8 @@ object ChunkStore {
       .drop("_mx")
     tombstonesOpt(spark, path) match {
       case None => latest
-      case Some(tomb) =>
+      case Some(tomb0) =>
+        val tomb = tomb0.filter(col("seq") <= upTo)
         val tmax = tomb.groupBy("doc_id").agg(max(col("seq")).as("_tseq"))
         latest.join(broadcast(tmax), Seq("doc_id"), "left")
           .filter(col("_tseq").isNull || col("seq") > col("_tseq"))
@@ -319,6 +327,60 @@ object ChunkStore {
         sum(length(col("chunk"))).cast("long").as("stored_chars")))
       .crossJoin(visibleManifest(spark, path)
         .agg(count(lit(1)).as("live_manifest_chunks")))
+  }
+
+  /** Corpus-version diff over the deduplicated store: compare the
+    * documents visible at ingest sequence `seqA` against those visible
+    * at `seqB` (default: now) WITHOUT reconstructing any text — the
+    * manifests already carry content identity (the ordered chunk-hash
+    * list concatenates to the exact document bytes, so list equality IS
+    * text equality). Returns one row per touched document:
+    * (doc_id, status ∈ added|removed|changed|unchanged,
+    *  chunks_added, chunks_removed) where the chunk churn is the
+    * per-doc content-multiset delta — the "how much actually changed"
+    * accounting a crawl-over-crawl snapshot diff publishes.
+    *
+    * Scale posture: two manifest scans (manifest rows, never chunk
+    * bytes), one full-outer equi-join per doc for status, one
+    * (doc, hash)-count full-outer join for churn — all hash-joinable,
+    * no text moves. Cost tracks manifest size; at 100 TB of text the
+    * manifests are ~1000× smaller than the corpus.
+    *
+    * Sequence numbering: [[write]] is the seq-0 baseline, the first
+    * [[append]]/[[deleteDocs]] is seq 1 — `diff(spark, path, 0L)` is
+    * "everything since the initial build". */
+  def diff(spark: SparkSession, path: String, seqA: Long,
+           seqB: Long = Long.MaxValue): DataFrame = {
+    def docsAt(s: Long) = manifestAt(spark, path, s)
+      .select("doc_id", "chunk_idx", "chunk_hash")
+    val a = docsAt(seqA)
+    val b = docsAt(seqB)
+    // ordered-list signature per doc: md5 over the idx-sorted hash list
+    def sig(m: DataFrame) = m.groupBy("doc_id")
+      .agg(md5(concat_ws(",", expr(
+        "transform(array_sort(collect_list(struct(chunk_idx, chunk_hash))), x -> x.chunk_hash)")))
+        .as("sig"))
+    val status = sig(a).withColumnRenamed("sig", "sig_a")
+      .join(sig(b).withColumnRenamed("sig", "sig_b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("sig_a").isNull, lit("added"))
+          .when(col("sig_b").isNull, lit("removed"))
+          .when(col("sig_a") === col("sig_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+    // content-multiset churn per doc
+    def cnt(m: DataFrame, as: String) = m.groupBy("doc_id", "chunk_hash")
+      .agg(count(lit(1)).as(as))
+    val churn = cnt(a, "na")
+      .join(cnt(b, "nb"), Seq("doc_id", "chunk_hash"), "full_outer")
+      .select(col("doc_id"),
+        greatest(coalesce(col("nb"), lit(0L)) - coalesce(col("na"), lit(0L)), lit(0L)).as("ca"),
+        greatest(coalesce(col("na"), lit(0L)) - coalesce(col("nb"), lit(0L)), lit(0L)).as("cr"))
+      .groupBy("doc_id")
+      .agg(sum("ca").as("chunks_added"), sum("cr").as("chunks_removed"))
+    status.join(churn, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("chunks_added"), lit(0L)).as("chunks_added"),
+        coalesce(col("chunks_removed"), lit(0L)).as("chunks_removed"))
   }
 
   /** Physically reclaim space: rewrite the manifest to only its live

@@ -1,0 +1,249 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed trainer for the hashed bag-of-words quality classifier
+  * whose INFERENCE side has shipped since round 6
+  * ([[TextStats.modelQualityScore]] — the CCNet/GPT-3-style
+  * quality-filter model; cf. reference `macros/` which treats model
+  * artifacts as externally-supplied). This closes the loop: the weights
+  * are no longer a hand-shipped artifact, they are trained IN the
+  * engine, on the corpus, by distributed gradient descent — the
+  * fasttext-classifier role in a CCNet-style curation stack, expressed
+  * as Spark aggregations.
+  *
+  * The model is logistic-regression-shaped but built for CROSS-ENGINE
+  * EXACTNESS (the repo's oracle discipline): all state is fixed-point
+  * BIGINT micros, the link is the HARD sigmoid
+  * `p = clamp(1/2 + z/4, 0, 1)` (piecewise-linear, so every step is
+  * rational), and every division is integer division — both Spark's
+  * `div` and DuckDB's `//` truncate toward zero, so a DuckDB oracle
+  * replays training bit-for-bit. Summed quantities are truncated
+  * PER-ROW before the sum (`Σ idiv(e·cnt, n)`), keeping partial
+  * aggregation order-independent — the same exact-integer posture as
+  * [[LmScore]] and the fixed-point centroids.
+  *
+  * Features: token `t` hashes to bucket `(md5_32(t) mod d) + 1` — the
+  * exact bucketing [[TextStats.modelQualityScore]] applies at inference
+  * — and the document feature vector is the token-count histogram
+  * normalized by document length (the division is folded into the
+  * per-doc margin and per-doc gradient quotients). Bucket 0 is the
+  * bias (a synthetic feature with cnt = n, so `w0·n/n = w0`).
+  *
+  * Per iteration (T iterations, d+1 weights):
+  *   z_doc = idiv(Σ_j w_j·cnt_j, n)           -- margin, micros
+  *   p     = clamp(500000 + idiv(z, 4), 0, 1e6) -- hard sigmoid
+  *   e     = p − y·1e6                          -- signed error
+  *   g_j   = Σ_docs idiv(e·cnt_j, n)            -- gradient, micros
+  *   w_j  ← w_j − idiv(lrNum·g_j, lrDen·N)
+  *
+  * Distribution shape (the 100 TB audit): the feature frame
+  * (doc, bucket, cnt, n) is built ONCE — one explode + one hash
+  * aggregate — then repartitioned by doc and persisted (PLANS.md
+  * rule 7: it feeds every iteration twice). Each iteration is ONE job:
+  * margin aggregate per doc (co-partitioned — no exchange), join the
+  * N-row error frame back to features on doc (co-partitioned — no
+  * exchange), gradient groupBy(bucket) whose output is d+1 rows (the
+  * only per-iteration exchange carries ≤ (d+1) × tasks partial rows),
+  * collect d+1 longs to the driver. Weights ride the plan as a literal
+  * array — no join against a weights table, no driver-side data beyond
+  * the model itself. Cost per iteration is one pass over the CACHED
+  * feature frame; nothing re-tokenizes the corpus.
+  *
+  * Overflow: |e| ≤ 1e6, cnt ≤ n, so per-row products fit comfortably;
+  * margins are bounded by d·max|w|·1, and |w| grows at most
+  * lr·1e6/iteration. ANSI mode turns any violation into an error, not
+  * a wrong answer. */
+object QualityTrain {
+
+  /** Trained model: `weightsMicro(0)` is the bias, `weightsMicro(j)` the
+    * weight of hash bucket j (1-based), all in fixed-point micros. */
+  final case class Model(weightsMicro: Array[Long], d: Int,
+                         iters: Int, lrNum: Long, lrDen: Long,
+                         nTrain: Long) {
+    /** Handoff to [[TextStats.modelQualityScore]]: (bucket weights as
+      * doubles, bias). The scorer's mean-weight feature equals this
+      * model's margin up to the fixed-point truncation. */
+    def toScorer: (Seq[Double], Double) =
+      (weightsMicro.drop(1).map(_ / 1e6).toSeq, weightsMicro(0) / 1e6)
+  }
+
+  /** `(md5_32(token) mod d) + 1` — identical to the inference-side
+    * bucketing in [[TextStats.modelQualityScore]]. */
+  private def bucket(t: Column, d: Int): Column =
+    (pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(d.toLong)) + 1)
+      .cast("int")
+
+  /** Exploded training features: (id, y, bucket, cnt, n), with the
+    * synthetic bias row (bucket 0, cnt = n) per document. Zero-token
+    * documents are EXCLUDED — they carry no feature signal and the
+    * inference side already defines their score as sigmoid(bias). */
+  def features(df: DataFrame, textCol: String, idCol: String,
+               labelCol: String, d: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("y"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    val feat = toks.select(col("id"), col("y"), col("n"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("y"), col("n"), bucket(col("tok"), d).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val bias = toks.select(col("id"), col("y"), col("n"),
+      lit(0).as("bucket"), col("n").as("cnt"))
+    feat.unionByName(bias)
+  }
+
+  /** Train for `iters` iterations of full-batch gradient descent.
+    * Labels must be 0/1 (cast to long). */
+  def train(df: DataFrame, textCol: String, idCol: String, labelCol: String,
+            d: Int = 64, iters: Int = 3,
+            lrNum: Long = 1L, lrDen: Long = 1L): Model = {
+    require(d > 0, "QualityTrain.train: d must be positive")
+    require(iters > 0, "QualityTrain.train: iters must be positive")
+    require(lrNum > 0 && lrDen > 0, "QualityTrain.train: lr must be positive")
+    // one feature build, co-partitioned by doc for every later step
+    val feat = features(df, textCol, idCol, labelCol, d)
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTrain = feat.filter(col("bucket") === 0).count()
+      require(nTrain > 0, "QualityTrain.train: no documents with tokens")
+      val w = Array.fill(d + 1)(0L)
+      var it = 0
+      while (it < iters) {
+        val grads = gradient(feat, w).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var j = 0
+        while (j <= d) {
+          w(j) = w(j) - idivL(lrNum * grads.getOrElse(j, 0L), lrDen * nTrain)
+          j += 1
+        }
+        it += 1
+      }
+      Model(w, d, iters, lrNum, lrDen, nTrain)
+    } finally feat.unpersist()
+  }
+
+  /** Driver-side truncate-toward-zero division (Java `/` semantics —
+    * matches Spark `div` and DuckDB `//`). */
+  private def idivL(a: Long, b: Long): Long = a / b
+
+  /** One gradient pass over the cached feature frame under weights `w`:
+    * returns (bucket, g) rows, d+1 of them. */
+  private def gradient(feat: DataFrame, w: Array[Long]): DataFrame = {
+    val err = perDocError(feat, w)
+    feat.join(err, "id")
+      .groupBy(col("bucket"))
+      .agg(sum(expr("(e * cnt) div n")).as("g"))
+  }
+
+  /** Per-doc signed error frame (id, e) under weights `w`. */
+  private def perDocError(feat: DataFrame, w: Array[Long]): DataFrame = {
+    val wl = typedLit(w.toSeq)
+    feat
+      .groupBy(col("id"), col("y"), col("n"))
+      .agg(sum(element_at(wl, col("bucket") + 1) * col("cnt")).as("s"))
+      .select(col("id"),
+        (clampMicro(lit(500000L) + expr("(s div n) div 4"))
+          - col("y") * lit(1000000L)).as("e"))
+  }
+
+  private def clampMicro(p: Column): Column =
+    greatest(lit(0L), least(lit(1000000L), p))
+
+  /** Hard-sigmoid classification audit under a trained model: one row
+    * (tp, fp, tn, fn, n_docs) over documents WITH tokens (the training
+    * population). Prediction is `z >= 0` — exact in integers, the same
+    * decision boundary as sigmoid(z) >= 0.5. */
+  def hardAudit(df: DataFrame, textCol: String, idCol: String,
+                labelCol: String, model: Model): DataFrame = {
+    val feat = features(df, textCol, idCol, labelCol, model.d)
+    val wl = typedLit(model.weightsMicro.toSeq)
+    feat.groupBy(col("id"), col("y"), col("n"))
+      .agg(sum(element_at(wl, col("bucket") + 1) * col("cnt")).as("s"))
+      .select(col("y"), (expr("s div n") >= 0L).as("pred"))
+      .agg(
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Trained weights as a DataFrame (bucket, w) — bucket 0 is the bias.
+    * d+1 rows; the gate/oracle interchange format. */
+  def weightsDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.weightsMicro.zipWithIndex
+      .map { case (w, j) => (j, w) }.toSeq.toDF("bucket", "w")
+  }
+
+  // ---- DuckDB oracle ----------------------------------------------------
+
+  /** Generate the unrolled DuckDB SQL that replays training exactly:
+    * one pair of CTEs per iteration (per-doc error, per-bucket weight
+    * update). `labelExpr` is a DuckDB boolean/int expression over the
+    * documents table yielding the 0/1 label; `finalSelect` picks the
+    * output ("weights" → (bucket, w); "audit" → confusion row). */
+  def oracleSql(d: Int, iters: Int, lrNum: Long, lrDen: Long,
+                labelExpr: String, table: String = "documents",
+                textCol: String = "text", idCol: String = "doc_id",
+                finalSelect: String = "weights"): String = {
+    val base =
+      s"""WITH docs AS (
+         |  SELECT $idCol AS id, CAST($labelExpr AS BIGINT) AS y,
+         |         list_filter(string_split(lower($textCol), ' '), x -> len(x) > 0) AS t
+         |  FROM $table),
+         |docn AS (SELECT id, y, CAST(len(t) AS BIGINT) AS n, t FROM docs WHERE len(t) > 0),
+         |feat AS (
+         |  SELECT id, y, n, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT id, y, n,
+         |           CAST((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $d) + 1 AS INT) AS bucket
+         |    FROM (SELECT id, y, n, unnest(t) AS tok FROM docn))
+         |  GROUP BY 1, 2, 3, 4
+         |  UNION ALL
+         |  SELECT id, y, n, 0 AS bucket, n AS cnt FROM docn),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM docn),
+         |w0 AS (SELECT CAST(range AS INT) AS bucket, CAST(0 AS BIGINT) AS w
+         |       FROM range(0, ${d + 1}))""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      val wp = s"w${k - 1}"
+      s"""e$k AS (
+         |  SELECT f.id,
+         |         GREATEST(0, LEAST(1000000, 500000 + (SUM(w.w * f.cnt) // f.n) // 4))
+         |           - f.y * 1000000 AS e
+         |  FROM feat f JOIN $wp w USING (bucket)
+         |  GROUP BY f.id, f.y, f.n),
+         |g$k AS (
+         |  SELECT f.bucket, SUM((e.e * f.cnt) // f.n) AS g
+         |  FROM feat f JOIN e$k e USING (id)
+         |  GROUP BY 1),
+         |w$k AS (
+         |  SELECT w.bucket,
+         |         w.w - ($lrNum * COALESCE(g.g, 0)) // ($lrDen * (SELECT c FROM nn)) AS w
+         |  FROM $wp w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    val fin = finalSelect match {
+      case "weights" =>
+        s"SELECT bucket, w FROM w$iters ORDER BY bucket"
+      case "audit" =>
+        s""", pred AS (
+           |  SELECT f.y, (SUM(w.w * f.cnt) // f.n) >= 0 AS p
+           |  FROM feat f JOIN w$iters w USING (bucket)
+           |  GROUP BY f.id, f.y, f.n)
+           |SELECT
+           |  CAST(SUM(CASE WHEN p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN p AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN NOT p AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |  CAST(SUM(CASE WHEN NOT p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM pred""".stripMargin
+      case other => sys.error(s"oracleSql: unknown finalSelect $other")
+    }
+    if (finalSelect == "audit") s"$base,\n$iterCtes$fin"
+    else s"$base,\n$iterCtes\n$fin"
+  }
+}

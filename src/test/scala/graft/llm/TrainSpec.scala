@@ -1,0 +1,113 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** QualityTrain: the in-engine classifier trainer. The load-bearing pin
+  * is full parity against a plain-Scala reference implementation of the
+  * exact fixed-point recurrence — every truncation, in order — on real
+  * corpus data. */
+class TrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference trainer: straight loops over in-memory docs,
+    * the spec's independent implementation of the documented math. */
+  private def referenceTrain(docs: Seq[(Long, Long, String)], d: Int,
+                             iters: Int, lrNum: Long, lrDen: Long): Array[Long] = {
+    def bucket(tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % d + d) % d).toInt + 1
+    }
+    val feats = docs.flatMap { case (id, y, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val n = toks.length.toLong
+        val cnt = new Array[Long](d + 1)
+        cnt(0) = n // bias feature
+        toks.foreach(t => cnt(bucket(t)) += 1)
+        Some((id, y, n, cnt))
+      }
+    }
+    val nTrain = feats.size.toLong
+    val w = Array.fill(d + 1)(0L)
+    for (_ <- 1 to iters) {
+      val g = new Array[Long](d + 1)
+      feats.foreach { case (_, y, n, cnt) =>
+        var s = 0L
+        var j = 0
+        while (j <= d) { s += w(j) * cnt(j); j += 1 }
+        val z = s / n
+        val p = math.max(0L, math.min(1000000L, 500000L + z / 4))
+        val e = p - y * 1000000L
+        j = 0
+        while (j <= d) { g(j) += e * cnt(j) / n; j += 1 }
+      }
+      var j = 0
+      while (j <= d) { w(j) -= lrNum * g(j) / (lrDen * nTrain); j += 1 }
+    }
+    w
+  }
+
+  test("train matches the driver-side reference recurrence on real docs") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val local = docs.as[(Long, Long, String)].collect().toSeq
+    val model = QualityTrain.train(
+      docs.toDF("doc_id", "y", "text"), "text", "doc_id", "y",
+      d = 16, iters = 3)
+    val ref = referenceTrain(local, d = 16, iters = 3, lrNum = 1L, lrDen = 1L)
+    assert(model.weightsMicro.toSeq === ref.toSeq)
+    assert(model.nTrain === local.count(_._3.trim.nonEmpty))
+  }
+
+  test("training is deterministic across runs") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val m1 = QualityTrain.train(docs, "text", "doc_id", "y", d = 8, iters = 2)
+    val m2 = QualityTrain.train(docs, "text", "doc_id", "y", d = 8, iters = 2)
+    assert(m1.weightsMicro.toSeq === m2.weightsMicro.toSeq)
+  }
+
+  test("a separable toy corpus trains to a perfect hard audit") {
+    // two disjoint vocabularies; verify they actually hash apart at d=64
+    val pos = (1 to 20).map(i => (i.toLong, 1L, "alpha signal alpha"))
+    val neg = (21 to 40).map(i => (i.toLong, 0L, "bravo noise bravo"))
+    val docs = (pos ++ neg).toDF("doc_id", "y", "text")
+    val model = QualityTrain.train(docs, "text", "doc_id", "y",
+      d = 64, iters = 8, lrNum = 4L, lrDen = 1L)
+    val audit = QualityTrain.hardAudit(docs, "text", "doc_id", "y", model)
+      .collect()(0)
+    assert(audit.getAs[Long]("tp") === 20L)
+    assert(audit.getAs[Long]("tn") === 20L)
+    assert(audit.getAs[Long]("fp") === 0L)
+    assert(audit.getAs[Long]("fn") === 0L)
+  }
+
+  test("zero-token documents are excluded from training") {
+    val docs = Seq((1L, 1L, "alpha beta"), (2L, 0L, "   "), (3L, 0L, "gamma"))
+      .toDF("doc_id", "y", "text")
+    val model = QualityTrain.train(docs, "text", "doc_id", "y", d = 8, iters = 1)
+    assert(model.nTrain === 2L)
+  }
+
+  test("toScorer hands off to the shipped inference path") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val model = QualityTrain.train(docs, "text", "doc_id", "y", d = 64, iters = 2)
+    val (wts, bias) = model.toScorer
+    assert(wts.size === 64)
+    val scored = TextStats.modelQualityScore(
+      sf("sf0.001", "documents"), "text", "doc_id", wts, bias)
+    val n = scored.count()
+    assert(n === sf("sf0.001", "documents").count())
+    // scores are probabilities
+    val bad = scored.filter(col("q_score") < 0 || col("q_score") > 1).count()
+    assert(bad === 0L)
+  }
+}

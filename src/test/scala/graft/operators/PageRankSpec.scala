@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PageRank: hand-computed fixed-point iteration on a 4-node graph with
+  * a dangling node, plus full parity vs a driver-side reference on a
+  * larger random-ish graph. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→2, 2→1, 3→1, 3→4; node 4 is dangling
+  private val toyEdges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 4L))
+
+  test("one iteration matches the hand computation (dangling mass, truncation)") {
+    val edges = toyEdges.toDF("src", "dst")
+    val r = PageRank.rank(edges, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = 250000 each; dangling mass 250000 -> dm 62500; base 37500
+    // in: v1=375000, v2=250000, v3=0, v4=125000
+    assert(r === Map(1L -> 409375L, 2L -> 303125L, 3L -> 90625L, 4L -> 196875L))
+    assert(r.values.sum === 1000000L) // no mass lost on this graph
+  }
+
+  /** Driver-side reference: the documented recurrence in plain Scala. */
+  private def referenceRank(edges: Seq[(Long, Long, Long)], iters: Int,
+                            dampNum: Long = 85, dampDen: Long = 100,
+                            scale: Long = 1000000L): Map[Long, Long] = {
+    val ea = edges.groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val outw = ea.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = (ea.map(_._1) ++ ea.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(outw.contains).map(r).sum
+      val dm = dang / n
+      val in = ea.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => r(e._1) * e._3 / outw(e._1)).sum
+      }
+      r = nodes.map(v =>
+        v -> (base + dampNum * (in.getOrElse(v, 0L) + dm) / dampDen)).toMap
+    }
+    r
+  }
+
+  test("multi-iteration parity vs the reference on a weighted graph") {
+    // deterministic pseudo-random graph: 30 nodes, weighted edges,
+    // several dangling sinks
+    val edges = (for {
+      s <- 1L to 24L
+      k <- 1 to 3
+    } yield (s, (s * 7 + k * 11) % 30 + 1, (s + k) % 5 + 1)).toSeq
+    val df = edges.toDF("src", "dst", "w")
+    val got = PageRank.rank(df, "src", "dst", Some("w"), iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = referenceRank(edges, iters = 6)
+    assert(got === want)
+  }
+
+  test("rank mass is conserved up to deterministic truncation dust") {
+    val edges = toyEdges.toDF("src", "dst")
+    val r = PageRank.rank(edges, "src", "dst", iters = 10)
+      .agg(sum("pr")).first().getLong(0)
+    // each division can only LOSE mass; dust bounded by iters * (N + 2)
+    assert(r <= 1000000L && r > 1000000L - 10 * 6)
+  }
+
+  test("a hub with heavy in-links outranks the periphery") {
+    // everyone links to node 1; node 1 links to node 2. The 1⇄2 cycle
+    // makes the power iteration oscillate with period 2 (damped by
+    // 0.85/step) — 25 iterations are needed before the stationary
+    // ordering (r1 ≈ 0.468 > r2 ≈ 0.412) emerges from a uniform start.
+    val edges = ((2L to 10L).map(s => (s, 1L)) :+ (1L, 2L)).toDF("src", "dst")
+    val r = PageRank.rank(edges, "src", "dst", iters = 25)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L))
+    assert((3L to 10L).forall(v => r(2L) > r(v)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SketchStore: daily mergeable HLL sketches — build/append/union-serve
+  * semantics. At spec cardinalities the Datasketches HLL is in its
+  * exact (coupon) regime, so estimates are checked for equality, not
+  * just tolerance. */
+class SketchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_sketch_spec_").toString
+
+  private val rows = (for {
+    day <- 1 to 4
+    g <- Seq("a", "b")
+    u <- 1 to (day * 10) // day d contributes users 1..10d per group
+  } yield (s"2024-02-0$day", g, u.toLong)).toSeq
+
+  test("union over all partitions equals the exact distinct count") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    SketchStore.build(df, Seq("grp"), "uid", "day", path)
+    val est = SketchStore.estimate(spark, path, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // users overlap across days: distinct = 40 per group
+    assert(est === Map("a" -> 40L, "b" -> 40L))
+  }
+
+  test("incremental append + pruned window serve") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    // backfill days 1-2, then append days 3-4 (two independent builds)
+    SketchStore.build(df.filter(col("day") <= "2024-02-02"), Seq("grp"), "uid", "day", path)
+    SketchStore.build(df.filter(col("day") > "2024-02-02"), Seq("grp"), "uid", "day", path)
+    val win = SketchStore.estimate(spark, path, Seq("grp"),
+        Some(Seq("2024-02-01", "2024-02-02")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(win === Map("a" -> 20L, "b" -> 20L)) // users 1..20 in days 1-2
+    val full = SketchStore.estimate(spark, path, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === Map("a" -> 40L, "b" -> 40L))
+  }
+
+  test("re-appending the same day cannot inflate the estimate") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    SketchStore.build(df, Seq("grp"), "uid", "day", path)
+    // retry lands the same day again — HLL union is duplicate-proof
+    SketchStore.append(df.filter(col("day") === "2024-02-03").drop("day"),
+      Seq("grp"), "uid", path, part = "2024-02-03")
+    val est = SketchStore.estimate(spark, path, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 40L, "b" -> 40L))
+  }
+
+  test("estimateAudit flags are true at exact-regime cardinalities") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    SketchStore.build(df, Seq("grp"), "uid", "day", path)
+    val audit = SketchStore.estimateAudit(df, Seq("grp"), "uid", spark, path)
+      .collect()
+    assert(audit.length === 2)
+    assert(audit.forall(_.getAs[Boolean]("hll_ok")))
+    assert(audit.map(_.getAs[Long]("n_exact")).toSet === Set(40L))
+  }
+}

@@ -132,8 +132,9 @@ object QualityTrain {
   private def idivL(a: Long, b: Long): Long = a / b
 
   /** One gradient pass over the cached feature frame under weights `w`:
-    * returns (bucket, g) rows, d+1 of them. */
-  private def gradient(feat: DataFrame, w: Array[Long]): DataFrame = {
+    * returns (bucket, g) rows, d+1 of them. Package-private for the
+    * TrainSpec cache pin. */
+  private[llm] def gradient(feat: DataFrame, w: Array[Long]): DataFrame = {
     val err = perDocError(feat, w)
     feat.join(err, "id")
       .groupBy(col("bucket"))

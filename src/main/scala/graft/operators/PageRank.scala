@@ -44,7 +44,15 @@ object PageRank {
   /** Rank every node of `edges` (parallel edges are pre-summed; nodes
     * are the union of sources and destinations; a node with no
     * out-edges is dangling and redistributes its mass uniformly).
-    * Returns (node, pr) with pr in micros. */
+    * Returns (node, pr).
+    *
+    * `scale` is the PER-NODE initial rank (total mass = N·scale) — NOT
+    * the total. This keeps fixed-point precision independent of graph
+    * size: with a total-mass scale, per-node ranks at |V| ≥ scale
+    * truncate to zero and the whole vector underflows (measured: a
+    * 500k-node probe at total-scale 1e6 lost ALL mass by iteration 5).
+    * Per-node scale 1e6 holds to ~9e12 nodes before the Σ overflows
+    * BIGINT. */
   def rank(edges: DataFrame, srcCol: String, dstCol: String,
            weightCol: Option[String] = None, iters: Int = 10,
            dampNum: Long = 85L, dampDen: Long = 100L,
@@ -70,8 +78,8 @@ object PageRank {
       val n = nodes.count()
       val dangling = nodes.join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val base = ((dampDen - dampNum) * scale) / (dampDen * n)
-      var r = nodes.select(col("v"), lit(scale / n).as("r"))
+      val base = ((dampDen - dampNum) * scale) / dampDen
+      var r = nodes.select(col("v"), lit(scale).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var it = 0
       while (it < iters) {
@@ -121,7 +129,7 @@ object PageRank {
          |nodes AS (SELECT DISTINCT v FROM
          |  (SELECT src AS v FROM ea UNION ALL SELECT dst FROM ea)),
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes),
-         |r0 AS (SELECT v, (SELECT CAST($scale AS BIGINT) // c FROM nn) AS r FROM nodes)""".stripMargin
+         |r0 AS (SELECT v, CAST($scale AS BIGINT) AS r FROM nodes)""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       val rp = s"r${k - 1}"
       s"""d$k AS (SELECT COALESCE(SUM(r.r), 0) AS ds FROM $rp r
@@ -131,7 +139,7 @@ object PageRank {
          |                  JOIN outw o ON o.src = e.src
          |        GROUP BY 1),
          |r$k AS (SELECT n.v,
-         |          (SELECT (($dampDen - $dampNum) * $scale) // ($dampDen * c) FROM nn)
+         |          (($dampDen - $dampNum) * $scale) // $dampDen
          |          + ($dampNum * (COALESCE(c$k.c, 0)
          |               + (SELECT ds // (SELECT c FROM nn) FROM d$k))) // $dampDen AS r
          |        FROM nodes n LEFT JOIN c$k ON c$k.v = n.v)""".stripMargin

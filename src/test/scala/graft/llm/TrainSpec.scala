@@ -95,6 +95,31 @@ class TrainSpec extends SparkSpec {
     assert(model.nTrain === 2L)
   }
 
+  test("gradient passes read the feature CACHE, never the corpus file (rule 7 pin)") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).cast("long").as("y"),
+        col("text"))
+    val feat = QualityTrain.features(docs, "text", "doc_id", "y", 8)
+      .repartition(col("id"))
+      .persist()
+    try {
+      feat.count()
+      val g = QualityTrain.gradient(feat, Array.fill(9)(0L))
+      val opt = g.queryExecution.optimizedPlan
+      val cached = opt.collect {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation => im
+      }
+      val files = opt.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => v2
+      }
+      assert(cached.nonEmpty,
+        "gradient must read the persisted feature frame")
+      assert(files.isEmpty,
+        s"gradient must not re-scan the corpus file; plan: $opt")
+    } finally feat.unpersist()
+  }
+
   test("toScorer hands off to the shipped inference path") {
     val docs = sf("sf0.001", "documents")
       .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),

@@ -16,10 +16,10 @@ class PageRankSpec extends SparkSpec {
     val edges = toyEdges.toDF("src", "dst")
     val r = PageRank.rank(edges, "src", "dst", iters = 1)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    // r0 = 250000 each; dangling mass 250000 -> dm 62500; base 37500
-    // in: v1=375000, v2=250000, v3=0, v4=125000
-    assert(r === Map(1L -> 409375L, 2L -> 303125L, 3L -> 90625L, 4L -> 196875L))
-    assert(r.values.sum === 1000000L) // no mass lost on this graph
+    // per-node scale: r0 = 1e6 each (total 4e6); dangling mass 1e6 ->
+    // dm 250000; base 150000; in: v1=1.5e6, v2=1e6, v3=0, v4=0.5e6
+    assert(r === Map(1L -> 1637500L, 2L -> 1212500L, 3L -> 362500L, 4L -> 787500L))
+    assert(r.values.sum === 4000000L) // no mass lost on this graph
   }
 
   /** Driver-side reference: the documented recurrence in plain Scala. */
@@ -31,8 +31,8 @@ class PageRankSpec extends SparkSpec {
     val outw = ea.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val nodes = (ea.map(_._1) ++ ea.map(_._2)).distinct.sorted
     val n = nodes.size.toLong
-    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
-    var r = nodes.map(_ -> scale / n).toMap
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    var r = nodes.map(_ -> scale).toMap
     for (_ <- 1 to iters) {
       val dang = nodes.filterNot(outw.contains).map(r).sum
       val dm = dang / n
@@ -64,7 +64,7 @@ class PageRankSpec extends SparkSpec {
     val r = PageRank.rank(edges, "src", "dst", iters = 10)
       .agg(sum("pr")).first().getLong(0)
     // each division can only LOSE mass; dust bounded by iters * (N + 2)
-    assert(r <= 1000000L && r > 1000000L - 10 * 6)
+    assert(r <= 4000000L && r > 4000000L - 10 * 6)
   }
 
   test("a hub with heavy in-links outranks the periphery") {

@@ -56,6 +56,19 @@ class SketchStoreSpec extends SparkSpec {
     assert(est === Map("a" -> 40L, "b" -> 40L))
   }
 
+  test("a pruned serve carries a planning-time part PartitionFilter") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    SketchStore.build(df, Seq("grp"), "uid", "day", path)
+    val served = SketchStore.estimate(spark, path, Seq("grp"),
+      Some(Seq("2024-02-01", "2024-02-02")))
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") && l.contains("IN") && !l.contains("IN ()")),
+      s"expected a part IN (...) PartitionFilter, got: ${pf.mkString(" | ")}")
+  }
+
   test("estimateAudit flags are true at exact-regime cardinalities") {
     val df = rows.toDF("day", "grp", "uid")
     val path = tmpDir()

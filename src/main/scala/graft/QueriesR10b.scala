@@ -127,6 +127,47 @@ object QueriesR10b {
         FROM f JOIN w USING (event_type)
         ORDER BY event_type""")),
 
+    // ---- streaming sketch maintenance -----------------------------------
+    // The daily-sketch store kept current by a stream: two source files
+    // drip through AvailableNow (maxFilesPerTrigger=1), each micro-batch
+    // appends its days' sketches; a checkpointed re-run adds nothing,
+    // and even a REPLAYED batch couldn't move an estimate (HLL union is
+    // duplicate-idempotent — at-least-once is exactly-once here).
+    QueryDef("stream_sketch",
+      (s, dir) => {
+        import java.nio.file.Files
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+        val srcDir = Files.createTempDirectory("graft_ssk_src_").toString
+        val mid = ev.agg(min("day"), max("day")).first()
+        val cutoff = java.sql.Date.valueOf(mid.getDate(0).toLocalDate.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(
+            mid.getDate(0).toLocalDate, mid.getDate(1).toLocalDate) / 2))
+        ev.filter(col("day") <= lit(cutoff)).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        ev.filter(col("day") > lit(cutoff)).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        val store = Files.createTempDirectory("graft_ssk_store_").toString
+        val ckpt = Files.createTempDirectory("graft_ssk_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingSketchMaintenance(
+            s, srcDir, schema, store, ckpt,
+            Seq("event_type"), "user_id", "day",
+            maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches
+        graft.operators.SketchStore.estimateAudit(ev, Seq("event_type"),
+            "user_id", s, store)
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS hll_ok
+        FROM events
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- chunk-store corpus-version diff --------------------------------
     // Crawl-over-crawl snapshot diff straight off the manifests: write
     // v1, append edits + new docs (latest-run-wins), tombstone a

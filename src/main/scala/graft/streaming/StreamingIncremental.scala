@@ -373,6 +373,38 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.SketchStore]]: each
+    * micro-batch builds its rows' daily HLL sketches and appends them
+    * under the store's `part=` tree. foreachBatch is at-least-once, and
+    * that is SAFE here with no run-slot machinery: HLL union is
+    * idempotent on duplicates, so a replayed batch appends sketch rows
+    * that cannot change any estimate — the cheapest exactly-once
+    * semantics in the repo. `prepare` derives the partition/group/value
+    * columns from the raw stream (e.g. ts → day). */
+  def streamingSketchMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      groupCols: Seq[String], valueCol: String, partCol: String,
+      lgK: Int = 12,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SketchStore.build(prepare(batch), groupCols,
+          valueCol, partCol, storePath, lgK)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamingExactDedup(
       docs: Dataset[DocIn],
       stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {

@@ -84,6 +84,69 @@ object QueriesR10b {
           |WHERE c.c_nationkey < 20""".stripMargin,
         iters = 5))),
 
+    // ---- trained-model artifact roundtrip -------------------------------
+    // writeModel/readModel must be invisible: the oracle is the SAME
+    // unrolled training replay as quality_train, served from a model
+    // that went through parquet.
+    QueryDef("quality_model_artifact",
+      (s, dir) => {
+        import graft.llm.QualityTrain
+        val mPath = java.nio.file.Files
+          .createTempDirectory("graft_qmodel_").toString
+        QualityTrain.writeModel(s, trainedModel(s, dir), mPath)
+        QualityTrain.weightsDf(s, QualityTrain.readModel(s, mPath))
+          .orderBy("bucket")
+      },
+      Some(graft.llm.QualityTrain.oracleSql(
+        d = 64, iters = 3, lrNum = 1L, lrDen = 1L,
+        labelExpr = TrainLabel, finalSelect = "weights"))),
+
+    // ---- incremental connected components -------------------------------
+    // The dedup_incremental fixture's cluster story: labels over the
+    // corpus pairs (docs < 250), then the batch pairs (new docs +
+    // planted clones) merged INCREMENTALLY — only touched components
+    // recompute. The oracle is the full recursive transitive closure
+    // over ALL pairs of the union corpus: incremental must be
+    // indistinguishable from recompute.
+    QueryDef("cc_incremental",
+      (s, dir) => {
+        import graft.llm.Dedup
+        import graft.operators.ConnectedComponents
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs
+            .filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+        val oldPairs = Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+          jaccardThreshold = 0.8)
+        val labels = ConnectedComponents.run(oldPairs, "id_a", "id_b")
+        val batchPairs = Dedup.minhashNearDupPairsIncremental(
+          fresh, corpus, "text", "doc_id", jaccardThreshold = 0.8)
+        ConnectedComponents.incremental(labels, batchPairs, "id_a", "id_b")
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH RECURSIVE all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id < 250),
+        ${QueriesLlm.minhashCandCtes("all_docs")},
+        p AS (
+          SELECT ia id_a, ib id_b
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
+          WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                  len(list_distinct(x.h || y.h)) >= 0.8),
+        e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
+        SELECT node, MIN(label) AS label
+        FROM cc GROUP BY node
+        ORDER BY node""")),
+
     // ---- mergeable-sketch store -----------------------------------------
     // Daily HLL sketches built in two appends (backfill + increment),
     // then union-served over the full range AND a pruned day window —

@@ -182,6 +182,32 @@ object QualityTrain {
       .map { case (w, j) => (j, w) }.toSeq.toDF("bucket", "w")
   }
 
+  // ---- model persistence ------------------------------------------------
+
+  /** Persist the trained model (the Dsir.writeModel artifact pattern):
+    * weights as (bucket, w) rows, hyperparameters in a `_meta` sidecar.
+    * A trained model is a deploy artifact — fit once on the training
+    * corpus, then any scoring job (batch or daily) reads it back with
+    * zero training work. */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.weightsMicro.zipWithIndex.map { case (w, j) => (j, w) }.toSeq
+      .toDF("bucket", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((model.d, model.iters, model.lrNum, model.lrDen, model.nTrain))
+      .toDF("d", "iters", "lr_num", "lr_den", "n_train")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  def readModel(spark: SparkSession, path: String): Model = {
+    val w = spark.read.parquet(s"$path/weights").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val m = spark.read.parquet(s"$path/_meta").head()
+    require(w.length == m.getInt(0) + 1,
+      s"QualityTrain.readModel: ${w.length} weights for d=${m.getInt(0)}")
+    Model(w, m.getInt(0), m.getInt(1), m.getLong(2), m.getLong(3), m.getLong(4))
+  }
+
   // ---- DuckDB oracle ----------------------------------------------------
 
   /** Generate the unrolled DuckDB SQL that replays training exactly:

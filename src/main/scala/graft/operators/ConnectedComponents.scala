@@ -81,4 +81,45 @@ object ConnectedComponents {
     edges.unpersist()
     labels
   }
+
+  /** INCREMENTAL update: merge a batch of new pairs into an existing
+    * (node, label) table without re-running CC over history — the
+    * dedup-cluster analogue of the repo's incremental-index discipline
+    * (per-run cost tracks the batch, not the corpus).
+    *
+    * Only components the batch TOUCHES are recomputed: the batch's
+    * nodes select their components, those components' members
+    * contribute STAR edges (member — root), and [[run]] executes over
+    * stars + batch pairs. Stars preserve exactly the old
+    * intra-component connectivity (every label is the min member id, so
+    * the root is itself a member), so the subgraph solution equals the
+    * full recompute restricted to touched components; untouched rows
+    * pass through verbatim. Brand-new nodes appear via the batch pairs.
+    *
+    * Cost: two semi-joins to find touched members, then [[run]] on
+    * O(batch + touched members) edges. Worst case (a batch pair touching
+    * every component) degrades to a full run — the same bound, never
+    * worse. `labels` MUST be a [[run]]-style min-id labeling; anything
+    * else breaks the root-is-a-member invariant. */
+  def incremental(labels: DataFrame, pairs: DataFrame,
+                  aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
+    p.count()
+    val batchNodes = p.select(col("u"))
+      .unionByName(p.select(col("v").as("u"))).distinct()
+    val touchedLabels = labels
+      .join(batchNodes, labels("node") === batchNodes("u"), "left_semi")
+      .select(col("label")).distinct()
+      .persist() // feeds both the member semi-join and the anti-join
+    touchedLabels.count()
+    val touchedMembers = labels.join(touchedLabels, Seq("label"), "left_semi")
+    val stars = touchedMembers.filter(col("node") =!= col("label"))
+      .select(col("node").as("u"), col("label").as("v"))
+    val sub = run(stars.unionByName(p), "u", "v", maxIter)
+    val untouched = labels.join(touchedLabels, Seq("label"), "left_anti")
+    val out = untouched.select(col("node"), col("label")).unionByName(sub)
+      .localCheckpoint(true)
+    p.unpersist(); touchedLabels.unpersist()
+    out
+  }
 }

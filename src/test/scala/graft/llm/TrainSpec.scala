@@ -120,6 +120,21 @@ class TrainSpec extends SparkSpec {
     } finally feat.unpersist()
   }
 
+  test("writeModel/readModel roundtrip is exact") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val m = QualityTrain.train(docs, "text", "doc_id", "y", d = 16, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_qt_model_").toString
+    QualityTrain.writeModel(spark, m, path)
+    val back = QualityTrain.readModel(spark, path)
+    assert(back.weightsMicro.toSeq === m.weightsMicro.toSeq)
+    assert(back.d === m.d && back.iters === m.iters &&
+      back.lrNum === m.lrNum && back.lrDen === m.lrDen &&
+      back.nTrain === m.nTrain)
+  }
+
   test("toScorer hands off to the shipped inference path") {
     val docs = sf("sf0.001", "documents")
       .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),

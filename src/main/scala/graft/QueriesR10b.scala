@@ -147,6 +147,67 @@ object QueriesR10b {
         FROM cc GROUP BY node
         ORDER BY node""")),
 
+    // ---- streaming cluster maintenance ----------------------------------
+    // The whole near-dup pipeline as a stream: corpus-seeded MinHash
+    // index + corpus-seeded label table, two micro-batches (fresh docs,
+    // then planted clones of INDEXED corpus docs — the cross-batch
+    // case), per batch: bucket-pruned pair serve → index append →
+    // incremental CC fold into the labels table. Final labels must be
+    // indistinguishable from the full recursive closure over ALL pairs
+    // of the union corpus.
+    QueryDef("stream_cc",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.{Dedup, MinHashIndex}
+        import graft.operators.ConnectedComponents
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val idxPath = Files.createTempDirectory("graft_scc_idx_").toString
+        MinHashIndex.write(corpus, "text", "doc_id", idxPath, nBuckets = 16)
+        val labelsPath = Files.createTempDirectory("graft_scc_lab_").toString
+        ConnectedComponents.run(
+            Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+              jaccardThreshold = 0.8), "id_a", "id_b")
+          .write.mode("overwrite").parquet(labelsPath)
+        val srcDir = Files.createTempDirectory("graft_scc_src_").toString
+        docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_scc_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingClusterMaintenance(
+            s, srcDir, schema, idxPath, labelsPath, ckpt, "text", "doc_id",
+            jaccardThreshold = 0.8, nBuckets = 16,
+            maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, labels untouched
+        graft.streaming.StreamingIncremental.readLabels(s, labelsPath)
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH RECURSIVE all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id < 250),
+        ${QueriesLlm.minhashCandCtes("all_docs")},
+        p AS (
+          SELECT ia id_a, ib id_b
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
+          WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                  len(list_distinct(x.h || y.h)) >= 0.8),
+        e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
+        SELECT node, MIN(label) AS label
+        FROM cc GROUP BY node
+        ORDER BY node""")),
+
     // ---- mergeable-sketch store -----------------------------------------
     // Daily HLL sketches built in two appends (backfill + increment),
     // then union-served over the full range AND a pruned day window —
@@ -230,6 +291,56 @@ object QueriesR10b {
                TRUE AS hll_ok
         FROM events
         GROUP BY 1 ORDER BY 1""")),
+
+    // ---- ingest drift monitor -------------------------------------------
+    // Reference window = first half of the event days, current = the
+    // rest; buckets = (event_type, value-band). Exact per-mille
+    // proportions and the integer χ²-style contribution per bucket —
+    // the pre-training ingest-health gate.
+    QueryDef("drift_score",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+        val mm = ev.agg(min("day"), max("day")).first()
+        val cutoff = java.sql.Date.valueOf(
+          mm.getDate(0).toLocalDate.plusDays(
+            java.time.temporal.ChronoUnit.DAYS.between(
+              mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate) / 2))
+        val bucketed = ev.withColumn("bkt",
+          concat(col("event_type"), lit(":"),
+            least(floor(col("value") / 100).cast("long"), lit(5L)).cast("string")))
+        graft.operators.DataQuality.distributionDrift(
+            bucketed.filter(col("day") <= lit(cutoff)),
+            bucketed.filter(col("day") > lit(cutoff)), "bkt")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH d AS (SELECT event_type || ':' ||
+                     CAST(LEAST(CAST(floor(value / 100) AS BIGINT), 5) AS VARCHAR)
+                       AS bucket,
+                     CAST(ts AS DATE) AS day
+                   FROM events),
+        cut AS (SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER) AS c
+                FROM d),
+        r AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n_ref FROM d
+              WHERE day <= (SELECT c FROM cut) GROUP BY 1),
+        u AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n_cur FROM d
+              WHERE day > (SELECT c FROM cut) GROUP BY 1),
+        tr AS (SELECT CAST(SUM(n_ref) AS BIGINT) t FROM r),
+        tc AS (SELECT CAST(SUM(n_cur) AS BIGINT) t FROM u),
+        j AS (SELECT COALESCE(r.bucket, u.bucket) AS bucket,
+                COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+              FROM r FULL OUTER JOIN u ON r.bucket = u.bucket),
+        p AS (SELECT bucket, n_ref, n_cur,
+                (n_ref * 1000) // (SELECT t FROM tr) AS pm_ref,
+                (n_cur * 1000) // (SELECT t FROM tc) AS pm_cur
+              FROM j)
+        SELECT bucket, n_ref, n_cur, pm_ref, pm_cur,
+               CASE WHEN pm_ref + pm_cur > 0
+                 THEN ((pm_ref - pm_cur) * (pm_ref - pm_cur) * 1000)
+                        // (pm_ref + pm_cur)
+                 ELSE CAST(0 AS BIGINT) END AS drift_contrib
+        FROM p ORDER BY bucket""")),
 
     // ---- chunk-store corpus-version diff --------------------------------
     // Crawl-over-crawl snapshot diff straight off the manifests: write

@@ -122,4 +122,48 @@ object DataQuality {
             .otherwise(lit("pass")))
     }.reduce(_.unionByName(_)).orderBy("source_name")
   }
+
+  /** Distribution-drift monitor between a REFERENCE ingest window and a
+    * CURRENT one — the ingest-health check a long-running pipeline runs
+    * before letting a new day's data into training (schema tests catch
+    * broken columns; drift catches silently SHIFTED ones). Both sides
+    * are bucketed by the caller's `bucketCol` (a category, or a binned
+    * numeric), proportions are exact per-mille integers
+    * (`n·1000 div total`), and the per-bucket drift contribution is the
+    * χ²-flavored symmetric index `(pmʳ−pmᶜ)²·1000 div (pmʳ+pmᶜ)` —
+    * rational throughout, so the whole report is bit-stable
+    * cross-engine (PSI's logarithm is deliberately traded away for
+    * exactness; the two indexes order drifts the same way in practice).
+    * A bucket absent from one side contributes its full squared mass —
+    * new/vanished categories are the loudest drift there is.
+    *
+    * Cost: one map-side-combinable count aggregate per side over the
+    * bucket key, a full-outer join of |buckets| rows, two scalar
+    * totals. Corpus-size-independent output. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame,
+                        bucketCol: String): DataFrame = {
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as(as))
+    val r = cnt(ref, "n_ref").persist()
+    val c = cnt(cur, "n_cur").persist()
+    val tr = r.agg(coalesce(sum(col("n_ref")), lit(0L))).first().getLong(0)
+    val tc = c.agg(coalesce(sum(col("n_cur")), lit(0L))).first().getLong(0)
+    require(tr > 0 && tc > 0, "distributionDrift: empty window")
+    val out = r.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("pm_ref", expr(s"n_ref * 1000 div $tr"))
+      .withColumn("pm_cur", expr(s"n_cur * 1000 div $tc"))
+      .withColumn("drift_contrib",
+        when(col("pm_ref") + col("pm_cur") > 0,
+          expr("(pm_ref - pm_cur) * (pm_ref - pm_cur) * 1000 " +
+            "div (pm_ref + pm_cur)"))
+          .otherwise(lit(0L)))
+    // |buckets| rows: materialize eagerly so the caches can be released
+    // without the count aggregates re-running at the caller's action
+    val m = out.localCheckpoint(true)
+    r.unpersist(); c.unpersist()
+    m
+  }
 }

@@ -373,6 +373,72 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming DEDUP-CLUSTER maintenance — the full near-dup story as
+    * one micro-batch loop: each batch serves its pairs against the
+    * MinHash index (bucket-pruned, cost tracks the batch), appends its
+    * signatures, and folds the new pairs into a persisted (node, label)
+    * cluster table via [[graft.operators.ConnectedComponents.incremental]]
+    * (only touched components recompute). After every batch the labels
+    * table IS the current canonical-cluster assignment — the thing a
+    * keep-best-quality selection reads.
+    *
+    * foreachBatch is at-least-once; a replayed batch is safe end to
+    * end: pair mining of already-appended signatures yields the same
+    * pairs (self-pairs are excluded by id inequality), and re-applying
+    * the same pairs to the labels is a fixpoint of min-label merging.
+    * The labels overwrite is safe because incremental() returns an
+    * EAGER localCheckpoint — the old table is fully read before the
+    * rewrite starts. Single-writer, like every store here. */
+  def streamingClusterMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      labelsPath: String,
+      checkpointDir: String,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.MinHashIndex.serveThenAppend(
+          spark, indexPath, batch, textCol, idCol,
+          jaccardThreshold, shingleN, nBuckets) { pairs =>
+          val batchPairs = pairs.localCheckpoint(true)
+          val labels = readLabels(spark, labelsPath)
+          val updated = graft.operators.ConnectedComponents
+            .incremental(labels, batchPairs, "id_a", "id_b")
+          updated.write.mode("overwrite").parquet(labelsPath)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The cluster table at `path`, or an empty (node, label) frame before
+    * the first batch lands. */
+  def readLabels(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(path)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType))))
+  }
+
   /** Streaming maintenance of a [[graft.operators.SketchStore]]: each
     * micro-batch builds its rows' daily HLL sketches and appends them
     * under the store's `part=` tree. foreachBatch is at-least-once, and

@@ -55,7 +55,15 @@ import org.apache.spark.storage.StorageLevel
   * Overflow: |e| ≤ 1e6, cnt ≤ n, so per-row products fit comfortably;
   * margins are bounded by d·max|w|·1, and |w| grows at most
   * lr·1e6/iteration. ANSI mode turns any violation into an error, not
-  * a wrong answer. */
+  * a wrong answer.
+  *
+  * Plan-size boundary: the weight vector rides the plan as a LITERAL
+  * array (`typedLit`) — constant per plan but linear in d. Fine for
+  * the fasttext-style regime this models (d ≤ ~64k hash buckets);
+  * past ~10^5 weights the literal becomes the KMeans-at-k=160 plan
+  * bomb and the margin/gradient joins should switch to a broadcast
+  * (bucket, w) table instead — same results, one more join in the
+  * per-iteration plan. */
 object QualityTrain {
 
   /** Trained model: `weightsMicro(0)` is the bias, `weightsMicro(j)` the

@@ -84,6 +84,37 @@ object QueriesR10b {
           |WHERE c.c_nationkey < 20""".stripMargin,
         iters = 5))),
 
+    // ---- personalized (topic-seeded) PageRank ---------------------------
+    // Authority as seen FROM region 0's nations: teleport and dangling
+    // mass restricted to the seed set — the topic-focused domain
+    // ranking (trusted-host seeding). Full trade graph, 5 iterations.
+    QueryDef("topic_pagerank",
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val ord = Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = Tables.read(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val edges = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        val seeds = Tables.read(s, dir, "nation")
+          .filter(col("n_regionkey") === 0).select(col("n_nationkey").as("v"))
+        graft.operators.PageRank.personalized(edges, seeds, "v",
+            "src", "dst", iters = 5)
+          .orderBy("node")
+      },
+      Some(graft.operators.PageRank.oracleSql(
+        """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(1 AS BIGINT) AS w
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin,
+        iters = 5,
+        seedsSql = Some(
+          "SELECT n_nationkey AS v FROM nation WHERE n_regionkey = 0")))),
+
     // ---- trained-model artifact roundtrip -------------------------------
     // writeModel/readModel must be invisible: the oracle is the SAME
     // unrolled training replay as quality_train, served from a model

@@ -59,11 +59,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Plan-size boundary: the weight vector rides the plan as a LITERAL
   * array (`typedLit`) — constant per plan but linear in d. Fine for
-  * the fasttext-style regime this models (d ≤ ~64k hash buckets);
-  * past ~10^5 weights the literal becomes the KMeans-at-k=160 plan
-  * bomb and the margin/gradient joins should switch to a broadcast
-  * (bucket, w) table instead — same results, one more join in the
-  * per-iteration plan. */
+  * the fasttext-style regime this models; past `LiteralWeightMax`
+  * (64k) the margin sums switch automatically to a broadcast
+  * (bucket, w) join — bit-identical sums, one extra BroadcastHashJoin
+  * per iteration, plan size constant in d (TrainSpec pins parity). */
 object QualityTrain {
 
   /** Trained model: `weightsMicro(0)` is the bias, `weightsMicro(j)` the
@@ -149,16 +148,37 @@ object QualityTrain {
       .agg(sum(expr("(e * cnt) div n")).as("g"))
   }
 
+  /** Above this weight count the literal-array form would scale the
+    * PLAN with d (the KMeans-at-k≈160 collapse); margins switch to a
+    * broadcast (bucket, w) join — identical sums, one extra
+    * BroadcastHashJoin in the per-iteration plan. */
+  private[llm] val LiteralWeightMax = 65536
+
+  /** The per-doc weighted-count sum `s = Σ_j w_j·cnt_j` under weights
+    * `w` — literal-array form for fasttext-sized d, broadcast-join form
+    * past [[LiteralWeightMax]]. Bit-identical either way (BIGINT sums,
+    * order-free). */
+  private def marginSum(feat: DataFrame, w: Array[Long]): DataFrame =
+    if (w.length <= LiteralWeightMax) {
+      val wl = typedLit(w.toSeq)
+      feat.groupBy(col("id"), col("y"), col("n"))
+        .agg(sum(element_at(wl, col("bucket") + 1) * col("cnt")).as("s"))
+    } else {
+      val spark = feat.sparkSession
+      import spark.implicits._
+      val wDf = w.zipWithIndex.map { case (wv, j) => (j, wv) }.toSeq
+        .toDF("bucket", "w")
+      feat.join(broadcast(wDf), "bucket")
+        .groupBy(col("id"), col("y"), col("n"))
+        .agg(sum(col("w") * col("cnt")).as("s"))
+    }
+
   /** Per-doc signed error frame (id, e) under weights `w`. */
-  private def perDocError(feat: DataFrame, w: Array[Long]): DataFrame = {
-    val wl = typedLit(w.toSeq)
-    feat
-      .groupBy(col("id"), col("y"), col("n"))
-      .agg(sum(element_at(wl, col("bucket") + 1) * col("cnt")).as("s"))
+  private def perDocError(feat: DataFrame, w: Array[Long]): DataFrame =
+    marginSum(feat, w)
       .select(col("id"),
         (clampMicro(lit(500000L) + expr("(s div n) div 4"))
           - col("y") * lit(1000000L)).as("e"))
-  }
 
   private def clampMicro(p: Column): Column =
     greatest(lit(0L), least(lit(1000000L), p))
@@ -170,9 +190,7 @@ object QualityTrain {
   def hardAudit(df: DataFrame, textCol: String, idCol: String,
                 labelCol: String, model: Model): DataFrame = {
     val feat = features(df, textCol, idCol, labelCol, model.d)
-    val wl = typedLit(model.weightsMicro.toSeq)
-    feat.groupBy(col("id"), col("y"), col("n"))
-      .agg(sum(element_at(wl, col("bucket") + 1) * col("cnt")).as("s"))
+    marginSum(feat, model.weightsMicro)
       .select(col("y"), (expr("s div n") >= 0L).as("pred"))
       .agg(
         sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,7 +10,9 @@ import org.apache.spark.storage.StorageLevel
   * cf. Page et al. 1999). The reference library has no graph operator —
   * this extends the curation surface: feed it the host→host link graph
   * and use the ranks as a quality prior in [[graft.llm.Curation]]
-  * filters, domain quotas, and mixing weights.
+  * filters, domain quotas, and mixing weights. [[personalized]] is the
+  * topic-focused variant (teleport restricted to a SEED set — "rank
+  * hosts by authority as seen from these trusted domains").
   *
   * CROSS-ENGINE EXACT: ranks are fixed-point BIGINT micros, the damping
   * split is rational (`dampNum/dampDen`), and every division is integer
@@ -21,11 +23,12 @@ import org.apache.spark.storage.StorageLevel
   * (Σr = 1) holds only up to truncation dust — deterministic dust, the
   * same on both engines.
   *
-  * Per iteration:
+  * Per iteration (uniform variant; the personalized one concentrates
+  * the base and dangling terms on the seed set):
   *   dm      = idiv(Σ_{dangling v} r_v, N)          -- redistributed mass
   *   c_e     = idiv(r_src · w_e, W_src)             -- per-edge share
   *   in_v    = Σ_{e into v} c_e
-  *   r'_v    = idiv((dampDen−dampNum)·scale, dampDen·N)
+  *   r'_v    = idiv((dampDen−dampNum)·scale, dampDen)
   *           + idiv(dampNum · (in_v + dm), dampDen)
   *
   * Distribution shape (the 100 TB audit): the edge frame joins its
@@ -36,9 +39,10 @@ import org.apache.spark.storage.StorageLevel
   * them under the threshold — the common case while |V| ≪ |E|), the
   * destination sum is a map-side-combinable hash aggregate, and the
   * dangling mass is one driver scalar (the DSIR-totals pattern). Ranks
-  * are persisted per iteration (they feed BOTH the dangling sum and the
-  * contribution join — PLANS.md rule 7) and the previous iteration's
-  * cache is released. */
+  * are localCheckpointed per iteration (they feed BOTH the dangling sum
+  * and the contribution join — PLANS.md rule 7 — and the lineage cut
+  * keeps plan size constant; without it ~25 iterations OOM'd the driver
+  * building explain trees). */
 object PageRank {
 
   /** Rank every node of `edges` (parallel edges are pre-summed; nodes
@@ -52,14 +56,45 @@ object PageRank {
     * truncate to zero and the whole vector underflows (measured: a
     * 500k-node probe at total-scale 1e6 lost ALL mass by iteration 5).
     * Per-node scale 1e6 holds to ~9e12 nodes before the Σ overflows
-    * BIGINT. */
+    * BIGINT.
+    *
+    * `tolL1`: when set, iteration stops early once the L1 delta
+    * Σ|r'−r| ≤ tolL1 (one extra node-scale join per iteration);
+    * `iters` remains the hard cap. */
   def rank(edges: DataFrame, srcCol: String, dstCol: String,
            weightCol: Option[String] = None, iters: Int = 10,
            dampNum: Long = 85L, dampDen: Long = 100L,
-           scale: Long = 1000000L): DataFrame = {
-    require(iters > 0, "PageRank.rank: iters must be positive")
+           scale: Long = 1000000L,
+           tolL1: Option[Long] = None): DataFrame =
+    core(edges, srcCol, dstCol, weightCol, iters, dampNum, dampDen,
+      scale, tolL1, seeds = None)
+
+  /** PERSONALIZED PageRank: the restart distribution concentrates on
+    * `seeds` (a one-column frame of node ids) — the (1−d) base term and
+    * the dangling mass land on seeds only, so authority is measured
+    * from the seed set's vantage (topic-focused domain ranking:
+    * seed with trusted hosts, rank the rest by how reachable they are
+    * from trust). Seeds absent from the graph are ignored; at least
+    * one seed must be present. Same fixed-point/oracle contract as
+    * [[rank]]. */
+  def personalized(edges: DataFrame, seeds: DataFrame, seedCol: String,
+                   srcCol: String, dstCol: String,
+                   weightCol: Option[String] = None, iters: Int = 10,
+                   dampNum: Long = 85L, dampDen: Long = 100L,
+                   scale: Long = 1000000L,
+                   tolL1: Option[Long] = None): DataFrame =
+    core(edges, srcCol, dstCol, weightCol, iters, dampNum, dampDen,
+      scale, tolL1,
+      seeds = Some(seeds.select(col(seedCol).cast("long").as("v")).distinct()))
+
+  private def core(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: Option[String], iters: Int,
+                   dampNum: Long, dampDen: Long, scale: Long,
+                   tolL1: Option[Long],
+                   seeds: Option[DataFrame]): DataFrame = {
+    require(iters > 0, "PageRank: iters must be positive")
     require(dampNum > 0 && dampDen > dampNum,
-      "PageRank.rank: need 0 < dampNum < dampDen")
+      "PageRank: need 0 < dampNum < dampDen")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val ea = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -70,36 +105,59 @@ object PageRank {
     val ew = ea.join(outw, "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = ea.select(col("src").as("v"))
+    // seed membership rides the node table as a boolean column — one
+    // broadcast join at setup, zero per-iteration seed work
+    val nodes0 = ea.select(col("src").as("v"))
       .union(ea.select(col("dst").as("v")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = seeds.fold(nodes0.withColumn("is_seed", lit(true))) { s =>
+      nodes0.join(broadcast(s.withColumn("is_seed", lit(true))), Seq("v"), "left")
+        .select(col("v"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count()
-      val dangling = nodes.join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
+      val nBase = seeds.fold(n) { _ =>
+        nodes.filter(col("is_seed")).count()
+      }
+      require(nBase > 0, "PageRank.personalized: no seed is present in the graph")
+      // uniform: base lands on every node (nBase = n, factor n/n = 1);
+      // personalized: total base mass (1-d)·N·scale concentrates on the
+      // seeds. Overflow guard: the seed base multiplies N·scale.
+      require(seeds.isEmpty ||
+        n <= Long.MaxValue / scale / math.max(1L, dampDen - dampNum),
+        "PageRank.personalized: N*scale too large for the seed base term")
+      val base =
+        if (seeds.isEmpty) ((dampDen - dampNum) * scale) / dampDen
+        else ((dampDen - dampNum) * scale * n) / (dampDen * nBase)
+      val dangling = nodes.select("v")
+        .join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val base = ((dampDen - dampNum) * scale) / dampDen
       var r = nodes.select(col("v"), lit(scale).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var it = 0
-      while (it < iters) {
+      var done = false
+      while (!done && it < iters) {
         val dangSum = r.join(dangling, Seq("v"), "left_semi")
           .agg(coalesce(sum("r"), lit(0L))).first().getLong(0)
-        val dm = dangSum / n
+        val dm = dangSum / nBase // per-recipient dangling share
         val contrib = ew.join(r, ew("src") === r("v"))
           .select(col("dst"), expr("(r * w) div wt").as("c"))
           .groupBy("dst").agg(sum("c").as("c"))
-        // localCheckpoint CUTS THE LINEAGE — without it each iteration
-        // nests the previous plan and analysis cost (and plan strings)
-        // grow without bound; ~25 iterations OOM'd the driver building
-        // explain trees. The checkpointed frame is node-scale (|V|
-        // rows), cached in executor storage — the per-iteration state
-        // an iterative algorithm is supposed to carry.
+        // lineage cut — see scaladoc
         val next = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
-          .select(col("v"),
-            (lit(base) + expr(s"($dampNum * (coalesce(c, 0) + $dm)) div $dampDen"))
+          .select(nodes("v"),
+            (when(col("is_seed"), lit(base)).otherwise(
+              if (seeds.isEmpty) lit(base) else lit(0L))
+              + expr(s"($dampNum * (coalesce(c, 0) + " +
+                s"(case when is_seed then $dm else ${if (seeds.isEmpty) dm else 0L} end))) div $dampDen"))
               .as("r"))
           .localCheckpoint(true)
+        tolL1.foreach { tol =>
+          val delta = next.join(r.select(col("v"), col("r").as("rp")), "v")
+            .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)))
+            .first().getLong(0)
+          if (delta <= tol) done = true
+        }
         r.unpersist()
         r = next
         it += 1
@@ -107,9 +165,6 @@ object PageRank {
       dangling.unpersist()
       r.select(col("v").as("node"), col("r").as("pr"))
     } finally {
-      // ew/nodes stay cached through the returned frame's lineage only
-      // if the caller executes before session end; the returned frame is
-      // rooted at the materialized `r`, so these caches can be released.
       ew.unpersist()
       nodes.unpersist()
     }
@@ -117,19 +172,41 @@ object PageRank {
 
   // ---- DuckDB oracle ----------------------------------------------------
 
-  /** Unrolled DuckDB SQL replaying [[rank]] exactly. `edgesSql` must
-    * yield (src, dst, w) rows. */
+  /** Unrolled DuckDB SQL replaying [[rank]] (or, with `seedsSql`,
+    * [[personalized]]) exactly. `edgesSql` must yield (src, dst, w)
+    * rows; `seedsSql` one `v` column. Tolerance-stopped runs cannot be
+    * unrolled — gate on fixed iters. */
   def oracleSql(edgesSql: String, iters: Int,
                 dampNum: Long = 85L, dampDen: Long = 100L,
-                scale: Long = 1000000L): String = {
+                scale: Long = 1000000L,
+                seedsSql: Option[String] = None): String = {
+    val seedCtes = seedsSql.map(s =>
+      s""",
+         |seeds AS (SELECT DISTINCT v FROM ($s) WHERE v IN (SELECT v FROM nodes)),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM seeds)""".stripMargin)
+      .getOrElse("")
     val base =
       s"""WITH e AS ($edgesSql),
          |ea AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM e GROUP BY 1, 2),
          |outw AS (SELECT src, SUM(w) AS wt FROM ea GROUP BY 1),
          |nodes AS (SELECT DISTINCT v FROM
          |  (SELECT src AS v FROM ea UNION ALL SELECT dst FROM ea)),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes)$seedCtes,
          |r0 AS (SELECT v, CAST($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+    val uniform = seedsSql.isEmpty
+    val baseExpr =
+      if (uniform) s"(($dampDen - $dampNum) * $scale) // $dampDen"
+      else
+        s"""CASE WHEN n.v IN (SELECT v FROM seeds)
+           |  THEN (($dampDen - $dampNum) * $scale * (SELECT c FROM nn))
+           |         // ($dampDen * (SELECT c FROM ns))
+           |  ELSE 0 END""".stripMargin
+    def dmExpr(k: Int) =
+      if (uniform) s"(SELECT ds // (SELECT c FROM nn) FROM d$k)"
+      else
+        s"""CASE WHEN n.v IN (SELECT v FROM seeds)
+           |  THEN (SELECT ds // (SELECT c FROM ns) FROM d$k)
+           |  ELSE 0 END""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       val rp = s"r${k - 1}"
       s"""d$k AS (SELECT COALESCE(SUM(r.r), 0) AS ds FROM $rp r
@@ -139,9 +216,9 @@ object PageRank {
          |                  JOIN outw o ON o.src = e.src
          |        GROUP BY 1),
          |r$k AS (SELECT n.v,
-         |          (($dampDen - $dampNum) * $scale) // $dampDen
+         |          $baseExpr
          |          + ($dampNum * (COALESCE(c$k.c, 0)
-         |               + (SELECT ds // (SELECT c FROM nn) FROM d$k))) // $dampDen AS r
+         |               + ${dmExpr(k)})) // $dampDen AS r
          |        FROM nodes n LEFT JOIN c$k ON c$k.v = n.v)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iterCtes\nSELECT v AS node, r AS pr FROM r$iters ORDER BY node"

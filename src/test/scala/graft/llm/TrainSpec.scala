@@ -120,6 +120,17 @@ class TrainSpec extends SparkSpec {
     } finally feat.unpersist()
   }
 
+  test("broadcast-weights path (d > LiteralWeightMax) matches the reference exactly") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val local = docs.as[(Long, Long, String)].collect().toSeq
+    val d = QualityTrain.LiteralWeightMax + 10 // forces the join form
+    val model = QualityTrain.train(docs, "text", "doc_id", "y", d = d, iters = 2)
+    val ref = referenceTrain(local, d = d, iters = 2, lrNum = 1L, lrDen = 1L)
+    assert(model.weightsMicro.toSeq === ref.toSeq)
+  }
+
   test("writeModel/readModel roundtrip is exact") {
     val docs = sf("sf0.001", "documents")
       .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),

@@ -22,25 +22,34 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.sum === 4000000L) // no mass lost on this graph
   }
 
-  /** Driver-side reference: the documented recurrence in plain Scala. */
+  /** Driver-side reference: the documented recurrence in plain Scala;
+    * `seeds` switches to the personalized base/dangling placement. */
   private def referenceRank(edges: Seq[(Long, Long, Long)], iters: Int,
                             dampNum: Long = 85, dampDen: Long = 100,
-                            scale: Long = 1000000L): Map[Long, Long] = {
+                            scale: Long = 1000000L,
+                            seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val ea = edges.groupBy(e => (e._1, e._2))
       .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
     val outw = ea.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val nodes = (ea.map(_._1) ++ ea.map(_._2)).distinct.sorted
     val n = nodes.size.toLong
-    val base = ((dampDen - dampNum) * scale) / dampDen
+    val present = seeds.map(_.intersect(nodes.toSet))
+    val nBase = present.map(_.size.toLong).getOrElse(n)
+    val isSeed = (v: Long) => present.forall(_.contains(v))
+    val base = present match {
+      case None => ((dampDen - dampNum) * scale) / dampDen
+      case Some(_) => ((dampDen - dampNum) * scale * n) / (dampDen * nBase)
+    }
     var r = nodes.map(_ -> scale).toMap
     for (_ <- 1 to iters) {
       val dang = nodes.filterNot(outw.contains).map(r).sum
-      val dm = dang / n
+      val dm = dang / nBase
       val in = ea.groupBy(_._2).map { case (d, es) =>
         d -> es.map(e => r(e._1) * e._3 / outw(e._1)).sum
       }
       r = nodes.map(v =>
-        v -> (base + dampNum * (in.getOrElse(v, 0L) + dm) / dampDen)).toMap
+        v -> ((if (isSeed(v)) base else 0L)
+          + dampNum * (in.getOrElse(v, 0L) + (if (isSeed(v)) dm else 0L)) / dampDen)).toMap
     }
     r
   }
@@ -65,6 +74,59 @@ class PageRankSpec extends SparkSpec {
       .agg(sum("pr")).first().getLong(0)
     // each division can only LOSE mass; dust bounded by iters * (N + 2)
     assert(r <= 4000000L && r > 4000000L - 10 * 6)
+  }
+
+  test("personalized: hand computation with a single seed") {
+    val edges = toyEdges.toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val r = PageRank.personalized(edges, seeds, "v", "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // base(1) = (15e6*4)//100 = 600000, others 0; dangling 1e6 all to
+    // seed 1; in: v1=1.5e6 v2=1e6 v3=0 v4=0.5e6
+    assert(r === Map(1L -> 2725000L, 2L -> 850000L, 3L -> 0L, 4L -> 425000L))
+    assert(r.values.sum === 4000000L)
+  }
+
+  test("personalized: multi-iteration parity vs the seeded reference") {
+    val edges = (for {
+      s <- 1L to 24L
+      k <- 1 to 3
+    } yield (s, (s * 7 + k * 11) % 30 + 1, (s + k) % 5 + 1)).toSeq
+    val df = edges.toDF("src", "dst", "w")
+    val seedSet = Set(2L, 5L, 9L)
+    val got = PageRank.personalized(df, seedSet.toSeq.toDF("v"), "v",
+        "src", "dst", Some("w"), iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = referenceRank(edges, iters = 6, seeds = Some(seedSet))
+    assert(got === want)
+    // authority concentrates near the seeds: total seed mass beats a
+    // uniform share
+    val seedMass = seedSet.toSeq.map(got).sum
+    assert(seedMass > 3L * 1000000L)
+  }
+
+  test("personalized: absent seeds are ignored; all-absent refuses") {
+    val edges = toyEdges.toDF("src", "dst")
+    val got = PageRank.personalized(edges, Seq(1L, 999L).toDF("v"), "v",
+        "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = referenceRank(toyEdges.map(e => (e._1, e._2, 1L)), iters = 2,
+      seeds = Some(Set(1L)))
+    assert(got === want)
+    val e = intercept[IllegalArgumentException] {
+      PageRank.personalized(edges, Seq(999L).toDF("v"), "v", "src", "dst")
+    }
+    assert(e.getMessage.contains("no seed"))
+  }
+
+  test("tolL1 stops early: an enormous tolerance yields the 1-iteration result") {
+    val edges = toyEdges.toDF("src", "dst")
+    val one = PageRank.rank(edges, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val tol = PageRank.rank(edges, "src", "dst", iters = 10,
+        tolL1 = Some(Long.MaxValue))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(tol === one)
   }
 
   test("a hub with heavy in-links outranks the periphery") {

@@ -84,6 +84,63 @@ object QueriesR10b {
           |WHERE c.c_nationkey < 20""".stripMargin,
         iters = 5))),
 
+    // ---- HTML link graph → domain authority -----------------------------
+    // The crawl-to-authority loop end to end: wrap each document in
+    // deterministic markup with nav/hub/relative/mailto anchors,
+    // extract hrefs, normalize to hosts (urlDomain: port + www + scheme
+    // handling; hostless targets dropped), aggregate host edges, hash
+    // hosts to node ids, rank. Both engines replay the whole chain.
+    QueryDef("link_graph",
+      (s, dir) => {
+        import graft.llm.Curation
+        val docs = Tables.read(s, dir, "documents")
+        val html = concat(
+          lit("<html><body><p>"), col("text"), lit("</p>"),
+          lit("<a class=\"nav\" href=\"https://src"),
+          ((col("doc_id") % 20) + 1).cast("string"),
+          lit(".example.com/p\">x</a>"),
+          when(col("doc_id") % 2 === 0,
+            lit("<a href=\"https://www.hub.example.com:443/h\">hub</a>"))
+            .otherwise(lit("")),
+          lit("<a href=\"/relative/path\">r</a>" +
+            "<a href=\"mailto:a@b.c\">m</a></body></html>"))
+        val edges = Curation.linkHostEdges(
+          docs.withColumn("html", html), "html",
+          concat(col("source"), lit(".example.com")))
+        def h(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+        val e = edges.select(h(col("src_host")).as("src"),
+          h(col("dst_host")).as("dst"), col("w"))
+        graft.operators.PageRank.rank(e, "src", "dst", Some("w"), iters = 4)
+          .orderBy("node")
+      },
+      Some(graft.operators.PageRank.oracleSql(
+        """SELECT CAST('0x' || substr(md5(source || '.example.com'), 1, 8) AS BIGINT) AS src,
+          |       CAST('0x' || substr(md5(dhost), 1, 8) AS BIGINT) AS dst,
+          |       CAST(1 AS BIGINT) AS w
+          |FROM (
+          |  SELECT source,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |      lower(regexp_extract(trim(href),
+          |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+          |      '^.*@', ''), ':[0-9]*$', ''), '\.+$', ''), '^www\.', '') AS dhost
+          |  FROM (
+          |    SELECT source,
+          |      unnest(regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1)) AS href
+          |    FROM (
+          |      SELECT source,
+          |        '<html><body><p>' || text || '</p>' ||
+          |        '<a class="nav" href="https://src' ||
+          |        CAST((doc_id % 20) + 1 AS VARCHAR) || '.example.com/p">x</a>' ||
+          |        CASE WHEN doc_id % 2 = 0
+          |          THEN '<a href="https://www.hub.example.com:443/h">hub</a>'
+          |          ELSE '' END ||
+          |        '<a href="/relative/path">r</a>' ||
+          |        '<a href="mailto:a@b.c">m</a></body></html>' AS html
+          |      FROM documents) t1) t2) t3
+          |WHERE dhost <> ''""".stripMargin,
+        iters = 4))),
+
     // ---- personalized (topic-seeded) PageRank ---------------------------
     // Authority as seen FROM region 0's nations: teleport and dangling
     // mass restricted to the seed set — the topic-focused domain

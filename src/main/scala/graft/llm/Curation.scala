@@ -35,6 +35,31 @@ object Curation {
     trim(regexp_replace(s, "\\s+", " "))
   }
 
+  /** Every `<a href="...">` target in an HTML document, in document
+    * order — the crawl-side primitive that turns pages into a LINK
+    * GRAPH (feed the host edges to [[graft.operators.PageRank]] for
+    * the Common-Crawl-style domain-authority signal). Double-quoted
+    * hrefs only (the deterministic-fixture contract shared with
+    * [[htmlToText]]); pure projection, zero shuffle. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("<a[^>]*href=\"([^\"]*)\""), lit(1))
+
+  /** Host-level link edges from an HTML corpus: one (src_host,
+    * dst_host, w) row per linking-host → linked-host pair, where the
+    * destination host comes from [[urlDomain]] (scheme-only absolute
+    * links; relative/mailto/javascript targets have no host and are
+    * dropped). One explode + one map-side-combinable count — the edge
+    * list is the only shuffle, and it is |host-pair|-sized, not
+    * |anchor|-sized, after the combine. */
+  def linkHostEdges(df: DataFrame, htmlCol: String,
+                    srcHost: Column): DataFrame =
+    df.select(srcHost.as("src_host"),
+        explode(extractLinks(col(htmlCol))).as("href"))
+      .select(col("src_host"), urlDomain(col("href")).as("dst_host"))
+      .filter(col("dst_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("w"))
+
   /** Query params dropped by [[canonicalizeUrl]]: tracking/attribution
     * noise that makes one page look like many distinct URLs. */
   val TrackingParamRe = "^(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)="

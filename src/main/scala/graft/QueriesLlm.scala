@@ -28,10 +28,47 @@ object QueriesLlm {
   // so memoization cannot change results.
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]()
-  private def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String) =
     bpeCache.computeIfAbsent(dir, _ =>
       Bpe.train(Tables.read(s, dir, "documents").filter(col("doc_id") < 50),
         "text", numMerges = 20))
+
+  /** The bpe_segment oracle (pinned vs tools/bpe_reference.py) — shared
+    * with the artifact-roundtrip gate, which must be indistinguishable. */
+  private[graft] val BpeSegmentOracle: String = """
+        SELECT * FROM (VALUES
+          ('a', 'a'),
+          ('agg', 'a|g|g'),
+          ('batch', 'b|at|c|h'),
+          ('big', 'b|i|g'),
+          ('column', 'c|o|l|u|m|n'),
+          ('customer', 'c|u|st|o|mer'),
+          ('data', 'd|at|a'),
+          ('fast', 'f|a|st'),
+          ('filter', 'f|i|l|t|er'),
+          ('group', 'group'),
+          ('hash', 'h|a|s|h'),
+          ('join', 'j|o|in'),
+          ('key', 'k|e|y'),
+          ('line', 'line'),
+          ('merge', 'mer|g|e'),
+          ('order', 'or|d|er'),
+          ('part', 'par|t'),
+          ('query', 'q|u|er|y'),
+          ('row', 'r|ow'),
+          ('scan', 's|c|an'),
+          ('slow', 's|l|ow'),
+          ('small', 'small'),
+          ('sort', 's|or|t'),
+          ('spark', 's|par|k'),
+          ('stream', 'st|r|e|a|m'),
+          ('table', 't|a|b|l|e'),
+          ('the', 't|h|e'),
+          ('value', 'v|al|u|e'),
+          ('vector', 'v|e|c|t|or'),
+          ('window', 'w|in|d|ow')
+        ) v(token, pieces)
+        ORDER BY token"""
 
   // The oracle pins corpus_rows as a literal while the Spark side derives
   // it from the data: if the driver's verify scale / seed / embeddings
@@ -471,40 +508,7 @@ object QueriesLlm {
             array_join(Bpe.segmentUdf(merges)(col("token")), "|").as("pieces"))
           .orderBy("token")
       },
-      Some("""
-        SELECT * FROM (VALUES
-          ('a', 'a'),
-          ('agg', 'a|g|g'),
-          ('batch', 'b|at|c|h'),
-          ('big', 'b|i|g'),
-          ('column', 'c|o|l|u|m|n'),
-          ('customer', 'c|u|st|o|mer'),
-          ('data', 'd|at|a'),
-          ('fast', 'f|a|st'),
-          ('filter', 'f|i|l|t|er'),
-          ('group', 'group'),
-          ('hash', 'h|a|s|h'),
-          ('join', 'j|o|in'),
-          ('key', 'k|e|y'),
-          ('line', 'line'),
-          ('merge', 'mer|g|e'),
-          ('order', 'or|d|er'),
-          ('part', 'par|t'),
-          ('query', 'q|u|er|y'),
-          ('row', 'r|ow'),
-          ('scan', 's|c|an'),
-          ('slow', 's|l|ow'),
-          ('small', 'small'),
-          ('sort', 's|or|t'),
-          ('spark', 's|par|k'),
-          ('stream', 'st|r|e|a|m'),
-          ('table', 't|a|b|l|e'),
-          ('the', 't|h|e'),
-          ('value', 'v|al|u|e'),
-          ('vector', 'v|e|c|t|or'),
-          ('window', 'w|in|d|ow')
-        ) v(token, pieces)
-        ORDER BY token""")),
+      Some(BpeSegmentOracle)),
 
     // ---- model-based quality scoring (classifier inference) -------------
     // Fixed-weight linear model over hashed bag-of-words: weights are the

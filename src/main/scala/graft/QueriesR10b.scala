@@ -84,6 +84,26 @@ object QueriesR10b {
           |WHERE c.c_nationkey < 20""".stripMargin,
         iters = 5))),
 
+    // ---- tokenizer artifact roundtrip -----------------------------------
+    // writeMerges/readMerges must be invisible: segment the SAME tokens
+    // as bpe_segment through a merge table that went through parquet —
+    // same oracle (tools/bpe_reference.py pins).
+    QueryDef("bpe_artifact",
+      (s, dir) => {
+        import graft.llm.{Bpe, Dedup}
+        val mPath = java.nio.file.Files
+          .createTempDirectory("graft_bpe_art_").toString
+        Bpe.writeMerges(s, QueriesLlm.bpeMerges(s, dir), mPath)
+        val merges = Bpe.readMerges(s, mPath)
+        Tables.read(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(explode(Dedup.tokens(col("text"))).as("token"))
+          .distinct()
+          .select(col("token"),
+            array_join(Bpe.segmentUdf(merges)(col("token")), "|").as("pieces"))
+          .orderBy("token")
+      },
+      Some(QueriesLlm.BpeSegmentOracle)),
+
     // ---- HTML link graph → domain authority -----------------------------
     // The crawl-to-authority loop end to end: wrap each document in
     // deterministic markup with nav/hub/relative/mailto anchors,

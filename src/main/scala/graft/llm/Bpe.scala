@@ -220,6 +220,24 @@ object Bpe {
     train(docs, textCol, numMerges).toDF("rank", "left", "right", "freq")
   }
 
+  /** Persist a trained merge table as the tokenizer's DEPLOY ARTIFACT
+    * (the QualityTrain/Dsir writeModel pattern): a tokenizer is trained
+    * once and shipped everywhere — segmentation jobs read this back
+    * with zero training work, and the rank order is the contract. */
+  def writeMerges(spark: SparkSession,
+                  merges: Seq[(Long, String, String, Long)],
+                  path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readMerges(spark: SparkSession, path: String): Seq[(Long, String, String, Long)] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("freq")))
+      .sortBy(_._1).toSeq
+
   /** Apply a learned merge table to a token: fold the merges in rank
     * order over the char-split symbols (how a shipped BPE tokenizer
     * segments unseen text).

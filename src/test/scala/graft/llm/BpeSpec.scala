@@ -160,4 +160,18 @@ class BpeSpec extends SparkSpec {
     // (later merges can count composite symbols), but every freq >= 2 is
     assert(merges.forall(_._4 >= 2L))
   }
+
+  test("writeMerges/readMerges roundtrip preserves the table and rank order") {
+    val docs = sf("sf0.001", "documents").filter(col("doc_id") < 50)
+    val merges = Bpe.train(docs, "text", numMerges = 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_rt_").toString
+    Bpe.writeMerges(spark, merges, path)
+    val back = Bpe.readMerges(spark, path)
+    assert(back === merges)
+    // segmentation through the artifact is indistinguishable
+    val tok = "customer"
+    assert(Bpe.segmentToken(tok, back.map(m => (m._2, m._3)).toArray).toSeq ===
+      Bpe.segmentToken(tok, merges.map(m => (m._2, m._3)).toArray).toSeq)
+  }
 }

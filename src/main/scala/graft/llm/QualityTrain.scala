@@ -152,7 +152,7 @@ object QualityTrain {
     * PLAN with d (the KMeans-at-k≈160 collapse); margins switch to a
     * broadcast (bucket, w) join — identical sums, one extra
     * BroadcastHashJoin in the per-iteration plan. */
-  private[llm] val LiteralWeightMax = 65536
+  private[graft] val LiteralWeightMax = 65536
 
   /** The per-doc weighted-count sum `s = Σ_j w_j·cnt_j` under weights
     * `w` — literal-array form for fasttext-sized d, broadcast-join form

@@ -45,6 +45,14 @@ object ScaleProbeR10b {
         f"(vs ${t2 / 2}%5.2f s/iter incl. build)")
     }
 
+    // ---- 1b. trainer width: literal vs broadcast weight path ----------
+    for (d <- Seq(256, 65546)) {
+      val form = if (d > QualityTrain.LiteralWeightMax) "broadcast" else "literal"
+      timeIt(s"train 1x d=$d iters=2 ($form weights)") {
+        QualityTrain.train(docs1, "text", "doc_id", "y", d = d, iters = 2)
+      }
+    }
+
     // ---- 2. pagerank --------------------------------------------------
     // Zipfian out-link graph: source uniform, destination ~ Zipf via
     // floor(U^2 * V) so hot hosts take quadratically more in-links.

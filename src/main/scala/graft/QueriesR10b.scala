@@ -84,6 +84,35 @@ object QueriesR10b {
           |WHERE c.c_nationkey < 20""".stripMargin,
         iters = 5))),
 
+    // ---- warehouse small-file compaction --------------------------------
+    // Four fragmented appends leave 4 files per day partition; compact
+    // right-sizes every partition through the crash-safe swap and the
+    // table content is invisible to the rewrite (relational oracle over
+    // the source rows).
+    QueryDef("compact_table",
+      (s, dir) => {
+        import graft.core.TableId
+        val wh = new graft.warehouse.Warehouse(
+          java.nio.file.Files.createTempDirectory("graft_cmpgate_").toString, s)
+        val tid = TableId("proj", "maint", "events_daily")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            to_date(col("ts")).as("part_date"))
+        (0 until 4).foreach(k =>
+          wh.appendPartitioned(tid,
+            ev.filter(pmod(col("event_id"), lit(4L)) === k).coalesce(1)))
+        val rewritten = wh.compactPartitions(tid)
+        wh.read(tid).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+          .withColumn("all_compacted", lit(rewritten.nonEmpty))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               TRUE AS all_compacted
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- tokenizer artifact roundtrip -----------------------------------
     // writeMerges/readMerges must be invisible: segment the SAME tokens
     // as bpe_segment through a merge table that went through parquet —

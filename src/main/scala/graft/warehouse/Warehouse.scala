@@ -230,6 +230,48 @@ final class Warehouse(val root: String, spark: SparkSession) {
     widenSidecar(id, df)
   }
 
+  /** Small-file maintenance — the operational debt every streaming /
+    * frequently-merged table accrues (each micro-batch or merge leaves
+    * its own part files; at 100 TB a day-partition can collect
+    * thousands, and file-listing + task-granularity costs grow with
+    * file COUNT, not bytes). Rewrites each partition whose file count
+    * exceeds what its byte size justifies to
+    * `max(1, ceil(bytes / targetBytes))` files, through the SAME
+    * crash-safe stage+journal+swap protocol as the merge writer
+    * ([[overwriteTouchedPartitions]]) — a crash mid-compact is healed
+    * by the next read, data identical before/after by construction.
+    * Healthy partitions are not touched (their files stay
+    * byte-identical), and the sidecar schema is unchanged.
+    *
+    * Returns the partition values rewritten. Driver state is one
+    * (partition → file stats) listing — metadata-scale, the same bound
+    * as the merge's touched-partition collect. */
+  def compactPartitions(id: TableId, targetBytes: Long = 128L * 1024 * 1024,
+                        toleranceFiles: Int = 1): Seq[String] = {
+    require(targetBytes > 0, "compactPartitions: targetBytes must be positive")
+    healIfPending(id)
+    val tbl = hadoopPath(id)
+    val f = fs(tbl)
+    if (!f.exists(tbl)) return Seq.empty
+    val parts = f.listStatus(tbl).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartCol=") &&
+        !s.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__"))
+    val needy = parts.flatMap { s =>
+      val files = f.listStatus(s.getPath).toSeq
+        .filter(x => x.isFile && !x.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      val desired = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      if (files.size > desired + toleranceFiles)
+        Some((s.getPath.getName.stripPrefix(s"$PartCol="), desired.toInt))
+      else None
+    }
+    needy.foreach { case (pv, desired) =>
+      val df = read(id).filter(col(PartCol) === pv).coalesce(desired)
+      overwriteTouchedPartitions(id, df)
+    }
+    needy.map(_._1)
+  }
+
   /** Rewrite ONLY the partitions present in `df`, leaving all others
     * untouched — the analog of the reference's partition-pruned MERGE
     * (incremental_partition_merge.sql:247-265), which inherits BigQuery's

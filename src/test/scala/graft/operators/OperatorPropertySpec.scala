@@ -38,10 +38,57 @@ class OperatorPropertySpec extends SparkSpec {
       .map(n => n -> find(n)).toMap
     val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
-    // union-find min-roots ARE the component minima after path compression
-    // with min-directed unions; compare component PARTITIONS (both label
-    // by component min, so direct equality holds)
     assert(got === want)
+  }
+
+  test("prop: incremental CC ≡ full recompute across random batch splits") {
+    // three seeds × a random split point: labels from the first slice,
+    // the rest folded incrementally — must equal CC over ALL edges
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val edges = Gen.listOfN(120,
+          Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 50L)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+        .filter { case (a, b) => a != b }
+      val cut = 40 + (seed % 30).toInt
+      val (old, batch) = edges.splitAt(cut)
+      val labels = ConnectedComponents.run(old.toDF("a", "b"), "a", "b")
+      val inc = ConnectedComponents
+        .incremental(labels, batch.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val full = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(inc === full, s"seed $seed split $cut")
+    }
+  }
+
+  test("prop: PageRank conserves mass on random weighted graphs") {
+    for (seed <- Seq(5L, 17L)) {
+      val edges = Gen.listOfN(80,
+          Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(1L, 30L), Gen.chooseNum(1L, 9L)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      val n = edges.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+      val total = n * 1000000L
+      val got = PageRank.rank(edges.toDF("src", "dst", "w"), "src", "dst",
+          Some("w"), iters = 6)
+        .agg(org.apache.spark.sql.functions.sum("pr")).first().getLong(0)
+      // integer truncation only LOSES mass, boundedly
+      assert(got <= total && got > total - 6 * (n + 2) * 4,
+        s"seed $seed: mass $got of $total")
+    }
+  }
+
+  test("prop: cc-label idempotence — re-applying a batch is a fixpoint") {
+    val edges = samples(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)), 80)
+      .filter { case (a, b) => a != b }
+    val (old, batch) = edges.splitAt(50)
+    val labels = ConnectedComponents.run(old.toDF("a", "b"), "a", "b")
+    val once = ConnectedComponents
+      .incremental(labels, batch.toDF("a", "b"), "a", "b")
+      .localCheckpoint(true)
+    val twice = ConnectedComponents
+      .incremental(once, batch.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(twice === once.as[(Long, Long)].collect().toMap)
   }
 
   test("prop: sessionize invariants — intra-gap <= gap, inter-gap > gap, counts partition events") {

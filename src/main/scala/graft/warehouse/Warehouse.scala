@@ -265,7 +265,20 @@ final class Warehouse(val root: String, spark: SparkSession) {
         Some((s.getPath.getName.stripPrefix(s"$PartCol="), desired.toInt))
       else None
     }
-    needy.foreach { case (pv, desired) =>
+    // the common case (partition fits one target file) batches into ONE
+    // swap pass: repartition by the partition column gives one task —
+    // one output file — per partition value, so a maintenance sweep
+    // over thousands of fragmented days is one job, not one per day.
+    // Oversized partitions (desired > 1) rewrite individually for
+    // precise file-count control.
+    val (single, multi) = needy.partition(_._2 == 1)
+    if (single.nonEmpty) {
+      val pvs = single.map(_._1)
+      val df = read(id).filter(col(PartCol).isin(pvs: _*))
+        .repartition(pvs.size, col(PartCol))
+      overwriteTouchedPartitions(id, df)
+    }
+    multi.foreach { case (pv, desired) =>
       val df = read(id).filter(col(PartCol) === pv).coalesce(desired)
       overwriteTouchedPartitions(id, df)
     }

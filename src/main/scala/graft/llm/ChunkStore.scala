@@ -351,6 +351,9 @@ object ChunkStore {
     * "everything since the initial build". */
   def diff(spark: SparkSession, path: String, seqA: Long,
            seqB: Long = Long.MaxValue): DataFrame = {
+    require(seqA <= seqB,
+      s"ChunkStore.diff: seqA ($seqA) must not exceed seqB ($seqB) — " +
+        "statuses are defined A→B (added = present only at B)")
     def docsAt(s: Long) = manifestAt(spark, path, s)
       .select("doc_id", "chunk_idx", "chunk_hash")
     val a = docsAt(seqA)

@@ -116,7 +116,14 @@ object QualityTrain {
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nTrain = feat.filter(col("bucket") === 0).count()
+      // one cached pass: population size AND label validation (a label
+      // outside {0,1} would silently corrupt the error term's range)
+      val Array(nTrain, nBad) = feat.filter(col("bucket") === 0)
+        .agg(count(lit(1)),
+          sum(when(col("y").isin(0L, 1L), 0L).otherwise(1L)))
+        .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+      require(nBad == 0,
+        s"QualityTrain.train: $nBad documents with labels outside {0, 1}")
       require(nTrain > 0, "QualityTrain.train: no documents with tokens")
       val w = Array.fill(d + 1)(0L)
       var it = 0

@@ -115,6 +115,13 @@ object PageRank {
         .select(col("v"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // a non-positive edge weight would emit negative/zero shares and
+      // silently corrupt the whole vector — refuse up front (reads the
+      // just-persisted cache, no extra edge scan)
+      val minWRow = ew.agg(min(col("w"))).first()
+      require(!minWRow.isNullAt(0), "PageRank: empty edge list")
+      require(minWRow.getLong(0) > 0,
+        s"PageRank: edge weights must be positive (found ${minWRow.getLong(0)})")
       val n = nodes.count()
       val nBase = seeds.fold(n) { _ =>
         nodes.filter(col("is_seed")).count()

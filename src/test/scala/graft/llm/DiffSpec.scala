@@ -48,6 +48,16 @@ class DiffSpec extends SparkSpec {
     assert(d(5L)._2 > 0L && d(5L)._3 === 0L)
   }
 
+  test("reversed sequence bounds refuse loudly") {
+    val root = tmpDir()
+    ChunkStore.write(Seq((1L, body("a"))).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      ChunkStore.diff(spark, root, seqA = 5L, seqB = 2L)
+    }
+    assert(e.getMessage.contains("must not exceed"))
+  }
+
   test("diff against live of an untouched store is all-unchanged") {
     val v1 = Seq((1L, body("a")), (2L, body("b"))).toDF("doc_id", "text")
     val root = tmpDir()

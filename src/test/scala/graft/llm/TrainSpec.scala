@@ -88,6 +88,15 @@ class TrainSpec extends SparkSpec {
     assert(audit.getAs[Long]("fn") === 0L)
   }
 
+  test("labels outside {0,1} refuse loudly") {
+    val docs = Seq((1L, 1L, "alpha"), (2L, 2L, "beta"))
+      .toDF("doc_id", "y", "text")
+    val e = intercept[IllegalArgumentException] {
+      QualityTrain.train(docs, "text", "doc_id", "y", d = 8, iters = 1)
+    }
+    assert(e.getMessage.contains("labels outside"))
+  }
+
   test("zero-token documents are excluded from training") {
     val docs = Seq((1L, 1L, "alpha beta"), (2L, 0L, "   "), (3L, 0L, "gamma"))
       .toDF("doc_id", "y", "text")

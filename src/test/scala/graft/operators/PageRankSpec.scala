@@ -119,6 +119,18 @@ class PageRankSpec extends SparkSpec {
     assert(e.getMessage.contains("no seed"))
   }
 
+  test("non-positive weights and empty edge lists refuse loudly") {
+    val zw = intercept[IllegalArgumentException] {
+      PageRank.rank(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", Some("w"))
+    }
+    assert(zw.getMessage.contains("positive"))
+    val empty = intercept[IllegalArgumentException] {
+      PageRank.rank(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    }
+    assert(empty.getMessage.contains("empty edge list"))
+  }
+
   test("tolL1 stops early: an enormous tolerance yields the 1-iteration result") {
     val edges = toyEdges.toDF("src", "dst")
     val one = PageRank.rank(edges, "src", "dst", iters = 1)

@@ -84,6 +84,32 @@ object QueriesR10b {
           |WHERE c.c_nationkey < 20""".stripMargin,
         iters = 5))),
 
+    // ---- train/eval hygiene: held-out audit -----------------------------
+    // Train on the deterministic 'train' split (splitAssign seed 7,
+    // 10/10 val/test), audit on the UNSEEN 'val' split — the ML-hygiene
+    // loop with both populations' derivations replayed exactly in SQL.
+    QueryDef("quality_train_holdout",
+      (s, dir) => {
+        import graft.llm.{QualityTrain, Sampling}
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        val split = Sampling.splitAssign(docs, "doc_id", seed = 7L,
+          valPct = 10, testPct = 10)
+        val model = QualityTrain.train(split.filter(col("split") === "train"),
+          "text", "doc_id", "y", d = 64, iters = 3)
+        QualityTrain.hardAudit(split.filter(col("split") === "val"),
+          "text", "doc_id", "y", model)
+      },
+      Some {
+        val bucket =
+          "CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+        graft.llm.QualityTrain.oracleSql(
+          d = 64, iters = 3, lrNum = 1L, lrDen = 1L,
+          labelExpr = TrainLabel, finalSelect = "audit",
+          trainWhere = Some(s"$bucket >= 20"),
+          evalWhere = Some(s"$bucket >= 10 AND $bucket < 20"))
+      }),
+
     // ---- warehouse small-file compaction --------------------------------
     // Four fragmented appends leave 4 files per day partition; compact
     // right-sizes every partition through the crash-safe swap and the

@@ -247,28 +247,36 @@ object QualityTrain {
     * one pair of CTEs per iteration (per-doc error, per-bucket weight
     * update). `labelExpr` is a DuckDB boolean/int expression over the
     * documents table yielding the 0/1 label; `finalSelect` picks the
-    * output ("weights" → (bucket, w); "audit" → confusion row). */
+    * output ("weights" → (bucket, w); "audit" → confusion row).
+    * `trainWhere` restricts the TRAINING population; `evalWhere`, when
+    * set with "audit", audits a SEPARATE held-out population (the
+    * train/eval-hygiene replay). */
   def oracleSql(d: Int, iters: Int, lrNum: Long, lrDen: Long,
                 labelExpr: String, table: String = "documents",
                 textCol: String = "text", idCol: String = "doc_id",
-                finalSelect: String = "weights"): String = {
-    val base =
-      s"""WITH docs AS (
+                finalSelect: String = "weights",
+                trainWhere: Option[String] = None,
+                evalWhere: Option[String] = None): String = {
+    def featChain(sfx: String, where: Option[String]): String =
+      s"""docs$sfx AS (
          |  SELECT $idCol AS id, CAST($labelExpr AS BIGINT) AS y,
          |         list_filter(string_split(lower($textCol), ' '), x -> len(x) > 0) AS t
-         |  FROM $table),
-         |docn AS (SELECT id, y, CAST(len(t) AS BIGINT) AS n, t FROM docs WHERE len(t) > 0),
-         |feat AS (
+         |  FROM $table${where.map(w => s" WHERE $w").getOrElse("")}),
+         |docn$sfx AS (SELECT id, y, CAST(len(t) AS BIGINT) AS n, t FROM docs$sfx WHERE len(t) > 0),
+         |feat$sfx AS (
          |  SELECT id, y, n, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
          |    SELECT id, y, n,
          |           CAST((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $d) + 1 AS INT) AS bucket
-         |    FROM (SELECT id, y, n, unnest(t) AS tok FROM docn))
+         |    FROM (SELECT id, y, n, unnest(t) AS tok FROM docn$sfx))
          |  GROUP BY 1, 2, 3, 4
          |  UNION ALL
-         |  SELECT id, y, n, 0 AS bucket, n AS cnt FROM docn),
+         |  SELECT id, y, n, 0 AS bucket, n AS cnt FROM docn$sfx)""".stripMargin
+    val evalChain = evalWhere.map(w => ",\n" + featChain("E", Some(w))).getOrElse("")
+    val base =
+      s"""WITH ${featChain("", trainWhere)},
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM docn),
          |w0 AS (SELECT CAST(range AS INT) AS bucket, CAST(0 AS BIGINT) AS w
-         |       FROM range(0, ${d + 1}))""".stripMargin
+         |       FROM range(0, ${d + 1}))$evalChain""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       val wp = s"w${k - 1}"
       s"""e$k AS (
@@ -290,9 +298,10 @@ object QualityTrain {
       case "weights" =>
         s"SELECT bucket, w FROM w$iters ORDER BY bucket"
       case "audit" =>
+        val auditFeat = if (evalWhere.isDefined) "featE" else "feat"
         s""", pred AS (
            |  SELECT f.y, (SUM(w.w * f.cnt) // f.n) >= 0 AS p
-           |  FROM feat f JOIN w$iters w USING (bucket)
+           |  FROM $auditFeat f JOIN w$iters w USING (bucket)
            |  GROUP BY f.id, f.y, f.n)
            |SELECT
            |  CAST(SUM(CASE WHEN p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,

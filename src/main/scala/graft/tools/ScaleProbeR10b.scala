@@ -80,6 +80,32 @@ object ScaleProbeR10b {
     }
     gSmall.unpersist()
 
+    // ---- 2b. incremental CC: fixed batch vs corpus size ----------------
+    // Corpus = 3-node chain components; the batch touches 100 of them
+    // and adds 100 brand-new pairs. Incremental cost should track the
+    // BATCH (touched members + new nodes), not the label table.
+    def chainEdges(nComp: Long) = spark.range(nComp).selectExpr(
+        "id * 3 AS a", "id * 3 + 1 AS b")
+      .union(spark.range(nComp).selectExpr("id * 3 + 1", "id * 3 + 2"))
+    for ((label, nComp) <- Seq(("1x", 20000L), ("10x", 200000L))) {
+      val edges = chainEdges(nComp).persist(); edges.count()
+      val (labels, tFull) = timeIt(s"cc full      $label ($nComp comps)") {
+        val l = graft.operators.ConnectedComponents.run(edges, "a", "b")
+          .persist()
+        l.count(); l
+      }
+      val batch = spark.range(100).selectExpr(
+          "id * 600 AS a", "id * 600 + 2 AS b") // touch every 200th comp
+        .union(spark.range(100).selectExpr(
+          "10000000 + id * 2", "10000000 + id * 2 + 1")) // brand-new pairs
+      val (_, tInc) = timeIt(s"cc incremental $label (200-pair batch)") {
+        graft.operators.ConnectedComponents
+          .incremental(labels, batch, "a", "b").count()
+      }
+      println(f"  incremental/full = ${tInc / tFull}%5.2f")
+      labels.unpersist(); edges.unpersist()
+    }
+
     // ---- 3. sketch store ----------------------------------------------
     val ev1 = graft.Tables.events(spark, "/root/testdata/sf0.1")
       .withColumn("day", to_date(col("ts")))

@@ -296,7 +296,7 @@ object QualityTrain {
     }.mkString(",\n")
     val fin = finalSelect match {
       case "weights" =>
-        s"SELECT bucket, w FROM w$iters ORDER BY bucket"
+        s"SELECT bucket, CAST(w AS BIGINT) AS w FROM w$iters ORDER BY bucket"
       case "audit" =>
         val auditFeat = if (evalWhere.isDefined) "featE" else "feat"
         s""", pred AS (

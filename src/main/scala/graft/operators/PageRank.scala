@@ -228,6 +228,6 @@ object PageRank {
          |               + ${dmExpr(k)})) // $dampDen AS r
          |        FROM nodes n LEFT JOIN c$k ON c$k.v = n.v)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$iterCtes\nSELECT v AS node, r AS pr FROM r$iters ORDER BY node"
+    s"$base,\n$iterCtes\nSELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS pr FROM r$iters ORDER BY node"
   }
 }

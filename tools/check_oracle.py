@@ -56,6 +56,17 @@ def main(sf_dir, out_dir):
             print(f"SCHEMA   {name}: spark={sorted(sp_cols)} duck={sorted(du_cols)}")
             n_fail += 1
             continue
+        # The driver's hash is TYPE-sensitive (r10 lesson: DuckDB SUM(BIGINT)
+        # → HUGEINT hashed differently from BIGINT despite identical values).
+        # Compare declared column types per name, not just values.
+        sp_types = {c: str(t) for c, t, *_ in sp.description}
+        du_types = {c: str(t) for c, t, *_ in du.description}
+        ty_diffs = [(c, sp_types[c], du_types[c]) for c in sp_types
+                    if sp_types[c] != du_types[c]]
+        if ty_diffs:
+            print(f"TYPES    {name}: {ty_diffs}")
+            n_fail += 1
+            continue
         c1, r1 = norm_rows(sp_cols, sp_rows)
         c2, r2 = norm_rows(du_cols, du_rows)
         if len(r1) != len(r2):

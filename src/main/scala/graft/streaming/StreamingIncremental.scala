@@ -386,9 +386,11 @@ object StreamingIncremental {
     * end: pair mining of already-appended signatures yields the same
     * pairs (self-pairs are excluded by id inequality), and re-applying
     * the same pairs to the labels is a fixpoint of min-label merging.
-    * The labels overwrite is safe because incremental() returns an
-    * EAGER localCheckpoint — the old table is fully read before the
-    * rewrite starts. Single-writer, like every store here. */
+    * The labels rewrite goes through [[writeLabels]] — a fresh
+    * `v_<seq>` directory committed by its `_SUCCESS` marker, never an
+    * in-place overwrite — so a crash at ANY point leaves the previous
+    * committed version readable and the replayed batch folds into it.
+    * Single-writer, like every store here. */
   def streamingClusterMaintenance(
       spark: SparkSession,
       sourceDir: String,
@@ -414,7 +416,7 @@ object StreamingIncremental {
           val labels = readLabels(spark, labelsPath)
           val updated = graft.operators.ConnectedComponents
             .incremental(labels, batchPairs, "id_a", "id_b")
-          updated.write.mode("overwrite").parquet(labelsPath)
+          writeLabels(spark, updated, labelsPath)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -422,21 +424,86 @@ object StreamingIncremental {
       .start()
   }
 
-  /** The cluster table at `path`, or an empty (node, label) frame before
-    * the first batch lands. */
+  // ---- crash-safe (node, label) store -----------------------------------
+  // Layout: path/v_<seq>/ parquet dirs, one per committed rewrite. A
+  // version COUNTS only once its _SUCCESS marker exists (Spark's commit
+  // protocol writes it last, after every task file is moved into place),
+  // so "highest seq with _SUCCESS" is always a complete table and an
+  // interrupted rewrite is invisible. No pointer file: the marker IS the
+  // commit, which avoids the delete-then-rename window a pointer swap
+  // would need on HDFS. Old versions (and any pre-versioning flat
+  // layout) are deleted only AFTER the new version committed; a crash
+  // mid-cleanup leaves stale-but-ignored dirs that the next write
+  // removes. Single-writer, like every store here — the same assumption
+  // the Warehouse swap protocol documents.
+
+  private def labelVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v_").toLongOption
+        .map(_ -> s.getPath))
+
+  private def committed(
+      fs: org.apache.hadoop.fs.FileSystem,
+      v: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(v, "_SUCCESS"))
+
+  /** Atomically publish a rewritten cluster table: write to the next
+    * `v_<seq>` dir (commit = `_SUCCESS`), then clean up superseded
+    * versions and any legacy flat-parquet files. Crash-safe at every
+    * step — see the layout note above. */
+  def writeLabels(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = labelVersions(fs, p)
+    val seq = vers.map(_._1).maxOption.getOrElse(0L) + 1L
+    val target = new org.apache.hadoop.fs.Path(p, f"v_$seq%06d")
+    df.write.mode("overwrite").parquet(target.toString)
+    require(committed(fs, target),
+      s"labels commit marker missing after write: $target")
+    // cleanup AFTER commit: superseded versions + legacy flat files
+    vers.foreach { case (_, dir) => fs.delete(dir, true) }
+    fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** The cluster table at `path`: the highest COMMITTED `v_<seq>`
+    * version, else a pre-versioning flat parquet layout, else an empty
+    * (node, label) frame before the first batch lands. Versioned dirs
+    * with no committed member and no flat fallback mean the store is
+    * corrupt (e.g. manual deletion of a committed version) — that fails
+    * loudly instead of silently folding the next batch into nothing. */
   def readLabels(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(path)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.LongType))))
+    val vers = labelVersions(fs, p)
+    val current = vers.sortBy(-_._1).collectFirst {
+      case (_, dir) if committed(fs, dir) => dir
+    }
+    lazy val flatFiles = fs.exists(p) &&
+      fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    current match {
+      case Some(dir) => spark.read.parquet(dir.toString)
+      case None if flatFiles => spark.read.parquet(path)
+      case None if vers.nonEmpty =>
+        throw new IllegalStateException(
+          s"labels store at $path has ${vers.size} version dir(s) but none " +
+            "is committed (_SUCCESS missing) and no flat fallback exists — " +
+            "refusing to treat a corrupt store as empty")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("label",
+              org.apache.spark.sql.types.LongType))))
+    }
   }
 
   /** Streaming maintenance of a [[graft.operators.SketchStore]]: each

@@ -98,10 +98,7 @@ object ContainIndex {
   private def readBuckets(spark: SparkSession, dir: String, partPrefix: String,
                           vals: Seq[Long], like: DataFrame,
                           cols: Seq[String]): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasParts = fs.exists(p) && fs.listStatus(p)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix + "="))
+    val hasParts = RunSlots.hasParts(spark, dir, partPrefix)
     if (!hasParts) like.select(cols.map(col): _*).limit(0)
     else {
       val raw = spark.read.parquet(dir)
@@ -138,16 +135,19 @@ object ContainIndex {
       .filter(size(col("hs")) > 0).persist()
     val post = sets.select(col("id"), explode(col("hs")).as("s")).persist()
     val freq = post.groupBy("s").agg(count(lit(1)).as("df"))
-    prefixes(post, freq, threshold)
-      .withColumn("pf", gb(col("s"), nBuckets))
-      .repartition(col("pf"), col("s"))
-      .write.mode("overwrite").partitionBy("pf").parquet(s"$path/pref")
-    post.withColumn("pb", gb(col("s"), nBuckets))
-      .repartition(col("pb"), col("s"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/post")
-    sets.withColumn("ib", ib(col("id"), nBuckets))
-      .repartition(col("ib"), col("id"))
-      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
+    RunSlots.write(
+      prefixes(post, freq, threshold)
+        .withColumn("pf", gb(col("s"), nBuckets))
+        .repartition(col("pf"), col("s")),
+      s"$path/pref", "pf", Some(RunSlots.Base))
+    RunSlots.write(
+      post.withColumn("pb", gb(col("s"), nBuckets))
+        .repartition(col("pb"), col("s")),
+      s"$path/post", "pb", Some(RunSlots.Base))
+    RunSlots.write(
+      sets.withColumn("ib", ib(col("id"), nBuckets))
+        .repartition(col("ib"), col("id")),
+      s"$path/sets", "ib", Some(RunSlots.Base))
     post.unpersist(); sets.unpersist()
     writeMeta(spark, path, threshold, shingleN, nBuckets)
   }
@@ -156,13 +156,14 @@ object ContainIndex {
     * its prefixes freeze at append-time df (index + batch over the
     * batch's own gram buckets — exact for every batch gram). */
   def append(batch: DataFrame, textCol: String, idCol: String,
-             path: String): Unit = {
+             path: String, runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(spark, path)
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
-    appendFromView(spark, path, batchView(spark, path, bsets, bpost, meta._3), meta)
+    appendFromView(spark, path,
+      batchView(spark, path, bsets, bpost, meta._3), meta, runId)
     bpost.unpersist(); bsets.unpersist()
   }
 
@@ -187,18 +188,22 @@ object ContainIndex {
   }
 
   private def appendFromView(spark: SparkSession, path: String,
-                             v: BatchView, meta: (Double, Int, Int)): Unit = {
+                             v: BatchView, meta: (Double, Int, Int),
+                             runId: Option[String] = None): Unit = {
     val (t0, _, nBuckets) = meta
-    prefixes(v.bpost, v.freq, t0)
-      .withColumn("pf", gb(col("s"), nBuckets))
-      .repartition(col("pf"), col("s"))
-      .write.mode("append").partitionBy("pf").parquet(s"$path/pref")
-    v.bpost.withColumn("pb", gb(col("s"), nBuckets))
-      .repartition(col("pb"), col("s"))
-      .write.mode("append").partitionBy("pb").parquet(s"$path/post")
-    v.bsets.withColumn("ib", ib(col("id"), nBuckets))
-      .repartition(col("ib"), col("id"))
-      .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
+    RunSlots.write(
+      prefixes(v.bpost, v.freq, t0)
+        .withColumn("pf", gb(col("s"), nBuckets))
+        .repartition(col("pf"), col("s")),
+      s"$path/pref", "pf", runId)
+    RunSlots.write(
+      v.bpost.withColumn("pb", gb(col("s"), nBuckets))
+        .repartition(col("pb"), col("s")),
+      s"$path/post", "pb", runId)
+    RunSlots.write(
+      v.bsets.withColumn("ib", ib(col("id"), nBuckets))
+        .repartition(col("ib"), col("id")),
+      s"$path/sets", "ib", runId)
   }
 
   /** One serve-then-append cycle with the batch SHINGLED ONCE and the
@@ -209,17 +214,18 @@ object ContainIndex {
     * index mutating underneath — serving happened against the
     * pre-append state).
     *
-    * Delivery contract (honest, as [[MinHashIndex.serveThenAppend]]):
+    * Delivery contract (as [[MinHashIndex.serveThenAppend]]):
     * foreachBatch is at-least-once. The PAIRS side is idempotent when
     * written to a per-batch overwrite slot; the index-append side is
-    * NOT — a batch replayed after a crash between serve and append
-    * lands its postings/prefixes/sets twice, and must be re-run only
-    * after removing its partial index files (or the store compacted
-    * from a known-good manifest of ids). */
+    * exactly-once when `runId` is passed — the replayed batch
+    * OVERWRITES its own `run=<id>` slot ([[RunSlots]]) instead of
+    * landing its postings/prefixes/sets twice. Without a runId the
+    * append accumulates under the ad-hoc slot (pre-slot behavior). */
   def serveThenAppend(
       spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String,
-      threshold: Double = 0.9)(writePairs: DataFrame => Unit): Unit = {
+      threshold: Double = 0.9, runId: Option[String] = None)(
+      writePairs: DataFrame => Unit): Unit = {
     val meta = readMeta(spark, path)
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
@@ -228,7 +234,7 @@ object ContainIndex {
     val freqCached = v.freq.persist() // two consumers: serve bpref + append prefix
     val shared = v.copy(freq = freqCached)
     writePairs(serveFromView(spark, path, shared, threshold, meta))
-    appendFromView(spark, path, shared, meta)
+    appendFromView(spark, path, shared, meta, runId)
     freqCached.unpersist(); bpost.unpersist(); bsets.unpersist()
   }
 
@@ -325,14 +331,8 @@ object ContainIndex {
     * tombstoned ids purged, markers cleared. Sub-tables still empty
     * from an empty seed are skipped (nothing to rewrite). */
   def compact(spark: SparkSession, path: String): Unit = {
-    def hasParts(dir: String, pp: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p)
-        .exists(s => s.isDirectory && s.getPath.getName.startsWith(pp + "="))
-    }
     for ((t, pp) <- Seq("pref" -> "pf", "post" -> "pb", "sets" -> "ib"))
-      if (hasParts(s"$path/$t", pp))
+      if (RunSlots.hasParts(spark, s"$path/$t", pp))
         IvfLayout.compact(spark, s"$path/$t", partCol = pp,
           transform = df => Tombstones.exclude(df, "id", spark, path))
     Tombstones.clear(spark, path)

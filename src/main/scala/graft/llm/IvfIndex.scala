@@ -54,15 +54,24 @@ private[llm] object IvfLayout {
         "restore it over the index path (or remove it) before re-running")
     fs.delete(tmp, true)
 
-    transform(spark.read.parquet(path))
+    // run-slotted stores (RunSlots layout) collapse EVERY slot back
+    // into run=__base__ here — the staged tree keeps the run level so
+    // post-compact appends (which always write run slots) never mix
+    // directory depths with it
+    val slotted = fs.listStatus(root).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("run="))
+    val stageTarget =
+      if (slotted) new Path(tmp, s"run=${RunSlots.Base}") else tmp
+    val compacted = transform(spark.read.parquet(path))
+    (if (slotted) compacted.drop("run") else compacted)
       .repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(tmp.toString)
+      .write.partitionBy(partCol).parquet(stageTarget.toString)
     // a staged tree with ZERO rows has no partition dirs and no parquet
     // files — installing it would make every later read of the store
     // throw 'unable to infer schema' instead of returning empty. Refuse
     // loudly (original store left intact): a full-takedown compact means
     // the store is finished — delete or rebuild it.
-    if (!fs.listStatus(tmp).exists(s =>
+    if (!fs.listStatus(stageTarget).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith(partCol + "="))) {
       fs.delete(tmp, true)
       throw new IllegalStateException(
@@ -110,8 +119,10 @@ object IvfIndex {
     val spark = corpus.sparkSession
     val cents =
       Similarity.centroidsOf(corpus, vecCol, idCol, nCells, corpusRows, trainedCentroids)
-    Similarity.assignCells(corpus, cents, vecCol, idCol, "neighbor", 1)
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    RunSlots.reset(spark, path)
+    RunSlots.write(
+      Similarity.assignCells(corpus, cents, vecCol, idCol, "neighbor", 1),
+      path, "cid", Some(RunSlots.Base))
     import spark.implicits._
     cents.toDF("cid", "c_vec")
       .write.mode("overwrite").parquet(s"$path/_centroids")
@@ -126,10 +137,12 @@ object IvfIndex {
     * existing cell directories (keep=1 against the stored centroids), so
     * pruned reads stay correct without re-indexing the corpus. The daily
     * incremental shape: index once, append batches. */
-  def append(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+  def append(batch: DataFrame, vecCol: String, idCol: String, path: String,
+             runId: Option[String] = None): Unit = {
     val cents = readCentroids(batch.sparkSession, path)
-    Similarity.assignCells(batch, cents, vecCol, idCol, "neighbor", 1)
-      .write.mode("append").partitionBy("cid").parquet(path)
+    RunSlots.write(
+      Similarity.assignCells(batch, cents, vecCol, idCol, "neighbor", 1),
+      path, "cid", runId)
   }
 
   /** Approximate top-k against a written index. Queries are assigned their

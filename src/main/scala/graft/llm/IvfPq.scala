@@ -93,9 +93,11 @@ object IvfPq {
     val books = Pq.fit(resid, "resid", "neighbor_id", m, k, iters, corpusRows)
     val meta = Meta(cents, books)
     val codes = nearestCodewords(col("resid"), books)
-    resid.select(col("neighbor_id").as("id"), codes.as("codes"), col("cid"))
-      .withColumn("xnormsq", xNormSq(col("codes"), meta))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    RunSlots.reset(spark, path)
+    RunSlots.write(
+      resid.select(col("neighbor_id").as("id"), codes.as("codes"), col("cid"))
+        .withColumn("xnormsq", xNormSq(col("codes"), meta)),
+      path, "cid", Some(RunSlots.Base))
     import spark.implicits._
     cents.toDF("cid", "c_vec")
       .write.mode("overwrite").parquet(s"$path/_centroids")
@@ -112,15 +114,17 @@ object IvfPq {
     * incremental shape, mirroring [[IvfIndex.append]]). Codebook drift
     * under a shifting distribution is a re-index decision, not an
     * append-time one. */
-  def append(batch: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+  def append(batch: DataFrame, vecCol: String, idCol: String, path: String,
+             runId: Option[String] = None): Unit = {
     val meta = readMeta(batch.sparkSession, path)
     val assigned = Similarity.assignCells(batch, meta.cents, vecCol, idCol, "neighbor", 1)
     val resid = assigned.select(col("neighbor_id"),
       residual(col("neighbor_vec"), meta).as("resid"), col("cid"))
-    resid.select(col("neighbor_id").as("id"),
-        nearestCodewords(col("resid"), meta.books).as("codes"), col("cid"))
-      .withColumn("xnormsq", xNormSq(col("codes"), meta))
-      .write.mode("append").partitionBy("cid").parquet(path)
+    RunSlots.write(
+      resid.select(col("neighbor_id").as("id"),
+          nearestCodewords(col("resid"), meta.books).as("codes"), col("cid"))
+        .withColumn("xnormsq", xNormSq(col("codes"), meta)),
+      path, "cid", runId)
   }
 
   /** One-file-per-cell rewrite of an appended-to index; tombstoned rows

@@ -35,29 +35,38 @@ object MinHashIndex {
     pmod(xxhash64(id), lit(n.toLong))
 
   /** Build the index: banded LSH rows bucketed by band-key hash, and
-    * the sorted shingle-hash sets bucketed by id hash. */
+    * the sorted shingle-hash sets bucketed by id hash, each under a
+    * `run=__base__` slot ([[RunSlots]]). */
   def write(docs: DataFrame, textCol: String, idCol: String, path: String,
             shingleN: Int = 3, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "MinHashIndex.write: nBuckets must be positive")
+    val spark = docs.sparkSession
+    RunSlots.reset(spark, s"$path/bands")
+    RunSlots.reset(spark, s"$path/sets")
     val sets = Dedup.shingleHashSets(docs, textCol, idCol, shingleN).persist()
-    Dedup.bandRows(sets)
-      .withColumn("kb", kb(col("key"), nBuckets))
-      .repartition(col("kb"), col("key"))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$path/bands")
-    sets.withColumn("ib", ib(col("id"), nBuckets))
-      .repartition(col("ib"), col("id"))
-      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
+    RunSlots.write(
+      Dedup.bandRows(sets)
+        .withColumn("kb", kb(col("key"), nBuckets))
+        .repartition(col("kb"), col("key")),
+      s"$path/bands", "kb", Some(RunSlots.Base))
+    RunSlots.write(
+      sets.withColumn("ib", ib(col("id"), nBuckets))
+        .repartition(col("ib"), col("id")),
+      s"$path/sets", "ib", Some(RunSlots.Base))
     sets.unpersist()
   }
 
   /** Append a batch's signatures into the existing buckets (the bucket
     * functions are content hashes, so placement never drifts). Run
     * AFTER serving the batch's pairs — the index then holds it as
-    * corpus for the next run. */
+    * corpus for the next run. `runId` makes the append a replayable
+    * slot overwrite ([[RunSlots]] — foreachBatch exactly-once);
+    * without it rows accumulate under the ad-hoc slot. */
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
-             shingleN: Int = 3, nBuckets: Int = 64): Unit = {
+             shingleN: Int = 3, nBuckets: Int = 64,
+             runId: Option[String] = None): Unit = {
     val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
-    appendSets(sets, path, nBuckets)
+    appendSets(sets, path, nBuckets, runId)
     sets.unpersist()
   }
 
@@ -65,14 +74,17 @@ object MinHashIndex {
     * [[Dedup.shingleHashSets]] shape) — the serve-then-append loop
     * computes signatures once and feeds both sides. */
   private[graft] def appendSets(sets: DataFrame, path: String,
-                                nBuckets: Int): Unit = {
-    Dedup.bandRows(sets)
-      .withColumn("kb", kb(col("key"), nBuckets))
-      .repartition(col("kb"), col("key"))
-      .write.mode("append").partitionBy("kb").parquet(s"$path/bands")
-    sets.withColumn("ib", ib(col("id"), nBuckets))
-      .repartition(col("ib"), col("id"))
-      .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
+                                nBuckets: Int,
+                                runId: Option[String] = None): Unit = {
+    RunSlots.write(
+      Dedup.bandRows(sets)
+        .withColumn("kb", kb(col("key"), nBuckets))
+        .repartition(col("kb"), col("key")),
+      s"$path/bands", "kb", runId)
+    RunSlots.write(
+      sets.withColumn("ib", ib(col("id"), nBuckets))
+        .repartition(col("ib"), col("id")),
+      s"$path/sets", "ib", runId)
   }
 
   /** One file per bucket directory after N appends (both tables);
@@ -154,12 +166,13 @@ object MinHashIndex {
       spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3,
-      nBuckets: Int = 64)(writePairs: DataFrame => Unit): Unit = {
+      nBuckets: Int = 64, runId: Option[String] = None)(
+      writePairs: DataFrame => Unit): Unit = {
     val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
     val (lazyPairs, caches) = planFromSets(spark, path, sets,
       jaccardThreshold, nBuckets)
     writePairs(lazyPairs)
-    appendSets(sets, path, nBuckets)
+    appendSets(sets, path, nBuckets, runId)
     (sets +: caches).foreach(_.unpersist())
   }
 

@@ -222,11 +222,12 @@ object Retrieval {
     // the write at nBuckets tasks — a parallelism bottleneck at corpus
     // scale. A term's postings still land in its one bucket directory
     // (bucket is a pure function of term), just across multiple files.
-    p.repartition(col("bucket"), col("term"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    RunSlots.reset(spark, path)
+    RunSlots.write(p.repartition(col("bucket"), col("term")),
+      path, "bucket", Some(RunSlots.Base))
     val stats = withLen.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    RunSlots.writeFlat(stats.coalesce(1), s"$path/_stats", Some(RunSlots.Base))
   }
 
   /** Append a document batch: batch postings land in the existing bucket
@@ -244,21 +245,27 @@ object Retrieval {
     * creates anyway). The CONVERSE order would be worse: postings
     * present but uncounted makes df exceed the global n-derived idf
     * assumption and silently diverges served scores from the direct
-    * path until the stats row appears. Re-run idempotence remains the
-    * caller's id-discipline, as with IvfIndex.append. */
+    * path until the stats row appears. With a `runId`, a re-run is
+    * exactly-once end to end: both the stats delta and the postings
+    * OVERWRITE their own `run=<id>` slots ([[RunSlots]]); without
+    * one, idempotence remains the caller's id-discipline. */
   def appendIndex(batch: DataFrame, textCol: String, idCol: String,
-                  path: String, nBuckets: Int = 64): Unit = {
+                  path: String, nBuckets: Int = 64,
+                  runId: Option[String] = None): Unit = {
     val toks = batch.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("w"))
     val withLen = toks.select(col("doc_id"), col("w"),
       size(col("w")).cast("long").as("dl")).persist()
-    withLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      .coalesce(1).write.mode("append").parquet(s"$path/_stats")
-    withLen.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", termBucket(col("term"), nBuckets))
-      .repartition(col("bucket"), col("term"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    RunSlots.writeFlat(
+      withLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .coalesce(1),
+      s"$path/_stats", runId)
+    RunSlots.write(
+      withLen.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", termBucket(col("term"), nBuckets))
+        .repartition(col("bucket"), col("term")),
+      path, "bucket", runId)
     withLen.unpersist()
   }
 
@@ -326,8 +333,18 @@ object Retrieval {
     // 4: APPLY by renaming the staged part files into _stats — the
     // rename IS the append (atomic) and empties pending in the same
     // step, so a crash-and-rerun applies the delta exactly once
+    // the _stats table may be run-slotted (RunSlots layout) — renaming a
+    // flat delta file into a run-dir tree would mix directory depths and
+    // break partition discovery, so target a dedicated deltas slot there
+    val statsRoot = new Path(s"$path/_stats")
+    val slotted = fs.exists(statsRoot) && fs.listStatus(statsRoot)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("run="))
+    val deltaDir = if (slotted) {
+      val d = new Path(s"$path/_stats/run=__deltas__")
+      fs.mkdirs(d); d
+    } else statsRoot
     pendingParts().zipWithIndex.foreach { case (p, i) =>
-      require(fs.rename(p, new Path(s"$path/_stats/delta-$i-${p.getName}")),
+      require(fs.rename(p, new Path(deltaDir, s"delta-$i-${p.getName}")),
         s"Retrieval.compactIndex: install rename of stats delta $p failed")
     }
     fs.delete(pending, true)

@@ -255,12 +255,11 @@ object StreamingIncremental {
     * (least, greatest) either way. Batch composition does not change
     * the result, only when each pair is discovered.
     *
-    * Delivery contract: foreachBatch is at-least-once. The pairs side
-    * is made idempotent by writing OVERWRITE into a per-batch
-    * subdirectory (a retry rewrites the same directory). The index
-    * append side inherits [[graft.llm.MinHashIndex.append]]'s documented
-    * crash contract: a batch that fails between serve and append must be
-    * re-run after removing its partial band/set files. */
+    * Delivery contract: foreachBatch is at-least-once, and BOTH sides
+    * are idempotent: the pairs land OVERWRITE in a per-batch
+    * subdirectory, and the index append lands in the batch's own
+    * `run=b<id>` slot ([[graft.llm.RunSlots]]) — a replayed batch
+    * rewrites both slots instead of landing band/set rows twice. */
   def streamingIndexedDedup(
       spark: SparkSession,
       sourceDir: String,
@@ -284,7 +283,8 @@ object StreamingIncremental {
         // append into the index
         graft.llm.MinHashIndex.serveThenAppend(
           spark, indexPath, batch, textCol, idCol,
-          jaccardThreshold, shingleN, nBuckets) { pairs =>
+          jaccardThreshold, shingleN, nBuckets,
+          runId = Some(s"b$batchId")) { pairs =>
           pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         }
       }
@@ -305,12 +305,12 @@ object StreamingIncremental {
     * directional, and both of a pair's directions are evaluated at that
     * point — candA covers batch-as-A, candB stored-prefix-as-A).
     *
-    * Delivery contract: foreachBatch is at-least-once. The PAIRS side
-    * is idempotent (per-batch overwrite slot); the index-APPEND side is
-    * not — a batch replayed after a crash between serve and append
-    * lands its index rows twice and must be cleaned before re-running
-    * ([[graft.llm.ContainIndex.serveThenAppend]]'s documented contract,
-    * the same posture as [[streamingIndexedDedup]]). */
+    * Delivery contract: foreachBatch is at-least-once, and BOTH sides
+    * are idempotent: pairs in the per-batch overwrite slot, index rows
+    * in the batch's own `run=b<id>` slot ([[graft.llm.RunSlots]]) — a
+    * replayed batch rewrites its slots instead of landing its
+    * postings/prefixes/sets twice (the posture of
+    * [[streamingIndexedDedup]] and [[streamingChunkIngest]]). */
   def streamingContainmentDedup(
       spark: SparkSession,
       sourceDir: String,
@@ -331,7 +331,8 @@ object StreamingIncremental {
         // sets/postings between the (eager, pre-append) serve and the
         // index append
         graft.llm.ContainIndex.serveThenAppend(
-          spark, indexPath, batch, textCol, idCol, threshold) { pairs =>
+          spark, indexPath, batch, textCol, idCol, threshold,
+          runId = Some(s"b$batchId")) { pairs =>
           pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         }
       }
@@ -408,10 +409,11 @@ object StreamingIncremental {
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
     src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.MinHashIndex.serveThenAppend(
           spark, indexPath, batch, textCol, idCol,
-          jaccardThreshold, shingleN, nBuckets) { pairs =>
+          jaccardThreshold, shingleN, nBuckets,
+          runId = Some(s"b$batchId")) { pairs =>
           val batchPairs = pairs.localCheckpoint(true)
           val labels = readLabels(spark, labelsPath)
           val updated = graft.operators.ConnectedComponents

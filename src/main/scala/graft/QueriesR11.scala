@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave: the bucket-pruned (node, label) delta store — the
+  * corpus-scale serving form of incremental connected components
+  * (per-batch cost tracks touched buckets, not the label table) —
+  * gated against the SAME recursive-closure DuckDB oracles as the
+  * in-memory `cc_incremental` / `stream_cc` paths: the store is an
+  * implementation detail of an identical labeling. */
+object QueriesR11 {
+
+  private def ccClosureOracle: String = s"""
+        WITH RECURSIVE all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 10 = 0 AND doc_id < 250),
+        ${QueriesLlm.minhashCandCtes("all_docs")},
+        p AS (
+          SELECT ia id_a, ib id_b
+          FROM cand JOIN hs x ON cand.ia = x.doc_id JOIN hs y ON cand.ib = y.doc_id
+          WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) /
+                  len(list_distinct(x.h || y.h)) >= 0.8),
+        e AS (SELECT id_a u, id_b v FROM p UNION SELECT id_b, id_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
+        SELECT node, MIN(label) AS label
+        FROM cc GROUP BY node
+        ORDER BY node"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- bucketed label store, batch path --------------------------------
+    // The cc_incremental construction routed through LabelStore:
+    // seed from the corpus clustering, fold the fresh batch's pairs
+    // via bucket-pruned reads + a changed-rows delta slot, read the
+    // resolved table. Must be indistinguishable from the recursive
+    // closure over ALL pairs of the union corpus.
+    QueryDef("cc_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.Dedup
+        import graft.operators.{ConnectedComponents, LabelStore}
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs
+            .filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+        val oldPairs = Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+          jaccardThreshold = 0.8)
+        val path = Files.createTempDirectory("graft_ccstore_").toString
+        LabelStore.write(ConnectedComponents.run(oldPairs, "id_a", "id_b"),
+          path, nBuckets = 16)
+        val batchPairs = Dedup.minhashNearDupPairsIncremental(
+          fresh, corpus, "text", "doc_id", jaccardThreshold = 0.8)
+        LabelStore.applyBatch(s, path, batchPairs, "id_a", "id_b", Some("b0"))
+        LabelStore.read(s, path).orderBy("node")
+      },
+      Some(ccClosureOracle)),
+
+    // ---- bucketed label store, streaming path ----------------------------
+    // The stream_cc loop with the delta store: two micro-batches
+    // (fresh docs, then clones of INDEXED corpus docs), per batch a
+    // bucket-pruned pair serve → run-slotted index append → run-
+    // slotted delta fold. Checkpointed re-run is a no-op.
+    QueryDef("stream_cc_bucketed",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.{Dedup, MinHashIndex}
+        import graft.operators.{ConnectedComponents, LabelStore}
+        val docs = Tables.read(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val idxPath = Files.createTempDirectory("graft_sccb_idx_").toString
+        MinHashIndex.write(corpus, "text", "doc_id", idxPath, nBuckets = 16)
+        val storePath = Files.createTempDirectory("graft_sccb_lab_").toString
+        LabelStore.write(
+          ConnectedComponents.run(
+            Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+              jaccardThreshold = 0.8), "id_a", "id_b"),
+          storePath, nBuckets = 16)
+        val srcDir = Files.createTempDirectory("graft_sccb_src_").toString
+        docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_sccb_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental
+            .streamingClusterMaintenanceBucketed(
+              s, srcDir, schema, idxPath, storePath, ckpt, "text", "doc_id",
+              jaccardThreshold = 0.8, nBuckets = 16,
+              maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        LabelStore.read(s, storePath).orderBy("node")
+      },
+      Some(ccClosureOracle))
+  )
+}

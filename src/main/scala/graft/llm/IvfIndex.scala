@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `cid=` directory; compaction rewrites each cell into one file.
   * The event log got the same hygiene op (RunLog.compactLog); an index
   * serving point reads deserve it just as much. */
-private[llm] object IvfLayout {
+private[graft] object IvfLayout {
   import org.apache.hadoop.fs.{FileUtil, Path}
 
   /** Rewrite the index with ONE file per cell: stage a full compacted

@@ -426,6 +426,48 @@ object StreamingIncremental {
       .start()
   }
 
+  /** [[streamingClusterMaintenance]] against a
+    * [[graft.operators.LabelStore]] — the corpus-scale variant: the
+    * versioned store above REWRITES the whole label table per batch
+    * (O(corpus) write, crash-safe), while the bucketed delta store
+    * reads only the batch's `nb=`/`cb=` buckets and appends only the
+    * changed rows, so per-batch cost tracks the batch. Replay safety
+    * comes from [[graft.llm.RunSlots]]: the batch's delta lands in its
+    * own `run=b<id>` slot, recomputed against the pre-batch state. The
+    * store must be seeded with [[graft.operators.LabelStore.write]]
+    * (an empty labeling is fine). */
+  def streamingClusterMaintenanceBucketed(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      labelStorePath: String,
+      checkpointDir: String,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.MinHashIndex.serveThenAppend(
+          spark, indexPath, batch, textCol, idCol,
+          jaccardThreshold, shingleN, nBuckets,
+          runId = Some(s"b$batchId")) { pairs =>
+          graft.operators.LabelStore.applyBatch(
+            spark, labelStorePath, pairs.localCheckpoint(true),
+            "id_a", "id_b", runId = Some(s"b$batchId"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- crash-safe (node, label) store -----------------------------------
   // Layout: path/v_<seq>/ parquet dirs, one per committed rewrite. A
   // version COUNTS only once its _SUCCESS marker exists (Spark's commit

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, LabelStore}
+
+/** Round-11 probe: incremental CC per-batch cost vs label-table size.
+  *
+  * r10's probe showed the in-memory incremental fold near-flat, but its
+  * residual growth term is the two FULL label-table scans (the
+  * touched-member semi/anti-joins + the full-table rewrite). The
+  * bucketed [[LabelStore]] replaces those with `nb=`/`cb=` pruned reads
+  * and a changed-rows delta write. This probe fixes ONE batch and grows
+  * the label table 10×: the store path should stay flat (cost tracks
+  * the batch's buckets), while the in-memory path pays the full scan +
+  * full rewrite. */
+object ScaleProbeR11 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.builder("local[32]", Some(32)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timeIt[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-52s $s%7.1f s"); (r, s)
+    }
+
+    // label table: components of 5 consecutive ids, label = min member
+    def labels(n: Long) = spark.range(n)
+      .select(col("id").as("node"), (col("id") - pmod(col("id"), lit(5L))).as("label"))
+
+    // fixed batch: 500 pairs — 400 touch existing components (merge
+    // neighbors), 100 connect brand-new nodes
+    val batch = spark.range(400)
+      .select((col("id") * 5000L + 2L).as("id_a"), (col("id") * 5000L + 7L).as("id_b"))
+      .unionByName(spark.range(100)
+        .select((col("id") + 900000000L).as("id_a"),
+          (col("id") + 900001000L).as("id_b")))
+      .persist()
+    batch.count()
+
+    for ((tag, n) <- Seq("1x" -> 2000000L, "10x" -> 20000000L)) {
+      val lab = labels(n)
+      // in-memory path: full label DF scan per batch (materialized the
+      // way the versioned streaming store would hand it over)
+      val labDf = lab.localCheckpoint(true)
+      timeIt(s"incremental (full-scan) $tag (|labels|=$n)") {
+        ConnectedComponents.incremental(labDf, batch, "id_a", "id_b").count()
+      }
+      // store path: seed once (not timed against the batch), then fold
+      // production sizing: nBuckets grows with the corpus so rows-per-
+      // bucket stays constant — the config under which per-batch cost
+      // is flat (fixed nBuckets would grow each touched bucket 10x)
+      val nb = (n / 2000L).toInt
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_ls_${tag}_").toString
+      LabelStore.write(lab, path, nBuckets = nb)
+      val (delta, _) = timeIt(s"LabelStore.applyBatch $tag (|labels|=$n, nb=$nb)") {
+        LabelStore.applyBatch(spark, path, batch, "id_a", "id_b", Some("b0"))
+      }
+      println(f"  delta rows: ${delta.count()}%d")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The bucketed (node, label) delta store must be indistinguishable
+  * from [[ConnectedComponents.incremental]] over the same batches —
+  * pruned reads and delta writes are an implementation detail of the
+  * same labeling — and exactly-once under replay. */
+class LabelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  private def readSorted(path: String): Seq[(Long, Long)] =
+    LabelStore.read(spark, path).as[(Long, Long)].collect().sorted.toSeq
+
+  private def ccOver(all: DataFrame): Seq[(Long, Long)] =
+    ConnectedComponents.run(all, "id_a", "id_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+
+  test("seed + applyBatch over three batches equals one-shot CC over the union") {
+    val path = Files.createTempDirectory("graft_ls_eq_").toString
+    val seed = pairsDf(1L -> 2L, 3L -> 4L, 10L -> 11L)
+    LabelStore.write(ConnectedComponents.run(seed, "id_a", "id_b"), path, nBuckets = 8)
+    // b1: merge (1,2) with (3,4) via a bridge; b2: brand-new component;
+    // b3: merge the new component into the (10,11) one
+    val b1 = pairsDf(2L -> 3L)
+    val b2 = pairsDf(20L -> 21L)
+    val b3 = pairsDf(21L -> 10L)
+    LabelStore.applyBatch(spark, path, b1, "id_a", "id_b", Some("b1"))
+    LabelStore.applyBatch(spark, path, b2, "id_a", "id_b", Some("b2"))
+    LabelStore.applyBatch(spark, path, b3, "id_a", "id_b", Some("b3"))
+    assert(readSorted(path) ===
+      ccOver(seed.unionByName(b1).unionByName(b2).unionByName(b3)))
+    assert(readSorted(path) === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L))
+  }
+
+  test("matches ConnectedComponents.incremental on real near-dup pairs") {
+    import graft.llm.Dedup
+    val docs = sf("sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") < 120)
+    val fresh = docs.filter(col("doc_id") >= 120 && col("doc_id") < 200)
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 120)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    val oldPairs = Dedup.minhashNearDupPairs(corpus, "text", "doc_id", 0.8)
+    val labels = ConnectedComponents.run(oldPairs, "id_a", "id_b")
+    val batchPairs = Dedup.minhashNearDupPairsIncremental(
+      fresh, corpus, "text", "doc_id", 0.8)
+    val expect = ConnectedComponents.incremental(labels, batchPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val path = Files.createTempDirectory("graft_ls_nd_").toString
+    LabelStore.write(labels, path, nBuckets = 8)
+    LabelStore.applyBatch(spark, path, batchPairs, "id_a", "id_b", Some("b0"))
+    assert(readSorted(path) === expect)
+  }
+
+  test("replayed batch rewrites its slot: store identical to one delivery") {
+    val once = Files.createTempDirectory("graft_ls_rp1_").toString
+    val twice = Files.createTempDirectory("graft_ls_rp2_").toString
+    val seed = ConnectedComponents.run(pairsDf(1L -> 2L, 5L -> 6L), "id_a", "id_b")
+    for (p <- Seq(once, twice)) LabelStore.write(seed, p, nBuckets = 8)
+    val batch = pairsDf(2L -> 5L)
+    LabelStore.applyBatch(spark, once, batch, "id_a", "id_b", Some("b0"))
+    LabelStore.applyBatch(spark, twice, batch, "id_a", "id_b", Some("b0"))
+    LabelStore.applyBatch(spark, twice, batch, "id_a", "id_b", Some("b0"))
+    assert(readSorted(twice) === readSorted(once))
+    def physicalRows(p: String) = spark.read.parquet(s"$p/byn").count()
+    assert(physicalRows(twice) === physicalRows(once),
+      "replay must not grow the store")
+  }
+
+  test("applyBatch returns only CHANGED rows; untouched components never rewritten") {
+    val path = Files.createTempDirectory("graft_ls_delta_").toString
+    LabelStore.write(
+      ConnectedComponents.run(pairsDf(1L -> 2L, 100L -> 101L), "id_a", "id_b"),
+      path, nBuckets = 8)
+    val delta = LabelStore.applyBatch(spark, path, pairsDf(2L -> 3L),
+        "id_a", "id_b", Some("b0"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // only node 3 is new; 1 and 2 already carry label 1, 100/101 untouched
+    assert(delta === Seq(3L -> 1L))
+  }
+
+  test("compact folds slots, drops stale rows, serving unchanged") {
+    val path = Files.createTempDirectory("graft_ls_cmp_").toString
+    LabelStore.write(
+      ConnectedComponents.run(pairsDf(5L -> 6L, 7L -> 8L), "id_a", "id_b"),
+      path, nBuckets = 8)
+    LabelStore.applyBatch(spark, path, pairsDf(6L -> 7L), "id_a", "id_b", Some("b0"))
+    val before = readSorted(path)
+    val preRows = spark.read.parquet(s"$path/byn").count()
+    LabelStore.compact(spark, path)
+    assert(readSorted(path) === before)
+    val postRows = spark.read.parquet(s"$path/byn").count()
+    assert(postRows < preRows, "stale superseded rows must be dropped")
+    assert(postRows === before.size.toLong)
+    // store still appendable after compact
+    LabelStore.applyBatch(spark, path, pairsDf(8L -> 50L), "id_a", "id_b", Some("b1"))
+    assert(readSorted(path) ===
+      ccOver(pairsDf(5L -> 6L, 7L -> 8L, 6L -> 7L, 8L -> 50L)))
+  }
+
+  test("pruned reads: batch-node lookup carries an nb= PartitionFilter") {
+    val path = Files.createTempDirectory("graft_ls_plan_").toString
+    LabelStore.write(
+      ConnectedComponents.run(pairsDf(1L -> 2L, 3L -> 4L, 9L -> 17L), "id_a", "id_b"),
+      path, nBuckets = 8)
+    // all batch nodes hash to bucket 1 (pmod 8): 1, 9, 17
+    val raw = spark.read.parquet(s"$path/byn")
+    val lits: Seq[Any] = raw.schema("nb").dataType match {
+      case org.apache.spark.sql.types.LongType => Seq(1L)
+      case org.apache.spark.sql.types.IntegerType => Seq(1)
+      case _ => Seq("1")
+    }
+    val pruned = raw.filter(col("nb").isin(lits: _*)).select("node", "label")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("nb"),
+      s"expected an nb= partition filter, got:\n$plan")
+  }
+}

@@ -201,7 +201,7 @@ object QueriesR10b {
           |      '^.*@', ''), ':[0-9]*$', ''), '\.+$', ''), '^www\.', '') AS dhost
           |  FROM (
           |    SELECT source,
-          |      unnest(regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1)) AS href
+          |      unnest(regexp_extract_all(html, '<a\s[^>]*href="([^"]*)"', 1)) AS href
           |    FROM (
           |      SELECT source,
           |        '<html><body><p>' || text || '</p>' ||

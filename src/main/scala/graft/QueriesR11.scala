@@ -33,6 +33,26 @@ object QueriesR11 {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- training wall-clock, honestly billed ----------------------------
+    // quality_train / quality_train_audit / quality_model_artifact share
+    // one memoized model per sf dir, so in the bench the training cost
+    // lands on whichever sharing gate runs first in Map order (r10
+    // verdict "What's wrong #3"). This gate trains FRESH on every call —
+    // it owns the full fit wall-clock; the memoized gates are the warm
+    // serving cost. Same weights, same oracle.
+    QueryDef("quality_train_fit",
+      (s, dir) => {
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        val m = graft.llm.QualityTrain.train(docs, "text", "doc_id", "y",
+          d = 64, iters = 3)
+        graft.llm.QualityTrain.weightsDf(s, m).orderBy("bucket")
+      },
+      Some(graft.llm.QualityTrain.oracleSql(
+        d = 64, iters = 3, lrNum = 1L, lrDen = 1L,
+        labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        finalSelect = "weights"))),
+
     // ---- bucketed label store, batch path --------------------------------
     // The cc_incremental construction routed through LabelStore:
     // seed from the corpus clustering, fold the fresh batch's pairs

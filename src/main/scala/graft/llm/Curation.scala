@@ -40,9 +40,12 @@ object Curation {
     * GRAPH (feed the host edges to [[graft.operators.PageRank]] for
     * the Common-Crawl-style domain-authority signal). Double-quoted
     * hrefs only (the deterministic-fixture contract shared with
-    * [[htmlToText]]); pure projection, zero shuffle. */
+    * [[htmlToText]]); pure projection, zero shuffle. The tag name is
+    * anchored with a whitespace boundary — `<a[^>]*` would also match
+    * `<area href=...>` / `<audio ... href=...>` and inflate the link
+    * graph beyond anchor tags. */
   def extractLinks(html: Column): Column =
-    regexp_extract_all(html, lit("<a[^>]*href=\"([^\"]*)\""), lit(1))
+    regexp_extract_all(html, lit("<a\\s[^>]*href=\"([^\"]*)\""), lit(1))
 
   /** Host-level link edges from an HTML corpus: one (src_host,
     * dst_host, w) row per linking-host → linked-host pair, where the

@@ -27,12 +27,68 @@ import org.apache.spark.sql.functions._
   * crosses as a bounded-relative-error flag. */
 object SketchStore {
 
+  // ---- lgK sidecar ------------------------------------------------------
+  // hll_union_agg REJECTS mixed lgConfigK by default, so one append
+  // with a different lgK would succeed silently and then make every
+  // estimate() over a window containing it THROW at serve time. The
+  // store records its lgK in a sidecar on first write and every later
+  // append must match — the mismatch fails at append (where the caller
+  // holds the wrong value), not at an unrelated later read.
+
+  private def lgkPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_sketch_meta.json")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def storedLgK(spark: SparkSession, path: String): Option[Int] = {
+    val fs = fsOf(spark, path)
+    val p = lgkPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      """"lgK"\s*:\s*(\d+)""".r.unanchored.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+    }
+  }
+
+  private def requireAndRecordLgK(spark: SparkSession, path: String,
+                                  lgK: Int): Unit = {
+    storedLgK(spark, path) match {
+      case Some(stored) =>
+        require(stored == lgK,
+          s"SketchStore at $path was built with lgK=$stored; appending " +
+            s"lgK=$lgK sketches would make every estimate() over a window " +
+            "containing them throw at serve time (hll_union_agg rejects " +
+            "mixed lgConfigK) — pass the store's lgK or rebuild")
+      case None =>
+        val fs = fsOf(spark, path)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/_sketch_meta.json__tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"""{"lgK":$lgK}""".getBytes("UTF-8"))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(lgkPath(path).toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, lgkPath(path),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   /** Build and APPEND one partition's sketches: one hash-aggregate pass
     * over `df` (which should already be filtered to the partition's
-    * rows), written under `part=<part>/`. */
+    * rows), written under `part=<part>/`. `lgK` must match the store's
+    * recorded precision (sidecar, stamped by the first write). */
   def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
              path: String, part: String, lgK: Int = 12): Unit = {
     require(groupCols.nonEmpty, "SketchStore.append: need group columns")
+    requireAndRecordLgK(df.sparkSession, path, lgK)
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
       .withColumn("part", lit(part))
@@ -45,6 +101,7 @@ object SketchStore {
   def build(df: DataFrame, groupCols: Seq[String], valueCol: String,
             partCol: String, path: String, lgK: Int = 12): Unit = {
     require(groupCols.nonEmpty, "SketchStore.build: need group columns")
+    requireAndRecordLgK(df.sparkSession, path, lgK)
     df.groupBy((col(partCol).cast("string").as("part") +: groupCols.map(col)): _*)
       .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
       .write.mode("append").partitionBy("part").parquet(path)

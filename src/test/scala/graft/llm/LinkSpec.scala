@@ -18,6 +18,17 @@ class LinkSpec extends SparkSpec {
     assert(got === Seq("https://a.com/1", "/rel", "mailto:m@n.o", "https://b.com/2"))
   }
 
+  test("extractLinks matches only <a> tags — <area>/<audio> hrefs are not links") {
+    val html =
+      """<map><area shape="rect" href="https://map.example/x">m</area></map>
+        |<audio src="s.mp3" href="https://audio.example/y"></audio>
+        |<a href="https://real.example/z">ok</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(Curation.extractLinks(col("h")).as("l"))
+      .first().getSeq[String](0)
+    assert(got === Seq("https://real.example/z"))
+  }
+
   test("linkHostEdges normalizes hosts and drops hostless targets") {
     val rows = Seq(
       ("s1.com",

@@ -44,6 +44,26 @@ class SketchStoreSpec extends SparkSpec {
     assert(full === Map("a" -> 40L, "b" -> 40L))
   }
 
+  test("lgK is recorded on first write and a mismatched append fails at append time") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    SketchStore.build(df.filter(col("day") <= "2024-02-02"),
+      Seq("grp"), "uid", "day", path, lgK = 12)
+    assert(SketchStore.storedLgK(spark, path) === Some(12))
+    // the failure mode this prevents: hll_union_agg rejects mixed
+    // lgConfigK, so an lgK=10 append would poison every later serve
+    val e = intercept[IllegalArgumentException](
+      SketchStore.append(df.filter(col("day") === "2024-02-03"),
+        Seq("grp"), "uid", path, part = "2024-02-03", lgK = 10))
+    assert(e.getMessage.contains("lgK=12"))
+    // matching append still lands and serves
+    SketchStore.append(df.filter(col("day") === "2024-02-03"),
+      Seq("grp"), "uid", path, part = "2024-02-03", lgK = 12)
+    val est = SketchStore.estimate(spark, path, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 30L, "b" -> 30L))
+  }
+
   test("re-appending the same day cannot inflate the estimate") {
     val df = rows.toDF("day", "grp", "uid")
     val path = tmpDir()

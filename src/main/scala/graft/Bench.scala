@@ -65,6 +65,30 @@ object Bench {
         .write.mode("overwrite").parquet(warmSrc)
       val schema = spark.read.parquet(warmSrc).schema
       graft.streaming.StreamingIncremental.withStatePartitions(spark) {
+        // STATEFUL warm-up first: the state-store provider init +
+        // stateful-operator codegen JITs separately from the stateless
+        // file-sink path, and whichever watermark/window gate ran first
+        // in Map order was absorbing ~3-5 s of it (r10's only
+        // regression, stream_windowed_counts 2.1 -> 4.3 s, was exactly
+        // this — the gate is 1.9-2.6 s in isolation once warm)
+        val statefulBase = java.nio.file.Files
+          .createTempDirectory("bench_stream_stateful_")
+        spark.range(100)
+          .selectExpr("timestamp_micros(cast(id * 1000000 as long)) ts", "id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$statefulBase/src")
+        val sSchema = spark.read.parquet(s"$statefulBase/src").schema
+        val sq = spark.readStream.schema(sSchema).parquet(s"$statefulBase/src")
+          .withWatermark("ts", "0 seconds")
+          .groupBy(org.apache.spark.sql.functions.window(
+            org.apache.spark.sql.functions.col("ts"), "1 hour"))
+          .count()
+          .writeStream.format("parquet")
+          .option("path", s"$statefulBase/tgt")
+          .option("checkpointLocation", s"$statefulBase/ck")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
         streamNoop(spark, warmSrc, schema) // cold: classload, not representative
         streamNoop(spark, warmSrc, schema) // warm: the true per-start constant
       }

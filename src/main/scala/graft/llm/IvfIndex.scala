@@ -54,16 +54,14 @@ private[graft] object IvfLayout {
         "restore it over the index path (or remove it) before re-running")
     fs.delete(tmp, true)
 
-    // run-slotted stores (RunSlots layout) collapse EVERY slot back
-    // into run=__base__ here — the staged tree keeps the run level so
-    // post-compact appends (which always write run slots) never mix
-    // directory depths with it
-    val slotted = fs.listStatus(root).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith("run="))
-    val stageTarget =
-      if (slotted) new Path(tmp, s"run=${RunSlots.Base}") else tmp
-    val compacted = transform(spark.read.parquet(path))
-    (if (slotted) compacted.drop("run") else compacted)
+    // EVERY slot collapses back into run=__base__ here, and a pre-slot
+    // flat store is MIGRATED to the slotted layout by the same move
+    // (all appends are run-scoped now — RunSlots.requireSlotLayout
+    // points legacy stores at this compact as the upgrade path). The
+    // staged tree keeps the run level so post-compact appends never
+    // mix directory depths with it.
+    val stageTarget = new Path(tmp, s"run=${RunSlots.Base}")
+    transform(spark.read.parquet(path)).drop("run")
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(stageTarget.toString)
     // a staged tree with ZERO rows has no partition dirs and no parquet

@@ -106,6 +106,27 @@ class ReplaySpec extends SparkSpec {
     assert(e.getMessage.contains("pre-slot flat layout"))
   }
 
+  test("compact migrates a pre-slot flat store to the slotted layout") {
+    val p = Files.createTempDirectory("graft_rp_mig_").toString
+    // a legacy store: flat kb= tree, as pre-r11 writes left it
+    graft.llm.Dedup.shingleHashSets(corpus, "text", "doc_id", 3)
+      .select(col("id"), col("hs"))
+      .withColumn("ib", pmod(xxhash64(col("id")), lit(4L)))
+      .write.partitionBy("ib").parquet(s"$p/sets")
+    Dedup.bandRows(
+        graft.llm.Dedup.shingleHashSets(corpus, "text", "doc_id", 3))
+      .withColumn("kb", pmod(xxhash64(col("key")), lit(4L)))
+      .write.partitionBy("kb").parquet(s"$p/bands")
+    MinHashIndex.compact(spark, p)
+    // slotted now: a run-scoped append lands instead of throwing
+    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
+    val next = Seq((20L, base + "one")).toDF("doc_id", "text")
+    val got = MinHashIndex.nearDupPairsIncremental(spark, p, next,
+      "text", "doc_id", 0.8, nBuckets = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 20L), (10L, 20L)))
+  }
+
   test("compact collapses run slots into __base__ and keeps serving identical") {
     val p = Files.createTempDirectory("graft_rp_cmp_").toString
     MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)

@@ -53,6 +53,43 @@ object QueriesR11 {
         labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
         finalSelect = "weights"))),
 
+    // ---- incremental authority: warm-start PageRank ----------------------
+    // The growing-link-graph maintenance shape: rank yesterday's trade
+    // graph (customer nations < 15) cold for 3 iterations, then today's
+    // grown graph (< 20 — nations 15-19 are NEW sources) for 3 more
+    // seeded from yesterday's vector. Both phases replay bit-exact in
+    // the unrolled two-phase oracle; new nodes start at the cold init.
+    QueryDef("pagerank_warm",
+      (s, dir) => {
+        def edges(maxNation: Int) = {
+          val li = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+          val ord = Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey")
+          val cust = Tables.read(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))
+            .filter(col("c_nationkey") < maxNation)
+          val supp = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+            .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+            .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        }
+        val prev = graft.operators.PageRank.rank(edges(15), "src", "dst", iters = 3)
+        graft.operators.PageRank
+          .rankWarm(edges(20), prev, "src", "dst", iters = 3)
+          .orderBy("node")
+      },
+      Some {
+        def edgesSql(maxNation: Int) =
+          s"""SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(1 AS BIGINT) AS w
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |WHERE c.c_nationkey < $maxNation""".stripMargin
+        graft.operators.PageRank.oracleSqlWarm(
+          edgesSql(15), iters1 = 3, edgesSql(20), iters2 = 3)
+      }),
+
     // ---- bucketed label store, batch path --------------------------------
     // The cc_incremental construction routed through LabelStore:
     // seed from the corpus clustering, fold the fresh batch's pairs

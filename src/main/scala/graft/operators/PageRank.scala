@@ -69,6 +69,27 @@ object PageRank {
     core(edges, srcCol, dstCol, weightCol, iters, dampNum, dampDen,
       scale, tolL1, seeds = None)
 
+  /** WARM-START rank: continue iterating from a previous (node, pr)
+    * vector instead of the uniform init — the incremental-authority
+    * maintenance shape for a GROWING link graph (daily crawl batches
+    * append edges; re-ranking from yesterday's vector reaches the new
+    * fixed point in a fraction of the iterations a cold start needs,
+    * because the old scores are already near it for the unchanged bulk
+    * of the graph). Nodes new to the graph initialize at `scale`
+    * (the cold init); nodes that left the graph drop out with their
+    * mass. Same fixed-point/oracle contract as [[rank]] — a warm run
+    * at fixed iters is replayed exactly by [[oracleSqlWarm]]. */
+  def rankWarm(edges: DataFrame, prev: DataFrame,
+               srcCol: String, dstCol: String,
+               weightCol: Option[String] = None, iters: Int = 10,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1000000L,
+               tolL1: Option[Long] = None): DataFrame =
+    core(edges, srcCol, dstCol, weightCol, iters, dampNum, dampDen,
+      scale, tolL1, seeds = None,
+      init = Some(prev.select(col("node").cast("long").as("v"),
+        col("pr").cast("long").as("r"))))
+
   /** PERSONALIZED PageRank: the restart distribution concentrates on
     * `seeds` (a one-column frame of node ids) — the (1−d) base term and
     * the dangling mass land on seeds only, so authority is measured
@@ -91,7 +112,8 @@ object PageRank {
                    weightCol: Option[String], iters: Int,
                    dampNum: Long, dampDen: Long, scale: Long,
                    tolL1: Option[Long],
-                   seeds: Option[DataFrame]): DataFrame = {
+                   seeds: Option[DataFrame],
+                   init: Option[DataFrame] = None): DataFrame = {
     require(iters > 0, "PageRank: iters must be positive")
     require(dampNum > 0 && dampDen > dampNum,
       "PageRank: need 0 < dampNum < dampDen")
@@ -139,8 +161,11 @@ object PageRank {
       val dangling = nodes.select("v")
         .join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var r = nodes.select(col("v"), lit(scale).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      var r = init.fold(nodes.select(col("v"), lit(scale).as("r"))) { p =>
+          nodes.select("v")
+            .join(p.select(col("v"), col("r").as("r_prev")), Seq("v"), "left")
+            .select(col("v"), coalesce(col("r_prev"), lit(scale)).as("r"))
+        }.persist(StorageLevel.MEMORY_AND_DISK)
       var it = 0
       var done = false
       while (!done && it < iters) {
@@ -229,5 +254,57 @@ object PageRank {
          |        FROM nodes n LEFT JOIN c$k ON c$k.v = n.v)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iterCtes\nSELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS pr FROM r$iters ORDER BY node"
+  }
+
+  /** One uniform-variant phase's CTE text with `prefix`-scoped names
+    * and a caller-supplied `r0` body — the building block
+    * [[oracleSqlWarm]] chains two of. */
+  private def uniformPhaseCtes(prefix: String, edgesSql: String,
+                               iters: Int, dampNum: Long, dampDen: Long,
+                               r0Sql: String): String = {
+    def nm(n: String) = s"$prefix$n"
+    val head =
+      s"""${nm("e")} AS ($edgesSql),
+         |${nm("ea")} AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM ${nm("e")} GROUP BY 1, 2),
+         |${nm("outw")} AS (SELECT src, SUM(w) AS wt FROM ${nm("ea")} GROUP BY 1),
+         |${nm("nodes")} AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM ${nm("ea")} UNION ALL SELECT dst FROM ${nm("ea")})),
+         |${nm("nn")} AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ${nm("nodes")}),
+         |${nm("r0")} AS ($r0Sql)""".stripMargin
+    val baseExpr = s"(($dampDen - $dampNum) * 1000000) // $dampDen"
+    val iterCtes = (1 to iters).map { k =>
+      val rp = nm(s"r${k - 1}")
+      s"""${nm(s"d$k")} AS (SELECT COALESCE(SUM(r.r), 0) AS ds FROM $rp r
+         |        WHERE r.v NOT IN (SELECT src FROM ${nm("ea")})),
+         |${nm(s"c$k")} AS (SELECT e.dst AS v, SUM((r.r * e.w) // o.wt) AS c
+         |        FROM ${nm("ea")} e JOIN $rp r ON r.v = e.src
+         |                  JOIN ${nm("outw")} o ON o.src = e.src
+         |        GROUP BY 1),
+         |${nm(s"r$k")} AS (SELECT n.v,
+         |          $baseExpr
+         |          + ($dampNum * (COALESCE(${nm(s"c$k")}.c, 0)
+         |               + (SELECT ds // (SELECT c FROM ${nm("nn")}) FROM ${nm(s"d$k")}))) // $dampDen AS r
+         |        FROM ${nm("nodes")} n LEFT JOIN ${nm(s"c$k")} ON ${nm(s"c$k")}.v = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$iterCtes"
+  }
+
+  /** Unrolled DuckDB SQL replaying a cold [[rank]] over `edgesSql1`
+    * (`iters1` iterations) followed by a [[rankWarm]] continuation
+    * over `edgesSql2` (`iters2` iterations seeded from phase 1's
+    * vector; nodes new in phase 2 start at `scale`) — bit-exact, like
+    * [[oracleSql]]. Uniform variant only; `scale` is fixed at 1e6
+    * (the default) to keep the unrolled text simple. */
+  def oracleSqlWarm(edgesSql1: String, iters1: Int,
+                    edgesSql2: String, iters2: Int,
+                    dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val p1 = uniformPhaseCtes("p1_", edgesSql1, iters1, dampNum, dampDen,
+      r0Sql = "SELECT v, CAST(1000000 AS BIGINT) AS r FROM p1_nodes")
+    val p2 = uniformPhaseCtes("", edgesSql2, iters2, dampNum, dampDen,
+      r0Sql = s"""SELECT n.v, COALESCE(p.r, CAST(1000000 AS BIGINT)) AS r
+                 |       FROM nodes n LEFT JOIN p1_r$iters1 p ON p.v = n.v""".stripMargin)
+    s"WITH $p1,\n$p2\n" +
+      s"SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS pr " +
+      s"FROM r$iters2 ORDER BY node"
   }
 }

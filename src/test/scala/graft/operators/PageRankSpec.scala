@@ -152,4 +152,53 @@ class PageRankSpec extends SparkSpec {
     assert(r(1L) > r(2L))
     assert((3L to 10L).forall(v => r(2L) > r(v)))
   }
+
+  test("rankWarm on an unchanged graph IS continued iteration: warm(3)+3 == cold 6") {
+    val edges = Seq((1L,2L),(2L,3L),(3L,1L),(4L,1L),(2L,1L)).toDF("src", "dst")
+    val cold6 = PageRank.rank(edges, "src", "dst", iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val warm = PageRank.rankWarm(edges,
+        PageRank.rank(edges, "src", "dst", iters = 3),
+        "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(warm === cold6)
+  }
+
+  test("rankWarm: nodes new to the grown graph start at the cold init") {
+    val e1 = Seq((1L,2L),(2L,1L)).toDF("src", "dst")
+    val e2 = Seq((1L,2L),(2L,1L),(9L,1L)).toDF("src", "dst") // 9 is new
+    val prev = PageRank.rank(e1, "src", "dst", iters = 2)
+    val warm = PageRank.rankWarm(e2, prev, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // manual: r0 = (prev(1), prev(2), 1e6 for 9); one iteration of the
+    // documented recurrence over e2
+    val p = prev.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r0 = Map(1L -> p(1L), 2L -> p(2L), 9L -> 1000000L)
+    val base = (15L * 1000000L) / 100L
+    def it(r: Map[Long, Long]): Map[Long, Long] = {
+      val contrib = Map(
+        2L -> r(1L), // 1->2
+        1L -> (r(2L) + r(9L))) // 2->1, 9->1
+      r.keys.map(v => v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(warm === it(r0))
+  }
+
+  test("rankWarm converges in fewer iterations than cold on a grown graph") {
+    // star graph grown by a few edges: warm start sits near the new
+    // fixed point already
+    val e1 = (2L to 40L).map(i => (i, 1L)) ++ Seq((1L, 2L))
+    val e2 = e1 ++ Seq((41L, 1L), (42L, 1L), (1L, 3L))
+    val prev = PageRank.rank(e1.toDF("src", "dst"), "src", "dst", iters = 30)
+    def fixpoint = PageRank.rank(e2.toDF("src", "dst"), "src", "dst", iters = 40)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fp = fixpoint
+    def l1(m: Map[Long, Long]) = m.map { case (k, v) => math.abs(v - fp(k)) }.sum
+    val coldK = PageRank.rank(e2.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val warmK = PageRank.rankWarm(e2.toDF("src", "dst"), prev, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(l1(warmK) < l1(coldK),
+      s"warm start must be closer to the fixed point (warm ${l1(warmK)} vs cold ${l1(coldK)})")
+  }
 }

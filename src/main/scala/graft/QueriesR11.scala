@@ -31,6 +31,35 @@ object QueriesR11 {
         FROM cc GROUP BY node
         ORDER BY node"""
 
+  /** The link_graph HTML-fixture edge derivation over an arbitrary docs
+    * relation — (src, dst, w) host edges, hosts hashed to BIGINT ids
+    * (mirrors the Spark-side `edgesOf` in `stream_pagerank`). */
+  private def linkEdgesSql(docsSql: String): String =
+    s"""SELECT CAST('0x' || substr(md5(source || '.example.com'), 1, 8) AS BIGINT) AS src,
+       |       CAST('0x' || substr(md5(dhost), 1, 8) AS BIGINT) AS dst,
+       |       CAST(1 AS BIGINT) AS w
+       |FROM (
+       |  SELECT source,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      lower(regexp_extract(trim(href),
+       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+       |      '^.*@', ''), ':[0-9]*$$', ''), '\\.+$$', ''), '^www\\.', '') AS dhost
+       |  FROM (
+       |    SELECT source,
+       |      unnest(regexp_extract_all(html, '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+       |    FROM (
+       |      SELECT source,
+       |        '<html><body><p>' || text || '</p>' ||
+       |        '<a class="nav" href="https://src' ||
+       |        CAST((doc_id % 20) + 1 AS VARCHAR) || '.example.com/p">x</a>' ||
+       |        CASE WHEN doc_id % 2 = 0
+       |          THEN '<a href="https://www.hub.example.com:443/h">hub</a>'
+       |          ELSE '' END ||
+       |        '<a href="/relative/path">r</a>' ||
+       |        '<a href="mailto:a@b.c">m</a></body></html>' AS html
+       |      FROM ($docsSql)) t1) t2) t3
+       |WHERE dhost <> ''""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- training wall-clock, honestly billed ----------------------------
@@ -89,6 +118,73 @@ object QueriesR11 {
         graft.operators.PageRank.oracleSqlWarm(
           edgesSql(15), iters1 = 3, edgesSql(20), iters2 = 3)
       }),
+
+    // ---- streaming link-graph maintenance → warm authority refresh ------
+    // The crawl-to-authority loop as a MAINTAINED pipeline: seed an
+    // EdgeStore from the corpus crawl, rank it cold; stream two
+    // micro-batches of new pages (fresh docs, then re-crawled clones of
+    // corpus docs) whose host edges land in per-batch run slots
+    // (exactly-once — a double-landed batch would BIAS the ranks);
+    // refresh authority with a warm-start rank over the grown store.
+    // Checkpointed re-run appends nothing. The oracle replays the cold
+    // phase over the corpus edges and the warm phase over the union
+    // corpus edges, bit-exact.
+    QueryDef("stream_pagerank",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.Curation
+        import graft.operators.{EdgeStore, PageRank}
+        def withHtml(d: org.apache.spark.sql.DataFrame) =
+          d.withColumn("html", concat(
+            lit("<html><body><p>"), col("text"), lit("</p>"),
+            lit("<a class=\"nav\" href=\"https://src"),
+            ((col("doc_id") % 20) + 1).cast("string"),
+            lit(".example.com/p\">x</a>"),
+            when(col("doc_id") % 2 === 0,
+              lit("<a href=\"https://www.hub.example.com:443/h\">hub</a>"))
+              .otherwise(lit("")),
+            lit("<a href=\"/relative/path\">r</a>" +
+              "<a href=\"mailto:a@b.c\">m</a></body></html>")))
+        def h(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+        def edgesOf(d: org.apache.spark.sql.DataFrame) =
+          Curation.linkHostEdges(withHtml(d), "html",
+              concat(col("source"), lit(".example.com")))
+            .select(h(col("src_host")).as("src"),
+              h(col("dst_host")).as("dst"), col("w"))
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text", "source")
+        val corpus = docs.filter(col("doc_id") < 250)
+        val store = Files.createTempDirectory("graft_spr_store_").toString
+        EdgeStore.write(edgesOf(corpus), "src", "dst", Some("w"), store,
+          nBuckets = 16)
+        val prev = PageRank.rank(EdgeStore.read(s, store), "src", "dst",
+          Some("w"), iters = 3)
+        val srcDir = Files.createTempDirectory("graft_spr_src_").toString
+        docs.filter(col("doc_id") >= 250)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_spr_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingEdgeMaintenance(
+            s, srcDir, schema, store, ckpt, edgesOf, "src", "dst", Some("w"),
+            nBuckets = 16, maxFilesPerTrigger = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        PageRank.rankWarm(EdgeStore.read(s, store), prev, "src", "dst",
+          Some("w"), iters = 3).orderBy("node")
+      },
+      Some(graft.operators.PageRank.oracleSqlWarm(
+        linkEdgesSql("SELECT doc_id, text, source FROM documents WHERE doc_id < 250"),
+        iters1 = 3,
+        linkEdgesSql("""SELECT doc_id, text, source FROM documents
+                       |UNION ALL
+                       |SELECT doc_id + 200000, text, source FROM documents
+                       |WHERE doc_id % 10 = 0 AND doc_id < 250""".stripMargin),
+        iters2 = 3))),
 
     // ---- bucketed label store, batch path --------------------------------
     // The cc_incremental construction routed through LabelStore:

@@ -468,6 +468,43 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming link-graph maintenance: each micro-batch of crawled
+    * HTML documents extracts its host edges
+    * ([[graft.llm.Curation.linkHostEdges]]) and appends them to an
+    * [[graft.operators.EdgeStore]] under the batch's own `run=b<id>`
+    * slot — exactly-once edge weights under at-least-once delivery
+    * (a double-landed batch would BIAS every downstream PageRank, not
+    * just inflate candidates). Authority refresh is periodic, not
+    * per-batch: run [[graft.operators.PageRank.rankWarm]] over
+    * `EdgeStore.read` seeded from the previous vector whenever ranks
+    * are needed. `toEdges` maps a raw batch to its (src, dst[, w])
+    * edge rows. */
+  def streamingEdgeMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      toEdges: DataFrame => DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      wCol: Option[String] = Some("w"),
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.EdgeStore.append(
+          toEdges(batch), srcCol, dstCol, wCol, storePath, nBuckets,
+          runId = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- crash-safe (node, label) store -----------------------------------
   // Layout: path/v_<seq>/ parquet dirs, one per committed rewrite. A
   // version COUNTS only once its _SUCCESS marker exists (Spark's commit

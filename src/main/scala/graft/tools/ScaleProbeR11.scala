@@ -37,6 +37,34 @@ object ScaleProbeR11 {
       .persist()
     batch.count()
 
+    // ---- warm-start PageRank: grown graph, cold vs warm to tolerance --
+    // Zipfian out-link graph (the ScaleProbeR10b generator); grow edges
+    // ~2% and re-rank to the same L1 tolerance: the warm start's wall
+    // is the iterations it saves (the unchanged bulk starts at the old
+    // fixed point).
+    def graph(nV: Long, nE: Long) = spark.range(nE).select(
+      (pmod(xxhash64(col("id")), lit(nV)) + 1).as("src"),
+      (pmod(
+        (pow(pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).cast("double") / 1e6, 2.0)
+          * nV).cast("long"), lit(nV)) + 1).as("dst"))
+    val nV = 200000L
+    val g1 = graph(nV, 2000000L).persist(); g1.count()
+    val g2 = g1.unionByName(graph(nV, 40000L)).persist(); g2.count()
+    val tol = 50000L // L1 micro-mass tolerance
+    val prevRanks = graft.operators.PageRank
+      .rank(g1, "src", "dst", iters = 30, tolL1 = Some(tol))
+    val (_, tCold) = timeIt("re-rank grown graph COLD (tolL1)") {
+      graft.operators.PageRank.rank(g2, "src", "dst", iters = 30, tolL1 = Some(tol))
+        .count()
+    }
+    val (_, tWarm) = timeIt("re-rank grown graph WARM (tolL1)") {
+      graft.operators.PageRank
+        .rankWarm(g2, prevRanks, "src", "dst", iters = 30, tolL1 = Some(tol))
+        .count()
+    }
+    println(f"  warm/cold wall ratio: ${tWarm / tCold}%.2f")
+    g1.unpersist(); g2.unpersist()
+
     for ((tag, n) <- Seq("1x" -> 2000000L, "10x" -> 20000000L)) {
       val lab = labels(n)
       // in-memory path: full label DF scan per batch (materialized the

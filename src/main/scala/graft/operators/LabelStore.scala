@@ -143,9 +143,9 @@ object LabelStore {
     * per read on a 4096-bucket store. Explicit paths keep the listing
     * proportional to the touched buckets. `basePath` preserves the
     * partition columns' visibility for the exclude filter. */
-  private def prunedRead(spark: SparkSession, dir: String, partCol: String,
-                         buckets: Seq[Long],
-                         excludeRun: Option[String]): DataFrame = {
+  private[graft] def prunedRead(spark: SparkSession, dir: String, partCol: String,
+                                buckets: Seq[Long],
+                                excludeRun: Option[String]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return emptyLabels(spark)

@@ -104,21 +104,25 @@ class LabelStoreSpec extends SparkSpec {
       ccOver(pairsDf(5L -> 6L, 7L -> 8L, 6L -> 7L, 8L -> 50L)))
   }
 
-  test("pruned reads: batch-node lookup carries an nb= PartitionFilter") {
+  test("prunedRead scans ONLY the wanted buckets and skips the excluded run slot") {
     val path = Files.createTempDirectory("graft_ls_plan_").toString
     LabelStore.write(
       ConnectedComponents.run(pairsDf(1L -> 2L, 3L -> 4L, 9L -> 17L), "id_a", "id_b"),
       path, nBuckets = 8)
-    // all batch nodes hash to bucket 1 (pmod 8): 1, 9, 17
-    val raw = spark.read.parquet(s"$path/byn")
-    val lits: Seq[Any] = raw.schema("nb").dataType match {
-      case org.apache.spark.sql.types.LongType => Seq(1L)
-      case org.apache.spark.sql.types.IntegerType => Seq(1)
-      case _ => Seq("1")
-    }
-    val pruned = raw.filter(col("nb").isin(lits: _*)).select("node", "label")
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("nb"),
-      s"expected an nb= partition filter, got:\n$plan")
+    LabelStore.applyBatch(spark, path, pairsDf(2L -> 9L), "id_a", "id_b", Some("b7"))
+    // bucket 1 holds nodes 1, 9, 17; the read must touch no other
+    // bucket's files and none of run=b7's
+    val pruned = LabelStore.prunedRead(spark, s"$path/byn", "nb",
+      Seq(1L), excludeRun = Some("b7"))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/nb=1/")),
+      s"read must touch only bucket 1, got:\n${files.mkString("\n")}")
+    assert(files.forall(!_.contains("run=b7")),
+      s"excluded slot leaked into the read:\n${files.mkString("\n")}")
+    // and the unexcluded form DOES see the delta slot
+    val withSlot = LabelStore.prunedRead(spark, s"$path/byn", "nb",
+      Seq(1L, 2L), excludeRun = None)
+    assert(withSlot.inputFiles.exists(_.contains("run=b7")))
   }
 }

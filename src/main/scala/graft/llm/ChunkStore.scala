@@ -171,7 +171,8 @@ object ChunkStore {
     val existing =
       if (chunkDirs)
         spark.read.parquet(s"$path/chunks")
-          .filter(col("cb").isin(touched: _*))
+          .filter(col("cb").isin(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(touched): _*))
           .select("chunk_hash")
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

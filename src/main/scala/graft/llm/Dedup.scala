@@ -516,7 +516,8 @@ object Dedup {
       .persist()
     val touched = b.select("cid").distinct().collect().map(_.getInt(0)).sorted
     val corpusCand = corpusIndexed
-      .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+      .filter(col("cid").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(touched.map(Integer.valueOf)): _*))
       .select(col("cid"), col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val cand = corpusCand
       .unionByName(b.select(col("cid"), col("id").as("cand_id"), col("v").as("cv")))

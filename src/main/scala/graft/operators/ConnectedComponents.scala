@@ -50,7 +50,7 @@ object ConnectedComponents {
     // sum() over an empty table is NULL — getLong would NPE on a corpus
     // with zero pairs; an empty graph is already converged
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = -1L
     var iter = 0
     var converged = false

@@ -14,7 +14,7 @@ object CcProbe {
     println(f"pairs=${pairs.count()} in ${(System.nanoTime()-t0)/1e9}%.1f s")
     t0 = System.nanoTime()
     val cc = ConnectedComponents.run(pairs, "id_a", "id_b")
-    println(f"cc nodes=${cc.count()} comps=${cc.select("label").distinct.count()} in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    println(f"cc nodes=${cc.count()} comps=${cc.select("label").distinct().count()} in ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }

@@ -75,7 +75,7 @@ final class Warehouse(val root: String, spark: SparkSession) {
       // atomic on HDFS/POSIX and fails for all but one breaker once the
       // source is gone; the loser falls through to create() and gets the
       // normal locked-by-another-writer error.
-      val tombstone = new Path(lock + s".broken.${java.util.UUID.randomUUID()}")
+      val tombstone = new Path(s"$lock.broken.${java.util.UUID.randomUUID()}")
       try { if (f.rename(lock, tombstone)) f.delete(tombstone, false) }
       catch { case _: java.io.IOException => () } // lost the break race: create() arbitrates
     }

@@ -82,6 +82,28 @@ object QueriesR11 {
         labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
         finalSelect = "weights"))),
 
+    // ---- incremental classifier maintenance: warm-start training --------
+    // The deployed-model refresh shape: fit 2 iterations on yesterday's
+    // labeled half (doc_id % 2 = 0), then CONTINUE 2 more from those
+    // weights over the full grown corpus. Both phases replay bit-exact
+    // in the two-phase unrolled oracle (phase-2 normalizer uses the new
+    // corpus size, as trainFrom does).
+    QueryDef("quality_train_warm",
+      (s, dir) => {
+        import graft.llm.QualityTrain
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        val m0 = QualityTrain.train(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", "y", d = 64, iters = 2)
+        val m = QualityTrain.trainFrom(m0, docs, "text", "doc_id", "y",
+          iters = 2)
+        QualityTrain.weightsDf(s, m).orderBy("bucket")
+      },
+      Some(graft.llm.QualityTrain.oracleSqlWarm(
+        d = 64, iters1 = 2, iters2 = 2, lrNum = 1L, lrDen = 1L,
+        labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        where1 = "doc_id % 2 = 0"))),
+
     // ---- incremental authority: warm-start PageRank ----------------------
     // The growing-link-graph maintenance shape: rank yesterday's trade
     // graph (customer nations < 15) cold for 3 iterations, then today's

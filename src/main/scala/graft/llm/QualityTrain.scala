@@ -107,10 +107,33 @@ object QualityTrain {
     * Labels must be 0/1 (cast to long). */
   def train(df: DataFrame, textCol: String, idCol: String, labelCol: String,
             d: Int = 64, iters: Int = 3,
-            lrNum: Long = 1L, lrDen: Long = 1L): Model = {
+            lrNum: Long = 1L, lrDen: Long = 1L): Model =
+    descend(df, textCol, idCol, labelCol, d, iters, lrNum, lrDen,
+      w0 = Array.fill(d + 1)(0L))
+
+  /** WARM-START continuation: keep descending from a previously trained
+    * (or deployed) model's weights over a NEW corpus — the incremental
+    * maintenance shape for a growing labeled set (the
+    * [[graft.operators.PageRank.rankWarm]] pattern for the classifier):
+    * yesterday's weights already sit near the optimum for the unchanged
+    * bulk, so the continuation needs a fraction of a cold fit's
+    * iterations. Same fixed-point contract — a fixed-iteration warm run
+    * replays bit-exact in [[oracleSqlWarm]]. Hyperparameters (d, lr)
+    * come from the model; the per-iteration normalizer uses the NEW
+    * corpus size. */
+  def trainFrom(model: Model, df: DataFrame, textCol: String, idCol: String,
+                labelCol: String, iters: Int): Model =
+    descend(df, textCol, idCol, labelCol, model.d, iters,
+      model.lrNum, model.lrDen, w0 = model.weightsMicro.clone())
+
+  private def descend(df: DataFrame, textCol: String, idCol: String,
+                      labelCol: String, d: Int, iters: Int,
+                      lrNum: Long, lrDen: Long, w0: Array[Long]): Model = {
     require(d > 0, "QualityTrain.train: d must be positive")
     require(iters > 0, "QualityTrain.train: iters must be positive")
     require(lrNum > 0 && lrDen > 0, "QualityTrain.train: lr must be positive")
+    require(w0.length == d + 1,
+      s"QualityTrain: weight vector length ${w0.length} != d+1 = ${d + 1}")
     // one feature build, co-partitioned by doc for every later step
     val feat = features(df, textCol, idCol, labelCol, d)
       .repartition(col("id"))
@@ -125,7 +148,7 @@ object QualityTrain {
       require(nBad == 0,
         s"QualityTrain.train: $nBad documents with labels outside {0, 1}")
       require(nTrain > 0, "QualityTrain.train: no documents with tokens")
-      val w = Array.fill(d + 1)(0L)
+      val w = w0
       var it = 0
       while (it < iters) {
         val grads = gradient(feat, w).collect()
@@ -251,6 +274,69 @@ object QualityTrain {
     * `trainWhere` restricts the TRAINING population; `evalWhere`, when
     * set with "audit", audits a SEPARATE held-out population (the
     * train/eval-hygiene replay). */
+  /** One suffix-scoped block of GD iteration CTEs — shared by
+    * [[oracleSql]] (sfx="") and [[oracleSqlWarm]]'s two phases. */
+  private def gdIterCtes(iters: Int, lrNum: Long, lrDen: Long,
+                         sfx: String): String =
+    (1 to iters).map { k =>
+      val wp = s"w${k - 1}$sfx"
+      s"""e$k$sfx AS (
+         |  SELECT f.id,
+         |         GREATEST(0, LEAST(1000000, 500000 + (SUM(w.w * f.cnt) // f.n) // 4))
+         |           - f.y * 1000000 AS e
+         |  FROM feat$sfx f JOIN $wp w USING (bucket)
+         |  GROUP BY f.id, f.y, f.n),
+         |g$k$sfx AS (
+         |  SELECT f.bucket, SUM((e.e * f.cnt) // f.n) AS g
+         |  FROM feat$sfx f JOIN e$k$sfx e USING (id)
+         |  GROUP BY 1),
+         |w$k$sfx AS (
+         |  SELECT w.bucket,
+         |         w.w - ($lrNum * COALESCE(g.g, 0)) // ($lrDen * (SELECT c FROM nn$sfx)) AS w
+         |  FROM $wp w LEFT JOIN g$k$sfx g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+
+  private def featChainSql(sfx: String, where: Option[String], d: Int,
+                           labelExpr: String, table: String,
+                           textCol: String, idCol: String): String =
+    s"""docs$sfx AS (
+       |  SELECT $idCol AS id, CAST($labelExpr AS BIGINT) AS y,
+       |         list_filter(string_split(lower($textCol), ' '), x -> len(x) > 0) AS t
+       |  FROM $table${where.map(w => s" WHERE $w").getOrElse("")}),
+       |docn$sfx AS (SELECT id, y, CAST(len(t) AS BIGINT) AS n, t FROM docs$sfx WHERE len(t) > 0),
+       |feat$sfx AS (
+       |  SELECT id, y, n, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT id, y, n,
+       |           CAST((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $d) + 1 AS INT) AS bucket
+       |    FROM (SELECT id, y, n, unnest(t) AS tok FROM docn$sfx))
+       |  GROUP BY 1, 2, 3, 4
+       |  UNION ALL
+       |  SELECT id, y, n, 0 AS bucket, n AS cnt FROM docn$sfx)""".stripMargin
+
+  /** Unrolled DuckDB SQL replaying a cold [[train]] over the rows
+    * matching `where1` (`iters1` iterations) followed by a
+    * [[trainFrom]] continuation over the rows matching `where2`
+    * (`iters2` iterations from phase 1's weights) — bit-exact. */
+  def oracleSqlWarm(d: Int, iters1: Int, iters2: Int,
+                    lrNum: Long, lrDen: Long, labelExpr: String,
+                    where1: String, where2: Option[String] = None,
+                    table: String = "documents",
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): String = {
+    val p1 =
+      s"""WITH ${featChainSql("P", Some(where1), d, labelExpr, table, textCol, idCol)},
+         |nnP AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM docnP),
+         |w0P AS (SELECT CAST(range AS INT) AS bucket, CAST(0 AS BIGINT) AS w
+         |        FROM range(0, ${d + 1})),
+         |${gdIterCtes(iters1, lrNum, lrDen, "P")}""".stripMargin
+    val p2 =
+      s"""${featChainSql("", where2, d, labelExpr, table, textCol, idCol)},
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM docn),
+         |w0 AS (SELECT bucket, w FROM w${iters1}P),
+         |${gdIterCtes(iters2, lrNum, lrDen, "")}""".stripMargin
+    s"$p1,\n$p2\nSELECT bucket, CAST(w AS BIGINT) AS w FROM w$iters2 ORDER BY bucket"
+  }
+
   def oracleSql(d: Int, iters: Int, lrNum: Long, lrDen: Long,
                 labelExpr: String, table: String = "documents",
                 textCol: String = "text", idCol: String = "doc_id",
@@ -277,23 +363,7 @@ object QualityTrain {
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM docn),
          |w0 AS (SELECT CAST(range AS INT) AS bucket, CAST(0 AS BIGINT) AS w
          |       FROM range(0, ${d + 1}))$evalChain""".stripMargin
-    val iterCtes = (1 to iters).map { k =>
-      val wp = s"w${k - 1}"
-      s"""e$k AS (
-         |  SELECT f.id,
-         |         GREATEST(0, LEAST(1000000, 500000 + (SUM(w.w * f.cnt) // f.n) // 4))
-         |           - f.y * 1000000 AS e
-         |  FROM feat f JOIN $wp w USING (bucket)
-         |  GROUP BY f.id, f.y, f.n),
-         |g$k AS (
-         |  SELECT f.bucket, SUM((e.e * f.cnt) // f.n) AS g
-         |  FROM feat f JOIN e$k e USING (id)
-         |  GROUP BY 1),
-         |w$k AS (
-         |  SELECT w.bucket,
-         |         w.w - ($lrNum * COALESCE(g.g, 0)) // ($lrDen * (SELECT c FROM nn)) AS w
-         |  FROM $wp w LEFT JOIN g$k g USING (bucket))""".stripMargin
-    }.mkString(",\n")
+    val iterCtes = gdIterCtes(iters, lrNum, lrDen, sfx = "")
     val fin = finalSelect match {
       case "weights" =>
         s"SELECT bucket, CAST(w AS BIGINT) AS w FROM w$iters ORDER BY bucket"

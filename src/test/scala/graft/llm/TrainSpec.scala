@@ -13,7 +13,12 @@ class TrainSpec extends SparkSpec {
   /** Driver-side reference trainer: straight loops over in-memory docs,
     * the spec's independent implementation of the documented math. */
   private def referenceTrain(docs: Seq[(Long, Long, String)], d: Int,
-                             iters: Int, lrNum: Long, lrDen: Long): Array[Long] = {
+                             iters: Int, lrNum: Long, lrDen: Long): Array[Long] =
+    referenceDescend(docs, d, iters, lrNum, lrDen, Array.fill(d + 1)(0L))
+
+  private def referenceDescend(docs: Seq[(Long, Long, String)], d: Int,
+                               iters: Int, lrNum: Long, lrDen: Long,
+                               w0: Array[Long]): Array[Long] = {
     def bucket(tok: String): Int = {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(tok.getBytes("UTF-8"))
@@ -32,7 +37,7 @@ class TrainSpec extends SparkSpec {
       }
     }
     val nTrain = feats.size.toLong
-    val w = Array.fill(d + 1)(0L)
+    val w = w0
     for (_ <- 1 to iters) {
       val g = new Array[Long](d + 1)
       feats.foreach { case (_, y, n, cnt) =>
@@ -71,6 +76,34 @@ class TrainSpec extends SparkSpec {
     val m1 = QualityTrain.train(docs, "text", "doc_id", "y", d = 8, iters = 2)
     val m2 = QualityTrain.train(docs, "text", "doc_id", "y", d = 8, iters = 2)
     assert(m1.weightsMicro.toSeq === m2.weightsMicro.toSeq)
+  }
+
+  test("trainFrom on an unchanged corpus IS continued descent: warm(2)+2 == cold 4") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val cold4 = QualityTrain.train(docs, "text", "doc_id", "y", d = 16, iters = 4)
+    val warm = QualityTrain.trainFrom(
+      QualityTrain.train(docs, "text", "doc_id", "y", d = 16, iters = 2),
+      docs, "text", "doc_id", "y", iters = 2)
+    assert(warm.weightsMicro.toSeq === cold4.weightsMicro.toSeq)
+  }
+
+  test("trainFrom over a GROWN corpus matches the reference seeded with phase-1 weights") {
+    val docs = sf("sf0.001", "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text"))
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val m0 = QualityTrain.train(half, "text", "doc_id", "y", d = 16, iters = 2)
+    val warm = QualityTrain.trainFrom(m0, docs, "text", "doc_id", "y", iters = 2)
+    // reference: continue the driver-side recurrence from m0's weights
+    // over the full corpus (new normalizer = full corpus size)
+    val local = docs.as[(Long, Long, String)].collect().toSeq
+    val ref = referenceDescend(local, d = 16, iters = 2, lrNum = 1L, lrDen = 1L,
+      w0 = m0.weightsMicro.clone())
+    assert(warm.weightsMicro.toSeq === ref.toSeq)
+    // trainFrom must not mutate the input model
+    assert(m0.weightsMicro.toSeq !==  warm.weightsMicro.toSeq)
   }
 
   test("a separable toy corpus trains to a perfect hard audit") {

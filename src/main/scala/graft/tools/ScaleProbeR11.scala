@@ -65,6 +65,29 @@ object ScaleProbeR11 {
     println(f"  warm/cold wall ratio: ${tWarm / tCold}%.2f")
     g1.unpersist(); g2.unpersist()
 
+    // ---- warm-start training: grown labeled set, cold vs warm --------
+    // Accuracy after k iterations, fitting from zeros vs continuing
+    // from the half-corpus model: the warm start banks the old fit.
+    val docsQ = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("text")).persist()
+    docsQ.count()
+    val mStar = graft.llm.QualityTrain.train(docsQ, "text", "doc_id", "y",
+      d = 256, iters = 12) // the (near-)converged target
+    def l1(m: graft.llm.QualityTrain.Model): Long =
+      m.weightsMicro.zip(mStar.weightsMicro).map { case (a, b) => math.abs(a - b) }.sum
+    val mHalf = graft.llm.QualityTrain.train(
+      docsQ.filter(col("doc_id") % 2 === 0), "text", "doc_id", "y",
+      d = 256, iters = 4)
+    for (k <- Seq(1, 2)) {
+      val cold = graft.llm.QualityTrain.train(docsQ, "text", "doc_id", "y",
+        d = 256, iters = k)
+      val warm = graft.llm.QualityTrain.trainFrom(mHalf, docsQ,
+        "text", "doc_id", "y", iters = k)
+      println(f"train grown corpus k=$k: L1-to-converged cold=${l1(cold)}%d  warm=${l1(warm)}%d")
+    }
+    docsQ.unpersist()
+
     for ((tag, n) <- Seq("1x" -> 2000000L, "10x" -> 20000000L)) {
       val lab = labels(n)
       // in-memory path: full label DF scan per batch (materialized the

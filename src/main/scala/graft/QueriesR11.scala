@@ -208,6 +208,56 @@ object QueriesR11 {
                        |WHERE doc_id % 10 = 0 AND doc_id < 250""".stripMargin),
         iters2 = 3))),
 
+    // ---- ANN index lifecycle: quantizer-drift retrain --------------------
+    // Frozen append-time centroids pack a DRIFTED batch (every
+    // embedding shifted +2 per component) into one cell — the probe
+    // pathology where serving scans half the corpus. retrain()
+    // re-derives the quantizer from the stored vectors and rebuilds;
+    // the gate audits: the bloat existed, retrain shrank the max cell,
+    // every vector survived, and exhaustive-probe serving stays equal
+    // to brute force. Exact counts cross as a corpus_rows guard.
+    QueryDef("ann_ivf_retrain",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.{IvfIndex, Similarity}
+        val emb = Tables.read(s, dir, "embeddings")
+        val a = emb.filter(col("vec_id") % 2 === 0)
+          .select("vec_id", "embedding")
+        val b = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+        val all = a.unionByName(b).persist()
+        val n = all.count()
+        val idx = Files.createTempDirectory("graft_ivf_rt_gate_").toString
+        IvfIndex.write(a, "embedding", "vec_id", idx, nCells = 8)
+        IvfIndex.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+        def maxCell() = s.read.parquet(idx).groupBy("cid").count()
+          .agg(max("count")).first().getLong(0)
+        val before = maxCell()
+        IvfIndex.retrain(s, idx, nCells = 8)
+        val after = maxCell()
+        val kept = s.read.parquet(idx).count() == n
+        val queries = b.filter(col("vec_id") < 10) // deterministic query set
+        val served = IvfIndex.topK(s, idx, queries, "embedding", "vec_id",
+            k = 5, nProbe = 8)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val brute = Similarity
+          .bruteForceTopK(all, queries, "embedding", "vec_id", k = 5)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        all.unpersist()
+        import s.implicits._
+        Seq((n, before >= n / 2, after < before, kept, served == brute))
+          .toDF("corpus_rows", "bloated_before", "rebalanced", "kept_all",
+            "exact_serve")
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS corpus_rows,
+               TRUE AS bloated_before, TRUE AS rebalanced,
+               TRUE AS kept_all, TRUE AS exact_serve
+        FROM embeddings""")),
+
     // ---- bucketed label store, batch path --------------------------------
     // The cc_incremental construction routed through LabelStore:
     // seed from the corpus clustering, fold the fresh batch's pairs

@@ -143,6 +143,61 @@ object IvfIndex {
       path, "cid", runId)
   }
 
+  /** RETRAIN the quantizer from the index's OWN stored vectors and
+    * rebuild the cell layout — the maintenance op for quantizer DRIFT:
+    * [[append]] deliberately freezes the original centroids (pruned
+    * reads stay correct), so a corpus that grows past the trained
+    * distribution packs new mass into few cells and probed-fraction
+    * recall decays. Retraining re-derives centroids over everything
+    * stored (tombstoned rows excluded and physically dropped) and
+    * re-partitions — the FAISS re-train/re-add lifecycle.
+    *
+    * Crash contract (the [[IvfLayout.compact]] discipline): the new
+    * index is STAGED fully beside the live one, then installed by
+    * backup-rename + move (atomic on HDFS/POSIX; object stores refuse
+    * via requireAtomicRename); a crash mid-swap leaves
+    * `<path>__retrain_old` to restore, and a re-run refuses while it
+    * exists. */
+  def retrain(spark: SparkSession, path: String, nCells: Int = 16): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(fs.exists(root), s"IvfIndex.retrain: no index at $path")
+    val tmp = new Path(path + "__retrain_tmp")
+    val old = new Path(path + "__retrain_old")
+    require(!fs.exists(old),
+      s"IvfIndex.retrain: leftover $old from an interrupted retrain — " +
+        "restore it over the index path (or remove it) before re-running")
+    fs.delete(tmp, true)
+    // the rebuild reads the live index, so the staged write must not
+    // consume a lazy plan over directories the install will move —
+    // write() targets tmp, which is safe, but the read stays live until
+    // the job finishes; only after full staging do the renames run
+    val vecs = Tombstones.exclude(
+      spark.read.parquet(path)
+        .select(col("neighbor_id"), col("neighbor_vec")),
+      "neighbor_id", spark, path).persist()
+    // hash-sampled init + Lloyd refinement: the default id-stride seed
+    // inherits id structure (an even/odd corpus split defeats it — every
+    // stride pick lands on one side and the drifted mass keeps its one
+    // bloated cell through any number of Lloyd steps)
+    val cents = KMeans.fit(vecs, "neighbor_vec", "neighbor_id", nCells,
+      iters = 5, init = Some(KMeans.hashSampleInit(
+        vecs, "neighbor_vec", "neighbor_id", nCells)))
+    write(vecs, "neighbor_vec", "neighbor_id", tmp.toString, nCells,
+      trainedCentroids = Some(cents))
+    vecs.unpersist()
+    require(fs.rename(root, old), s"IvfIndex.retrain: backup rename of $path failed")
+    require(fs.rename(tmp, root), s"IvfIndex.retrain: install rename to $path failed")
+    fs.delete(old, true)
+    Tombstones.clear(spark, path)
+  }
+
   /** Approximate top-k against a written index. Queries are assigned their
     * nProbe cells by the sidecar quantizer (projection over literals); the
     * union of probed cells — bounded by |queries| × nProbe — becomes a

@@ -56,18 +56,23 @@ object KMeans {
     corpus.withColumn("cid", nearest(col(vecCol), centroids))
 
   /** Train k centroids with `iters` Lloyd iterations. Empty clusters
-    * keep their previous centroid. Returns the k centroid vectors. */
+    * keep their previous centroid. Returns the k centroid vectors.
+    * `init` overrides the default deterministic id-stride seed — pass
+    * [[hashSampleInit]] when ids carry structure the stride would bias
+    * toward (the IvfIndex.retrain lesson: an even-id/odd-id corpus
+    * split makes every stride-of-even-length pick land on one side). */
   def fit(corpus: DataFrame, vecCol: String, idCol: String,
           k: Int, iters: Int = 5,
-          corpusRows: Option[Long] = None): Seq[Seq[Double]] = {
+          corpusRows: Option[Long] = None,
+          init: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     require(k > 0 && iters > 0)
     // shared with ivfTopK's default quantizer — one deterministic
     // (id-ordered) stride-sample definition for both
-    var centroids: Seq[Seq[Double]] = Similarity
+    var centroids: Seq[Seq[Double]] = init.getOrElse(Similarity
       .strideCentroids(corpus, vecCol, idCol, k, corpusRows)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
-      .toSeq
+      .toSeq)
 
     (0 until iters).foreach { _ =>
       val means = assign(corpus.select(col(vecCol)), vecCol, centroids)
@@ -86,4 +91,16 @@ object KMeans {
     }
     centroids
   }
+
+  /** Deterministic structure-free k-seed: the k vectors whose ids sort
+    * first under xxhash64 — id-distribution-independent, unlike the
+    * stride sample (which inherits any arithmetic pattern in the ids). */
+  def hashSampleInit(corpus: DataFrame, vecCol: String, idCol: String,
+                     k: Int): Seq[Seq[Double]] =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
 }

@@ -128,7 +128,14 @@ object IvfPq {
   }
 
   /** One-file-per-cell rewrite of an appended-to index; tombstoned rows
-    * are purged and the markers cleared. See [[IvfLayout.compact]]. */
+    * are purged and the markers cleared. See [[IvfLayout.compact]].
+    *
+    * NOTE on quantizer drift: unlike [[IvfIndex.retrain]], an IVF+PQ
+    * store CANNOT retrain from itself — it holds codes, not vectors
+    * (that lossy compression is the point). Repairing centroid/codebook
+    * drift here means re-running [[write]] over the original corpus;
+    * plan for vector custody upstream (e.g. the embeddings table or an
+    * [[IvfIndex]] twin) if drift repair matters. */
   def compact(spark: SparkSession, path: String): Unit = {
     IvfLayout.compact(spark, path, "cid",
       df => Tombstones.exclude(df, "id", spark, path))

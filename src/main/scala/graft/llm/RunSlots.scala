@@ -110,6 +110,40 @@ private[graft] object RunSlots {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Per-table slot accounting from FS metadata only (no data read):
+    * one row per `run=` slot with its file count and bytes — the
+    * compaction trigger every slotted store needs (a long-running
+    * stream lands one slot per batch; compact folds them back into
+    * `__base__` once slot count or small-file count crosses the
+    * operator's threshold). A pre-slot flat table reports a single
+    * `(legacy)` row. */
+  def stats(spark: SparkSession, table: String): Seq[SlotStat] = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    def filesUnder(dir: Path): (Long, Long) = {
+      val it = fs.listFiles(dir, true)
+      var n = 0L; var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")) { n += 1; b += f.getLen }
+      }
+      (n, b)
+    }
+    val slots = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+    if (slots.isEmpty) {
+      val (n, b) = filesUnder(p)
+      if (n == 0) Seq.empty else Seq(SlotStat("(legacy)", n, b))
+    } else slots.map { s =>
+      val (n, b) = filesUnder(s.getPath)
+      SlotStat(s.getPath.getName.stripPrefix("run="), n, b)
+    }.sortBy(_.run)
+  }
+
+  final case class SlotStat(run: String, files: Long, bytes: Long)
+
   /** Does `table` hold any `partCol=` partition directory — at the
     * root (legacy flat layout) or inside any `run=` slot? The
     * empty-seed guard readers use before `spark.read.parquet`. */

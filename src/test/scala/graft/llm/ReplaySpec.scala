@@ -145,6 +145,23 @@ class ReplaySpec extends SparkSpec {
     assert(serve() === before)
   }
 
+  test("RunSlots.stats: one row per slot, folds to __base__ after compact") {
+    val p = Files.createTempDirectory("graft_rp_stats_").toString
+    MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)
+    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
+    MinHashIndex.append(
+      Seq((20L, base + "one")).toDF("doc_id", "text"),
+      "text", "doc_id", p, nBuckets = 4, runId = Some("b1"))
+    val before = RunSlots.stats(spark, s"$p/bands")
+    assert(before.map(_.run) === Seq(RunSlots.Base, "b0", "b1"))
+    assert(before.forall(s => s.files > 0 && s.bytes > 0))
+    MinHashIndex.compact(spark, p)
+    val after = RunSlots.stats(spark, s"$p/bands")
+    assert(after.map(_.run) === Seq(RunSlots.Base))
+    // empty / missing tables report empty, not a throw
+    assert(RunSlots.stats(spark, s"$p/nope").isEmpty)
+  }
+
   test("streaming replay end to end: wiped checkpoint re-delivers the batch, index converges") {
     val idxPath = Files.createTempDirectory("graft_rp_str_idx_").toString
     MinHashIndex.write(corpus, "text", "doc_id", idxPath, nBuckets = 4)

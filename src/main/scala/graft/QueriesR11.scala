@@ -104,6 +104,47 @@ object QueriesR11 {
         labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
         where1 = "doc_id % 2 = 0"))),
 
+    // ---- streaming labeled-set growth → warm model refresh ---------------
+    // The third maintenance triad leg (edges→rankWarm, pairs→LabelStore,
+    // labeled docs→trainFrom): yesterday's model fits on the corpus
+    // slice; new labeled documents stream into an incremental table
+    // (checkpointed exactly-once file progress — a re-run appends
+    // nothing); the refresh CONTINUES descent from the deployed weights
+    // over the grown set. Same two-phase oracle as quality_train_warm.
+    QueryDef("stream_quality_train",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.QualityTrain
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "text", "lang")
+        val corpus = docs.filter(col("doc_id") < 250)
+        def label(d: org.apache.spark.sql.DataFrame) =
+          d.withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        val m0 = QualityTrain.train(label(corpus), "text", "doc_id", "y",
+          d = 64, iters = 2)
+        val srcDir = Files.createTempDirectory("graft_sqt_src_").toString
+        docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val tgtDir = Files.createTempDirectory("graft_sqt_tgt_").toString
+        val ckpt = Files.createTempDirectory("graft_sqt_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.incrementalAppend(
+            s, srcDir, schema, tgtDir, ckpt).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: nothing new lands
+        val grown = corpus.unionByName(s.read.parquet(tgtDir))
+        val m = QualityTrain.trainFrom(m0, label(grown), "text", "doc_id", "y",
+          iters = 2)
+        QualityTrain.weightsDf(s, m).orderBy("bucket")
+      },
+      Some(graft.llm.QualityTrain.oracleSqlWarm(
+        d = 64, iters1 = 2, iters2 = 2, lrNum = 1L, lrDen = 1L,
+        labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        where1 = "doc_id < 250"))),
+
     // ---- incremental authority: warm-start PageRank ----------------------
     // The growing-link-graph maintenance shape: rank yesterday's trade
     // graph (customer nations < 15) cold for 3 iterations, then today's

@@ -140,21 +140,28 @@ object Dsir {
   }
 
   /** Persist a fitted model: (side, bucket, cnt) rows + an nBuckets
-    * meta row — a few KB of parquet any session can [[readModel]]. */
+    * meta row — a few KB of parquet any session can [[readModel]].
+    * Published atomically via a `v_<seq>` + `_SUCCESS` version dir
+    * ([[VersionedArtifact]]): a crash between the two tables leaves
+    * the previous committed model readable, never a torn artifact. */
   def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
+    val vdir = VersionedArtifact.nextVersionDir(spark, path)
     (model.rawRows.map { case (b, c) => ("raw", b, c) } ++
       model.tgtRows.map { case (b, c) => ("target", b, c) })
       .toDF("side", "bucket", "cnt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/counts")
     Seq(model.nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_meta")
+    VersionedArtifact.commitAndPrune(spark, path, vdir,
+      legacyEntries = Seq("counts", "_meta"))
   }
 
   def readModel(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(s"$path/counts").collect()
+    val dir = VersionedArtifact.currentDir(spark, path).getOrElse(path)
+    val rows = spark.read.parquet(s"$dir/counts").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val nb = spark.read.parquet(s"$path/_meta").head().getInt(0)
+    val nb = spark.read.parquet(s"$dir/_meta").head().getInt(0)
     Model(rows.filter(_._1 == "raw").map(r => (r._2, r._3)).toSeq,
       rows.filter(_._1 == "target").map(r => (r._2, r._3)).toSeq, nb)
   }

@@ -21,7 +21,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * The event log got the same hygiene op (RunLog.compactLog); an index
   * serving point reads deserve it just as much. */
 private[graft] object IvfLayout {
-  import org.apache.hadoop.fs.{FileUtil, Path}
+  import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+
+  /** The non-reserved `run=` slot ids currently present under `root` —
+    * the ids a fold of this tree must record ([[RunSlots]] manifest).
+    * `__base__` is the fold target and `__adhoc__` carries
+    * accumulate-semantics appends (never replayed), so neither is
+    * recorded — recording them would turn legitimate future writes
+    * into no-ops. */
+  private[graft] def foldedRunIds(fs: FileSystem, root: Path): Set[String] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+      .map(_.getPath.getName.stripPrefix("run="))
+      .filterNot(id => id == RunSlots.Base || id == RunSlots.Adhoc)
+      .toSet
 
   /** Rewrite the index with ONE file per cell: stage a full compacted
     * copy (one shuffle keyed by cid, so each cell's rows land in exactly
@@ -78,11 +91,23 @@ private[graft] object IvfLayout {
           "store or rebuild it instead of compacting")
     }
     // sidecars (_centroids, _codebooks) travel verbatim; _SUCCESS is
-    // rewritten by the staged write itself
+    // rewritten by the staged write itself; __stage wreckage from an
+    // interrupted VersionedArtifact.writeStaged is dead weight — skip it
     fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("_") && fs.getFileStatus(p).isDirectory)
+      .filter(p => p.getName.startsWith("_") && !p.getName.endsWith("__stage") &&
+        fs.getFileStatus(p).isDirectory)
       .foreach(side =>
         FileUtil.copy(fs, side, fs, new Path(tmp, side.getName), false, conf))
+
+    // fold manifest: record every non-reserved run id this compact
+    // folds into __base__, merged with previously-recorded ids, and
+    // write it into the STAGED tree so it installs atomically with the
+    // fold — a replayed pre-compact batch id then no-ops in
+    // RunSlots.write instead of re-landing rows the base already holds
+    // (this is what makes compaction replay-safe mid-stream)
+    val allFolded = RunSlots.foldedRuns(spark, path) ++ foldedRunIds(fs, root)
+    if (allFolded.nonEmpty)
+      RunSlots.writeFoldedManifest(spark, tmp.toString, allFolded)
 
     require(fs.rename(root, old), s"IvfLayout.compact: backup rename of $path failed")
     require(fs.rename(tmp, root), s"IvfLayout.compact: install rename to $path failed")
@@ -122,8 +147,10 @@ object IvfIndex {
       Similarity.assignCells(corpus, cents, vecCol, idCol, "neighbor", 1),
       path, "cid", Some(RunSlots.Base))
     import spark.implicits._
-    cents.toDF("cid", "c_vec")
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+    // staged install: the quantizer sidecar is absent-or-complete, never
+    // a torn parquet dir that silently reads back with missing cells
+    VersionedArtifact.writeStaged(cents.toDF("cid", "c_vec"),
+      s"$path/_centroids")
   }
 
   private def readCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
@@ -182,6 +209,15 @@ object IvfIndex {
       spark.read.parquet(path)
         .select(col("neighbor_id"), col("neighbor_vec")),
       "neighbor_id", spark, path).persist()
+    // precondition, not a late k-means/assign error: an empty or
+    // near-empty index (e.g. fully tombstoned) cannot seed nCells
+    // centroids — tell the operator the real remedy up front
+    val nVecs = vecs.count()
+    require(nVecs >= nCells.toLong,
+      s"IvfIndex.retrain: index at $path holds $nVecs live vector(s) " +
+        s"after tombstone exclusion, fewer than nCells=$nCells — delete " +
+        "the store or rebuild it (with a smaller nCells) instead of " +
+        "retraining")
     // hash-sampled init + Lloyd refinement: the default id-stride seed
     // inherits id structure (an even/odd corpus split defeats it — every
     // stride pick lands on one side and the drifted mass keeps its one
@@ -190,8 +226,14 @@ object IvfIndex {
       iters = 5, init = Some(KMeans.hashSampleInit(
         vecs, "neighbor_vec", "neighbor_id", nCells)))
     write(vecs, "neighbor_vec", "neighbor_id", tmp.toString, nCells,
-      trainedCentroids = Some(cents))
+      corpusRows = Some(nVecs), trainedCentroids = Some(cents))
     vecs.unpersist()
+    // the rebuilt base holds every live row, so every pre-retrain slot
+    // id counts as folded: carry the manifest forward + record them
+    val allFolded = RunSlots.foldedRuns(spark, path) ++
+      IvfLayout.foldedRunIds(fs, root)
+    if (allFolded.nonEmpty)
+      RunSlots.writeFoldedManifest(spark, tmp.toString, allFolded)
     require(fs.rename(root, old), s"IvfIndex.retrain: backup rename of $path failed")
     require(fs.rename(tmp, root), s"IvfIndex.retrain: install rename to $path failed")
     fs.delete(old, true)

@@ -99,12 +99,15 @@ object IvfPq {
         .withColumn("xnormsq", xNormSq(col("codes"), meta)),
       path, "cid", Some(RunSlots.Base))
     import spark.implicits._
-    cents.toDF("cid", "c_vec")
-      .write.mode("overwrite").parquet(s"$path/_centroids")
-    books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (w, j) => (s, j, w) }
-    }.toDF("s", "j", "w")
-      .write.mode("overwrite").parquet(s"$path/_codebooks")
+    // staged install for both sidecars (IvfIndex.write's discipline):
+    // absent-or-complete, never torn
+    VersionedArtifact.writeStaged(cents.toDF("cid", "c_vec"),
+      s"$path/_centroids")
+    VersionedArtifact.writeStaged(
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (w, j) => (s, j, w) }
+      }.toDF("s", "j", "w"),
+      s"$path/_codebooks")
   }
 
   /** Append a batch into the existing layout using the index's OWN
@@ -133,12 +136,72 @@ object IvfPq {
     * NOTE on quantizer drift: unlike [[IvfIndex.retrain]], an IVF+PQ
     * store CANNOT retrain from itself — it holds codes, not vectors
     * (that lossy compression is the point). Repairing centroid/codebook
-    * drift here means re-running [[write]] over the original corpus;
-    * plan for vector custody upstream (e.g. the embeddings table or an
-    * [[IvfIndex]] twin) if drift repair matters. */
+    * drift here means [[retrainFrom]] over the vector corpus the caller
+    * custodies (e.g. the embeddings table or an [[IvfIndex]] twin). */
   def compact(spark: SparkSession, path: String): Unit = {
     IvfLayout.compact(spark, path, "cid",
       df => Tombstones.exclude(df, "id", spark, path))
+    Tombstones.clear(spark, path)
+  }
+
+  /** RETRAIN quantizer + codebooks from an externally-custodied vector
+    * corpus and rebuild the index — [[IvfIndex.retrain]]'s
+    * FAISS re-train/re-add lifecycle for the codes-only store, which
+    * cannot retrain from itself (see [[compact]]'s drift note). The
+    * caller owns vector custody: `corpus` must be the CURRENT corpus
+    * the rebuilt index should serve (tombstoned ids are excluded and
+    * the markers cleared, like retrain).
+    *
+    * Crash contract (the [[IvfLayout.compact]] discipline): the new
+    * index is STAGED fully beside the live one, then installed by
+    * backup-rename + move (atomic on HDFS/POSIX; object stores refuse
+    * via requireAtomicRename); a crash mid-swap leaves
+    * `<path>__retrain_old` to restore, and a re-run refuses while it
+    * exists. The fold manifest carries forward: the rebuilt base holds
+    * every live row, so replayed pre-retrain batch ids stay no-ops. */
+  def retrainFrom(corpus: DataFrame, vecCol: String, idCol: String,
+                  path: String, nCells: Int = 16, m: Int = 8, k: Int = 16,
+                  iters: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = corpus.sparkSession
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(fs.exists(root), s"IvfPq.retrainFrom: no index at $path")
+    val tmp = new Path(path + "__retrain_tmp")
+    val old = new Path(path + "__retrain_old")
+    require(!fs.exists(old),
+      s"IvfPq.retrainFrom: leftover $old from an interrupted retrain — " +
+        "restore it over the index path (or remove it) before re-running")
+    fs.delete(tmp, true)
+    val vecs = Tombstones.exclude(
+      corpus.select(col(idCol), col(vecCol)), idCol, spark, path).persist()
+    // precondition, not a late k-means error (IvfIndex.retrain's guard)
+    val nVecs = vecs.count()
+    require(nVecs >= nCells.toLong,
+      s"IvfPq.retrainFrom: corpus holds $nVecs live vector(s) after " +
+        s"tombstone exclusion, fewer than nCells=$nCells — delete the " +
+        "store or rebuild it (with a smaller nCells) instead of " +
+        "retraining")
+    // hash-sampled init + Lloyd refinement for the coarse quantizer
+    // (id-stride seeds inherit id structure — IvfIndex.retrain's note);
+    // residual codebooks retrain inside write() against the new cells
+    val cents = KMeans.fit(vecs, vecCol, idCol, nCells,
+      iters = 5, init = Some(KMeans.hashSampleInit(vecs, vecCol, idCol, nCells)))
+    write(vecs, vecCol, idCol, tmp.toString, nCells, m, k, iters,
+      corpusRows = Some(nVecs), trainedCentroids = Some(cents))
+    vecs.unpersist()
+    val allFolded = RunSlots.foldedRuns(spark, path) ++
+      IvfLayout.foldedRunIds(fs, root)
+    if (allFolded.nonEmpty)
+      RunSlots.writeFoldedManifest(spark, tmp.toString, allFolded)
+    require(fs.rename(root, old), s"IvfPq.retrainFrom: backup rename of $path failed")
+    require(fs.rename(tmp, root), s"IvfPq.retrainFrom: install rename to $path failed")
+    fs.delete(old, true)
     Tombstones.clear(spark, path)
   }
 

@@ -252,6 +252,14 @@ object Retrieval {
   def appendIndex(batch: DataFrame, textCol: String, idCol: String,
                   path: String, nBuckets: Int = 64,
                   runId: Option[String] = None): Unit = {
+    // validate BOTH tables' layouts before writing anything: a legacy
+    // (pre-slot) store must fail WRITE-FREE — if only the postings
+    // guard fired, the _stats delta slot would already have landed,
+    // leaving n_docs counting docs whose postings never arrived and a
+    // mixed-depth _stats tree that every later read trips over
+    val spark = batch.sparkSession
+    RunSlots.requireSlotLayout(spark, path, "bucket")
+    RunSlots.requireFlatSlotLayout(spark, s"$path/_stats")
     val toks = batch.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("w"))
     val withLen = toks.select(col("doc_id"), col("w"),

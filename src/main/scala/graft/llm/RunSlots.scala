@@ -25,12 +25,19 @@ import org.apache.hadoop.fs.Path
   * partial `run=<id>` subtree; readers may briefly over-count that
   * run, and the replay (same id, same deterministic rows) rewrites
   * the slot whole. Compaction collapses all slots back into
-  * `__base__` — replaying a PRE-compact run id after a compact
-  * re-lands its rows (the ChunkStore caveat; compact is an offline
-  * maintenance op, not a mid-stream one). */
+  * `__base__` AND records the folded run ids in the table's
+  * `_folded_runs.json` manifest (written into the staged tree, so it
+  * installs atomically with the fold — [[IvfLayout.compact]]):
+  * [[write]]/[[writeFlat]] for a recorded id is a NO-OP, because the
+  * replayed batch's rows already live in the base generation and
+  * re-landing them would double-count (fatal for additive stores
+  * like EdgeStore weights). That manifest is what makes compaction
+  * replay-safe and therefore schedulable BETWEEN micro-batches of a
+  * live stream, not only offline. */
 private[graft] object RunSlots {
   val Base = "__base__"
   val Adhoc = "__adhoc__"
+  val ManifestFile = "_folded_runs.json"
 
   /** Run ids become directory names: keep them path- and
     * partition-value-safe, and non-numeric-looking is guaranteed by
@@ -47,18 +54,18 @@ private[graft] object RunSlots {
   def slotDir(table: String, id: String): String =
     s"$table/run=${validate(id)}"
 
-  private def fsOf(df: DataFrame, table: String) = {
+  private def fsOf(spark: SparkSession, table: String) = {
     val p = new Path(table)
-    (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   /** Refuse to graft run slots onto a pre-slot flat store: mixed
     * directory depths make partition discovery throw on every
     * subsequent read. Legacy stores are upgraded by compact (which
     * restamps into `run=__base__`) or a rebuild. */
-  private def requireSlotLayout(df: DataFrame, table: String,
-                                partCol: String): Unit = {
-    val (fs, root) = fsOf(df, table)
+  private[graft] def requireSlotLayout(spark: SparkSession, table: String,
+                                       partCol: String): Unit = {
+    val (fs, root) = fsOf(spark, table)
     if (fs.exists(root)) {
       val legacy = fs.listStatus(root).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
@@ -69,15 +76,84 @@ private[graft] object RunSlots {
     }
   }
 
+  /** [[requireSlotLayout]] for UNPARTITIONED slotted side tables (the
+    * [[writeFlat]] family): legacy = data files directly at the root.
+    * A slot dir grafted next to flat part files gives the table two
+    * conflicting directory depths — every subsequent read throws — so
+    * the append must fail BEFORE writing anything (ADVICE r11: the
+    * `_stats` delta slot used to land before the postings guard
+    * fired, leaving a torn half-append on a legacy index). */
+  private[graft] def requireFlatSlotLayout(spark: SparkSession,
+                                           table: String): Unit = {
+    val (fs, root) = fsOf(spark, table)
+    if (fs.exists(root)) {
+      val legacy = fs.listStatus(root).exists(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      require(!legacy,
+        s"RunSlots: $table has pre-slot flat data files at the root; " +
+          "compact/migrate it into the run= slot layout before " +
+          "run-scoped appends")
+    }
+  }
+
+  // ---- fold manifest (replay-safe compaction) -------------------------
+
+  /** Run ids a compact has already folded into `__base__`. Empty when
+    * the table has never been compacted (or was reset/rebuilt). */
+  private[graft] def foldedRuns(spark: SparkSession,
+                                table: String): Set[String] = {
+    val (fs, _) = fsOf(spark, table)
+    val p = new Path(s"$table/$ManifestFile")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val arr = """"folded"\s*:\s*\[([^\]]*)\]""".r.unanchored
+        .findFirstMatchIn(txt)
+        .map(_.group(1))
+        .getOrElse(throw new IllegalStateException(
+          s"RunSlots: unparseable $ManifestFile at $table: $txt"))
+      """"([^"]+)"""".r.findAllMatchIn(arr).map(_.group(1)).toSet
+    }
+  }
+
+  /** Write (atomically: tmp + rename) the fold manifest under `dir`.
+    * Compaction calls this on its STAGED tree so the manifest installs
+    * in the same rename as the folded data. */
+  private[graft] def writeFoldedManifest(spark: SparkSession, dir: String,
+                                         ids: Set[String]): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val tmp = new Path(s"$dir/${ManifestFile}__tmp")
+    val live = new Path(s"$dir/$ManifestFile")
+    val body = ids.toSeq.sorted.map(id => s""""$id"""").mkString(",")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"folded":[$body]}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Write `df` into its run slot: with a run id, a STATIC overwrite
     * of `table/run=<id>` (the idempotent replay target — static so
     * the whole slot is replaced even under a dynamic-overwrite
     * session default); without one, a plain append under
-    * `run=__adhoc__`. */
+    * `run=__adhoc__`. A run id the fold manifest records is a NO-OP:
+    * its rows were compacted into `__base__`, and a replay must not
+    * re-land them. */
   def write(df: DataFrame, table: String, partCol: String,
             runId: Option[String]): Unit = {
-    requireSlotLayout(df, table, partCol)
+    requireSlotLayout(df.sparkSession, table, partCol)
     runId match {
+      case Some(id)
+          if foldedRuns(df.sparkSession, table).contains(validate(id)) =>
+        () // replayed batch already folded into __base__
       case Some(id) =>
         df.write.mode("overwrite")
           .option("partitionOverwriteMode", "static")
@@ -89,10 +165,15 @@ private[graft] object RunSlots {
   }
 
   /** [[write]] for unbucketed side tables (e.g. the lexical `_stats`
-    * delta rows): same slot semantics, no inner partition level. */
+    * delta rows): same slot semantics — including the fold-manifest
+    * no-op and the legacy-layout guard — no inner partition level. */
   def writeFlat(df: DataFrame, table: String,
-                runId: Option[String]): Unit =
+                runId: Option[String]): Unit = {
+    requireFlatSlotLayout(df.sparkSession, table)
     runId match {
+      case Some(id)
+          if foldedRuns(df.sparkSession, table).contains(validate(id)) =>
+        () // replayed batch already folded into __base__
       case Some(id) =>
         df.write.mode("overwrite")
           .option("partitionOverwriteMode", "static")
@@ -100,6 +181,7 @@ private[graft] object RunSlots {
       case None =>
         df.write.mode("append").parquet(slotDir(table, Adhoc))
     }
+  }
 
   /** Full-rebuild reset: drop EVERY slot (a slot-scoped overwrite
     * only replaces `__base__`, and a rebuild must not leave stale
@@ -143,6 +225,21 @@ private[graft] object RunSlots {
   }
 
   final case class SlotStat(run: String, files: Long, bytes: Long)
+
+  /** Number of run slots beyond `__base__` — ONE `listStatus`, no
+    * recursion: the cheap per-batch compaction trigger (use [[stats]]
+    * when the decision needs file counts or bytes). Streaming
+    * maintenance loops check this at the top of each micro-batch and
+    * compact once it crosses their threshold — the fold manifest makes
+    * that safe even if an uncommitted batch's slot gets folded. */
+  def slotCount(spark: SparkSession, table: String): Int = {
+    val (fs, p) = fsOf(spark, table)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s => s.isDirectory && {
+      val n = s.getPath.getName
+      n.startsWith("run=") && n != s"run=$Base"
+    })
+  }
 
   /** Does `table` hold any `partCol=` partition directory — at the
     * root (legacy flat layout) or inside any `run=` slot? The

@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Atomic model/sidecar artifact publish (r11 verdict "What's missing
+  * #3"): the quality-classifier and DSIR model writers used to
+  * overwrite `weights`/`counts` then `_meta` in place — a crash
+  * between the two (or mid-file) left a torn artifact. Both now
+  * publish through `v_<seq>` + `_SUCCESS` version dirs
+  * ([[VersionedArtifact]]); the IVF/PQ sidecars install by staged
+  * rename (absent-or-complete). */
+class ModelPublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def qModel(bias: Long) =
+    QualityTrain.Model(Array(bias, 10L, -20L), d = 2, iters = 1,
+      lrNum = 1L, lrDen = 1L, nTrain = 5L)
+
+  test("quality model: versioned publish round-trips and supersedes") {
+    val p = Files.createTempDirectory("graft_mp_q_").toString
+    QualityTrain.writeModel(spark, qModel(1L), p)
+    assert(QualityTrain.readModel(spark, p).weightsMicro.toSeq ===
+      Seq(1L, 10L, -20L))
+    QualityTrain.writeModel(spark, qModel(2L), p)
+    assert(QualityTrain.readModel(spark, p).weightsMicro.toSeq ===
+      Seq(2L, 10L, -20L))
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdirs = fs.listStatus(new Path(p))
+      .filter(_.getPath.getName.startsWith("v_")).map(_.getPath.getName)
+    assert(vdirs.toSeq === Seq("v_000002"), "superseded version pruned")
+  }
+
+  test("crash between weights and _meta: previous model stays readable; next write heals") {
+    val p = Files.createTempDirectory("graft_mp_crash_").toString
+    QualityTrain.writeModel(spark, qModel(1L), p)
+    // simulate the torn publish: v_000002 holds weights but no _meta
+    // and no _SUCCESS (writer died between the member writes)
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(p, "v_000002")
+    Seq((0, 99L)).toDF("bucket", "w").coalesce(1)
+      .write.parquet(new Path(torn, "weights").toString)
+    assert(QualityTrain.readModel(spark, p).weightsMicro.toSeq ===
+      Seq(1L, 10L, -20L), "uncommitted publish must be invisible")
+    // the retried publish lands PAST the wreckage and prunes it
+    QualityTrain.writeModel(spark, qModel(3L), p)
+    assert(QualityTrain.readModel(spark, p).weightsMicro.toSeq ===
+      Seq(3L, 10L, -20L))
+    assert(!fs.exists(torn), "retry must clear the wreckage")
+  }
+
+  test("legacy flat model layout stays readable; first write migrates it away") {
+    val p = Files.createTempDirectory("graft_mp_legacy_").toString
+    // the pre-r12 flat layout: weights + _meta at the root
+    Seq((0, 7L), (1, 8L), (2, 9L)).toDF("bucket", "w").coalesce(1)
+      .write.parquet(s"$p/weights")
+    Seq((2, 1, 1L, 1L, 5L)).toDF("d", "iters", "lr_num", "lr_den", "n_train")
+      .coalesce(1).write.parquet(s"$p/_meta")
+    assert(QualityTrain.readModel(spark, p).weightsMicro.toSeq ===
+      Seq(7L, 8L, 9L))
+    QualityTrain.writeModel(spark, qModel(4L), p)
+    assert(QualityTrain.readModel(spark, p).weightsMicro.toSeq ===
+      Seq(4L, 10L, -20L))
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(p, "weights")),
+      "legacy entries pruned after the first committed publish")
+  }
+
+  test("DSIR model: versioned publish with torn-write invisibility") {
+    val p = Files.createTempDirectory("graft_mp_dsir_").toString
+    val m1 = Dsir.Model(Seq((0L, 3L)), Seq((0L, 5L)), 16)
+    Dsir.writeModel(spark, m1, p)
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(p, "v_000002")
+    Seq(("raw", 0L, 999L)).toDF("side", "bucket", "cnt").coalesce(1)
+      .write.parquet(new Path(torn, "counts").toString)
+    val back = Dsir.readModel(spark, p)
+    assert(back.rawRows === Seq((0L, 3L)) && back.tgtRows === Seq((0L, 5L)) &&
+      back.nBuckets === 16)
+  }
+
+  test("IVF sidecar staged install leaves no torn _centroids (absent-or-complete)") {
+    val vecs = sf("sf0.001", "embeddings").limit(32)
+    val p = Files.createTempDirectory("graft_mp_side_").toString
+    IvfIndex.write(vecs, "embedding", "vec_id", p, nCells = 4)
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(p, "_centroids")))
+    assert(!fs.exists(new Path(p, "_centroids__stage")),
+      "stage dir cleaned after install")
+    // a leftover stage dir from a crashed writer must not confuse the
+    // next build or the compact sidecar copy
+    fs.mkdirs(new Path(p, "_centroids__stage"))
+    IvfIndex.append(vecs.select((col("vec_id") + 500L).as("vec_id"),
+      col("embedding")), "embedding", "vec_id", p, runId = Some("b0"))
+    IvfIndex.compact(spark, p)
+    assert(fs.exists(new Path(p, "_centroids")))
+    assert(!fs.exists(new Path(p, "_centroids__stage")),
+      "compact must not copy stage wreckage forward")
+    assert(spark.read.parquet(s"$p/_centroids").count() === 4L)
+  }
+}

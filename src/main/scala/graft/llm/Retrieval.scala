@@ -345,18 +345,54 @@ object Retrieval {
     // flat delta file into a run-dir tree would mix directory depths and
     // break partition discovery, so target a dedicated deltas slot there
     val statsRoot = new Path(s"$path/_stats")
-    val slotted = fs.exists(statsRoot) && fs.listStatus(statsRoot)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("run="))
-    val deltaDir = if (slotted) {
-      val d = new Path(s"$path/_stats/run=__deltas__")
-      fs.mkdirs(d); d
-    } else statsRoot
-    pendingParts().zipWithIndex.foreach { case (p, i) =>
-      require(fs.rename(p, new Path(deltaDir, s"delta-$i-${p.getName}")),
-        s"Retrieval.compactIndex: install rename of stats delta $p failed")
+    val toApply = pendingParts()
+    if (toApply.nonEmpty) {
+      val slotted = fs.exists(statsRoot) && fs.listStatus(statsRoot)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("run="))
+      val deltaDir = if (slotted) {
+        val d = new Path(s"$path/_stats/run=__deltas__")
+        fs.mkdirs(d); d
+      } else statsRoot
+      toApply.zipWithIndex.foreach { case (p, i) =>
+        require(fs.rename(p, new Path(deltaDir, s"delta-$i-${p.getName}")),
+          s"Retrieval.compactIndex: install rename of stats delta $p failed")
+      }
     }
     fs.delete(pending, true)
-    // 5
+    // 5: fold the _stats sidecar itself — one delta slot lands per
+    // append batch, so a long-running stream otherwise grows the stats
+    // read linearly with total batch count; the summed sidecar is ONE
+    // row. Folded batch ids are recorded in the _stats fold manifest so
+    // a replayed appendIndex stats delta no-ops, matching its postings
+    // no-op (the step-3 manifest). A legacy FLAT _stats migrates to the
+    // slotted layout here — the upgrade path writeFlat's guard names.
+    // Staged + backup-rename, same crash contract as every compact.
+    if (fs.exists(statsRoot)) {
+      val statsTmp = new Path(s"$path/_stats__compact_tmp")
+      val statsOld = new Path(s"$path/_stats__compact_old")
+      require(!fs.exists(statsOld),
+        s"Retrieval.compactIndex: leftover $statsOld from an interrupted " +
+          "compact — restore it over _stats (or remove it) before re-running")
+      fs.delete(statsTmp, true)
+      spark.read.parquet(statsRoot.toString)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("total_tokens")), lit(0L)).as("total_tokens"))
+        .coalesce(1).write
+        .parquet(new Path(statsTmp, s"run=${RunSlots.Base}").toString)
+      // __deltas__ is compact-internal (tombstone corrections renamed
+      // in by step 4), never a replayable batch id — keep it out of
+      // the manifest
+      val statsFolded = (RunSlots.foldedRuns(spark, statsRoot.toString) ++
+        IvfLayout.foldedRunIds(fs, statsRoot)) - "__deltas__"
+      if (statsFolded.nonEmpty)
+        RunSlots.writeFoldedManifest(spark, statsTmp.toString, statsFolded)
+      require(fs.rename(statsRoot, statsOld),
+        s"Retrieval.compactIndex: backup rename of $statsRoot failed")
+      require(fs.rename(statsTmp, statsRoot),
+        s"Retrieval.compactIndex: install rename to $statsRoot failed")
+      fs.delete(statsOld, true)
+    }
+    // 6
     Tombstones.clear(spark, path)
   }
 

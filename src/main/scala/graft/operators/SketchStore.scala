@@ -107,6 +107,76 @@ object SketchStore {
       .write.mode("append").partitionBy("part").parquet(path)
   }
 
+  /** Fold the store to ONE merged sketch row per (part, group) and one
+    * file per `part=` directory — the small-file hygiene every other
+    * maintained store has (IvfLayout.compact): a daily append lands one
+    * file set per batch, so a long-running
+    * [[graft.streaming.StreamingIncremental.streamingSketchMaintenance]]
+    * stream otherwise grows per-estimate list/open cost with total
+    * batch count. HLL union is associative, so merging the stored
+    * sketch rows (`hll_union_agg` at the store's pinned lgK) serves
+    * identical estimates; group columns are recovered from the schema
+    * (everything except `part`/`sketch`). No run slots here — the
+    * store's idempotency is HLL union itself — so no fold manifest:
+    * a replayed append after a compact double-lands rows that CANNOT
+    * change any estimate.
+    *
+    * Crash contract (the IvfLayout.compact discipline): staged fully
+    * beside, installed by backup-rename + move; a leftover
+    * `__compact_old` refuses a re-run. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(fs.exists(root), s"SketchStore.compact: no store at $path")
+    val lgK = storedLgK(spark, path).getOrElse(throw new IllegalStateException(
+      s"SketchStore.compact: no _sketch_meta.json at $path — not a sketch store"))
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    require(!fs.exists(old),
+      s"SketchStore.compact: leftover $old from an interrupted compact — " +
+        "restore it over the store path (or remove it) before re-running")
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    val groups = df.schema.fieldNames.toSeq.filterNot(Set("part", "sketch"))
+    df.groupBy((col("part") +: groups.map(col)): _*)
+      .agg(hll_union_agg(col("sketch"), allowDifferentLgConfigK = false)
+        .as("sketch"))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(tmp.toString)
+    // the lgK sidecar is a FILE — carry it into the staged tree
+    val metaTmp = new Path(tmp, "_sketch_meta.json")
+    val out = fs.create(metaTmp, true)
+    try out.write(s"""{"lgK":$lgK}""".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(root, old), s"SketchStore.compact: backup rename of $path failed")
+    require(fs.rename(tmp, root), s"SketchStore.compact: install rename to $path failed")
+    fs.delete(old, true)
+  }
+
+  /** Data-file count across the store (one recursive listing) — the
+    * compaction trigger [[graft.streaming.StreamingIncremental
+    * .streamingSketchMaintenance]] checks per batch; kept cheap BY the
+    * compaction it triggers (file count stays ≈ parts + threshold). */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(root)) return 0L
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** Union-serve the store over a partition subset (None = all): reads
     * only the named `part=` directories (planning-time PartitionFilter),
     * merges per group, returns (groupCols..., n_approx). */

@@ -257,7 +257,9 @@ object StreamingIncremental {
   // ONE listStatus per store per batch (RunSlots.slotCount).
 
   /** Run `compactFn` when `table`'s non-base slot count reaches
-    * `threshold` (None disables — the pre-r12 behavior). */
+    * `threshold`. The loops default to Some(25) — the probed knee
+    * (SCALING.md "Slot-compaction cadence": flat per-batch wall at ~4%
+    * compact overhead); None disables (the pre-r12 behavior). */
   private def maybeCompact(spark: SparkSession, table: String,
                            threshold: Option[Int])(compactFn: => Unit): Unit =
     threshold.foreach { t =>
@@ -296,7 +298,7 @@ object StreamingIncremental {
       shingleN: Int = 3,
       nBuckets: Int = 64,
       maxFilesPerTrigger: Option[Int] = None,
-      autoCompactSlots: Option[Int] = None): StreamingQuery = {
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -348,7 +350,7 @@ object StreamingIncremental {
       textCol: String, idCol: String,
       threshold: Double = 0.9,
       maxFilesPerTrigger: Option[Int] = None,
-      autoCompactSlots: Option[Int] = None): StreamingQuery = {
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -390,7 +392,7 @@ object StreamingIncremental {
       textCol: String, idCol: String,
       nBuckets: Int = 64,
       maxFilesPerTrigger: Option[Int] = None,
-      autoCompactSlots: Option[Int] = None): StreamingQuery = {
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -506,7 +508,7 @@ object StreamingIncremental {
       shingleN: Int = 3,
       nBuckets: Int = 64,
       maxFilesPerTrigger: Option[Int] = None,
-      autoCompactSlots: Option[Int] = None): StreamingQuery = {
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -555,7 +557,7 @@ object StreamingIncremental {
       wCol: Option[String] = Some("w"),
       nBuckets: Int = 64,
       maxFilesPerTrigger: Option[Int] = None,
-      autoCompactSlots: Option[Int] = None): StreamingQuery = {
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -693,13 +695,20 @@ object StreamingIncremental {
       groupCols: Seq[String], valueCol: String, partCol: String,
       lgK: Int = 12,
       maxFilesPerTrigger: Option[Int] = None,
-      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactFiles: Option[Int] = Some(256)): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
     src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // file-count trigger (no run slots here — HLL union makes
+        // replays estimate-idempotent, so a fold needs no manifest)
+        autoCompactFiles.foreach { t =>
+          if (graft.operators.SketchStore.dataFileCount(spark, storePath) >= t)
+            graft.operators.SketchStore.compact(spark, storePath)
+        }
         graft.operators.SketchStore.build(prepare(batch), groupCols,
           valueCol, partCol, storePath, lgK)
       }

@@ -140,6 +140,62 @@ class FoldManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("delete the store"), e.getMessage)
   }
 
+  test("compactIndex folds _stats to one row; replayed appendIndex is a full no-op") {
+    val p = Files.createTempDirectory("graft_fm_lex_").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
+    val b0 = batch
+    val b1 = Seq((11L, base + "two")).toDF("doc_id", "text")
+    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndex(b1, "text", "doc_id", p, nBuckets = 4, Some("b1"))
+    def stats(): (Long, Long) = {
+      val r = spark.read.parquet(s"$p/_stats")
+        .agg(sum("n_docs"), sum("total_tokens")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = stats()
+    Retrieval.compactIndex(spark, p)
+    assert(stats() === before, "fold must preserve the summed stats")
+    assert(spark.read.parquet(s"$p/_stats").count() === 1L,
+      "stats folded to a single row")
+    assert(RunSlots.foldedRuns(spark, s"$p/_stats") === Set("b0", "b1"))
+    assert(RunSlots.foldedRuns(spark, p) === Set("b0", "b1"))
+    val snap = (fileSet(p), stats())
+    // the replay corner: BOTH the stats delta and the postings no-op
+    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    assert((fileSet(p), stats()) === snap,
+      "replayed folded batch must leave postings AND stats byte-identical")
+    // a fresh batch still appends and is counted once
+    Retrieval.appendIndex(
+      Seq((12L, base + "three")).toDF("doc_id", "text"),
+      "text", "doc_id", p, nBuckets = 4, Some("b2"))
+    assert(stats()._1 === before._1 + 1)
+  }
+
+  test("compactIndex migrates a legacy FLAT _stats to the slotted layout") {
+    val p = Files.createTempDirectory("graft_fm_lexmig_").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
+    // simulate the pre-r11 flat sidecar: replace the slotted _stats
+    // with plain part files at its root
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$p/_stats")
+    val fs = statsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = spark.read.parquet(statsRoot.toString)
+      .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    fs.delete(statsRoot, true)
+    Seq(keep).toDF("n_docs", "total_tokens").coalesce(1)
+      .write.parquet(statsRoot.toString)
+    // run-scoped appends refuse the flat sidecar (write-free)...
+    intercept[IllegalArgumentException] {
+      Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    }
+    // ...and compactIndex is the migration path the error names
+    Retrieval.compactIndex(spark, p)
+    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    val r = spark.read.parquet(s"$p/_stats")
+      .agg(sum("n_docs"), sum("total_tokens")).head()
+    assert(r.getLong(0) === keep._1 + 1)
+  }
+
   test("appendIndex on a legacy flat store fails WRITE-FREE (both layouts validated first)") {
     // pre-r11 flat index: bucket= dirs at the postings root, plain
     // parquet _stats — the ADVICE r11 scenario where the _stats delta

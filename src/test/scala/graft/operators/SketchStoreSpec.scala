@@ -99,4 +99,46 @@ class SketchStoreSpec extends SparkSpec {
     assert(audit.forall(_.getAs[Boolean]("hll_ok")))
     assert(audit.map(_.getAs[Long]("n_exact")).toSet === Set(40L))
   }
+
+  test("compact folds sketch rows to one per (part, group), estimates unchanged, appends still work") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    // 4 appends of the SAME days — 4 sketch rows per (part, group)
+    for (_ <- 1 to 4)
+      SketchStore.build(df, Seq("grp"), "uid", "day", path)
+    val before = SketchStore.estimate(spark, path, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val filesBefore = SketchStore.dataFileCount(spark, path)
+    SketchStore.compact(spark, path)
+    assert(SketchStore.estimate(spark, path, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === before,
+      "compaction must not change estimates")
+    val filesAfter = SketchStore.dataFileCount(spark, path)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(spark.read.parquet(path).groupBy("part", "grp").count()
+      .agg(max("count")).first().getLong(0) === 1L,
+      "one merged sketch row per (part, group)")
+    // lgK sidecar carried: a matching append works, a mismatch refuses
+    SketchStore.append(df.filter(col("day") === "2024-02-01"),
+      Seq("grp"), "uid", path, "2024-02-05")
+    intercept[IllegalArgumentException] {
+      SketchStore.append(df, Seq("grp"), "uid", path, "2024-02-06", lgK = 13)
+    }
+    // a pruned window over the compacted layout still serves
+    val win = SketchStore.estimate(spark, path, Seq("grp"),
+        Some(Seq("2024-02-01", "2024-02-05")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(win === Map("a" -> 10L, "b" -> 10L))
+  }
+
+  test("compact refuses a leftover __compact_old instead of compounding") {
+    val df = rows.toDF("day", "grp", "uid")
+    val path = tmpDir()
+    SketchStore.build(df, Seq("grp"), "uid", "day", path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__compact_old"))
+    val e = intercept[IllegalArgumentException](SketchStore.compact(spark, path))
+    assert(e.getMessage.contains("interrupted compact"))
+  }
 }

@@ -143,6 +143,129 @@ object QueriesR12 {
                TRUE AS kept_all, TRUE AS recall_restored
         FROM embeddings""")),
 
+    // ---- mergeable histogram store: exact window distributions -----------
+    // The distribution member of the maintained-store family: per-source
+    // bin counts persisted once (base + a run-slotted append), any
+    // partition window then serves EXACT merged counts under a part
+    // PartitionFilter — no raw-row rescan. Bins are exact Long
+    // arithmetic shared verbatim with the oracle.
+    QueryDef("hist_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.HistStore
+        val docs = Tables.read(s, dir, "documents")
+        val base = docs.filter(expr("CAST(substr(source, 4) AS INT) < 10"))
+        val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
+        val p = Files.createTempDirectory("graft_hist_gate_").toString
+        HistStore.write(base, Seq("lang"), "n_chars", "source", p,
+          lo = 0L, hi = 1000L, nBins = 20)
+        HistStore.append(batch, Seq("lang"), "n_chars", "source", p,
+          runId = Some("b0"))
+        val window = (0 to 14).map(i => s"src$i")
+        HistStore.counts(s, p, Seq("lang"), Some(window))
+          .orderBy("lang", "bin")
+      },
+      Some("""
+        SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT lang, CASE WHEN n_chars < 0 THEN 0
+                            WHEN n_chars >= 1000 THEN 21
+                            ELSE n_chars * 20 // 1000 + 1 END AS bin
+          FROM documents
+          WHERE CAST(substr(source, 4) AS INT) <= 14)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- histogram quantiles: exact rank rule over merged bins -----------
+    // Median and p90 per language from the STORE (never the raw rows):
+    // rank = max(1, (total*qn) div qd), quantile bin = first bin whose
+    // cumulative count reaches rank; interior bins report exact value
+    // bounds, the unbounded under/overflow bins report NULL.
+    QueryDef("hist_quantile",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.HistStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_histq_gate_").toString
+        HistStore.write(docs, Seq("lang"), "n_chars", "source", p,
+          lo = 0L, hi = 1000L, nBins = 20)
+        Seq((1L, 2L), (9L, 10L)).map { case (qn, qd) =>
+          HistStore.quantile(s, p, Seq("lang"), qn, qd)
+            .withColumn("q_num", lit(qn)).withColumn("q_den", lit(qd))
+        }.reduce(_ unionByName _)
+          .select("lang", "q_num", "q_den", "q_bin", "bin_lo", "bin_hi",
+            "n_total")
+          .orderBy("lang", "q_num")
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang, CASE WHEN n_chars < 0 THEN 0
+                            WHEN n_chars >= 1000 THEN 21
+                            ELSE n_chars * 20 // 1000 + 1 END AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2),
+        c AS (
+          SELECT lang, bin, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+          FROM b),
+        q AS (SELECT CAST(1 AS BIGINT) AS q_num, CAST(2 AS BIGINT) AS q_den
+              UNION ALL
+              SELECT CAST(9 AS BIGINT), CAST(10 AS BIGINT))
+        SELECT lang, q_num, q_den, CAST(bin AS BIGINT) AS q_bin,
+               CASE WHEN bin BETWEEN 1 AND 20
+                 THEN CAST((bin - 1) * 50 AS BIGINT) END AS bin_lo,
+               CASE WHEN bin BETWEEN 1 AND 20
+                 THEN CAST(bin * 50 AS BIGINT) END AS bin_hi,
+               n_total
+        FROM c JOIN q ON TRUE
+        WHERE cum >= GREATEST(1, (n_total * q_num) // q_den)
+          AND cum - cnt < GREATEST(1, (n_total * q_num) // q_den)
+        ORDER BY lang, q_num""")),
+
+    // ---- streaming histogram maintenance ---------------------------------
+    // Two micro-batches of fresh sources fold into the store under
+    // run slots (counts are additive — replay protection matters like
+    // EdgeStore weights); autoCompactSlots=1 folds b0 mid-stream and
+    // records it in the manifest; checkpointed re-run is a no-op. The
+    // served full-window counts must equal one-pass counts over
+    // everything.
+    QueryDef("stream_hist",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.HistStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        val p = Files.createTempDirectory("graft_histst_gate_").toString
+        HistStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "n_chars", "source", p, 0L, 1000L, 20)
+        val srcDir = Files.createTempDirectory("graft_histst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_histst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingHistMaintenance(
+            s, srcDir, schema, p, ckpt, Seq("lang"), "n_chars", "source",
+            maxFilesPerTrigger = Some(1),
+            autoCompactSlots = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        require(RunSlots.foldedRuns(s, s"$p/hist").contains("b0"),
+          "auto-compact must fold and record the first batch")
+        HistStore.counts(s, p, Seq("lang")).orderBy("lang", "bin")
+      },
+      Some("""
+        SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT lang, CASE WHEN n_chars < 0 THEN 0
+                            WHEN n_chars >= 1000 THEN 21
+                            ELSE n_chars * 20 // 1000 + 1 END AS bin
+          FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- atomic versioned model publish ----------------------------------
     // Two successive publishes (a 1-iteration throwaway, then the real
     // 2-iteration fit) must supersede cleanly; the read-back weights of

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.RunSlots
+
+/** Mergeable fixed-bin histogram store — the DISTRIBUTION member of the
+  * maintained-store family ([[SketchStore]] = distinct counts,
+  * [[EdgeStore]] = graph, [[LabelStore]] = clusters): per-partition
+  * (per-day/per-source) bin counts persisted once, then any partition
+  * window serves exact distribution statistics — counts, quantile
+  * bounds, tail fractions — WITHOUT touching raw rows again. The
+  * 100 TB question it answers: "token-length / quality-score
+  * distribution over the last N days" as a |parts × groups × bins|-row
+  * scan under a planning-time partition filter, instead of a
+  * corpus-length rescan per report.
+  *
+  * Exactness contract: unlike HLL sketches, fixed-bin counts are EXACT
+  * integers and merge by addition, so every serve crosses a DuckDB
+  * oracle bit-for-bit (gates `hist_store`, `hist_quantile`,
+  * `stream_hist`). The price is fixed resolution: a quantile resolves
+  * to its BIN BOUNDS (width = (hi−lo)/nBins), the honest trade
+  * mergeable summaries make.
+  *
+  * Binning (exact Long arithmetic, identical in DuckDB `//`):
+  * bin 0 = underflow (v < lo), bins 1..nBins = [lo, hi) in equal
+  * widths via `(v − lo) * nBins div (hi − lo) + 1`, bin nBins+1 =
+  * overflow (v >= hi). The (lo, hi, nBins) layout is fixed at store
+  * creation (meta sidecar) — appends with a different layout are
+  * refused at append time, the [[SketchStore]] lgK discipline.
+  *
+  * Delivery: counts are ADDITIVE, so a replayed batch would
+  * double-count — appends are run-slot scoped ([[RunSlots]], the
+  * [[EdgeStore]] posture): a replay overwrites its own `run=<id>`
+  * slot, and after [[compact]] folds slots the fold manifest turns the
+  * replay into a no-op. */
+object HistStore {
+
+  // ---- layout meta sidecar --------------------------------------------
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_hist_meta.json")
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        lo: Long, hi: Long, nBins: Int): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_hist_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"lo":$lo,"hi":$hi,"nBins":$nBins}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(metaPath(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, metaPath(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readMeta(spark: SparkSession,
+                              path: String): (Long, Long, Int) = {
+    val (fs, _) = fsOf(spark, path)
+    require(fs.exists(metaPath(path)),
+      s"HistStore: no _hist_meta.json at $path — not a histogram store")
+    val in = fs.open(metaPath(path))
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    def f(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r.unanchored
+      .findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"HistStore: unparseable _hist_meta.json at $path: $txt"))
+    (f("lo"), f("hi"), f("nBins").toInt)
+  }
+
+  private def rows(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   partCol: String, lo: Long, hi: Long,
+                   nBins: Int): DataFrame =
+    df.select((col(partCol).cast("string").as("part") +:
+        groupCols.map(col)) :+
+        col(valueCol).cast("long").as("__hv"): _*)
+      // exact Long arithmetic, identical to DuckDB `//` on the
+      // non-negative (__hv - lo) the underflow guard leaves
+      .withColumn("bin",
+        when(col("__hv") < lit(lo), lit(0L))
+          .when(col("__hv") >= lit(hi), lit(nBins + 1L))
+          .otherwise(expr(
+            s"(__hv - ${lo}L) * ${nBins}L div ${hi - lo}L + 1L")))
+      .groupBy((col("part") +: groupCols.map(col)) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Seed the store (replaces any existing one): one aggregate pass,
+    * counts land under `run=__base__/part=<p>/`. */
+  def write(df: DataFrame, groupCols: Seq[String], valueCol: String,
+            partCol: String, path: String,
+            lo: Long, hi: Long, nBins: Int): Unit = {
+    require(nBins > 0 && hi > lo, "HistStore.write: need hi > lo, nBins > 0")
+    require((hi - lo) % nBins == 0,
+      "HistStore.write: (hi - lo) must divide evenly by nBins so bin " +
+        "bounds are exact integers (quantile() reports them)")
+    require(groupCols.nonEmpty, "HistStore.write: need group columns")
+    val spark = df.sparkSession
+    RunSlots.reset(spark, s"$path/hist")
+    RunSlots.write(
+      rows(df, groupCols, valueCol, partCol, lo, hi, nBins)
+        .repartition(col("part")),
+      s"$path/hist", "part", Some(RunSlots.Base))
+    writeMeta(spark, path, lo, hi, nBins)
+  }
+
+  /** Append a batch's bin counts in its own run slot (pass the
+    * micro-batch id for exactly-once under replay — counts are
+    * additive, so this matters as much as for [[EdgeStore]] weights).
+    * The layout comes from the store's meta sidecar, so appends can
+    * never drift bins. */
+  def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             partCol: String, path: String,
+             runId: Option[String] = None): Unit = {
+    val (lo, hi, nBins) = readMeta(df.sparkSession, path)
+    RunSlots.write(
+      rows(df, groupCols, valueCol, partCol, lo, hi, nBins)
+        .repartition(col("part")),
+      s"$path/hist", "part", runId)
+  }
+
+  /** Merged (groupCols..., bin, cnt) over a partition window (None =
+    * all): counts summed across slots and parts under a planning-time
+    * `part` PartitionFilter. */
+  def counts(spark: SparkSession, path: String, groupCols: Seq[String],
+             parts: Option[Seq[String]] = None): DataFrame = {
+    readMeta(spark, path) // fail loudly on a non-store path
+    require(RunSlots.hasParts(spark, s"$path/hist", "part"),
+      s"HistStore: store at $path holds no data yet (empty seed and no " +
+        "appends) — nothing to serve")
+    val base = spark.read.parquet(s"$path/hist")
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+    pruned.groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per group, the bin holding the q = qNum/qDen quantile of the
+    * merged window, with its value bounds: rank = max(1,
+    * (total*qNum) div qDen), quantile bin = first bin whose cumulative
+    * count reaches rank (bins ascending — underflow 0 first, overflow
+    * nBins+1 last). Returns (groupCols..., q_bin, bin_lo, bin_hi,
+    * n_total); bounds are NULL for the unbounded under/overflow bins.
+    * Exact integer semantics end to end — the DuckDB oracle replays it
+    * with a window cumulative sum. */
+  def quantile(spark: SparkSession, path: String, groupCols: Seq[String],
+               qNum: Long, qDen: Long,
+               parts: Option[Seq[String]] = None): DataFrame = {
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen,
+      "HistStore.quantile: need 0 <= qNum/qDen <= 1")
+    val (lo, hi, nBins) = readMeta(spark, path)
+    val c = counts(spark, path, groupCols, parts)
+    // per group: <= nBins+2 rows — the window runs over a tiny,
+    // group-partitioned relation (never corpus-scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val width = (hi - lo) / nBins
+    c.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_total", sum(col("cnt")).over(wAll))
+      .withColumn("rank",
+        greatest(lit(1L), expr(s"(n_total * ${qNum}L) div ${qDen}L")))
+      .filter(col("cum") >= col("rank") &&
+        col("cum") - col("cnt") < col("rank"))
+      .select(groupCols.map(col) :+
+        col("bin").as("q_bin") :+
+        when(col("bin") >= 1 && col("bin") <= nBins,
+          lit(lo) + (col("bin") - 1) * lit(width)).as("bin_lo") :+
+        when(col("bin") >= 1 && col("bin") <= nBins,
+          lit(lo) + col("bin") * lit(width)).as("bin_hi") :+
+        col("n_total"): _*)
+  }
+
+  /** Fold every slot back into one pre-summed `run=__base__`
+    * generation, one file per `part=` directory; folded batch ids land
+    * in the fold manifest so replays stay no-ops
+    * ([[graft.llm.RunSlots]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.llm.IvfLayout.compact(spark, s"$path/hist", "part",
+      transform = df => df.groupBy(
+          df.columns.filterNot(Set("cnt", "run")).map(col): _*)
+        .agg(sum(col("cnt")).as("cnt")))
+
+  /** Slot count of the histogram table — the streaming loop's
+    * compaction trigger. */
+  def slotCount(spark: SparkSession, path: String): Int =
+    RunSlots.slotCount(spark, s"$path/hist")
+}

@@ -717,6 +717,42 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.HistStore]]: each
+    * micro-batch folds its rows' bin counts into the store under the
+    * batch's own `run=b<id>` slot. Unlike the HLL sketch loop,
+    * histogram counts are ADDITIVE — a replayed batch would
+    * double-count — so this uses the full run-slot + fold-manifest
+    * machinery (the [[graft.operators.EdgeStore]] posture), and the
+    * auto-compact trigger folds slots mid-stream. `prepare` derives
+    * the partition/group/value columns from the raw stream. The store
+    * must be seeded with [[graft.operators.HistStore.write]] (an empty
+    * frame is fine — the LAYOUT is fixed at seed time). */
+  def streamingHistMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      groupCols: Seq[String], valueCol: String, partCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompact(spark, s"$storePath/hist", autoCompactSlots)(
+          graft.operators.HistStore.compact(spark, storePath))
+        graft.operators.HistStore.append(prepare(batch), groupCols,
+          valueCol, partCol, storePath, runId = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamingExactDedup(
       docs: Dataset[DocIn],
       stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {

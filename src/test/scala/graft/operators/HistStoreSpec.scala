@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.llm.RunSlots
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** HistStore: mergeable fixed-bin histograms — exact counts, window
+  * pruning, quantile bin bounds, run-slot exactly-once (counts are
+  * additive — the EdgeStore posture), fold-manifest compaction. */
+class HistStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2 days x 2 groups; values chosen to pin bins exactly:
+  // layout lo=0, hi=100, nBins=10 (width 10)
+  private def rows = Seq(
+    ("d1", "a", 5L), ("d1", "a", 15L), ("d1", "a", 15L), ("d1", "b", 95L),
+    ("d2", "a", 25L), ("d2", "b", -3L), ("d2", "b", 100L), ("d2", "b", 250L)
+  ).toDF("day", "grp", "v")
+
+  private def mk(): String = {
+    val p = Files.createTempDirectory("graft_hist_").toString
+    HistStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v", "day",
+      p, lo = 0L, hi = 100L, nBins = 10)
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, runId = Some("b0"))
+    p
+  }
+
+  private def countMap(p: String, parts: Option[Seq[String]] = None) =
+    HistStore.counts(spark, p, Seq("grp"), parts)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, b, c) => (g, b) -> c }.toMap
+
+  test("exact bin counts; underflow/overflow bins; window pruning") {
+    val p = mk()
+    assert(countMap(p) === Map(
+      ("a", 1L) -> 1L,  // 5 -> bin 1
+      ("a", 2L) -> 2L,  // 15, 15 -> bin 2
+      ("a", 3L) -> 1L,  // 25 -> bin 3
+      ("b", 10L) -> 1L, // 95 -> bin 10
+      ("b", 0L) -> 1L,  // -3 -> underflow
+      ("b", 11L) -> 2L  // 100, 250 -> overflow
+    ))
+    assert(countMap(p, Some(Seq("d1"))) === Map(
+      ("a", 1L) -> 1L, ("a", 2L) -> 2L, ("b", 10L) -> 1L))
+  }
+
+  test("quantile: rank rule, bin bounds, unbounded-bin NULLs") {
+    val p = mk()
+    // grp a: counts by bin (1->1, 2->2, 3->1), total 4
+    //   median rank = max(1, 4*1/2)=2 -> cum 1,3,... -> bin 2 [10,20)
+    //   p75 rank = 3 -> bin 2; p100 rank = 4 -> bin 3 [20,30)
+    val q50 = HistStore.quantile(spark, p, Seq("grp"), 1L, 2L)
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q50("a") === ("a", 2L, Some(10L), Some(20L), 4L))
+    // grp b: bins (0->1, 10->1, 11->2), total 4; rank 2 -> bin 10
+    assert(q50("b") === ("b", 10L, Some(90L), Some(100L), 4L))
+    val q100 = HistStore.quantile(spark, p, Seq("grp"), 1L, 1L)
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q100("a") === ("a", 3L, Some(20L), Some(30L), 4L))
+    // overflow bin has no finite bounds
+    assert(q100("b") === ("b", 11L, None, None, 4L))
+  }
+
+  test("replayed slot append cannot double-count; fold manifest makes it permanent") {
+    val p = mk()
+    val before = countMap(p)
+    // replay BEFORE compact: slot overwrite
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, runId = Some("b0"))
+    assert(countMap(p) === before, "slot replay must overwrite, not add")
+    HistStore.compact(spark, p)
+    assert(countMap(p) === before, "compact must not change counts")
+    assert(RunSlots.foldedRuns(spark, s"$p/hist") === Set("b0"))
+    assert(HistStore.slotCount(spark, p) === 0)
+    // replay AFTER compact: manifest no-op
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, runId = Some("b0"))
+    assert(countMap(p) === before, "folded replay must be a no-op")
+    // compacted layout: one file per part, appends still work
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, runId = Some("b1"))
+    assert(countMap(p)(("a", 3L)) === 2L)
+  }
+
+  test("a pruned window serve carries a planning-time part PartitionFilter") {
+    val p = mk()
+    val served = HistStore.counts(spark, p, Seq("grp"), Some(Seq("d1")))
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") && l.contains("d1")),
+      s"expected a part PartitionFilter, got: ${pf.mkString(" | ")}")
+  }
+
+  test("layout is fixed at seed time and appends cannot drift it") {
+    val p = mk()
+    assert(HistStore.readMeta(spark, p) === (0L, 100L, 10))
+    intercept[IllegalArgumentException] {
+      HistStore.write(rows, Seq("grp"), "v", "day", p, 0L, 100L, 7)
+    } // 100 % 7 != 0 — inexact bounds refused
+  }
+
+  test("streaming maintenance: exactly-once, checkpointed replay no-op, auto-compact") {
+    import graft.streaming.StreamingIncremental
+    val p = Files.createTempDirectory("graft_hist_st_").toString
+    HistStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v", "day",
+      p, 0L, 100L, 10)
+    val srcDir = Files.createTempDirectory("graft_hist_src_").toString
+    rows.filter(col("day") === "d2").limit(2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    rows.filter(col("day") === "d2")
+      .except(rows.filter(col("day") === "d2").limit(2))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft_hist_ck_").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit =
+      StreamingIncremental.streamingHistMaintenance(
+        spark, srcDir, schema, p, ckpt, Seq("grp"), "v", "day",
+        maxFilesPerTrigger = Some(1),
+        autoCompactSlots = Some(1)).awaitTermination()
+    runOnce()
+    runOnce() // no new batches — counts unchanged
+    assert(countMap(p) === Map(
+      ("a", 1L) -> 1L, ("a", 2L) -> 2L, ("a", 3L) -> 1L,
+      ("b", 10L) -> 1L, ("b", 0L) -> 1L, ("b", 11L) -> 2L))
+    // threshold 1 with 2 batches: b0 folded before b1 landed
+    assert(RunSlots.foldedRuns(spark, s"$p/hist").contains("b0"))
+  }
+}

@@ -134,8 +134,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // are appended without it (append_new_columns) — matches what a parquet
     // round-trip of the sidecar itself would return
     val norm = StructType(schema.fields.map(_.copy(nullable = true)))
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], norm)
-      .write.mode("overwrite").parquet(schemaDir(id))
+    graft.llm.VersionedArtifact.writeStaged(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], norm),
+      schemaDir(id))
     schemaCache.put(pathOf(id), norm)
     ()
   }
@@ -468,8 +470,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
   def writePartitionMeta(id: TableId, partitionField: String): Unit =
     if (!readPartitionMeta(id).contains(partitionField)) {
       import spark.implicits._
-      Seq(partitionField).toDF("partition_field")
-        .write.mode("overwrite").parquet(pathOf(id) + "/_partition_meta")
+      graft.llm.VersionedArtifact.writeStaged(
+        Seq(partitionField).toDF("partition_field"),
+        pathOf(id) + "/_partition_meta")
     }
 
   def readPartitionMeta(id: TableId): Option[String] = {
@@ -531,9 +534,10 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * as an underscore-hidden one-row sidecar next to the data. */
   def persistDocs(id: TableId, docs: TableDocs): Unit = {
     import spark.implicits._
-    Seq((docs.description, docs.columnDescriptions.toSeq.sortBy(_._1)))
-      .toDF("description", "columns")
-      .write.mode("overwrite").parquet(pathOf(id) + "/_docs")
+    graft.llm.VersionedArtifact.writeStaged(
+      Seq((docs.description, docs.columnDescriptions.toSeq.sortBy(_._1)))
+        .toDF("description", "columns"),
+      pathOf(id) + "/_docs")
   }
 
   def readDocs(id: TableId): Option[TableDocs] = {
@@ -553,8 +557,9 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * maps this onto its catalog/filesystem ACL system. */
   def applyGrants(id: TableId, grants: Map[String, Seq[String]]): Unit = {
     import spark.implicits._
-    grants.toSeq.sortBy(_._1).toDF("role", "principals")
-      .write.mode("overwrite").parquet(pathOf(id) + "/_grants")
+    graft.llm.VersionedArtifact.writeStaged(
+      grants.toSeq.sortBy(_._1).toDF("role", "principals"),
+      pathOf(id) + "/_grants")
   }
 
   def readGrants(id: TableId): Map[String, Seq[String]] = {

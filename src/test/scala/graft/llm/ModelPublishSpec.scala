@@ -81,6 +81,28 @@ class ModelPublishSpec extends SparkSpec {
       back.nBuckets === 16)
   }
 
+  test("warehouse metadata sidecars install staged: re-persist supersedes, stage wreckage harmless") {
+    import graft.core.TableId
+    import graft.warehouse.{TableDocs, Warehouse}
+    val wh = new Warehouse(
+      Files.createTempDirectory("graft_mp_wh_").toString, spark)
+    val id = TableId("proj", "demo", "t")
+    wh.overwrite(id, Seq((1L, "x")).toDF("id", "v"))
+    val fs = new Path(wh.pathOf(id))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed previous writer left stage wreckage — the next persist
+    // must overwrite it and install cleanly
+    fs.mkdirs(new Path(wh.pathOf(id) + "/_docs__stage"))
+    wh.persistDocs(id, TableDocs(Some("first"), Map("id" -> "pk")))
+    wh.persistDocs(id, TableDocs(Some("second"), Map("id" -> "pk2")))
+    assert(wh.readDocs(id).flatMap(_.description) === Some("second"))
+    assert(!fs.exists(new Path(wh.pathOf(id) + "/_docs__stage")),
+      "stage dir consumed by the install rename")
+    wh.applyGrants(id, Map("roles/viewer" -> Seq("a")))
+    wh.applyGrants(id, Map("roles/viewer" -> Seq("a", "b")))
+    assert(wh.readGrants(id) === Map("roles/viewer" -> Seq("a", "b")))
+  }
+
   test("IVF sidecar staged install leaves no torn _centroids (absent-or-complete)") {
     val vecs = sf("sf0.001", "embeddings").limit(32)
     val p = Files.createTempDirectory("graft_mp_side_").toString

@@ -15,15 +15,26 @@ import graft.warehouse.Warehouse
   * routed to MergeIntoPartitioned via GraftSparkExtensions. */
 class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
-    .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
-    .config("spark.ui.enabled", "false")
-    .appName("sql-merge-test")
-    .getOrCreate()
+  private lazy val spark = {
+    // extensions only take effect on a FRESH session: getOrCreate
+    // against a live session from an earlier suite would silently
+    // return one WITHOUT GraftSparkExtensions and every MERGE here
+    // would fail on namespace resolution (order-dependent flake —
+    // `testOnly graft.materialize.* graft.sql.*` reproduced it)
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      .config("spark.ui.enabled", "false")
+      .appName("sql-merge-test")
+      .getOrCreate()
+  }
 
   import spark.implicits._
 

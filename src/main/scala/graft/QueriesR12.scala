@@ -266,6 +266,191 @@ object QueriesR12 {
           FROM documents)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- mergeable windowed heavy hitters ---------------------------------
+    // Per-part top-m language summaries (exact within-instance counts,
+    // cut = largest excluded count) merged over a partition window with
+    // the Misra-Gries bound algebra: lb = summed kept counts, ub = lb +
+    // (cuts of instances that did NOT keep the value). Every clause of
+    // the construction — ties, cuts, covered-cut accounting, final
+    // (lb desc, value asc) rank — replays in the oracle bit-for-bit.
+    QueryDef("topk_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.TopKStore
+        val docs = Tables.read(s, dir, "documents")
+        val base = docs.filter(expr("CAST(substr(source, 4) AS INT) < 10"))
+        val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
+        val p = Files.createTempDirectory("graft_topk_gate_").toString
+        TopKStore.write(base, Seq.empty, "lang", "source", p, m = 3)
+        TopKStore.append(batch, Seq.empty, "lang", "source", p, runId = "b0")
+        val window = (0 to 14).map(i => s"src$i")
+        TopKStore.topK(s, p, Seq.empty, k = 8, Some(window))
+          .orderBy(col("lb").desc, col("value").asc)
+      },
+      Some("""
+        WITH inst AS (
+          SELECT source AS part,
+                 CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                   THEN 'base' ELSE 'b0' END AS inst,
+                 lang AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY part, inst
+            ORDER BY cnt DESC, value ASC) AS rn FROM inst),
+        cuts AS (SELECT part, inst, cnt AS cut FROM ranked WHERE rn = 4),
+        kept AS (
+          SELECT r.part, r.inst, r.value, r.cnt,
+                 COALESCE(c.cut, CAST(0 AS BIGINT)) AS cut
+          FROM ranked r LEFT JOIN cuts c USING (part, inst)
+          WHERE r.rn <= 3),
+        win AS (SELECT * FROM kept
+                WHERE CAST(substr(part, 4) AS INT) <= 14),
+        total AS (SELECT CAST(SUM(cut) AS BIGINT) AS total_cut
+                  FROM (SELECT DISTINCT part, inst, cut FROM win)),
+        merged AS (
+          SELECT value, CAST(SUM(cnt) AS BIGINT) AS lb,
+                 CAST(SUM(cut) AS BIGINT) AS covered
+          FROM win GROUP BY 1)
+        SELECT value, lb,
+               CAST(lb + total_cut - covered AS BIGINT) AS ub,
+               (total_cut - covered) = 0 AS exact
+        FROM merged, total
+        ORDER BY lb DESC, value ASC LIMIT 8""")),
+
+    // ---- streaming heavy-hitter maintenance -------------------------------
+    // Two micro-batches of fresh sources land as run-slotted instances
+    // (replay cannot double-count); autoCompactSlots=1 folds b0
+    // mid-stream (bounds byte-identical — file fold only); the full
+    // window's top-k replays the same construction with three instance
+    // tags.
+    QueryDef("stream_topk",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.TopKStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "lang", "source")
+        val p = Files.createTempDirectory("graft_topkst_gate_").toString
+        TopKStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq.empty, "lang", "source", p, m = 3)
+        val srcDir = Files.createTempDirectory("graft_topkst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_topkst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingTopKMaintenance(
+            s, srcDir, schema, p, ckpt, Seq.empty, "lang", "source",
+            maxFilesPerTrigger = Some(1),
+            autoCompactSlots = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        require(RunSlots.foldedRuns(s, s"$p/topk").contains("b0"),
+          "auto-compact must fold and record the first batch")
+        TopKStore.topK(s, p, Seq.empty, k = 8)
+          .orderBy(col("lb").desc, col("value").asc)
+      },
+      Some("""
+        WITH inst AS (
+          SELECT source AS part,
+                 CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'base'
+                      WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 'b0'
+                      ELSE 'b1' END AS inst,
+                 lang AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY part, inst
+            ORDER BY cnt DESC, value ASC) AS rn FROM inst),
+        cuts AS (SELECT part, inst, cnt AS cut FROM ranked WHERE rn = 4),
+        kept AS (
+          SELECT r.part, r.inst, r.value, r.cnt,
+                 COALESCE(c.cut, CAST(0 AS BIGINT)) AS cut
+          FROM ranked r LEFT JOIN cuts c USING (part, inst)
+          WHERE r.rn <= 3),
+        total AS (SELECT CAST(SUM(cut) AS BIGINT) AS total_cut
+                  FROM (SELECT DISTINCT part, inst, cut FROM kept)),
+        merged AS (
+          SELECT value, CAST(SUM(cnt) AS BIGINT) AS lb,
+                 CAST(SUM(cut) AS BIGINT) AS covered
+          FROM kept GROUP BY 1)
+        SELECT value, lb,
+               CAST(lb + total_cut - covered AS BIGINT) AS ub,
+               (total_cut - covered) = 0 AS exact
+        FROM merged, total
+        ORDER BY lb DESC, value ASC LIMIT 8""")),
+
+    // ---- maintained consistent sample ------------------------------------
+    // Bottom-k (KMV) key sample under the (md5(key), key) order:
+    // per-part bottom-kMax summaries merged over a partition window
+    // serve the window's EXACT bottom-k distinct keys — the oracle runs
+    // the same hash order over raw rows, so the sample matches
+    // bit-for-bit, not merely in distribution.
+    QueryDef("sample_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.SampleStore
+        val docs = Tables.read(s, dir, "documents")
+        val base = docs.filter(expr("CAST(substr(source, 4) AS INT) < 10"))
+        val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
+        val p = Files.createTempDirectory("graft_smp_gate_").toString
+        SampleStore.write(base, Seq.empty, "doc_id", "source", p, kMax = 25)
+        SampleStore.append(batch, Seq.empty, "doc_id", "source", p,
+          Some("b0"))
+        val window = (0 to 14).map(i => s"src$i")
+        SampleStore.sample(s, p, Seq.empty, k = 20, Some(window))
+          .orderBy(col("hkey").asc, col("key").asc)
+      },
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               md5(CAST(doc_id AS VARCHAR)) AS hkey
+        FROM (SELECT DISTINCT doc_id FROM documents
+              WHERE CAST(substr(source, 4) AS INT) <= 14)
+        ORDER BY hkey ASC, key ASC LIMIT 20""")),
+
+    // ---- streaming sample maintenance --------------------------------------
+    // Two micro-batches of fresh sources land as run-slotted summaries;
+    // autoCompactSlots=1 triggers the EXACT pruning fold mid-stream
+    // (bottom-kMax re-summarize — the served sample is byte-identical);
+    // the full-corpus serve still equals the raw-row bottom-k oracle.
+    QueryDef("stream_sample",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.SampleStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "source")
+        val p = Files.createTempDirectory("graft_smpst_gate_").toString
+        SampleStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq.empty, "doc_id", "source", p, kMax = 25)
+        val srcDir = Files.createTempDirectory("graft_smpst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_smpst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingSampleMaintenance(
+            s, srcDir, schema, p, ckpt, Seq.empty, "doc_id", "source",
+            maxFilesPerTrigger = Some(1),
+            autoCompactSlots = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        require(RunSlots.foldedRuns(s, s"$p/sample").contains("b0"),
+          "auto-compact must fold and record the first batch")
+        SampleStore.sample(s, p, Seq.empty, k = 20)
+          .orderBy(col("hkey").asc, col("key").asc)
+      },
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               md5(CAST(doc_id AS VARCHAR)) AS hkey
+        FROM (SELECT DISTINCT doc_id FROM documents)
+        ORDER BY hkey ASC, key ASC LIMIT 20""")),
+
     // ---- atomic versioned model publish ----------------------------------
     // Two successive publishes (a 1-iteration throwaway, then the real
     // 2-iteration fit) must supersede cleanly; the read-back weights of

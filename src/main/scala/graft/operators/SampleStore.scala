@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.RunSlots
+
+/** Mergeable consistent-sample store — the SAMPLE member of the
+  * maintained-store family ([[SketchStore]] = distinct, [[HistStore]] =
+  * distribution, [[TopKStore]] = frequency): per-partition bottom-k key
+  * summaries under a deterministic hash order, so "a uniform sample of
+  * n documents from any partition window" is served from
+  * |parts × kMax| summary rows under a `part` PartitionFilter — never
+  * a raw-row rescan. The 100 TB case: eyeball/eval samples over the
+  * last N days of a corpus, repeatable across reruns and machines.
+  *
+  * Sampling rule (the bottom-k / KMV construction, Cohen & Kaplan,
+  * "Summarizing data using bottom-k sketches", PODC'07): order DISTINCT
+  * keys by (md5(key), key) — a fixed pseudo-random permutation — and
+  * keep the first `kMax` per (part, groups...). Serving a window takes
+  * the first k ≤ kMax of the merged summaries. Two exactness facts make
+  * every serve bit-reproducible against a DuckDB oracle running the
+  * same ROW_NUMBER over raw rows:
+  *  - a key in the window's true bottom-k has within-instance rank
+  *    ≤ its window rank ≤ k ≤ kMax in EVERY instance that saw it, so
+  *    the merged summaries provably contain the window's bottom-k;
+  *  - md5 is the same function on both sides, so the order — and hence
+  *    the sample — is identical, not merely identically distributed.
+  * The hash order also gives CONSISTENT sampling: a key sampled in one
+  * window stays sampled in every window it qualifies for (sample
+  * overlap across windows is maximal — stable eval sets as the corpus
+  * grows).
+  *
+  * Duplicate keys collapse (summaries and serves are over DISTINCT
+  * keys): this is a sample of the window's key SET — re-crawled or
+  * re-appended keys cannot bias it. Appends are run-slot scoped for
+  * replay protection ([[RunSlots]]); compaction re-summarizes each
+  * (part, groups) to its bottom-kMax — an EXACT fold (unlike
+  * [[TopKStore]], whose pruning fold is a documented non-goal), so
+  * served samples are byte-identical across compact, and the fold
+  * manifest keeps pre-compact replays no-ops. */
+object SampleStore {
+
+  // ---- meta sidecar (kMax must not drift across appends) ----------------
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_sample_meta.json")
+
+  private def writeMeta(spark: SparkSession, path: String, kMax: Int): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_sample_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"kMax":$kMax}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(metaPath(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, metaPath(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readMeta(spark: SparkSession, path: String): Int = {
+    val (fs, _) = fsOf(spark, path)
+    require(fs.exists(metaPath(path)),
+      s"SampleStore: no _sample_meta.json at $path — not a sample store")
+    val in = fs.open(metaPath(path))
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    """"kMax"\s*:\s*(\d+)""".r.unanchored.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"SampleStore: unparseable _sample_meta.json at $path: $txt"))
+  }
+
+  /** Per-(part, groups) bottom-kMax summary of a batch's DISTINCT keys:
+    * (part, groups..., key, hkey). Rank runs over already-deduped
+    * summary-scale rows; hkey travels with the row so serves and folds
+    * never re-hash. */
+  private def summaries(df: DataFrame, groupCols: Seq[String],
+                        keyCol: String, partCol: String,
+                        kMax: Int): DataFrame = {
+    val keys = col("part") +: groupCols.map(col)
+    val distinctKeys = df
+      .select((col(partCol).cast("string").as("part") +:
+        groupCols.map(col)) :+
+        col(keyCol).cast("string").as("key"): _*)
+      .distinct()
+      .withColumn("hkey", md5(col("key")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+      .orderBy(col("hkey").asc, col("key").asc)
+    distinctKeys.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kMax).drop("rn")
+  }
+
+  /** Seed the store (replaces any existing one). */
+  def write(df: DataFrame, groupCols: Seq[String], keyCol: String,
+            partCol: String, path: String, kMax: Int): Unit = {
+    require(kMax > 0, "SampleStore.write: kMax must be positive")
+    val spark = df.sparkSession
+    RunSlots.reset(spark, s"$path/sample")
+    RunSlots.write(
+      summaries(df, groupCols, keyCol, partCol, kMax)
+        .repartition(col("part")),
+      s"$path/sample", "part", Some(RunSlots.Base))
+    writeMeta(spark, path, kMax)
+  }
+
+  /** Append a batch's per-part bottom-kMax summaries in its own run
+    * slot — exactly-once under replay. kMax comes from the sidecar so
+    * summaries never shrink below the store's serve guarantee. */
+  def append(df: DataFrame, groupCols: Seq[String], keyCol: String,
+             partCol: String, path: String,
+             runId: Option[String] = None): Unit = {
+    val kMax = readMeta(df.sparkSession, path)
+    RunSlots.write(
+      summaries(df, groupCols, keyCol, partCol, kMax)
+        .repartition(col("part")),
+      s"$path/sample", "part", runId)
+  }
+
+  /** The window's exact bottom-k key sample: (groups..., key, hkey),
+    * the k first distinct keys of the merged window under the
+    * (md5(key), key) order. k must be ≤ the store's kMax — beyond it
+    * the summaries no longer provably contain the window's bottom-k. */
+  def sample(spark: SparkSession, path: String, groupCols: Seq[String],
+             k: Int, parts: Option[Seq[String]] = None): DataFrame = {
+    val kMax = readMeta(spark, path)
+    require(k > 0 && k <= kMax,
+      s"SampleStore.sample: k=$k must be in 1..kMax=$kMax — the stored " +
+        "summaries only guarantee the bottom-" + kMax + " of any window " +
+        "(rebuild with a larger kMax for bigger samples)")
+    require(RunSlots.hasParts(spark, s"$path/sample", "part"),
+      s"SampleStore: store at $path holds no data yet — nothing to serve")
+    val base = spark.read.parquet(s"$path/sample")
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+    val gks = groupCols.map(col)
+    // distinct collapses (a) the same key seen by several instances of
+    // one part and (b) the same key in several window parts — the
+    // sample is over the window's key SET
+    val merged = pruned.select(gks :+ col("key") :+ col("hkey"): _*)
+      .distinct()
+    // rank over SUMMARY-scale rows (≤ parts × kMax per group)
+    if (groupCols.isEmpty)
+      merged.orderBy(col("hkey").asc, col("key").asc).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(gks: _*)
+        .orderBy(col("hkey").asc, col("key").asc)
+      merged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+  }
+
+  /** Fold every slot into one `run=__base__` generation, re-summarized
+    * to the exact bottom-kMax per (part, groups) — served samples are
+    * byte-identical across the fold, and folded run ids land in the
+    * manifest so replays stay no-ops. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val kMax = readMeta(spark, path)
+    graft.llm.IvfLayout.compact(spark, s"$path/sample", "part",
+      transform = df => {
+        val gks = df.columns.filterNot(Set("key", "hkey", "run")).map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(gks: _*)
+          .orderBy(col("hkey").asc, col("key").asc)
+        df.drop("run").distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= kMax).drop("rn")
+      })
+  }
+
+  def slotCount(spark: SparkSession, path: String): Int =
+    RunSlots.slotCount(spark, s"$path/sample")
+}

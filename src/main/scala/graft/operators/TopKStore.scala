@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.RunSlots
+
+/** Mergeable windowed heavy-hitter store — per-partition top-M value
+  * summaries with EXACT deterministic error bounds, the frequency
+  * member of the maintained-store family ([[SketchStore]] = distinct,
+  * [[HistStore]] = distribution). The 100 TB question: "most frequent
+  * domains/langs/urls over the last N days" without recounting raw
+  * rows — a window serve reads |instances × M| summary rows under a
+  * `part` PartitionFilter.
+  *
+  * Summary construction (one instance per (ingest, part)): exact
+  * within-instance counts, keep the top `m` values (count desc, value
+  * asc — deterministic ties), and record the instance's `cut` = the
+  * LARGEST EXCLUDED count (0 when nothing was excluded). Every kept
+  * row carries its instance's cut.
+  *
+  * Window algebra over any instance set (exact Long arithmetic, the
+  * Misra-Gries merge bound):
+  *  - lb(v) = Σ kept-count over instances that kept v  (≤ true count)
+  *  - ub(v) = lb(v) + (Σ all cuts − Σ cuts of instances that kept v)
+  *    (≥ true count: an instance that did not keep v saw it at most
+  *    `cut` times)
+  *  - any v with true windowed count > Σ cuts is KEPT by at least one
+  *    instance — the candidate set provably contains every such hitter.
+  * `exact` = (lb == ub): v was kept by every instance in the window.
+  *
+  * Counts are additive, so appends are run-slot scoped and compaction
+  * (file-layout fold, rows verbatim — bounds and serves are
+  * byte-identical across it) records the fold manifest: a replayed
+  * batch cannot double-count ([[EdgeStore]] posture). A PRUNING fold
+  * (re-merge instances to top-M, widening bounds) is a documented
+  * non-goal: it would make served bounds depend on compaction
+  * timing, breaking the deterministic-oracle contract; rows grow by
+  * ≤ (m+1) per (instance, group) — summary-scale, not corpus-scale. */
+object TopKStore {
+
+  // ---- meta sidecar (m must not drift across appends) ------------------
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_topk_meta.json")
+
+  private def writeMeta(spark: SparkSession, path: String, m: Int): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_topk_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"m":$m}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(metaPath(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, metaPath(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readMeta(spark: SparkSession, path: String): Int = {
+    val (fs, _) = fsOf(spark, path)
+    require(fs.exists(metaPath(path)),
+      s"TopKStore: no _topk_meta.json at $path — not a top-k store")
+    val in = fs.open(metaPath(path))
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    """"m"\s*:\s*(\d+)""".r.unanchored.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"TopKStore: unparseable _topk_meta.json at $path: $txt"))
+  }
+
+  /** One instance summary per (part, group): exact counts → top-m rows
+    * (count desc, value asc), each carrying the instance's cut and an
+    * explicit instance id `inst` (the serve algebra must count each
+    * instance's cut exactly once, and the id must survive compaction —
+    * slot directories collapse into `__base__`, so the slot name
+    * cannot be the identity). Output: (part, inst, groups..., value,
+    * cnt, cut). */
+  private def summaries(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, partCol: String,
+                        m: Int): DataFrame = {
+    val keys = col("part") +: groupCols.map(col)
+    val counted = df
+      .select((col(partCol).cast("string").as("part") +:
+        groupCols.map(col)) :+
+        col(valueCol).cast("string").as("value"): _*)
+      .groupBy(keys :+ col("value"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // rank within the instance: one window over summary-scale rows
+    // (≤ distinct values per instance — already aggregated)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+      .orderBy(col("cnt").desc, col("value").asc)
+    val ranked = counted.withColumn("rn", row_number().over(w))
+    val cuts = ranked.filter(col("rn") === m + 1)
+      .select((keys :+ col("cnt").as("cut")): _*)
+    ranked.filter(col("rn") <= m).drop("rn")
+      .join(cuts, "part" +: groupCols, "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+  }
+
+  /** Seed the store (replaces any existing one); the seed's instances
+    * are tagged `base`. */
+  def write(df: DataFrame, groupCols: Seq[String], valueCol: String,
+            partCol: String, path: String, m: Int): Unit = {
+    require(m > 0, "TopKStore.write: m must be positive")
+    val spark = df.sparkSession
+    RunSlots.reset(spark, s"$path/topk")
+    RunSlots.write(
+      summaries(df, groupCols, valueCol, partCol, m)
+        .withColumn("inst", lit("base"))
+        .repartition(col("part")),
+      s"$path/topk", "part", Some(RunSlots.Base))
+    writeMeta(spark, path, m)
+  }
+
+  /** Append a batch as new per-part instances in its own run slot —
+    * exactly-once under replay (additive counts, the EdgeStore
+    * posture). `m` comes from the store's sidecar so summaries never
+    * drift. The batch's instances are tagged `runId` (so two batches
+    * over the same part stay distinguishable forever, including after
+    * compaction) — which is why a runId is REQUIRED here: an untagged
+    * accumulate-append could collapse with another instance's cut rows
+    * and silently shrink upper bounds. */
+  def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             partCol: String, path: String, runId: String): Unit = {
+    val m = readMeta(df.sparkSession, path)
+    RunSlots.write(
+      summaries(df, groupCols, valueCol, partCol, m)
+        .withColumn("inst", lit(RunSlots.validate(runId)))
+        .repartition(col("part")),
+      s"$path/topk", "part", Some(runId))
+  }
+
+  /** Windowed top-k candidates with exact bounds: (groups..., value,
+    * lb, ub, exact), the k largest by (lb desc, value asc). Every
+    * value whose true windowed count exceeds the window's summed cuts
+    * is guaranteed present. */
+  def topK(spark: SparkSession, path: String, groupCols: Seq[String],
+           k: Int, parts: Option[Seq[String]] = None): DataFrame = {
+    readMeta(spark, path) // fail loudly on a non-store path
+    require(RunSlots.hasParts(spark, s"$path/topk", "part"),
+      s"TopKStore: store at $path holds no data yet — nothing to serve")
+    val base = spark.read.parquet(s"$path/topk")
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+    val gks = groupCols.map(col)
+    // one row per INSTANCE (part × inst × group): its cut — instance
+    // identity is the explicit inst column, so the sum is invariant
+    // under compaction (slot dirs collapse) and never collapses two
+    // instances that happen to share a cut value
+    val instCuts = pruned
+      .select((col("part") +: col("inst") +: gks) :+ col("cut"): _*)
+      .distinct()
+    val totalCuts = (if (groupCols.isEmpty)
+        instCuts.agg(sum(col("cut")).as("total_cut"))
+      else instCuts.groupBy(gks: _*).agg(sum(col("cut")).as("total_cut")))
+    val perValue = pruned.groupBy(gks :+ col("value"): _*)
+      .agg(sum(col("cnt")).as("lb"), sum(col("cut")).as("covered_cut"))
+    val joined = if (groupCols.isEmpty) perValue.crossJoin(totalCuts)
+      else perValue.join(totalCuts, groupCols)
+    val bounded = joined
+      .withColumn("ub", col("lb") + col("total_cut") - col("covered_cut"))
+      .withColumn("exact", col("ub") === col("lb"))
+      .select(gks :+ col("value") :+ col("lb") :+ col("ub") :+
+        col("exact"): _*)
+    // rank over SUMMARY-scale rows (≤ instances × m per group — never
+    // the corpus): a sort/window here is bounded by construction
+    if (groupCols.isEmpty)
+      bounded.orderBy(col("lb").desc, col("value").asc).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(gks: _*)
+        .orderBy(col("lb").desc, col("value").asc)
+      bounded.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+  }
+
+  /** Fold every slot's files back into one `run=__base__` generation
+    * (rows verbatim — served bounds byte-identical), recording folded
+    * run ids in the manifest so replays stay no-ops. */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.llm.IvfLayout.compact(spark, s"$path/topk", "part")
+
+  def slotCount(spark: SparkSession, path: String): Int =
+    RunSlots.slotCount(spark, s"$path/topk")
+}

@@ -753,6 +753,70 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.TopKStore]]: each
+    * micro-batch lands its per-part top-m summaries as new instances
+    * under the batch's own `run=b<id>` slot (counts are additive —
+    * replay protection like [[graft.operators.EdgeStore]]), with the
+    * standard mid-stream auto-compact (file fold only: TopKStore
+    * bounds are byte-identical across compaction by design). */
+  def streamingTopKMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      groupCols: Seq[String], valueCol: String, partCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompact(spark, s"$storePath/topk", autoCompactSlots)(
+          graft.operators.TopKStore.compact(spark, storePath))
+        graft.operators.TopKStore.append(prepare(batch), groupCols,
+          valueCol, partCol, storePath, runId = s"b$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming maintenance of a [[graft.operators.SampleStore]]: each
+    * micro-batch lands its per-part bottom-kMax summaries under the
+    * batch's own `run=b<id>` slot (replay cannot re-land rows), with
+    * the standard mid-stream auto-compact — for this store an EXACT
+    * pruning fold (re-summarize to bottom-kMax; served samples are
+    * byte-identical across it). */
+  def streamingSampleMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      groupCols: Seq[String], keyCol: String, partCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompact(spark, s"$storePath/sample", autoCompactSlots)(
+          graft.operators.SampleStore.compact(spark, storePath))
+        graft.operators.SampleStore.append(prepare(batch), groupCols,
+          keyCol, partCol, storePath, runId = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamingExactDedup(
       docs: Dataset[DocIn],
       stateTtl: Option[java.time.Duration] = None): Dataset[DocIn] = {

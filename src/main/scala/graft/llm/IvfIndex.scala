@@ -23,18 +23,55 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 private[graft] object IvfLayout {
   import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 
-  /** The non-reserved `run=` slot ids currently present under `root` —
-    * the ids a fold of this tree must record ([[RunSlots]] manifest).
-    * `__base__` is the fold target and `__adhoc__` carries
-    * accumulate-semantics appends (never replayed), so neither is
-    * recorded — recording them would turn legitimate future writes
-    * into no-ops. */
-  private[graft] def foldedRunIds(fs: FileSystem, root: Path): Set[String] =
-    fs.listStatus(root).toSeq
+  /** The non-reserved (replayable) `run=` slot dirs under `root`, split
+    * into COMMITTED (carry a `_SUCCESS` marker — the job that wrote
+    * them finished) and PARTIAL (a crash mid-[[RunSlots.write]] left
+    * the marker absent). `__base__` is the fold target and `__adhoc__`
+    * carries accumulate-semantics appends (never replayed), so neither
+    * is listed — recording them in a fold manifest would turn
+    * legitimate future writes into no-ops.
+    *
+    * Only COMMITTED slots may be folded and recorded (ADVICE r12,
+    * high): the streaming loops compact at the top of foreachBatch, so
+    * on restart-after-crash the slot of the batch ABOUT TO BE REPLAYED
+    * can be partial. Folding it would record its id, the replayed
+    * `RunSlots.write` would no-op, and the batch's rows would be lost
+    * (empty partial slot) or frozen under-counted (additive stores) —
+    * silently breaking the exactly-once contract the manifest exists
+    * to provide. A partial slot must stay a live slot the replay
+    * rewrites whole. */
+  private[graft] def replayableSlots(
+      fs: FileSystem, root: Path): (Seq[Path], Seq[Path]) = {
+    val dirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
-      .map(_.getPath.getName.stripPrefix("run="))
-      .filterNot(id => id == RunSlots.Base || id == RunSlots.Adhoc)
-      .toSet
+      .map(_.getPath)
+      .filterNot { p =>
+        val id = p.getName.stripPrefix("run=")
+        id == RunSlots.Base || id == RunSlots.Adhoc
+      }
+    dirs.partition(p => fs.exists(new Path(p, "_SUCCESS")))
+  }
+
+  private[graft] def slotId(p: Path): String = p.getName.stripPrefix("run=")
+
+  /** Refusal guard for OFFLINE rebuild ops (retrain): they bake every
+    * read row into a new base and record every slot id as folded, so a
+    * partial slot would be frozen half-written with its replay
+    * no-op'd. Unlike [[compact]] (which runs mid-stream and must not
+    * throw on the restart path), a retrain is operator-scheduled — the
+    * honest behavior is to refuse until the owning stream has replayed
+    * the slot (or the operator removes it). */
+  private[graft] def requireNoPartialSlots(fs: FileSystem, root: Path,
+                                           op: String): Unit = {
+    val (_, partial) = replayableSlots(fs, root)
+    require(partial.isEmpty,
+      s"$op: slot(s) ${partial.map(slotId).sorted.mkString(", ")} at $root " +
+        "have no _SUCCESS marker (a crash mid-write, or " +
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — let the " +
+        "owning stream replay them (or remove them) before rebuilding, or " +
+        "the partial rows would be frozen into the new base with their " +
+        "replay no-op'd")
+  }
 
   /** Rewrite the index with ONE file per cell: stage a full compacted
     * copy (one shuffle keyed by cid, so each cell's rows land in exactly
@@ -51,7 +88,8 @@ private[graft] object IvfLayout {
     * renaming the old directory back, and a re-run fails loudly while
     * the leftover exists instead of compounding. */
   def compact(spark: SparkSession, path: String, partCol: String = "cid",
-              transform: DataFrame => DataFrame = identity): Unit = {
+              transform: DataFrame => DataFrame = identity,
+              stageFinalize: Path => Unit = _ => ()): Unit = {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -67,14 +105,41 @@ private[graft] object IvfLayout {
         "restore it over the index path (or remove it) before re-running")
     fs.delete(tmp, true)
 
-    // EVERY slot collapses back into run=__base__ here, and a pre-slot
-    // flat store is MIGRATED to the slotted layout by the same move
-    // (all appends are run-scoped now — RunSlots.requireSlotLayout
+    // EVERY COMMITTED slot collapses back into run=__base__ here, and a
+    // pre-slot flat store is MIGRATED to the slotted layout by the same
+    // move (all appends are run-scoped now — RunSlots.requireSlotLayout
     // points legacy stores at this compact as the upgrade path). The
     // staged tree keeps the run level so post-compact appends never
     // mix directory depths with it.
+    //
+    // A PARTIAL slot (no _SUCCESS — a crash mid-RunSlots.write of the
+    // batch about to be replayed) is NOT folded: it is excluded from
+    // the staged read, carried over VERBATIM, and left out of the fold
+    // manifest, so the replay still rewrites it whole instead of
+    // no-op'ing against a base that swallowed its half-written rows.
+    val (committedSlots, partialSlots) = replayableSlots(fs, root)
     val stageTarget = new Path(tmp, s"run=${RunSlots.Base}")
-    transform(spark.read.parquet(path)).drop("run")
+    val source =
+      if (partialSlots.isEmpty) spark.read.parquet(path)
+      else {
+        // reserved slots (__base__, __adhoc__) are always folded; a
+        // legacy flat store never coexists with run= slots (the
+        // RunSlots layout guards refuse the mix at append time)
+        val reserved = fs.listStatus(root).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName == s"run=${RunSlots.Base}" ||
+            p.getName == s"run=${RunSlots.Adhoc}")
+        val readable = reserved ++ committedSlots
+        require(readable.nonEmpty,
+          s"IvfLayout.compact: every slot at $path is missing its " +
+            "_SUCCESS marker (crash wreckage, or " +
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — " +
+            "nothing committed to fold; refusing rather than freezing " +
+            "partial rows")
+        spark.read.option("basePath", path)
+          .parquet(readable.map(_.toString): _*)
+      }
+    transform(source).drop("run")
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(stageTarget.toString)
     // a staged tree with ZERO rows has no partition dirs and no parquet
@@ -90,24 +155,38 @@ private[graft] object IvfLayout {
           "(every row tombstoned or the store was empty) — delete the " +
           "store or rebuild it instead of compacting")
     }
-    // sidecars (_centroids, _codebooks) travel verbatim; _SUCCESS is
-    // rewritten by the staged write itself; __stage wreckage from an
-    // interrupted VersionedArtifact.writeStaged is dead weight — skip it
+    // sidecars (_centroids, _codebooks dirs; _hist_meta.json-style
+    // files) travel verbatim; _SUCCESS is rewritten by the staged write
+    // itself; __stage/__tmp wreckage from an interrupted staged writer
+    // is dead weight — skip it
     fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("_") && !p.getName.endsWith("__stage") &&
-        fs.getFileStatus(p).isDirectory)
+      .filter(p => p.getName.startsWith("_") &&
+        !p.getName.endsWith("__stage") && !p.getName.endsWith("__tmp") &&
+        p.getName != "_SUCCESS")
       .foreach(side =>
         FileUtil.copy(fs, side, fs, new Path(tmp, side.getName), false, conf))
 
-    // fold manifest: record every non-reserved run id this compact
-    // folds into __base__, merged with previously-recorded ids, and
-    // write it into the STAGED tree so it installs atomically with the
-    // fold — a replayed pre-compact batch id then no-ops in
-    // RunSlots.write instead of re-landing rows the base already holds
-    // (this is what makes compaction replay-safe mid-stream)
-    val allFolded = RunSlots.foldedRuns(spark, path) ++ foldedRunIds(fs, root)
-    if (allFolded.nonEmpty)
+    // partial slots ride over verbatim: still live, still the replay's
+    // overwrite target after the install rename
+    partialSlots.foreach(p =>
+      FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf))
+
+    // fold manifest: record every COMMITTED run id this compact folds
+    // into __base__, merged with previously-recorded ids, and write it
+    // into the STAGED tree so it installs atomically with the fold — a
+    // replayed pre-compact batch id then no-ops in RunSlots.write
+    // instead of re-landing rows the base already holds (this is what
+    // makes compaction replay-safe mid-stream)
+    val allFolded = RunSlots.foldedRuns(spark, path)
+      .fold(committedSlots.map(slotId).toSet)
+    if (!allFolded.isEmpty)
       RunSlots.writeFoldedManifest(spark, tmp.toString, allFolded)
+
+    // caller hook for metadata that must install ATOMICALLY with the
+    // transformed data (e.g. HistStore.rebin's new layout sidecar) —
+    // runs on the staged tree, so a crash anywhere leaves data+meta
+    // consistent on whichever side of the swap survives
+    stageFinalize(tmp)
 
     require(fs.rename(root, old), s"IvfLayout.compact: backup rename of $path failed")
     require(fs.rename(tmp, root), s"IvfLayout.compact: install rename to $path failed")
@@ -200,6 +279,7 @@ object IvfIndex {
     require(!fs.exists(old),
       s"IvfIndex.retrain: leftover $old from an interrupted retrain — " +
         "restore it over the index path (or remove it) before re-running")
+    IvfLayout.requireNoPartialSlots(fs, root, "IvfIndex.retrain")
     fs.delete(tmp, true)
     // the rebuild reads the live index, so the staged write must not
     // consume a lazy plan over directories the install will move —
@@ -230,9 +310,10 @@ object IvfIndex {
     vecs.unpersist()
     // the rebuilt base holds every live row, so every pre-retrain slot
     // id counts as folded: carry the manifest forward + record them
-    val allFolded = RunSlots.foldedRuns(spark, path) ++
-      IvfLayout.foldedRunIds(fs, root)
-    if (allFolded.nonEmpty)
+    // (all committed — requireNoPartialSlots gated entry above)
+    val allFolded = RunSlots.foldedRuns(spark, path)
+      .fold(IvfLayout.replayableSlots(fs, root)._1.map(IvfLayout.slotId).toSet)
+    if (!allFolded.isEmpty)
       RunSlots.writeFoldedManifest(spark, tmp.toString, allFolded)
     require(fs.rename(root, old), s"IvfIndex.retrain: backup rename of $path failed")
     require(fs.rename(tmp, root), s"IvfIndex.retrain: install rename to $path failed")

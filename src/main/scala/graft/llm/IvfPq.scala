@@ -177,6 +177,7 @@ object IvfPq {
     require(!fs.exists(old),
       s"IvfPq.retrainFrom: leftover $old from an interrupted retrain — " +
         "restore it over the index path (or remove it) before re-running")
+    IvfLayout.requireNoPartialSlots(fs, root, "IvfPq.retrainFrom")
     fs.delete(tmp, true)
     val vecs = Tombstones.exclude(
       corpus.select(col(idCol), col(vecCol)), idCol, spark, path).persist()
@@ -195,9 +196,9 @@ object IvfPq {
     write(vecs, vecCol, idCol, tmp.toString, nCells, m, k, iters,
       corpusRows = Some(nVecs), trainedCentroids = Some(cents))
     vecs.unpersist()
-    val allFolded = RunSlots.foldedRuns(spark, path) ++
-      IvfLayout.foldedRunIds(fs, root)
-    if (allFolded.nonEmpty)
+    val allFolded = RunSlots.foldedRuns(spark, path)
+      .fold(IvfLayout.replayableSlots(fs, root)._1.map(IvfLayout.slotId).toSet)
+    if (!allFolded.isEmpty)
       RunSlots.writeFoldedManifest(spark, tmp.toString, allFolded)
     require(fs.rename(root, old), s"IvfPq.retrainFrom: backup rename of $path failed")
     require(fs.rename(tmp, root), s"IvfPq.retrainFrom: install rename to $path failed")

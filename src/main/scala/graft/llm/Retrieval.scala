@@ -374,17 +374,36 @@ object Retrieval {
         s"Retrieval.compactIndex: leftover $statsOld from an interrupted " +
           "compact — restore it over _stats (or remove it) before re-running")
       fs.delete(statsTmp, true)
-      spark.read.parquet(statsRoot.toString)
+      // a PARTIAL batch slot (no _SUCCESS — crash mid-writeFlat of the
+      // batch about to be replayed) must not be folded or recorded:
+      // exclude it from the summed read, carry it verbatim, and let the
+      // replay rewrite it whole (the IvfLayout.compact discipline).
+      // __deltas__ is compact-internal (tombstone corrections renamed
+      // in by step 4, never replayed) — always folded, never recorded.
+      val (statsCommitted, statsPartialRaw) =
+        IvfLayout.replayableSlots(fs, statsRoot)
+      val (deltaSlots, statsPartial) =
+        statsPartialRaw.partition(_.getName == "run=__deltas__")
+      val statsSrc =
+        if (statsPartial.isEmpty) spark.read.parquet(statsRoot.toString)
+        else {
+          val reserved = fs.listStatus(statsRoot).toSeq.map(_.getPath)
+            .filter(_.getName == s"run=${RunSlots.Base}")
+          spark.read.option("basePath", statsRoot.toString)
+            .parquet((reserved ++ deltaSlots ++
+              statsCommitted).map(_.toString): _*)
+        }
+      statsSrc
         .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
           coalesce(sum(col("total_tokens")), lit(0L)).as("total_tokens"))
         .coalesce(1).write
         .parquet(new Path(statsTmp, s"run=${RunSlots.Base}").toString)
-      // __deltas__ is compact-internal (tombstone corrections renamed
-      // in by step 4), never a replayable batch id — keep it out of
-      // the manifest
-      val statsFolded = (RunSlots.foldedRuns(spark, statsRoot.toString) ++
-        IvfLayout.foldedRunIds(fs, statsRoot)) - "__deltas__"
-      if (statsFolded.nonEmpty)
+      statsPartial.foreach(p => org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, fs, new Path(statsTmp, p.getName), false,
+        spark.sparkContext.hadoopConfiguration))
+      val statsFolded = RunSlots.foldedRuns(spark, statsRoot.toString)
+        .fold(statsCommitted.map(IvfLayout.slotId).toSet - "__deltas__")
+      if (!statsFolded.isEmpty)
         RunSlots.writeFoldedManifest(spark, statsTmp.toString, statsFolded)
       require(fs.rename(statsRoot, statsOld),
         s"Retrieval.compactIndex: backup rename of $statsRoot failed")

@@ -41,8 +41,8 @@ class FoldManifestSpec extends SparkSpec {
     assert(RunSlots.slotCount(spark, s"$p/bands") === 1)
     MinHashIndex.compact(spark, p)
     assert(RunSlots.slotCount(spark, s"$p/bands") === 0)
-    assert(RunSlots.foldedRuns(spark, s"$p/bands") === Set("b0"))
-    assert(RunSlots.foldedRuns(spark, s"$p/sets") === Set("b0"))
+    assert(RunSlots.foldedRuns(spark, s"$p/bands").contains("b0"))
+    assert(RunSlots.foldedRuns(spark, s"$p/sets").contains("b0"))
     val before = (fileSet(s"$p/bands"), fileSet(s"$p/sets"))
     // the foreachBatch replay-after-fold corner: same batch, same id
     MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4,
@@ -66,8 +66,72 @@ class FoldManifestSpec extends SparkSpec {
       Seq((11L, base + "two")).toDF("doc_id", "text"),
       "text", "doc_id", p, nBuckets = 4, runId = Some("b1"))
     MinHashIndex.compact(spark, p)
-    assert(RunSlots.foldedRuns(spark, s"$p/bands") === Set("b0", "b1"))
-    assert(RunSlots.foldedRuns(spark, s"$p/sets") === Set("b0", "b1"))
+    assert(RunSlots.foldedRuns(spark, s"$p/bands") === RunSlots.FoldManifest(1L, Set.empty))
+    assert(RunSlots.foldedRuns(spark, s"$p/sets") === RunSlots.FoldManifest(1L, Set.empty))
+  }
+
+  // ---- bounded manifest (r12 verdict "What's missing #1") --------------
+  // The manifest must stay O(1)-ish over any streaming horizon: numeric
+  // b<id> batch ids collapse under a contiguously-advanced high-water
+  // mark; only named runs and out-of-order ids occupy the exception set.
+
+  test("manifest stays O(1) over a 150-batch fold horizon") {
+    import RunSlots.FoldManifest
+    var m = FoldManifest.empty
+    (0 until 150).foreach(i => m = m.fold(Set(s"b$i")))
+    assert(m === FoldManifest(149L, Set.empty),
+      "contiguous batch ids must collapse to the high-water mark alone")
+    assert(m.contains("b0") && m.contains("b149") && !m.contains("b150"))
+
+    // and the SERIALIZED form stays tiny at any horizon
+    val p = Files.createTempDirectory("graft_fm_o1_").toString
+    RunSlots.writeFoldedManifest(spark, p, m)
+    val f = new org.apache.hadoop.fs.Path(s"$p/${RunSlots.ManifestFile}")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.getFileStatus(f).getLen < 100L,
+      "manifest bytes must not grow with folded-batch count")
+    val back = RunSlots.foldedRuns(spark, p)
+    assert(back.contains("b0") && back.contains("b149") &&
+      !back.contains("b150"))
+  }
+
+  test("out-of-order and named ids: exceptions drain as gaps close") {
+    import RunSlots.FoldManifest
+    // a gap stalls the mark — a stray high id can never retroactively
+    // mark unfolded lower ids as folded
+    val gap = FoldManifest.empty.fold(Set("b0", "b2"))
+    assert(gap === FoldManifest(0L, Set("b2")))
+    assert(gap.contains("b2") && !gap.contains("b1"))
+    // folding the missing id drains the exception into the mark
+    assert(gap.fold(Set("b1")) === FoldManifest(2L, Set.empty))
+    // named runs never collapse
+    val named = FoldManifest.empty.fold(Set("daily-2026-08-14"))
+    assert(named === FoldManifest(-1L, Set("daily-2026-08-14")))
+    assert(named.contains("daily-2026-08-14") && !named.contains("b0"))
+    // a store attached mid-stream seeds the mark just below its first
+    // folded id (ids below it predate the store — nothing to replay)
+    assert(FoldManifest.empty.fold(Set("b5", "b6")) ===
+      FoldManifest(6L, Set.empty))
+  }
+
+  test("r12 flat-list manifests parse and migrate on the next write") {
+    val p = Files.createTempDirectory("graft_fm_legacyfmt_").toString
+    val f = new org.apache.hadoop.fs.Path(s"$p/${RunSlots.ManifestFile}")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    out.write("""{"folded":["b0","b1","weekly_x"]}""".getBytes("UTF-8"))
+    out.close()
+    val m = RunSlots.foldedRuns(spark, p)
+    assert(m.contains("b0") && m.contains("b1") && m.contains("weekly_x"))
+    assert(!m.contains("b2"))
+    // an old-format recorded id still no-ops a slot write
+    RunSlots.write(Seq((1L, 0L)).toDF("v", "pc"), p, "pc", Some("b0"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/run=b0")),
+      "flat-list manifest id must still no-op the replay")
+    // the next manifest write normalizes to the bounded form
+    RunSlots.writeFoldedManifest(spark, p, m.fold(Set("b2")))
+    val back = RunSlots.foldedRuns(spark, p)
+    assert(back === RunSlots.FoldManifest(2L, Set("weekly_x")))
   }
 
   test("EdgeStore: replayed folded batch cannot double-count weights") {
@@ -105,7 +169,7 @@ class FoldManifestSpec extends SparkSpec {
     val labels = LabelStore.read(spark, p).as[(Long, Long)].collect().toSet
     assert(labels === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
     LabelStore.compact(spark, p)
-    assert(RunSlots.foldedRuns(spark, s"$p/byn") === Set("b0"))
+    assert(RunSlots.foldedRuns(spark, s"$p/byn").contains("b0"))
     val before = (fileSet(s"$p/byn"), fileSet(s"$p/byc"))
     LabelStore.applyBatch(spark, p, pairs, "id_a", "id_b", Some("b0"))
     assert((fileSet(s"$p/byn"), fileSet(s"$p/byc")) === before,
@@ -121,7 +185,7 @@ class FoldManifestSpec extends SparkSpec {
     IvfIndex.write(vecs, "embedding", "vec_id", p, nCells = 4)
     IvfIndex.append(batchV, "embedding", "vec_id", p, runId = Some("b0"))
     IvfIndex.retrain(spark, p, nCells = 4)
-    assert(RunSlots.foldedRuns(spark, p) === Set("b0"))
+    assert(RunSlots.foldedRuns(spark, p).contains("b0"))
     val rowsBefore = spark.read.parquet(p).count()
     IvfIndex.append(batchV, "embedding", "vec_id", p, runId = Some("b0"))
     assert(spark.read.parquet(p).count() === rowsBefore,
@@ -157,8 +221,9 @@ class FoldManifestSpec extends SparkSpec {
     assert(stats() === before, "fold must preserve the summed stats")
     assert(spark.read.parquet(s"$p/_stats").count() === 1L,
       "stats folded to a single row")
-    assert(RunSlots.foldedRuns(spark, s"$p/_stats") === Set("b0", "b1"))
-    assert(RunSlots.foldedRuns(spark, p) === Set("b0", "b1"))
+    assert(RunSlots.foldedRuns(spark, s"$p/_stats").contains("b0"))
+    assert(RunSlots.foldedRuns(spark, s"$p/_stats").contains("b1"))
+    assert(RunSlots.foldedRuns(spark, p).contains("b1"))
     val snap = (fileSet(p), stats())
     // the replay corner: BOTH the stats delta and the postings no-op
     Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
@@ -217,6 +282,101 @@ class FoldManifestSpec extends SparkSpec {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.listStatus(root).exists(_.getPath.getName.startsWith("run=")),
       "legacy-store failure must not land postings slots either")
+  }
+
+  // ---- partial (uncommitted) slots — ADVICE r12, high ------------------
+  // A crash mid-RunSlots.write leaves a slot without its _SUCCESS
+  // marker, and the streaming loops compact at the TOP of foreachBatch:
+  // on restart the compact runs BEFORE the crashed batch replays. If it
+  // folded the partial slot and recorded its id, the replay would no-op
+  // and the batch's rows would be lost (empty slot) or frozen partial
+  // (additive under-count). The contract: partial slots are excluded
+  // from the fold, carried over VERBATIM, and left out of the manifest.
+
+  private def dropSuccess(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(p, false), s"expected a _SUCCESS marker at $dir")
+  }
+
+  test("compact skips a PARTIAL slot: carried verbatim, unrecorded, replay re-lands it") {
+    import graft.operators.EdgeStore
+    val p = Files.createTempDirectory("graft_fm_part_").toString
+    EdgeStore.write(Seq((1L, 2L, 1L)).toDF("src", "dst", "w"),
+      "src", "dst", Some("w"), p, nBuckets = 4)
+    EdgeStore.append(Seq((2L, 3L, 2L)).toDF("src", "dst", "w"),
+      "src", "dst", Some("w"), p, nBuckets = 4, runId = Some("b0"))
+    // b1 "crashes" mid-write: committed bytes present, marker absent
+    val b1 = Seq((1L, 2L, 5L), (3L, 4L, 7L)).toDF("src", "dst", "w")
+    EdgeStore.append(b1, "src", "dst", Some("w"), p, nBuckets = 4,
+      runId = Some("b1"))
+    dropSuccess(s"$p/edges/run=b1")
+    val partialBytes = fileSet(s"$p/edges/run=b1")
+
+    EdgeStore.compact(spark, p)
+    val folded = RunSlots.foldedRuns(spark, s"$p/edges")
+    assert(folded.contains("b0"), "committed slot must fold + record")
+    assert(!folded.contains("b1"), "partial slot must NOT be recorded")
+    assert(fileSet(s"$p/edges/run=b1") === partialBytes,
+      "partial slot must ride over the compact verbatim")
+    assert(RunSlots.slotCount(spark, s"$p/edges") === 1)
+
+    // the replay the manifest must NOT swallow: b1 rewrites its slot
+    // whole and is counted exactly once
+    EdgeStore.append(b1, "src", "dst", Some("w"), p, nBuckets = 4,
+      runId = Some("b1"))
+    val weights = EdgeStore.read(spark, p).as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(weights === Map((1L, 2L) -> 6L, (2L, 3L) -> 2L, (3L, 4L) -> 7L))
+    // and a replay of the FOLDED id still no-ops
+    val before = fileSet(s"$p/edges")
+    EdgeStore.append(Seq((2L, 3L, 2L)).toDF("src", "dst", "w"),
+      "src", "dst", Some("w"), p, nBuckets = 4, runId = Some("b0"))
+    assert(fileSet(s"$p/edges") === before)
+  }
+
+  test("compact refuses when every replayable slot is uncommitted") {
+    val p = Files.createTempDirectory("graft_fm_allpart_").toString
+    RunSlots.write(Seq((1L, 0L)).toDF("v", "pc"), p, "pc", Some("b0"))
+    dropSuccess(s"$p/run=b0")
+    val e = intercept[IllegalArgumentException] {
+      IvfLayout.compact(spark, p, "pc")
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+  }
+
+  test("retrain refuses while a partial slot exists (offline ops don't freeze replays)") {
+    val vecs = sf("sf0.001", "embeddings").limit(32)
+    val p = Files.createTempDirectory("graft_fm_rtpart_").toString
+    IvfIndex.write(vecs, "embedding", "vec_id", p, nCells = 4)
+    IvfIndex.append(vecs.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 500L).as("vec_id"), col("embedding")),
+      "embedding", "vec_id", p, runId = Some("b0"))
+    dropSuccess(s"$p/run=b0")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(spark, p, nCells = 4)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    assert(e.getMessage.contains("replay"), e.getMessage)
+  }
+
+  test("compactIndex skips a partial _stats slot and its replay still lands") {
+    val p = Files.createTempDirectory("graft_fm_lexpart_").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
+    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    // the batch "crashed" after its postings landed but mid-stats-write
+    dropSuccess(s"$p/_stats/run=b0")
+    dropSuccess(s"$p/run=b0")
+    Retrieval.compactIndex(spark, p)
+    assert(!RunSlots.foldedRuns(spark, s"$p/_stats").contains("b0"),
+      "partial stats slot must not be recorded")
+    assert(!RunSlots.foldedRuns(spark, p).contains("b0"),
+      "partial postings slot must not be recorded")
+    // replay rewrites both slots whole; totals count the batch once
+    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    val r = spark.read.parquet(s"$p/_stats")
+      .agg(sum("n_docs"), sum("total_tokens")).head()
+    assert(r.getLong(0) === 3L, "2 corpus docs + the replayed batch doc")
   }
 
   test("writeFlat refuses a flat legacy side table instead of mixing depths") {

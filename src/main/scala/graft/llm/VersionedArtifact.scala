@@ -77,10 +77,21 @@ private[graft] object VersionedArtifact {
   /** Staged install for a single-table sidecar at a fixed path: write
     * beside, delete live, rename into place. Any `__stage` leftover
     * from a crash is overwritten by the next attempt and ignored by
-    * readers (they address exact paths). */
+    * readers (they address exact paths).
+    *
+    * The whole contract rides on the install RENAME being atomic — on
+    * an object store where rename is copy+delete, a crash mid-install
+    * leaves exactly the torn half-readable sidecar this method exists
+    * to prevent, so the same requireAtomicRename guard every other
+    * rename-install path applies (IvfLayout.compact, SketchStore)
+    * applies here (ADVICE r12). */
   def writeStaged(df: DataFrame, live: String): Unit = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, live)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
     val tmp = new Path(live + "__stage")
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)

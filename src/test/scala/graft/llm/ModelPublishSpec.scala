@@ -103,6 +103,29 @@ class ModelPublishSpec extends SparkSpec {
     assert(wh.readGrants(id) === Map("roles/viewer" -> Seq("a", "b")))
   }
 
+  test("BPE merge table publishes staged: supersede + crash wreckage invisible") {
+    // r12 verdict "What's wrong #1": writeMerges was the last deploy
+    // artifact written by in-place overwrite — a crash mid-write left a
+    // torn tokenizer whose truncated rank order would silently change
+    // every downstream segmentation
+    val p = Files.createTempDirectory("graft_mp_bpe_").toString + "/merges"
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq((0L, "a", "b", 5L), (1L, "ab", "c", 3L))
+    Bpe.writeMerges(spark, v1, p)
+    assert(Bpe.readMerges(spark, p) === v1)
+    assert(!fs.exists(new Path(p + "__stage")),
+      "stage dir consumed by the install rename")
+    // a writer that died mid-stage leaves wreckage the next publish
+    // overwrites; the live artifact stays the previous version
+    fs.mkdirs(new Path(p + "__stage"))
+    assert(Bpe.readMerges(spark, p) === v1,
+      "stage wreckage must be invisible to readers")
+    val v2 = Seq((0L, "x", "y", 9L))
+    Bpe.writeMerges(spark, v2, p)
+    assert(Bpe.readMerges(spark, p) === v2)
+    assert(!fs.exists(new Path(p + "__stage")))
+  }
+
   test("IVF sidecar staged install leaves no torn _centroids (absent-or-complete)") {
     val vecs = sf("sf0.001", "embeddings").limit(32)
     val p = Files.createTempDirectory("graft_mp_side_").toString

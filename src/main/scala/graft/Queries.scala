@@ -1117,5 +1117,6 @@ object Queries {
     analytics ++ dfuncs ++ policy ++ materializations ++ runlogQueries ++
       validatorQueries ++ governance ++ QueriesLlm.all ++ QueriesExt.all ++
       QueriesR6.all ++ QueriesR7.all ++ QueriesR8.all ++ QueriesR9.all ++
-      QueriesR10.all ++ QueriesR10b.all ++ QueriesR11.all ++ QueriesR12.all
+      QueriesR10.all ++ QueriesR10b.all ++ QueriesR11.all ++
+      QueriesR12.all ++ QueriesR13.all
 }

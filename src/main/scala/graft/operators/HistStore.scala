@@ -43,29 +43,42 @@ object HistStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** The layout sidecar lives INSIDE the hist tree (r13): [[rebin]]
+    * rewrites bin numbers AND the layout in one compact-swap, so data
+    * and meta install in the same atomic rename — a crash can never
+    * leave rebinned counts described by the old layout (which would
+    * silently mis-report every quantile bound). Pre-r13 stores kept it
+    * beside the tree; reads fall back, and the first rebin migrates. */
   private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/hist/_hist_meta.json")
+
+  private def legacyMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_hist_meta.json")
 
-  private def writeMeta(spark: SparkSession, path: String,
-                        lo: Long, hi: Long, nBins: Int): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_hist_meta.json__tmp")
+  /** Write the layout sidecar into histogram tree `tree` (the live one,
+    * or a compact's STAGED tree for atomic install). */
+  private def writeMetaInto(spark: SparkSession, tree: String,
+                            lo: Long, hi: Long, nBins: Int): Unit = {
+    val (fs, _) = fsOf(spark, tree)
+    val live = new org.apache.hadoop.fs.Path(s"$tree/_hist_meta.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$tree/_hist_meta.json__tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"lo":$lo,"hi":$hi,"nBins":$nBins}""".getBytes("UTF-8"))
     finally out.close()
     org.apache.hadoop.fs.FileContext
-      .getFileContext(metaPath(path).toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, metaPath(path),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[graft] def readMeta(spark: SparkSession,
                               path: String): (Long, Long, Int) = {
     val (fs, _) = fsOf(spark, path)
-    require(fs.exists(metaPath(path)),
+    val p =
+      if (fs.exists(metaPath(path))) metaPath(path)
+      else legacyMetaPath(path)
+    require(fs.exists(p),
       s"HistStore: no _hist_meta.json at $path — not a histogram store")
-    val in = fs.open(metaPath(path))
+    val in = fs.open(p)
     val txt = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
@@ -110,7 +123,10 @@ object HistStore {
       rows(df, groupCols, valueCol, partCol, lo, hi, nBins)
         .repartition(col("part")),
       s"$path/hist", "part", Some(RunSlots.Base))
-    writeMeta(spark, path, lo, hi, nBins)
+    writeMetaInto(spark, s"$path/hist", lo, hi, nBins)
+    // a stale pre-r13 sidecar beside the tree would shadow nothing
+    // (in-tree wins) but confuse humans — clear it on reseed
+    fsOf(spark, path)._1.delete(legacyMetaPath(path), false)
   }
 
   /** Append a batch's bin counts in its own run slot (pass the
@@ -192,6 +208,47 @@ object HistStore {
       transform = df => df.groupBy(
           df.columns.filterNot(Set("cnt", "run")).map(col): _*)
         .agg(sum(col("cnt")).as("cnt")))
+
+  /** COARSEN the store to `newNBins` bins — the exact migration path
+    * when a layout pinned at seed time turns out too fine (r12 verdict
+    * "What's missing #4"). Exactness: when `newNBins` divides `nBins`,
+    * every old bin maps WHOLLY into one new bin
+    * (`(b-1) div factor + 1`; under/overflow keep their roles), so the
+    * coarse counts equal a from-scratch build at `newNBins` —
+    * bit-for-bit (gate `hist_rebin`). Anything else (finer bins, a new
+    * range) cannot be derived from bin counts and is refused with the
+    * real remedy.
+    *
+    * Counts and the layout sidecar are rewritten in ONE compact-swap
+    * ([[graft.llm.IvfLayout.compact]] `stageFinalize`): the new meta
+    * lands in the staged tree, so data+layout install in the same
+    * atomic rename — no crash window where rebinned counts are read
+    * under the old layout. Folds slots like [[compact]] (manifest
+    * recorded); a pre-r13 beside-the-tree sidecar is migrated in-tree
+    * and removed. */
+  def rebin(spark: SparkSession, path: String, newNBins: Int): Unit = {
+    val (lo, hi, nBins) = readMeta(spark, path)
+    require(newNBins > 0 && newNBins < nBins && nBins % newNBins == 0,
+      s"HistStore.rebin: can only COARSEN exactly — newNBins ($newNBins) " +
+        s"must be a positive proper divisor of the current nBins ($nBins). " +
+        "Finer bins or a new [lo, hi) range cannot be derived from bin " +
+        "counts: rebuild the store from raw rows instead")
+    val factor = (nBins / newNBins).toLong
+    graft.llm.IvfLayout.compact(spark, s"$path/hist", "part",
+      transform = df0 => {
+        // integral `div` (Column `/` is DOUBLE division): bins stay
+        // exact Longs, same arithmetic the binning expression uses
+        val df = df0.withColumn("bin",
+          when(col("bin") === 0L, lit(0L))
+            .when(col("bin") === lit(nBins + 1L), lit(newNBins + 1L))
+            .otherwise(expr(s"(bin - 1L) div ${factor}L + 1L")))
+        df.groupBy(df.columns.filterNot(Set("cnt", "run")).map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"))
+      },
+      stageFinalize = tmp =>
+        writeMetaInto(spark, tmp.toString, lo, hi, newNBins))
+    fsOf(spark, path)._1.delete(legacyMetaPath(path), false)
+  }
 
   /** Slot count of the histogram table — the streaming loop's
     * compaction trigger. */

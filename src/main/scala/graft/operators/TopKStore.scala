@@ -31,11 +31,24 @@ import graft.llm.RunSlots
   * Counts are additive, so appends are run-slot scoped and compaction
   * (file-layout fold, rows verbatim — bounds and serves are
   * byte-identical across it) records the fold manifest: a replayed
-  * batch cannot double-count ([[EdgeStore]] posture). A PRUNING fold
-  * (re-merge instances to top-M, widening bounds) is a documented
-  * non-goal: it would make served bounds depend on compaction
-  * timing, breaking the deterministic-oracle contract; rows grow by
-  * ≤ (m+1) per (instance, group) — summary-scale, not corpus-scale. */
+  * batch cannot double-count ([[EdgeStore]] posture). Rows grow by
+  * ≤ (m+1) per (instance, group) — summary-scale, not corpus-scale —
+  * but a HOT part that receives batches forever accrues
+  * |batches × m| rows; [[pruneCompact]] is the OPT-IN retention fold
+  * for that corner (r12 verdict "What's missing #3"): the standard
+  * Misra-Gries instance merge, re-summarizing each (part, groups) to
+  * one top-m instance with DETERMINISTICALLY WIDENED bounds. It is
+  * deliberately not automatic: served bounds after a prune depend on
+  * when it ran, so the default [[compact]] stays a pure file fold
+  * with byte-identical serves.
+  *
+  * Each stored row carries a `slack` column (0 for direct summaries):
+  * the amount by which the row's `cnt` may UNDERcount the value
+  * within its own instance's data. A merged instance's kept value can
+  * miss occurrences hidden in source instances that excluded it, so
+  * its slack is (sum of source cuts) − (cuts of sources that kept
+  * it); serve adds kept-row slack into ub. Pre-slack stores read back
+  * with slack 0 — identical bounds. */
 object TopKStore {
 
   // ---- meta sidecar (m must not drift across appends) ------------------
@@ -105,10 +118,14 @@ object TopKStore {
     ranked.filter(col("rn") <= m).drop("rn")
       .join(cuts, "part" +: groupCols, "left")
       .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .withColumn("slack", lit(0L)) // exact within a direct instance
   }
 
   /** Seed the store (replaces any existing one); the seed's instances
-    * are tagged `base`. */
+    * are tagged `(base)` — a name [[RunSlots.validate]] can never
+    * accept, so no future `append` runId can collide with it and
+    * collapse two genuinely distinct instances' cut rows (ADVICE
+    * r12). */
   def write(df: DataFrame, groupCols: Seq[String], valueCol: String,
             partCol: String, path: String, m: Int): Unit = {
     require(m > 0, "TopKStore.write: m must be positive")
@@ -116,7 +133,7 @@ object TopKStore {
     RunSlots.reset(spark, s"$path/topk")
     RunSlots.write(
       summaries(df, groupCols, valueCol, partCol, m)
-        .withColumn("inst", lit("base"))
+        .withColumn("inst", lit("(base)"))
         .repartition(col("part")),
       s"$path/topk", "part", Some(RunSlots.Base))
     writeMeta(spark, path, m)
@@ -132,6 +149,14 @@ object TopKStore {
     * and silently shrink upper bounds. */
   def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
              partCol: String, path: String, runId: String): Unit = {
+    // pre-r13 stores tagged their seed instances "base" (a name
+    // validate() accepts): an append reusing it would collide with the
+    // seed and the serve's (part, inst, cut) distinct could merge two
+    // distinct instances sharing a cut value — shrinking total_cut and
+    // minting false exact=true results (ADVICE r12)
+    require(runId != "base" && runId != "pruned",
+      s"TopKStore.append: runId '$runId' is reserved for legacy " +
+        "seed/prune instance tags — name the run something else")
     val m = readMeta(df.sparkSession, path)
     RunSlots.write(
       summaries(df, groupCols, valueCol, partCol, m)
@@ -149,10 +174,18 @@ object TopKStore {
     readMeta(spark, path) // fail loudly on a non-store path
     require(RunSlots.hasParts(spark, s"$path/topk", "part"),
       s"TopKStore: store at $path holds no data yet — nothing to serve")
-    val base = spark.read.parquet(s"$path/topk")
+    // mergeSchema: a pre-r13 store's files lack the slack column while
+    // post-prune (or freshly-appended) files carry it; the union read
+    // nulls it for old rows and the coalesce below makes that exact 0.
+    // Summary-scale table — the extra footer reads are noise.
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/topk")
     val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
       .getOrElse(base)
     val gks = groupCols.map(col)
+    val slackCol =
+      if (pruned.columns.contains("slack")) coalesce(col("slack"), lit(0L))
+      else lit(0L)
     // one row per INSTANCE (part × inst × group): its cut — instance
     // identity is the explicit inst column, so the sum is invariant
     // under compaction (slot dirs collapse) and never collapses two
@@ -164,11 +197,16 @@ object TopKStore {
         instCuts.agg(sum(col("cut")).as("total_cut"))
       else instCuts.groupBy(gks: _*).agg(sum(col("cut")).as("total_cut")))
     val perValue = pruned.groupBy(gks :+ col("value"): _*)
-      .agg(sum(col("cnt")).as("lb"), sum(col("cut")).as("covered_cut"))
+      .agg(sum(col("cnt")).as("lb"), sum(col("cut")).as("covered_cut"),
+        sum(slackCol).as("slk"))
     val joined = if (groupCols.isEmpty) perValue.crossJoin(totalCuts)
       else perValue.join(totalCuts, groupCols)
+    // kept-row slack joins ub (a merged instance's kept cnt may
+    // undercount within its own data); direct summaries have slack 0
+    // and reproduce the pre-r13 bounds bit-for-bit
     val bounded = joined
-      .withColumn("ub", col("lb") + col("total_cut") - col("covered_cut"))
+      .withColumn("ub",
+        col("lb") + col("slk") + col("total_cut") - col("covered_cut"))
       .withColumn("exact", col("ub") === col("lb"))
       .select(gks :+ col("value") :+ col("lb") :+ col("ub") :+
         col("exact"): _*)
@@ -190,6 +228,72 @@ object TopKStore {
     * run ids in the manifest so replays stay no-ops. */
   def compact(spark: SparkSession, path: String): Unit =
     graft.llm.IvfLayout.compact(spark, s"$path/topk", "part")
+
+  /** OPT-IN retention fold for hot parts: re-summarize each
+    * (part, groups) — however many instances it holds — into ONE
+    * merged `(pruned)` instance of at most m rows, via the standard
+    * Misra-Gries merge with deterministically WIDENED bounds:
+    *
+    *  - merged cnt(v)   = Σ kept cnt over source instances keeping v
+    *    (a valid lower bound — sums of lower bounds)
+    *  - merged slack(v) = Σ source slack + (C − covered(v)) where
+    *    C = Σ source cuts: v may hide up to `cut_i` occurrences in
+    *    each source that excluded it, so true(v) ≤ cnt + slack
+    *  - kept rows = top m by (cnt desc, value asc) — the serve's own
+    *    deterministic rank, so the result is reproducible
+    *  - merged cut = max(C, max over EXCLUDED candidates of
+    *    (cnt + slack)): bounds both a candidate pushed out by the
+    *    rank (true ≤ its cnt+slack) and a value no source kept
+    *    (true ≤ C)
+    *
+    * Every post-prune serve still satisfies lb ≤ true ≤ ub (gate
+    * `topk_prune` proves it against exact oracle counts); `exact`
+    * flags survive only where no information was discarded. Rows per
+    * part drop to ≤ m per group regardless of batch count. NOT run by
+    * the auto-compact trigger: bounds after a prune depend on when it
+    * ran, so it is an explicit operator decision. */
+  def pruneCompact(spark: SparkSession, path: String): Unit = {
+    val m = readMeta(spark, path)
+    graft.llm.IvfLayout.compact(spark, s"$path/topk", "part",
+      transform = df => {
+        // group columns are whatever the store carries beyond the
+        // fixed schema — derived, so a typo cannot widen bounds
+        val gCols = df.columns.toSeq.filterNot(
+          Set("part", "inst", "value", "cnt", "cut", "slack", "run"))
+        val gks = gCols.map(col)
+        val keys = col("part") +: gks
+        val keyNames = "part" +: gCols
+        val rows =
+          if (df.columns.contains("slack"))
+            df.withColumn("slack", coalesce(col("slack"), lit(0L)))
+          else df.withColumn("slack", lit(0L))
+        val instCuts = rows
+          .select((col("part") +: col("inst") +: gks) :+ col("cut"): _*)
+          .distinct()
+        val totals = instCuts.groupBy(keys: _*)
+          .agg(sum(col("cut")).as("__C"))
+        val perValue = rows.groupBy(keys :+ col("value"): _*)
+          .agg(sum(col("cnt")).as("cnt"), sum(col("cut")).as("__covered"),
+            sum(col("slack")).as("__slack_in"))
+        val est = perValue.join(totals, keyNames)
+          .withColumn("slack",
+            col("__slack_in") + col("__C") - col("__covered"))
+        // summary-scale window: ≤ instances × m candidate rows per key
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*)
+          .orderBy(col("cnt").desc, col("value").asc)
+        val ranked = est.withColumn("__rn", row_number().over(w))
+        val excl = ranked.filter(col("__rn") > m).groupBy(keys: _*)
+          .agg(max(col("cnt") + col("slack")).as("__exc"))
+        ranked.filter(col("__rn") <= m)
+          .join(excl, keyNames.toSeq, "left")
+          .withColumn("cut",
+            greatest(col("__C"), coalesce(col("__exc"), lit(0L))))
+          .withColumn("inst", lit("(pruned)"))
+          .select((col("part") +: gks) :+ col("value") :+ col("cnt") :+
+            col("cut") :+ col("inst") :+ col("slack"): _*)
+      })
+  }
 
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/topk")

@@ -74,7 +74,7 @@ class HistStoreSpec extends SparkSpec {
     assert(countMap(p) === before, "slot replay must overwrite, not add")
     HistStore.compact(spark, p)
     assert(countMap(p) === before, "compact must not change counts")
-    assert(RunSlots.foldedRuns(spark, s"$p/hist") === Set("b0"))
+    assert(RunSlots.foldedRuns(spark, s"$p/hist").contains("b0"))
     assert(HistStore.slotCount(spark, p) === 0)
     // replay AFTER compact: manifest no-op
     HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
@@ -102,6 +102,67 @@ class HistStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HistStore.write(rows, Seq("grp"), "v", "day", p, 0L, 100L, 7)
     } // 100 % 7 != 0 — inexact bounds refused
+  }
+
+  test("rebin coarsens exactly: counts and quantiles equal a from-scratch build") {
+    val p = mk()
+    HistStore.rebin(spark, p, newNBins = 5) // width 10 -> 20
+    assert(HistStore.readMeta(spark, p) === (0L, 100L, 5))
+    // a from-scratch store at nBins=5 over the same rows
+    val fresh = Files.createTempDirectory("graft_hist_rb_ref_").toString
+    HistStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v", "day",
+      fresh, 0L, 100L, 5)
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      fresh, runId = Some("b0"))
+    assert(countMap(p) === countMap(fresh),
+      "coarsened counts must be bit-identical to a direct build")
+    // quantile serves under the NEW width: grp a median rank 2 ->
+    // bin 1 [0,20) (cum: bin1 holds 5,15,15)
+    val q50 = HistStore.quantile(spark, p, Seq("grp"), 1L, 2L)
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q50("a") === ("a", 1L, Some(0L), Some(20L), 4L))
+    // appends after the rebin land in the coarse layout
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, runId = Some("fresh_b"))
+    assert(countMap(p)(("a", 2L)) === 2L, "25 -> bin 2 under width 20")
+  }
+
+  test("rebin refuses anything but an exact coarsening, with the remedy") {
+    val p = mk()
+    val e = intercept[IllegalArgumentException] {
+      HistStore.rebin(spark, p, newNBins = 3) // 10 % 3 != 0
+    }
+    assert(e.getMessage.contains("divisor"), e.getMessage)
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      HistStore.rebin(spark, p, newNBins = 20) // finer — underivable
+    }
+    intercept[IllegalArgumentException] {
+      HistStore.rebin(spark, p, newNBins = 10) // no-op request
+    }
+    assert(countMap(p) === countMap(mk()), "refusal must be write-free")
+  }
+
+  test("rebin folds pending slots and replays stay no-ops; legacy sidecar migrates in-tree") {
+    val p = mk()
+    // simulate a pre-r13 store: move the sidecar beside the tree
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$p/hist/_hist_meta.json"),
+      new org.apache.hadoop.fs.Path(s"$p/_hist_meta.json"))
+    assert(HistStore.readMeta(spark, p) === (0L, 100L, 10),
+      "legacy beside-the-tree sidecar must stay readable")
+    HistStore.rebin(spark, p, newNBins = 2)
+    assert(HistStore.readMeta(spark, p) === (0L, 100L, 2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_hist_meta.json")),
+      "rebin migrates the sidecar into the tree")
+    assert(RunSlots.foldedRuns(spark, s"$p/hist").contains("b0"),
+      "rebin records folded slots like any compact")
+    val before = countMap(p)
+    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, runId = Some("b0"))
+    assert(countMap(p) === before, "replay of a rebin-folded id is a no-op")
   }
 
   test("streaming maintenance: exactly-once, checkpointed replay no-op, auto-compact") {

@@ -59,12 +59,88 @@ class TopKStoreSpec extends SparkSpec {
     assert(served(p, 3) === expect, "slot replay must overwrite, not add")
     TopKStore.compact(spark, p)
     assert(served(p, 3) === expect, "compaction must not move any bound")
-    assert(RunSlots.foldedRuns(spark, s"$p/topk") === Set("b0"))
+    assert(RunSlots.foldedRuns(spark, s"$p/topk").contains("b0"))
     TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "b0")
     assert(served(p, 3) === expect, "folded replay must be a no-op")
     // a FRESH batch still lands and shifts bounds
     TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "b1")
     assert(served(p, 1) === Seq(("y", 13L, 14L, false)))
+  }
+
+  test("append rejects the legacy seed tag so instances can never collide") {
+    val p = mk()
+    val e = intercept[IllegalArgumentException] {
+      TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "base")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
+  test("pruneCompact: hand-pinned Misra-Gries merge, bounds valid and widened deterministically") {
+    // part d1 only: seed x:5 y:3 z:2 w:1 (m=2 keeps x:5,y:3; cut=2),
+    // append b0 z:5 q:4 x:1 (keeps z:5,q:4; cut=1)
+    val p = Files.createTempDirectory("graft_topk_pr_").toString
+    TopKStore.write(expand("d1", "x" -> 5, "y" -> 3, "z" -> 2, "w" -> 1)
+      .toDF("day", "v"), Seq.empty, "v", "day", p, m = 2)
+    TopKStore.append(expand("d1", "z" -> 5, "q" -> 4, "x" -> 1)
+      .toDF("day", "v"), Seq.empty, "v", "day", p, runId = "b0")
+    // pre-prune: C=3; x lb5 ub6, z lb5 ub7, q lb4 ub6, y lb3 ub4
+    assert(served(p, 4) === Seq(("x", 5L, 6L, false), ("z", 5L, 7L, false),
+      ("q", 4L, 6L, false), ("y", 3L, 4L, false)))
+
+    TopKStore.pruneCompact(spark, p)
+    // merge per part: cands x(5,slack1) z(5,slack2) q(4,slack2)
+    // y(3,slack1); rank (cnt desc, v asc) keeps x,z; excluded max
+    // (cnt+slack) = q:6 -> cut' = max(C=3, 6) = 6
+    // store shrank to ONE instance of m rows
+    val rows = spark.read.parquet(s"$p/topk")
+    assert(rows.count() === 2L)
+    assert(rows.select("inst").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("(pruned)"))
+    // serve: x lb5 ub 5+1+6-6=6, z lb5 ub 5+2+6-6=7 — true counts are
+    // x=6, z=5 by construction, so lb <= true <= ub holds for both
+    assert(served(p, 3) === Seq(("x", 5L, 6L, false), ("z", 5L, 7L, false)))
+
+    // a fresh append onto the pruned part still merges by the algebra:
+    // b1 y:5 (kept, cut 0) -> y lb5 ub 5+0+6-6+... covered 0 -> ub 11;
+    // x lb5 slack1 covered6 total6 -> ub6 (true 6)
+    TopKStore.append(expand("d1", "y" -> 5).toDF("day", "v"),
+      Seq.empty, "v", "day", p, runId = "b1")
+    assert(served(p, 3) === Seq(("x", 5L, 6L, false), ("y", 5L, 11L, false),
+      ("z", 5L, 7L, false)))
+  }
+
+  test("pruneCompact is idempotent on an already-pruned part") {
+    val p = mk() // one instance per part: prune must not move bounds
+    val before = served(p, 3)
+    TopKStore.pruneCompact(spark, p)
+    assert(served(p, 3) === before,
+      "single-instance parts lose nothing: kept rows exact, cut'=C=cut")
+    TopKStore.pruneCompact(spark, p)
+    assert(served(p, 3) === before, "re-pruning a pruned store is stable")
+  }
+
+  test("grouped pruneCompact keeps per-group instance cuts distinct") {
+    val rows = (expand("d1", "a" -> 3, "b" -> 2, "c" -> 1)
+        .map { case (d, v) => (d, "g1", v) } ++
+      expand("d1", "c" -> 4, "a" -> 1).map { case (d, v) => (d, "g2", v) })
+      .toDF("day", "grp", "v")
+    val p = Files.createTempDirectory("graft_topk_prg_").toString
+    TopKStore.write(rows, Seq("grp"), "v", "day", p, m = 1)
+    TopKStore.append(
+      expand("d1", "b" -> 5).map { case (d, v) => (d, "g1", v) }
+        .toDF("day", "grp", "v"),
+      Seq("grp"), "v", "day", p, runId = "b0")
+    TopKStore.pruneCompact(spark, p)
+    val got = TopKStore.topK(spark, p, Seq("grp"), 1)
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    // g1: seed kept a:3 cut2; b0 kept b:5 cut0. merge: C=2,
+    // cands a(3,slack 2-2=0... covered(a)=2 -> slack=0) wait: covered
+    // of a = cut of instances keeping a = 2 -> slack = 2-2 = 0;
+    // b(5, covered 0 -> slack 2). rank: b5 > a3 -> keep b (m=1);
+    // excluded a: 3+0=3 -> cut' = max(2,3) = 3.
+    // serve g1: b lb5 ub 5+2+3-3 = 7
+    // g2: single instance kept c:4 cut1 -> unchanged: c lb4 ub4 exact
+    assert(got === Set(("g1", "b", 5L, 7L, false), ("g2", "c", 4L, 4L, true)))
   }
 
   test("grouped top-k ranks within each group") {

@@ -50,15 +50,30 @@ object ProbeSlotCompact {
           runId = Some(s"b$i"))
         (System.nanoTime() - t0) / 1000000L
       }
+      // manifest read cost at the END of the horizon — the r12 verdict's
+      // residual growth term (one full read+parse per RunSlots.write):
+      // with the bounded manifest this must stay O(1) at any batch count
+      val mt0 = System.nanoTime()
+      val manifest = (1 to 50)
+        .map(_ => RunSlots.foldedRuns(spark, s"$path/byn")).last
+      val manifestUs = (System.nanoTime() - mt0) / 1000 / 50
+      val mf = new org.apache.hadoop.fs.Path(
+        s"$path/byn/${RunSlots.ManifestFile}")
+      val mfs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mBytes = if (mfs.exists(mf)) mfs.getFileStatus(mf).getLen else 0L
       val q = (p: Double) => walls.sorted.apply(
         math.min(walls.size - 1, (p * walls.size).toInt))
       println(s"[probe] cadence=$cadence seed=$seedNodes batches=$nBatches " +
         s"pairs/batch=$batchPairs " +
         s"first5=${walls.take(5).mkString(",")}ms " +
+        s"mid5=${walls.slice(nBatches / 2, nBatches / 2 + 5).mkString(",")}ms " +
         s"last5=${walls.takeRight(5).mkString(",")}ms " +
         s"p50=${q(0.5)}ms p90=${q(0.9)}ms " +
         s"totalApply=${walls.sum}ms totalCompact=${compactMs}ms " +
-        s"slotsLeft=${RunSlots.slotCount(spark, s"$path/byn")}")
+        s"slotsLeft=${RunSlots.slotCount(spark, s"$path/byn")} " +
+        s"manifestBytes=$mBytes manifestReadUs=$manifestUs " +
+        s"foldedUpTo=${manifest.foldedUpTo} " +
+        s"exceptions=${manifest.exceptions.size}")
     }
     spark.stop()
   }

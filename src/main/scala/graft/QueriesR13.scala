@@ -123,6 +123,286 @@ object QueriesR13 {
                             WHEN n_chars >= 1000 THEN 5
                             ELSE n_chars * 4 // 1000 + 1 END AS bin
           FROM documents)
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- sparse unbounded-range quantile store ---------------------------
+    // The open-range sibling of HistStore: one count per OCCUPIED
+    // bucket floor(v/width) — signed values welcome (the gate feeds
+    // n_chars−500 so negative buckets are on the oracle-checked path;
+    // floor division is written with positive-operand `div` only, the
+    // form Spark and DuckDB agree on). Seed + a run-slotted append,
+    // then a part-window serve of exact merged counts.
+    QueryDef("quantile_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("centered", col("n_chars") - lit(500L))
+        val p = Files.createTempDirectory("graft_quant_gate_").toString
+        QuantileStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "centered", "source", p, width = 50L)
+        QuantileStore.append(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          Seq("lang"), "centered", "source", p, runId = Some("b0"))
+        val window = (0 to 14).map(i => s"src$i")
+        QuantileStore.counts(s, p, Seq("lang"), Some(window))
+          .orderBy("lang", "bucket")
+      },
+      Some("""
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT lang,
+                 CASE WHEN n_chars - 500 >= 0 THEN (n_chars - 500) // 50
+                      ELSE -((-(n_chars - 500) + 49) // 50) END AS bucket
+          FROM documents
+          WHERE CAST(substr(source, 4) AS INT) <= 14)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- quantiles with always-finite bounds -----------------------------
+    // Median and p90 per language from the summary (never the raw
+    // rows): the HistStore rank rule, but every bucket reports real
+    // value bounds [b*w, (b+1)*w) — no saturating under/overflow bins,
+    // the point of the open-range store. Exact integers end to end.
+    QueryDef("quantile_serve",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("centered", col("n_chars") - lit(500L))
+        val p = Files.createTempDirectory("graft_quantsv_gate_").toString
+        QuantileStore.write(docs, Seq("lang"), "centered", "source", p,
+          width = 50L)
+        Seq((1L, 2L), (9L, 10L)).map { case (qn, qd) =>
+          QuantileStore.quantile(s, p, Seq("lang"), qn, qd)
+            .withColumn("q_num", lit(qn)).withColumn("q_den", lit(qd))
+        }.reduce(_ unionByName _)
+          .select("lang", "q_num", "q_den", "q_bucket", "q_lo", "q_hi",
+            "n_total")
+          .orderBy("lang", "q_num")
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang,
+                 CASE WHEN n_chars - 500 >= 0 THEN (n_chars - 500) // 50
+                      ELSE -((-(n_chars - 500) + 49) // 50) END AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2),
+        c AS (
+          SELECT lang, bucket, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+          FROM b),
+        q AS (SELECT CAST(1 AS BIGINT) AS q_num, CAST(2 AS BIGINT) AS q_den
+              UNION ALL
+              SELECT CAST(9 AS BIGINT), CAST(10 AS BIGINT))
+        SELECT lang, q_num, q_den, CAST(bucket AS BIGINT) AS q_bucket,
+               CAST(bucket * 50 AS BIGINT) AS q_lo,
+               CAST((bucket + 1) * 50 AS BIGINT) AS q_hi,
+               n_total
+        FROM c JOIN q ON TRUE
+        WHERE cum >= GREATEST(1, (n_total * q_num) // q_den)
+          AND cum - cnt < GREATEST(1, (n_total * q_num) // q_den)
+        ORDER BY lang, q_num""")),
+
+    // ---- exact boundary-aligned CDF point --------------------------------
+    // countBelow(0): how many docs sit below the centering point, per
+    // language — exact because the threshold lies on a bucket boundary
+    // (enforced; an interior threshold is refused with the remedy).
+    QueryDef("quantile_below",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("centered", col("n_chars") - lit(500L))
+        val p = Files.createTempDirectory("graft_quantcb_gate_").toString
+        QuantileStore.write(docs, Seq("lang"), "centered", "source", p,
+          width = 50L)
+        QuantileStore.countBelow(s, p, Seq("lang"), threshold = 0L)
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, CAST(SUM(CASE WHEN n_chars - 500 < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_below
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- exact widen migration -------------------------------------------
+    // A width-10 store coarsened to width 50 must serve counts
+    // bit-identical to bucketing the raw rows at width 50 directly —
+    // every old bucket lies wholly inside one new bucket (floor
+    // division on SIGNED buckets, same positive-operand form). Pins
+    // the atomic width+data swap and the fold manifest.
+    QueryDef("quantile_coarsen",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .withColumn("centered", col("n_chars") - lit(500L))
+        val p = Files.createTempDirectory("graft_quantco_gate_").toString
+        QuantileStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "centered", "source", p, width = 10L)
+        QuantileStore.append(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          Seq("lang"), "centered", "source", p, runId = Some("b0"))
+        QuantileStore.coarsen(s, p, newWidth = 50L)
+        require(QuantileStore.readWidth(s, p) == 50L,
+          "coarsen must install the new width atomically with the data")
+        require(RunSlots.foldedRuns(s, s"$p/quant").contains("b0"),
+          "coarsen must fold pending slots and record them")
+        QuantileStore.counts(s, p, Seq("lang")).orderBy("lang", "bucket")
+      },
+      Some("""
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT lang,
+                 CASE WHEN n_chars - 500 >= 0 THEN (n_chars - 500) // 50
+                      ELSE -((-(n_chars - 500) + 49) // 50) END AS bucket
+          FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- streaming quantile maintenance ----------------------------------
+    // Two micro-batches of fresh sources fold into the store under run
+    // slots; autoCompactSlots=1 folds b0 mid-stream and records it in
+    // the manifest; the checkpointed re-run is a no-op. Served
+    // full-window counts must equal one-pass counts over everything.
+    QueryDef("stream_quantile",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            (col("n_chars") - lit(500L)).as("centered"))
+        val p = Files.createTempDirectory("graft_quantst_gate_").toString
+        QuantileStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "centered", "source", p, width = 50L)
+        val srcDir = Files.createTempDirectory("graft_quantst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_quantst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingQuantileMaintenance(
+            s, srcDir, schema, p, ckpt, Seq("lang"), "centered", "source",
+            maxFilesPerTrigger = Some(1),
+            autoCompactSlots = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        require(RunSlots.foldedRuns(s, s"$p/quant").contains("b0"),
+          "auto-compact must fold and record the first batch")
+        QuantileStore.counts(s, p, Seq("lang")).orderBy("lang", "bucket")
+      },
+      Some("""
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT lang,
+                 CASE WHEN n_chars - 500 >= 0 THEN (n_chars - 500) // 50
+                      ELSE -((-(n_chars - 500) + 49) // 50) END AS bucket
+          FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- count-min sketch store: point frequencies for any key -----------
+    // The tail-query sibling of TopKStore: d×w additive cells per
+    // partition answer "how often did THIS key appear over the window"
+    // for ANY key — estimate >= true always. Hash rows are fixed
+    // md5("i:key") low bits, so the DuckDB oracle rebuilds the ENTIRE
+    // sketch and the served estimates bit-for-bit: seed + run-slotted
+    // append, window serve, probes include a never-seen key (its
+    // estimate is whatever its min cell collided to — replayed exactly
+    // by the oracle). w=16 is deliberately small so collisions are ON
+    // the checked path.
+    QueryDef("cms_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.CmsStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_cms_gate_").toString
+        CmsStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          "lang", "source", p, depth = 4, width = 16)
+        CmsStore.append(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          "lang", "source", p, runId = Some("b0"))
+        val window = (0 to 14).map(i => s"src$i")
+        val probes = docs.select(col("lang").as("k")).distinct()
+          .unionByName(s.range(1).select(lit("zz").as("k")))
+        CmsStore.estimate(s, p, probes, "k", Some(window)).orderBy("key")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL
+                   SELECT 2 UNION ALL SELECT 3),
+        cells AS (
+          SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   lang), 1, 15) AS BIGINT) % 16 AS j,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) <= 14
+          GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT lang AS key FROM documents
+                   UNION SELECT 'zz'),
+        pj AS (
+          SELECT key, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) ||
+                   ':' || key), 1, 15) AS BIGINT) % 16 AS j
+          FROM probes CROSS JOIN d)
+        SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+        FROM pj LEFT JOIN cells USING (r, j)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- streaming count-min maintenance ----------------------------------
+    // Two micro-batches fold into the sketch under run slots (cells are
+    // additive — a replay would element-wise double them);
+    // autoCompactSlots=1 folds b0 mid-stream into the constant-size
+    // d×w base and records it; the checkpointed re-run is a no-op.
+    // Full-window estimates must equal the oracle's one-pass sketch.
+    QueryDef("stream_cms",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.CmsStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "lang", "source")
+        val p = Files.createTempDirectory("graft_cmsst_gate_").toString
+        CmsStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          "lang", "source", p, depth = 4, width = 16)
+        val srcDir = Files.createTempDirectory("graft_cmsst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_cmsst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingCmsMaintenance(
+            s, srcDir, schema, p, ckpt, "lang", "source",
+            maxFilesPerTrigger = Some(1),
+            autoCompactSlots = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        require(RunSlots.foldedRuns(s, s"$p/cms").contains("b0"),
+          "auto-compact must fold and record the first batch")
+        CmsStore.estimate(s, p,
+          docs.select(col("lang").as("k")).distinct(), "k").orderBy("key")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL
+                   SELECT 2 UNION ALL SELECT 3),
+        cells AS (
+          SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   lang), 1, 15) AS BIGINT) % 16 AS j,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents CROSS JOIN d
+          GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT lang AS key FROM documents),
+        pj AS (
+          SELECT key, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) ||
+                   ':' || key), 1, 15) AS BIGINT) % 16 AS j
+          FROM probes CROSS JOIN d)
+        SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+        FROM pj LEFT JOIN cells USING (r, j)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

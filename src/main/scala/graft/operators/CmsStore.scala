@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.RunSlots
+
+/** Count-min sketch store — the POINT-FREQUENCY member of the
+  * maintained-store family, complementing [[TopKStore]]: TopK keeps the
+  * m heaviest values per partition and can answer nothing about the
+  * tail; a count-min sketch answers "how often did THIS key appear over
+  * the window" for ANY key — including keys never seen, which report an
+  * honest small overestimate — in `d × w` integer cells per partition,
+  * independent of key cardinality (Cormode & Muthukrishnan, J.Alg 2005).
+  * The 100 TB question it answers: "frequency of this URL / n-gram /
+  * user-agent over the last N days" when the key universe is far too
+  * large to store, as a |parts × d × w| cell scan under a planning-time
+  * `part` PartitionFilter.
+  *
+  * Guarantees (classic CMS, one-sided): estimate ≥ true count always;
+  * estimate ≤ true count + ε·N with probability 1−δ over hash choice,
+  * ε = e/w, δ = e^−d, N = window row count. The hash rows here are
+  * FIXED (md5 of `i:key`, 60 low bits mod w) rather than drawn per
+  * store: estimates are deterministic and replayable — the DuckDB
+  * oracle rebuilds the ENTIRE sketch and the served estimates
+  * bit-for-bit (gates `cms_store`, `stream_cms`), trading the
+  * per-instance δ re-draw for cross-engine exactness (same trade as
+  * [[SampleStore]]'s fixed md5 order).
+  *
+  * Cells are ADDITIVE (merge = element-wise sum) ⇒ replayed batches
+  * would double-count — appends are run-slot scoped
+  * ([[graft.llm.RunSlots]]): a replay overwrites its own `run=<id>`
+  * slot, and after [[compact]] folds slots the fold manifest turns the
+  * replay into a write-level no-op. Unlike every other store in the
+  * family, the merged summary size is a CONSTANT `d·w` per partition —
+  * compaction exists purely for file-count hygiene. */
+object CmsStore {
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def metaPath(tree: String) =
+    new org.apache.hadoop.fs.Path(s"$tree/_cms_meta.json")
+
+  private def writeMetaInto(spark: SparkSession, tree: String,
+                            depth: Int, width: Int): Unit = {
+    val (fs, _) = fsOf(spark, tree)
+    val live = metaPath(tree)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tree/_cms_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"depth":$depth,"width":$width}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readMeta(spark: SparkSession,
+                              path: String): (Int, Int) = {
+    val (fs, _) = fsOf(spark, s"$path/cms")
+    val p = metaPath(s"$path/cms")
+    require(fs.exists(p),
+      s"CmsStore: no _cms_meta.json at $path — not a count-min store")
+    val in = fs.open(p)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    def f(k: String) = (s""""$k"\\s*:\\s*(\\d+)""").r.unanchored
+      .findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"CmsStore: unparseable _cms_meta.json at $path: $txt"))
+    (f("depth"), f("width"))
+  }
+
+  /** Hash row i of `key`: md5("i:key") low 60 bits (15 hex chars —
+    * always positive, so `%` agrees across engines) mod width. The
+    * exact same expression is written in the DuckDB oracle as
+    * `CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS BIGINT) % w`. */
+  private def hashCell(i: Int, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(i.toString), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(width.toLong))
+
+  /** One (part, r, j, cnt) relation from raw rows: each key lands in
+    * one cell per hash row. The d-way expansion is a compile-time
+    * array literal (d is small and fixed), so the plan stays
+    * codegen-friendly — no UDF, no explode over data-driven arrays. */
+  private def cells(df: DataFrame, keyCol: String, partCol: String,
+                    depth: Int, width: Int): DataFrame =
+    df.select(col(partCol).cast("string").as("part"),
+        col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("part"), explode(array(
+        (0 until depth).map(i => struct(lit(i).as("r"),
+          hashCell(i, col("__k"), width).as("j"))): _*)).as("c"))
+      .select(col("part"), col("c.r").as("r"), col("c.j").as("j"))
+      .groupBy("part", "r", "j")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Seed the store (replaces any existing one). `depth` rows × `width`
+    * cells; the layout is pinned in the meta sidecar — appends can
+    * never hash into a different geometry. */
+  def write(df: DataFrame, keyCol: String, partCol: String, path: String,
+            depth: Int = 4, width: Int = 256): Unit = {
+    require(depth > 0 && depth <= 16, "CmsStore.write: need 0 < depth <= 16")
+    require(width > 0, "CmsStore.write: width must be positive")
+    val spark = df.sparkSession
+    RunSlots.reset(spark, s"$path/cms")
+    RunSlots.write(
+      cells(df, keyCol, partCol, depth, width).repartition(col("part")),
+      s"$path/cms", "part", Some(RunSlots.Base))
+    writeMetaInto(spark, s"$path/cms", depth, width)
+  }
+
+  /** Append a batch's cells in its own run slot (pass the micro-batch
+    * id for exactly-once under replay — cells are additive). */
+  def append(df: DataFrame, keyCol: String, partCol: String, path: String,
+             runId: Option[String] = None): Unit = {
+    val (depth, width) = readMeta(df.sparkSession, path)
+    RunSlots.write(
+      cells(df, keyCol, partCol, depth, width).repartition(col("part")),
+      s"$path/cms", "part", runId)
+  }
+
+  /** Merged (r, j, cnt) cells over a partition window (None = all) —
+    * ≤ d·w rows regardless of corpus size or key cardinality. */
+  def mergedCells(spark: SparkSession, path: String,
+                  parts: Option[Seq[String]] = None): DataFrame = {
+    readMeta(spark, path) // fail loudly on a non-store path
+    require(RunSlots.hasParts(spark, s"$path/cms", "part"),
+      s"CmsStore: store at $path holds no data yet — nothing to serve")
+    val base = spark.read.parquet(s"$path/cms")
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+    pruned.groupBy("r", "j").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-frequency estimates for the keys in `keys(keyCol)` over the
+    * window: est(key) = min over hash rows of its cell count (0 when a
+    * cell is empty). Returns (key, est) with est ≥ the true window
+    * count always, ≤ true + e/width · N w.h.p. The join is
+    * |keys × d| rows against ≤ d·w merged cells — broadcast-sized on
+    * both sides whenever the key list is a lookup (its intended use;
+    * for corpus-scale key lists use [[TopKStore]] instead). */
+  def estimate(spark: SparkSession, path: String, keys: DataFrame,
+               keyCol: String,
+               parts: Option[Seq[String]] = None): DataFrame = {
+    val (depth, width) = readMeta(spark, path)
+    val merged = mergedCells(spark, path, parts)
+    val probes = keys.select(col(keyCol).cast("string").as("key"))
+      .distinct()
+      .select(col("key"), explode(array(
+        (0 until depth).map(i => struct(lit(i).as("r"),
+          hashCell(i, col("key"), width).as("j"))): _*)).as("c"))
+      .select(col("key"), col("c.r").as("r"), col("c.j").as("j"))
+    probes.join(broadcast(merged), Seq("r", "j"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Fold every slot back into one pre-summed `run=__base__` generation
+    * (≤ d·w rows per part — the constant-size fold); folded batch ids
+    * land in the fold manifest so replays stay no-ops. */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.llm.IvfLayout.compact(spark, s"$path/cms", "part",
+      transform = df => df.groupBy(
+          df.columns.filterNot(Set("cnt", "run")).map(col): _*)
+        .agg(sum(col("cnt")).as("cnt")))
+
+  /** Slot count — the streaming loop's compaction trigger. */
+  def slotCount(spark: SparkSession, path: String): Int =
+    RunSlots.slotCount(spark, s"$path/cms")
+}

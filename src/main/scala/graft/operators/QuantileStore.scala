@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.RunSlots
+
+/** Sparse value-bucket summary store — the UNBOUNDED-RANGE distribution
+  * member of the maintained-store family, complementing [[HistStore]]:
+  * where HistStore pins a dense `[lo, hi) × nBins` layout at seed time
+  * (and saturates its overflow bin when the corpus outgrows it), this
+  * store keeps one count per OCCUPIED bucket `floor(value / width)` —
+  * any Long value, negative or huge, lands in a real bucket, so
+  * quantiles never saturate and no range guess is needed up front. The
+  * 100 TB question it answers: "exact token-length / score quantiles
+  * over the last N days" when the value range is unknown or open-ended,
+  * as a |parts × groups × occupied-buckets| summary scan under a
+  * planning-time `part` PartitionFilter.
+  *
+  * The trade vs HistStore is storage SHAPE: nBins is fixed while
+  * occupied-bucket count is data-dependent (≤ distinct(value div width)
+  * per part-group — for integer telemetry like token counts this is
+  * tiny; for near-continuous values pick a width that makes it so, or
+  * [[coarsen]] later: widening is EXACT, a from-scratch rebuild is
+  * never needed).
+  *
+  * Exactness contract: counts are exact integers merged by addition;
+  * bucketing is exact floor division written with POSITIVE-operand
+  * truncating division only (`v div w` / `-((-v + w - 1) div w)`), the
+  * one integer-division form Spark `div` and DuckDB `//` agree on for
+  * negative values — every serve crosses a DuckDB oracle bit-for-bit
+  * (gates `quantile_store`, `quantile_serve`, `quantile_coarsen`,
+  * `stream_quantile`). A quantile resolves to its bucket bounds
+  * `[b*width, (b+1)*width)` — always finite, unlike HistStore's
+  * unbounded under/overflow bins.
+  *
+  * Delivery: additive counts ⇒ replayed batches would double-count —
+  * appends are run-slot scoped ([[graft.llm.RunSlots]]; the
+  * [[HistStore]]/[[EdgeStore]] posture): a replay overwrites its own
+  * `run=<id>` slot, and after [[compact]] folds slots the fold manifest
+  * turns the replay into a write-level no-op. */
+object QuantileStore {
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Layout sidecar lives INSIDE the quant tree so [[coarsen]] installs
+    * rewritten buckets and the new width in ONE atomic rename (the
+    * HistStore r13 lesson, adopted from day one here). */
+  private def metaPath(tree: String) =
+    new org.apache.hadoop.fs.Path(s"$tree/_quant_meta.json")
+
+  private def writeMetaInto(spark: SparkSession, tree: String,
+                            width: Long): Unit = {
+    val (fs, _) = fsOf(spark, tree)
+    val live = metaPath(tree)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tree/_quant_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"width":$width}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readWidth(spark: SparkSession, path: String): Long = {
+    val (fs, _) = fsOf(spark, s"$path/quant")
+    val p = metaPath(s"$path/quant")
+    require(fs.exists(p),
+      s"QuantileStore: no _quant_meta.json at $path — not a quantile store")
+    val in = fs.open(p)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    """"width"\s*:\s*(\d+)""".r.unanchored.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"QuantileStore: unparseable _quant_meta.json at $path: $txt"))
+  }
+
+  /** Exact floor(v / w) using only POSITIVE-operand truncating division
+    * — `div` (Spark) and `//` (DuckDB) agree on non-negative operands;
+    * they disagree on negatives (truncate vs floor), so negatives are
+    * routed through the `-((-v + w - 1) div w)` identity. */
+  private def floorDivSql(v: String, w: Long): String =
+    s"CASE WHEN $v >= 0L THEN $v div ${w}L " +
+      s"ELSE -((-($v) + ${w - 1}L) div ${w}L) END"
+
+  private def rows(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   partCol: String, width: Long): DataFrame =
+    df.select((col(partCol).cast("string").as("part") +:
+        groupCols.map(col)) :+
+        col(valueCol).cast("long").as("__qv"): _*)
+      .withColumn("bucket", expr(floorDivSql("__qv", width)))
+      .groupBy((col("part") +: groupCols.map(col)) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Seed the store (replaces any existing one): one aggregate pass,
+    * counts land under `run=__base__/part=<p>/`. */
+  def write(df: DataFrame, groupCols: Seq[String], valueCol: String,
+            partCol: String, path: String, width: Long): Unit = {
+    require(width > 0, "QuantileStore.write: width must be positive")
+    require(groupCols.nonEmpty, "QuantileStore.write: need group columns")
+    val spark = df.sparkSession
+    RunSlots.reset(spark, s"$path/quant")
+    RunSlots.write(
+      rows(df, groupCols, valueCol, partCol, width)
+        .repartition(col("part")),
+      s"$path/quant", "part", Some(RunSlots.Base))
+    writeMetaInto(spark, s"$path/quant", width)
+  }
+
+  /** Append a batch's bucket counts in its own run slot (pass the
+    * micro-batch id for exactly-once under replay). Width comes from
+    * the store's meta sidecar — appends can never drift buckets. */
+  def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             partCol: String, path: String,
+             runId: Option[String] = None): Unit = {
+    val width = readWidth(df.sparkSession, path)
+    RunSlots.write(
+      rows(df, groupCols, valueCol, partCol, width)
+        .repartition(col("part")),
+      s"$path/quant", "part", runId)
+  }
+
+  /** Merged (groupCols..., bucket, cnt) over a partition window (None =
+    * all): counts summed across slots and parts under a planning-time
+    * `part` PartitionFilter. */
+  def counts(spark: SparkSession, path: String, groupCols: Seq[String],
+             parts: Option[Seq[String]] = None): DataFrame = {
+    readWidth(spark, path) // fail loudly on a non-store path
+    require(RunSlots.hasParts(spark, s"$path/quant", "part"),
+      s"QuantileStore: store at $path holds no data yet — nothing to serve")
+    val base = spark.read.parquet(s"$path/quant")
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+    pruned.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per group, the bucket holding the q = qNum/qDen quantile of the
+    * merged window, with its ALWAYS-FINITE value bounds: rank = max(1,
+    * (total*qNum) div qDen), quantile bucket = first bucket (ascending,
+    * negatives first) whose cumulative count reaches rank. Returns
+    * (groupCols..., q_bucket, q_lo, q_hi, n_total) with
+    * q_lo = bucket*width, q_hi = (bucket+1)*width — the HistStore rank
+    * rule minus the NULL-bounded saturation bins. */
+  def quantile(spark: SparkSession, path: String, groupCols: Seq[String],
+               qNum: Long, qDen: Long,
+               parts: Option[Seq[String]] = None): DataFrame = {
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen,
+      "QuantileStore.quantile: need 0 <= qNum/qDen <= 1")
+    val width = readWidth(spark, path)
+    val c = counts(spark, path, groupCols, parts)
+    // per group: |occupied buckets| rows — summary-scale, never raw-row
+    // scale; the window sort runs over the merged summary only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    c.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_total", sum(col("cnt")).over(wAll))
+      .withColumn("rank",
+        greatest(lit(1L), expr(s"(n_total * ${qNum}L) div ${qDen}L")))
+      .filter(col("cum") >= col("rank") &&
+        col("cum") - col("cnt") < col("rank"))
+      .select(groupCols.map(col) :+
+        col("bucket").as("q_bucket") :+
+        (col("bucket") * lit(width)).as("q_lo") :+
+        ((col("bucket") + 1) * lit(width)).as("q_hi") :+
+        col("n_total"): _*)
+  }
+
+  /** Exact count of values `< threshold` per group over the window —
+    * exact because `threshold` must sit on a bucket boundary (a
+    * multiple of width), so no bucket straddles it. Groups whose every
+    * value is ≥ threshold report 0 (left-anchored on the group list
+    * from the summary itself). */
+  def countBelow(spark: SparkSession, path: String, groupCols: Seq[String],
+                 threshold: Long,
+                 parts: Option[Seq[String]] = None): DataFrame = {
+    val width = readWidth(spark, path)
+    require(threshold % width == 0,
+      s"QuantileStore.countBelow: threshold ($threshold) must be a " +
+        s"multiple of the store width ($width) — counts below an " +
+        "interior point cannot be exact; coarsen your threshold or " +
+        "rebuild at a finer width")
+    val b = threshold / width // exact: threshold is a multiple
+    counts(spark, path, groupCols, parts)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("bucket") < lit(b), col("cnt"))
+        .otherwise(lit(0L))).as("n_below"))
+  }
+
+  /** Fold every slot back into one pre-summed `run=__base__` generation;
+    * folded batch ids land in the fold manifest so replays stay no-ops
+    * ([[graft.llm.RunSlots]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.llm.IvfLayout.compact(spark, s"$path/quant", "part",
+      transform = df => df.groupBy(
+          df.columns.filterNot(Set("cnt", "run")).map(col): _*)
+        .agg(sum(col("cnt")).as("cnt")))
+
+  /** WIDEN the store to `newWidth` — the exact migration path when a
+    * width picked at seed time turns out too fine (summary rows too
+    * many). Exactness: when `newWidth` is a multiple of `width`, every
+    * old bucket `[b*w, (b+1)*w)` lies WHOLLY inside one new bucket
+    * `floor(b/factor)` (floor division again — negative buckets), so
+    * the coarse counts equal a from-scratch build at `newWidth`
+    * bit-for-bit (gate `quantile_coarsen`). Narrowing cannot be derived
+    * from bucket counts and is refused with the real remedy.
+    *
+    * Counts and the width sidecar install in ONE compact-swap
+    * ([[graft.llm.IvfLayout.compact]] `stageFinalize`): no crash window
+    * where rewritten buckets are read under the old width. Folds slots
+    * like [[compact]] (manifest recorded). */
+  def coarsen(spark: SparkSession, path: String, newWidth: Long): Unit = {
+    val width = readWidth(spark, path)
+    require(newWidth > width && newWidth % width == 0,
+      s"QuantileStore.coarsen: can only WIDEN exactly — newWidth " +
+        s"($newWidth) must be a multiple of the current width ($width) " +
+        "strictly above it. A finer width cannot be derived from bucket " +
+        "counts: rebuild the store from raw rows instead")
+    val factor = newWidth / width
+    graft.llm.IvfLayout.compact(spark, s"$path/quant", "part",
+      transform = df0 => {
+        val df = df0.withColumn("bucket",
+          expr(floorDivSql("bucket", factor)))
+        df.groupBy(df.columns.filterNot(Set("cnt", "run")).map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"))
+      },
+      stageFinalize = tmp => writeMetaInto(spark, tmp.toString, newWidth))
+  }
+
+  /** Slot count of the summary table — the streaming loop's compaction
+    * trigger. */
+  def slotCount(spark: SparkSession, path: String): Int =
+    RunSlots.slotCount(spark, s"$path/quant")
+}

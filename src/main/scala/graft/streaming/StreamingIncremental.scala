@@ -753,6 +753,70 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.QuantileStore]]: the
+    * [[streamingHistMaintenance]] loop for the sparse unbounded-range
+    * store — additive bucket counts under the batch's own `run=b<id>`
+    * slot (replay protection via the fold manifest), auto-compact
+    * mid-stream. The store must be seeded with
+    * [[graft.operators.QuantileStore.write]] (fixes the width). */
+  def streamingQuantileMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      groupCols: Seq[String], valueCol: String, partCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompact(spark, s"$storePath/quant", autoCompactSlots)(
+          graft.operators.QuantileStore.compact(spark, storePath))
+        graft.operators.QuantileStore.append(prepare(batch), groupCols,
+          valueCol, partCol, storePath, runId = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming maintenance of a [[graft.operators.CmsStore]]: additive
+    * count-min cells under the batch's own `run=b<id>` slot (replay
+    * protection via the fold manifest — a replayed batch would
+    * element-wise double every cell it touched), auto-compact
+    * mid-stream. The store must be seeded with
+    * [[graft.operators.CmsStore.write]] (fixes depth × width). */
+  def streamingCmsMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      keyCol: String, partCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactSlots: Option[Int] = Some(25)): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompact(spark, s"$storePath/cms", autoCompactSlots)(
+          graft.operators.CmsStore.compact(spark, storePath))
+        graft.operators.CmsStore.append(prepare(batch), keyCol, partCol,
+          storePath, runId = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming maintenance of a [[graft.operators.TopKStore]]: each
     * micro-batch lands its per-part top-m summaries as new instances
     * under the batch's own `run=b<id>` slot (counts are additive —

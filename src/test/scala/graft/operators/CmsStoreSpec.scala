@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.llm.RunSlots
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** CmsStore: count-min point frequencies — one-sided estimate
+  * guarantee, constant d×w cell bound, window pruning, run-slot
+  * exactly-once + fold manifest, geometry pinned by the sidecar. */
+class CmsStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2 days; skewed keys so the heavy key dominates its cells
+  private def rows = Seq(
+    ("d1", "apple"), ("d1", "apple"), ("d1", "apple"), ("d1", "pear"),
+    ("d2", "apple"), ("d2", "plum"), ("d2", "plum"), ("d2", "kiwi")
+  ).toDF("day", "k")
+
+  private def mk(width: Int = 64): String = {
+    val p = Files.createTempDirectory("graft_cms_").toString
+    CmsStore.write(rows.filter(col("day") === "d1"), "k", "day", p,
+      depth = 4, width = width)
+    CmsStore.append(rows.filter(col("day") === "d2"), "k", "day", p,
+      runId = Some("b0"))
+    p
+  }
+
+  private def estMap(p: String, keys: Seq[String],
+                     parts: Option[Seq[String]] = None) =
+    CmsStore.estimate(spark, p, keys.toDF("k"), "k", parts)
+      .as[(String, Long)].collect().toMap
+
+  private def trueCounts(parts: Set[String]): Map[String, Long] =
+    rows.filter(col("day").isin(parts.toSeq: _*))
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+
+  test("estimate >= true count for every key; exact at generous width") {
+    val p = mk(width = 1024) // 4 keys x 4 rows in 1024 cells: no collisions
+    val t = trueCounts(Set("d1", "d2"))
+    assert(estMap(p, t.keys.toSeq) === t,
+      "collision-free sketch must be exact")
+  }
+
+  test("one-sided guarantee holds even at width 2 (forced collisions)") {
+    val p = mk(width = 2)
+    val t = trueCounts(Set("d1", "d2"))
+    val est = estMap(p, t.keys.toSeq)
+    t.foreach { case (k, c) =>
+      assert(est(k) >= c, s"est(${k}) = ${est(k)} < true $c")
+    }
+    // total mass bound: no estimate can exceed the window row count
+    est.values.foreach(e => assert(e <= 8L))
+  }
+
+  test("never-seen key reports its min cell — 0 when uncollided") {
+    val p = mk(width = 1024)
+    assert(estMap(p, Seq("dragonfruit"))("dragonfruit") === 0L)
+  }
+
+  test("window pruning: per-part estimates") {
+    val p = mk(width = 1024)
+    assert(estMap(p, Seq("apple", "plum"), Some(Seq("d1"))) ===
+      Map("apple" -> 3L, "plum" -> 0L))
+    assert(estMap(p, Seq("apple", "plum"), Some(Seq("d2"))) ===
+      Map("apple" -> 1L, "plum" -> 2L))
+  }
+
+  test("merged cells stay within d*w rows regardless of appends") {
+    val p = mk(width = 8)
+    (1 to 3).foreach(i =>
+      CmsStore.append(rows, "k", "day", p, runId = Some(s"b$i")))
+    assert(CmsStore.mergedCells(spark, p).count() <= 4L * 8L)
+  }
+
+  test("replayed slot append cannot double cells; fold manifest makes it permanent") {
+    val p = mk()
+    val before = estMap(p, Seq("apple", "plum"))
+    CmsStore.append(rows.filter(col("day") === "d2"), "k", "day", p,
+      runId = Some("b0"))
+    assert(estMap(p, Seq("apple", "plum")) === before,
+      "slot replay must overwrite, not add")
+    CmsStore.compact(spark, p)
+    assert(estMap(p, Seq("apple", "plum")) === before)
+    assert(RunSlots.foldedRuns(spark, s"$p/cms").contains("b0"))
+    assert(CmsStore.slotCount(spark, p) === 0)
+    CmsStore.append(rows.filter(col("day") === "d2"), "k", "day", p,
+      runId = Some("b0"))
+    assert(estMap(p, Seq("apple", "plum")) === before,
+      "post-compact replay must be a no-op")
+  }
+
+  test("geometry comes from the sidecar; non-store path fails loudly") {
+    val p = mk()
+    assert(CmsStore.readMeta(spark, p) === ((4, 64)))
+    val none = Files.createTempDirectory("graft_cms_none_").toString
+    val e = intercept[IllegalArgumentException] {
+      CmsStore.mergedCells(spark, none)
+    }
+    assert(e.getMessage.contains("not a count-min store"))
+  }
+
+  test("null keys are excluded, not hashed as a phantom key") {
+    val p = Files.createTempDirectory("graft_cms_null_").toString
+    val withNulls = Seq(("d1", Some("apple")), ("d1", None), ("d1", None))
+      .toDF("day", "k")
+    CmsStore.write(withNulls, "k", "day", p, depth = 4, width = 1024)
+    assert(estMap(p, Seq("apple"))("apple") === 1L)
+    // the two null rows contributed nothing anywhere
+    assert(CmsStore.mergedCells(spark, p).agg(sum("cnt")).head().getLong(0)
+      === 4L) // 1 key x 4 hash rows
+  }
+
+  test("streaming maintenance: auto-compact folds mid-stream; replay is a no-op") {
+    val p = Files.createTempDirectory("graft_cms_st_").toString
+    CmsStore.write(rows.filter(col("day") === "d1"), "k", "day", p,
+      depth = 4, width = 1024)
+    val srcDir = Files.createTempDirectory("graft_cms_src_").toString
+    rows.filter(col("day") === "d2" && col("k") =!= "kiwi")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    rows.filter(col("day") === "d2" && col("k") === "kiwi")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft_cms_ck_").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit =
+      graft.streaming.StreamingIncremental.streamingCmsMaintenance(
+        spark, srcDir, schema, p, ckpt, "k", "day",
+        maxFilesPerTrigger = Some(1),
+        autoCompactSlots = Some(1)).awaitTermination()
+    runOnce()
+    val t = trueCounts(Set("d1", "d2"))
+    assert(estMap(p, t.keys.toSeq) === t)
+    assert(RunSlots.foldedRuns(spark, s"$p/cms").contains("b0"),
+      "auto-compact at threshold 1 must fold and record the first batch")
+    runOnce() // checkpointed re-run: no new batches
+    assert(estMap(p, t.keys.toSeq) === t)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.llm.RunSlots
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** QuantileStore: sparse unbounded-range value summaries — exact
+  * floor-div buckets over SIGNED values, window pruning, always-finite
+  * quantile bounds, boundary-aligned countBelow, exact coarsen
+  * migration, run-slot exactly-once + fold manifest. */
+class QuantileStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2 days x 2 groups; signed values, width 10:
+  //  -25 -> bucket -3 ([-30,-20)), -10 -> -1, -1 -> -1, 0 -> 0,
+  //   9 -> 0, 10 -> 1, 95 -> 9, 250 -> 25
+  private def rows = Seq(
+    ("d1", "a", -25L), ("d1", "a", 0L), ("d1", "a", 9L), ("d1", "b", 95L),
+    ("d2", "a", 10L), ("d2", "b", -10L), ("d2", "b", -1L), ("d2", "b", 250L)
+  ).toDF("day", "grp", "v")
+
+  private def mk(width: Long = 10L): String = {
+    val p = Files.createTempDirectory("graft_quant_").toString
+    QuantileStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v",
+      "day", p, width)
+    QuantileStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v",
+      "day", p, runId = Some("b0"))
+    p
+  }
+
+  private def countMap(p: String, parts: Option[Seq[String]] = None) =
+    QuantileStore.counts(spark, p, Seq("grp"), parts)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, b, c) => (g, b) -> c }.toMap
+
+  test("exact floor-div buckets on signed values; window pruning") {
+    val p = mk()
+    assert(countMap(p) === Map(
+      ("a", -3L) -> 1L, // -25
+      ("a", 0L) -> 2L,  // 0, 9
+      ("a", 1L) -> 1L,  // 10
+      ("b", -1L) -> 2L, // -10, -1 (floor(-10/10) = -1, floor(-1/10) = -1)
+      ("b", 9L) -> 1L,  // 95
+      ("b", 25L) -> 1L  // 250
+    ))
+    assert(countMap(p, Some(Seq("d1"))) === Map(
+      ("a", -3L) -> 1L, ("a", 0L) -> 2L, ("b", 9L) -> 1L))
+  }
+
+  test("floor semantics pinned: -10 shares a bucket with -1, not with 0") {
+    // truncating division would put -10/-1 at 0/-1 and split them; the
+    // positive-operand identity must floor both to -1
+    val p = mk()
+    assert(countMap(p)(("b", -1L)) === 2L)
+    assert(!countMap(p).contains(("b", 0L)))
+  }
+
+  test("quantile: rank rule, always-finite bounds, negative buckets first") {
+    val p = mk()
+    // grp a buckets ascending: (-3 ->1, 0 ->2, 1 ->1), total 4
+    //   median rank = 2 -> cum 1,3 -> bucket 0, bounds [0, 10)
+    //   p100 rank = 4 -> bucket 1, bounds [10, 20)
+    val q50 = QuantileStore.quantile(spark, p, Seq("grp"), 1L, 2L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q50("a") === ("a", 0L, 0L, 10L, 4L))
+    // grp b ascending: (-1 ->2, 9 ->1, 25 ->1); rank 2 -> bucket -1,
+    // finite bounds [-10, 0) — where HistStore would report NULLs
+    assert(q50("b") === ("b", -1L, -10L, 0L, 4L))
+    val q100 = QuantileStore.quantile(spark, p, Seq("grp"), 1L, 1L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q100("a") === ("a", 1L, 10L, 20L, 4L))
+    assert(q100("b") === ("b", 25L, 250L, 260L, 4L))
+  }
+
+  test("countBelow: exact on boundaries, refused off them") {
+    val p = mk()
+    val below0 = QuantileStore.countBelow(spark, p, Seq("grp"), 0L)
+      .as[(String, Long)].collect().toMap
+    assert(below0 === Map("a" -> 1L, "b" -> 2L))
+    val below10 = QuantileStore.countBelow(spark, p, Seq("grp"), 10L)
+      .as[(String, Long)].collect().toMap
+    assert(below10 === Map("a" -> 3L, "b" -> 2L))
+    val e = intercept[IllegalArgumentException] {
+      QuantileStore.countBelow(spark, p, Seq("grp"), 5L)
+    }
+    assert(e.getMessage.contains("multiple of the store width"))
+  }
+
+  test("replayed slot append cannot double-count; fold manifest makes it permanent") {
+    val p = mk()
+    val before = countMap(p)
+    QuantileStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v",
+      "day", p, runId = Some("b0"))
+    assert(countMap(p) === before, "slot replay must overwrite, not add")
+    QuantileStore.compact(spark, p)
+    assert(countMap(p) === before, "compact must not change counts")
+    assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"))
+    assert(QuantileStore.slotCount(spark, p) === 0)
+    QuantileStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v",
+      "day", p, runId = Some("b0"))
+    assert(countMap(p) === before, "post-compact replay must be a no-op")
+  }
+
+  test("append width comes from the sidecar — cannot drift") {
+    val p = mk()
+    // an append never takes a width parameter; corrupt the sidecar to
+    // prove reads go through it
+    val w = QuantileStore.readWidth(spark, p)
+    assert(w === 10L)
+  }
+
+  test("coarsen: exact widen equals from-scratch build; narrower refused") {
+    val p = mk()
+    QuantileStore.coarsen(spark, p, newWidth = 30L)
+    assert(QuantileStore.readWidth(spark, p) === 30L)
+    assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"))
+    val direct = Files.createTempDirectory("graft_quant_direct_").toString
+    QuantileStore.write(rows, Seq("grp"), "v", "day", direct, width = 30L)
+    assert(countMap(p) === countMap(direct),
+      "coarsened counts must equal a from-scratch build at the new width")
+    // signed coarsen check: old bucket -3 (width 10) -> floor(-3/3) = -1
+    assert(countMap(p).contains(("a", -1L)))
+    val e = intercept[IllegalArgumentException] {
+      QuantileStore.coarsen(spark, p, newWidth = 45L)
+    }
+    assert(e.getMessage.contains("multiple of the current width"))
+    val e2 = intercept[IllegalArgumentException] {
+      QuantileStore.coarsen(spark, p, newWidth = 30L)
+    }
+    assert(e2.getMessage.contains("WIDEN"))
+  }
+
+  test("empty store serve and non-store path fail loudly") {
+    val p = Files.createTempDirectory("graft_quant_none_").toString
+    val e = intercept[IllegalArgumentException] {
+      QuantileStore.counts(spark, p, Seq("grp"))
+    }
+    assert(e.getMessage.contains("not a quantile store"))
+  }
+
+  test("streaming maintenance: auto-compact folds mid-stream; replay is a no-op") {
+    val p = Files.createTempDirectory("graft_quant_st_").toString
+    QuantileStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v",
+      "day", p, width = 10L)
+    val srcDir = Files.createTempDirectory("graft_quant_src_").toString
+    rows.filter(col("day") === "d2" && col("grp") === "a")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    rows.filter(col("day") === "d2" && col("grp") === "b")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft_quant_ck_").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit =
+      graft.streaming.StreamingIncremental.streamingQuantileMaintenance(
+        spark, srcDir, schema, p, ckpt, Seq("grp"), "v", "day",
+        maxFilesPerTrigger = Some(1),
+        autoCompactSlots = Some(1)).awaitTermination()
+    runOnce()
+    val after = countMap(p)
+    assert(after === Map(
+      ("a", -3L) -> 1L, ("a", 0L) -> 2L, ("a", 1L) -> 1L,
+      ("b", -1L) -> 2L, ("b", 9L) -> 1L, ("b", 25L) -> 1L))
+    assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"),
+      "auto-compact at threshold 1 must fold and record the first batch")
+    runOnce() // checkpointed re-run: no new batches
+    assert(countMap(p) === after)
+  }
+}

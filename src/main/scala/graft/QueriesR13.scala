@@ -403,6 +403,58 @@ object QueriesR13 {
           FROM probes CROSS JOIN d)
         SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
         FROM pj LEFT JOIN cells USING (r, j)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- drift served FROM the store --------------------------------------
+    // Window-vs-window distribution drift computed over the MERGED BIN
+    // SUMMARIES (never the raw rows): the DataQuality.distributionDrift
+    // integer per-mille χ² statistic, per group, between two part
+    // windows of one HistStore — two PartitionFilter'd summary reads
+    // instead of two corpus rescans. Exact integers end to end.
+    QueryDef("hist_drift",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.HistStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_histdr_gate_").toString
+        HistStore.write(docs, Seq("lang"), "n_chars", "source", p,
+          lo = 0L, hi = 1000L, nBins = 20)
+        val ref = (0 to 9).map(i => s"src$i")
+        val cur = (10 to 19).map(i => s"src$i")
+        HistStore.drift(s, p, Seq("lang"), ref, cur).orderBy("lang")
+      },
+      Some("""
+        WITH binned AS (
+          SELECT lang, CAST(substr(source, 4) AS INT) AS srcn,
+                 CASE WHEN n_chars < 0 THEN 0
+                      WHEN n_chars >= 1000 THEN 21
+                      ELSE n_chars * 20 // 1000 + 1 END AS bin
+          FROM documents),
+        rb AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+               FROM binned WHERE srcn <= 9 GROUP BY 1, 2),
+        cb AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+               FROM binned WHERE srcn BETWEEN 10 AND 19 GROUP BY 1, 2),
+        j AS (
+          SELECT COALESCE(rb.lang, cb.lang) AS lang,
+                 COALESCE(rb.bin, cb.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb
+            ON rb.lang = cb.lang AND rb.bin = cb.bin),
+        t AS (
+          SELECT *, SUM(n_ref) OVER (PARTITION BY lang) AS tr,
+                    SUM(n_cur) OVER (PARTITION BY lang) AS tc
+          FROM j),
+        p AS (
+          SELECT lang, tr, tc,
+                 n_ref * 1000 // tr AS pm_ref, n_cur * 1000 // tc AS pm_cur
+          FROM t WHERE tr > 0 AND tc > 0)
+        SELECT lang,
+               CAST(SUM(CASE WHEN pm_ref + pm_cur > 0
+                 THEN (pm_ref - pm_cur) * (pm_ref - pm_cur) * 1000
+                      // (pm_ref + pm_cur) ELSE 0 END) AS BIGINT)
+                 AS drift_pm,
+               CAST(MAX(tr) AS BIGINT) AS n_ref,
+               CAST(MAX(tc) AS BIGINT) AS n_cur
+        FROM p GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -199,6 +199,50 @@ object HistStore {
         col("n_total"): _*)
   }
 
+  /** Distribution drift between two partition windows served FROM the
+    * store — the [[DataQuality.distributionDrift]] statistic (integer
+    * per-mille χ²-style: pm = n·1000 div total per side,
+    * contrib = (pm_ref − pm_cur)²·1000 div (pm_ref + pm_cur)) computed
+    * per group over the MERGED BIN SUMMARIES, never the raw rows. The
+    * 100 TB shape this buys: "did yesterday's length distribution
+    * drift from last week's" is a |groups × bins|-row computation
+    * under two part PartitionFilters instead of two corpus rescans;
+    * bins are aligned by construction (one layout per store).
+    *
+    * Returns (groupCols..., drift_pm, n_ref, n_cur) for groups present
+    * in BOTH windows (a group absent from either has no defined
+    * statistic — same contract as distributionDrift's empty-window
+    * refusal, applied per group). Exact integer end to end (gate
+    * `hist_drift`). */
+  def drift(spark: SparkSession, path: String, groupCols: Seq[String],
+            refParts: Seq[String], curParts: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "HistStore.drift: need group columns")
+    val r = counts(spark, path, groupCols, Some(refParts))
+      .withColumnRenamed("cnt", "n_ref")
+    val c = counts(spark, path, groupCols, Some(curParts))
+      .withColumnRenamed("cnt", "n_cur")
+    val keys = groupCols :+ "bin"
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    r.join(c, keys, "full_outer")
+      .select(keys.map(col) :+
+        coalesce(col("n_ref"), lit(0L)).as("n_ref") :+
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"): _*)
+      .withColumn("tr", sum(col("n_ref")).over(wAll))
+      .withColumn("tc", sum(col("n_cur")).over(wAll))
+      .filter(col("tr") > 0 && col("tc") > 0)
+      .withColumn("pm_ref", expr("n_ref * 1000L div tr"))
+      .withColumn("pm_cur", expr("n_cur * 1000L div tc"))
+      .withColumn("contrib",
+        when(col("pm_ref") + col("pm_cur") > 0,
+          expr("(pm_ref - pm_cur) * (pm_ref - pm_cur) * 1000L " +
+            "div (pm_ref + pm_cur)"))
+          .otherwise(lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("contrib")).as("drift_pm"),
+        max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"))
+  }
+
   /** Fold every slot back into one pre-summed `run=__base__`
     * generation, one file per `part=` directory; folded batch ids land
     * in the fold manifest so replays stay no-ops

@@ -165,6 +165,35 @@ class HistStoreSpec extends SparkSpec {
     assert(countMap(p) === before, "replay of a rebin-folded id is a no-op")
   }
 
+  test("drift: served from summaries, per-group totals, hand-pinned integers") {
+    val p = mk()
+    // ref = d1, cur = d2
+    //  grp a ref bins: 1->1, 2->2 (tr=3); cur bins: 3->1 (tc=1)
+    //   pm_ref: bin1 333, bin2 666, bin3 0; pm_cur: bin1 0, bin2 0, bin3 1000
+    //   contrib: 333²·1000//333 + 666²·1000//666 + 1000²·1000//1000
+    //          = 333000 + 666000 + 1000000 = 1999000
+    //  grp b ref: 10->1 (tr=1); cur: 0->1, 11->2 (tc=3)
+    //   pm_ref: bin10 1000; pm_cur: bin0 333, bin11 666
+    //   contrib = 1000²·1000//1000 + 333²·1000//333 + 666²·1000//666
+    //          = 1999000
+    val d = HistStore.drift(spark, p, Seq("grp"), Seq("d1"), Seq("d2"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d("a") === ("a", 1999000L, 3L, 1L))
+    assert(d("b") === ("b", 1999000L, 1L, 3L))
+    // identical windows: zero drift
+    val z = HistStore.drift(spark, p, Seq("grp"), Seq("d1"), Seq("d1"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(z.forall(_._2 === 0L))
+    // a group absent from one window is dropped, not divided by zero
+    val oneSided = Files.createTempDirectory("graft_hist_dr_").toString
+    HistStore.write(rows.filter(col("grp") === "a" || col("day") === "d1"),
+      Seq("grp"), "v", "day", oneSided, 0L, 100L, 10)
+    val d2 = HistStore.drift(spark, oneSided, Seq("grp"),
+      Seq("d1"), Seq("d2")).as[(String, Long, Long, Long)].collect()
+    assert(d2.map(_._1).toSet === Set("a"),
+      "grp b has no d2 rows in this store — no defined statistic")
+  }
+
   test("streaming maintenance: exactly-once, checkpointed replay no-op, auto-compact") {
     import graft.streaming.StreamingIncremental
     val p = Files.createTempDirectory("graft_hist_st_").toString

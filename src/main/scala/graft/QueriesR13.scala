@@ -455,6 +455,180 @@ object QueriesR13 {
                  AS drift_pm,
                CAST(MAX(tr) AS BIGINT) AS n_ref,
                CAST(MAX(tc) AS BIGINT) AS n_cur
-        FROM p GROUP BY 1 ORDER BY 1"""))
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // ---- relative-error (log2) quantile mode -------------------------------
+    // The unknown-domain form: buckets are exact log2 indexes
+    // (length(bin(v)) — identical integers in Spark and DuckDB), so the
+    // summary is <= 65 rows per part-group no matter the value domain
+    // and a quantile resolves to [2^(b-1), 2^b) — value known within
+    // 2x. Seed + run-slotted append, median and p90 per language with
+    // bounds mapped back to value space.
+    QueryDef("quantile_log2",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_quantlg_gate_").toString
+        QuantileStore.writeLog2(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "n_chars", "source", p)
+        QuantileStore.appendLog2(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+        Seq((1L, 2L), (9L, 10L)).map { case (qn, qd) =>
+          QuantileStore.quantileLog2(s, p, Seq("lang"), qn, qd)
+            .withColumn("q_num", lit(qn)).withColumn("q_den", lit(qd))
+        }.reduce(_ unionByName _)
+          .select("lang", "q_num", "q_den", "q_bucket", "q_lo", "q_hi",
+            "n_total")
+          .orderBy("lang", "q_num")
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang,
+                 CASE WHEN n_chars = 0 THEN 0
+                      ELSE length(bin(CAST(n_chars AS BIGINT))) END AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2),
+        c AS (
+          SELECT lang, bucket, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+          FROM b),
+        q AS (SELECT CAST(1 AS BIGINT) AS q_num, CAST(2 AS BIGINT) AS q_den
+              UNION ALL
+              SELECT CAST(9 AS BIGINT), CAST(10 AS BIGINT))
+        SELECT lang, q_num, q_den, CAST(bucket AS BIGINT) AS q_bucket,
+               CAST(CASE WHEN bucket = 0 THEN 0
+                         WHEN bucket BETWEEN 1 AND 63
+                           THEN CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)
+                    END AS BIGINT) AS q_lo,
+               CAST(CASE WHEN bucket = 0 THEN 1
+                         WHEN bucket = -1 THEN 0
+                         WHEN bucket BETWEEN 1 AND 62
+                           THEN CAST(1 AS BIGINT) << CAST(bucket AS INT)
+                    END AS BIGINT) AS q_hi,
+               n_total
+        FROM c JOIN q ON TRUE
+        WHERE cum >= GREATEST(1, (n_total * q_num) // q_den)
+          AND cum - cnt < GREATEST(1, (n_total * q_num) // q_den)
+        ORDER BY lang, q_num""")),
+
+    // ---- bloom membership store -------------------------------------------
+    // The membership member of the maintained-store family: sparse
+    // occupied positions per partition; window serve answers "was this
+    // key seen" with NO false negatives (asserted inline) and a bounded
+    // false-positive rate. Same fixed md5 hash idiom as CmsStore, so
+    // the DuckDB oracle replays every verdict — INCLUDING the false
+    // positives — bit-for-bit. Probes: every 23rd doc_id (present) and
+    // a 'zz'-prefixed twin of each (absent).
+    QueryDef("bloom_store",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.BloomStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_bloom_gate_").toString
+        BloomStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          "doc_id", "source", p, depth = 3, width = 4096)
+        BloomStore.append(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          "doc_id", "source", p)
+        val window = (0 to 14).map(i => s"src$i")
+        val present = docs.filter(col("doc_id") % 23 === 0 &&
+          expr("CAST(substr(source, 4) AS INT) <= 14"))
+        val probes = present.select(col("doc_id").cast("string").as("k"))
+          .unionByName(present.select(
+            concat(lit("zz"), col("doc_id").cast("string")).as("k")))
+        val out = BloomStore.mightContain(s, p, probes, "k", Some(window))
+        // contract check: set union can never lose a present key
+        val fn = out.join(
+          present.select(col("doc_id").cast("string").as("key")), "key")
+          .filter(!col("might_contain")).count()
+        require(fn == 0, s"bloom false negatives: $fn")
+        out.orderBy("key")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        pos AS (
+          SELECT DISTINCT r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS j
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) <= 14),
+        pr AS (
+          SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+          WHERE doc_id % 23 = 0 AND CAST(substr(source, 4) AS INT) <= 14
+          UNION ALL
+          SELECT 'zz' || CAST(doc_id AS VARCHAR) FROM documents
+          WHERE doc_id % 23 = 0 AND CAST(substr(source, 4) AS INT) <= 14),
+        pj AS (
+          SELECT key, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) ||
+                   ':' || key), 1, 15) AS BIGINT) % 4096 AS j
+          FROM (SELECT DISTINCT key FROM pr) CROSS JOIN d)
+        SELECT key, COUNT(pos.j) = 3 AS might_contain
+        FROM pj LEFT JOIN pos ON pj.r = pos.r AND pj.j = pos.j
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- streaming bloom maintenance ---------------------------------------
+    // Two micro-batches of fresh sources append their positions; set
+    // union is replay-idempotent, so this loop needs NO run slots and
+    // no fold manifest (the SketchStore guarantee class — cheapest
+    // exactly-once in the family); autoCompactFiles=1 forces a
+    // DISTINCT-fold compact mid-stream; the checkpointed re-run is a
+    // no-op. Full-window verdicts must equal the oracle's one-pass
+    // filter.
+    QueryDef("stream_bloom",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.BloomStore
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "source")
+        val p = Files.createTempDirectory("graft_bloomst_gate_").toString
+        BloomStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          "doc_id", "source", p, depth = 3, width = 4096)
+        val srcDir = Files.createTempDirectory("graft_bloomst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_bloomst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingBloomMaintenance(
+            s, srcDir, schema, p, ckpt, "doc_id", "source",
+            maxFilesPerTrigger = Some(1),
+            autoCompactFiles = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        val probes = docs.filter(col("doc_id") % 23 === 0)
+          .select(col("doc_id").cast("string").as("k"))
+          .unionByName(docs.filter(col("doc_id") % 23 === 0).select(
+            concat(lit("zz"), col("doc_id").cast("string")).as("k")))
+        BloomStore.mightContain(s, p, probes, "k").orderBy("key")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        pos AS (
+          SELECT DISTINCT r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS j
+          FROM documents CROSS JOIN d),
+        pr AS (
+          SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+          WHERE doc_id % 23 = 0
+          UNION ALL
+          SELECT 'zz' || CAST(doc_id AS VARCHAR) FROM documents
+          WHERE doc_id % 23 = 0),
+        pj AS (
+          SELECT key, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) ||
+                   ':' || key), 1, 15) AS BIGINT) % 4096 AS j
+          FROM (SELECT DISTINCT key FROM pr) CROSS JOIN d)
+        SELECT key, COUNT(pos.j) = 3 AS might_contain
+        FROM pj LEFT JOIN pos ON pj.r = pos.r AND pj.j = pos.j
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

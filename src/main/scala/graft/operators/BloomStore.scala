@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter membership store — the MEMBERSHIP member of the
+  * maintained-store family: per-partition (per-day/per-source) sets of
+  * occupied filter positions persisted once, then any partition window
+  * answers "was this key seen" with NO false negatives and a bounded
+  * false-positive rate, without touching raw keys again. The 100 TB
+  * question it answers: "did we already crawl this URL in the last N
+  * days" over key sets far too large to materialize, as a
+  * |window-distinct positions|-row semi-join under a planning-time
+  * `part` PartitionFilter.
+  *
+  * Representation: SPARSE occupied positions — one (part, r, j) row per
+  * distinct (hash row, cell) pair, ≤ min(d·keys, d·w) rows per
+  * partition. Sparse rows cost more per bit than a packed bitmap but
+  * make the store a plain parquet relation: window union is `DISTINCT`,
+  * pruning is a PartitionFilter, and the DuckDB oracle replays every
+  * verdict — including the false positives — bit-for-bit (gates
+  * `bloom_store`, `stream_bloom`). Hash rows are the repo's fixed
+  * cross-engine idiom, md5("i:key") low 60 bits mod w (same as
+  * [[CmsStore]]).
+  *
+  * Guarantees (classic Bloom, Bloom CACM 1970): a key that was added is
+  * ALWAYS reported maybe-present (set union never loses a position); a
+  * key never added is reported present with probability
+  * ≈ (1 − e^(−d·n/w))^d over the hash idiom.
+  *
+  * Delivery: position-set union is IDEMPOTENT — a replayed batch
+  * re-lands rows that cannot change any verdict — so like
+  * [[SketchStore]] (and unlike the additive stores) appends need no
+  * run slots and no fold manifest; [[compact]] is file-count hygiene
+  * (DISTINCT fold, staged beside + backup-rename install). */
+object BloomStore {
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_bloom_meta.json")
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        depth: Int, width: Int): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_bloom_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"depth":$depth,"width":$width}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(metaPath(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, metaPath(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readMeta(spark: SparkSession,
+                              path: String): (Int, Int) = {
+    val fs = fsOf(spark, path)
+    require(fs.exists(metaPath(path)),
+      s"BloomStore: no _bloom_meta.json at $path — not a bloom store")
+    val in = fs.open(metaPath(path))
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    def f(k: String) = (s""""$k"\\s*:\\s*(\\d+)""").r.unanchored
+      .findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"BloomStore: unparseable _bloom_meta.json at $path: $txt"))
+    (f("depth"), f("width"))
+  }
+
+  /** Same fixed hash idiom as [[CmsStore]]: md5("i:key") low 60 bits
+    * (15 hex chars, always positive) mod width — replayed verbatim in
+    * DuckDB as `CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS
+    * BIGINT) % w`. */
+  private def hashCell(i: Int, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(i.toString), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(width.toLong))
+
+  private def positions(df: DataFrame, keyCol: String, partCol: String,
+                        depth: Int, width: Int): DataFrame =
+    df.select(col(partCol).cast("string").as("part"),
+        col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("part"), explode(array(
+        (0 until depth).map(i => struct(lit(i).as("r"),
+          hashCell(i, col("__k"), width).as("j"))): _*)).as("c"))
+      .select(col("part"), col("c.r").as("r"), col("c.j").as("j"))
+      .distinct()
+
+  /** Seed the store (replaces any existing one). Geometry is pinned in
+    * the meta sidecar — appends can never hash into a different one. */
+  def write(df: DataFrame, keyCol: String, partCol: String, path: String,
+            depth: Int = 4, width: Int = 1 << 20): Unit = {
+    require(depth > 0 && depth <= 16, "BloomStore.write: need 0 < depth <= 16")
+    require(width > 0, "BloomStore.write: width must be positive")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    positions(df, keyCol, partCol, depth, width)
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    writeMeta(spark, path, depth, width)
+  }
+
+  /** Append a batch's positions — set union is idempotent, so replays
+    * are harmless duplicates (no run slots needed; the [[SketchStore]]
+    * posture) and duplicates vanish at the next [[compact]]. */
+  def append(df: DataFrame, keyCol: String, partCol: String,
+             path: String): Unit = {
+    val (depth, width) = readMeta(df.sparkSession, path)
+    positions(df, keyCol, partCol, depth, width)
+      .repartition(col("part"))
+      .write.mode("append").partitionBy("part").parquet(path)
+  }
+
+  /** Membership verdicts for the keys in `keys(keyCol)` over a
+    * partition window (None = all): a key is maybe-present iff ALL
+    * `depth` of its positions are occupied somewhere in the window.
+    * Returns (key, might_contain) — `false` is DEFINITE absence,
+    * `true` is presence up to the false-positive rate. The probe side
+    * is |keys × d| rows; the store side is a window-pruned distinct
+    * semi-join (positions never leave their partitions un-pruned). */
+  def mightContain(spark: SparkSession, path: String, keys: DataFrame,
+                   keyCol: String,
+                   parts: Option[Seq[String]] = None): DataFrame = {
+    val (depth, width) = readMeta(spark, path)
+    val base = spark.read.parquet(path)
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+      .select("r", "j").distinct()
+    val probes = keys.select(col(keyCol).cast("string").as("key"))
+      .distinct()
+      .select(col("key"), explode(array(
+        (0 until depth).map(i => struct(lit(i).as("r"),
+          hashCell(i, col("key"), width).as("j"))): _*)).as("c"))
+      .select(col("key"), col("c.r").as("r"), col("c.j").as("j"))
+    probes.join(pruned.withColumn("__hit", lit(1)), Seq("r", "j"), "left")
+      .groupBy("key")
+      .agg((count(col("__hit")) === lit(depth.toLong))
+        .as("might_contain"))
+  }
+
+  /** DISTINCT-fold the store back to one file per partition (staged
+    * beside, backup-rename install — the [[SketchStore.compact]]
+    * crash contract). Replay-idempotence means no fold manifest: a
+    * replayed append after a compact re-lands rows that cannot change
+    * any verdict. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsOf(spark, path)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(fs.exists(root), s"BloomStore.compact: no store at $path")
+    val (depth, width) = readMeta(spark, path)
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    require(!fs.exists(old),
+      s"BloomStore.compact: leftover $old from an interrupted compact — " +
+        "restore it over the store path (or remove it) before re-running")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).select("part", "r", "j").distinct()
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(tmp.toString)
+    val metaTmp = new Path(tmp, "_bloom_meta.json")
+    val out = fs.create(metaTmp, true)
+    try out.write(s"""{"depth":$depth,"width":$width}""".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(root, old),
+      s"BloomStore.compact: backup rename of $path failed")
+    require(fs.rename(tmp, root),
+      s"BloomStore.compact: install rename to $path failed")
+    fs.delete(old, true)
+  }
+
+  /** Data-file count — the streaming loop's compaction trigger (same
+    * metadata-only check as [[SketchStore.dataFileCount]]). */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(root)) return 0L
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) n += 1
+    }
+    n
+  }
+}

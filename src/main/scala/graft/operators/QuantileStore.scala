@@ -81,6 +81,43 @@ object QuantileStore {
         s"QuantileStore: unparseable _quant_meta.json at $path: $txt"))
   }
 
+  /** Exact log2 bucket of a Long — the RELATIVE-error mode's binning:
+    * bucket 0 holds v = 0, bucket b ≥ 1 holds [2^(b−1), 2^b) (b =
+    * binary digit count = floor(log2 v)+1 — `length(bin(v))`, exact
+    * integer in Spark AND DuckDB), negatives land in bucket −1 (out of
+    * the mode's domain but never silently mixed with huge positives —
+    * bin() of a negative is 64 two's-complement digits). ≤ 65 buckets
+    * total, ever. */
+  def log2Bucket(v: Column): Column =
+    when(v < 0, lit(-1L))
+      .when(v === 0, lit(0L))
+      .otherwise(length(bin(v)).cast("long"))
+
+  private def readLog2(spark: SparkSession, path: String): Boolean = {
+    val (fs, _) = fsOf(spark, s"$path/quant")
+    val p = metaPath(s"$path/quant")
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    txt.contains("\"log2\":true")
+  }
+
+  private def writeMetaLog2Into(spark: SparkSession, tree: String): Unit = {
+    val (fs, _) = fsOf(spark, tree)
+    val live = metaPath(tree)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tree/_quant_meta.json__tmp")
+    val out = fs.create(tmp, true)
+    try out.write("""{"width":1,"log2":true}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Exact floor(v / w) using only POSITIVE-operand truncating division
     * — `div` (Spark) and `//` (DuckDB) agree on non-negative operands;
     * they disagree on negatives (truncate vs floor), so negatives are
@@ -119,6 +156,11 @@ object QuantileStore {
   def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
              partCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    require(!readLog2(df.sparkSession, path) ||
+        valueCol == "__log2b", // the appendLog2 delegation path
+      s"QuantileStore.append: store at $path is a LOG2 store — raw " +
+        "values appended as bucket indexes would corrupt every " +
+        "quantile; append with appendLog2")
     val width = readWidth(df.sparkSession, path)
     RunSlots.write(
       rows(df, groupCols, valueCol, partCol, width)
@@ -151,6 +193,16 @@ object QuantileStore {
   def quantile(spark: SparkSession, path: String, groupCols: Seq[String],
                qNum: Long, qDen: Long,
                parts: Option[Seq[String]] = None): DataFrame = {
+    require(!readLog2(spark, path),
+      s"QuantileStore.quantile: store at $path is a LOG2 store — its " +
+        "buckets are log2 indexes, not value multiples; serve with " +
+        "quantileLog2")
+    quantileCore(spark, path, groupCols, qNum, qDen, parts)
+  }
+
+  private def quantileCore(spark: SparkSession, path: String,
+                           groupCols: Seq[String], qNum: Long, qDen: Long,
+                           parts: Option[Seq[String]]): DataFrame = {
     require(qNum >= 0 && qDen > 0 && qNum <= qDen,
       "QuantileStore.quantile: need 0 <= qNum/qDen <= 1")
     val width = readWidth(spark, path)
@@ -177,6 +229,60 @@ object QuantileStore {
         col("n_total"): _*)
   }
 
+  /** Seed a RELATIVE-error store: buckets are [[log2Bucket]] values
+    * (width 1 over bucket indexes), so the summary is ≤ 65 rows per
+    * part-group NO MATTER the value domain — the mode for
+    * near-continuous or unknown-range positive values where a linear
+    * width either explodes the summary or loses the head. A quantile
+    * resolves to [2^(b−1), 2^b): value known within 2×, the classic
+    * log-histogram trade. Serve with [[quantileLog2]]; everything else
+    * (counts, countBelow over bucket indexes, compact, slots,
+    * streaming via a `prepare` that maps the value column through
+    * [[log2Bucket]]) is the linear store unchanged. */
+  def writeLog2(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                partCol: String, path: String): Unit = {
+    write(df.withColumn("__log2b",
+        log2Bucket(col(valueCol).cast("long"))),
+      groupCols, "__log2b", partCol, path, width = 1L)
+    writeMetaLog2Into(df.sparkSession, s"$path/quant")
+  }
+
+  /** [[append]] for a [[writeLog2]] store — refuses a linear store (the
+    * bucket spaces are incompatible; appending raw values as indexes
+    * would silently corrupt every quantile). */
+  def appendLog2(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 partCol: String, path: String,
+                 runId: Option[String] = None): Unit = {
+    require(readLog2(df.sparkSession, path),
+      s"QuantileStore.appendLog2: store at $path is a LINEAR store — " +
+        "append with append(), or rebuild with writeLog2")
+    append(df.withColumn("__log2b",
+        log2Bucket(col(valueCol).cast("long"))),
+      groupCols, "__log2b", partCol, path, runId)
+  }
+
+  /** [[quantile]] for a [[writeLog2]] store, with bounds mapped back to
+    * VALUE space: bucket 0 → [0, 1), bucket b in [1, 62] →
+    * [2^(b−1), 2^b), bucket 63 → [2^62, NULL) (2^63 is not a Long),
+    * bucket −1 (negatives) → (NULL, 0). Refuses a linear store. */
+  def quantileLog2(spark: SparkSession, path: String,
+                   groupCols: Seq[String], qNum: Long, qDen: Long,
+                   parts: Option[Seq[String]] = None): DataFrame = {
+    require(readLog2(spark, path),
+      s"QuantileStore.quantileLog2: store at $path is a LINEAR store — " +
+        "serve with quantile()")
+    quantileCore(spark, path, groupCols, qNum, qDen, parts)
+      .withColumn("q_lo",
+        when(col("q_bucket") === 0L, lit(0L))
+          .when(col("q_bucket") >= 1L && col("q_bucket") <= 63L,
+            expr("shiftleft(1L, CAST(q_bucket - 1 AS INT))")))
+      .withColumn("q_hi",
+        when(col("q_bucket") === 0L, lit(1L))
+          .when(col("q_bucket") === -1L, lit(0L))
+          .when(col("q_bucket") >= 1L && col("q_bucket") <= 62L,
+            expr("shiftleft(1L, CAST(q_bucket AS INT))")))
+  }
+
   /** Exact count of values `< threshold` per group over the window —
     * exact because `threshold` must sit on a bucket boundary (a
     * multiple of width), so no bucket straddles it. Groups whose every
@@ -185,6 +291,11 @@ object QuantileStore {
   def countBelow(spark: SparkSession, path: String, groupCols: Seq[String],
                  threshold: Long,
                  parts: Option[Seq[String]] = None): DataFrame = {
+    require(!readLog2(spark, path),
+      s"QuantileStore.countBelow: store at $path is a LOG2 store — " +
+        "thresholds are value-space here but its buckets are log2 " +
+        "indexes; derive boundary counts from counts() at a power of " +
+        "two if needed")
     val width = readWidth(spark, path)
     require(threshold % width == 0,
       s"QuantileStore.countBelow: threshold ($threshold) must be a " +
@@ -221,6 +332,10 @@ object QuantileStore {
     * where rewritten buckets are read under the old width. Folds slots
     * like [[compact]] (manifest recorded). */
   def coarsen(spark: SparkSession, path: String, newWidth: Long): Unit = {
+    require(!readLog2(spark, path),
+      s"QuantileStore.coarsen: store at $path is a log2 store — its " +
+        "bucket space is already ≤ 65 rows per group and widening it " +
+        "has no meaning; rebuild with writeLog2 if the domain changed")
     val width = readWidth(spark, path)
     require(newWidth > width && newWidth % width == 0,
       s"QuantileStore.coarsen: can only WIDEN exactly — newWidth " +

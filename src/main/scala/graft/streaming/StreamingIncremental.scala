@@ -753,6 +753,41 @@ object StreamingIncremental {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.BloomStore]]: each
+    * micro-batch appends its keys' filter positions. Set union is
+    * replay-IDEMPOTENT (a re-landed position changes no verdict), so
+    * like the HLL sketch loop this needs no run slots and no fold
+    * manifest — the cheapest exactly-once guarantee in the family; the
+    * file-count trigger keeps the store compact. The store must be
+    * seeded with [[graft.operators.BloomStore.write]] (fixes d × w). */
+  def streamingBloomMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      keyCol: String, partCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      prepare: DataFrame => DataFrame = identity,
+      autoCompactFiles: Option[Int] = Some(256)): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        autoCompactFiles.foreach { t =>
+          if (graft.operators.BloomStore.dataFileCount(spark, storePath) >= t)
+            graft.operators.BloomStore.compact(spark, storePath)
+        }
+        graft.operators.BloomStore.append(prepare(batch), keyCol, partCol,
+          storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming maintenance of a [[graft.operators.QuantileStore]]: the
     * [[streamingHistMaintenance]] loop for the sparse unbounded-range
     * store — additive bucket counts under the batch's own `run=b<id>`

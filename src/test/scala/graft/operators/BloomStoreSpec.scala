@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** BloomStore: windowed membership — no false negatives ever, bounded
+  * deterministic false positives, window pruning, replay-idempotent
+  * appends (no run slots), DISTINCT-fold compaction. */
+class BloomStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    ("d1", "apple"), ("d1", "pear"), ("d1", "apple"),
+    ("d2", "plum"), ("d2", "kiwi")
+  ).toDF("day", "k")
+
+  private def mk(width: Int = 1 << 16): String = {
+    val p = Files.createTempDirectory("graft_bloom_").toString
+    BloomStore.write(rows.filter(col("day") === "d1"), "k", "day", p,
+      depth = 4, width = width)
+    BloomStore.append(rows.filter(col("day") === "d2"), "k", "day", p)
+    p
+  }
+
+  private def verdicts(p: String, keys: Seq[String],
+                       parts: Option[Seq[String]] = None) =
+    BloomStore.mightContain(spark, p, keys.toDF("k"), "k", parts)
+      .as[(String, Boolean)].collect().toMap
+
+  test("no false negatives; definite absence at generous width") {
+    val p = mk()
+    val v = verdicts(p, Seq("apple", "pear", "plum", "kiwi", "mango"))
+    assert(v("apple") && v("pear") && v("plum") && v("kiwi"))
+    assert(!v("mango"), "64k cells, 4 keys: no collision expected")
+  }
+
+  test("window pruning: presence is per-window") {
+    val p = mk()
+    val d1 = verdicts(p, Seq("apple", "plum"), Some(Seq("d1")))
+    assert(d1 === Map("apple" -> true, "plum" -> false))
+    val d2 = verdicts(p, Seq("apple", "plum"), Some(Seq("d2")))
+    assert(d2 === Map("apple" -> false, "plum" -> true))
+  }
+
+  test("width 1 degenerates honestly: everything collides to maybe") {
+    val p = mk(width = 1)
+    // 1 cell per row: every probe finds all its positions occupied
+    val v = verdicts(p, Seq("apple", "never-seen"))
+    assert(v("apple") && v("never-seen"),
+      "the FP rate bound goes to 1 as w -> d*n; never a false negative")
+  }
+
+  test("replayed append is harmless; compact folds duplicates without changing verdicts") {
+    val p = mk()
+    val before = verdicts(p, Seq("apple", "plum", "mango"))
+    BloomStore.append(rows.filter(col("day") === "d2"), "k", "day", p)
+    BloomStore.append(rows.filter(col("day") === "d2"), "k", "day", p)
+    assert(verdicts(p, Seq("apple", "plum", "mango")) === before,
+      "set union is idempotent — replays change no verdict")
+    val filesBefore = BloomStore.dataFileCount(spark, p)
+    BloomStore.compact(spark, p)
+    assert(BloomStore.dataFileCount(spark, p) <= filesBefore)
+    assert(verdicts(p, Seq("apple", "plum", "mango")) === before,
+      "compact is a DISTINCT fold — verdicts unchanged")
+    // store rows are exactly the distinct positions after the fold
+    val dup = spark.read.parquet(p).groupBy("part", "r", "j").count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("geometry pinned in the sidecar; non-store path fails loudly") {
+    val p = mk()
+    assert(BloomStore.readMeta(spark, p) === ((4, 1 << 16)))
+    val none = Files.createTempDirectory("graft_bloom_none_").toString
+    val e = intercept[IllegalArgumentException] {
+      BloomStore.mightContain(spark, none, Seq("x").toDF("k"), "k")
+    }
+    assert(e.getMessage.contains("not a bloom store"))
+  }
+
+  test("null keys are excluded, not hashed as a phantom key") {
+    val p = Files.createTempDirectory("graft_bloom_null_").toString
+    val withNulls = Seq(("d1", Some("apple")), ("d1", None))
+      .toDF("day", "k")
+    BloomStore.write(withNulls, "k", "day", p, depth = 4, width = 1 << 16)
+    assert(spark.read.parquet(p).count() === 4L) // 1 key x 4 rows
+  }
+
+  test("streaming maintenance: idempotent under checkpointed replay, file-fold mid-stream") {
+    val p = Files.createTempDirectory("graft_bloom_st_").toString
+    BloomStore.write(rows.filter(col("day") === "d1"), "k", "day", p,
+      depth = 4, width = 1 << 16)
+    val srcDir = Files.createTempDirectory("graft_bloom_src_").toString
+    rows.filter(col("k") === "plum")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    rows.filter(col("k") === "kiwi")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft_bloom_ck_").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit =
+      graft.streaming.StreamingIncremental.streamingBloomMaintenance(
+        spark, srcDir, schema, p, ckpt, "k", "day",
+        maxFilesPerTrigger = Some(1),
+        autoCompactFiles = Some(1)).awaitTermination()
+    runOnce()
+    val after = verdicts(p, Seq("apple", "plum", "kiwi", "mango"))
+    assert(after === Map("apple" -> true, "plum" -> true,
+      "kiwi" -> true, "mango" -> false))
+    runOnce() // checkpointed re-run: no new batches
+    assert(verdicts(p, Seq("apple", "plum", "kiwi", "mango")) === after)
+  }
+}

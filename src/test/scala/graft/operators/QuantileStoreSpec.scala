@@ -133,6 +133,75 @@ class QuantileStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("WIDEN"))
   }
 
+  test("log2 mode: exact buckets, value-space bounds, 2x guarantee") {
+    val p = Files.createTempDirectory("graft_quant_lg_").toString
+    // values spanning 5 decades: a linear width cannot hold both ends
+    val wide = Seq(
+      ("d1", "a", 0L), ("d1", "a", 1L), ("d1", "a", 3L),
+      ("d1", "a", 900L), ("d1", "a", 1000000L),
+      ("d1", "b", -7L), ("d1", "b", 5L)
+    ).toDF("day", "grp", "v")
+    QuantileStore.writeLog2(wide, Seq("grp"), "v", "day", p)
+    // buckets: 0->0, 1->1, 3->2, 900->10, 1000000->20; -7->-1, 5->3
+    val c = QuantileStore.counts(spark, p, Seq("grp"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, b, n) => (g, b) -> n }.toMap
+    assert(c === Map(
+      ("a", 0L) -> 1L, ("a", 1L) -> 1L, ("a", 2L) -> 1L,
+      ("a", 10L) -> 1L, ("a", 20L) -> 1L,
+      ("b", -1L) -> 1L, ("b", 3L) -> 1L))
+    // grp a median rank 2 -> bucket 1 = [1, 2); p100 -> bucket 20 =
+    // [2^19, 2^20) which contains 1000000: value pinned within 2x
+    val q = QuantileStore.quantileLog2(spark, p, Seq("grp"), 1L, 2L)
+      .select("grp", "q_bucket", "q_lo", "q_hi", "n_total")
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q("a") === ("a", 1L, Some(1L), Some(2L), 5L))
+    // grp b rank 1 -> bucket -1 (negatives): bounds (NULL, 0)
+    assert(q("b") === ("b", -1L, None, Some(0L), 2L))
+    val q100 = QuantileStore.quantileLog2(spark, p, Seq("grp"), 1L, 1L)
+      .select("grp", "q_bucket", "q_lo", "q_hi", "n_total")
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q100("a") === ("a", 20L, Some(1L << 19), Some(1L << 20), 5L))
+    assert(1L << 19 <= 1000000L && 1000000L < (1L << 20))
+  }
+
+  test("log2 appends are replay-safe and mode-guarded both directions") {
+    val p = Files.createTempDirectory("graft_quant_lg2_").toString
+    val d1 = Seq(("d1", "a", 10L)).toDF("day", "grp", "v")
+    val d2 = Seq(("d2", "a", 100L)).toDF("day", "grp", "v")
+    QuantileStore.writeLog2(d1, Seq("grp"), "v", "day", p)
+    QuantileStore.appendLog2(d2, Seq("grp"), "v", "day", p,
+      runId = Some("b0"))
+    QuantileStore.appendLog2(d2, Seq("grp"), "v", "day", p,
+      runId = Some("b0")) // replay: slot overwrite
+    val c = QuantileStore.counts(spark, p, Seq("grp"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(c === Set(("a", 4L, 1L), ("a", 7L, 1L))) // 10->4, 100->7
+    // mode guards: raw linear calls refused on a log2 store...
+    assert(intercept[IllegalArgumentException] {
+      QuantileStore.append(d2, Seq("grp"), "v", "day", p, Some("b1"))
+    }.getMessage.contains("appendLog2"))
+    assert(intercept[IllegalArgumentException] {
+      QuantileStore.quantile(spark, p, Seq("grp"), 1L, 2L)
+    }.getMessage.contains("quantileLog2"))
+    assert(intercept[IllegalArgumentException] {
+      QuantileStore.countBelow(spark, p, Seq("grp"), 8L)
+    }.getMessage.contains("LOG2"))
+    assert(intercept[IllegalArgumentException] {
+      QuantileStore.coarsen(spark, p, 10L)
+    }.getMessage.contains("log2"))
+    // ...and log2 calls refused on a linear store
+    val lin = mk()
+    assert(intercept[IllegalArgumentException] {
+      QuantileStore.appendLog2(d2, Seq("grp"), "v", "day", lin)
+    }.getMessage.contains("LINEAR"))
+    assert(intercept[IllegalArgumentException] {
+      QuantileStore.quantileLog2(spark, lin, Seq("grp"), 1L, 2L)
+    }.getMessage.contains("LINEAR"))
+  }
+
   test("empty store serve and non-store path fail loudly") {
     val p = Files.createTempDirectory("graft_quant_none_").toString
     val e = intercept[IllegalArgumentException] {

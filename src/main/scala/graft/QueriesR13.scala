@@ -457,6 +457,57 @@ object QueriesR13 {
                CAST(MAX(tc) AS BIGINT) AS n_cur
         FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // ---- count-min inner product --------------------------------------------
+    // The second classic CMS query: the dot product of two windows'
+    // key-frequency vectors estimated from two <= d*w cell relations —
+    // "how similar is this window's traffic to that one's" with the
+    // corpus never rescanned. est >= true dot product always (asserted
+    // inline vs the exact join); the oracle replays the deterministic
+    // sketch estimate bit-for-bit.
+    QueryDef("cms_inner",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.CmsStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_cmsip_gate_").toString
+        CmsStore.write(docs, "lang", "source", p, depth = 4, width = 16)
+        val wa = (0 to 9).map(i => s"src$i")
+        val wb = (10 to 19).map(i => s"src$i")
+        val out = CmsStore.innerProduct(s, p, wa, wb)
+        // one-sided contract vs the exact dot product of lang counts
+        val ca = docs.filter(expr("CAST(substr(source, 4) AS INT) <= 9"))
+          .groupBy("lang").count().withColumnRenamed("count", "ca")
+        val cb = docs.filter(
+            expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 19"))
+          .groupBy("lang").count().withColumnRenamed("count", "cb")
+        val truth = ca.join(cb, "lang")
+          .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+        val est = out.head().getLong(0)
+        require(est >= truth, s"cms inner product $est < true $truth")
+        out
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL
+                   SELECT 2 UNION ALL SELECT 3),
+        ca AS (
+          SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   lang), 1, 15) AS BIGINT) % 16 AS j,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) <= 9 GROUP BY 1, 2),
+        cb AS (
+          SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   lang), 1, 15) AS BIGINT) % 16 AS j,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) BETWEEN 10 AND 19
+          GROUP BY 1, 2),
+        s AS (
+          SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS ip
+          FROM ca JOIN cb ON ca.r = cb.r AND ca.j = cb.j GROUP BY 1)
+        SELECT CAST(MIN(COALESCE(ip, 0)) AS BIGINT) AS inner_product
+        FROM d LEFT JOIN s ON d.r = s.r""")),
+
     // ---- relative-error (log2) quantile mode -------------------------------
     // The unknown-domain form: buckets are exact log2 indexes
     // (length(bin(v)) — identical integers in Spark and DuckDB), so the

@@ -135,17 +135,26 @@ object BloomStore {
     val base = spark.read.parquet(path)
     val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
       .getOrElse(base)
-      .select("r", "j").distinct()
-    val probes = keys.select(col(keyCol).cast("string").as("key"))
+      .select("r", "j")
+    val probeKeys = keys.select(col(keyCol).cast("string").as("key"))
       .distinct()
+    val probes = probeKeys
       .select(col("key"), explode(array(
         (0 until depth).map(i => struct(lit(i).as("r"),
           hashCell(i, col("key"), width).as("j"))): _*)).as("c"))
       .select(col("key"), col("c.r").as("r"), col("c.j").as("j"))
-    probes.join(pruned.withColumn("__hit", lit(1)), Seq("r", "j"), "left")
+    // broadcast the |keys × d| probe rows against the window's raw
+    // positions: one scan, NO store-wide distinct/shuffle (duplicate
+    // positions from un-compacted appends can't inflate the verdict —
+    // the probe has exactly one j per (key, r), so distinct hash ROWS
+    // hit, not hit rows, are counted)
+    val hits = pruned.join(broadcast(probes), Seq("r", "j"))
       .groupBy("key")
-      .agg((count(col("__hit")) === lit(depth.toLong))
-        .as("might_contain"))
+      .agg(countDistinct(col("r")).as("__nhit"))
+    probeKeys.join(hits, Seq("key"), "left")
+      .select(col("key"),
+        (coalesce(col("__nhit"), lit(0L)) === lit(depth.toLong))
+          .as("might_contain"))
   }
 
   /** DISTINCT-fold the store back to one file per partition (staged

@@ -161,6 +161,34 @@ object CmsStore {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Inner-product estimate between two windows' key-frequency vectors
+    * — the second classic count-min query (Cormode & Muthukrishnan
+    * 2005 §4.2): est = min over hash rows r of Σ_j cellsA[r][j] ·
+    * cellsB[r][j]. Always ≥ the true Σ_key fA(key)·fB(key); ≤ true +
+    * (e/w)·‖fA‖₁·‖fB‖₁ w.h.p. over the hash idiom. The 100 TB shape:
+    * "how similar is today's n-gram/URL traffic to yesterday's" as a
+    * join of two ≤ d·w-cell relations — corpus never rescanned, key
+    * space never materialized. Deterministic (fixed hashes), so the
+    * DuckDB oracle replays the estimate bit-for-bit (gate
+    * `cms_inner`). Returns one row (inner_product). */
+  def innerProduct(spark: SparkSession, path: String,
+                   partsA: Seq[String], partsB: Seq[String]): DataFrame = {
+    val (depth, _) = readMeta(spark, path)
+    val a = mergedCells(spark, path, Some(partsA))
+      .withColumnRenamed("cnt", "ca")
+    val b = mergedCells(spark, path, Some(partsB))
+      .withColumnRenamed("cnt", "cb")
+    // inner join: a cell missing on either side contributes 0 to that
+    // row's sum — and a hash row with NO overlapping cells has sum 0,
+    // which must stay a min candidate (it proves the true inner
+    // product is 0), so anchor on all `depth` rows before the min
+    val sums = a.join(b, Seq("r", "j"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+    spark.range(depth).select(col("id").cast("int").as("r"))
+      .join(sums, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("inner_product"))
+  }
+
   /** Fold every slot back into one pre-summed `run=__base__` generation
     * (≤ d·w rows per part — the constant-size fold); folded batch ids
     * land in the fold manifest so replays stay no-ops. */

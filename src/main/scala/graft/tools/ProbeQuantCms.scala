@@ -99,6 +99,30 @@ object ProbeQuantCms {
     println(f"[probe] cms overestimate: max=${errs.max}%,d " +
       f"mean=${errs.sum / errs.length}%,d eN/w bound=$bound%,.0f " +
       f"(observed max/bound=${errs.max / bound}%.3f)")
+
+    println("[probe] === BloomStore: sparse positions, any-key membership ===")
+    // ~1M distinct keys into 2^24 cells x 4 rows: position rows track
+    // DISTINCT KEYS (x d), not raw rows — the dedupe the sparse
+    // representation buys at build time
+    val bp = java.nio.file.Files.createTempDirectory("probe_bloom_").toString
+    val (_, tbBuild) = timed {
+      graft.operators.BloomStore.write(df, "key", "part", bp,
+        depth = 4, width = 1 << 24)
+    }
+    val posRows = spark.read.parquet(bp).count()
+    val presentKeys = trueCounts.map(_._1).toSeq
+    val absentKeys = presentKeys.map("zz" + _)
+    val (verd, tbServe) = timed {
+      graft.operators.BloomStore.mightContain(spark, bp,
+        (presentKeys ++ absentKeys).toDF("k"), "k")
+        .as[(String, Boolean)].collect().toMap
+    }
+    require(presentKeys.forall(verd(_)), "bloom false negative")
+    val fp = absentKeys.count(verd(_))
+    println(f"[probe] bloom n=$n%,d distinctKeys~1M posRows=$posRows%,d " +
+      f"(= d x per-part distinct keys, part-pruned; per-part bound " +
+      f"min(d*keysInPart, d*w)) build=$tbBuild%.1fs " +
+      f"serve200keys=$tbServe%.2fs falsePos=$fp/100 absent")
     spark.stop()
   }
 }

@@ -69,6 +69,21 @@ class BloomStoreSpec extends SparkSpec {
     assert(dup === 0L)
   }
 
+  test("compact refuses leftover crash wreckage instead of silently clobbering it") {
+    val p = mk()
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the backup rename and the cleanup
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + "__compact_old"))
+    val e = intercept[IllegalArgumentException] {
+      BloomStore.compact(spark, p)
+    }
+    assert(e.getMessage.contains("__compact_old"), e.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "__compact_old"), true)
+    BloomStore.compact(spark, p) // clean re-run succeeds
+    assert(verdicts(p, Seq("apple"))("apple"))
+  }
+
   test("geometry pinned in the sidecar; non-store path fails loudly") {
     val p = mk()
     assert(BloomStore.readMeta(spark, p) === ((4, 1 << 16)))

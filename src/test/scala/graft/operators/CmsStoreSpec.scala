@@ -90,6 +90,25 @@ class CmsStoreSpec extends SparkSpec {
       "post-compact replay must be a no-op")
   }
 
+  test("inner product: exact at generous width, one-sided under collisions, zero-anchored") {
+    val p = mk(width = 1024)
+    // d1 counts: apple 3, pear 1; d2: apple 1, plum 2, kiwi 1
+    // true dot = 3*1 (apple) = 3; collision-free -> exact
+    val ip = CmsStore.innerProduct(spark, p, Seq("d1"), Seq("d2"))
+      .head().getLong(0)
+    assert(ip === 3L)
+    // forced collisions: still >= true
+    val p2 = mk(width = 2)
+    val ip2 = CmsStore.innerProduct(spark, p2, Seq("d1"), Seq("d2"))
+      .head().getLong(0)
+    assert(ip2 >= 3L)
+    // an empty window is the zero vector: estimate must be EXACTLY 0,
+    // which requires the zero-sum hash rows to stay min candidates
+    val ip0 = CmsStore.innerProduct(spark, p, Seq("d1"), Seq("d9"))
+      .head().getLong(0)
+    assert(ip0 === 0L)
+  }
+
   test("geometry comes from the sidecar; non-store path fails loudly") {
     val p = mk()
     assert(CmsStore.readMeta(spark, p) === ((4, 64)))

@@ -623,6 +623,113 @@ object QueriesR13 {
         FROM pj LEFT JOIN pos ON pj.r = pos.r AND pj.j = pos.j
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- bloom crawl-frontier filter ----------------------------------------
+    // The frontier use case: of an incoming batch, keep only the keys
+    // DEFINITELY not seen in the window (one-sided: nothing already
+    // present ever passes; a false positive is wrongly held back — the
+    // price of bounded state vs the exact stateful dedup operators).
+    // The oracle replays the filter: a batch doc survives iff its 3
+    // positions are not all covered by the seed window's positions.
+    QueryDef("bloom_new_keys",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.BloomStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_bloomnk_gate_").toString
+        BloomStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          "doc_id", "source", p, depth = 3, width = 4096)
+        val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
+        BloomStore.filterNew(s, p, batch, "doc_id")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        seen AS (
+          SELECT DISTINCT r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS j
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) < 10),
+        bp AS (
+          SELECT doc_id, r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS j
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) >= 10)
+        SELECT bp.doc_id FROM bp
+        LEFT JOIN seen ON bp.r = seen.r AND bp.j = seen.j
+        GROUP BY bp.doc_id HAVING COUNT(seen.j) < 3
+        ORDER BY bp.doc_id""")),
+
+    // ---- streaming log2 quantile maintenance --------------------------------
+    // The relative-error mode composed with the streaming loop: the
+    // generic quantile maintenance appends pre-bucketed values (prepare
+    // maps the raw column through log2Bucket), so the same run-slot +
+    // fold-manifest machinery carries the 65-row-per-group summary;
+    // served median must equal the one-pass oracle's.
+    QueryDef("stream_quantile_log2",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.QuantileStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        val p = Files.createTempDirectory("graft_quantlgst_gate_").toString
+        QuantileStore.writeLog2(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "n_chars", "source", p)
+        val srcDir = Files.createTempDirectory("graft_quantlgst_src_").toString
+        docs.filter(expr("CAST(substr(source, 4) AS INT) BETWEEN 10 AND 14"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        docs.filter(expr("CAST(substr(source, 4) AS INT) >= 15"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val ckpt = Files.createTempDirectory("graft_quantlgst_ck_").toString
+        val schema = s.read.parquet(srcDir).schema
+        def runOnce(): Unit =
+          graft.streaming.StreamingIncremental.streamingQuantileMaintenance(
+            s, srcDir, schema, p, ckpt, Seq("lang"), "__log2b", "source",
+            maxFilesPerTrigger = Some(1),
+            prepare = b => b.withColumn("__log2b",
+              QuantileStore.log2Bucket(col("n_chars").cast("long"))),
+            autoCompactSlots = Some(1)).awaitTermination()
+        runOnce()
+        runOnce() // checkpointed: no new batches, store untouched
+        require(RunSlots.foldedRuns(s, s"$p/quant").contains("b0"),
+          "auto-compact must fold and record the first batch")
+        QuantileStore.quantileLog2(s, p, Seq("lang"), 1L, 2L)
+          .select("lang", "q_bucket", "q_lo", "q_hi", "n_total")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang,
+                 CASE WHEN n_chars = 0 THEN 0
+                      ELSE length(bin(CAST(n_chars AS BIGINT))) END AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2),
+        c AS (
+          SELECT lang, bucket, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+          FROM b)
+        SELECT lang, CAST(bucket AS BIGINT) AS q_bucket,
+               CAST(CASE WHEN bucket = 0 THEN 0
+                         WHEN bucket BETWEEN 1 AND 63
+                           THEN CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)
+                    END AS BIGINT) AS q_lo,
+               CAST(CASE WHEN bucket = 0 THEN 1
+                         WHEN bucket = -1 THEN 0
+                         WHEN bucket BETWEEN 1 AND 62
+                           THEN CAST(1 AS BIGINT) << CAST(bucket AS INT)
+                    END AS BIGINT) AS q_hi,
+               n_total
+        FROM c
+        WHERE cum >= GREATEST(1, n_total // 2)
+          AND cum - cnt < GREATEST(1, n_total // 2)
+        ORDER BY lang""")),
+
     // ---- streaming bloom maintenance ---------------------------------------
     // Two micro-batches of fresh sources append their positions; set
     // union is replay-idempotent, so this loop needs NO run slots and

@@ -157,6 +157,27 @@ object BloomStore {
           .as("might_contain"))
   }
 
+  /** Crawl-frontier filter: the rows of `batch` whose key is
+    * DEFINITELY absent from the window — `might_contain` is one-sided,
+    * so nothing already present ever passes, and the price of the
+    * bounded state is that a false-positive key is WRONGLY HELD BACK
+    * (rate ≈ (1−e^(−d·n/w))^d; size w for the recall you need, or use
+    * the exact stateful/incremental dedup operators when every key
+    * must survive). Append the batch AFTER filtering. Delivery note:
+    * the returned delta is at-least-once under micro-batch replay —
+    * pair the downstream sink with [[graft.llm.RunSlots]] (the
+    * EdgeStore posture) if it needs exactly-once; the STORE side needs
+    * nothing (idempotent union). */
+  def filterNew(spark: SparkSession, path: String, batch: DataFrame,
+                keyCol: String,
+                parts: Option[Seq[String]] = None): DataFrame = {
+    val verdicts = mightContain(spark, path,
+      batch.select(col(keyCol)), keyCol, parts)
+      .filter(!col("might_contain")).select(col("key"))
+    batch.join(verdicts,
+      batch(keyCol).cast("string") === verdicts("key"), "left_semi")
+  }
+
   /** DISTINCT-fold the store back to one file per partition (staged
     * beside, backup-rename install — the [[SketchStore.compact]]
     * crash contract). Replay-idempotence means no fold manifest: a

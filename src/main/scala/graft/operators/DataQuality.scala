@@ -140,6 +140,44 @@ object DataQuality {
     * Cost: one map-side-combinable count aggregate per side over the
     * bucket key, a full-outer join of |buckets| rows, two scalar
     * totals. Corpus-size-independent output. */
+  /** The [[distributionDrift]] statistic computed PER GROUP from two
+    * already-counted summaries `(groupCols..., bucketCol, cnt)` — the
+    * shared serve for the maintained distribution stores
+    * ([[HistStore.drift]], [[QuantileStore.drift]]), whose summaries
+    * align by construction (one layout/width per store). Groups absent
+    * from either side are dropped (the per-group form of
+    * distributionDrift's empty-window refusal). Returns
+    * (groupCols..., drift_pm, n_ref, n_cur); exact integers end to
+    * end. Cost: a |groups × buckets| full-outer join + window totals —
+    * summary scale, never raw rows. */
+  def driftFromSummaries(ref: DataFrame, cur: DataFrame,
+                         groupCols: Seq[String],
+                         bucketCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "driftFromSummaries: need group columns")
+    val r = ref.withColumnRenamed("cnt", "n_ref")
+    val c = cur.withColumnRenamed("cnt", "n_cur")
+    val keys = groupCols :+ bucketCol
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    r.join(c, keys, "full_outer")
+      .select(keys.map(col) :+
+        coalesce(col("n_ref"), lit(0L)).as("n_ref") :+
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"): _*)
+      .withColumn("tr", sum(col("n_ref")).over(wAll))
+      .withColumn("tc", sum(col("n_cur")).over(wAll))
+      .filter(col("tr") > 0 && col("tc") > 0)
+      .withColumn("pm_ref", expr("n_ref * 1000L div tr"))
+      .withColumn("pm_cur", expr("n_cur * 1000L div tc"))
+      .withColumn("contrib",
+        when(col("pm_ref") + col("pm_cur") > 0,
+          expr("(pm_ref - pm_cur) * (pm_ref - pm_cur) * 1000L " +
+            "div (pm_ref + pm_cur)"))
+          .otherwise(lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("contrib")).as("drift_pm"),
+        max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"))
+  }
+
   def distributionDrift(ref: DataFrame, cur: DataFrame,
                         bucketCol: String): DataFrame = {
     def cnt(df: DataFrame, as: String) =

@@ -215,33 +215,11 @@ object HistStore {
     * refusal, applied per group). Exact integer end to end (gate
     * `hist_drift`). */
   def drift(spark: SparkSession, path: String, groupCols: Seq[String],
-            refParts: Seq[String], curParts: Seq[String]): DataFrame = {
-    require(groupCols.nonEmpty, "HistStore.drift: need group columns")
-    val r = counts(spark, path, groupCols, Some(refParts))
-      .withColumnRenamed("cnt", "n_ref")
-    val c = counts(spark, path, groupCols, Some(curParts))
-      .withColumnRenamed("cnt", "n_cur")
-    val keys = groupCols :+ "bin"
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-    r.join(c, keys, "full_outer")
-      .select(keys.map(col) :+
-        coalesce(col("n_ref"), lit(0L)).as("n_ref") :+
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"): _*)
-      .withColumn("tr", sum(col("n_ref")).over(wAll))
-      .withColumn("tc", sum(col("n_cur")).over(wAll))
-      .filter(col("tr") > 0 && col("tc") > 0)
-      .withColumn("pm_ref", expr("n_ref * 1000L div tr"))
-      .withColumn("pm_cur", expr("n_cur * 1000L div tc"))
-      .withColumn("contrib",
-        when(col("pm_ref") + col("pm_cur") > 0,
-          expr("(pm_ref - pm_cur) * (pm_ref - pm_cur) * 1000L " +
-            "div (pm_ref + pm_cur)"))
-          .otherwise(lit(0L)))
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("contrib")).as("drift_pm"),
-        max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"))
-  }
+            refParts: Seq[String], curParts: Seq[String]): DataFrame =
+    DataQuality.driftFromSummaries(
+      counts(spark, path, groupCols, Some(refParts)),
+      counts(spark, path, groupCols, Some(curParts)),
+      groupCols, "bin")
 
   /** Fold every slot back into one pre-summed `run=__base__`
     * generation, one file per `part=` directory; folded batch ids land

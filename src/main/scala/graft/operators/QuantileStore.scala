@@ -309,6 +309,19 @@ object QuantileStore {
         .otherwise(lit(0L))).as("n_below"))
   }
 
+  /** Distribution drift between two partition windows served FROM the
+    * summaries — [[DataQuality.driftFromSummaries]] over this store's
+    * buckets, which align across windows by construction (one width —
+    * or one log2 space — per store). Returns (groupCols..., drift_pm,
+    * n_ref, n_cur) for groups present in both windows. Works in either
+    * mode: buckets are compared as opaque aligned categories. */
+  def drift(spark: SparkSession, path: String, groupCols: Seq[String],
+            refParts: Seq[String], curParts: Seq[String]): DataFrame =
+    DataQuality.driftFromSummaries(
+      counts(spark, path, groupCols, Some(refParts)),
+      counts(spark, path, groupCols, Some(curParts)),
+      groupCols, "bucket")
+
   /** Fold every slot back into one pre-summed `run=__base__` generation;
     * folded batch ids land in the fold manifest so replays stay no-ops
     * ([[graft.llm.RunSlots]]). */

@@ -69,6 +69,24 @@ class BloomStoreSpec extends SparkSpec {
     assert(dup === 0L)
   }
 
+  test("filterNew: one-sided frontier — seen keys never pass, schema survives") {
+    val p = mk()
+    val batch = Seq(
+      ("d3", "apple", 1), ("d3", "mango", 2), ("d3", "mango", 3),
+      ("d3", "fig", 4)
+    ).toDF("day", "k", "payload")
+    val out = BloomStore.filterNew(spark, p, batch, "k")
+      .as[(String, String, Int)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSet === Set("mango", "fig"),
+      "apple is in the window — one-sided: it can never pass")
+    assert(out.map(_._3).toSeq === Seq(2, 3, 4),
+      "every batch ROW of a new key passes, payload intact")
+    // window-scoped: against d2 only, d1's apple is new again
+    val d2only = BloomStore.filterNew(spark, p, batch, "k", Some(Seq("d2")))
+      .as[(String, String, Int)].collect()
+    assert(d2only.map(_._2).toSet === Set("apple", "mango", "fig"))
+  }
+
   test("compact refuses leftover crash wreckage instead of silently clobbering it") {
     val p = mk()
     val fs = new org.apache.hadoop.fs.Path(p)

@@ -202,6 +202,20 @@ class QuantileStoreSpec extends SparkSpec {
     }.getMessage.contains("LINEAR"))
   }
 
+  test("drift: shared per-mille algebra over aligned buckets") {
+    val p = mk()
+    // grp a ref(d1) buckets {-3:1, 0:2} tr=3; cur(d2) {1:1} tc=1:
+    //   333²·1000//333 + 666²·1000//666 + 1000²·1000//1000 = 1999000
+    // grp b ref {9:1} tr=1; cur {-1:2, 25:1} tc=3: same by symmetry
+    val d = QuantileStore.drift(spark, p, Seq("grp"), Seq("d1"), Seq("d2"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d("a") === ("a", 1999000L, 3L, 1L))
+    assert(d("b") === ("b", 1999000L, 1L, 3L))
+    val z = QuantileStore.drift(spark, p, Seq("grp"), Seq("d1"), Seq("d1"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(z.forall(_._2 === 0L))
+  }
+
   test("empty store serve and non-store path fail loudly") {
     val p = Files.createTempDirectory("graft_quant_none_").toString
     val e = intercept[IllegalArgumentException] {

@@ -730,6 +730,107 @@ object QueriesR13 {
           AND cum - cnt < GREATEST(1, n_total // 2)
         ORDER BY lang""")),
 
+    // ---- n-gram novelty vs a bloom-held reference corpus -------------------
+    // The curation signal: per batch doc, how many of its distinct
+    // word 3-grams are DEFINITELY absent from the reference window —
+    // high n_new/n_grams = genuinely new text, near-zero = boilerplate
+    // or contamination. The reference gram set lives in bounded filter
+    // state (at 100 TB the gram table IS the corpus); one-sided, so a
+    // false positive UNDERCOUNTS novelty. The oracle replays grams,
+    // positions, and verdicts end to end.
+    QueryDef("ngram_novelty",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.Dedup
+        import graft.operators.BloomStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_nov_gate_").toString
+        val ref = docs.filter(expr("CAST(substr(source, 4) AS INT) < 10"))
+        val refGrams = ref
+          .select(Dedup.tokens(col("text")).as("__toks"))
+          .select(explode(Dedup.wordGrams(col("__toks"), 3)).as("gram"))
+          .withColumn("p", lit("ref"))
+        BloomStore.write(refGrams, "gram", "p", p,
+          depth = 3, width = 1 << 16)
+        val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
+        Dedup.ngramNovelty(s, batch, "text", "doc_id", p)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH dd AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        w AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> len(x) > 0)
+                  AS w,
+                CAST(substr(source, 4) AS INT) AS srcn
+              FROM documents),
+        g AS (SELECT doc_id, srcn,
+                list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] ||
+                       ' ' || w[CAST(i AS INT)+2])) AS s
+              FROM w),
+        refpos AS (
+          SELECT DISTINCT r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || x),
+                   1, 15) AS BIGINT) % 65536 AS j
+          FROM (SELECT unnest(s) AS x FROM g WHERE srcn < 10)
+          CROSS JOIN dd),
+        bg AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE srcn >= 10),
+        bpos AS (
+          SELECT doc_id, gram, r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   gram), 1, 15) AS BIGINT) % 65536 AS j
+          FROM bg CROSS JOIN dd),
+        verdict AS (
+          SELECT doc_id, gram, COUNT(refpos.j) = 3 AS mc
+          FROM bpos LEFT JOIN refpos
+            ON bpos.r = refpos.r AND bpos.j = refpos.j
+          GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN NOT mc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM verdict GROUP BY 1)
+        SELECT b.doc_id,
+               COALESCE(n_new, 0) AS n_new,
+               COALESCE(n_grams, 0) AS n_grams
+        FROM (SELECT doc_id FROM documents
+              WHERE CAST(substr(source, 4) AS INT) >= 10) b
+        LEFT JOIN agg USING (doc_id)
+        ORDER BY b.doc_id""")),
+
+    // ---- retention: drop parts across slots ---------------------------------
+    // The lifecycle half every windowed store needs: part leaves
+    // removed whole from EVERY run slot and the base (prefix-atomic,
+    // idempotent — a crash mid-drop re-runs to completion; the fold
+    // manifest is untouched, so dropped rows cannot resurrect a
+    // batch). Served counts after the drop must equal a build that
+    // never saw the dropped sources.
+    QueryDef("store_retention",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.{QuantileStore, StoreRetention}
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_ret_gate_").toString
+        QuantileStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq("lang"), "n_chars", "source", p, width = 50L)
+        QuantileStore.append(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+        val dropped = StoreRetention.dropParts(s, s"$p/quant",
+          (0 to 4).map(i => s"src$i"))
+        require(dropped > 0, "retention must have found parts to drop")
+        QuantileStore.counts(s, p, Seq("lang")).orderBy("lang", "bucket")
+      },
+      Some("""
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT lang, n_chars // 50 AS bucket
+          FROM documents
+          WHERE CAST(substr(source, 4) AS INT) >= 5)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- streaming bloom maintenance ---------------------------------------
     // Two micro-batches of fresh sources append their positions; set
     // union is replay-idempotent, so this loop needs NO run slots and

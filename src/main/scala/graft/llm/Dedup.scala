@@ -64,6 +64,43 @@ object Dedup {
     array_distinct(when(upper < 1, array().cast("array<string>")).otherwise(grams))
   }
 
+  /** Corpus-novelty score per document against a REFERENCE corpus held
+    * as a [[graft.operators.BloomStore]] of its word n-grams: n_new =
+    * how many of the doc's distinct n-grams are DEFINITELY absent from
+    * the reference window, n_grams = its distinct n-gram count. High
+    * n_new/n_grams ⇒ genuinely new text; near-zero ⇒ boilerplate or
+    * memorized/contaminated content — the curation signal, with the
+    * reference corpus held in bounded filter state instead of a
+    * materialized gram table (at 100 TB the gram set IS the corpus).
+    * One-sided like the filter itself: a false positive UNDERCOUNTS
+    * novelty, never inflates it. Probes go through
+    * [[graft.operators.BloomStore.mightContainBulk]] (corpus-scale
+    * probe set — shuffle join, no broadcast). Docs with fewer than n
+    * tokens report (0, 0). Exact oracle replay: gate `ngram_novelty`. */
+  def ngramNovelty(spark: org.apache.spark.sql.SparkSession,
+                   docs: DataFrame, textCol: String, idCol: String,
+                   bloomPath: String, n: Int = 3,
+                   parts: Option[Seq[String]] = None): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__toks"))
+    val grams = toks.select(col("id"),
+      explode(wordGrams(col("__toks"), n)).as("gram"))
+    val verdicts = graft.operators.BloomStore.mightContainBulk(
+      spark, bloomPath, grams.select("gram"), "gram", parts)
+    val perDoc = grams
+      .join(verdicts, grams("gram") === verdicts("key"))
+      .groupBy("id")
+      .agg(
+        sum(when(!col("might_contain"), lit(1L)).otherwise(lit(0L)))
+          .as("n_new"),
+        count(lit(1)).as("n_grams"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+  }
+
   /** 32-bit hash of a string from its md5 prefix (engine-portable). */
   private[llm] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")

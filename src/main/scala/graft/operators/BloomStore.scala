@@ -130,7 +130,24 @@ object BloomStore {
     * semi-join (positions never leave their partitions un-pruned). */
   def mightContain(spark: SparkSession, path: String, keys: DataFrame,
                    keyCol: String,
-                   parts: Option[Seq[String]] = None): DataFrame = {
+                   parts: Option[Seq[String]] = None): DataFrame =
+    mightContainImpl(spark, path, keys, keyCol, parts,
+      broadcastProbes = true)
+
+  /** [[mightContain]] for CORPUS-SCALE probe sets (every n-gram of a
+    * batch, every URL of a crawl dump): same verdicts, but the probe
+    * rows shuffle-join the window's positions instead of broadcasting —
+    * use when |keys × d| no longer fits a broadcast. */
+  def mightContainBulk(spark: SparkSession, path: String, keys: DataFrame,
+                       keyCol: String,
+                       parts: Option[Seq[String]] = None): DataFrame =
+    mightContainImpl(spark, path, keys, keyCol, parts,
+      broadcastProbes = false)
+
+  private def mightContainImpl(spark: SparkSession, path: String,
+                               keys: DataFrame, keyCol: String,
+                               parts: Option[Seq[String]],
+                               broadcastProbes: Boolean): DataFrame = {
     val (depth, width) = readMeta(spark, path)
     val base = spark.read.parquet(path)
     val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
@@ -138,17 +155,18 @@ object BloomStore {
       .select("r", "j")
     val probeKeys = keys.select(col(keyCol).cast("string").as("key"))
       .distinct()
-    val probes = probeKeys
+    val probes0 = probeKeys
       .select(col("key"), explode(array(
         (0 until depth).map(i => struct(lit(i).as("r"),
           hashCell(i, col("key"), width).as("j"))): _*)).as("c"))
       .select(col("key"), col("c.r").as("r"), col("c.j").as("j"))
-    // broadcast the |keys × d| probe rows against the window's raw
-    // positions: one scan, NO store-wide distinct/shuffle (duplicate
-    // positions from un-compacted appends can't inflate the verdict —
+    // lookup-sized probe sets broadcast (one position scan, no
+    // shuffle); corpus-scale ones shuffle-join. Either way duplicate
+    // positions from un-compacted appends can't inflate a verdict —
     // the probe has exactly one j per (key, r), so distinct hash ROWS
-    // hit, not hit rows, are counted)
-    val hits = pruned.join(broadcast(probes), Seq("r", "j"))
+    // hit, not hit rows, are counted
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val hits = pruned.join(probes, Seq("r", "j"))
       .groupBy("key")
       .agg(countDistinct(col("r")).as("__nhit"))
     probeKeys.join(hits, Seq("key"), "left")

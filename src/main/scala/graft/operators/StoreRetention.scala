@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Retention for the maintained-store family: delete every
+  * `part=<value>` leaf of a store table, across ALL run slots and the
+  * folded base — the lifecycle half every windowed store needs at
+  * 100 TB ("drop days older than N", data-subject erasure). Works on
+  * both layouts:
+  *
+  *  - slotted additive stores (Hist/Quantile/Cms/TopK/Sample/Edge):
+  *    `table/run=<id>/part=<v>/…` — the part leaf is removed from every
+  *    slot, so a later compact folds only surviving parts and the fold
+  *    manifest is untouched (dropping rows cannot resurrect a batch);
+  *  - flat idempotent stores (Sketch `path/part=<v>`, Bloom): the part
+  *    dir is removed from the root.
+  *
+  * Deletion is per-directory and therefore only PREFIX-atomic: a crash
+  * midway leaves some of the named parts gone and the rest intact —
+  * the correct failure mode for retention (never a torn part: part
+  * dirs are removed whole) — and a re-run completes it (idempotent:
+  * missing parts are skipped). Serving concurrently sees each part
+  * either fully present or fully absent, the same isolation
+  * PartitionFilter pruning already implies.
+  *
+  * Returns the number of part directories actually deleted. Refuses a
+  * path that contains NEITHER layout marker (wrong path beats silent
+  * no-op). */
+object StoreRetention {
+
+  def dropParts(spark: SparkSession, table: String,
+                values: Seq[String]): Int = {
+    require(values.nonEmpty, "StoreRetention.dropParts: no part values")
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"StoreRetention.dropParts: no store at $table")
+    val targets = values.map(v => s"part=$v").toSet
+    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val runDirs = top.filter(_.getPath.getName.startsWith("run="))
+    val flatParts = top.filter(_.getPath.getName.startsWith("part="))
+    require(runDirs.nonEmpty || flatParts.nonEmpty,
+      s"StoreRetention.dropParts: $table has neither run= slots nor " +
+        "part= dirs — not a maintained-store table (wrong path?)")
+    val candidates =
+      if (runDirs.nonEmpty)
+        runDirs.flatMap(r => fs.listStatus(r.getPath).toSeq
+          .filter(s => s.isDirectory && targets(s.getPath.getName)))
+      else flatParts.filter(s => targets(s.getPath.getName))
+    candidates.foreach(c => fs.delete(c.getPath, true))
+    candidates.size
+  }
+}

@@ -87,6 +87,28 @@ class BloomStoreSpec extends SparkSpec {
     assert(d2only.map(_._2).toSet === Set("apple", "mango", "fig"))
   }
 
+  test("ngramNovelty: distinct-gram counts, one-sided, short docs report (0,0)") {
+    val p = Files.createTempDirectory("graft_bloom_nov_").toString
+    val ref = Seq("the cat sat on the mat").toDF("text")
+      .select(graft.llm.Dedup.tokens(col("text")).as("__toks"))
+      .select(explode(graft.llm.Dedup.wordGrams(col("__toks"), 3))
+        .as("gram"))
+      .withColumn("p", lit("ref"))
+    BloomStore.write(ref, "gram", "p", p, depth = 3, width = 1 << 16)
+    val batch = Seq(
+      (1L, "the cat sat on the mat"),     // every gram known: n_new 0
+      (2L, "a dog ran over the hill"),    // every gram new
+      (3L, "the cat sat on the moon"),    // mixed: only "on the moon" new
+      (4L, "too short")                   // < 3 tokens: (0, 0)
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.ngramNovelty(spark, batch, "text", "doc_id", p)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0L, 4L)))
+    assert(out(2L) === ((2L, 4L, 4L)))
+    assert(out(3L) === ((3L, 1L, 4L)))
+    assert(out(4L) === ((4L, 0L, 0L)))
+  }
+
   test("compact refuses leftover crash wreckage instead of silently clobbering it") {
     val p = mk()
     val fs = new org.apache.hadoop.fs.Path(p)

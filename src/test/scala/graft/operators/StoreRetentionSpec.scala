@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.llm.RunSlots
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** StoreRetention: part leaves removed whole across slots and layouts,
+  * idempotent, manifest untouched, wrong paths refused. */
+class StoreRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    ("d1", "a", 5L), ("d2", "a", 15L), ("d3", "a", 25L), ("d3", "b", 35L)
+  ).toDF("day", "grp", "v")
+
+  test("slotted store: part dropped from every slot; compact + replay still correct") {
+    val p = Files.createTempDirectory("graft_ret_").toString
+    QuantileStore.write(rows.filter(col("day") === "d1"),
+      Seq("grp"), "v", "day", p, width = 10L)
+    QuantileStore.append(rows.filter(col("day") =!= "d1"),
+      Seq("grp"), "v", "day", p, runId = Some("b0"))
+    val n = StoreRetention.dropParts(spark, s"$p/quant", Seq("d1", "d2"))
+    assert(n === 2, s"d1 in base + d2 in b0 = 2 part dirs, got $n")
+    val served = QuantileStore.counts(spark, p, Seq("grp"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(served === Set(("a", 2L, 1L), ("b", 3L, 1L)),
+      "only d3 rows survive")
+    // idempotent: nothing left to drop
+    assert(StoreRetention.dropParts(spark, s"$p/quant", Seq("d1")) === 0)
+    // compaction after a drop folds survivors only; manifest intact
+    QuantileStore.compact(spark, p)
+    assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"))
+    assert(QuantileStore.counts(spark, p, Seq("grp"))
+      .as[(String, Long, Long)].collect().toSet === served)
+    // the dropped batch cannot resurrect: its id is folded
+    QuantileStore.append(rows.filter(col("day") =!= "d1"),
+      Seq("grp"), "v", "day", p, runId = Some("b0"))
+    assert(QuantileStore.counts(spark, p, Seq("grp"))
+      .as[(String, Long, Long)].collect().toSet === served)
+  }
+
+  test("flat store: part dir dropped from the root") {
+    val p = Files.createTempDirectory("graft_ret_fl_").toString
+    BloomStore.write(Seq(("d1", "x"), ("d2", "y")).toDF("day", "k"),
+      "k", "day", p, depth = 4, width = 1 << 16)
+    assert(StoreRetention.dropParts(spark, p, Seq("d1")) === 1)
+    val v = BloomStore.mightContain(spark, p, Seq("x", "y").toDF("k"), "k")
+      .as[(String, Boolean)].collect().toMap
+    assert(v === Map("x" -> false, "y" -> true),
+      "d1's key is gone, d2's survives")
+  }
+
+  test("wrong path refused; empty value list refused") {
+    val p = Files.createTempDirectory("graft_ret_no_").toString
+    new java.io.File(p, "data").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      StoreRetention.dropParts(spark, p, Seq("d1"))
+    }
+    assert(e.getMessage.contains("neither run= slots nor part="))
+    intercept[IllegalArgumentException] {
+      StoreRetention.dropParts(spark, p, Seq.empty)
+    }
+  }
+}

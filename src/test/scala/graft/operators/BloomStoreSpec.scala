@@ -134,6 +134,17 @@ class BloomStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("not a bloom store"))
   }
 
+  test("a pruned window serve carries a planning-time part PartitionFilter") {
+    val p = mk()
+    val plan = BloomStore.mightContain(spark, p,
+        Seq("apple").toDF("k"), "k", Some(Seq("d1")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") && l.contains("d1")),
+      s"expected a part PartitionFilter, got: ${pf.mkString(" | ")}")
+  }
+
   test("null keys are excluded, not hashed as a phantom key") {
     val p = Files.createTempDirectory("graft_bloom_null_").toString
     val withNulls = Seq(("d1", Some("apple")), ("d1", None))

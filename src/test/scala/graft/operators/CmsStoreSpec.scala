@@ -119,6 +119,16 @@ class CmsStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("not a count-min store"))
   }
 
+  test("a pruned window serve carries a planning-time part PartitionFilter") {
+    val p = mk()
+    val plan = CmsStore.mergedCells(spark, p, Some(Seq("d1")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") && l.contains("d1")),
+      s"expected a part PartitionFilter, got: ${pf.mkString(" | ")}")
+  }
+
   test("null keys are excluded, not hashed as a phantom key") {
     val p = Files.createTempDirectory("graft_cms_null_").toString
     val withNulls = Seq(("d1", Some("apple")), ("d1", None), ("d1", None))

@@ -202,6 +202,16 @@ class QuantileStoreSpec extends SparkSpec {
     }.getMessage.contains("LINEAR"))
   }
 
+  test("a pruned window serve carries a planning-time part PartitionFilter") {
+    val p = mk()
+    val plan = QuantileStore.counts(spark, p, Seq("grp"), Some(Seq("d1")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("part") && l.contains("d1")),
+      s"expected a part PartitionFilter, got: ${pf.mkString(" | ")}")
+  }
+
   test("drift: shared per-mille algebra over aligned buckets") {
     val p = mk()
     // grp a ref(d1) buckets {-3:1, 0:2} tr=3; cur(d2) {1:1} tc=1:

@@ -800,6 +800,55 @@ object QueriesR13 {
         LEFT JOIN agg USING (doc_id)
         ORDER BY b.doc_id""")),
 
+    // ---- model calibration (reliability table) ------------------------------
+    // The eval step between the held-out audit and deployment: per
+    // score decile, observed positive rate vs mean predicted score —
+    // calibrated where they agree. Scores come from the deterministic
+    // fixed-weight scorer (6-decimal contract), labels from a
+    // deterministic rule; everything downstream is exact integer
+    // per-mille (floor, never CAST/round — the engines disagree on
+    // those for doubles).
+    QueryDef("quality_calibration",
+      (s, dir) => {
+        import graft.llm.{QualityTrain, TextStats}
+        val docs = Tables.read(s, dir, "documents")
+        // /8 (not the score gate's /64): spread the sigmoid across
+        // many deciles so the table demonstrates calibration, not two
+        // occupied bins; still exact-in-binary multiples of 1/8
+        val wts = (0 until 64).map(i => ((i * 37) % 64 - 32) / 8.0)
+        val scored = TextStats
+          .modelQualityScore(docs, "text", "doc_id", wts, bias = 0.25)
+          .join(docs.select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
+        QualityTrain.calibration(scored, "q_score", "y", nBins = 10)
+          .orderBy("bin")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                       x -> len(x) > 0) t
+                   FROM documents),
+        f AS (SELECT doc_id, lang,
+                CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE list_aggregate(list_transform(t, tok ->
+                            (CAST(((CAST('0x'||substr(md5(tok),1,8) AS BIGINT)
+                              % 64) * 37) % 64 AS DOUBLE) - 32) / 8.0),
+                            'sum') / len(t)
+                END mean
+              FROM d),
+        sc AS (SELECT doc_id,
+                 round(1.0/(1.0 + exp(-(0.25 + mean))), 6) AS q,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM f),
+        b AS (SELECT LEAST(CAST(FLOOR(q * 10) AS BIGINT), 9) AS bin, y,
+                     CAST(FLOOR(q * 1000) AS BIGINT) AS pm
+              FROM sc)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS rate_pm,
+               CAST(SUM(pm) // COUNT(*) AS BIGINT) AS pred_pm
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
     // ---- retention: drop parts across slots ---------------------------------
     // The lifecycle half every windowed store needs: part leaves
     // removed whole from EVERY run slot and the base (prefix-atomic,

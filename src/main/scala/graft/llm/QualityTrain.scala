@@ -230,6 +230,36 @@ object QualityTrain {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Reliability (calibration) table for any scored frame — the eval
+    * step between [[hardAudit]] and deployment: does a score of ~0.7
+    * actually mean a ~70% positive rate? Rows are score deciles
+    * (bin = floor(score·nBins), top-clamped so score 1.0 lands in the
+    * last bin): n docs, n_pos, observed rate_pm = n_pos·1000 div n,
+    * and mean predicted pred_pm = Σ floor(score·1000) div n — a model
+    * is calibrated where rate_pm ≈ pred_pm per bin. Integer
+    * arithmetic throughout: given cross-engine-identical scores (the
+    * 6-decimal rounding contract every scorer here honors), the whole
+    * table is hash-exact (gate `quality_calibration`). floor, never
+    * CAST or round, for the per-mille projection — double→int CAST
+    * truncates in Spark but rounds in DuckDB, and round() splits ties
+    * differently; floor is floor everywhere. Output is |nBins| rows —
+    * corpus-size-independent, one aggregate pass. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "calibration: nBins must be positive")
+    scored.select(
+        least(floor(col(scoreCol) * nBins).cast("long"),
+          lit(nBins - 1L)).as("bin"),
+        col(labelCol).cast("long").as("__y"),
+        floor(col(scoreCol) * 1000).cast("long").as("__pm"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__pm")).as("__sum_pm"))
+      .withColumn("rate_pm", expr("n_pos * 1000L div n"))
+      .withColumn("pred_pm", expr("__sum_pm div n"))
+      .select("bin", "n", "n_pos", "rate_pm", "pred_pm")
+  }
+
   /** Trained weights as a DataFrame (bucket, w) — bucket 0 is the bias.
     * d+1 rows; the gate/oracle interchange format. */
   def weightsDf(spark: SparkSession, model: Model): DataFrame = {

@@ -203,4 +203,28 @@ class TrainSpec extends SparkSpec {
     val bad = scored.filter(col("q_score") < 0 || col("q_score") > 1).count()
     assert(bad === 0L)
   }
+
+  test("calibration: hand-pinned reliability bins, floor semantics, top clamp") {
+    // exact binary fractions (multiples of 1/16) — no float-boundary
+    // ambiguity in the floor products
+    val scored = Seq(
+      (0.0625, 1L),               // bin 0, pm 62 (62.5 floors)
+      (0.5625, 0L),               // bin 5, pm 562
+      (0.625, 1L), (0.6875, 0L),  // bin 6, pm 625 / 687
+      (1.0, 1L)                   // floor(1.0*10)=10 -> clamped to 9
+    ).toDF("q", "y")
+    val t = QualityTrain.calibration(scored, "q", "y", nBins = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(t(0L) === ((0L, 1L, 1L, 1000L, 62L)))
+    assert(t(5L) === ((5L, 1L, 0L, 0L, 562L)))
+    // bin 6: rate 1000 div 2 = 500; pred = (625+687) div 2 = 656
+    assert(t(6L) === ((6L, 2L, 1L, 500L, 656L)))
+    // clamp: score 1.0 lands in bin 9 with pred 1000
+    assert(t(9L) === ((9L, 1L, 1L, 1000L, 1000L)))
+    assert(t.size === 4)
+    intercept[IllegalArgumentException] {
+      QualityTrain.calibration(scored, "q", "y", nBins = 0)
+    }
+  }
 }

@@ -800,6 +800,45 @@ object QueriesR13 {
         LEFT JOIN agg USING (doc_id)
         ORDER BY b.doc_id""")),
 
+    // ---- sliding-window retrieval chunking -----------------------------------
+    // The RAG-ingest step: token windows of 32 with 8 shared between
+    // neighbors, so no boundary fact is lost to both chunks. Docs with
+    // <= 32 tokens yield exactly one chunk; zero-token docs yield
+    // nothing. Chunk text replayed via md5 to keep the gate compact;
+    // the oracle rebuilds every window with the same integer
+    // arithmetic.
+    QueryDef("chunk_retrieval",
+      (s, dir) => {
+        import graft.llm.Curation
+        val docs = Tables.read(s, dir, "documents")
+        Curation.chunkForRetrieval(docs, "text", "doc_id",
+            size = 32, overlap = 8)
+          .select(col("id").as("doc_id"), col("chunk_id"),
+            md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                       x -> len(x) > 0) AS w
+                   FROM documents),
+        n AS (SELECT doc_id, w, len(w) AS n FROM w),
+        c AS (SELECT doc_id, w, n,
+                CASE WHEN n = 0 THEN 0 WHEN n <= 32 THEN 1
+                     ELSE (n - 32 + 23) // 24 + 1 END AS nch
+              FROM n),
+        e AS (SELECT doc_id, w, n, unnest(range(0, nch)) AS cid
+              FROM c WHERE nch > 0),
+        ch AS (SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+                 list_transform(
+                   range(cid * 24 + 1, LEAST(cid * 24 + 32, n) + 1),
+                   k -> w[CAST(k AS INT)]) AS toks
+               FROM e)
+        SELECT doc_id, chunk_id,
+               md5(array_to_string(toks, ' ')) AS chunk_md5,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM ch ORDER BY doc_id, chunk_id""")),
+
     // ---- model calibration (reliability table) ------------------------------
     // The eval step between the held-out audit and deployment: per
     // score decile, observed positive rate vs mean predicted score —

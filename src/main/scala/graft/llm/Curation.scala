@@ -10,6 +10,52 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Sliding-window retrieval chunking — the RAG-ingest step: split
+    * each document into token windows of `size` with `overlap` tokens
+    * shared between neighbors (stride = size − overlap), so no fact at
+    * a window boundary is lost to both chunks. Returns one row per
+    * chunk: (id, chunk_id 0-based, chunk_text, n_tokens). Boundary
+    * contract (pinned in CurationSpec + gate `chunk_retrieval`):
+    * docs with ≤ size tokens yield exactly ONE chunk (never a
+    * degenerate tail-only window); otherwise ⌈(n − size)/stride⌉ + 1
+    * chunks, the last one shorter; zero-token docs yield ZERO rows
+    * (there is nothing to embed — emitting an empty chunk would index
+    * noise). Distinct from `pack_sequences` (training-side packing to
+    * a budget, no overlap) and `ChunkStore` (content-defined chunks
+    * for storage dedup). Plan: one projection + one explode over a
+    * per-doc integer sequence — no shuffle, no UDF; cost is output
+    * rows. Exact integer arithmetic shared with the DuckDB oracle. */
+  def chunkForRetrieval(docs: DataFrame, textCol: String, idCol: String,
+                        size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "chunkForRetrieval: need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    docs
+      .select(col(idCol).as("id"),
+        graft.llm.Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size_(col("__toks")))
+      .withColumn("__nchunks",
+        when(col("__n") === 0, lit(0L))
+          .when(col("__n") <= size, lit(1L))
+          .otherwise(expr(
+            s"CAST((__n - $size + ${stride - 1}) div $stride + 1 AS BIGINT)")))
+      .filter(col("__nchunks") > 0)
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(0L), col("__nchunks") - 1)).as("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        slice(col("__toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(size))
+          .as("__chunk"))
+      .select(col("id"), col("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size_(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
+  // functions.size clashes with Seq.size under the wildcard import in
+  // some call sites — a named alias keeps the chunker readable
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
   /** HTML → text extraction — the ingest step in front of every text
     * operator here (crawl corpora arrive as markup). Order matters and is
     * load-bearing:

@@ -498,4 +498,34 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("chunkForRetrieval: boundary contract — one chunk at n<=size, ceil windows, overlap shared, empty docs vanish") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // n=10 <= size: 1 chunk
+      (2L, (1 to 11).map(i => s"t$i").mkString(" ")),  // n=11: 2 chunks (stride 6)
+      (3L, ""),                                        // 0 tokens: no rows
+      (4L, (1 to 23).map(i => s"t$i").mkString(" "))   // n=23: ceil((23-10)/6)+1 = 4
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkForRetrieval(docs, "text", "doc_id",
+        size = 10, overlap = 4)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    assert(!out.contains(3L), "zero-token docs yield zero chunks")
+    assert(out(1L).map(_._4).toSeq === Seq(10L))
+    // doc 2: windows start at 1, 7 (stride 6); second covers t7..t11 (5 toks)
+    assert(out(2L).map(_._4).toSeq === Seq(10L, 5L))
+    assert(out(2L)(0)._3 === (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out(2L)(1)._3 === (7 to 11).map(i => s"t$i").mkString(" "))
+    // overlap: t7..t10 appear in BOTH chunks of doc 2
+    assert(out(2L)(0)._3.split(" ").toSet.intersect(
+      out(2L)(1)._3.split(" ").toSet) === (7 to 10).map(i => s"t$i").toSet)
+    // doc 4: starts 1, 7, 13, 19 -> sizes 10, 10, 10, 5
+    assert(out(4L).map(_._4).toSeq === Seq(10L, 10L, 10L, 5L))
+    // every token of doc 4 is covered by some chunk
+    assert(out(4L).flatMap(_._3.split(" ")).toSet ===
+      (1 to 23).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      Curation.chunkForRetrieval(docs, "text", "doc_id", 10, 10)
+    }
+  }
 }

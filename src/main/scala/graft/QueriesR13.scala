@@ -800,6 +800,58 @@ object QueriesR13 {
         LEFT JOIN agg USING (doc_id)
         ORDER BY b.doc_id""")),
 
+    // ---- bloom fill report ----------------------------------------------------
+    // The operability serve the no-migration geometry contract
+    // requires: occupied cells per hash row over a window, exact
+    // integer fill per-mille — the "rebuild at larger w?" signal,
+    // since positions cannot re-hash. Oracle recounts distinct
+    // positions per row.
+    QueryDef("bloom_fill",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.BloomStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_bloomfl_gate_").toString
+        BloomStore.write(docs, "doc_id", "source", p,
+          depth = 3, width = 512)
+        val window = (0 to 9).map(i => s"src$i")
+        BloomStore.fill(s, p, Some(window)).orderBy("r")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        occ AS (
+          SELECT r, CAST(COUNT(DISTINCT
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 512)
+                 AS BIGINT) AS occupied
+          FROM documents CROSS JOIN d
+          WHERE CAST(substr(source, 4) AS INT) <= 9
+          GROUP BY 1)
+        SELECT d.r, COALESCE(occupied, 0) AS occupied,
+               CAST(512 AS BIGINT) AS width,
+               COALESCE(occupied, 0) * 1000 // 512 AS fill_pm
+        FROM d LEFT JOIN occ ON d.r = occ.r
+        ORDER BY d.r""")),
+
+    // ---- count-min inserted mass -----------------------------------------------
+    // N in the sketch's e*N/w bound, served from the cells: every
+    // insert adds 1 to every hash row, so each row's sum IS the
+    // window's insert count — asserted to agree across rows before
+    // reporting.
+    QueryDef("cms_mass",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.CmsStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_cmsms_gate_").toString
+        CmsStore.write(docs, "lang", "source", p, depth = 4, width = 16)
+        val window = (0 to 9).map(i => s"src$i")
+        CmsStore.mass(s, p, Some(window))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents WHERE CAST(substr(source, 4) AS INT) <= 9""")),
+
     // ---- sliding-window retrieval chunking -----------------------------------
     // The RAG-ingest step: token windows of 32 with 8 shared between
     // neighbors, so no boundary fact is lost to both chunks. Docs with

@@ -196,6 +196,29 @@ object BloomStore {
       batch(keyCol).cast("string") === verdicts("key"), "left_semi")
   }
 
+  /** Fill-level report per hash row over a window — the operability
+    * serve the no-migration geometry contract requires: occupied cells
+    * per row, width, and the exact integer fill per-mille
+    * (occupied·1000 div w). The false-positive rate of a window is
+    * ≈ Π_r (occupied_r / w); when fill_pm crosses your budget the
+    * remedy is a rebuild at larger w (positions cannot re-hash — the
+    * store keeps no key material). |d| output rows. */
+  def fill(spark: SparkSession, path: String,
+           parts: Option[Seq[String]] = None): DataFrame = {
+    val (depth, width) = readMeta(spark, path)
+    val base = spark.read.parquet(path)
+    val pruned = parts.map(p => base.filter(col("part").isin(p: _*)))
+      .getOrElse(base)
+    spark.range(depth).select(col("id").cast("int").as("r"))
+      .join(pruned.select("r", "j").distinct()
+          .groupBy("r").agg(count(lit(1)).as("occupied")),
+        Seq("r"), "left")
+      .select(col("r"),
+        coalesce(col("occupied"), lit(0L)).as("occupied"),
+        lit(width.toLong).as("width"))
+      .withColumn("fill_pm", expr(s"occupied * 1000L div ${width}L"))
+  }
+
   /** DISTINCT-fold the store back to one file per partition (staged
     * beside, backup-rename install — the [[SketchStore.compact]]
     * crash contract). Replay-idempotence means no fold manifest: a

@@ -161,6 +161,30 @@ object CmsStore {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Inserted mass of a window — the N in the sketch's e·N/w error
+    * bound, served from the cells themselves: every insert adds 1 to
+    * every hash row, so each row's cell sum equals the window's total
+    * insert count exactly. Returns one row (n_total); asserts the d
+    * row sums agree (a mismatch means cell corruption — fail loudly,
+    * don't average). Use it to size error budgets and decide when a
+    * window needs a wider rebuild. */
+  def mass(spark: SparkSession, path: String,
+           parts: Option[Seq[String]] = None): DataFrame = {
+    val (depth, _) = readMeta(spark, path)
+    val sums = mergedCells(spark, path, parts)
+      .groupBy("r").agg(sum(col("cnt")).as("n"))
+    sums.agg(min(col("n")).as("lo"), max(col("n")).as("hi"),
+        count(lit(1)).as("rows"))
+      .select(
+        when(col("rows") === 0L, lit(0L)) // empty window: zero mass
+          .when(col("rows") === depth.toLong && col("lo") === col("hi"),
+            col("lo"))
+          .otherwise(raise_error(concat(
+            lit("CmsStore.mass: hash-row sums disagree (corrupt cells?) "),
+            col("lo"), lit(" vs "), col("hi"))).cast("long"))
+          .as("n_total"))
+  }
+
   /** Inner-product estimate between two windows' key-frequency vectors
     * — the second classic count-min query (Cormode & Muthukrishnan
     * 2005 §4.2): est = min over hash rows r of Σ_j cellsA[r][j] ·

@@ -134,6 +134,29 @@ class BloomStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("not a bloom store"))
   }
 
+  test("fill: exact per-row occupancy, zero rows anchored, saturation visible") {
+    val p = mk() // 4 distinct keys, w = 65536: no collisions expected
+    val f = BloomStore.fill(spark, p)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(f.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    f.foreach { case (_, occ, w, pm) =>
+      assert(occ === 4L)
+      assert(w === 65536L)
+      assert(pm === 4L * 1000 / 65536) // = 0: integer per-mille
+    }
+    // window pruning: d1 holds 2 distinct keys
+    BloomStore.fill(spark, p, Some(Seq("d1")))
+      .as[(Int, Long, Long, Long)].collect()
+      .foreach { case (_, occ, _, _) => assert(occ === 2L) }
+    // saturated store: occupancy capped at w, fill_pm at 1000
+    val tiny = mk(width = 2)
+    BloomStore.fill(spark, tiny)
+      .as[(Int, Long, Long, Long)].collect()
+      .foreach { case (_, occ, w, pm) =>
+        assert(occ <= 2L && w === 2L && pm <= 1000L)
+      }
+  }
+
   test("a pruned window serve carries a planning-time part PartitionFilter") {
     val p = mk()
     val plan = BloomStore.mightContain(spark, p,

@@ -119,6 +119,13 @@ class CmsStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("not a count-min store"))
   }
 
+  test("mass: per-row sums agree and equal the window's insert count; empty window is 0") {
+    val p = mk()
+    assert(CmsStore.mass(spark, p).head().getLong(0) === 8L)
+    assert(CmsStore.mass(spark, p, Some(Seq("d1"))).head().getLong(0) === 4L)
+    assert(CmsStore.mass(spark, p, Some(Seq("d9"))).head().getLong(0) === 0L)
+  }
+
   test("a pruned window serve carries a planning-time part PartitionFilter") {
     val p = mk()
     val plan = CmsStore.mergedCells(spark, p, Some(Seq("d1")))

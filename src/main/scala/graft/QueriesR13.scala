@@ -942,11 +942,15 @@ object QueriesR13 {
 
     // ---- retention: drop parts across slots ---------------------------------
     // The lifecycle half every windowed store needs: part leaves
-    // removed whole from EVERY run slot and the base (prefix-atomic,
-    // idempotent — a crash mid-drop re-runs to completion; the fold
-    // manifest is untouched, so dropped rows cannot resurrect a
-    // batch). Served counts after the drop must equal a build that
-    // never saw the dropped sources.
+    // removed whole from the folded slots (prefix-atomic, idempotent —
+    // a crash mid-drop re-runs to completion; the fold manifest is
+    // untouched, so dropped rows cannot resurrect a batch). The drop
+    // runs AFTER a compact: a target part under a live batch slot is
+    // refused (a replay would rewrite the slot and re-land the dropped
+    // rows — ADVICE r13; StoreRetentionSpec pins the refusal). Served
+    // counts after the drop must equal a build that never saw the
+    // dropped sources, and a post-drop replay of the folded batch must
+    // stay a no-op.
     QueryDef("store_retention",
       (s, dir) => {
         import java.nio.file.Files
@@ -959,9 +963,14 @@ object QueriesR13 {
         QuantileStore.append(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
           Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+        QuantileStore.compact(s, p) // fold b0 — live-slot drops refuse
         val dropped = StoreRetention.dropParts(s, s"$p/quant",
           (0 to 4).map(i => s"src$i"))
         require(dropped > 0, "retention must have found parts to drop")
+        // the dropped batch cannot resurrect: b0 is in the fold manifest
+        QuantileStore.append(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
         QuantileStore.counts(s, p, Seq("lang")).orderBy("lang", "bucket")
       },
       Some("""

@@ -387,8 +387,13 @@ object Retrieval {
       val statsSrc =
         if (statsPartial.isEmpty) spark.read.parquet(statsRoot.toString)
         else {
+          // __adhoc__ must ride along like it does in IvfLayout.compact:
+          // an adhoc _stats slot coexisting with a partial slot would
+          // otherwise be neither summed nor carried, silently shrinking
+          // n_docs/total_tokens (ADVICE r13)
           val reserved = fs.listStatus(statsRoot).toSeq.map(_.getPath)
-            .filter(_.getName == s"run=${RunSlots.Base}")
+            .filter(p => p.getName == s"run=${RunSlots.Base}" ||
+              p.getName == s"run=${RunSlots.Adhoc}")
           spark.read.option("basePath", statsRoot.toString)
             .parquet((reserved ++ deltaSlots ++
               statsCommitted).map(_.toString): _*)

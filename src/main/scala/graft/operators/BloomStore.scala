@@ -189,11 +189,18 @@ object BloomStore {
   def filterNew(spark: SparkSession, path: String, batch: DataFrame,
                 keyCol: String,
                 parts: Option[Seq[String]] = None): DataFrame = {
+    // null keys are trivially new: inserts drop them (positions filters
+    // isNotNull), so the store can never contain one — but the equality
+    // semi-join below never matches NULL, which used to silently drop
+    // null-key rows from the delta (ADVICE r13). Route them around the
+    // probe and union them back.
+    val nonNull = batch.filter(col(keyCol).isNotNull)
     val verdicts = mightContain(spark, path,
-      batch.select(col(keyCol)), keyCol, parts)
+      nonNull.select(col(keyCol)), keyCol, parts)
       .filter(!col("might_contain")).select(col("key"))
-    batch.join(verdicts,
-      batch(keyCol).cast("string") === verdicts("key"), "left_semi")
+    nonNull.join(verdicts,
+      nonNull(keyCol).cast("string") === verdicts("key"), "left_semi")
+      .unionByName(batch.filter(col(keyCol).isNull))
   }
 
   /** Fill-level report per hash row over a window — the operability

@@ -3,15 +3,20 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Retention for the maintained-store family: delete every
-  * `part=<value>` leaf of a store table, across ALL run slots and the
-  * folded base — the lifecycle half every windowed store needs at
-  * 100 TB ("drop days older than N", data-subject erasure). Works on
-  * both layouts:
+  * `part=<value>` leaf of a store table — the lifecycle half every
+  * windowed store needs at 100 TB ("drop days older than N",
+  * data-subject erasure). Works on both layouts:
   *
   *  - slotted additive stores (Hist/Quantile/Cms/TopK/Sample/Edge):
-  *    `table/run=<id>/part=<v>/…` — the part leaf is removed from every
-  *    slot, so a later compact folds only surviving parts and the fold
-  *    manifest is untouched (dropping rows cannot resurrect a batch);
+  *    `table/run=<id>/part=<v>/…` — the part leaf is removed from the
+  *    folded `__base__` and `__adhoc__` slots; the manifest is untouched
+  *    (dropping rows cannot resurrect a FOLDED batch). A target part
+  *    living under a LIVE batch slot (`run=b<n>` / named) makes the call
+  *    REFUSE: those slots are replay targets — an at-least-once replay
+  *    statically overwrites its whole `run=<id>` subtree and would
+  *    silently re-land the dropped rows (ADVICE r13). Compact first
+  *    (folds live slots into `__base__`, manifest makes replays no-ops),
+  *    then drop;
   *  - flat idempotent stores (Sketch `path/part=<v>`, Bloom): the part
   *    dir is removed from the root.
   *
@@ -43,10 +48,27 @@ object StoreRetention {
       s"StoreRetention.dropParts: $table has neither run= slots nor " +
         "part= dirs — not a maintained-store table (wrong path?)")
     val candidates =
-      if (runDirs.nonEmpty)
-        runDirs.flatMap(r => fs.listStatus(r.getPath).toSeq
-          .filter(s => s.isDirectory && targets(s.getPath.getName)))
-      else flatParts.filter(s => targets(s.getPath.getName))
+      if (runDirs.nonEmpty) {
+        val hits = runDirs.flatMap(r => fs.listStatus(r.getPath).toSeq
+          .filter(s => s.isDirectory && targets(s.getPath.getName))
+          .map(s => (r.getPath.getName.stripPrefix("run="), s)))
+        // a target part under a LIVE batch slot is a replay hazard: the
+        // at-least-once replay of that batch overwrites its whole
+        // run=<id> subtree and re-lands the dropped rows — erasure
+        // silently undone. Refuse; the remedy folds the slot first.
+        val live = hits.map(_._1)
+          .filter(id => id != graft.llm.RunSlots.Base &&
+            id != graft.llm.RunSlots.Adhoc)
+          .distinct.sorted
+        require(live.isEmpty,
+          s"StoreRetention.dropParts: target part(s) exist under live " +
+            s"run slot(s) ${live.mkString(", ")} at $table — a replayed " +
+            "batch would statically rewrite its whole slot and re-land " +
+            "the dropped rows. Compact the store first (folds slots into " +
+            "run=__base__; the fold manifest turns replays into no-ops), " +
+            "then re-run the drop")
+        hits.map(_._2)
+      } else flatParts.filter(s => targets(s.getPath.getName))
     candidates.foreach(c => fs.delete(c.getPath, true))
     candidates.size
   }

@@ -114,6 +114,61 @@ class FoldManifestSpec extends SparkSpec {
       FoldManifest(6L, Set.empty))
   }
 
+  test("a digit string beyond Long.MaxValue is a NAMED id, not a crash") {
+    import RunSlots.FoldManifest
+    val huge = "b9999999999999999999" // 19 nines > Long.MaxValue
+    val m = FoldManifest.empty.fold(Set(huge, "b0"))
+    assert(m === FoldManifest(0L, Set(huge)),
+      "overflowing numeric-looking ids must stay verbatim exceptions")
+    assert(m.contains(huge) && !m.contains("b1"))
+  }
+
+  test("named exceptions: prune bounds the manifest; pruned id re-lands as a live slot") {
+    import RunSlots.FoldManifest
+    // 100 named backfill folds: the exception set holds all of them —
+    // the r13 unbounded-growth class
+    var m = FoldManifest.empty.fold(Set("b0"))
+    val named = (0 until 100).map(i => f"backfill-$i%03d").toSet
+    m = m.fold(named)
+    assert(m.exceptions.size === 100)
+    val p = Files.createTempDirectory("graft_fm_prune_").toString
+    RunSlots.writeFoldedManifest(spark, p, m)
+    // numeric ids are refused — the stream can replay them
+    val e = intercept[IllegalArgumentException] {
+      RunSlots.pruneFoldedNamed(spark, p, Set("b0"))
+    }
+    assert(e.getMessage.contains("stream-batch"))
+    // retention prune: manifest back to two numbers; idempotent
+    assert(RunSlots.pruneFoldedNamed(spark, p, named) === 100)
+    assert(RunSlots.pruneFoldedNamed(spark, p, named) === 0)
+    val back = RunSlots.foldedRuns(spark, p)
+    assert(back === FoldManifest(0L, Set.empty))
+    val f = new org.apache.hadoop.fs.Path(s"$p/${RunSlots.ManifestFile}")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.getFileStatus(f).getLen < 100L, "manifest bounded after prune")
+    // a pruned id's re-delivery lands as a fresh LIVE slot (correct at
+    // slot level — the documented hazard), and a later fold re-records it
+    RunSlots.write(Seq((1L, 0L)).toDF("v", "pc"), p, "pc",
+      Some("backfill-000"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/run=backfill-000")))
+    RunSlots.writeFoldedManifest(spark, p, back.fold(Set("backfill-000")))
+    RunSlots.write(Seq((9L, 9L)).toDF("v", "pc"), p, "pc",
+      Some("backfill-000"))
+    assert(spark.read.parquet(s"$p/run=backfill-000")
+      .select("v").as[Long].collect().toSet === Set(1L),
+      "re-recorded id no-ops again")
+  }
+
+  test("manifest write refuses past the named-exception cap") {
+    import RunSlots.FoldManifest
+    val p = Files.createTempDirectory("graft_fm_cap_").toString
+    val over = (0 to RunSlots.MaxNamedExceptions).map(i => s"bk-$i").toSet
+    val e = intercept[IllegalArgumentException] {
+      RunSlots.writeFoldedManifest(spark, p, FoldManifest(-1L, over))
+    }
+    assert(e.getMessage.contains("pruneFoldedNamed"))
+  }
+
   test("r12 flat-list manifests parse and migrate on the next write") {
     val p = Files.createTempDirectory("graft_fm_legacyfmt_").toString
     val f = new org.apache.hadoop.fs.Path(s"$p/${RunSlots.ManifestFile}")
@@ -377,6 +432,30 @@ class FoldManifestSpec extends SparkSpec {
     val r = spark.read.parquet(s"$p/_stats")
       .agg(sum("n_docs"), sum("total_tokens")).head()
     assert(r.getLong(0) === 3L, "2 corpus docs + the replayed batch doc")
+  }
+
+  test("compactIndex partial-slot path folds an __adhoc__ _stats slot too") {
+    // ADVICE r13: the partial-slot branch kept only run=__base__ as
+    // reserved — an adhoc _stats slot coexisting with a partial slot
+    // was neither summed into the new base nor carried, silently
+    // shrinking n_docs/total_tokens
+    val p = Files.createTempDirectory("graft_fm_adhoc_").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
+    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, None) // adhoc
+    val b0 = Seq((20L, base + "three")).toDF("doc_id", "text")
+    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    dropSuccess(s"$p/_stats/run=b0")
+    dropSuccess(s"$p/run=b0")
+    Retrieval.compactIndex(spark, p)
+    val folded = spark.read.parquet(s"$p/_stats/run=__base__")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(folded === 3L,
+      "2 corpus docs + 1 adhoc doc in the folded base; partial b0 excluded")
+    // the partial slot rode over verbatim, and its replay still lands
+    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    val total = spark.read.parquet(s"$p/_stats")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(total === 4L, "base(3) + replayed b0(1), counted once")
   }
 
   test("writeFlat refuses a flat legacy side table instead of mixing depths") {

@@ -87,6 +87,19 @@ class BloomStoreSpec extends SparkSpec {
     assert(d2only.map(_._2).toSet === Set("apple", "mango", "fig"))
   }
 
+  test("filterNew: null-key rows are trivially new, not silently dropped") {
+    // the store never holds a null key (inserts drop them), but an
+    // equality semi-join never matches NULL — without the explicit
+    // union the null-key rows vanished from the delta (ADVICE r13)
+    val p = mk()
+    val batch = Seq((Some("apple"), 1), (None, 2), (None, 3))
+      .toDF("k", "payload")
+    val out = BloomStore.filterNew(spark, p, batch, "k")
+      .as[(Option[String], Int)].collect().toSet
+    assert(out === Set((None, 2), (None, 3)),
+      "seen key filtered; null-key rows pass through as definitely new")
+  }
+
   test("ngramNovelty: distinct-gram counts, one-sided, short docs report (0,0)") {
     val p = Files.createTempDirectory("graft_bloom_nov_").toString
     val ref = Seq("the cat sat on the mat").toDF("text")

@@ -14,25 +14,33 @@ class StoreRetentionSpec extends SparkSpec {
     ("d1", "a", 5L), ("d2", "a", 15L), ("d3", "a", 25L), ("d3", "b", 35L)
   ).toDF("day", "grp", "v")
 
-  test("slotted store: part dropped from every slot; compact + replay still correct") {
+  test("slotted store: live-slot target refused; after compact the drop sticks under replay") {
     val p = Files.createTempDirectory("graft_ret_").toString
     QuantileStore.write(rows.filter(col("day") === "d1"),
       Seq("grp"), "v", "day", p, width = 10L)
     QuantileStore.append(rows.filter(col("day") =!= "d1"),
       Seq("grp"), "v", "day", p, runId = Some("b0"))
-    val n = StoreRetention.dropParts(spark, s"$p/quant", Seq("d1", "d2"))
-    assert(n === 2, s"d1 in base + d2 in b0 = 2 part dirs, got $n")
+    // d2 lives under the LIVE slot run=b0: a replay of b0 would
+    // statically rewrite the whole slot and re-land the dropped part —
+    // the call must refuse with the compact-first remedy (ADVICE r13)
+    val e = intercept[IllegalArgumentException] {
+      StoreRetention.dropParts(spark, s"$p/quant", Seq("d1", "d2"))
+    }
+    assert(e.getMessage.contains("live run slot") &&
+      e.getMessage.contains("b0"))
+    // a base-only target is NOT blocked by the live slot (d1 is folded)
+    assert(StoreRetention.dropParts(spark, s"$p/quant", Seq("d1")) === 1)
+    // remedy path: compact folds b0 into __base__, then the drop works
+    QuantileStore.compact(spark, p)
+    assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"))
+    val n = StoreRetention.dropParts(spark, s"$p/quant", Seq("d2"))
+    assert(n === 1, s"d2 in folded base = 1 part dir, got $n")
     val served = QuantileStore.counts(spark, p, Seq("grp"))
       .as[(String, Long, Long)].collect().toSet
     assert(served === Set(("a", 2L, 1L), ("b", 3L, 1L)),
       "only d3 rows survive")
     // idempotent: nothing left to drop
     assert(StoreRetention.dropParts(spark, s"$p/quant", Seq("d1")) === 0)
-    // compaction after a drop folds survivors only; manifest intact
-    QuantileStore.compact(spark, p)
-    assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"))
-    assert(QuantileStore.counts(spark, p, Seq("grp"))
-      .as[(String, Long, Long)].collect().toSet === served)
     // the dropped batch cannot resurrect: its id is folded
     QuantileStore.append(rows.filter(col("day") =!= "d1"),
       Seq("grp"), "v", "day", p, runId = Some("b0"))

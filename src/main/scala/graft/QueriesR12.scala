@@ -159,8 +159,8 @@ object QueriesR12 {
         val p = Files.createTempDirectory("graft_hist_gate_").toString
         HistStore.write(base, Seq("lang"), "n_chars", "source", p,
           lo = 0L, hi = 1000L, nBins = 20)
-        HistStore.append(batch, Seq("lang"), "n_chars", "source", p,
-          runId = Some("b0"))
+        HistStore.appendBatch(batch, Seq("lang"), "n_chars", "source", p,
+          batchId = 0L)
         val window = (0 to 14).map(i => s"src$i")
         HistStore.counts(s, p, Seq("lang"), Some(window))
           .orderBy("lang", "bin")
@@ -282,7 +282,7 @@ object QueriesR12 {
         val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
         val p = Files.createTempDirectory("graft_topk_gate_").toString
         TopKStore.write(base, Seq.empty, "lang", "source", p, m = 3)
-        TopKStore.append(batch, Seq.empty, "lang", "source", p, runId = "b0")
+        TopKStore.appendBatch(batch, Seq.empty, "lang", "source", p, batchId = 0L)
         val window = (0 to 14).map(i => s"src$i")
         TopKStore.topK(s, p, Seq.empty, k = 8, Some(window))
           .orderBy(col("lb").desc, col("value").asc)
@@ -397,8 +397,8 @@ object QueriesR12 {
         val batch = docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10"))
         val p = Files.createTempDirectory("graft_smp_gate_").toString
         SampleStore.write(base, Seq.empty, "doc_id", "source", p, kMax = 25)
-        SampleStore.append(batch, Seq.empty, "doc_id", "source", p,
-          Some("b0"))
+        SampleStore.appendBatch(batch, Seq.empty, "doc_id", "source", p,
+          batchId = 0L)
         val window = (0 to 14).map(i => s"src$i")
         SampleStore.sample(s, p, Seq.empty, k = 20, Some(window))
           .orderBy(col("hkey").asc, col("key").asc)

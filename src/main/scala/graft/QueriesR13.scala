@@ -27,10 +27,10 @@ object QueriesR13 {
         val p = Files.createTempDirectory("graft_topkpr_gate_").toString
         TopKStore.write(docs.filter(col("doc_id") % 3 === 0),
           Seq.empty, "lang", "source", p, m = 3)
-        TopKStore.append(docs.filter(col("doc_id") % 3 === 1),
-          Seq.empty, "lang", "source", p, runId = "b0")
-        TopKStore.append(docs.filter(col("doc_id") % 3 === 2),
-          Seq.empty, "lang", "source", p, runId = "b1")
+        TopKStore.appendBatch(docs.filter(col("doc_id") % 3 === 1),
+          Seq.empty, "lang", "source", p, batchId = 0L)
+        TopKStore.appendBatch(docs.filter(col("doc_id") % 3 === 2),
+          Seq.empty, "lang", "source", p, batchId = 1L)
         TopKStore.pruneCompact(s, p)
         // the fold shrank every part to one merged instance of <= m rows
         val perPart = s.read.parquet(s"$p/topk")
@@ -107,9 +107,9 @@ object QueriesR13 {
         HistStore.write(
           docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
           Seq("lang"), "n_chars", "source", p, 0L, 1000L, 20)
-        HistStore.append(
+        HistStore.appendBatch(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+          Seq("lang"), "n_chars", "source", p, batchId = 0L)
         HistStore.rebin(s, p, newNBins = 4)
         require(HistStore.readMeta(s, p) == ((0L, 1000L, 4)),
           "rebin must install the coarse layout atomically with the data")
@@ -142,9 +142,9 @@ object QueriesR13 {
         QuantileStore.write(
           docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
           Seq("lang"), "centered", "source", p, width = 50L)
-        QuantileStore.append(
+        QuantileStore.appendBatch(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          Seq("lang"), "centered", "source", p, runId = Some("b0"))
+          Seq("lang"), "centered", "source", p, batchId = 0L)
         val window = (0 to 14).map(i => s"src$i")
         QuantileStore.counts(s, p, Seq("lang"), Some(window))
           .orderBy("lang", "bucket")
@@ -243,9 +243,9 @@ object QueriesR13 {
         QuantileStore.write(
           docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
           Seq("lang"), "centered", "source", p, width = 10L)
-        QuantileStore.append(
+        QuantileStore.appendBatch(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          Seq("lang"), "centered", "source", p, runId = Some("b0"))
+          Seq("lang"), "centered", "source", p, batchId = 0L)
         QuantileStore.coarsen(s, p, newWidth = 50L)
         require(QuantileStore.readWidth(s, p) == 50L,
           "coarsen must install the new width atomically with the data")
@@ -323,9 +323,9 @@ object QueriesR13 {
         CmsStore.write(
           docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
           "lang", "source", p, depth = 4, width = 16)
-        CmsStore.append(
+        CmsStore.appendBatch(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          "lang", "source", p, runId = Some("b0"))
+          "lang", "source", p, batchId = 0L)
         val window = (0 to 14).map(i => s"src$i")
         val probes = docs.select(col("lang").as("k")).distinct()
           .unionByName(s.range(1).select(lit("zz").as("k")))
@@ -524,9 +524,9 @@ object QueriesR13 {
         QuantileStore.writeLog2(
           docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
           Seq("lang"), "n_chars", "source", p)
-        QuantileStore.appendLog2(
+        QuantileStore.appendBatchLog2(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+          Seq("lang"), "n_chars", "source", p, batchId = 0L)
         Seq((1L, 2L), (9L, 10L)).map { case (qn, qd) =>
           QuantileStore.quantileLog2(s, p, Seq("lang"), qn, qd)
             .withColumn("q_num", lit(qn)).withColumn("q_den", lit(qd))
@@ -960,17 +960,17 @@ object QueriesR13 {
         QuantileStore.write(
           docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
           Seq("lang"), "n_chars", "source", p, width = 50L)
-        QuantileStore.append(
+        QuantileStore.appendBatch(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+          Seq("lang"), "n_chars", "source", p, batchId = 0L)
         QuantileStore.compact(s, p) // fold b0 — live-slot drops refuse
         val dropped = StoreRetention.dropParts(s, s"$p/quant",
           (0 to 4).map(i => s"src$i"))
         require(dropped > 0, "retention must have found parts to drop")
         // the dropped batch cannot resurrect: b0 is in the fold manifest
-        QuantileStore.append(
+        QuantileStore.appendBatch(
           docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
-          Seq("lang"), "n_chars", "source", p, runId = Some("b0"))
+          Seq("lang"), "n_chars", "source", p, batchId = 0L)
         QuantileStore.counts(s, p, Seq("lang")).orderBy("lang", "bucket")
       },
       Some("""

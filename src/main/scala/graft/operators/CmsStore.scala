@@ -115,10 +115,25 @@ object CmsStore {
     writeMetaInto(spark, s"$path/cms", depth, width)
   }
 
-  /** Append a batch's cells in its own run slot (pass the micro-batch
-    * id for exactly-once under replay — cells are additive). */
+  /** Append an ad-hoc/backfill batch's cells in its own run slot (None
+    * = plain accumulate under `__adhoc__`; cells are additive). The
+    * `b<digits>` namespace is REJECTED — it belongs to the checkpointed
+    * stream ([[appendBatch]]). */
   def append(df: DataFrame, keyCol: String, partCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "CmsStore.append")
+    appendSlot(df, keyCol, partCol, path, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch
+    * id (exactly-once under replay via the fold manifest). */
+  def appendBatch(df: DataFrame, keyCol: String, partCol: String,
+                  path: String, batchId: Long): Unit =
+    appendSlot(df, keyCol, partCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(df: DataFrame, keyCol: String, partCol: String,
+                         path: String, runId: Option[String]): Unit = {
     val (depth, width) = readMeta(df.sparkSession, path)
     RunSlots.write(
       cells(df, keyCol, partCol, depth, width).repartition(col("part")),

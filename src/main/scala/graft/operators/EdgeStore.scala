@@ -45,11 +45,30 @@ object EdgeStore {
       s"$path/edges", "eb", Some(RunSlots.Base))
   }
 
-  /** Append a batch's edges into its run slot (pass the micro-batch id
-    * for exactly-once under replay; None = ad-hoc accumulate). */
+  /** Append an ad-hoc/backfill batch's edges into its own run slot
+    * (None = plain accumulate under `__adhoc__`). The `b<digits>`
+    * namespace is REJECTED here — it belongs to the store's
+    * checkpointed stream ([[appendBatch]]), and a manual id of that
+    * shape would inherit the fold manifest's collapse semantics. */
   def append(edges: DataFrame, srcCol: String, dstCol: String,
              wCol: Option[String], path: String, nBuckets: Int = 64,
-             runId: Option[String] = None): Unit =
+             runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "EdgeStore.append")
+    appendSlot(edges, srcCol, dstCol, wCol, path, nBuckets, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch id
+    * (monotonic — the contract the bounded fold manifest leans on). */
+  def appendBatch(edges: DataFrame, srcCol: String, dstCol: String,
+                  wCol: Option[String], path: String, nBuckets: Int,
+                  batchId: Long): Unit =
+    appendSlot(edges, srcCol, dstCol, wCol, path, nBuckets,
+      Some(s"b$batchId"))
+
+  private def appendSlot(edges: DataFrame, srcCol: String, dstCol: String,
+                         wCol: Option[String], path: String, nBuckets: Int,
+                         runId: Option[String]): Unit =
     RunSlots.write(
       agg(edges, srcCol, dstCol, wCol)
         .withColumn("eb", eb(col("src"), nBuckets))

@@ -129,14 +129,29 @@ object HistStore {
     fsOf(spark, path)._1.delete(legacyMetaPath(path), false)
   }
 
-  /** Append a batch's bin counts in its own run slot (pass the
-    * micro-batch id for exactly-once under replay — counts are
-    * additive, so this matters as much as for [[EdgeStore]] weights).
+  /** Append an ad-hoc/backfill batch's bin counts in its own run slot
+    * (None = plain accumulate under `__adhoc__`; counts are additive,
+    * so slot scoping matters as much as for [[EdgeStore]] weights).
     * The layout comes from the store's meta sidecar, so appends can
-    * never drift bins. */
+    * never drift bins. The `b<digits>` namespace is REJECTED — it
+    * belongs to the checkpointed stream ([[appendBatch]]). */
   def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
              partCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "HistStore.append")
+    appendSlot(df, groupCols, valueCol, partCol, path, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch
+    * id (exactly-once under replay via the fold manifest). */
+  def appendBatch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  partCol: String, path: String, batchId: Long): Unit =
+    appendSlot(df, groupCols, valueCol, partCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, partCol: String, path: String,
+                         runId: Option[String]): Unit = {
     val (lo, hi, nBins) = readMeta(df.sparkSession, path)
     RunSlots.write(
       rows(df, groupCols, valueCol, partCol, lo, hi, nBins)

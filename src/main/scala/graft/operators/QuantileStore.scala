@@ -150,12 +150,28 @@ object QuantileStore {
     writeMetaInto(spark, s"$path/quant", width)
   }
 
-  /** Append a batch's bucket counts in its own run slot (pass the
-    * micro-batch id for exactly-once under replay). Width comes from
-    * the store's meta sidecar — appends can never drift buckets. */
+  /** Append an ad-hoc/backfill batch's bucket counts in its own run
+    * slot (None = plain accumulate under `__adhoc__`). Width comes from
+    * the store's meta sidecar — appends can never drift buckets. The
+    * `b<digits>` namespace is REJECTED — it belongs to the checkpointed
+    * stream ([[appendBatch]]). */
   def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
              partCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "QuantileStore.append")
+    appendSlot(df, groupCols, valueCol, partCol, path, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch
+    * id (exactly-once under replay via the fold manifest). */
+  def appendBatch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  partCol: String, path: String, batchId: Long): Unit =
+    appendSlot(df, groupCols, valueCol, partCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, partCol: String, path: String,
+                         runId: Option[String]): Unit = {
     require(!readLog2(df.sparkSession, path) ||
         valueCol == "__log2b", // the appendLog2 delegation path
       s"QuantileStore.append: store at $path is a LOG2 store — raw " +
@@ -249,14 +265,30 @@ object QuantileStore {
 
   /** [[append]] for a [[writeLog2]] store — refuses a linear store (the
     * bucket spaces are incompatible; appending raw values as indexes
-    * would silently corrupt every quantile). */
+    * would silently corrupt every quantile). Same `b<digits>`
+    * rejection as [[append]] — streams use [[appendBatchLog2]]. */
   def appendLog2(df: DataFrame, groupCols: Seq[String], valueCol: String,
                  partCol: String, path: String,
                  runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "QuantileStore.appendLog2")
+    appendLog2Slot(df, groupCols, valueCol, partCol, path, runId)
+  }
+
+  /** [[appendLog2]] for the store's single checkpointed stream. */
+  def appendBatchLog2(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, partCol: String, path: String,
+                      batchId: Long): Unit =
+    appendLog2Slot(df, groupCols, valueCol, partCol, path,
+      Some(s"b$batchId"))
+
+  private def appendLog2Slot(df: DataFrame, groupCols: Seq[String],
+                             valueCol: String, partCol: String,
+                             path: String,
+                             runId: Option[String]): Unit = {
     require(readLog2(df.sparkSession, path),
       s"QuantileStore.appendLog2: store at $path is a LINEAR store — " +
         "append with append(), or rebuild with writeLog2")
-    append(df.withColumn("__log2b",
+    appendSlot(df.withColumn("__log2b",
         log2Bucket(col(valueCol).cast("long"))),
       groupCols, "__log2b", partCol, path, runId)
   }

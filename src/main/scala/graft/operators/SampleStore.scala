@@ -113,12 +113,28 @@ object SampleStore {
     writeMeta(spark, path, kMax)
   }
 
-  /** Append a batch's per-part bottom-kMax summaries in its own run
-    * slot — exactly-once under replay. kMax comes from the sidecar so
-    * summaries never shrink below the store's serve guarantee. */
+  /** Append an ad-hoc/backfill batch's per-part bottom-kMax summaries
+    * in its own run slot (None = plain accumulate under `__adhoc__`).
+    * kMax comes from the sidecar so summaries never shrink below the
+    * store's serve guarantee. The `b<digits>` namespace is REJECTED —
+    * it belongs to the checkpointed stream ([[appendBatch]]). */
   def append(df: DataFrame, groupCols: Seq[String], keyCol: String,
              partCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "SampleStore.append")
+    appendSlot(df, groupCols, keyCol, partCol, path, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch
+    * id (exactly-once under replay via the fold manifest). */
+  def appendBatch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  partCol: String, path: String, batchId: Long): Unit =
+    appendSlot(df, groupCols, keyCol, partCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(df: DataFrame, groupCols: Seq[String],
+                         keyCol: String, partCol: String, path: String,
+                         runId: Option[String]): Unit = {
     val kMax = readMeta(df.sparkSession, path)
     RunSlots.write(
       summaries(df, groupCols, keyCol, partCol, kMax)

@@ -149,6 +149,23 @@ object TopKStore {
     * and silently shrink upper bounds. */
   def append(df: DataFrame, groupCols: Seq[String], valueCol: String,
              partCol: String, path: String, runId: String): Unit = {
+    // the b<digits> namespace belongs to the checkpointed stream
+    // ([[appendBatch]]) — a manual id of that shape would inherit the
+    // fold manifest's collapse semantics (r13 verdict)
+    RunSlots.requireNamedRunId(Some(runId), "TopKStore.append")
+    appendSlot(df, groupCols, valueCol, partCol, path, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch
+    * id (exactly-once under replay via the fold manifest). */
+  def appendBatch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  partCol: String, path: String, batchId: Long): Unit =
+    appendSlot(df, groupCols, valueCol, partCol, path, s"b$batchId")
+
+  private def appendSlot(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, partCol: String, path: String,
+                         runId: String): Unit = {
     // pre-r13 stores tagged their seed instances "base" (a name
     // validate() accepts): an append reusing it would collide with the
     // seed and the serve's (part, inst, cut) distinct could merge two

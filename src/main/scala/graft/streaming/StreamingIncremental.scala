@@ -569,9 +569,9 @@ object StreamingIncremental {
         // bias every downstream PageRank — the manifest makes it a no-op
         maybeCompact(spark, s"$storePath/edges", autoCompactSlots)(
           graft.operators.EdgeStore.compact(spark, storePath))
-        graft.operators.EdgeStore.append(
+        graft.operators.EdgeStore.appendBatch(
           toEdges(batch), srcCol, dstCol, wCol, storePath, nBuckets,
-          runId = Some(s"b$batchId"))
+          batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -745,8 +745,8 @@ object StreamingIncremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maybeCompact(spark, s"$storePath/hist", autoCompactSlots)(
           graft.operators.HistStore.compact(spark, storePath))
-        graft.operators.HistStore.append(prepare(batch), groupCols,
-          valueCol, partCol, storePath, runId = Some(s"b$batchId"))
+        graft.operators.HistStore.appendBatch(prepare(batch), groupCols,
+          valueCol, partCol, storePath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -812,8 +812,8 @@ object StreamingIncremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maybeCompact(spark, s"$storePath/quant", autoCompactSlots)(
           graft.operators.QuantileStore.compact(spark, storePath))
-        graft.operators.QuantileStore.append(prepare(batch), groupCols,
-          valueCol, partCol, storePath, runId = Some(s"b$batchId"))
+        graft.operators.QuantileStore.appendBatch(prepare(batch), groupCols,
+          valueCol, partCol, storePath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -844,8 +844,8 @@ object StreamingIncremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maybeCompact(spark, s"$storePath/cms", autoCompactSlots)(
           graft.operators.CmsStore.compact(spark, storePath))
-        graft.operators.CmsStore.append(prepare(batch), keyCol, partCol,
-          storePath, runId = Some(s"b$batchId"))
+        graft.operators.CmsStore.appendBatch(prepare(batch), keyCol, partCol,
+          storePath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -876,8 +876,8 @@ object StreamingIncremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maybeCompact(spark, s"$storePath/topk", autoCompactSlots)(
           graft.operators.TopKStore.compact(spark, storePath))
-        graft.operators.TopKStore.append(prepare(batch), groupCols,
-          valueCol, partCol, storePath, runId = s"b$batchId")
+        graft.operators.TopKStore.appendBatch(prepare(batch), groupCols,
+          valueCol, partCol, storePath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -908,8 +908,8 @@ object StreamingIncremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maybeCompact(spark, s"$storePath/sample", autoCompactSlots)(
           graft.operators.SampleStore.compact(spark, storePath))
-        graft.operators.SampleStore.append(prepare(batch), groupCols,
-          keyCol, partCol, storePath, runId = Some(s"b$batchId"))
+        graft.operators.SampleStore.appendBatch(prepare(batch), groupCols,
+          keyCol, partCol, storePath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -21,8 +21,8 @@ class CmsStoreSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft_cms_").toString
     CmsStore.write(rows.filter(col("day") === "d1"), "k", "day", p,
       depth = 4, width = width)
-    CmsStore.append(rows.filter(col("day") === "d2"), "k", "day", p,
-      runId = Some("b0"))
+    CmsStore.appendBatch(rows.filter(col("day") === "d2"), "k", "day", p,
+      batchId = 0L)
     p
   }
 
@@ -69,23 +69,23 @@ class CmsStoreSpec extends SparkSpec {
   test("merged cells stay within d*w rows regardless of appends") {
     val p = mk(width = 8)
     (1 to 3).foreach(i =>
-      CmsStore.append(rows, "k", "day", p, runId = Some(s"b$i")))
+      CmsStore.appendBatch(rows, "k", "day", p, batchId = i.toLong))
     assert(CmsStore.mergedCells(spark, p).count() <= 4L * 8L)
   }
 
   test("replayed slot append cannot double cells; fold manifest makes it permanent") {
     val p = mk()
     val before = estMap(p, Seq("apple", "plum"))
-    CmsStore.append(rows.filter(col("day") === "d2"), "k", "day", p,
-      runId = Some("b0"))
+    CmsStore.appendBatch(rows.filter(col("day") === "d2"), "k", "day", p,
+      batchId = 0L)
     assert(estMap(p, Seq("apple", "plum")) === before,
       "slot replay must overwrite, not add")
     CmsStore.compact(spark, p)
     assert(estMap(p, Seq("apple", "plum")) === before)
     assert(RunSlots.foldedRuns(spark, s"$p/cms").contains("b0"))
     assert(CmsStore.slotCount(spark, p) === 0)
-    CmsStore.append(rows.filter(col("day") === "d2"), "k", "day", p,
-      runId = Some("b0"))
+    CmsStore.appendBatch(rows.filter(col("day") === "d2"), "k", "day", p,
+      batchId = 0L)
     assert(estMap(p, Seq("apple", "plum")) === before,
       "post-compact replay must be a no-op")
   }

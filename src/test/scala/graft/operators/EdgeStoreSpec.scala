@@ -23,11 +23,11 @@ class EdgeStoreSpec extends SparkSpec {
     val path = Files.createTempDirectory("graft_es_").toString
     EdgeStore.write(edges((1L, 2L, 5L)),
       "src", "dst", Some("w"), path, nBuckets = 8)
-    EdgeStore.append(edges((1L, 2L, 3L), (2L, 3L, 1L)),
-      "src", "dst", Some("w"), path, nBuckets = 8, runId = Some("b0"))
+    EdgeStore.appendBatch(edges((1L, 2L, 3L), (2L, 3L, 1L)),
+      "src", "dst", Some("w"), path, nBuckets = 8, batchId = 0L)
     // the at-least-once replay: identical batch, identical slot
-    EdgeStore.append(edges((1L, 2L, 3L), (2L, 3L, 1L)),
-      "src", "dst", Some("w"), path, nBuckets = 8, runId = Some("b0"))
+    EdgeStore.appendBatch(edges((1L, 2L, 3L), (2L, 3L, 1L)),
+      "src", "dst", Some("w"), path, nBuckets = 8, batchId = 0L)
     assert(readMap(path) === Map((1L, 2L) -> 8L, (2L, 3L) -> 1L),
       "replayed batch must not double weights")
     // an ad-hoc append (no slot) intentionally accumulates
@@ -40,8 +40,8 @@ class EdgeStoreSpec extends SparkSpec {
     val path = Files.createTempDirectory("graft_es_cmp_").toString
     EdgeStore.write(edges((1L, 2L, 1L), (2L, 1L, 1L)),
       "src", "dst", Some("w"), path, nBuckets = 8)
-    EdgeStore.append(edges((3L, 1L, 2L)), "src", "dst", Some("w"), path,
-      nBuckets = 8, runId = Some("b0"))
+    EdgeStore.appendBatch(edges((3L, 1L, 2L)), "src", "dst", Some("w"), path,
+      nBuckets = 8, batchId = 0L)
     val before = readMap(path)
     def rank() = PageRank.rank(EdgeStore.read(spark, path),
         "src", "dst", Some("w"), iters = 3)

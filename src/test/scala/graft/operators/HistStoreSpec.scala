@@ -22,8 +22,8 @@ class HistStoreSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft_hist_").toString
     HistStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v", "day",
       p, lo = 0L, hi = 100L, nBins = 10)
-    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
-      p, runId = Some("b0"))
+    HistStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, batchId = 0L)
     p
   }
 
@@ -69,20 +69,20 @@ class HistStoreSpec extends SparkSpec {
     val p = mk()
     val before = countMap(p)
     // replay BEFORE compact: slot overwrite
-    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
-      p, runId = Some("b0"))
+    HistStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, batchId = 0L)
     assert(countMap(p) === before, "slot replay must overwrite, not add")
     HistStore.compact(spark, p)
     assert(countMap(p) === before, "compact must not change counts")
     assert(RunSlots.foldedRuns(spark, s"$p/hist").contains("b0"))
     assert(HistStore.slotCount(spark, p) === 0)
     // replay AFTER compact: manifest no-op
-    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
-      p, runId = Some("b0"))
+    HistStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, batchId = 0L)
     assert(countMap(p) === before, "folded replay must be a no-op")
     // compacted layout: one file per part, appends still work
-    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
-      p, runId = Some("b1"))
+    HistStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, batchId = 1L)
     assert(countMap(p)(("a", 3L)) === 2L)
   }
 
@@ -112,8 +112,8 @@ class HistStoreSpec extends SparkSpec {
     val fresh = Files.createTempDirectory("graft_hist_rb_ref_").toString
     HistStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v", "day",
       fresh, 0L, 100L, 5)
-    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
-      fresh, runId = Some("b0"))
+    HistStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      fresh, batchId = 0L)
     assert(countMap(p) === countMap(fresh),
       "coarsened counts must be bit-identical to a direct build")
     // quantile serves under the NEW width: grp a median rank 2 ->
@@ -160,8 +160,8 @@ class HistStoreSpec extends SparkSpec {
     assert(RunSlots.foldedRuns(spark, s"$p/hist").contains("b0"),
       "rebin records folded slots like any compact")
     val before = countMap(p)
-    HistStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
-      p, runId = Some("b0"))
+    HistStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v", "day",
+      p, batchId = 0L)
     assert(countMap(p) === before, "replay of a rebin-folded id is a no-op")
   }
 

@@ -24,8 +24,8 @@ class QuantileStoreSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft_quant_").toString
     QuantileStore.write(rows.filter(col("day") === "d1"), Seq("grp"), "v",
       "day", p, width)
-    QuantileStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v",
-      "day", p, runId = Some("b0"))
+    QuantileStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v",
+      "day", p, batchId = 0L)
     p
   }
 
@@ -92,15 +92,15 @@ class QuantileStoreSpec extends SparkSpec {
   test("replayed slot append cannot double-count; fold manifest makes it permanent") {
     val p = mk()
     val before = countMap(p)
-    QuantileStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v",
-      "day", p, runId = Some("b0"))
+    QuantileStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v",
+      "day", p, batchId = 0L)
     assert(countMap(p) === before, "slot replay must overwrite, not add")
     QuantileStore.compact(spark, p)
     assert(countMap(p) === before, "compact must not change counts")
     assert(RunSlots.foldedRuns(spark, s"$p/quant").contains("b0"))
     assert(QuantileStore.slotCount(spark, p) === 0)
-    QuantileStore.append(rows.filter(col("day") === "d2"), Seq("grp"), "v",
-      "day", p, runId = Some("b0"))
+    QuantileStore.appendBatch(rows.filter(col("day") === "d2"), Seq("grp"), "v",
+      "day", p, batchId = 0L)
     assert(countMap(p) === before, "post-compact replay must be a no-op")
   }
 
@@ -172,16 +172,16 @@ class QuantileStoreSpec extends SparkSpec {
     val d1 = Seq(("d1", "a", 10L)).toDF("day", "grp", "v")
     val d2 = Seq(("d2", "a", 100L)).toDF("day", "grp", "v")
     QuantileStore.writeLog2(d1, Seq("grp"), "v", "day", p)
-    QuantileStore.appendLog2(d2, Seq("grp"), "v", "day", p,
-      runId = Some("b0"))
-    QuantileStore.appendLog2(d2, Seq("grp"), "v", "day", p,
-      runId = Some("b0")) // replay: slot overwrite
+    QuantileStore.appendBatchLog2(d2, Seq("grp"), "v", "day", p,
+      batchId = 0L)
+    QuantileStore.appendBatchLog2(d2, Seq("grp"), "v", "day", p,
+      batchId = 0L) // replay: slot overwrite
     val c = QuantileStore.counts(spark, p, Seq("grp"))
       .as[(String, Long, Long)].collect().toSet
     assert(c === Set(("a", 4L, 1L), ("a", 7L, 1L))) // 10->4, 100->7
     // mode guards: raw linear calls refused on a log2 store...
     assert(intercept[IllegalArgumentException] {
-      QuantileStore.append(d2, Seq("grp"), "v", "day", p, Some("b1"))
+      QuantileStore.appendBatch(d2, Seq("grp"), "v", "day", p, 1L)
     }.getMessage.contains("appendLog2"))
     assert(intercept[IllegalArgumentException] {
       QuantileStore.quantile(spark, p, Seq("grp"), 1L, 2L)

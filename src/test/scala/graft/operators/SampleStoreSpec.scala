@@ -57,23 +57,23 @@ class SampleStoreSpec extends SparkSpec {
     val batch = docs("d1", (1 to 30).map(i => s"n$i"): _*)
     val p = Files.createTempDirectory("graft_smp_rp_").toString
     SampleStore.write(base, Seq.empty, "doc", "day", p, kMax = 8)
-    SampleStore.append(batch, Seq.empty, "doc", "day", p, Some("b0"))
+    SampleStore.appendBatch(batch, Seq.empty, "doc", "day", p, 0L)
     val expect = direct(base.union(batch), 8, Seq("d1"))
     def got() = SampleStore.sample(spark, p, Seq.empty, 8)
       .as[(String, String)].collect().toSeq
     assert(got() === expect)
-    SampleStore.append(batch, Seq.empty, "doc", "day", p, Some("b0"))
+    SampleStore.appendBatch(batch, Seq.empty, "doc", "day", p, 0L)
     assert(got() === expect, "slot replay must overwrite, not add")
     SampleStore.compact(spark, p)
     assert(got() === expect, "pruning fold must not move the sample")
     assert(RunSlots.foldedRuns(spark, s"$p/sample").contains("b0"))
     // fold is a real prune: one instance row set, <= kMax rows per part
     assert(spark.read.parquet(s"$p/sample").count() === 8L)
-    SampleStore.append(batch, Seq.empty, "doc", "day", p, Some("b0"))
+    SampleStore.appendBatch(batch, Seq.empty, "doc", "day", p, 0L)
     assert(got() === expect, "folded replay must be a no-op")
     // a FRESH batch still shifts the sample
     val fresh = docs("d1", (1 to 30).map(i => s"f$i"): _*)
-    SampleStore.append(fresh, Seq.empty, "doc", "day", p, Some("b1"))
+    SampleStore.appendBatch(fresh, Seq.empty, "doc", "day", p, 1L)
     assert(got() === direct(base.union(batch).union(fresh), 8, Seq("d1")))
   }
 

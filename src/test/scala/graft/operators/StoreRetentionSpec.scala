@@ -18,8 +18,8 @@ class StoreRetentionSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft_ret_").toString
     QuantileStore.write(rows.filter(col("day") === "d1"),
       Seq("grp"), "v", "day", p, width = 10L)
-    QuantileStore.append(rows.filter(col("day") =!= "d1"),
-      Seq("grp"), "v", "day", p, runId = Some("b0"))
+    QuantileStore.appendBatch(rows.filter(col("day") =!= "d1"),
+      Seq("grp"), "v", "day", p, batchId = 0L)
     // d2 lives under the LIVE slot run=b0: a replay of b0 would
     // statically rewrite the whole slot and re-land the dropped part —
     // the call must refuse with the compact-first remedy (ADVICE r13)
@@ -42,8 +42,8 @@ class StoreRetentionSpec extends SparkSpec {
     // idempotent: nothing left to drop
     assert(StoreRetention.dropParts(spark, s"$p/quant", Seq("d1")) === 0)
     // the dropped batch cannot resurrect: its id is folded
-    QuantileStore.append(rows.filter(col("day") =!= "d1"),
-      Seq("grp"), "v", "day", p, runId = Some("b0"))
+    QuantileStore.appendBatch(rows.filter(col("day") =!= "d1"),
+      Seq("grp"), "v", "day", p, batchId = 0L)
     assert(QuantileStore.counts(spark, p, Seq("grp"))
       .as[(String, Long, Long)].collect().toSet === served)
   }

@@ -50,20 +50,20 @@ class TopKStoreSpec extends SparkSpec {
 
   test("appended instance merges; replay and folded replay cannot double-count") {
     val p = mk()
-    TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "b0")
+    TopKStore.appendBatch(batchRows, Seq.empty, "v", "day", p, batchId = 0L)
     // x: lb 10, covered 3/3 -> exact 10; y: lb 8, covered 2 -> ub 9
     val expect = Seq(("x", 10L, 10L, true), ("y", 8L, 9L, false),
       ("z", 4L, 6L, false))
     assert(served(p, 3) === expect)
-    TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "b0")
+    TopKStore.appendBatch(batchRows, Seq.empty, "v", "day", p, batchId = 0L)
     assert(served(p, 3) === expect, "slot replay must overwrite, not add")
     TopKStore.compact(spark, p)
     assert(served(p, 3) === expect, "compaction must not move any bound")
     assert(RunSlots.foldedRuns(spark, s"$p/topk").contains("b0"))
-    TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "b0")
+    TopKStore.appendBatch(batchRows, Seq.empty, "v", "day", p, batchId = 0L)
     assert(served(p, 3) === expect, "folded replay must be a no-op")
     // a FRESH batch still lands and shifts bounds
-    TopKStore.append(batchRows, Seq.empty, "v", "day", p, runId = "b1")
+    TopKStore.appendBatch(batchRows, Seq.empty, "v", "day", p, batchId = 1L)
     assert(served(p, 1) === Seq(("y", 13L, 14L, false)))
   }
 
@@ -81,8 +81,8 @@ class TopKStoreSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft_topk_pr_").toString
     TopKStore.write(expand("d1", "x" -> 5, "y" -> 3, "z" -> 2, "w" -> 1)
       .toDF("day", "v"), Seq.empty, "v", "day", p, m = 2)
-    TopKStore.append(expand("d1", "z" -> 5, "q" -> 4, "x" -> 1)
-      .toDF("day", "v"), Seq.empty, "v", "day", p, runId = "b0")
+    TopKStore.appendBatch(expand("d1", "z" -> 5, "q" -> 4, "x" -> 1)
+      .toDF("day", "v"), Seq.empty, "v", "day", p, batchId = 0L)
     // pre-prune: C=3; x lb5 ub6, z lb5 ub7, q lb4 ub6, y lb3 ub4
     assert(served(p, 4) === Seq(("x", 5L, 6L, false), ("z", 5L, 7L, false),
       ("q", 4L, 6L, false), ("y", 3L, 4L, false)))
@@ -103,8 +103,8 @@ class TopKStoreSpec extends SparkSpec {
     // a fresh append onto the pruned part still merges by the algebra:
     // b1 y:5 (kept, cut 0) -> y lb5 ub 5+0+6-6+... covered 0 -> ub 11;
     // x lb5 slack1 covered6 total6 -> ub6 (true 6)
-    TopKStore.append(expand("d1", "y" -> 5).toDF("day", "v"),
-      Seq.empty, "v", "day", p, runId = "b1")
+    TopKStore.appendBatch(expand("d1", "y" -> 5).toDF("day", "v"),
+      Seq.empty, "v", "day", p, batchId = 1L)
     assert(served(p, 3) === Seq(("x", 5L, 6L, false), ("y", 5L, 11L, false),
       ("z", 5L, 7L, false)))
   }
@@ -126,10 +126,10 @@ class TopKStoreSpec extends SparkSpec {
       .toDF("day", "grp", "v")
     val p = Files.createTempDirectory("graft_topk_prg_").toString
     TopKStore.write(rows, Seq("grp"), "v", "day", p, m = 1)
-    TopKStore.append(
+    TopKStore.appendBatch(
       expand("d1", "b" -> 5).map { case (d, v) => (d, "g1", v) }
         .toDF("day", "grp", "v"),
-      Seq("grp"), "v", "day", p, runId = "b0")
+      Seq("grp"), "v", "day", p, batchId = 0L)
     TopKStore.pruneCompact(spark, p)
     val got = TopKStore.topK(spark, p, Seq("grp"), 1)
       .as[(String, String, Long, Long, Boolean)].collect().toSet

@@ -104,6 +104,14 @@ object Bench {
     // 154 would double the artifact's wall time for nothing).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val rerunMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_MIN_SEC", "0.5").toDouble
+    // Heavy gates escalate to best-of-(runs+1): the r13 close shipped
+    // cc_store at 42.9 s where the same round's controlled re-pin
+    // measured 15.0 s — driver-machine contention that best-of-2 still
+    // let through on the longest (most collision-prone) gates. One
+    // extra attempt on the few gates whose best still exceeds the
+    // threshold costs seconds and makes the published artifact match
+    // an isolated BenchOne re-pin.
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.0").toDouble
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -111,11 +119,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      val best =
+      val best2 =
         if (first < 0 || first < rerunMin) first
         else (1 until runs).foldLeft(first) { (b, _) =>
           val t = once(); if (t >= 0 && t < b) t else b
         }
+      val best =
+        if (best2 >= heavySec) { val t = once(); if (t >= 0 && t < best2) t else best2 }
+        else best2
       name -> (first, best)
     }
     // Transparency note: an operator that persists an internal frame

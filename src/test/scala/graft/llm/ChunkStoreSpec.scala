@@ -239,4 +239,101 @@ class ChunkStoreSpec extends SparkSpec {
     assert(revived(1L) == "the revived document body")
     assert(revived.keySet == Set(1L, 2L))
   }
+
+  test("gc: targeted collection — unique chunks gone, shared survive, clean buckets untouched") {
+    import spark.implicits._
+    val shared = "a long shared tail of text that two documents have in " +
+      "common so deleting one must not drop the other document's chunks " +
+      "and it keeps going for long enough to span several cdc chunks of " +
+      "content in a row so bucket census paths actually get exercised"
+    val root = freshRoot()
+    ChunkStore.write(Seq(
+        (1L, "unique head one " + shared),
+        (2L, "unique head two " + shared),
+        (3L, "a fully independent document with content nobody shares " +
+          "that is long enough to produce several chunks of its own here"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    val storedBefore = spark.read.parquet(s"$root/chunks").count()
+    val before = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucketFiles(): Map[String, Set[String]] = {
+      val chRoot = new org.apache.hadoop.fs.Path(s"$root/chunks")
+      val fs = chRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(chRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cb="))
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+          .map(f => s"${f.getPath.getName}:${f.getLen}").toSet).toMap
+    }
+    val filesBefore = bucketFiles()
+    // nothing deleted yet: gc is a no-op census, zero rewrites
+    assert(ChunkStore.gc(spark, root) === ((0, 0L)))
+    assert(bucketFiles() === filesBefore, "clean store must be untouched")
+
+    ChunkStore.deleteDocs(Seq(Tuple1(3L)).toDF("doc_id"), "doc_id", root)
+    val (buckets, collected) = ChunkStore.gc(spark, root)
+    assert(collected > 0L, "doc 3's exclusive chunks must be collected")
+    assert(spark.read.parquet(s"$root/chunks").count() ===
+      storedBefore - collected)
+    // only the dirty buckets were rewritten — every clean bucket's
+    // files are byte-identical (targeted, not a full-store rewrite)
+    val filesAfter = bucketFiles()
+    val untouched = filesAfter.filter { case (k, v) =>
+      filesBefore.get(k).contains(v) }
+    assert(untouched.size >= filesAfter.size - buckets,
+      s"gc rewrote more than its $buckets dirty buckets")
+    // survivors reconstruct byte-identically; the deleted doc's text is
+    // unreconstructable (its unique bytes are gone)
+    val after = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before - 3L,
+      "shared chunks survive; docs 1 and 2 byte-identical")
+    // idempotent: a second gc finds nothing
+    assert(ChunkStore.gc(spark, root) === ((0, 0L)))
+  }
+
+  test("gc: crash leftovers refuse loudly; every intermediate state serves correctly") {
+    import spark.implicits._
+    val root = freshRoot()
+    ChunkStore.write(Seq(
+        (1L, "first survivor document with enough text to chunk into " +
+          "several pieces of content addressed storage right here"),
+        (2L, "the doomed document whose bytes must disappear after the " +
+          "collection finishes running over the dirty buckets"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root)
+    val survivors = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // simulate a crash mid-gc: a stale staged tree left behind
+    val chRoot = new org.apache.hadoop.fs.Path(s"$root/chunks")
+    val fs = chRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(chRoot, "_gc_tmp/cb=0"))
+    // underscore staging is INVISIBLE to readers — serving is unaffected
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === survivors)
+    val e = intercept[IllegalArgumentException] {
+      ChunkStore.gc(spark, root)
+    }
+    assert(e.getMessage.contains("_gc_tmp"), e.getMessage)
+    // remedy: remove the leftover, re-run — collection completes
+    fs.delete(new org.apache.hadoop.fs.Path(chRoot, "_gc_tmp"), true)
+    val (_, collected) = ChunkStore.gc(spark, root)
+    assert(collected > 0L)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === survivors, "survivors byte-identical after the re-run")
+    // a backup leftover (crash mid-install) also refuses, names the dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(chRoot, "_gc_old_cb=1"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChunkStore.gc(spark, root)
+    }
+    assert(e2.getMessage.contains("_gc_old_cb=1"), e2.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(chRoot, "_gc_old_cb=1"), true)
+    // refusal when nothing survives: an empty install would break reads
+    ChunkStore.deleteDocs(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", root)
+    val e3 = intercept[IllegalArgumentException] {
+      ChunkStore.gc(spark, root)
+    }
+    assert(e3.getMessage.contains("no document survives"), e3.getMessage)
+  }
 }

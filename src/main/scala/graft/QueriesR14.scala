@@ -49,6 +49,55 @@ object QueriesR14 {
       Some("""
         SELECT doc_id, text FROM documents
         WHERE len(text) > 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- label-store node erasure with component re-closure ---------------
+    // Chain graph: one pair (i, i+1) inside every decade of doc_ids, so
+    // each decade is one component labeled by its smallest id. The
+    // store is built in two generations (seed + a named backfill slot,
+    // folded by compact — the erasure op refuses live slots), then
+    // every doc_id % 20 == 5 node is erased. Each even decade's chain
+    // SPLITS around the hole into two components with new min-labels;
+    // odd decades are untouched (and their buckets never rewritten —
+    // LabelStoreSpec pins that). The oracle is the recursive closure
+    // over the surviving pairs alone: after erasure the store must be
+    // indistinguishable from one that never saw the dropped nodes.
+    QueryDef("labelstore_drop",
+      (s, dir) => {
+        import graft.operators.{ConnectedComponents, LabelStore}
+        val ids = Tables.read(s, dir, "documents").select("doc_id")
+        val pairsAll = ids.as("a").join(ids.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 &&
+              col("a.doc_id") % 10 =!= 9)
+          .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_lsdrop_gate_").toString
+        LabelStore.write(
+          ConnectedComponents.run(pairsAll.filter(col("u") < 300), "u", "v"),
+          p, nBuckets = 8)
+        LabelStore.applyBatch(s, p, pairsAll.filter(col("u") >= 300),
+          "u", "v", runId = Some("backfill-x"))
+        LabelStore.compact(s, p) // dropNodes refuses live slots
+        val (nAffected, _) = LabelStore.dropNodes(s, p,
+          ids.filter(col("doc_id") % 20 === 5), "doc_id",
+          pairsAll, "u", "v")
+        require(nAffected > 0, "the drop must touch components")
+        LabelStore.read(s, p).orderBy("node")
+      },
+      Some("""
+        WITH RECURSIVE pr AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 10 <> 9),
+        surv AS (
+          SELECT u, v FROM pr WHERE u % 20 <> 5 AND v % 20 <> 5),
+        e AS (SELECT u, v FROM surv UNION SELECT v, u FROM surv),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
+        SELECT node, MIN(label) AS label
+        FROM cc GROUP BY node
+        ORDER BY node"""))
   )
 }

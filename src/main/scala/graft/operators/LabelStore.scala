@@ -215,6 +215,173 @@ object LabelStore {
     delta
   }
 
+  /** Node erasure with component re-closure (r13 verdict "What's
+    * missing #2"): remove `drop`'s nodes from BOTH copies and relabel
+    * the components they belonged to as the from-scratch closure of
+    * the SURVIVING pairs — the one store
+    * [[graft.operators.StoreRetention]] cannot touch (bucketed by
+    * node/component, not by day). After the drop, the store is
+    * indistinguishable from one built on a pair stream that never
+    * contained the dropped nodes: members of an affected component
+    * keep their connectivity through surviving pairs (possibly SPLIT
+    * into several components with new min-labels), and a member left
+    * with no surviving pair vanishes — nodes only ever enter this
+    * store via pairs, so a rebuild on the surviving pair set would not
+    * contain it either.
+    *
+    * `pairs` is the surviving pair universe (the caller's edge source
+    * — e.g. [[EdgeStore.read]] — minus nothing: pairs touching a
+    * dropped node are filtered HERE, defensively). Only pairs inside
+    * affected components are re-closed; untouched components are
+    * never read beyond the bucket census.
+    *
+    * Scale posture: affected components are found via the same
+    * bucket-pruned reads as [[applyBatch]] (drop nodes' `nb=` buckets,
+    * then their labels' `cb=` buckets); only the DIRTY buckets of each
+    * copy are rewritten — cost tracks the affected components, not the
+    * store. Requires a compacted store (refuses while batch slots
+    * exist): a live slot is a replay target that would re-land dropped
+    * rows, the same hazard StoreRetention refuses.
+    *
+    * Crash contract: every dirty bucket of both copies is STAGED under
+    * `<copy>/_drop_tmp/` first; installs keep their `_drop_old_*`
+    * backups until EVERY bucket of both copies is in place, then the
+    * staging dirs are removed, then the backups. A leftover makes the
+    * next call refuse loudly; while `_drop_tmp` still exists every
+    * backup still exists too, so the remedy is restore-and-re-run —
+    * leftover backups WITHOUT a `_drop_tmp` mean the install finished
+    * and the leftovers can simply be removed. Offline, single-writer:
+    * between the first and last bucket install a concurrent byc member
+    * lookup could see mixed generations.
+    *
+    * @return (affected components, buckets rewritten across both copies) */
+  def dropNodes(spark: SparkSession, path: String, drop: DataFrame,
+                dropCol: String, pairs: DataFrame, aCol: String,
+                bCol: String, maxIter: Int = 20): (Long, Int) = {
+    import org.apache.hadoop.fs.Path
+    val nBuckets = readMeta(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(RunSlots.slotCount(spark, s"$path/byn") == 0 &&
+      RunSlots.slotCount(spark, s"$path/byc") == 0,
+      s"LabelStore.dropNodes: store at $path has live batch slots — a " +
+        "replayed batch would re-land dropped rows. Compact first " +
+        "(folds slots into run=__base__; the fold manifest keeps " +
+        "replays no-ops), then re-run the drop")
+    Seq(s"$path/byn", s"$path/byc").foreach { dir =>
+      val leftovers = fs.listStatus(new Path(dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n == "_drop_tmp" || n.startsWith("_drop_old_"))
+      require(leftovers.isEmpty,
+        s"LabelStore.dropNodes: leftover ${leftovers.sorted.mkString(", ")} " +
+          s"under $dir from an interrupted drop — if _drop_tmp exists, " +
+          "restore every _drop_old_* bucket over its live dir and " +
+          "re-run; without a _drop_tmp the install finished and the " +
+          "leftovers can be removed")
+    }
+
+    val dropB = drop.select(col(dropCol).cast("long").as("node"))
+      .distinct().persist()
+    // 1. affected components: drop nodes' labels, bucket-pruned
+    val nbsDrop = dropB.select(nbCol(col("node"), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets
+    val affectedLabels = prunedRead(spark, s"$path/byn", "nb", nbsDrop, None)
+      .join(dropB, Seq("node"), "left_semi")
+      .select("label").distinct().persist()
+    val nAffected = affectedLabels.count()
+    if (nAffected == 0L) { dropB.unpersist(); affectedLabels.unpersist(); return (0L, 0) }
+
+    // 2. their members, bucket-pruned on the component copy
+    val cbsOld = affectedLabels.select(nbCol(col("label"), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val members = prunedRead(spark, s"$path/byc", "cb", cbsOld, None)
+      .join(affectedLabels, Seq("label"), "left_semi")
+      .select("node").persist()
+
+    // 3. re-close the surviving pairs of the affected components
+    val p = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .join(members, col("u") === col("node"), "left_semi")
+      .join(dropB.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+      .join(dropB.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+    val newLabels = (
+      if (p.isEmpty) emptyLabels(spark)
+      else ConnectedComponents.run(p, "u", "v", maxIter)
+    ).localCheckpoint(true)
+
+    // 4. dirty buckets: byn = drop nodes' + members' node buckets; byc =
+    //    old labels' + new labels' label buckets (new mins can hash
+    //    into different buckets than the old ones)
+    val dirtyNb = members.unionByName(dropB)
+      .select(nbCol(col("node"), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val dirtyCb = (cbsOld ++ newLabels
+      .select(nbCol(col("label"), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0))).toSet
+
+    // 5. stage both copies' dirty buckets: surviving foreign rows ride
+    //    verbatim (label not affected), affected rows are replaced by
+    //    the re-closure
+    def stage(dir: String, partCol: String, dirty: Set[Long],
+              bucketOf: Column): Seq[String] = {
+      val base = new Path(s"$dir/run=${RunSlots.Base}")
+      val wanted = dirty.map(b => s"$partCol=$b")
+      val liveDirs = fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && wanted(s.getPath.getName))
+        .map(_.getPath)
+      val tmp = new Path(s"$dir/_drop_tmp")
+      fs.delete(tmp, true)
+      val survivors =
+        if (liveDirs.isEmpty) emptyLabels(spark)
+        else spark.read.option("basePath", base.toString)
+          .parquet(liveDirs.map(_.toString): _*)
+          .select("node", "label")
+          .join(affectedLabels, Seq("label"), "left_anti")
+      survivors
+        .unionByName(newLabels)
+        .withColumn(partCol, bucketOf)
+        .filter(col(partCol).isin(dirty.toSeq: _*)) // all rows qualify; keeps the plan honest
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).parquet(tmp.toString)
+      // dirty buckets that end up EMPTY need explicit deletion at
+      // install time; buckets never on disk need nothing
+      liveDirs.map(_.getName) ++
+        fs.listStatus(tmp).toSeq.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partCol + "=")).map(_.getPath.getName)
+    }
+    val bynDirty = stage(s"$path/byn", "nb", dirtyNb,
+      nbCol(col("node"), nBuckets)).distinct
+    val bycDirty = stage(s"$path/byc", "cb", dirtyCb,
+      nbCol(col("label"), nBuckets)).distinct
+    Seq(dropB, affectedLabels, members).foreach(_.unpersist())
+
+    // 6. install: every bucket of both copies first (backups kept),
+    //    then drop the staging trees, then the backups
+    def install(dir: String, names: Seq[String]): Unit = names.sorted.foreach { name =>
+      val live = new Path(s"$dir/run=${RunSlots.Base}/$name")
+      val staged = new Path(s"$dir/_drop_tmp/$name")
+      val backup = new Path(s"$dir/_drop_old_$name")
+      if (fs.exists(live))
+        require(fs.rename(live, backup),
+          s"LabelStore.dropNodes: backup rename of $live failed")
+      if (fs.exists(staged))
+        require(fs.rename(staged, live),
+          s"LabelStore.dropNodes: install rename to $live failed")
+    }
+    install(s"$path/byn", bynDirty)
+    install(s"$path/byc", bycDirty)
+    Seq(s"$path/byn", s"$path/byc").foreach { dir =>
+      fs.delete(new Path(s"$dir/_drop_tmp"), true)
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(_.getPath.getName.startsWith("_drop_old_"))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    (nAffected, (bynDirty ++ bycDirty).size)
+  }
+
   /** Fold every slot (base + deltas) back into one resolved
     * `run=__base__` generation per copy — min label per node, stale
     * rows dropped, one file per bucket. */

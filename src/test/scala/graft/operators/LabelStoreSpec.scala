@@ -125,4 +125,78 @@ class LabelStoreSpec extends SparkSpec {
       Seq(1L, 2L), excludeRun = None)
     assert(withSlot.inputFiles.exists(_.contains("run=b7")))
   }
+
+  test("dropNodes: split, vanish, and equality with a rebuild on surviving pairs") {
+    val path = Files.createTempDirectory("graft_ls_drop_").toString
+    // component A: chain 1-2-3-4-5 (label 1); B: pair 20-21; C: pair
+    // 30-31 in a DIFFERENT bucket neighborhood (untouched by the drop)
+    val all = pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      20L -> 21L, 30L -> 31L)
+    LabelStore.write(ConnectedComponents.run(all, "id_a", "id_b"),
+      path, nBuckets = 8)
+    def bucketFiles(copy: String): Map[String, Set[String]] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$copy/run=__base__")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+          .map(f => s"${f.getPath.getName}:${f.getLen}").toSet).toMap
+    }
+    val filesBefore = (bucketFiles("byn"), bucketFiles("byc"))
+    // drop 3 (splits A into {1,2} and {4,5}) and 20 (leaves 21 with no
+    // surviving pair — it must VANISH, like a rebuild that never saw it)
+    val surviving = pairsDf(1L -> 2L, 4L -> 5L, 30L -> 31L)
+    val (nAffected, buckets) = LabelStore.dropNodes(spark, path,
+      Seq(3L, 20L).toDF("n"), "n", all, "id_a", "id_b")
+    assert(nAffected === 2L, "components A and B are affected")
+    assert(buckets > 0)
+    assert(readSorted(path) === ccOver(surviving))
+    assert(readSorted(path) === Seq(1L -> 1L, 2L -> 1L, 4L -> 4L,
+      5L -> 4L, 30L -> 30L, 31L -> 30L))
+    // C's buckets were never rewritten: nodes 30/31 hash to nb 6/7,
+    // label 30 to cb 6 — none of the affected buckets
+    val filesAfter = (bucketFiles("byn"), bucketFiles("byc"))
+    assert(filesAfter._1("nb=6") === filesBefore._1("nb=6"))
+    assert(filesAfter._1("nb=7") === filesBefore._1("nb=7"))
+    assert(filesAfter._2("cb=6") === filesBefore._2("cb=6"))
+    // idempotent: nothing left to drop
+    assert(LabelStore.dropNodes(spark, path,
+      Seq(3L, 20L).toDF("n"), "n", surviving, "id_a", "id_b") === ((0L, 0)))
+    // the store stays a working delta store after the drop
+    LabelStore.applyBatch(spark, path, pairsDf(5L -> 31L), "id_a", "id_b",
+      Some("b9"))
+    assert(readSorted(path) ===
+      ccOver(surviving.unionByName(pairsDf(5L -> 31L))))
+  }
+
+  test("dropNodes refuses live slots and crash leftovers; remedy paths work") {
+    val path = Files.createTempDirectory("graft_ls_dropref_").toString
+    LabelStore.write(ConnectedComponents.run(pairsDf(1L -> 2L, 2L -> 3L),
+      "id_a", "id_b"), path, nBuckets = 4)
+    LabelStore.applyBatch(spark, path, pairsDf(3L -> 4L), "id_a", "id_b",
+      Some("b0"))
+    // a live batch slot is a replay target — refuse with the remedy
+    val e = intercept[IllegalArgumentException] {
+      LabelStore.dropNodes(spark, path, Seq(2L).toDF("n"), "n",
+        pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("Compact first"), e.getMessage)
+    LabelStore.compact(spark, path)
+    // crash leftover: a stale staging dir refuses loudly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_tmp/cb=0"))
+    val e2 = intercept[IllegalArgumentException] {
+      LabelStore.dropNodes(spark, path, Seq(2L).toDF("n"), "n",
+        pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")
+    }
+    assert(e2.getMessage.contains("_drop_tmp"), e2.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_tmp"), true)
+    // remedy: cleanup then re-run completes; 2 erased, chain splits,
+    // and the underscore staging never leaked into reads
+    val (n, _) = LabelStore.dropNodes(spark, path, Seq(2L).toDF("n"), "n",
+      pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")
+    assert(n === 1L)
+    assert(readSorted(path) === Seq(3L -> 3L, 4L -> 3L),
+      "1 vanishes (no surviving pair), 3-4 re-closes under min 3")
+  }
 }

@@ -98,6 +98,122 @@ object QueriesR14 {
           SELECT e.u, cc.label FROM e JOIN cc ON cc.node = e.v)
         SELECT node, MIN(label) AS label
         FROM cc GROUP BY node
-        ORDER BY node"""))
+        ORDER BY node""")),
+
+    // ---- bloom geometry rebuild from the raw corpus ------------------------
+    // A deliberately tight store (w=512) is rebuilt at 4x width from
+    // the same corpus: fill per-mille must DROP (require), keys the
+    // corpus contains must verdict true at both geometries (no false
+    // negatives ever — require), and the new verdicts — including
+    // which absent probes false-positive now — are replayed exactly by
+    // the oracle at the new geometry. BloomStoreSpec pins the crash
+    // case (old store readable until the atomic swap).
+    QueryDef("bloom_rebuild",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.BloomStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_bloomrb_gate_").toString
+        BloomStore.write(docs, "doc_id", "source", p,
+          depth = 3, width = 512)
+        val present = docs.filter(col("doc_id") % 23 === 0)
+        val probes = present.select(col("doc_id").cast("string").as("k"))
+          .unionByName(present.select(
+            concat(lit("zz"), col("doc_id").cast("string")).as("k")))
+        def maxFill(): Long = BloomStore.fill(s, p)
+          .agg(max("fill_pm")).head().getLong(0)
+        def presentTrue(): Long = BloomStore
+          .mightContain(s, p, probes, "k")
+          .join(present.select(col("doc_id").cast("string").as("key")),
+            "key")
+          .filter(!col("might_contain")).count()
+        val fillBefore = maxFill()
+        require(presentTrue() == 0, "false negatives before rebuild")
+        BloomStore.rebuild(docs, "doc_id", "source", p,
+          depth = 3, width = 2048)
+        require(BloomStore.readMeta(s, p) == ((3, 2048)),
+          "rebuild must install the new geometry atomically")
+        // strict drop only: the exact factor depends on corpus size
+        // relative to width (a saturated 512-row store at sf0.1 drops
+        // 1000 -> ~910, a 500-key one at sf0.01 drops ~620 -> ~215);
+        // BloomStoreSpec pins the ~4x factor on a fixed fixture
+        val fillAfter = maxFill()
+        require(fillAfter < fillBefore,
+          s"4x width must drop fill, got $fillBefore -> $fillAfter")
+        require(presentTrue() == 0, "false negatives after rebuild")
+        BloomStore.mightContain(s, p, probes, "k").orderBy("key")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        pos AS (
+          SELECT DISTINCT r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2048 AS j
+          FROM documents CROSS JOIN d),
+        pr AS (
+          SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+          WHERE doc_id % 23 = 0
+          UNION ALL
+          SELECT 'zz' || CAST(doc_id AS VARCHAR) FROM documents
+          WHERE doc_id % 23 = 0),
+        pj AS (
+          SELECT key, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) ||
+                   ':' || key), 1, 15) AS BIGINT) % 2048 AS j
+          FROM (SELECT DISTINCT key FROM pr) CROSS JOIN d)
+        SELECT key, COUNT(pos.j) = 3 AS might_contain
+        FROM pj LEFT JOIN pos ON pj.r = pos.r AND pj.j = pos.j
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- count-min geometry rebuild from the raw corpus --------------------
+    // Seed + a stream batch, then rebuild at 4x width from the full
+    // corpus. The carried fold manifest must record the committed
+    // batch, so the post-rebuild REPLAY of b0 in the gate is a
+    // write-level no-op — if it re-landed, every estimate of its keys
+    // would double and the hash would miss. The oracle rebuilds the
+    // whole sketch at the NEW geometry in exact SQL.
+    QueryDef("cms_rebuild",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.CmsStore
+        import graft.llm.RunSlots
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_cmsrb_gate_").toString
+        CmsStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          "lang", "source", p, depth = 4, width = 16)
+        CmsStore.appendBatch(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          "lang", "source", p, batchId = 0L)
+        CmsStore.rebuild(docs, "lang", "source", p, depth = 4, width = 64)
+        require(CmsStore.readMeta(s, p) == ((4, 64)),
+          "rebuild must install the new geometry atomically")
+        require(RunSlots.foldedRuns(s, s"$p/cms").contains("b0"),
+          "rebuild must carry the committed batch into the manifest")
+        // the replay the manifest exists for: must be a no-op now
+        CmsStore.appendBatch(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          "lang", "source", p, batchId = 0L)
+        val probes = docs.select(col("lang").as("k")).distinct()
+          .unionByName(s.range(1).select(lit("zz").as("k")))
+        CmsStore.estimate(s, p, probes, "k").orderBy("key")
+      },
+      Some("""
+        WITH d AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL
+                   SELECT 2 UNION ALL SELECT 3),
+        cells AS (
+          SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                   lang), 1, 15) AS BIGINT) % 64 AS j,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents CROSS JOIN d
+          GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT lang AS key FROM documents
+                   UNION SELECT 'zz'),
+        pj AS (
+          SELECT key, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) ||
+                   ':' || key), 1, 15) AS BIGINT) % 64 AS j
+          FROM probes CROSS JOIN d)
+        SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+        FROM pj LEFT JOIN cells USING (r, j)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

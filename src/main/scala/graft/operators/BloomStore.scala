@@ -226,6 +226,59 @@ object BloomStore {
       .withColumn("fill_pm", expr(s"occupied * 1000L div ${width}L"))
   }
 
+  /** Rebuild the store FROM THE RAW CORPUS at a new geometry — the
+    * remedy when [[fill]] crosses the false-positive budget (r13
+    * verdict "What's missing #3": positions cannot re-hash because the
+    * store keeps NO key material, so geometry migration means
+    * re-seeding from source; this was the family's last "none —
+    * rebuild by hand" row in MIGRATION.md). `df` must be the key
+    * corpus the store should represent — at 100 TB that is one pass
+    * over the raw table, the same cost as the original seed, while
+    * the OLD store keeps serving until the atomic swap.
+    *
+    * Contract: a key present in `df` verdicts TRUE before and after
+    * (no false negatives at any geometry); false-positive verdicts
+    * CHANGE with the geometry — that is the point of the rebuild.
+    *
+    * Crash contract ([[compact]]'s): the new tree is staged fully
+    * beside the store (meta inside, so geometry installs atomically
+    * with the positions), then installed by backup-rename. A crash
+    * leaves either the old store live (before the swap) or a
+    * `__rebuild_old` backup to restore; a re-run refuses loudly while
+    * the leftover exists. */
+  def rebuild(df: DataFrame, keyCol: String, partCol: String, path: String,
+              depth: Int = 4, width: Int = 1 << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(depth > 0 && depth <= 16, "BloomStore.rebuild: need 0 < depth <= 16")
+    require(width > 0, "BloomStore.rebuild: width must be positive")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    readMeta(spark, path) // must already BE a bloom store (else: write)
+    val root = new Path(path)
+    val tmp = new Path(path + "__rebuild_tmp")
+    val old = new Path(path + "__rebuild_old")
+    require(!fs.exists(old),
+      s"BloomStore.rebuild: leftover $old from an interrupted rebuild — " +
+        "restore it over the store path (or remove it) before re-running")
+    fs.delete(tmp, true)
+    positions(df, keyCol, partCol, depth, width)
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(tmp.toString)
+    val metaTmp = new Path(tmp, "_bloom_meta.json")
+    val out = fs.create(metaTmp, true)
+    try out.write(s"""{"depth":$depth,"width":$width}""".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(root, old),
+      s"BloomStore.rebuild: backup rename of $path failed")
+    require(fs.rename(tmp, root),
+      s"BloomStore.rebuild: install rename to $path failed")
+    fs.delete(old, true)
+  }
+
   /** DISTINCT-fold the store back to one file per partition (staged
     * beside, backup-rename install — the [[SketchStore.compact]]
     * crash contract). Replay-idempotence means no fold manifest: a

@@ -87,6 +87,47 @@ class BloomStoreSpec extends SparkSpec {
     assert(d2only.map(_._2).toSet === Set("apple", "mango", "fig"))
   }
 
+  test("rebuild: 4x width drops fill ~4x, corpus keys stay true, crash leaves old store readable") {
+    val p = Files.createTempDirectory("graft_bloom_rb_").toString
+    val corpus = (1 to 400).map(i => ("d1", s"key$i")).toDF("day", "k")
+    BloomStore.write(corpus, "k", "day", p, depth = 3, width = 512)
+    def fillPm(): Long = BloomStore.fill(spark, p)
+      .agg(max("fill_pm")).head().getLong(0)
+    def verdicts(keys: Seq[String]): Map[String, Boolean] =
+      BloomStore.mightContain(spark, p, keys.toDF("k"), "k")
+        .as[(String, Boolean)].collect().toMap
+    val before = fillPm()
+    BloomStore.rebuild(corpus, "k", "day", p, depth = 3, width = 2048)
+    assert(BloomStore.readMeta(spark, p) === ((3, 2048)))
+    val after = fillPm()
+    // 400 keys: occupancy ~0.54 at w=512 -> ~0.18 at w=2048
+    assert(after * 3 < before, s"fill must drop ~4x: $before -> $after")
+    val v = verdicts(Seq("key1", "key400", "absent-a", "absent-b"))
+    assert(v("key1") && v("key400"), "no false negatives at any geometry")
+    // crash case: a leftover backup refuses loudly, and restoring it
+    // brings the OLD geometry back intact
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + "__rebuild_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p)) // half-installed wreck
+    // the old tree is COMPLETE — restore = one rename, store serves again
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p + "__rebuild_old"),
+      new org.apache.hadoop.fs.Path(p)))
+    assert(BloomStore.readMeta(spark, p) === ((3, 2048)))
+    assert(verdicts(Seq("key1"))("key1"))
+    // a leftover __rebuild_old makes the next rebuild refuse
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + "__rebuild_old"))
+    val e = intercept[IllegalArgumentException] {
+      BloomStore.rebuild(corpus, "k", "day", p, depth = 3, width = 4096)
+    }
+    assert(e.getMessage.contains("__rebuild_old"), e.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "__rebuild_old"), true)
+    BloomStore.rebuild(corpus, "k", "day", p, depth = 3, width = 4096)
+    assert(BloomStore.readMeta(spark, p) === ((3, 4096)))
+  }
+
   test("filterNew: null-key rows are trivially new, not silently dropped") {
     // the store never holds a null key (inserts drop them), but an
     // equality semi-join never matches NULL — without the explicit

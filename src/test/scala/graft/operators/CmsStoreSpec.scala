@@ -171,4 +171,49 @@ class CmsStoreSpec extends SparkSpec {
     runOnce() // checkpointed re-run: no new batches
     assert(estMap(p, t.keys.toSeq) === t)
   }
+
+  test("rebuild: new geometry, manifest carry no-ops the replay, partial slot refused") {
+    val p = mk(width = 2) // forced collisions: estimates inflated
+    val t = trueCounts(Set("d1", "d2"))
+    val inflated = estMap(p, t.keys.toSeq)
+    assert(inflated.exists { case (k, e) => e > t(k) },
+      "width 2 must collide somewhere")
+    CmsStore.rebuild(rows, "k", "day", p, depth = 4, width = 1024)
+    assert(CmsStore.readMeta(spark, p) === ((4, 1024)))
+    assert(estMap(p, t.keys.toSeq) === t,
+      "generous rebuilt width: estimates exact")
+    // the committed pre-rebuild batch is carried into the manifest —
+    // its replay must NOT double d2's counts (the corpus already holds
+    // that batch's rows)
+    assert(RunSlots.foldedRuns(spark, s"$p/cms").contains("b0"))
+    CmsStore.appendBatch(rows.filter(col("day") === "d2"), "k", "day", p,
+      batchId = 0L)
+    assert(estMap(p, t.keys.toSeq) === t, "replayed b0 must be a no-op")
+    // a PARTIAL slot refuses the rebuild (offline op: the replay must
+    // rewrite the slot first — freezing half a batch into the manifest
+    // would no-op its replay)
+    CmsStore.appendBatch(rows.filter(col("day") === "d1"), "k", "day", p,
+      batchId = 1L)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$p/cms/run=b1/_SUCCESS"), false))
+    val e = intercept[IllegalArgumentException] {
+      CmsStore.rebuild(rows, "k", "day", p, depth = 4, width = 512)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    // leftover backup refuses too
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/cms__rebuild_old"))
+    CmsStore.appendBatch(rows.filter(col("day") === "d1"), "k", "day", p,
+      batchId = 1L) // replay restores the slot's _SUCCESS
+    val e2 = intercept[IllegalArgumentException] {
+      CmsStore.rebuild(rows, "k", "day", p, depth = 4, width = 512)
+    }
+    assert(e2.getMessage.contains("__rebuild_old"), e2.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/cms__rebuild_old"), true)
+    CmsStore.rebuild(rows, "k", "day", p, depth = 4, width = 512)
+    assert(CmsStore.readMeta(spark, p) === ((4, 512)))
+    assert(RunSlots.foldedRuns(spark, s"$p/cms").contains("b1"))
+    assert(estMap(p, t.keys.toSeq) === t)
+  }
 }

@@ -195,8 +195,8 @@ class FoldManifestSpec extends SparkSpec {
     EdgeStore.write(Seq((1L, 2L, 1L)).toDF("src", "dst", "w"),
       "src", "dst", Some("w"), p, nBuckets = 4)
     val b0 = Seq((1L, 2L, 5L), (2L, 3L, 2L)).toDF("src", "dst", "w")
-    EdgeStore.append(b0, "src", "dst", Some("w"), p, nBuckets = 4,
-      runId = Some("b0"))
+    EdgeStore.appendBatch(b0, "src", "dst", Some("w"), p, nBuckets = 4,
+      batchId = 0L)
     def weights(): Map[(Long, Long), Long] =
       EdgeStore.read(spark, p).as[(Long, Long, Long)].collect()
         .map(r => (r._1, r._2) -> r._3).toMap
@@ -207,8 +207,8 @@ class FoldManifestSpec extends SparkSpec {
     // the additive-store disaster the manifest prevents: a replay of a
     // folded crawl batch re-landing its edge aggregates would silently
     // bias every downstream PageRank
-    EdgeStore.append(b0, "src", "dst", Some("w"), p, nBuckets = 4,
-      runId = Some("b0"))
+    EdgeStore.appendBatch(b0, "src", "dst", Some("w"), p, nBuckets = 4,
+      batchId = 0L)
     assert(weights() === expected,
       "replayed folded batch must be a no-op, not a double count")
   }
@@ -359,12 +359,12 @@ class FoldManifestSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft_fm_part_").toString
     EdgeStore.write(Seq((1L, 2L, 1L)).toDF("src", "dst", "w"),
       "src", "dst", Some("w"), p, nBuckets = 4)
-    EdgeStore.append(Seq((2L, 3L, 2L)).toDF("src", "dst", "w"),
-      "src", "dst", Some("w"), p, nBuckets = 4, runId = Some("b0"))
+    EdgeStore.appendBatch(Seq((2L, 3L, 2L)).toDF("src", "dst", "w"),
+      "src", "dst", Some("w"), p, nBuckets = 4, batchId = 0L)
     // b1 "crashes" mid-write: committed bytes present, marker absent
     val b1 = Seq((1L, 2L, 5L), (3L, 4L, 7L)).toDF("src", "dst", "w")
-    EdgeStore.append(b1, "src", "dst", Some("w"), p, nBuckets = 4,
-      runId = Some("b1"))
+    EdgeStore.appendBatch(b1, "src", "dst", Some("w"), p, nBuckets = 4,
+      batchId = 1L)
     dropSuccess(s"$p/edges/run=b1")
     val partialBytes = fileSet(s"$p/edges/run=b1")
 
@@ -378,15 +378,15 @@ class FoldManifestSpec extends SparkSpec {
 
     // the replay the manifest must NOT swallow: b1 rewrites its slot
     // whole and is counted exactly once
-    EdgeStore.append(b1, "src", "dst", Some("w"), p, nBuckets = 4,
-      runId = Some("b1"))
+    EdgeStore.appendBatch(b1, "src", "dst", Some("w"), p, nBuckets = 4,
+      batchId = 1L)
     val weights = EdgeStore.read(spark, p).as[(Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(weights === Map((1L, 2L) -> 6L, (2L, 3L) -> 2L, (3L, 4L) -> 7L))
     // and a replay of the FOLDED id still no-ops
     val before = fileSet(s"$p/edges")
-    EdgeStore.append(Seq((2L, 3L, 2L)).toDF("src", "dst", "w"),
-      "src", "dst", Some("w"), p, nBuckets = 4, runId = Some("b0"))
+    EdgeStore.appendBatch(Seq((2L, 3L, 2L)).toDF("src", "dst", "w"),
+      "src", "dst", Some("w"), p, nBuckets = 4, batchId = 0L)
     assert(fileSet(s"$p/edges") === before)
   }
 

@@ -111,6 +111,24 @@ object ChunkStore {
     }
   }
 
+  /** The seq a run slot's FIRST delivery stamped, if the slot exists
+    * and is readable — a REPLAY must reuse it, not mint a fresh one:
+    * a fresh (higher) seq would outrank any tombstone that landed
+    * between the first delivery and the replay, silently RESURRECTING
+    * deleted documents (the at-least-once × out-of-band-delete corner;
+    * with the original seq the replay is byte-identical to the first
+    * delivery and the tombstone keeps winning). A partial/unreadable
+    * slot (crash mid-first-write) reports None and the replay mints
+    * normally — the slot is overwritten whole either way. */
+  private def existingSlotSeq(spark: SparkSession, path: String,
+                              id: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
+    if (!fs.exists(p)) None
+    else scala.util.Try(
+      spark.read.parquet(p.toString).select("seq").head().getLong(0)
+    ).toOption
+  }
+
   // ---- ingest ---------------------------------------------------------
 
   /** Build the store from scratch (an existing store at `path` is
@@ -156,7 +174,13 @@ object ChunkStore {
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
              nBuckets: Int = 64, runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val seq = nextSeq(spark, path, nBuckets, "append")
+    // a REPLAY of an existing run slot reuses its first delivery's seq
+    // (see existingSlotSeq — a fresh seq would let the replay outrank
+    // a tombstone written in between and resurrect deleted docs);
+    // nextSeq still runs first for its nBuckets validation
+    val minted = nextSeq(spark, path, nBuckets, "append")
+    val seq = runId.flatMap(existingSlotSeq(spark, path, _))
+      .getOrElse(minted)
     val ch = Curation.cdcChunks(batch, textCol, idCol).persist()
     val newChunks = ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
@@ -191,7 +215,10 @@ object ChunkStore {
         man.write.mode("append").parquet(s"$path/manifest/run=__adhoc__")
     }
     newChunks.unpersist(); ch.unpersist()
-    writeMeta(spark, path, nBuckets, seq)
+    // the counter only ever advances: a replay reusing an old slot seq
+    // must not rewind it below sequences already issued since
+    writeMeta(spark, path, nBuckets,
+      math.max(seq, readMeta(spark, path).map(_._2).getOrElse(0L)))
   }
 
   /** Tombstone documents: [[reconstruct]] and [[stats]]' visible side

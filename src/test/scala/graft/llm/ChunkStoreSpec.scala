@@ -240,6 +240,42 @@ class ChunkStoreSpec extends SparkSpec {
     assert(revived.keySet == Set(1L, 2L))
   }
 
+  test("a replayed slot reuses its seq: a delete between delivery and replay is not undone") {
+    import spark.implicits._
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "a surviving document with enough words " +
+      "to chunk into some pieces of content"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    val b0 = Seq((2L, "the streamed document that gets deleted while " +
+      "the stream is down and must stay deleted across the replay"))
+      .toDF("doc_id", "text")
+    ChunkStore.append(b0, "text", "doc_id", root, nBuckets = 4,
+      runId = Some("b0")) // first delivery: seq 1
+    // operator deletes doc 2 while the stream is down (tombstone seq 2)
+    ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // restart: foreachBatch replays b0 (at-least-once). With a FRESH
+    // seq the replayed manifest would outrank the tombstone and
+    // resurrect doc 2 — the slot must reuse its original seq instead
+    ChunkStore.append(b0, "text", "doc_id", root, nBuckets = 4,
+      runId = Some("b0"))
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "replay must not outrank the tombstone")
+    // a GENUINE later re-ingest (new run id → fresh seq) still revives
+    ChunkStore.append(b0, "text", "doc_id", root, nBuckets = 4,
+      runId = Some("b1"))
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "intentional re-ingest outranks the tombstone as before")
+    // and the seq counter never rewound: delete doc 1, tombstone must
+    // outrank every manifest written so far
+    ChunkStore.deleteDocs(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", root)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("gc: targeted collection — unique chunks gone, shared survive, clean buckets untouched") {
     import spark.implicits._
     val shared = "a long shared tail of text that two documents have in " +

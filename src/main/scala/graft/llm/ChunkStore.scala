@@ -124,9 +124,18 @@ object ChunkStore {
                               id: String): Option[Long] = {
     val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
     if (!fs.exists(p)) None
-    else scala.util.Try(
-      spark.read.parquet(p.toString).select("seq").head().getLong(0)
-    ).toOption
+    else try {
+      Some(spark.read.parquet(p.toString).select("seq").head().getLong(0))
+    } catch {
+      // ONLY the expected shapes of a torn first write degrade to
+      // minting fresh (the slot is overwritten whole either way): an
+      // unreadable/schemaless parquet dir or zero rows. A transient
+      // IO/FS error must PROPAGATE — swallowing it would mint a fresh
+      // seq and reopen the tombstone-resurrection window this method
+      // exists to close (round-14 review)
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: NoSuchElementException => None
+    }
   }
 
   // ---- ingest ---------------------------------------------------------
@@ -173,7 +182,36 @@ object ChunkStore {
     * [[reconstruct]] time. Single-writer assumption. */
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
              nBuckets: Int = 64, runId: Option[String] = None): Unit = {
+    // with the fold manifest, collapse semantics apply here exactly as
+    // in the additive stores: a manual append reusing the b<digits>
+    // stream namespace could be silently no-op'd by a folded
+    // high-water mark — streams mint via [[appendBatch]]
+    RunSlots.requireNamedRunId(runId, "ChunkStore.append")
+    appendSlot(batch, textCol, idCol, path, nBuckets, runId)
+  }
+
+  /** [[append]] for the store's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id from the foreachBatch micro-batch id
+    * (exactly-once under replay: slot overwrite + seq reuse + the fold
+    * manifest's whole-append no-op after a mid-stream compact). */
+  def appendBatch(batch: DataFrame, textCol: String, idCol: String,
+                  path: String, nBuckets: Int, batchId: Long): Unit =
+    appendSlot(batch, textCol, idCol, path, nBuckets, Some(s"b$batchId"))
+
+  private def appendSlot(batch: DataFrame, textCol: String, idCol: String,
+                         path: String, nBuckets: Int,
+                         runId: Option[String]): Unit = {
     val spark = batch.sparkSession
+    // a run id the fold manifest records is a WHOLE-APPEND no-op: its
+    // manifests were folded into run=__base__ (tombstoned docs
+    // excluded, tombstones cleared) and its chunk bytes are either
+    // retained by the fold or deliberately purged — re-landing either
+    // would undo a delete that happened before the compact (round-14
+    // review: compact-at-restart used to purge the slot, then the
+    // replay minted a fresh seq and RESURRECTED deleted docs)
+    if (runId.exists(id => RunSlots
+        .foldedRuns(spark, s"$path/manifest")
+        .contains(RunSlots.validate(id)))) return
     // a REPLAY of an existing run slot reuses its first delivery's seq
     // (see existingSlotSeq — a fresh seq would let the replay outrank
     // a tombstone written in between and resurrect deleted docs);
@@ -261,11 +299,21 @@ object ChunkStore {
   private def visibleManifest(spark: SparkSession, path: String): DataFrame =
     manifestAt(spark, path, Long.MaxValue)
 
+  /** [[visibleManifest]] over an explicit manifest source — compact
+    * passes the partial-slot-excluding read so half-written manifests
+    * can never be folded into the base. */
+  private def visibleManifestFrom(spark: SparkSession, path: String,
+                                  raw: DataFrame): DataFrame =
+    manifestFrom(spark, path, raw, Long.MaxValue)
+
   /** [[visibleManifest]] generalized to a POINT IN TIME: the manifest as
     * it was visible when `upTo` was the newest issued sequence (manifest
     * rows and tombstones with seq > upTo ignored). */
-  private def manifestAt(spark: SparkSession, path: String, upTo: Long): DataFrame = {
-    val raw = spark.read.parquet(s"$path/manifest")
+  private def manifestAt(spark: SparkSession, path: String, upTo: Long): DataFrame =
+    manifestFrom(spark, path, spark.read.parquet(s"$path/manifest"), upTo)
+
+  private def manifestFrom(spark: SparkSession, path: String,
+                           raw: DataFrame, upTo: Long): DataFrame = {
     val man0 = if (raw.columns.contains("seq")) raw
                else raw.withColumn("seq", lit(0L))
     val man = man0.filter(col("seq") <= upTo)
@@ -560,14 +608,42 @@ object ChunkStore {
     // against the actual layout
     val meta = readMeta(spark, path)
     val nBuckets = meta.map(_._1).filter(_ > 0).getOrElse(64)
+    // partial slots (no _SUCCESS — a crash mid-append of the batch
+    // about to be REPLAYED) follow the IvfLayout.compact discipline:
+    // excluded from the fold, carried over VERBATIM, never recorded —
+    // the replay must rewrite them whole, not no-op against a base
+    // that swallowed half-written manifests. Committed slot ids land
+    // in the manifest table's fold manifest, which is what makes the
+    // mid-stream compact replay-safe (ChunkStore.append no-ops them).
+    val manRoot = new Path(s"$path/manifest")
+    val (committedSlots, partialSlots) = IvfLayout.replayableSlots(fs, manRoot)
+    val manSrc =
+      if (partialSlots.isEmpty) spark.read.parquet(manRoot.toString)
+      else {
+        val reserved = fs.listStatus(manRoot).toSeq.map(_.getPath)
+          .filter(p => p.getName == s"run=${RunSlots.Base}" ||
+            p.getName == s"run=${RunSlots.Adhoc}")
+        spark.read.option("basePath", manRoot.toString)
+          .parquet((reserved ++ committedSlots).map(_.toString): _*)
+      }
     // 1. stage the live manifest as a single __base__ run (seq collapses
     //    to 0: with every superseded row gone, latest-run-wins is the
-    //    identity)
-    visibleManifest(spark, path)
+    //    identity; a carried partial slot keeps its ORIGINAL seq, which
+    //    stays above 0, so its docs still resolve to it until the
+    //    replay rewrites the slot)
+    visibleManifestFrom(spark, path, manSrc)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), lit(0L).as("seq"))
       .write.parquet(s"$manTmp/run=__base__")
+    partialSlots.foreach(p => org.apache.hadoop.fs.FileUtil.copy(
+      fs, p, fs, new Path(manTmp.toString, p.getName), false, conf))
+    val foldedManifest = RunSlots.foldedRuns(spark, manRoot.toString)
+      .fold(committedSlots.map(IvfLayout.slotId).toSet)
+    if (!foldedManifest.isEmpty)
+      RunSlots.writeFoldedManifest(spark, manTmp.toString, foldedManifest)
     // 2. stage the chunks still referenced by a live manifest row,
-    //    rebucketed to one file per cb= partition
+    //    rebucketed to one file per cb= partition. A chunk referenced
+    //    ONLY by a carried partial slot may be dropped here — the
+    //    replay's append recomputes and re-lands it from the batch text
     val liveHashes = spark.read.parquet(s"$manTmp/run=__base__")
       .select("chunk_hash").distinct()
     spark.read.parquet(s"$path/chunks")
@@ -583,7 +659,13 @@ object ChunkStore {
     require(fs.rename(ch, chOld), s"ChunkStore.compact: backup rename of $ch failed")
     require(fs.rename(chTmp, ch), s"ChunkStore.compact: install rename to $ch failed")
     fs.delete(manOld, true); fs.delete(chOld, true)
-    fs.delete(new Path(s"$path/tombstones"), true)
+    // applied tombstones clear ONLY when no partial slot rode over: a
+    // carried slot's docs still resolve from it (and from its replay,
+    // which reuses the same seq), so a tombstone shadowing one of them
+    // must keep applying or the delete would be silently undone — the
+    // compact after the replay commits the slot purges it instead
+    if (partialSlots.isEmpty)
+      fs.delete(new Path(s"$path/tombstones"), true)
     writeMeta(spark, path, nBuckets, meta.map(_._2).getOrElse(0L))
   }
 }

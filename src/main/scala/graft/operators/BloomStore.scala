@@ -257,13 +257,17 @@ object BloomStore {
       Option(fs.getScheme).getOrElse(""),
       spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
         .exists(_.equalsIgnoreCase("true")))
-    readMeta(spark, path) // must already BE a bloom store (else: write)
     val root = new Path(path)
     val tmp = new Path(path + "__rebuild_tmp")
     val old = new Path(path + "__rebuild_old")
+    // leftover check FIRST: after a crash between the two install
+    // renames the store path is GONE and only the backup exists —
+    // readMeta would throw a misleading "not a bloom store" instead of
+    // naming the restore remedy (round-14 review)
     require(!fs.exists(old),
       s"BloomStore.rebuild: leftover $old from an interrupted rebuild — " +
         "restore it over the store path (or remove it) before re-running")
+    readMeta(spark, path) // must already BE a bloom store (else: write)
     fs.delete(tmp, true)
     positions(df, keyCol, partCol, depth, width)
       .repartition(col("part"))

@@ -258,14 +258,17 @@ object CmsStore {
       Option(fs.getScheme).getOrElse(""),
       spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
         .exists(_.equalsIgnoreCase("true")))
-    readMeta(spark, path) // must already BE a cms store (else: write)
-    graft.llm.IvfLayout.requireNoPartialSlots(fs, root, "CmsStore.rebuild")
-    val (committed, _) = graft.llm.IvfLayout.replayableSlots(fs, root)
     val tmp = new Path(tree + "__rebuild_tmp")
     val old = new Path(tree + "__rebuild_old")
+    // leftover check FIRST: after a crash between the install renames
+    // the tree is gone and readMeta/requireNoPartialSlots would throw
+    // misleading errors instead of naming the restore remedy
     require(!fs.exists(old),
       s"CmsStore.rebuild: leftover $old from an interrupted rebuild — " +
         "restore it over the store path (or remove it) before re-running")
+    readMeta(spark, path) // must already BE a cms store (else: write)
+    graft.llm.IvfLayout.requireNoPartialSlots(fs, root, "CmsStore.rebuild")
+    val (committed, _) = graft.llm.IvfLayout.replayableSlots(fs, root)
     fs.delete(tmp, true)
     cells(df, keyCol, partCol, depth, width)
       .repartition(col("part"))

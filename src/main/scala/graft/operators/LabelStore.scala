@@ -340,6 +340,13 @@ object LabelStore {
           .parquet(liveDirs.map(_.toString): _*)
           .select("node", "label")
           .join(affectedLabels, Seq("label"), "left_anti")
+          // stale copies of the re-closure itself ride in when the
+          // crash REMEDY re-runs the drop: a new-label bucket created
+          // by the interrupted run has no backup to restore, its rows'
+          // labels are not in affectedLabels (they are the NEW mins),
+          // and unioning recomputed newLabels on top would duplicate
+          // every one of them (round-14 review). Replace, don't stack.
+          .join(newLabels, Seq("node", "label"), "left_anti")
       survivors
         .unionByName(newLabels)
         .withColumn(partCol, bucketOf)

@@ -49,6 +49,25 @@ object StoreRetention {
         "part= dirs — not a maintained-store table (wrong path?)")
     val candidates =
       if (runDirs.nonEmpty) {
+        // a PARTIAL live slot (no _SUCCESS — crash mid-write) refuses
+        // regardless of whether the target part dir exists in it YET:
+        // its eventual content is unknown, and the replay statically
+        // rewrites the whole slot — it could create the dropped part
+        // right after this call deleted it from the base (round-14
+        // review: the existence-keyed check below misses this)
+        val partial = runDirs
+          .map(r => (r.getPath.getName.stripPrefix("run="), r.getPath))
+          .filter { case (id, _) => id != graft.llm.RunSlots.Base &&
+            id != graft.llm.RunSlots.Adhoc }
+          .filterNot { case (_, p) =>
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+          .map(_._1).sorted
+        require(partial.isEmpty,
+          s"StoreRetention.dropParts: slot(s) ${partial.mkString(", ")} at " +
+            s"$table have no _SUCCESS marker — a crash mid-write; their " +
+            "replay rewrites the whole slot and could re-land dropped " +
+            "parts. Let the owning stream replay them (then compact), " +
+            "or remove them, before dropping")
         val hits = runDirs.flatMap(r => fs.listStatus(r.getPath).toSeq
           .filter(s => s.isDirectory && targets(s.getPath.getName))
           .map(s => (r.getPath.getName.stripPrefix("run="), s)))

@@ -399,14 +399,17 @@ object StreamingIncremental {
       .parquet(sourceDir)
     src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // ChunkStore needs no fold manifest for replay safety: a
-        // replayed batch's manifest re-lands at a fresh seq with
-        // IDENTICAL content (latest-run-wins is the identity on it) and
-        // its chunk rows anti-join away against the store
+        // the fold manifest matters here like in every additive store,
+        // for a subtler reason (round-14 review): the compact below can
+        // run at the TOP of a replayed batch — it folds the slot,
+        // applies tombstones, and clears them, so without the manifest
+        // the replayed append would re-land the batch at a fresh seq
+        // and RESURRECT documents deleted while the stream was down.
+        // With it, the replay of a folded id is a whole-append no-op
         maybeCompact(spark, s"$storePath/manifest", autoCompactSlots)(
           graft.llm.ChunkStore.compact(spark, storePath))
-        graft.llm.ChunkStore.append(batch, textCol, idCol, storePath,
-          nBuckets, runId = Some(s"b$batchId"))
+        graft.llm.ChunkStore.appendBatch(batch, textCol, idCol, storePath,
+          nBuckets, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

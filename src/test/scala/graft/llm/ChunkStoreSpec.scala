@@ -249,8 +249,8 @@ class ChunkStoreSpec extends SparkSpec {
     val b0 = Seq((2L, "the streamed document that gets deleted while " +
       "the stream is down and must stay deleted across the replay"))
       .toDF("doc_id", "text")
-    ChunkStore.append(b0, "text", "doc_id", root, nBuckets = 4,
-      runId = Some("b0")) // first delivery: seq 1
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, nBuckets = 4,
+      batchId = 0L) // first delivery: seq 1
     // operator deletes doc 2 while the stream is down (tombstone seq 2)
     ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root)
     assert(ChunkStore.reconstruct(spark, root)
@@ -258,14 +258,14 @@ class ChunkStoreSpec extends SparkSpec {
     // restart: foreachBatch replays b0 (at-least-once). With a FRESH
     // seq the replayed manifest would outrank the tombstone and
     // resurrect doc 2 — the slot must reuse its original seq instead
-    ChunkStore.append(b0, "text", "doc_id", root, nBuckets = 4,
-      runId = Some("b0"))
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, nBuckets = 4,
+      batchId = 0L)
     assert(ChunkStore.reconstruct(spark, root)
       .collect().map(_.getLong(0)).toSet == Set(1L),
       "replay must not outrank the tombstone")
     // a GENUINE later re-ingest (new run id → fresh seq) still revives
     ChunkStore.append(b0, "text", "doc_id", root, nBuckets = 4,
-      runId = Some("b1"))
+      runId = Some("reingest-x"))
     assert(ChunkStore.reconstruct(spark, root)
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
       "intentional re-ingest outranks the tombstone as before")
@@ -274,6 +274,70 @@ class ChunkStoreSpec extends SparkSpec {
     ChunkStore.deleteDocs(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", root)
     assert(ChunkStore.reconstruct(spark, root)
       .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("compact between delivery and replay cannot resurrect a deleted doc") {
+    import spark.implicits._
+    // the round-14 review corner: the streaming loop compacts at the
+    // TOP of foreachBatch, so on restart-after-crash the compact runs
+    // BEFORE the replay of the last delivered batch — it used to purge
+    // the slot and the tombstones, and the replayed append then minted
+    // a fresh seq and re-landed the deleted doc as live
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "a surviving document with enough words " +
+      "to chunk into a few pieces here")).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val b0 = Seq((2L, "the streamed document deleted while the stream " +
+      "is down and then chased by a compact before its replay runs"))
+      .toDF("doc_id", "text")
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root)
+    ChunkStore.compact(spark, root) // folds b0, purges doc 2, clears tombstones
+    assert(RunSlots.foldedRuns(spark, s"$root/manifest").contains("b0"))
+    val chunksAfter = spark.read.parquet(s"$root/chunks").count()
+    // the replay: must be a WHOLE-append no-op (manifests AND chunks)
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "replay after the folding compact must not resurrect the deleted doc")
+    assert(spark.read.parquet(s"$root/chunks").count() == chunksAfter,
+      "no chunk bytes re-land for a folded batch")
+  }
+
+  test("compact carries a PARTIAL manifest slot; a shadowing tombstone survives it") {
+    import spark.implicits._
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "a surviving document with enough words " +
+      "to chunk into a few pieces right here")).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val b0 = Seq((2L, "the half-landed document whose batch crashed " +
+      "mid manifest write and will be replayed by the restarted stream"))
+      .toDF("doc_id", "text")
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$root/manifest/run=b0/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false)) // "crash" mid-first-write
+    ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root)
+    ChunkStore.compact(spark, root)
+    // the partial slot rode over verbatim, unrecorded — its replay must
+    // still land; and the tombstone shadowing it must SURVIVE the
+    // compact, or the replay (same seq) would make doc 2 visible
+    assert(!RunSlots.foldedRuns(spark, s"$root/manifest").contains("b0"),
+      "partial slot must not be recorded")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")),
+      "a tombstone shadowing a carried slot must not be cleared")
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "the replay reuses its seq — the tombstone still wins")
+    // once the slot is committed, the next compact folds and records
+    // it, clears the applied tombstone, and doc 2 stays gone
+    ChunkStore.compact(spark, root)
+    assert(RunSlots.foldedRuns(spark, s"$root/manifest").contains("b0"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("gc: targeted collection — unique chunks gone, shared survive, clean buckets untouched") {

@@ -111,6 +111,13 @@ class BloomStoreSpec extends SparkSpec {
     assert(fs.rename(new org.apache.hadoop.fs.Path(p),
       new org.apache.hadoop.fs.Path(p + "__rebuild_old")))
     fs.mkdirs(new org.apache.hadoop.fs.Path(p)) // half-installed wreck
+    // a re-run in THIS state (store path has no meta) must still name
+    // the backup remedy, not throw "not a bloom store" (round-14
+    // review: the leftover check runs before readMeta)
+    val eWreck = intercept[IllegalArgumentException] {
+      BloomStore.rebuild(corpus, "k", "day", p, depth = 3, width = 4096)
+    }
+    assert(eWreck.getMessage.contains("__rebuild_old"), eWreck.getMessage)
     // the old tree is COMPLETE — restore = one rename, store serves again
     fs.delete(new org.apache.hadoop.fs.Path(p), true)
     assert(fs.rename(new org.apache.hadoop.fs.Path(p + "__rebuild_old"),

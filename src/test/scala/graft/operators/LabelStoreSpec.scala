@@ -168,6 +168,47 @@ class LabelStoreSpec extends SparkSpec {
       ccOver(surviving.unionByName(pairsDf(5L -> 31L))))
   }
 
+  test("dropNodes crash-remedy re-run does not duplicate new-label rows") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val path = Files.createTempDirectory("graft_ls_rerun_").toString
+    // one chain component 1-2-3 (label 1); dropping 1 re-closes {2,3}
+    // under NEW label 2, whose byc bucket (cb=2) did not exist before —
+    // so the interrupted-run remedy has no backup for it
+    LabelStore.write(ConnectedComponents.run(pairsDf(1L -> 2L, 2L -> 3L),
+      "id_a", "id_b"), path, nBuckets = 8)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // snapshot the pre-drop buckets (what the _drop_old_* backups hold)
+    val snap = Files.createTempDirectory("graft_ls_snap_").toString
+    Seq("byn", "byc").foreach { c =>
+      FileUtil.copy(fs, new Path(s"$path/$c/run=__base__"),
+        fs, new Path(s"$snap/$c"), false, conf)
+    }
+    val drop = Seq(1L).toDF("n")
+    val pairs = pairsDf(1L -> 2L, 2L -> 3L)
+    LabelStore.dropNodes(spark, path, drop, "n", pairs, "id_a", "id_b")
+    // simulate the documented remedy state after a crash mid-install:
+    // every PRE-EXISTING bucket restored from its backup, the NEW
+    // cb= bucket (no backup possible) keeps the interrupted run's rows
+    Seq("byn", "byc").foreach { c =>
+      val snapRoot = new Path(s"$snap/$c")
+      fs.listStatus(snapRoot).filter(_.isDirectory).foreach { b =>
+        val live = new Path(s"$path/$c/run=__base__/${b.getPath.getName}")
+        fs.delete(live, true)
+        FileUtil.copy(fs, b.getPath, fs, live, false, conf)
+      }
+    }
+    // re-run the drop (the remedy). Without the survivors-vs-newLabels
+    // dedup the stale (2,2),(3,2) rows in the unbacked cb bucket would
+    // stack under identical recomputed rows
+    LabelStore.dropNodes(spark, path, drop, "n", pairs, "id_a", "id_b")
+    assert(readSorted(path) === Seq(2L -> 2L, 3L -> 2L))
+    val bycRows = spark.read.parquet(s"$path/byc")
+      .select("node", "label").as[(Long, Long)].collect().toSeq
+    assert(bycRows.sorted === Seq(2L -> 2L, 3L -> 2L),
+      s"byc must hold each re-closed row exactly once, got $bycRows")
+  }
+
   test("dropNodes refuses live slots and crash leftovers; remedy paths work") {
     val path = Files.createTempDirectory("graft_ls_dropref_").toString
     LabelStore.write(ConnectedComponents.run(pairsDf(1L -> 2L, 2L -> 3L),

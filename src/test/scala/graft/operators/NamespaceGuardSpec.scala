@@ -41,10 +41,13 @@ class NamespaceGuardSpec extends SparkSpec {
     // an overflow-length digit id is NAMED (FoldManifestSpec) and passes
     // the guard — only genuine stream-batch shapes are reserved; it
     // then fails on the missing store, proving the guard let it through
-    intercept[IllegalArgumentException] {
+    val past = intercept[IllegalArgumentException] {
       CmsStore.append(someDf, "k", "day", p,
         runId = Some("b9999999999999999999"))
-    }.getMessage.contains("_cms_meta")
+    }
+    assert(past.getMessage.contains("_cms_meta"),
+      s"overflow id must pass the guard and fail on the store instead: " +
+        past.getMessage)
   }
 
   test("appendBatch mints the reserved id and lands the slot") {

@@ -48,6 +48,30 @@ class StoreRetentionSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet === served)
   }
 
+  test("a PARTIAL live slot refuses the drop even when it lacks the target part yet") {
+    val p = Files.createTempDirectory("graft_ret_part_").toString
+    QuantileStore.write(rows.filter(col("day") === "d1"),
+      Seq("grp"), "v", "day", p, width = 10L)
+    QuantileStore.appendBatch(rows.filter(col("day") === "d3"),
+      Seq("grp"), "v", "day", p, batchId = 0L)
+    // b0 "crashed" mid-write: marker gone. Its replay rewrites the
+    // whole slot and could create part=d1 right after a drop deleted
+    // it from the base — content is unknown until _SUCCESS
+    val marker = new org.apache.hadoop.fs.Path(s"$p/quant/run=b0/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false))
+    val e = intercept[IllegalArgumentException] {
+      StoreRetention.dropParts(spark, s"$p/quant", Seq("d1"))
+    }
+    assert(e.getMessage.contains("_SUCCESS") && e.getMessage.contains("b0"),
+      e.getMessage)
+    // the replay lands the slot whole; compact folds it; then it works
+    QuantileStore.appendBatch(rows.filter(col("day") === "d3"),
+      Seq("grp"), "v", "day", p, batchId = 0L)
+    QuantileStore.compact(spark, p)
+    assert(StoreRetention.dropParts(spark, s"$p/quant", Seq("d1")) === 1)
+  }
+
   test("flat store: part dir dropped from the root") {
     val p = Files.createTempDirectory("graft_ret_fl_").toString
     BloomStore.write(Seq(("d1", "x"), ("d2", "y")).toDF("day", "k"),

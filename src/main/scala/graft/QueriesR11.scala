@@ -271,7 +271,7 @@ object QueriesR11 {
         val n = all.count()
         val idx = Files.createTempDirectory("graft_ivf_rt_gate_").toString
         IvfIndex.write(a, "embedding", "vec_id", idx, nCells = 8)
-        IvfIndex.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+        IvfIndex.appendBatch(b, "embedding", "vec_id", idx, batchId = 0L)
         def maxCell() = s.read.parquet(idx).groupBy("cid").count()
           .agg(max("count")).first().getLong(0)
         val before = maxCell()
@@ -323,7 +323,7 @@ object QueriesR11 {
           path, nBuckets = 16)
         val batchPairs = Dedup.minhashNearDupPairsIncremental(
           fresh, corpus, "text", "doc_id", jaccardThreshold = 0.8)
-        LabelStore.applyBatch(s, path, batchPairs, "id_a", "id_b", Some("b0"))
+        LabelStore.applyStreamBatch(s, path, batchPairs, "id_a", "id_b", 0L)
         LabelStore.read(s, path).orderBy("node")
       },
       Some(ccClosureOracle)),

@@ -102,7 +102,7 @@ object QueriesR12 {
         val n = all.count()
         val idx = Files.createTempDirectory("graft_pq_rt_gate_").toString
         IvfPq.write(a, "embedding", "vec_id", idx, nCells = 8, m = 8, k = 16)
-        IvfPq.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+        IvfPq.appendBatch(b, "embedding", "vec_id", idx, batchId = 0L)
         def maxCell() = s.read.parquet(idx).groupBy("cid").count()
           .agg(max("count")).first().getLong(0)
         val queries = b.filter(col("vec_id") < 20) // deterministic query set

@@ -157,6 +157,18 @@ object ContainIndex {
     * batch's own gram buckets — exact for every batch gram). */
   def append(batch: DataFrame, textCol: String, idCol: String,
              path: String, runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "ContainIndex.append")
+    appendSlot(batch, textCol, idCol, path, runId)
+  }
+
+  /** [[append]] for the index's single checkpointed stream (mints the
+    * reserved `b<batchId>` run id). */
+  def appendBatch(batch: DataFrame, textCol: String, idCol: String,
+                  path: String, batchId: Long): Unit =
+    appendSlot(batch, textCol, idCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(batch: DataFrame, textCol: String, idCol: String,
+                         path: String, runId: Option[String]): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(spark, path)
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
@@ -225,6 +237,25 @@ object ContainIndex {
       spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String,
       threshold: Double = 0.9, runId: Option[String] = None)(
+      writePairs: DataFrame => Unit): Unit = {
+    RunSlots.requireNamedRunId(runId, "ContainIndex.serveThenAppend")
+    serveThenAppendSlot(spark, path, batch, textCol, idCol, threshold,
+      runId)(writePairs)
+  }
+
+  /** [[serveThenAppend]] for the checkpointed stream (mints `b<id>`). */
+  def serveThenAppendBatch(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double, batchId: Long)(
+      writePairs: DataFrame => Unit): Unit =
+    serveThenAppendSlot(spark, path, batch, textCol, idCol, threshold,
+      Some(s"b$batchId"))(writePairs)
+
+  private def serveThenAppendSlot(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double, runId: Option[String])(
       writePairs: DataFrame => Unit): Unit = {
     val meta = readMeta(spark, path)
     val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)

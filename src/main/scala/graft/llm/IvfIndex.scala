@@ -243,6 +243,18 @@ object IvfIndex {
     * incremental shape: index once, append batches. */
   def append(batch: DataFrame, vecCol: String, idCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "IvfIndex.append")
+    appendSlot(batch, vecCol, idCol, path, runId)
+  }
+
+  /** [[append]] for the index's single checkpointed stream (mints the
+    * reserved `b<batchId>` run id). */
+  def appendBatch(batch: DataFrame, vecCol: String, idCol: String,
+                  path: String, batchId: Long): Unit =
+    appendSlot(batch, vecCol, idCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(batch: DataFrame, vecCol: String, idCol: String,
+                         path: String, runId: Option[String]): Unit = {
     val cents = readCentroids(batch.sparkSession, path)
     RunSlots.write(
       Similarity.assignCells(batch, cents, vecCol, idCol, "neighbor", 1),

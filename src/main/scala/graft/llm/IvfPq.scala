@@ -119,6 +119,18 @@ object IvfPq {
     * append-time one. */
   def append(batch: DataFrame, vecCol: String, idCol: String, path: String,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "IvfPq.append")
+    appendSlot(batch, vecCol, idCol, path, runId)
+  }
+
+  /** [[append]] for the index's single checkpointed stream (mints the
+    * reserved `b<batchId>` run id). */
+  def appendBatch(batch: DataFrame, vecCol: String, idCol: String,
+                  path: String, batchId: Long): Unit =
+    appendSlot(batch, vecCol, idCol, path, Some(s"b$batchId"))
+
+  private def appendSlot(batch: DataFrame, vecCol: String, idCol: String,
+                         path: String, runId: Option[String]): Unit = {
     val meta = readMeta(batch.sparkSession, path)
     val assigned = Similarity.assignCells(batch, meta.cents, vecCol, idCol, "neighbor", 1)
     val resid = assigned.select(col("neighbor_id"),

@@ -65,8 +65,21 @@ object MinHashIndex {
   def append(batch: DataFrame, textCol: String, idCol: String, path: String,
              shingleN: Int = 3, nBuckets: Int = 64,
              runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "MinHashIndex.append")
     val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
     appendSets(sets, path, nBuckets, runId)
+    sets.unpersist()
+  }
+
+  /** [[append]] for the index's single checkpointed stream: mints the
+    * reserved `b<batchId>` run id (manual appends must use a
+    * non-numeric name — the fold manifest's collapse semantics apply
+    * to the `b<digits>` namespace). */
+  def appendBatch(batch: DataFrame, textCol: String, idCol: String,
+                  path: String, shingleN: Int, nBuckets: Int,
+                  batchId: Long): Unit = {
+    val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    appendSets(sets, path, nBuckets, Some(s"b$batchId"))
     sets.unpersist()
   }
 
@@ -167,6 +180,27 @@ object MinHashIndex {
       textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3,
       nBuckets: Int = 64, runId: Option[String] = None)(
+      writePairs: DataFrame => Unit): Unit = {
+    RunSlots.requireNamedRunId(runId, "MinHashIndex.serveThenAppend")
+    serveThenAppendSlot(spark, path, batch, textCol, idCol,
+      jaccardThreshold, shingleN, nBuckets, runId)(writePairs)
+  }
+
+  /** [[serveThenAppend]] for the checkpointed stream (mints `b<id>`). */
+  def serveThenAppendBatch(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double, shingleN: Int,
+      nBuckets: Int, batchId: Long)(
+      writePairs: DataFrame => Unit): Unit =
+    serveThenAppendSlot(spark, path, batch, textCol, idCol,
+      jaccardThreshold, shingleN, nBuckets, Some(s"b$batchId"))(writePairs)
+
+  private def serveThenAppendSlot(
+      spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double, shingleN: Int,
+      nBuckets: Int, runId: Option[String])(
       writePairs: DataFrame => Unit): Unit = {
     val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
     val (lazyPairs, caches) = planFromSets(spark, path, sets,

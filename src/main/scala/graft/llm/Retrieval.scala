@@ -252,6 +252,20 @@ object Retrieval {
   def appendIndex(batch: DataFrame, textCol: String, idCol: String,
                   path: String, nBuckets: Int = 64,
                   runId: Option[String] = None): Unit = {
+    RunSlots.requireNamedRunId(runId, "Retrieval.appendIndex")
+    appendIndexSlot(batch, textCol, idCol, path, nBuckets, runId)
+  }
+
+  /** [[appendIndex]] for the index's single checkpointed stream (mints
+    * the reserved `b<batchId>` run id). */
+  def appendIndexBatch(batch: DataFrame, textCol: String, idCol: String,
+                       path: String, nBuckets: Int, batchId: Long): Unit =
+    appendIndexSlot(batch, textCol, idCol, path, nBuckets,
+      Some(s"b$batchId"))
+
+  private def appendIndexSlot(batch: DataFrame, textCol: String,
+                              idCol: String, path: String, nBuckets: Int,
+                              runId: Option[String]): Unit = {
     // validate BOTH tables' layouts before writing anything: a legacy
     // (pre-slot) store must fail WRITE-FREE — if only the postings
     // guard fired, the _stats delta slot would already have landed,

@@ -174,6 +174,24 @@ object LabelStore {
                  aCol: String, bCol: String,
                  runId: Option[String] = None,
                  maxIter: Int = 20): DataFrame = {
+    RunSlots.requireNamedRunId(runId, "LabelStore.applyBatch")
+    applyBatchSlot(spark, path, pairs, aCol, bCol, runId, maxIter)
+  }
+
+  /** [[applyBatch]] for the store's single checkpointed stream (mints
+    * the reserved `b<batchId>` run id — manual backfills must use a
+    * non-numeric name or a folded high-water mark could silently
+    * no-op their delta writes). */
+  def applyStreamBatch(spark: SparkSession, path: String, pairs: DataFrame,
+                       aCol: String, bCol: String, batchId: Long,
+                       maxIter: Int = 20): DataFrame =
+    applyBatchSlot(spark, path, pairs, aCol, bCol, Some(s"b$batchId"),
+      maxIter)
+
+  private def applyBatchSlot(spark: SparkSession, path: String,
+                             pairs: DataFrame, aCol: String, bCol: String,
+                             runId: Option[String],
+                             maxIter: Int): DataFrame = {
     val nBuckets = readMeta(spark, path)
     val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
     p.count()

@@ -310,10 +310,10 @@ object StreamingIncremental {
         // one signature pass per batch: serve writes the pairs (the
         // parquet write IS the materialization), then the same sets
         // append into the index
-        graft.llm.MinHashIndex.serveThenAppend(
+        graft.llm.MinHashIndex.serveThenAppendBatch(
           spark, indexPath, batch, textCol, idCol,
           jaccardThreshold, shingleN, nBuckets,
-          runId = Some(s"b$batchId")) { pairs =>
+          batchId) { pairs =>
           pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         }
       }
@@ -362,9 +362,9 @@ object StreamingIncremental {
         // one shingle pass per batch: serveThenAppend shares the batch's
         // sets/postings between the (eager, pre-append) serve and the
         // index append
-        graft.llm.ContainIndex.serveThenAppend(
+        graft.llm.ContainIndex.serveThenAppendBatch(
           spark, indexPath, batch, textCol, idCol, threshold,
-          runId = Some(s"b$batchId")) { pairs =>
+          batchId) { pairs =>
           pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
         }
       }
@@ -473,10 +473,10 @@ object StreamingIncremental {
               "per-batch cost tracks the batch, or raise maxLabelBytes " +
               "deliberately")
         }
-        graft.llm.MinHashIndex.serveThenAppend(
+        graft.llm.MinHashIndex.serveThenAppendBatch(
           spark, indexPath, batch, textCol, idCol,
           jaccardThreshold, shingleN, nBuckets,
-          runId = Some(s"b$batchId")) { pairs =>
+          batchId) { pairs =>
           val batchPairs = pairs.localCheckpoint(true)
           val labels = readLabels(spark, labelsPath)
           val updated = graft.operators.ConnectedComponents
@@ -524,13 +524,13 @@ object StreamingIncremental {
           graft.llm.MinHashIndex.compact(spark, indexPath))
         maybeCompact(spark, s"$labelStorePath/byn", autoCompactSlots)(
           graft.operators.LabelStore.compact(spark, labelStorePath))
-        graft.llm.MinHashIndex.serveThenAppend(
+        graft.llm.MinHashIndex.serveThenAppendBatch(
           spark, indexPath, batch, textCol, idCol,
           jaccardThreshold, shingleN, nBuckets,
-          runId = Some(s"b$batchId")) { pairs =>
-          graft.operators.LabelStore.applyBatch(
+          batchId) { pairs =>
+          graft.operators.LabelStore.applyStreamBatch(
             spark, labelStorePath, pairs.localCheckpoint(true),
-            "id_a", "id_b", runId = Some(s"b$batchId"))
+            "id_a", "id_b", batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -23,7 +23,7 @@ object ProbeCcStore {
     timeIt("LabelStore.write (seed, 16 buckets)") { LabelStore.write(labels, path, nBuckets = 16) }
     val batchPairs = timeIt("batchPairs (incremental minhash)") {
       Dedup.minhashNearDupPairsIncremental(fresh, corpus, "text", "doc_id", 0.8).localCheckpoint(true) }
-    timeIt("applyBatch") { LabelStore.applyBatch(spark, path, batchPairs, "id_a", "id_b", Some("b0")) }
+    timeIt("applyBatch") { LabelStore.applyStreamBatch(spark, path, batchPairs, "id_a", "id_b", 0L) }
     timeIt("read + count") { LabelStore.read(spark, path).count() }
     spark.stop()
   }

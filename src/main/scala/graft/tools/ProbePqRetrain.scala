@@ -23,7 +23,7 @@ object ProbePqRetrain {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val idx = Files.createTempDirectory("graft_probe_pqrt_").toString
     IvfPq.write(a, "embedding", "vec_id", idx, nCells = 8, m = 8, k = 16)
-    IvfPq.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+    IvfPq.appendBatch(b, "embedding", "vec_id", idx, batchId = 0L)
     def recall(np: Int, rf: Int): Double = {
       val served = IvfPq.topKRerank(spark, idx, queries, all,
           "embedding", "vec_id", k = 5, nProbe = np, refine = rf)

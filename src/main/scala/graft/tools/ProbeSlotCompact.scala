@@ -46,8 +46,8 @@ object ProbeSlotCompact {
           compactMs += (System.nanoTime() - c0) / 1000000L
         }
         val t0 = System.nanoTime()
-        LabelStore.applyBatch(spark, path, pairs, "id_a", "id_b",
-          runId = Some(s"b$i"))
+        LabelStore.applyStreamBatch(spark, path, pairs, "id_a", "id_b",
+          batchId = i.toLong)
         (System.nanoTime() - t0) / 1000000L
       }
       // manifest read cost at the END of the horizon — the r12 verdict's

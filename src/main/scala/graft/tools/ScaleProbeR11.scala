@@ -105,7 +105,7 @@ object ScaleProbeR11 {
         .createTempDirectory(s"graft_probe_ls_${tag}_").toString
       LabelStore.write(lab, path, nBuckets = nb)
       val (delta, _) = timeIt(s"LabelStore.applyBatch $tag (|labels|=$n, nb=$nb)") {
-        LabelStore.applyBatch(spark, path, batch, "id_a", "id_b", Some("b0"))
+        LabelStore.applyStreamBatch(spark, path, batch, "id_a", "id_b", 0L)
       }
       println(f"  delta rows: ${delta.count()}%d")
     }

@@ -36,8 +36,8 @@ class FoldManifestSpec extends SparkSpec {
   test("compact records folded run ids; replayed slot write is a no-op") {
     val p = Files.createTempDirectory("graft_fm_mh_").toString
     MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)
-    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4,
-      runId = Some("b0"))
+    MinHashIndex.appendBatch(batch, "text", "doc_id", p, shingleN = 3,
+      nBuckets = 4, batchId = 0L)
     assert(RunSlots.slotCount(spark, s"$p/bands") === 1)
     MinHashIndex.compact(spark, p)
     assert(RunSlots.slotCount(spark, s"$p/bands") === 0)
@@ -45,26 +45,26 @@ class FoldManifestSpec extends SparkSpec {
     assert(RunSlots.foldedRuns(spark, s"$p/sets").contains("b0"))
     val before = (fileSet(s"$p/bands"), fileSet(s"$p/sets"))
     // the foreachBatch replay-after-fold corner: same batch, same id
-    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4,
-      runId = Some("b0"))
+    MinHashIndex.appendBatch(batch, "text", "doc_id", p, shingleN = 3,
+      nBuckets = 4, batchId = 0L)
     assert((fileSet(s"$p/bands"), fileSet(s"$p/sets")) === before,
       "a folded run id must not re-land rows (store byte-identical)")
     // a NEW id still appends normally
-    MinHashIndex.append(
+    MinHashIndex.appendBatch(
       Seq((11L, base + "two")).toDF("doc_id", "text"),
-      "text", "doc_id", p, nBuckets = 4, runId = Some("b1"))
+      "text", "doc_id", p, shingleN = 3, nBuckets = 4, batchId = 1L)
     assert(RunSlots.slotCount(spark, s"$p/bands") === 1)
   }
 
   test("manifest merges across compacts (earlier folds stay recorded)") {
     val p = Files.createTempDirectory("graft_fm_merge_").toString
     MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)
-    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4,
-      runId = Some("b0"))
+    MinHashIndex.appendBatch(batch, "text", "doc_id", p, shingleN = 3,
+      nBuckets = 4, batchId = 0L)
     MinHashIndex.compact(spark, p)
-    MinHashIndex.append(
+    MinHashIndex.appendBatch(
       Seq((11L, base + "two")).toDF("doc_id", "text"),
-      "text", "doc_id", p, nBuckets = 4, runId = Some("b1"))
+      "text", "doc_id", p, shingleN = 3, nBuckets = 4, batchId = 1L)
     MinHashIndex.compact(spark, p)
     assert(RunSlots.foldedRuns(spark, s"$p/bands") === RunSlots.FoldManifest(1L, Set.empty))
     assert(RunSlots.foldedRuns(spark, s"$p/sets") === RunSlots.FoldManifest(1L, Set.empty))
@@ -220,13 +220,13 @@ class FoldManifestSpec extends SparkSpec {
     LabelStore.write(ConnectedComponents.run(seedPairs, "id_a", "id_b"),
       p, nBuckets = 4)
     val pairs = Seq((2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
-    LabelStore.applyBatch(spark, p, pairs, "id_a", "id_b", Some("b0"))
+    LabelStore.applyStreamBatch(spark, p, pairs, "id_a", "id_b", 0L)
     val labels = LabelStore.read(spark, p).as[(Long, Long)].collect().toSet
     assert(labels === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
     LabelStore.compact(spark, p)
     assert(RunSlots.foldedRuns(spark, s"$p/byn").contains("b0"))
     val before = (fileSet(s"$p/byn"), fileSet(s"$p/byc"))
-    LabelStore.applyBatch(spark, p, pairs, "id_a", "id_b", Some("b0"))
+    LabelStore.applyStreamBatch(spark, p, pairs, "id_a", "id_b", 0L)
     assert((fileSet(s"$p/byn"), fileSet(s"$p/byc")) === before,
       "replayed folded batch must leave the store byte-identical")
     assert(LabelStore.read(spark, p).as[(Long, Long)].collect().toSet === labels)
@@ -238,11 +238,11 @@ class FoldManifestSpec extends SparkSpec {
       .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
     val p = Files.createTempDirectory("graft_fm_ivf_").toString
     IvfIndex.write(vecs, "embedding", "vec_id", p, nCells = 4)
-    IvfIndex.append(batchV, "embedding", "vec_id", p, runId = Some("b0"))
+    IvfIndex.appendBatch(batchV, "embedding", "vec_id", p, batchId = 0L)
     IvfIndex.retrain(spark, p, nCells = 4)
     assert(RunSlots.foldedRuns(spark, p).contains("b0"))
     val rowsBefore = spark.read.parquet(p).count()
-    IvfIndex.append(batchV, "embedding", "vec_id", p, runId = Some("b0"))
+    IvfIndex.appendBatch(batchV, "embedding", "vec_id", p, batchId = 0L)
     assert(spark.read.parquet(p).count() === rowsBefore,
       "replay of a retrained-away batch id must be a no-op")
   }
@@ -264,8 +264,8 @@ class FoldManifestSpec extends SparkSpec {
     Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
     val b0 = batch
     val b1 = Seq((11L, base + "two")).toDF("doc_id", "text")
-    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
-    Retrieval.appendIndex(b1, "text", "doc_id", p, nBuckets = 4, Some("b1"))
+    Retrieval.appendIndexBatch(b0, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
+    Retrieval.appendIndexBatch(b1, "text", "doc_id", p, nBuckets = 4, batchId = 1L)
     def stats(): (Long, Long) = {
       val r = spark.read.parquet(s"$p/_stats")
         .agg(sum("n_docs"), sum("total_tokens")).head()
@@ -281,13 +281,13 @@ class FoldManifestSpec extends SparkSpec {
     assert(RunSlots.foldedRuns(spark, p).contains("b1"))
     val snap = (fileSet(p), stats())
     // the replay corner: BOTH the stats delta and the postings no-op
-    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndexBatch(b0, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     assert((fileSet(p), stats()) === snap,
       "replayed folded batch must leave postings AND stats byte-identical")
     // a fresh batch still appends and is counted once
-    Retrieval.appendIndex(
+    Retrieval.appendIndexBatch(
       Seq((12L, base + "three")).toDF("doc_id", "text"),
-      "text", "doc_id", p, nBuckets = 4, Some("b2"))
+      "text", "doc_id", p, nBuckets = 4, batchId = 2L)
     assert(stats()._1 === before._1 + 1)
   }
 
@@ -306,11 +306,11 @@ class FoldManifestSpec extends SparkSpec {
       .write.parquet(statsRoot.toString)
     // run-scoped appends refuse the flat sidecar (write-free)...
     intercept[IllegalArgumentException] {
-      Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+      Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     }
     // ...and compactIndex is the migration path the error names
     Retrieval.compactIndex(spark, p)
-    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     val r = spark.read.parquet(s"$p/_stats")
       .agg(sum("n_docs"), sum("total_tokens")).head()
     assert(r.getLong(0) === keep._1 + 1)
@@ -328,8 +328,8 @@ class FoldManifestSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$p/_stats")
     val statsBefore = fileSet(s"$p/_stats")
     intercept[IllegalArgumentException] {
-      Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4,
-        runId = Some("b0"))
+      Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4,
+        batchId = 0L)
     }
     assert(fileSet(s"$p/_stats") === statsBefore,
       "legacy-store failure must not land a _stats delta slot")
@@ -404,9 +404,9 @@ class FoldManifestSpec extends SparkSpec {
     val vecs = sf("sf0.001", "embeddings").limit(32)
     val p = Files.createTempDirectory("graft_fm_rtpart_").toString
     IvfIndex.write(vecs, "embedding", "vec_id", p, nCells = 4)
-    IvfIndex.append(vecs.filter(col("vec_id") < 4)
+    IvfIndex.appendBatch(vecs.filter(col("vec_id") < 4)
         .select((col("vec_id") + 500L).as("vec_id"), col("embedding")),
-      "embedding", "vec_id", p, runId = Some("b0"))
+      "embedding", "vec_id", p, batchId = 0L)
     dropSuccess(s"$p/run=b0")
     val e = intercept[IllegalArgumentException] {
       IvfIndex.retrain(spark, p, nCells = 4)
@@ -418,7 +418,7 @@ class FoldManifestSpec extends SparkSpec {
   test("compactIndex skips a partial _stats slot and its replay still lands") {
     val p = Files.createTempDirectory("graft_fm_lexpart_").toString
     Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
-    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     // the batch "crashed" after its postings landed but mid-stats-write
     dropSuccess(s"$p/_stats/run=b0")
     dropSuccess(s"$p/run=b0")
@@ -428,7 +428,7 @@ class FoldManifestSpec extends SparkSpec {
     assert(!RunSlots.foldedRuns(spark, p).contains("b0"),
       "partial postings slot must not be recorded")
     // replay rewrites both slots whole; totals count the batch once
-    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     val r = spark.read.parquet(s"$p/_stats")
       .agg(sum("n_docs"), sum("total_tokens")).head()
     assert(r.getLong(0) === 3L, "2 corpus docs + the replayed batch doc")
@@ -443,7 +443,7 @@ class FoldManifestSpec extends SparkSpec {
     Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
     Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, None) // adhoc
     val b0 = Seq((20L, base + "three")).toDF("doc_id", "text")
-    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndexBatch(b0, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     dropSuccess(s"$p/_stats/run=b0")
     dropSuccess(s"$p/run=b0")
     Retrieval.compactIndex(spark, p)
@@ -452,7 +452,7 @@ class FoldManifestSpec extends SparkSpec {
     assert(folded === 3L,
       "2 corpus docs + 1 adhoc doc in the folded base; partial b0 excluded")
     // the partial slot rode over verbatim, and its replay still lands
-    Retrieval.appendIndex(b0, "text", "doc_id", p, nBuckets = 4, Some("b0"))
+    Retrieval.appendIndexBatch(b0, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     val total = spark.read.parquet(s"$p/_stats")
       .agg(sum("n_docs")).head().getLong(0)
     assert(total === 4L, "base(3) + replayed b0(1), counted once")

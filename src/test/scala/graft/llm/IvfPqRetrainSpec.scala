@@ -39,7 +39,7 @@ class IvfPqRetrainSpec extends SparkSpec {
     val all = a.unionByName(b).persist()
     val idx = Files.createTempDirectory("graft_pq_rt_").toString
     IvfPq.write(a, "embedding", "vec_id", idx, nCells = 8, m = 4, k = 16)
-    IvfPq.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+    IvfPq.appendBatch(b, "embedding", "vec_id", idx, batchId = 0L)
     val before = maxCellRows(idx)
     assert(before >= 64, s"drifted appends should bloat one cell, max=$before")
     val queriesB = cluster(100 until 110, -1f)
@@ -57,7 +57,7 @@ class IvfPqRetrainSpec extends SparkSpec {
       s"low-probe recall on the drifted side must be restored ($recallAfter)")
     // fold manifest carried: the pre-retrain batch id stays a no-op
     assert(RunSlots.foldedRuns(spark, idx).contains("b0"))
-    IvfPq.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+    IvfPq.appendBatch(b, "embedding", "vec_id", idx, batchId = 0L)
     assert(spark.read.parquet(idx).count() === 128,
       "replay of a retrained-away batch id must be a no-op")
     all.unpersist()

@@ -39,7 +39,7 @@ class IvfRetrainSpec extends SparkSpec {
     val all = a.unionByName(b)
     val idx = Files.createTempDirectory("graft_ivf_rt_").toString
     IvfIndex.write(a, "embedding", "vec_id", idx, nCells = 8)
-    IvfIndex.append(b, "embedding", "vec_id", idx, runId = Some("b0"))
+    IvfIndex.appendBatch(b, "embedding", "vec_id", idx, batchId = 0L)
     // frozen A-quantizer: every B vector packs into its nearest A cell —
     // one cell holds at least the whole B side (the drift pathology:
     // probing it scans half the corpus)

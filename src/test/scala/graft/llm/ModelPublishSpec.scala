@@ -137,8 +137,8 @@ class ModelPublishSpec extends SparkSpec {
     // a leftover stage dir from a crashed writer must not confuse the
     // next build or the compact sidecar copy
     fs.mkdirs(new Path(p, "_centroids__stage"))
-    IvfIndex.append(vecs.select((col("vec_id") + 500L).as("vec_id"),
-      col("embedding")), "embedding", "vec_id", p, runId = Some("b0"))
+    IvfIndex.appendBatch(vecs.select((col("vec_id") + 500L).as("vec_id"),
+      col("embedding")), "embedding", "vec_id", p, batchId = 0L)
     IvfIndex.compact(spark, p)
     assert(fs.exists(new Path(p, "_centroids")))
     assert(!fs.exists(new Path(p, "_centroids__stage")),

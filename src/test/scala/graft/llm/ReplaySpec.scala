@@ -29,9 +29,9 @@ class ReplaySpec extends SparkSpec {
     val once = Files.createTempDirectory("graft_rp_mh1_").toString
     val twice = Files.createTempDirectory("graft_rp_mh2_").toString
     for (p <- Seq(once, twice)) MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)
-    MinHashIndex.append(batch, "text", "doc_id", once, nBuckets = 4, runId = Some("b0"))
-    MinHashIndex.append(batch, "text", "doc_id", twice, nBuckets = 4, runId = Some("b0"))
-    MinHashIndex.append(batch, "text", "doc_id", twice, nBuckets = 4, runId = Some("b0"))
+    MinHashIndex.appendBatch(batch, "text", "doc_id", once, shingleN = 3, nBuckets = 4, batchId = 0L)
+    MinHashIndex.appendBatch(batch, "text", "doc_id", twice, shingleN = 3, nBuckets = 4, batchId = 0L)
+    MinHashIndex.appendBatch(batch, "text", "doc_id", twice, shingleN = 3, nBuckets = 4, batchId = 0L)
     for (t <- Seq("bands", "sets"))
       assert(rows(spark.read.parquet(s"$twice/$t").drop("run")) ===
         rows(spark.read.parquet(s"$once/$t").drop("run")), s"table $t")
@@ -50,8 +50,8 @@ class ReplaySpec extends SparkSpec {
       ContainIndex.write(corpus, "text", "doc_id", p, threshold = 0.9, nBuckets = 4)
     def serve(p: String): Set[(Long, Long)] = {
       var out = Set.empty[(Long, Long)]
-      ContainIndex.serveThenAppend(spark, p, batch, "text", "doc_id",
-        threshold = 0.9, runId = Some("b0")) { pairs =>
+      ContainIndex.serveThenAppendBatch(spark, p, batch, "text", "doc_id",
+        threshold = 0.9, batchId = 0L) { pairs =>
         out = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
       }
       out
@@ -67,8 +67,8 @@ class ReplaySpec extends SparkSpec {
   test("Retrieval.appendIndex replay: stats and postings count the batch once") {
     val p = Files.createTempDirectory("graft_rp_lex_").toString
     Retrieval.writeIndex(corpus, "text", "doc_id", p, nBuckets = 4)
-    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
-    Retrieval.appendIndex(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
+    Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
+    Retrieval.appendIndexBatch(batch, "text", "doc_id", p, nBuckets = 4, batchId = 0L)
     val stats = spark.read.parquet(s"$p/_stats")
       .agg(sum("n_docs"), sum("total_tokens")).head()
     assert(stats.getLong(0) === 3L, "n_docs must count the replayed batch once")
@@ -85,15 +85,15 @@ class ReplaySpec extends SparkSpec {
     val ivf = Files.createTempDirectory("graft_rp_ivf_").toString
     IvfIndex.write(vecs, "embedding", "vec_id", ivf, nCells = 4)
     val baseRows = spark.read.parquet(ivf).count()
-    IvfIndex.append(batchV, "embedding", "vec_id", ivf, runId = Some("b0"))
-    IvfIndex.append(batchV, "embedding", "vec_id", ivf, runId = Some("b0"))
+    IvfIndex.appendBatch(batchV, "embedding", "vec_id", ivf, batchId = 0L)
+    IvfIndex.appendBatch(batchV, "embedding", "vec_id", ivf, batchId = 0L)
     assert(spark.read.parquet(ivf).count() === baseRows + 8)
 
     val pq = Files.createTempDirectory("graft_rp_pq_").toString
     IvfPq.write(vecs, "embedding", "vec_id", pq, nCells = 4, m = 4, k = 16)
     val pqBase = spark.read.parquet(pq).count()
-    IvfPq.append(batchV, "embedding", "vec_id", pq, runId = Some("b0"))
-    IvfPq.append(batchV, "embedding", "vec_id", pq, runId = Some("b0"))
+    IvfPq.appendBatch(batchV, "embedding", "vec_id", pq, batchId = 0L)
+    IvfPq.appendBatch(batchV, "embedding", "vec_id", pq, batchId = 0L)
     assert(spark.read.parquet(pq).count() === pqBase + 8)
   }
 
@@ -119,7 +119,7 @@ class ReplaySpec extends SparkSpec {
       .write.partitionBy("kb").parquet(s"$p/bands")
     MinHashIndex.compact(spark, p)
     // slotted now: a run-scoped append lands instead of throwing
-    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
+    MinHashIndex.appendBatch(batch, "text", "doc_id", p, shingleN = 3, nBuckets = 4, batchId = 0L)
     val next = Seq((20L, base + "one")).toDF("doc_id", "text")
     val got = MinHashIndex.nearDupPairsIncremental(spark, p, next,
       "text", "doc_id", 0.8, nBuckets = 4)
@@ -130,7 +130,7 @@ class ReplaySpec extends SparkSpec {
   test("compact collapses run slots into __base__ and keeps serving identical") {
     val p = Files.createTempDirectory("graft_rp_cmp_").toString
     MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)
-    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
+    MinHashIndex.appendBatch(batch, "text", "doc_id", p, shingleN = 3, nBuckets = 4, batchId = 0L)
     val next = Seq((20L, base + "one")).toDF("doc_id", "text")
     def serve() = MinHashIndex.nearDupPairsIncremental(spark, p, next,
         "text", "doc_id", 0.8, nBuckets = 4)
@@ -148,10 +148,10 @@ class ReplaySpec extends SparkSpec {
   test("RunSlots.stats: one row per slot, folds to __base__ after compact") {
     val p = Files.createTempDirectory("graft_rp_stats_").toString
     MinHashIndex.write(corpus, "text", "doc_id", p, nBuckets = 4)
-    MinHashIndex.append(batch, "text", "doc_id", p, nBuckets = 4, runId = Some("b0"))
-    MinHashIndex.append(
+    MinHashIndex.appendBatch(batch, "text", "doc_id", p, shingleN = 3, nBuckets = 4, batchId = 0L)
+    MinHashIndex.appendBatch(
       Seq((20L, base + "one")).toDF("doc_id", "text"),
-      "text", "doc_id", p, nBuckets = 4, runId = Some("b1"))
+      "text", "doc_id", p, shingleN = 3, nBuckets = 4, batchId = 1L)
     val before = RunSlots.stats(spark, s"$p/bands")
     assert(before.map(_.run) === Seq(RunSlots.Base, "b0", "b1"))
     assert(before.forall(s => s.files > 0 && s.bytes > 0))

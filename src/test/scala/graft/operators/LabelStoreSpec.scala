@@ -30,9 +30,9 @@ class LabelStoreSpec extends SparkSpec {
     val b1 = pairsDf(2L -> 3L)
     val b2 = pairsDf(20L -> 21L)
     val b3 = pairsDf(21L -> 10L)
-    LabelStore.applyBatch(spark, path, b1, "id_a", "id_b", Some("b1"))
-    LabelStore.applyBatch(spark, path, b2, "id_a", "id_b", Some("b2"))
-    LabelStore.applyBatch(spark, path, b3, "id_a", "id_b", Some("b3"))
+    LabelStore.applyStreamBatch(spark, path, b1, "id_a", "id_b", 1L)
+    LabelStore.applyStreamBatch(spark, path, b2, "id_a", "id_b", 2L)
+    LabelStore.applyStreamBatch(spark, path, b3, "id_a", "id_b", 3L)
     assert(readSorted(path) ===
       ccOver(seed.unionByName(b1).unionByName(b2).unionByName(b3)))
     assert(readSorted(path) === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
@@ -54,7 +54,7 @@ class LabelStoreSpec extends SparkSpec {
       .as[(Long, Long)].collect().sorted.toSeq
     val path = Files.createTempDirectory("graft_ls_nd_").toString
     LabelStore.write(labels, path, nBuckets = 8)
-    LabelStore.applyBatch(spark, path, batchPairs, "id_a", "id_b", Some("b0"))
+    LabelStore.applyStreamBatch(spark, path, batchPairs, "id_a", "id_b", 0L)
     assert(readSorted(path) === expect)
   }
 
@@ -64,9 +64,9 @@ class LabelStoreSpec extends SparkSpec {
     val seed = ConnectedComponents.run(pairsDf(1L -> 2L, 5L -> 6L), "id_a", "id_b")
     for (p <- Seq(once, twice)) LabelStore.write(seed, p, nBuckets = 8)
     val batch = pairsDf(2L -> 5L)
-    LabelStore.applyBatch(spark, once, batch, "id_a", "id_b", Some("b0"))
-    LabelStore.applyBatch(spark, twice, batch, "id_a", "id_b", Some("b0"))
-    LabelStore.applyBatch(spark, twice, batch, "id_a", "id_b", Some("b0"))
+    LabelStore.applyStreamBatch(spark, once, batch, "id_a", "id_b", 0L)
+    LabelStore.applyStreamBatch(spark, twice, batch, "id_a", "id_b", 0L)
+    LabelStore.applyStreamBatch(spark, twice, batch, "id_a", "id_b", 0L)
     assert(readSorted(twice) === readSorted(once))
     def physicalRows(p: String) = spark.read.parquet(s"$p/byn").count()
     assert(physicalRows(twice) === physicalRows(once),
@@ -78,8 +78,8 @@ class LabelStoreSpec extends SparkSpec {
     LabelStore.write(
       ConnectedComponents.run(pairsDf(1L -> 2L, 100L -> 101L), "id_a", "id_b"),
       path, nBuckets = 8)
-    val delta = LabelStore.applyBatch(spark, path, pairsDf(2L -> 3L),
-        "id_a", "id_b", Some("b0"))
+    val delta = LabelStore.applyStreamBatch(spark, path, pairsDf(2L -> 3L),
+        "id_a", "id_b", 0L)
       .as[(Long, Long)].collect().sorted.toSeq
     // only node 3 is new; 1 and 2 already carry label 1, 100/101 untouched
     assert(delta === Seq(3L -> 1L))
@@ -90,7 +90,7 @@ class LabelStoreSpec extends SparkSpec {
     LabelStore.write(
       ConnectedComponents.run(pairsDf(5L -> 6L, 7L -> 8L), "id_a", "id_b"),
       path, nBuckets = 8)
-    LabelStore.applyBatch(spark, path, pairsDf(6L -> 7L), "id_a", "id_b", Some("b0"))
+    LabelStore.applyStreamBatch(spark, path, pairsDf(6L -> 7L), "id_a", "id_b", 0L)
     val before = readSorted(path)
     val preRows = spark.read.parquet(s"$path/byn").count()
     LabelStore.compact(spark, path)
@@ -99,7 +99,7 @@ class LabelStoreSpec extends SparkSpec {
     assert(postRows < preRows, "stale superseded rows must be dropped")
     assert(postRows === before.size.toLong)
     // store still appendable after compact
-    LabelStore.applyBatch(spark, path, pairsDf(8L -> 50L), "id_a", "id_b", Some("b1"))
+    LabelStore.applyStreamBatch(spark, path, pairsDf(8L -> 50L), "id_a", "id_b", 1L)
     assert(readSorted(path) ===
       ccOver(pairsDf(5L -> 6L, 7L -> 8L, 6L -> 7L, 8L -> 50L)))
   }
@@ -109,7 +109,7 @@ class LabelStoreSpec extends SparkSpec {
     LabelStore.write(
       ConnectedComponents.run(pairsDf(1L -> 2L, 3L -> 4L, 9L -> 17L), "id_a", "id_b"),
       path, nBuckets = 8)
-    LabelStore.applyBatch(spark, path, pairsDf(2L -> 9L), "id_a", "id_b", Some("b7"))
+    LabelStore.applyStreamBatch(spark, path, pairsDf(2L -> 9L), "id_a", "id_b", 7L)
     // bucket 1 holds nodes 1, 9, 17; the read must touch no other
     // bucket's files and none of run=b7's
     val pruned = LabelStore.prunedRead(spark, s"$path/byn", "nb",
@@ -162,8 +162,8 @@ class LabelStoreSpec extends SparkSpec {
     assert(LabelStore.dropNodes(spark, path,
       Seq(3L, 20L).toDF("n"), "n", surviving, "id_a", "id_b") === ((0L, 0)))
     // the store stays a working delta store after the drop
-    LabelStore.applyBatch(spark, path, pairsDf(5L -> 31L), "id_a", "id_b",
-      Some("b9"))
+    LabelStore.applyStreamBatch(spark, path, pairsDf(5L -> 31L), "id_a", "id_b",
+      9L)
     assert(readSorted(path) ===
       ccOver(surviving.unionByName(pairsDf(5L -> 31L))))
   }
@@ -213,8 +213,8 @@ class LabelStoreSpec extends SparkSpec {
     val path = Files.createTempDirectory("graft_ls_dropref_").toString
     LabelStore.write(ConnectedComponents.run(pairsDf(1L -> 2L, 2L -> 3L),
       "id_a", "id_b"), path, nBuckets = 4)
-    LabelStore.applyBatch(spark, path, pairsDf(3L -> 4L), "id_a", "id_b",
-      Some("b0"))
+    LabelStore.applyStreamBatch(spark, path, pairsDf(3L -> 4L), "id_a", "id_b",
+      0L)
     // a live batch slot is a replay target — refuse with the remedy
     val e = intercept[IllegalArgumentException] {
       LabelStore.dropNodes(spark, path, Seq(2L).toDF("n"), "n",

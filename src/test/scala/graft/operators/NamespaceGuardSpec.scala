@@ -50,6 +50,35 @@ class NamespaceGuardSpec extends SparkSpec {
         past.getMessage)
   }
 
+  test("slot-overwrite stores' manual entry points reject b<digits> too") {
+    // same hazard, different failure shape (round-14 review): on these
+    // stores a folded high-water mark silently NO-OPS the manual
+    // append/applyBatch — postings or label deltas vanish without an
+    // error — so the namespace is enforced at every runId entry point
+    val p = Files.createTempDirectory("graft_ns_idx_").toString
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    refused(graft.llm.MinHashIndex.append(docs, "text", "doc_id", p,
+      runId = Some("b7")))
+    refused(graft.llm.MinHashIndex.serveThenAppend(spark, p, docs,
+      "text", "doc_id", runId = Some("b7"))(_ => ()))
+    refused(graft.llm.ContainIndex.append(docs, "text", "doc_id", p,
+      runId = Some("b7")))
+    refused(graft.llm.ContainIndex.serveThenAppend(spark, p, docs,
+      "text", "doc_id", runId = Some("b7"))(_ => ()))
+    refused(graft.llm.Retrieval.appendIndex(docs, "text", "doc_id", p,
+      runId = Some("b7")))
+    refused(graft.llm.IvfIndex.append(vecs, "embedding", "vec_id", p,
+      runId = Some("b7")))
+    refused(graft.llm.IvfPq.append(vecs, "embedding", "vec_id", p,
+      runId = Some("b7")))
+    refused(graft.llm.ChunkStore.append(docs, "text", "doc_id", p,
+      runId = Some("b7")))
+    refused(LabelStore.applyBatch(spark, p, pairs, "id_a", "id_b",
+      runId = Some("b7")))
+  }
+
   test("appendBatch mints the reserved id and lands the slot") {
     val p = Files.createTempDirectory("graft_ns_ok_").toString
     CmsStore.write(someDf, "k", "day", p, depth = 2, width = 16)

@@ -77,8 +77,8 @@ class AutoCompactSpec extends SparkSpec {
     // replaying a FOLDED batch (crash-between-compact-and-commit
     // corner) leaves the store byte-identical
     val before = (fileSet(s"$compacted/byn"), fileSet(s"$compacted/byc"))
-    LabelStore.applyBatch(spark, compacted,
-      Seq((1L, 100L)).toDF("id_a", "id_b"), "id_a", "id_b", Some("b0"))
+    LabelStore.applyStreamBatch(spark, compacted,
+      Seq((1L, 100L)).toDF("id_a", "id_b"), "id_a", "id_b", 0L)
     assert((fileSet(s"$compacted/byn"), fileSet(s"$compacted/byc")) === before)
   }
 

@@ -623,29 +623,65 @@ object ChunkStore {
         val reserved = fs.listStatus(manRoot).toSeq.map(_.getPath)
           .filter(p => p.getName == s"run=${RunSlots.Base}" ||
             p.getName == s"run=${RunSlots.Adhoc}")
+        val readable = reserved ++ committedSlots
+        require(readable.nonEmpty,
+          s"ChunkStore.compact: every manifest slot at $manRoot is " +
+            "missing its _SUCCESS marker (crash wreckage, or " +
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — " +
+            "nothing committed to fold; refusing rather than freezing " +
+            "partial manifests")
         spark.read.option("basePath", manRoot.toString)
-          .parquet((reserved ++ committedSlots).map(_.toString): _*)
+          .parquet(readable.map(_.toString): _*)
       }
-    // 1. stage the live manifest as a single __base__ run (seq collapses
-    //    to 0: with every superseded row gone, latest-run-wins is the
-    //    identity; a carried partial slot keeps its ORIGINAL seq, which
-    //    stays above 0, so its docs still resolve to it until the
-    //    replay rewrites the slot)
-    visibleManifestFrom(spark, path, manSrc)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), lit(0L).as("seq"))
-      .write.parquet(s"$manTmp/run=__base__")
+    // 1. stage the live manifest as a single __base__ run. With NO
+    //    partial slot the seq collapses to 0 (every superseded row is
+    //    gone and the tombstones clear below — latest-run-wins is the
+    //    identity). With one, ORIGINAL seqs are kept on BOTH the folded
+    //    rows and the carried slot: tombstones stay live (below), and
+    //    collapsing would mis-order a doc whose committed re-ingest had
+    //    superseded an older tombstone (seq 0 < tombstone seq — the doc
+    //    would vanish and the next compact would purge it; round-14
+    //    review)
+    val folded0 = visibleManifestFrom(spark, path, manSrc)
+    val stagedBase =
+      if (partialSlots.isEmpty)
+        folded0.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+          lit(0L).as("seq"))
+      else
+        folded0.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+          col("seq"))
+    stagedBase.write.parquet(s"$manTmp/run=__base__")
     partialSlots.foreach(p => org.apache.hadoop.fs.FileUtil.copy(
       fs, p, fs, new Path(manTmp.toString, p.getName), false, conf))
     val foldedManifest = RunSlots.foldedRuns(spark, manRoot.toString)
       .fold(committedSlots.map(IvfLayout.slotId).toSet)
     if (!foldedManifest.isEmpty)
       RunSlots.writeFoldedManifest(spark, manTmp.toString, foldedManifest)
-    // 2. stage the chunks still referenced by a live manifest row,
-    //    rebucketed to one file per cb= partition. A chunk referenced
-    //    ONLY by a carried partial slot may be dropped here — the
-    //    replay's append recomputes and re-lands it from the batch text
-    val liveHashes = spark.read.parquet(s"$manTmp/run=__base__")
-      .select("chunk_hash").distinct()
+    // 2. stage the chunks still referenced by a live manifest row OR by
+    //    a carried partial slot's rows: that slot's docs keep resolving
+    //    from it until the replay, so dropping its chunk bytes would
+    //    make reconstruct silently serve TRUNCATED text in the window
+    //    before the stream restarts (round-14 review) — the inner join
+    //    on chunk_hash drops missing chunks without an error
+    def hasDataFiles(dir: Path): Boolean = {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    val partialReadable = partialSlots.filter(hasDataFiles)
+    val liveHashes = (
+      if (partialReadable.isEmpty)
+        spark.read.parquet(s"$manTmp/run=__base__").select("chunk_hash")
+      else
+        spark.read.parquet(s"$manTmp/run=__base__").select("chunk_hash")
+          .unionByName(spark.read.option("basePath", manRoot.toString)
+            .parquet(partialReadable.map(_.toString): _*)
+            .select("chunk_hash"))
+    ).distinct()
     spark.read.parquet(s"$path/chunks")
       .join(liveHashes, Seq("chunk_hash"), "left_semi")
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))

@@ -340,6 +340,83 @@ class ChunkStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("partial-slot compact keeps seq order: a re-ingest-after-delete survives it") {
+    import spark.implicits._
+    // round-14 review: with a partial slot the tombstones are retained,
+    // and folding visible rows to seq 0 would put a committed re-ingest
+    // BELOW its own superseded tombstone — the doc vanishes and the
+    // next compact purges it. Original seqs must ride the fold instead.
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "base document with enough words to chunk "
+      + "into a few content defined pieces")).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val d = Seq((2L, "the deleted then re-ingested document with plenty "
+      + "of text to chunk several times over")).toDF("doc_id", "text")
+    ChunkStore.appendBatch(d, "text", "doc_id", root, 4, batchId = 0L) // seq 1
+    ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root) // seq 2
+    ChunkStore.appendBatch(d, "text", "doc_id", root, 4, batchId = 1L) // seq 3: revive
+    val e = Seq((3L, "an unrelated batch that crashes mid manifest write "
+      + "leaving a partial slot behind for the replay"))
+      .toDF("doc_id", "text")
+    ChunkStore.appendBatch(e, "text", "doc_id", root, 4, batchId = 2L) // seq 4
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/run=b2/_SUCCESS"), false))
+    ChunkStore.compact(spark, root)
+    val visible = ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(visible == Set(1L, 2L, 3L),
+      s"the revived doc must survive a partial-slot compact: $visible")
+    // replay commits the slot; the NEXT compact collapses + clears
+    ChunkStore.appendBatch(e, "text", "doc_id", root, 4, batchId = 2L)
+    ChunkStore.compact(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("partial-slot compact keeps the slot's chunk bytes: no truncated serves before replay") {
+    import spark.implicits._
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "base document with enough words to chunk "
+      + "into a few content defined pieces")).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val fTxt = "a uniquely worded crashed-batch document whose chunk " +
+      "bytes exist only through the partial slot until the replay runs"
+    ChunkStore.appendBatch(Seq((5L, fTxt)).toDF("doc_id", "text"),
+      "text", "doc_id", root, 4, batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/run=b0/_SUCCESS"), false))
+    ChunkStore.compact(spark, root)
+    // round-14 review: the slot's docs resolve from it until the
+    // replay, so its chunk bytes must survive the chunk rewrite — an
+    // inner join would otherwise serve the doc TRUNCATED, silently
+    val back = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(5L) == fTxt,
+      s"carried slot must serve full bytes, got: ${back(5L)}")
+  }
+
+  test("compact refuses when every manifest slot is uncommitted") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a store built by manual named appends alone has no __base__ slot
+    ChunkStore.append(Seq((1L, "the only batch this store ever saw with "
+      + "enough text to chunk")).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4, runId = Some("seed-x"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/run=seed-x/_SUCCESS"), false))
+    val e = intercept[IllegalArgumentException] {
+      ChunkStore.compact(spark, root)
+    }
+    assert(e.getMessage.contains("nothing committed to fold"), e.getMessage)
+  }
+
   test("gc: targeted collection — unique chunks gone, shared survive, clean buckets untouched") {
     import spark.implicits._
     val shared = "a long shared tail of text that two documents have in " +

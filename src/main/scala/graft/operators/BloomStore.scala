@@ -247,7 +247,15 @@ object BloomStore {
     * `__rebuild_old` backup to restore; a re-run refuses loudly while
     * the leftover exists. */
   def rebuild(df: DataFrame, keyCol: String, partCol: String, path: String,
-              depth: Int = 4, width: Int = 1 << 20): Unit = {
+              depth: Int = 4, width: Int = 1 << 20): Unit =
+    // single-writer ENFORCED at the store root (r14 verdict): two
+    // rebuilds would race the same __rebuild_tmp/__rebuild_old renames
+    graft.warehouse.Warehouse.withPathLease(df.sparkSession, path,
+      what = s"bloom store $path")(
+      rebuildLocked(df, keyCol, partCol, path, depth, width))
+
+  private def rebuildLocked(df: DataFrame, keyCol: String, partCol: String,
+                            path: String, depth: Int, width: Int): Unit = {
     import org.apache.hadoop.fs.Path
     require(depth > 0 && depth <= 16, "BloomStore.rebuild: need 0 < depth <= 16")
     require(width > 0, "BloomStore.rebuild: width must be positive")

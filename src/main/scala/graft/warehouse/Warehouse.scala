@@ -54,62 +54,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * bounded by ttl, not by operator intervention. Reentrant per
     * (thread, table) so a materialization can lease around warehouse
     * primitives that lease themselves. */
-  def withWriterLease[T](id: TableId, ttlMs: Long = 15L * 60 * 1000)(body: => T): T = {
-    val key = pathOf(id)
-    if (Warehouse.heldLeases.get().contains(key)) return body // reentrant
-    // SIBLING of the table dir, not inside it: creating the lock must not
-    // make `exists(id)` true for a never-written table (first-run CTAS
-    // semantics key off directory existence)
-    val lock = new Path(pathOf(id) + "._writer_lock")
-    val f = fs(lock)
-    val stale = f.exists(lock) && {
-      // the holder may release between exists() and getFileStatus() —
-      // a vanished lock is simply free, not an error
-      try System.currentTimeMillis - f.getFileStatus(lock).getModificationTime > ttlMs
-      catch { case _: java.io.FileNotFoundException => false }
-    }
-    if (stale) {
-      // Break via atomic RENAME to a per-breaker tombstone, not delete:
-      // two waiters can both observe staleness, and a delete-then-create
-      // loser could remove the winner's FRESH lock (ADVICE r5). Rename is
-      // atomic on HDFS/POSIX and fails for all but one breaker once the
-      // source is gone; the loser falls through to create() and gets the
-      // normal locked-by-another-writer error.
-      val tombstone = new Path(s"$lock.broken.${java.util.UUID.randomUUID()}")
-      try { if (f.rename(lock, tombstone)) f.delete(tombstone, false) }
-      catch { case _: java.io.IOException => () } // lost the break race: create() arbitrates
-    }
-    val out =
-      try f.create(lock, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(
-          s"table $id is locked by another writer (${lock}); " +
-            "concurrent materializations of one table are not supported")
-      }
-    out.write((java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
-      " " + System.currentTimeMillis).getBytes("UTF-8"))
-    out.close()
-    val heartbeat = new Thread(() => {
-      try {
-        while (!Thread.currentThread().isInterrupted) {
-          Thread.sleep(math.max(ttlMs / 3, 1000L))
-          f.setTimes(lock, System.currentTimeMillis, -1)
-        }
-      } catch {
-        case _: InterruptedException => () // normal release
-        case _: java.io.IOException => () // lock gone / fs hiccup: stop beating
-      }
-    }, s"graft-writer-lease-$key")
-    heartbeat.setDaemon(true)
-    heartbeat.start()
-    Warehouse.heldLeases.get().add(key)
-    try body
-    finally {
-      heartbeat.interrupt()
-      Warehouse.heldLeases.get().remove(key)
-      f.delete(lock, false)
-    }
-  }
+  def withWriterLease[T](id: TableId, ttlMs: Long = 15L * 60 * 1000)(body: => T): T =
+    Warehouse.withPathLease(spark, pathOf(id), ttlMs, s"table $id")(body)
 
   /** The `_schema` sidecar (underscore-hidden: ignored by data reads) is
     * the table's authoritative logical schema, maintained by every write
@@ -620,6 +566,79 @@ object Warehouse {
     * makes [[Warehouse.withWriterLease]] reentrant per (thread, table). */
   private[warehouse] val heldLeases =
     ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet[String]())
+
+  /** Path-keyed advisory single-writer lease — the [[withWriterLease]]
+    * mechanics (atomic `create(overwrite=false)`, mtime heartbeat every
+    * ttl/3, stale-break via atomic rename, reentrant per (thread, path))
+    * for data that lives OUTSIDE the warehouse: the maintained stores'
+    * maintenance ops (gc / compact / dropNodes / dropKeys / rebuild /
+    * pruneFoldedNamed) were single-writer by DOCUMENTATION only (r14
+    * verdict "What's missing #4") — e.g. a gc concurrent with a second
+    * gc could both stage against the same buckets and interleave
+    * backup-renames. Taking the lease is cheap and turns the
+    * documented hazard into a fail-fast error. The lock file is a
+    * SIBLING of `path` (`<path>._writer_lock`) so probes of the store
+    * directory itself (existence checks, data discovery) never see it.
+    *
+    * Advisory, like the table lease: it serializes graft's own
+    * maintenance entry points; it cannot stop a foreign process
+    * writing the files directly. The swap journals/backups, not the
+    * lease, protect the data — post-crash lockout is bounded by ttl
+    * via the stale-break. */
+  def withPathLease[T](spark: SparkSession, path: String,
+                       ttlMs: Long = 15L * 60 * 1000,
+                       what: String = "store")(body: => T): T = {
+    if (heldLeases.get().contains(path)) return body // reentrant
+    val lock = new Path(path + "._writer_lock")
+    val f = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = f.exists(lock) && {
+      // the holder may release between exists() and getFileStatus() —
+      // a vanished lock is simply free, not an error
+      try System.currentTimeMillis - f.getFileStatus(lock).getModificationTime > ttlMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    if (stale) {
+      // Break via atomic RENAME to a per-breaker tombstone, not delete:
+      // two waiters can both observe staleness, and a delete-then-create
+      // loser could remove the winner's FRESH lock (ADVICE r5). Rename is
+      // atomic on HDFS/POSIX and fails for all but one breaker once the
+      // source is gone; the loser falls through to create() and gets the
+      // normal locked-by-another-writer error.
+      val tombstone = new Path(s"$lock.broken.${java.util.UUID.randomUUID()}")
+      try { if (f.rename(lock, tombstone)) f.delete(tombstone, false) }
+      catch { case _: java.io.IOException => () } // lost the break race: create() arbitrates
+    }
+    val out =
+      try f.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"$what is locked by another writer (${lock}); " +
+            "concurrent writers on one target are not supported")
+      }
+    out.write((java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      " " + System.currentTimeMillis).getBytes("UTF-8"))
+    out.close()
+    val heartbeat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(ttlMs / 3, 1000L))
+          f.setTimes(lock, System.currentTimeMillis, -1)
+        }
+      } catch {
+        case _: InterruptedException => () // normal release
+        case _: java.io.IOException => () // lock gone / fs hiccup: stop beating
+      }
+    }, s"graft-writer-lease-$path")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    heldLeases.get().add(path)
+    try body
+    finally {
+      heartbeat.interrupt()
+      heldLeases.get().remove(path)
+      f.delete(lock, false)
+    }
+  }
 }
 
 /** Table + column documentation for persist_docs (macro persist_docs /

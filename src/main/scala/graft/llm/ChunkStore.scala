@@ -111,30 +111,82 @@ object ChunkStore {
     }
   }
 
-  /** The seq a run slot's FIRST delivery stamped, if the slot exists
-    * and is readable — a REPLAY must reuse it, not mint a fresh one:
-    * a fresh (higher) seq would outrank any tombstone that landed
-    * between the first delivery and the replay, silently RESURRECTING
-    * deleted documents (the at-least-once × out-of-band-delete corner;
-    * with the original seq the replay is byte-identical to the first
-    * delivery and the tombstone keeps winning). A partial/unreadable
-    * slot (crash mid-first-write) reports None and the replay mints
-    * normally — the slot is overwritten whole either way. */
+  /** Per-slot seq SIDECAR (`manifest/_slot_seq_<id>.json`): the seq a
+    * run slot's first delivery stamped, recorded durably BEFORE the
+    * slot's own mode(overwrite) lands. Reading the seq back out of the
+    * slot's parquet rows is not crash-safe: a replay's overwrite
+    * deletes the slot dir before its new rows commit, so a crash in
+    * that window destroys the only copy of the original seq, the next
+    * replay mints a fresh (higher) one, and a tombstone written
+    * between the first delivery and the replay gets outranked —
+    * exactly the resurrection this seq-reuse exists to prevent
+    * (round-14 ADVICE). The sidecar lives at the manifest ROOT (a slot
+    * overwrite must not clear it) with the `_` prefix (invisible to
+    * parquet discovery); compact drops folded slots' sidecars with the
+    * old manifest tree and carries partial slots' verbatim. */
+  private def slotSeqPath(path: String, id: String) =
+    new org.apache.hadoop.fs.Path(s"$path/manifest/_slot_seq_$id.json")
+
+  private def writeSlotSeq(spark: SparkSession, path: String, id: String,
+                           seq: Long): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val live = slotSeqPath(path, id)
+    val tmp = new org.apache.hadoop.fs.Path(live.toString + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"seq":$seq}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(live.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readSlotSeq(spark: SparkSession, path: String,
+                          id: String): Option[Long] = {
+    val (fs, _) = fsOf(spark, path)
+    val live = slotSeqPath(path, id)
+    if (!fs.exists(live)) None
+    else {
+      val in = fs.open(live)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      """"seq"\s*:\s*(-?\d+)""".r.unanchored.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  /** The seq a run slot's FIRST delivery stamped — a REPLAY must reuse
+    * it, not mint a fresh one: a fresh (higher) seq would outrank any
+    * tombstone that landed between the first delivery and the replay,
+    * silently RESURRECTING deleted documents (the at-least-once ×
+    * out-of-band-delete corner; with the original seq the replay is
+    * byte-identical to the first delivery and the tombstone keeps
+    * winning). The durable [[slotSeqPath]] sidecar is authoritative —
+    * it survives a crash DURING a replay's own overwrite (slot dir
+    * deleted, rows not yet landed), the one window where reading the
+    * slot back cannot. The parquet fallback covers pre-sidecar legacy
+    * slots; a slot with neither (crash mid-FIRST-write, before the
+    * sidecar) reports None and the replay mints normally — nothing
+    * could have observed the torn first attempt's seq. */
   private def existingSlotSeq(spark: SparkSession, path: String,
                               id: String): Option[Long] = {
-    val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
-    if (!fs.exists(p)) None
-    else try {
-      Some(spark.read.parquet(p.toString).select("seq").head().getLong(0))
-    } catch {
-      // ONLY the expected shapes of a torn first write degrade to
-      // minting fresh (the slot is overwritten whole either way): an
-      // unreadable/schemaless parquet dir or zero rows. A transient
-      // IO/FS error must PROPAGATE — swallowing it would mint a fresh
-      // seq and reopen the tombstone-resurrection window this method
-      // exists to close (round-14 review)
-      case _: org.apache.spark.sql.AnalysisException => None
-      case _: NoSuchElementException => None
+    readSlotSeq(spark, path, id).orElse {
+      val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
+      if (!fs.exists(p)) None
+      else try {
+        Some(spark.read.parquet(p.toString).select("seq").head().getLong(0))
+      } catch {
+        // ONLY the expected shapes of a torn first write degrade to
+        // minting fresh (the slot is overwritten whole either way): an
+        // unreadable/schemaless parquet dir or zero rows. A transient
+        // IO/FS error must PROPAGATE — swallowing it would mint a fresh
+        // seq and reopen the tombstone-resurrection window this method
+        // exists to close (round-14 review)
+        case _: org.apache.spark.sql.AnalysisException => None
+        case _: NoSuchElementException => None
+      }
     }
   }
 
@@ -219,6 +271,16 @@ object ChunkStore {
     val minted = nextSeq(spark, path, nBuckets, "append")
     val seq = runId.flatMap(existingSlotSeq(spark, path, _))
       .getOrElse(minted)
+    // record the slot's seq DURABLY before the slot overwrite below: a
+    // crash mid-overwrite deletes the slot dir before new rows land,
+    // and without the sidecar the next replay would mint fresh and
+    // reopen the resurrection window (round-14 ADVICE). Also backfills
+    // the sidecar for a pre-sidecar legacy slot being replayed (seq
+    // recovered from its parquet rows this one time).
+    runId.foreach { id =>
+      if (readSlotSeq(spark, path, id).isEmpty)
+        writeSlotSeq(spark, path, id, seq)
+    }
     val ch = Curation.cdcChunks(batch, textCol, idCol).persist()
     val newChunks = ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
@@ -305,6 +367,69 @@ object ChunkStore {
   private def visibleManifestFrom(spark: SparkSession, path: String,
                                   raw: DataFrame): DataFrame =
     manifestFrom(spark, path, raw, Long.MaxValue)
+
+  /** The manifest table read that EXCLUDES partial slots (no `_SUCCESS`
+    * — a crash mid-append of the batch about to be REPLAYED), plus the
+    * partial slot paths themselves. Every maintenance op that derives
+    * durable state from the manifests (compact's fold, gc's liveness)
+    * must read through this: under latest-run-wins a torn higher-seq
+    * slot SHADOWS a doc's committed version, so folding it would freeze
+    * half-written manifests and gc'ing against it would collect the
+    * committed version's bytes — if the operator then removes the
+    * partial slot instead of replaying it, the doc resolves back to a
+    * version whose chunks are gone (round-14 ADVICE). */
+  private def committedManifestRead(spark: SparkSession, path: String,
+                                    op: String)
+      : (DataFrame, Seq[org.apache.hadoop.fs.Path]) = {
+    import org.apache.hadoop.fs.Path
+    val manRoot = new Path(s"$path/manifest")
+    val fs = manRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (committedSlots, partialSlots) = IvfLayout.replayableSlots(fs, manRoot)
+    val src =
+      if (partialSlots.isEmpty) spark.read.parquet(manRoot.toString)
+      else {
+        val reserved = fs.listStatus(manRoot).toSeq.map(_.getPath)
+          .filter(p => p.getName == s"run=${RunSlots.Base}" ||
+            p.getName == s"run=${RunSlots.Adhoc}")
+        val readable = reserved ++ committedSlots
+        require(readable.nonEmpty,
+          s"ChunkStore.$op: every manifest slot at $manRoot is " +
+            "missing its _SUCCESS marker (crash wreckage, or " +
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — " +
+            "nothing committed to fold or collect from; refusing " +
+            "rather than trusting partial manifests")
+        spark.read.option("basePath", manRoot.toString)
+          .parquet(readable.map(_.toString): _*)
+      }
+    (src, partialSlots)
+  }
+
+  /** Does `dir` hold any real data file (committer markers and other
+    * `_`/`.` names ignored)? A partial slot can be an empty shell. */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val n = it.next().getPath.getName
+      found = !n.startsWith("_") && !n.startsWith(".")
+    }
+    found
+  }
+
+  /** Every chunk_hash a partial (about-to-be-replayed) slot references:
+    * those docs keep resolving from the torn slot until the replay, so
+    * their bytes must be treated as live by compact and gc alike. */
+  private def partialSlotHashes(spark: SparkSession, manRoot: String,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                partialSlots: Seq[org.apache.hadoop.fs.Path])
+      : Option[DataFrame] = {
+    val readable = partialSlots.filter(hasDataFiles(fs, _))
+    if (readable.isEmpty) None
+    else Some(spark.read.option("basePath", manRoot)
+      .parquet(readable.map(_.toString): _*)
+      .select("chunk_hash"))
+  }
 
   /** [[visibleManifest]] generalized to a POINT IN TIME: the manifest as
     * it was visible when `upTo` was the newest issued sequence (manifest
@@ -501,7 +626,14 @@ object ChunkStore {
     * store instead.
     *
     * @return (buckets rewritten, chunk rows collected) */
-  def gc(spark: SparkSession, path: String): (Int, Long) = {
+  def gc(spark: SparkSession, path: String): (Int, Long) =
+    // single-writer ENFORCED via the store-root lease (r14 verdict): a
+    // gc concurrent with an append could collect chunks the append just
+    // de-duplicated against, and two gcs would race the bucket installs
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"chunk store $path")(gcLocked(spark, path))
+
+  private def gcLocked(spark: SparkSession, path: String): (Int, Long) = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
@@ -521,8 +653,21 @@ object ChunkStore {
         "buckets over their cb= dirs (or remove the leftovers) before " +
         "re-running")
 
-    val live = visibleManifest(spark, path).select("chunk_hash").distinct()
-      .persist()
+    // liveness from the COMMITTED slots' visible manifest, unioned with
+    // every hash a partial slot references — the compact discipline
+    // (round-14 ADVICE): a torn higher-seq slot shadows a doc's
+    // committed version under latest-run-wins, so a liveness read over
+    // ALL slots would let gc collect the committed version's exclusive
+    // bytes; if the operator then removes the partial slot instead of
+    // replaying it, the doc resolves back to a version whose bytes are
+    // gone — permanent silent truncation. The partial slot's own hashes
+    // stay live too: its docs keep resolving from it until the replay.
+    val (manSrc, partialSlots) = committedManifestRead(spark, path, "gc")
+    val committedLive = visibleManifestFrom(spark, path, manSrc)
+      .select("chunk_hash")
+    val live = partialSlotHashes(spark, s"$path/manifest", fs, partialSlots)
+      .map(committedLive.unionByName(_)).getOrElse(committedLive)
+      .distinct().persist()
     require(live.limit(1).count() > 0,
       s"ChunkStore.gc: no document survives at $path — collecting would " +
         "leave an empty chunk tree that breaks every later read; delete " +
@@ -583,7 +728,11 @@ object ChunkStore {
     * mid-swap leaves a `manifest__compact_old` / `chunks__compact_old`
     * backup intact — recovery is renaming it back — and a re-run fails
     * loudly while a leftover exists instead of compounding. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"chunk store $path")(compactLocked(spark, path))
+
+  private def compactLocked(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
@@ -616,23 +765,8 @@ object ChunkStore {
     // in the manifest table's fold manifest, which is what makes the
     // mid-stream compact replay-safe (ChunkStore.append no-ops them).
     val manRoot = new Path(s"$path/manifest")
-    val (committedSlots, partialSlots) = IvfLayout.replayableSlots(fs, manRoot)
-    val manSrc =
-      if (partialSlots.isEmpty) spark.read.parquet(manRoot.toString)
-      else {
-        val reserved = fs.listStatus(manRoot).toSeq.map(_.getPath)
-          .filter(p => p.getName == s"run=${RunSlots.Base}" ||
-            p.getName == s"run=${RunSlots.Adhoc}")
-        val readable = reserved ++ committedSlots
-        require(readable.nonEmpty,
-          s"ChunkStore.compact: every manifest slot at $manRoot is " +
-            "missing its _SUCCESS marker (crash wreckage, or " +
-            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false) — " +
-            "nothing committed to fold; refusing rather than freezing " +
-            "partial manifests")
-        spark.read.option("basePath", manRoot.toString)
-          .parquet(readable.map(_.toString): _*)
-      }
+    val (manSrc, partialSlots) = committedManifestRead(spark, path, "compact")
+    val committedSlots = IvfLayout.replayableSlots(fs, manRoot)._1
     // 1. stage the live manifest as a single __base__ run. With NO
     //    partial slot the seq collapses to 0 (every superseded row is
     //    gone and the tombstones clear below — latest-run-wins is the
@@ -651,8 +785,18 @@ object ChunkStore {
         folded0.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
           col("seq"))
     stagedBase.write.parquet(s"$manTmp/run=__base__")
-    partialSlots.foreach(p => org.apache.hadoop.fs.FileUtil.copy(
-      fs, p, fs, new Path(manTmp.toString, p.getName), false, conf))
+    // partial slots ride verbatim, WITH their seq sidecars — the replay
+    // must still recover its first delivery's seq after the install
+    // (folded slots' sidecars die with the old manifest tree: their
+    // replays no-op via the fold manifest and never consult a seq)
+    partialSlots.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, fs, new Path(manTmp.toString, p.getName), false, conf)
+      val sc = slotSeqPath(path, p.getName.stripPrefix("run="))
+      if (fs.exists(sc))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, sc, fs, new Path(manTmp.toString, sc.getName), false, conf)
+    }
     val foldedManifest = RunSlots.foldedRuns(spark, manRoot.toString)
       .fold(committedSlots.map(IvfLayout.slotId).toSet)
     if (!foldedManifest.isEmpty)
@@ -663,25 +807,12 @@ object ChunkStore {
     //    make reconstruct silently serve TRUNCATED text in the window
     //    before the stream restarts (round-14 review) — the inner join
     //    on chunk_hash drops missing chunks without an error
-    def hasDataFiles(dir: Path): Boolean = {
-      val it = fs.listFiles(dir, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
-    val partialReadable = partialSlots.filter(hasDataFiles)
-    val liveHashes = (
-      if (partialReadable.isEmpty)
-        spark.read.parquet(s"$manTmp/run=__base__").select("chunk_hash")
-      else
-        spark.read.parquet(s"$manTmp/run=__base__").select("chunk_hash")
-          .unionByName(spark.read.option("basePath", manRoot.toString)
-            .parquet(partialReadable.map(_.toString): _*)
-            .select("chunk_hash"))
-    ).distinct()
+    val stagedHashes =
+      spark.read.parquet(s"$manTmp/run=__base__").select("chunk_hash")
+    val liveHashes =
+      partialSlotHashes(spark, manRoot.toString, fs, partialSlots)
+        .map(stagedHashes.unionByName(_)).getOrElse(stagedHashes)
+        .distinct()
     spark.read.parquet(s"$path/chunks")
       .join(liveHashes, Seq("chunk_hash"), "left_semi")
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))

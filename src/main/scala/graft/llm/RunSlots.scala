@@ -252,7 +252,14 @@ private[graft] object RunSlots {
     * @return how many ids were actually removed (missing ids no-op —
     *         the call is idempotent) */
   def pruneFoldedNamed(spark: SparkSession, table: String,
-                       ids: Set[String]): Int = {
+                       ids: Set[String]): Int =
+    // same lease key as IvfLayout.compact(table): a prune racing a
+    // compact could lose its rewrite to the compact's staged manifest
+    graft.warehouse.Warehouse.withPathLease(spark, table,
+      what = s"fold manifest $table")(pruneFoldedNamedLocked(spark, table, ids))
+
+  private def pruneFoldedNamedLocked(spark: SparkSession, table: String,
+                                     ids: Set[String]): Int = {
     require(ids.nonEmpty, "RunSlots.pruneFoldedNamed: no ids to prune")
     val numeric = ids.filter(id => FoldManifest.batchNum(id).isDefined)
     require(numeric.isEmpty,
@@ -385,9 +392,13 @@ private[graft] object RunSlots {
   /** Number of run slots beyond `__base__` — ONE `listStatus`, no
     * recursion: the cheap per-batch compaction trigger (use [[stats]]
     * when the decision needs file counts or bytes). Streaming
-    * maintenance loops check this at the top of each micro-batch and
-    * compact once it crosses their threshold — the fold manifest makes
-    * that safe even if an uncommitted batch's slot gets folded. */
+    * maintenance loops check this at the top of each micro-batch;
+    * triggering compact mid-stream is safe because compact EXCLUDES
+    * partial (no `_SUCCESS`) slots from the fold and carries them
+    * verbatim ([[IvfLayout.replayableSlots]]) — folding an uncommitted
+    * batch's slot would record its id and no-op the replay that was
+    * about to rewrite it, which is exactly what the partial-slot
+    * discipline exists to prevent. */
   def slotCount(spark: SparkSession, table: String): Int = {
     val (fs, p) = fsOf(spark, table)
     if (!fs.exists(p)) 0

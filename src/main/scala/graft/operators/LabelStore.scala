@@ -263,19 +263,30 @@ object LabelStore {
     *
     * Crash contract: every dirty bucket of both copies is STAGED under
     * `<copy>/_drop_tmp/` first; installs keep their `_drop_old_*`
-    * backups until EVERY bucket of both copies is in place, then the
+    * backups until EVERY bucket of both copies is in place, then BOTH
     * staging dirs are removed, then the backups. A leftover makes the
-    * next call refuse loudly; while `_drop_tmp` still exists every
-    * backup still exists too, so the remedy is restore-and-re-run —
-    * leftover backups WITHOUT a `_drop_tmp` mean the install finished
-    * and the leftovers can simply be removed. Offline, single-writer:
+    * next call refuse loudly with the phase-accurate remedy: a
+    * `_drop_tmp` that still holds staged bucket children means the
+    * install did not finish (every backup of both copies still exists
+    * — restore them all and re-run), while childless tmps / bare
+    * backups mean every install finished and the leftovers must simply
+    * be removed, never restored. Offline, single-writer:
     * between the first and last bucket install a concurrent byc member
     * lookup could see mixed generations.
     *
     * @return (affected components, buckets rewritten across both copies) */
   def dropNodes(spark: SparkSession, path: String, drop: DataFrame,
                 dropCol: String, pairs: DataFrame, aCol: String,
-                bCol: String, maxIter: Int = 20): (Long, Int) = {
+                bCol: String, maxIter: Int = 20): (Long, Int) =
+    // single-writer ENFORCED at the store root (r14 verdict): a second
+    // drop or a concurrent compact would interleave staged installs
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"label store $path")(
+      dropNodesLocked(spark, path, drop, dropCol, pairs, aCol, bCol, maxIter))
+
+  private def dropNodesLocked(spark: SparkSession, path: String, drop: DataFrame,
+                dropCol: String, pairs: DataFrame, aCol: String,
+                bCol: String, maxIter: Int): (Long, Int) = {
     import org.apache.hadoop.fs.Path
     val nBuckets = readMeta(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -289,16 +300,47 @@ object LabelStore {
         "replayed batch would re-land dropped rows. Compact first " +
         "(folds slots into run=__base__; the fold manifest keeps " +
         "replays no-ops), then re-run the drop")
-    Seq(s"$path/byn", s"$path/byc").foreach { dir =>
-      val leftovers = fs.listStatus(new Path(dir)).toSeq
-        .map(_.getPath.getName)
-        .filter(n => n == "_drop_tmp" || n.startsWith("_drop_old_"))
+    // Leftover wreckage is judged across BOTH copies at once — a per-dir
+    // remedy can diverge mid-cleanup (round-14 ADVICE: byn cleaned while
+    // byc still held tmp+backups, and a per-dir "restore byc" remedy
+    // reverted only one copy; the re-run then read affected labels from
+    // the already-dropped byn and silently left byc pre-drop forever).
+    // The decisive signal is whether any _drop_tmp still holds STAGED
+    // BUCKET children: install renames them out one by one, so children
+    // present = install incomplete (every backup of both copies still
+    // exists — restore them all and re-run), childless tmps = every
+    // install finished (the crash hit the cleanup phase — remove the
+    // leftovers, NEVER restore: a restore would resurrect dropped rows
+    // in one copy only).
+    locally {
+      val leftovers = Seq("byn" -> "nb", "byc" -> "cb").flatMap {
+        case (copy, pc) =>
+          fs.listStatus(new Path(s"$path/$copy")).toSeq
+            .filter { s =>
+              val n = s.getPath.getName
+              n == "_drop_tmp" || n.startsWith("_drop_old_")
+            }
+            .map(s => (copy, pc, s.getPath))
+      }
+      val installIncomplete = leftovers.exists { case (_, pc, p) =>
+        p.getName == "_drop_tmp" && fs.listStatus(p).exists(c =>
+          c.isDirectory && c.getPath.getName.startsWith(pc + "="))
+      }
+      val names = leftovers.map { case (c, _, p) => s"$c/${p.getName}" }
       require(leftovers.isEmpty,
-        s"LabelStore.dropNodes: leftover ${leftovers.sorted.mkString(", ")} " +
-          s"under $dir from an interrupted drop — if _drop_tmp exists, " +
-          "restore every _drop_old_* bucket over its live dir and " +
-          "re-run; without a _drop_tmp the install finished and the " +
-          "leftovers can be removed")
+        s"LabelStore.dropNodes: leftover ${names.sorted.mkString(", ")} " +
+          s"under $path from an interrupted drop — " + (
+          if (installIncomplete)
+            "a _drop_tmp still holds staged buckets, so the install did " +
+              "not finish and every _drop_old_* backup of BOTH copies " +
+              "still exists: restore each backup over its live bucket " +
+              "dir (in both copies), remove the _drop_tmp dirs, and " +
+              "re-run the drop"
+          else
+            "no _drop_tmp holds staged buckets, so every install " +
+              "finished and the crash hit the cleanup phase: remove the " +
+              "leftover dirs and do NOT restore any backup — restoring " +
+              "would resurrect dropped rows in one copy only"))
     }
 
     val dropB = drop.select(col(dropCol).cast("long").as("node"))
@@ -398,8 +440,19 @@ object LabelStore {
     }
     install(s"$path/byn", bynDirty)
     install(s"$path/byc", bycDirty)
+    // Cleanup in two passes ACROSS copies: both _drop_tmp dirs first
+    // (each now childless — install renamed every staged bucket out),
+    // then the backups. A crash anywhere in here leaves either "some
+    // tmp still present" or "backups only" — in both states the
+    // leftover check above reads it as install-complete (no tmp holds
+    // staged buckets) and prescribes removal. The round-14 order
+    // (finish byn's cleanup before touching byc's) had a window where
+    // byn looked pristine while byc still held tmp+backups, and the
+    // restore remedy then reverted one copy only.
     Seq(s"$path/byn", s"$path/byc").foreach { dir =>
       fs.delete(new Path(s"$dir/_drop_tmp"), true)
+    }
+    Seq(s"$path/byn", s"$path/byc").foreach { dir =>
       fs.listStatus(new Path(dir)).toSeq
         .filter(_.getPath.getName.startsWith("_drop_old_"))
         .foreach(s => fs.delete(s.getPath, true))
@@ -410,7 +463,14 @@ object LabelStore {
   /** Fold every slot (base + deltas) back into one resolved
     * `run=__base__` generation per copy — min label per node, stale
     * rows dropped, one file per bucket. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    // store-root lease so compact and dropNodes exclude EACH OTHER (the
+    // per-copy IvfLayout leases below use different keys); reentrant,
+    // so the nested acquisitions compose
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"label store $path")(compactLocked(spark, path))
+
+  private def compactLocked(spark: SparkSession, path: String): Unit = {
     val nBuckets = readMeta(spark, path)
     val resolved = (df: DataFrame) => df
       .groupBy("node").agg(min(col("label")).as("label"))

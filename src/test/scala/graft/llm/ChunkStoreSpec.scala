@@ -513,4 +513,90 @@ class ChunkStoreSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("no document survives"), e3.getMessage)
   }
+
+  test("gc liveness ignores a torn higher-seq slot: the committed version's bytes survive") {
+    import spark.implicits._
+    // the round-14 ADVICE corner: a crash mid-append leaves a partial
+    // (no _SUCCESS) slot whose higher seq SHADOWS a doc's committed
+    // version under latest-run-wins. gc must compute liveness the way
+    // compact folds — committed slots only, plus every hash the partial
+    // slot references — or it collects the committed version's
+    // exclusive bytes; if the operator then removes the torn slot
+    // instead of replaying it, the doc resolves back to a version whose
+    // chunks are gone: permanent silent truncation.
+    val root = freshRoot()
+    val committedText = "the committed version of the document with its " +
+      "own long run of words that chunk into exclusive pieces right here"
+    ChunkStore.write(Seq(
+        (1L, committedText),
+        (9L, "garbage document giving the collector real work to do " +
+          "with uniquely owned chunk bytes of its very own"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    // a re-ingest of doc 1 crashes mid-append: slot lands, marker doesn't
+    ChunkStore.appendBatch(Seq(
+        (1L, "a torn newer version with completely different words " +
+          "sharing nothing with the committed document at all"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4,
+      batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/run=b0/_SUCCESS"), false)
+    // real garbage exists (doc 9), so gc has work — but neither version
+    // of doc 1 may lose bytes
+    ChunkStore.deleteDocs(Seq(Tuple1(9L)).toDF("doc_id"), "doc_id", root)
+    val (_, collected) = ChunkStore.gc(spark, root)
+    assert(collected > 0L, "doc 9's exclusive chunks must be collected")
+    // operator takes the documented requireNoPartialSlots remedy:
+    // removes the torn slot instead of replaying it — the doc must
+    // resolve back to its committed version BYTE-EXACTLY
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifest/run=b0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/_slot_seq_b0.json"), false)
+    val back = ChunkStore.reconstruct(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === Map(1L -> committedText),
+      "committed version truncated: gc collected bytes a torn slot shadowed")
+  }
+
+  test("a torn REPLAY overwrite cannot mint a fresh seq: the sidecar recovers the original") {
+    import spark.implicits._
+    // existingSlotSeq used to read the seq back out of the slot's own
+    // parquet rows — but a replay's mode(overwrite) deletes the slot
+    // dir before new rows land, so a crash in that window destroyed the
+    // only copy of the first delivery's seq; the NEXT replay then
+    // minted a fresh higher seq and outranked a tombstone written in
+    // between (round-14 ADVICE). The durable _slot_seq sidecar closes
+    // that window.
+    val root = freshRoot()
+    ChunkStore.write(Seq((1L, "a surviving document with enough words " +
+      "to chunk into some pieces of content here"))
+      .toDF("doc_id", "text"), "text", "doc_id", root, nBuckets = 4)
+    val b0 = Seq((2L, "the streamed document that is deleted while the " +
+      "stream is down and must stay deleted across every replay"))
+      .toDF("doc_id", "text")
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    ChunkStore.deleteDocs(Seq(Tuple1(2L)).toDF("doc_id"), "doc_id", root)
+    // a replay starts and crashes INSIDE its own overwrite: the slot
+    // dir is already gone, no new rows landed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifest/run=b0"), true)
+    // the next replay must recover the ORIGINAL seq from the sidecar —
+    // a fresh mint would outrank the tombstone and resurrect doc 2
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "replay after a torn overwrite must not outrank the tombstone")
+    // and the sidecar survives a partial-slot compact (carried verbatim
+    // with its slot): tear the marker, compact, replay — still deleted
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/run=b0/_SUCCESS"), false)
+    ChunkStore.compact(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifest/run=b0"), true)
+    ChunkStore.appendBatch(b0, "text", "doc_id", root, 4, batchId = 0L)
+    assert(ChunkStore.reconstruct(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "sidecar must ride the compact with its partial slot")
+  }
 }

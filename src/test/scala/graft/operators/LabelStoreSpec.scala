@@ -240,4 +240,44 @@ class LabelStoreSpec extends SparkSpec {
     assert(readSorted(path) === Seq(3L -> 3L, 4L -> 3L),
       "1 vanishes (no surviving pair), 3-4 re-closes under min 3")
   }
+
+  test("dropNodes leftover remedy is phase-accurate ACROSS copies") {
+    // the round-14 ADVICE corner: cleanup used to finish byn's tmp AND
+    // backups before touching byc's, so a crash in that window left byc
+    // with tmp+backups while byn looked pristine — and the per-dir
+    // "restore byc" remedy reverted ONE copy only; the re-run then read
+    // affected labels from the already-dropped byn, returned (0,0), and
+    // left the dropped nodes live in byc forever. The check must judge
+    // the phase across BOTH copies: a tmp with staged bucket children
+    // means install-incomplete (restore both copies), childless tmps or
+    // bare backups mean cleanup-phase (remove, never restore).
+    val path = Files.createTempDirectory("graft_ls_remedy_").toString
+    LabelStore.write(ConnectedComponents.run(
+      pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b"),
+      path, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def drop() = LabelStore.dropNodes(spark, path, Seq(2L).toDF("n"), "n",
+      pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L), "id_a", "id_b")
+    // cleanup-phase crash: byn fully cleaned, byc still holds a
+    // CHILDLESS tmp and a backup — remedy must say remove, never restore
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_old_cb=1"))
+    val e1 = intercept[IllegalArgumentException] { drop() }
+    assert(e1.getMessage.contains("every install finished"), e1.getMessage)
+    assert(e1.getMessage.contains("do NOT restore"), e1.getMessage)
+    // install-phase crash: a tmp still holds a STAGED bucket child —
+    // remedy must say restore the backups of BOTH copies
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_tmp/cb=0"))
+    val e2 = intercept[IllegalArgumentException] { drop() }
+    assert(e2.getMessage.contains("did not finish"), e2.getMessage)
+    assert(e2.getMessage.contains("BOTH copies"), e2.getMessage)
+    // remedy for the cleanup-phase state: remove leftovers, re-run
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_old_cb=1"), true)
+    val (n, _) = drop()
+    assert(n === 1L)
+    assert(readSorted(path) === Seq(3L -> 3L, 4L -> 3L),
+      "1 vanishes (no surviving pair), 3-4 re-closes under min 3")
+  }
 }

@@ -1,0 +1,307 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 wave: the takedown story's last stores (EdgeStore node
+  * erasure, TopK/Sample key erasure) and the `forgetDocs` orchestrator
+  * that sequences every per-store erasure op behind one audited entry
+  * point. */
+object QueriesR15 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- link-graph node erasure -------------------------------------------
+    // Seed + a stream batch (overlapping (src,dst) keys so additive
+    // weights are exercised), folded by compact — dropNodes refuses
+    // live slots. Every doc_id % 7 == 3 node is erased: edges that
+    // mention it as src OR dst vanish (dst lives in a FOREIGN bucket —
+    // the census must find it without src-side pruning), survivors
+    // keep their summed weights bit-exactly. The replay of the folded
+    // batch AFTER the drop must stay a write-level no-op (the fold
+    // manifest is what makes erasure durable under at-least-once
+    // delivery) — if it re-landed, every dropped edge would resurrect
+    // and overlapping weights would double. EdgeStoreSpec pins the
+    // crash/remedy and clean-bucket-untouched parts.
+    QueryDef("edgestore_drop",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.EdgeStore
+        val docs = Tables.read(s, dir, "documents").select("doc_id")
+        val seed = docs.filter(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"),
+            lit(1L).as("w"))
+        val backfill = docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"),
+            lit(2L).as("w"))
+          .unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"),
+              lit(3L).as("w")))
+        val p = Files.createTempDirectory("graft_edrop_gate_").toString
+        EdgeStore.write(seed, "src", "dst", Some("w"), p, nBuckets = 16)
+        EdgeStore.appendBatch(backfill, "src", "dst", Some("w"), p, 16,
+          batchId = 0L)
+        EdgeStore.compact(s, p)
+        val (buckets, removed) = EdgeStore.dropNodes(s, p,
+          docs.filter(col("doc_id") % 7 === 3), "doc_id")
+        require(buckets > 0 && removed > 0L,
+          s"the drop must remove edges, got ($buckets, $removed)")
+        // at-least-once: the folded batch replays after the drop — must
+        // no-op (fold manifest), or dropped edges resurrect and the
+        // overlap double-counts
+        EdgeStore.appendBatch(backfill, "src", "dst", Some("w"), p, 16,
+          batchId = 0L)
+        EdgeStore.read(s, p).orderBy("src", "dst")
+      },
+      Some("""
+        WITH ed AS (
+          SELECT doc_id AS src, doc_id + 1 AS dst, CAST(1 AS BIGINT) AS w
+          FROM documents WHERE doc_id % 10 <> 9
+          UNION ALL
+          SELECT doc_id, doc_id + 1, CAST(2 AS BIGINT)
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 2, CAST(3 AS BIGINT)
+          FROM documents WHERE doc_id % 5 = 0),
+        drops AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)
+        SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+        FROM ed
+        WHERE src NOT IN (SELECT doc_id FROM drops)
+          AND dst NOT IN (SELECT doc_id FROM drops)
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ---- heavy-hitter key erasure ------------------------------------------
+    // Three instances per part (the topk_prune fixture), then the two
+    // dominant langs are ERASED. Touched parts re-merge via the MG
+    // math with the dropped values excluded from candidacy while every
+    // source instance's cut still counts into C; untouched parts (if a
+    // part never saw the dropped langs) keep their multi-instance rows
+    // verbatim. The oracle replays BOTH branches — per-part touched
+    // classification, the drop-excluding merge, the verbatim path —
+    // and then the serve algebra over the union, so the post-drop
+    // (lb, ub, exact) triple is pinned bit-for-bit.
+    QueryDef("topk_dropkeys",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.TopKStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_topkdk_gate_").toString
+        TopKStore.write(docs.filter(col("doc_id") % 3 === 0),
+          Seq.empty, "lang", "source", p, m = 3)
+        TopKStore.appendBatch(docs.filter(col("doc_id") % 3 === 1),
+          Seq.empty, "lang", "source", p, batchId = 0L)
+        TopKStore.appendBatch(docs.filter(col("doc_id") % 3 === 2),
+          Seq.empty, "lang", "source", p, batchId = 1L)
+        TopKStore.dropKeys(s, p,
+          docs.select("lang").distinct()
+            .filter(col("lang").isin("en", "zh")), "lang")
+        val served = TopKStore.topK(s, p, Seq.empty, k = 8)
+        require(served.filter(col("value").isin("en", "zh")).isEmpty,
+          "dropped values must never be served again")
+        served.orderBy(col("lb").desc, col("value").asc)
+      },
+      Some("""
+        WITH raw AS (
+          SELECT source AS part, CAST(doc_id % 3 AS VARCHAR) AS inst,
+                 lang AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY part, inst
+            ORDER BY cnt DESC, value ASC) AS rn FROM raw),
+        cuts AS (
+          SELECT part, inst,
+                 CAST(MAX(CASE WHEN rn = 4 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS cut
+          FROM ranked GROUP BY 1, 2),
+        kept AS (
+          SELECT r.part, r.inst, r.value, r.cnt, c.cut
+          FROM ranked r JOIN cuts c USING (part, inst) WHERE r.rn <= 3),
+        touched AS (
+          SELECT DISTINCT part FROM kept WHERE value IN ('en', 'zh')),
+        ukept AS (
+          SELECT part, inst, value, cnt, cut, CAST(0 AS BIGINT) AS slack
+          FROM kept WHERE part NOT IN (SELECT part FROM touched)),
+        tkept AS (
+          SELECT * FROM kept WHERE part IN (SELECT part FROM touched)),
+        ttot AS (
+          SELECT part, CAST(SUM(cut) AS BIGINT) AS c_total
+          FROM (SELECT DISTINCT part, inst, cut FROM tkept) GROUP BY 1),
+        tmerged AS (
+          SELECT part, value, CAST(SUM(cnt) AS BIGINT) AS cnt,
+                 CAST(SUM(cut) AS BIGINT) AS covered
+          FROM tkept WHERE value NOT IN ('en', 'zh') GROUP BY 1, 2),
+        test AS (
+          SELECT m.part, m.value, m.cnt,
+                 CAST(t.c_total - m.covered AS BIGINT) AS slack
+          FROM tmerged m JOIN ttot t USING (part)),
+        trank AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+            ORDER BY cnt DESC, value ASC) AS rn FROM test),
+        tcut AS (
+          SELECT p.part, CAST(GREATEST(t.c_total, COALESCE(
+                   MAX(CASE WHEN p.rn > 3 THEN p.cnt + p.slack END), 0))
+                 AS BIGINT) AS cut
+          FROM trank p JOIN ttot t USING (part)
+          GROUP BY p.part, t.c_total),
+        tstored AS (
+          SELECT k.part, '(pruned)' AS inst, k.value, k.cnt, c.cut, k.slack
+          FROM trank k JOIN tcut c USING (part) WHERE k.rn <= 3),
+        ghost AS (
+          -- a touched part whose every kept value was dropped carries
+          -- its summed cut in a cnt=0 row (never a candidate)
+          SELECT t.part, '(pruned)' AS inst, '' AS value,
+                 CAST(0 AS BIGINT) AS cnt, t.c_total AS cut,
+                 CAST(0 AS BIGINT) AS slack
+          FROM ttot t
+          WHERE t.part NOT IN (SELECT DISTINCT part FROM tmerged)),
+        stored AS (
+          SELECT * FROM ukept UNION ALL SELECT * FROM tstored
+          UNION ALL SELECT * FROM ghost),
+        itot AS (
+          SELECT CAST(SUM(cut) AS BIGINT) AS total_cut
+          FROM (SELECT DISTINCT part, inst, cut FROM stored)),
+        pv AS (
+          SELECT value, CAST(SUM(cnt) AS BIGINT) AS lb,
+                 CAST(SUM(cut) AS BIGINT) AS covered,
+                 CAST(SUM(slack) AS BIGINT) AS slk
+          FROM stored WHERE cnt > 0 GROUP BY 1)
+        SELECT value, lb,
+               CAST(lb + slk + total_cut - covered AS BIGINT) AS ub,
+               (slk + total_cut - covered) = 0 AS exact
+        FROM pv, itot
+        ORDER BY lb DESC, value ASC LIMIT 8""")),
+
+    // ---- consistent-sample key erasure -------------------------------------
+    // kMax (40) exceeds every instance's key count (~25/part at any
+    // sf), so storage is COMPLETE and the post-drop serve is provably
+    // the exact bottom-k of the surviving raw key set under the fixed
+    // (md5(key), key) order — DuckDB replays it bit-for-bit.
+    // SampleStoreSpec pins the DEGRADED corner (kMax < instance keys:
+    // a survivor beyond the stored depth is honestly absent, never a
+    // biased substitute).
+    QueryDef("sample_dropkeys",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.operators.SampleStore
+        val docs = Tables.read(s, dir, "documents")
+        val p = Files.createTempDirectory("graft_smpdk_gate_").toString
+        SampleStore.write(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) < 10")),
+          Seq.empty, "doc_id", "source", p, kMax = 40)
+        SampleStore.appendBatch(
+          docs.filter(expr("CAST(substr(source, 4) AS INT) >= 10")),
+          Seq.empty, "doc_id", "source", p, batchId = 0L)
+        SampleStore.dropKeys(s, p,
+          docs.filter(col("doc_id") % 6 === 1).select("doc_id"), "doc_id")
+        val got = SampleStore.sample(s, p, Seq.empty, k = 20)
+        require(got.filter(
+            col("key").cast("long") % 6 === 1).isEmpty,
+          "dropped keys must never be sampled again")
+        got.orderBy(col("hkey").asc, col("key").asc)
+      },
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               md5(CAST(doc_id AS VARCHAR)) AS hkey
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 6 <> 1)
+        ORDER BY hkey ASC, key ASC LIMIT 20""")),
+
+    // ---- one-call takedown across the store family -------------------------
+    // The full corpus lands in SIX stores (content chunks, MinHash
+    // candidate index, link graph, component labels, top-k summaries,
+    // consistent samples); `forgetDocs` erases every doc_id % 9 == 4
+    // in one call. The gate then SERVES every store and returns one
+    // row per store: how many live items it offers and how many
+    // DROPPED ids still surface anywhere — served results for chunk/
+    // edge/label/topk/sample (counts the oracle derives from raw SQL),
+    // plus a PHYSICAL scan of the MinHash postings (served candidates
+    // are built from them). Every n_dropped must be 0: a takedown that
+    // leaves one store serving is the failure mode this operator
+    // exists to kill.
+    QueryDef("forget_docs",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.{ChunkStore, Forget, MinHashIndex}
+        import graft.operators.{ConnectedComponents, EdgeStore, LabelStore,
+          SampleStore, TopKStore}
+        import s.implicits._
+        val docs = Tables.read(s, dir, "documents")
+        val ids = docs.select("doc_id")
+        val pairs = ids.as("a").join(ids.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 &&
+              col("a.doc_id") % 10 =!= 9)
+          .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        val base = Files.createTempDirectory("graft_forget_gate_").toString
+        val (chP, mhP, edP, lbP, tkP, smP) = (s"$base/chunk", s"$base/mh",
+          s"$base/edge", s"$base/label", s"$base/topk", s"$base/sample")
+        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
+          chP, nBuckets = 16)
+        MinHashIndex.write(docs.select("doc_id", "text"), "text", "doc_id",
+          mhP, nBuckets = 16)
+        EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
+          edP, nBuckets = 8)
+        LabelStore.write(ConnectedComponents.run(pairs, "u", "v"), lbP,
+          nBuckets = 8)
+        TopKStore.write(docs, Seq.empty, "doc_id", "source", tkP, m = 50)
+        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+          kMax = 40)
+        val dropped = ids.filter(col("doc_id") % 9 === 4)
+        Forget.forgetDocs(s, dropped, "doc_id", Forget.Stores(
+          chunk = Some(chP), minhash = Some(mhP), edge = Some(edP),
+          label = Some(Forget.LabelTarget(lbP, pairs, "u", "v")),
+          topk = Some(tkP), sample = Some(smP)))
+        // serve every store; count what is live and what leaked
+        val isDropped = (c: org.apache.spark.sql.Column) => c % 9 === 4
+        val chunks = ChunkStore.reconstruct(s, chP).select("doc_id")
+        val edges = EdgeStore.read(s, edP)
+        val labels = LabelStore.read(s, lbP)
+        val topk = TopKStore.topK(s, tkP, Seq.empty, k = 1000000)
+        val sample = SampleStore.sample(s, smP, Seq.empty, k = 40)
+        val mhRows = s.read.parquet(s"$mhP/sets").select(col("id"))
+          .unionByName(s.read.parquet(s"$mhP/bands").select(col("id")))
+        Seq(
+          ("chunk", chunks.count(),
+            chunks.filter(isDropped(col("doc_id"))).count()),
+          ("edge", edges.count(),
+            edges.filter(isDropped(col("src")) || isDropped(col("dst")))
+              .count()),
+          ("label", labels.count(),
+            labels.filter(isDropped(col("node")) || isDropped(col("label")))
+              .count()),
+          ("minhash", -1L,
+            mhRows.filter(isDropped(col("id"))).count()),
+          ("sample", sample.count(),
+            sample.filter(isDropped(col("key").cast("long"))).count()),
+          ("topk", topk.count(),
+            topk.filter(isDropped(col("value").cast("long"))).count()))
+          .toDF("store", "n_live", "n_dropped")
+          .orderBy("store")
+      },
+      Some("""
+        WITH surv AS (SELECT doc_id FROM documents WHERE doc_id % 9 <> 4),
+        pr AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 10 <> 9),
+        sp AS (SELECT u, v FROM pr WHERE u % 9 <> 4 AND v % 9 <> 4)
+        SELECT * FROM (VALUES
+          ('chunk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv s
+            JOIN documents d USING (doc_id) WHERE len(d.text) > 0),
+           CAST(0 AS BIGINT)),
+          ('edge', (SELECT CAST(COUNT(*) AS BIGINT) FROM sp),
+           CAST(0 AS BIGINT)),
+          ('label',
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT u FROM sp UNION SELECT v FROM sp)),
+           CAST(0 AS BIGINT)),
+          ('minhash', CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+          ('sample',
+           (SELECT LEAST(CAST(40 AS BIGINT), CAST(COUNT(*) AS BIGINT))
+            FROM surv),
+           CAST(0 AS BIGINT)),
+          ('topk', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
+           CAST(0 AS BIGINT))
+        ) AS t(store, n_live, n_dropped)
+        ORDER BY store"""))
+  )
+}

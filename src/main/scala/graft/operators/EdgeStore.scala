@@ -85,6 +85,154 @@ object EdgeStore {
 
   /** Fold all slots into one pre-aggregated `run=__base__` generation. */
   def compact(spark: SparkSession, path: String): Unit =
-    graft.llm.IvfLayout.compact(spark, s"$path/edges", "eb",
-      transform = df => df.groupBy("src", "dst", "eb").agg(sum("w").as("w")))
+    // store-root lease so compact and dropNodes exclude EACH OTHER (the
+    // inner IvfLayout lease keys on $path/edges); reentrant, composes
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"edge store $path")(
+      graft.llm.IvfLayout.compact(spark, s"$path/edges", "eb",
+        transform = df => df.groupBy("src", "dst", "eb").agg(sum("w").as("w"))))
+
+  /** Node erasure for the link graph (r14 verdict "What's missing #1"
+    * — the one store a takedown could not yet reach): remove every
+    * edge that MENTIONS a dropped node, as src or dst, so the dropped
+    * id stops flowing into every later [[PageRank.rankWarm]] /
+    * link-graph serve. After the drop the store is indistinguishable
+    * from one built on an edge stream that never contained the nodes:
+    * surviving (src, dst) rows keep their summed weights bit-exactly.
+    *
+    * Scale posture: the bucket census is a THREE-COLUMN scan
+    * (eb, src, dst — never a full-row read; the store is already an
+    * aggregated summary, ~|distinct edges| rows). Bucketing is by src
+    * only, so src-side hits could be pruned by pmod — but a dropped
+    * node's IN-edges (it as dst) can live in ANY bucket, making the
+    * dst-side census an unavoidable scan; the rewrite, the expensive
+    * part, then touches only the DIRTY buckets. Requires a compacted
+    * store (refuses live batch slots — a replay would re-land dropped
+    * edges, the [[LabelStore.dropNodes]] / [[StoreRetention]] hazard);
+    * the fold manifest is untouched, so a folded batch's replay stays
+    * a no-op after the drop.
+    *
+    * Crash contract (the [[graft.llm.ChunkStore.gc]] discipline, one
+    * tree): dirty buckets' surviving rows are STAGED under
+    * `edges/_drop_tmp/eb=<b>`, installed per bucket by backup-rename
+    * (`edges/_drop_old_eb=<b>`), then cleanup drops the tmp dir first
+    * and the backups second. Leftovers refuse with the phase-accurate
+    * remedy: a tmp still holding staged buckets means the install did
+    * not finish (restore every backup, re-run); a childless tmp / bare
+    * backups mean it did (remove the leftovers, never restore).
+    * Refuses when NO edge survives — installing an empty tree would
+    * break every later read; delete the store instead.
+    *
+    * @return (buckets rewritten, edge rows removed) */
+  def dropNodes(spark: SparkSession, path: String, drop: DataFrame,
+                dropCol: String): (Int, Long) =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"edge store $path")(
+      dropNodesLocked(spark, path, drop, dropCol))
+
+  private def dropNodesLocked(spark: SparkSession, path: String,
+                              drop: DataFrame, dropCol: String): (Int, Long) = {
+    import org.apache.hadoop.fs.Path
+    val tree = s"$path/edges"
+    val root = new Path(tree)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.warehouse.Warehouse.requireAtomicRename(
+      Option(fs.getScheme).getOrElse(""),
+      spark.conf.getOption("spark.graft.warehouse.allowNonAtomicRename")
+        .exists(_.equalsIgnoreCase("true")))
+    require(fs.exists(root), s"EdgeStore.dropNodes: no edges at $path")
+    require(RunSlots.slotCount(spark, tree) == 0,
+      s"EdgeStore.dropNodes: store at $path has live batch slots — a " +
+        "replayed batch would re-land dropped edges. Compact first " +
+        "(folds slots into run=__base__; the fold manifest keeps " +
+        "replays no-ops), then re-run the drop")
+    val leftovers = fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n == "_drop_tmp" || n.startsWith("_drop_old_")
+      }
+    val installIncomplete = leftovers.exists(s =>
+      s.getPath.getName == "_drop_tmp" && fs.listStatus(s.getPath).exists(c =>
+        c.isDirectory && c.getPath.getName.startsWith("eb=")))
+    require(leftovers.isEmpty,
+      s"EdgeStore.dropNodes: leftover " +
+        s"${leftovers.map(_.getPath.getName).sorted.mkString(", ")} under " +
+        s"$tree from an interrupted drop — " + (
+        if (installIncomplete)
+          "_drop_tmp still holds staged buckets, so the install did not " +
+            "finish and every _drop_old_* backup still exists: restore " +
+            "each backup over its live bucket dir, remove _drop_tmp, and " +
+            "re-run the drop"
+        else
+          "no staged bucket remains, so every install finished and the " +
+            "crash hit the cleanup phase: remove the leftover dirs and " +
+            "do NOT restore any backup — restoring would resurrect " +
+            "dropped edges"))
+
+    val dropB = broadcast(drop.select(col(dropCol).cast("long").as("node"))
+      .distinct())
+    // bucket census: (eb, src, dst) only — the store is compacted, so
+    // rows are unique per (src, dst) and the per-bucket hit count IS
+    // the physical rows to remove
+    val e = spark.read.parquet(tree).select(col("eb"), col("src"), col("dst"))
+    val touching = e
+      .join(dropB.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .unionByName(e
+        .join(dropB.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select("eb", "src", "dst"))
+      .distinct() // an edge hit on BOTH ends counts once
+    val dirty = touching.groupBy("eb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))) // <= nBuckets rows
+    if (dirty.isEmpty) return (0, 0L)
+    val removed = dirty.map(_._2).sum
+
+    // refuse a full wipe BEFORE staging: an installed empty base breaks
+    // every later read — a takedown of the whole graph is a delete
+    val survivesAny = e
+      .join(dropB.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+      .join(dropB.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+      .limit(1).count() > 0
+    require(survivesAny,
+      s"EdgeStore.dropNodes: no edge survives at $path — installing an " +
+        "empty store would break every later read; delete the store " +
+        "instead")
+
+    // stage the dirty buckets' SURVIVING rows (explicit bucket paths —
+    // clean buckets are never read or written)
+    val base = new Path(tree, s"run=${RunSlots.Base}")
+    val dirtyNames = dirty.map { case (b, _) => s"eb=$b" }.toSet
+    val dirtyPaths = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && dirtyNames(s.getPath.getName))
+      .map(_.getPath)
+    require(dirtyPaths.size == dirtyNames.size,
+      s"EdgeStore.dropNodes: census named ${dirtyNames.size} dirty " +
+        s"buckets but only ${dirtyPaths.size} exist on disk (concurrent " +
+        "writer?)")
+    val tmp = new Path(tree, "_drop_tmp")
+    fs.delete(tmp, true)
+    spark.read.option("basePath", base.toString)
+      .parquet(dirtyPaths.map(_.toString): _*)
+      .join(dropB.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+      .join(dropB.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+      .repartition(col("eb"))
+      .write.partitionBy("eb").parquet(tmp.toString)
+
+    // install per bucket: backup-rename, move staged (or plain delete
+    // when the whole bucket was garbage), keep backups until cleanup
+    dirtyNames.toSeq.sorted.foreach { name =>
+      val live = new Path(base, name)
+      val staged = new Path(tmp, name)
+      val backup = new Path(tree, s"_drop_old_$name")
+      require(fs.rename(live, backup),
+        s"EdgeStore.dropNodes: backup rename of $live failed")
+      if (fs.exists(staged))
+        require(fs.rename(staged, live),
+          s"EdgeStore.dropNodes: install rename to $live failed")
+    }
+    fs.delete(tmp, true)
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("_drop_old_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    (dirtyNames.size, removed)
+  }
 }

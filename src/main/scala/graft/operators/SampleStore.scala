@@ -194,6 +194,46 @@ object SampleStore {
       })
   }
 
+  /** Key erasure (r14 verdict "What's missing #3"): the reservoir rows
+    * ARE key material — a doc id erased from every content store
+    * survives verbatim in sample summaries until this runs. Rewrites
+    * the store (staged swap, [[graft.llm.IvfLayout.compact]]'s crash
+    * contract) with the dropped keys' rows removed and each
+    * (part, groups) re-summarized to its surviving bottom-kMax.
+    *
+    * DEGRADED-SAMPLE semantics, documented as the contract: a key that
+    * ranked beyond kMax within its instance was never stored and
+    * cannot be promoted now that dropped keys vacated earlier ranks —
+    * so after a drop, [[sample]] serves the exact bottom-k of the
+    * surviving STORED key set, which may be a strict subset of what a
+    * from-scratch build on the surviving raw data would offer near the
+    * rank boundary (and a window serve may return fewer than k keys
+    * even when the raw window still has k survivors). The sample stays
+    * VALID — the hash order is fixed, so surviving served keys are
+    * exactly the raw bottom-k wherever instances were stored complete
+    * (kMax ≥ instance keys), and never biased otherwise, just
+    * shallower. Rebuild the store from raw data where full depth after
+    * heavy erasure matters. Runs under the store-root lease. */
+  def dropKeys(spark: SparkSession, path: String, drop: DataFrame,
+               dropCol: String): Unit =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"sample store $path") {
+      val kMax = readMeta(spark, path)
+      val dropKeysDf = drop.select(col(dropCol).cast("string").as("key"))
+        .distinct()
+      graft.llm.IvfLayout.compact(spark, s"$path/sample", "part",
+        transform = df => {
+          val gks = df.columns.filterNot(Set("key", "hkey", "run")).map(col)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(gks: _*)
+            .orderBy(col("hkey").asc, col("key").asc)
+          df.drop("run").distinct()
+            .join(broadcast(dropKeysDf), Seq("key"), "left_anti")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= kMax).drop("rn")
+        })
+    }
+
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/sample")
 }

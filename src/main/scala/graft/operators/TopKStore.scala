@@ -213,7 +213,12 @@ object TopKStore {
     val totalCuts = (if (groupCols.isEmpty)
         instCuts.agg(sum(col("cut")).as("total_cut"))
       else instCuts.groupBy(gks: _*).agg(sum(col("cut")).as("total_cut")))
-    val perValue = pruned.groupBy(gks :+ col("value"): _*)
+    // cnt = 0 rows are [[dropKeys]]' ghost cut-carriers: their
+    // (part, inst, cut) counts into total_cut above, but a value no
+    // instance ever kept is not a candidate (a genuine summary row
+    // always has cnt >= 1, so the filter touches nothing else)
+    val perValue = pruned.filter(col("cnt") > 0L)
+      .groupBy(gks :+ col("value"): _*)
       .agg(sum(col("cnt")).as("lb"), sum(col("cut")).as("covered_cut"),
         sum(slackCol).as("slk"))
     val joined = if (groupCols.isEmpty) perValue.crossJoin(totalCuts)
@@ -272,45 +277,145 @@ object TopKStore {
   def pruneCompact(spark: SparkSession, path: String): Unit = {
     val m = readMeta(spark, path)
     graft.llm.IvfLayout.compact(spark, s"$path/topk", "part",
-      transform = df => {
-        // group columns are whatever the store carries beyond the
-        // fixed schema — derived, so a typo cannot widen bounds
-        val gCols = df.columns.toSeq.filterNot(
-          Set("part", "inst", "value", "cnt", "cut", "slack", "run"))
-        val gks = gCols.map(col)
-        val keys = col("part") +: gks
-        val keyNames = "part" +: gCols
-        val rows =
-          if (df.columns.contains("slack"))
-            df.withColumn("slack", coalesce(col("slack"), lit(0L)))
-          else df.withColumn("slack", lit(0L))
-        val instCuts = rows
-          .select((col("part") +: col("inst") +: gks) :+ col("cut"): _*)
-          .distinct()
-        val totals = instCuts.groupBy(keys: _*)
-          .agg(sum(col("cut")).as("__C"))
-        val perValue = rows.groupBy(keys :+ col("value"): _*)
-          .agg(sum(col("cnt")).as("cnt"), sum(col("cut")).as("__covered"),
-            sum(col("slack")).as("__slack_in"))
-        val est = perValue.join(totals, keyNames)
-          .withColumn("slack",
-            col("__slack_in") + col("__C") - col("__covered"))
-        // summary-scale window: ≤ instances × m candidate rows per key
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys: _*)
-          .orderBy(col("cnt").desc, col("value").asc)
-        val ranked = est.withColumn("__rn", row_number().over(w))
-        val excl = ranked.filter(col("__rn") > m).groupBy(keys: _*)
-          .agg(max(col("cnt") + col("slack")).as("__exc"))
-        ranked.filter(col("__rn") <= m)
-          .join(excl, keyNames.toSeq, "left")
-          .withColumn("cut",
-            greatest(col("__C"), coalesce(col("__exc"), lit(0L))))
-          .withColumn("inst", lit("(pruned)"))
-          .select((col("part") +: gks) :+ col("value") :+ col("cnt") :+
-            col("cut") :+ col("inst") :+ col("slack"): _*)
-      })
+      transform = df => mgMerge(normalizeSlack(df), groupColsOf(df), m, None))
   }
+
+  /** Group columns are whatever the store carries beyond the fixed
+    * schema — derived, so a typo cannot widen bounds. */
+  private def groupColsOf(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(
+      Set("part", "inst", "value", "cnt", "cut", "slack", "run"))
+
+  /** Pre-slack stores read back without the column; normalize to 0. */
+  private def normalizeSlack(df: DataFrame): DataFrame =
+    if (df.columns.contains("slack"))
+      df.withColumn("slack", coalesce(col("slack"), lit(0L)))
+    else df.withColumn("slack", lit(0L))
+
+  /** The Misra-Gries instance merge over slack-normalized `rows`: one
+    * `(pruned)` instance of ≤ m rows per (part, groups). Shared by
+    * [[pruneCompact]] (every stored value is a candidate) and
+    * [[dropKeys]] (`dropVals` excluded from candidacy BEFORE the rank
+    * — they neither consume kept slots nor enter the excluded-max —
+    * while every source instance's cut still counts into C, computed
+    * from the UNFILTERED rows, so surviving values' bounds stay
+    * valid: lb is a sum of kept counts as before, and ub's C-term
+    * still covers occurrences hidden in instances that excluded
+    * them).
+    *
+    * GHOST rows: a group whose EVERY candidate was dropped must still
+    * carry its summed cut C into every later serve — its instances may
+    * hide up to C occurrences of ANY value, and a window merging this
+    * group with others would otherwise compute an ub BELOW the true
+    * count for values served from the other groups. Such a group emits
+    * one cut-carrier row with `cnt = 0` (a genuine summary row always
+    * has cnt ≥ 1 — an instance only keeps values it saw — so cnt = 0
+    * is unambiguous): [[topK]] counts its (part, inst, cut) into
+    * total_cut but never serves it as a candidate, and this merge
+    * likewise excludes cnt = 0 rows from candidacy while keeping their
+    * cuts in C. */
+  private def mgMerge(rows: DataFrame, gCols: Seq[String], m: Int,
+                      dropVals: Option[DataFrame]): DataFrame = {
+    val gks = gCols.map(col)
+    val keys = col("part") +: gks
+    val keyNames = "part" +: gCols
+    val instCuts = rows
+      .select((col("part") +: col("inst") +: gks) :+ col("cut"): _*)
+      .distinct()
+    val totals = instCuts.groupBy(keys: _*)
+      .agg(sum(col("cut")).as("__C"))
+    val real = rows.filter(col("cnt") > 0L) // ghosts carry cuts only
+    val candidates = dropVals match {
+      case Some(dv) => real.join(broadcast(dv), Seq("value"), "left_anti")
+      case None => real
+    }
+    val perValue = candidates.groupBy(keys :+ col("value"): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("cut")).as("__covered"),
+        sum(col("slack")).as("__slack_in"))
+    val est = perValue.join(totals, keyNames)
+      .withColumn("slack",
+        col("__slack_in") + col("__C") - col("__covered"))
+    // summary-scale window: ≤ instances × m candidate rows per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+      .orderBy(col("cnt").desc, col("value").asc)
+    val ranked = est.withColumn("__rn", row_number().over(w))
+    val excl = ranked.filter(col("__rn") > m).groupBy(keys: _*)
+      .agg(max(col("cnt") + col("slack")).as("__exc"))
+    val kept = ranked.filter(col("__rn") <= m)
+      .join(excl, keyNames.toSeq, "left")
+      .withColumn("cut",
+        greatest(col("__C"), coalesce(col("__exc"), lit(0L))))
+      .withColumn("inst", lit("(pruned)"))
+      .select((col("part") +: gks) :+ col("value") :+ col("cnt") :+
+        col("cut") :+ col("inst") :+ col("slack"): _*)
+    val ghosts = totals
+      .join(perValue.select(keyNames.map(col): _*).distinct(),
+        keyNames, "left_anti")
+      .withColumn("value", lit(""))
+      .withColumn("cnt", lit(0L))
+      .withColumn("cut", col("__C"))
+      .withColumn("inst", lit("(pruned)"))
+      .withColumn("slack", lit(0L))
+      .select((col("part") +: gks) :+ col("value") :+ col("cnt") :+
+        col("cut") :+ col("inst") :+ col("slack"): _*)
+    kept.unionByName(ghosts)
+  }
+
+  /** Key erasure (r14 verdict "What's missing #3"): this store carries
+    * key MATERIAL verbatim — a doc id / url erased from every content
+    * store survives in top-k summary rows until this runs. Removes
+    * every instance row whose value is in `drop` and re-merges each
+    * TOUCHED (part, groups) via [[mgMerge]] with the dropped values
+    * excluded from candidacy; groups no dropped value ever reached
+    * ride VERBATIM (their multi-instance rows and served bounds are
+    * unchanged). Bounds of surviving values in touched groups widen
+    * honestly through the existing slack mechanics — lb stays a sum of
+    * kept counts, ub keeps covering occurrences hidden in instances
+    * that excluded the value (C is computed from the UNFILTERED
+    * instance cuts, so an instance whose every kept row was dropped
+    * still contributes its cut).
+    *
+    * Honest degradations, documented as the contract: (a) a touched
+    * group loses per-instance structure (the pruneCompact trade);
+    * (b) a group whose EVERY kept value is dropped offers no candidate
+    * afterwards — values below the cuts were never stored — but its
+    * summed cut C still rides in a `cnt = 0` ghost row ([[mgMerge]])
+    * so windows merging it keep VALID upper bounds for values served
+    * from other groups (the MG guarantee "no hitter above Σ cuts is
+    * missed" holds: everything surviving there counts ≤ its instance
+    * cut, which total_cut still covers); (c) dropped values' counts
+    * are gone, so ub of other values may overcount by what the dropped
+    * values consumed of the cuts — wider, never wrong. Runs under the
+    * store-root
+    * lease; crash contract is [[graft.llm.IvfLayout.compact]]'s staged
+    * swap (the whole summary-scale table rewrites — it is ≤
+    * |instances × m| rows, never corpus-scale). */
+  def dropKeys(spark: SparkSession, path: String, drop: DataFrame,
+               dropCol: String): Unit =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"topk store $path") {
+      val m = readMeta(spark, path)
+      val dropVals = drop.select(col(dropCol).cast("string").as("value"))
+        .distinct()
+      graft.llm.IvfLayout.compact(spark, s"$path/topk", "part",
+        transform = df => {
+          val gCols = groupColsOf(df)
+          val keyNames = "part" +: gCols
+          val rows = normalizeSlack(df).drop("run")
+          val touchedKeys = rows.join(broadcast(dropVals), Seq("value"),
+              "left_semi")
+            .select(keyNames.map(col): _*).distinct()
+          val untouched = rows.join(touchedKeys, keyNames, "left_anti")
+          val touched = rows.join(touchedKeys, keyNames, "left_semi")
+          untouched.select(mgOutputCols(gCols): _*)
+            .unionByName(mgMerge(touched, gCols, m, Some(dropVals)))
+        })
+    }
+
+  private def mgOutputCols(gCols: Seq[String]) =
+    (col("part") +: gCols.map(col)) :+ col("value") :+ col("cnt") :+
+      col("cut") :+ col("inst") :+ col("slack")
 
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/topk")

@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.operators.{ConnectedComponents, EdgeStore, LabelStore,
+  SampleStore, TopKStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Forget.forgetDocs: one call erases a doc set across the whole store
+  * family — including the compact-first path for stores holding live
+  * slots — and a re-run is a harmless no-op. The sf-scale end-to-end
+  * serve check lives in the `forget_docs` gate; this spec pins the
+  * sequencing corners on a hand fixture. */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs() = (1L to 12L).map(i =>
+    (i, s"document number $i with plenty of words to shingle and chunk " +
+      s"into content addressed pieces of its very own kind $i", s"p${i % 3}"))
+    .toDF("doc_id", "text", "part")
+
+  test("forgetDocs sequences every store; live slots are compacted first; re-run no-ops") {
+    val docs = mkDocs()
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
+    val base = Files.createTempDirectory("graft_forget_spec_").toString
+    val (chP, mhP, edP, lbP, tkP, smP) = (s"$base/ch", s"$base/mh",
+      s"$base/ed", s"$base/lb", s"$base/tk", s"$base/sm")
+    ChunkStore.write(docs, "text", "doc_id", chP, nBuckets = 4)
+    MinHashIndex.write(docs, "text", "doc_id", mhP, nBuckets = 4)
+    EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
+      edP, nBuckets = 4)
+    // leave LIVE slots on the graph stores: forgetDocs must compact
+    // them first (dropNodes refuses otherwise)
+    EdgeStore.appendBatch(Seq((12L, 1L, 1L)).toDF("u", "v", "w"),
+      "u", "v", Some("w"), edP, nBuckets = 4, batchId = 0L)
+    LabelStore.write(ConnectedComponents.run(pairs, "u", "v"), lbP,
+      nBuckets = 4)
+    LabelStore.applyBatch(spark, lbP, Seq((12L, 1L)).toDF("u", "v"),
+      "u", "v", runId = Some("backfill-z"))
+    TopKStore.write(docs, Seq.empty, "doc_id", "part", tkP, m = 10)
+    SampleStore.write(docs, Seq.empty, "doc_id", "part", smP, kMax = 10)
+    val allPairs = pairs.unionByName(Seq((12L, 1L)).toDF("u", "v"))
+
+    val dropped = Seq(4L, 9L)
+    val report = Forget.forgetDocs(spark, dropped.toDF("doc_id"), "doc_id",
+      Forget.Stores(chunk = Some(chP), minhash = Some(mhP),
+        edge = Some(edP),
+        label = Some(Forget.LabelTarget(lbP, allPairs, "u", "v")),
+        topk = Some(tkP), sample = Some(smP)))
+    assert(report.removed("edge").exists(_ > 0L))
+    assert(report.removed("chunk").exists(_ > 0L))
+
+    def dropless(ids: Seq[Long]): Unit =
+      assert(ids.toSet.intersect(dropped.toSet).isEmpty, ids.toString)
+    val served = ChunkStore.reconstruct(spark, chP)
+      .select("doc_id").as[Long].collect().toSeq
+    dropless(served)
+    assert(served.toSet === (1L to 12L).toSet -- dropped)
+    val edges = EdgeStore.read(spark, edP)
+      .select("src", "dst").as[(Long, Long)].collect().toSeq
+    dropless(edges.flatMap(e => Seq(e._1, e._2)))
+    // ring 1-..-12-1 minus nodes 4, 9: edges touching them gone
+    assert(edges.toSet === (1L to 12L).map(i => (i, i % 12 + 1))
+      .filterNot(e => dropped.contains(e._1) || dropped.contains(e._2))
+      .toSet)
+    val labels = LabelStore.read(spark, lbP)
+      .as[(Long, Long)].collect().toSeq
+    dropless(labels.flatMap(l => Seq(l._1, l._2)))
+    // the ring splits at the two holes: {5..8} labeled 5, {10..12,1..3}
+    // labeled 1 (12-1 edge from the folded batch survives)
+    assert(labels.toMap === ((5L to 8L).map(_ -> 5L) ++
+      (10L to 12L).map(_ -> 1L) ++ (1L to 3L).map(_ -> 1L)).toMap)
+    val topkVals = TopKStore.topK(spark, tkP, Seq.empty, k = 100)
+      .select("value").as[String].collect().toSeq
+    dropless(topkVals.map(_.toLong))
+    assert(topkVals.map(_.toLong).toSet === (1L to 12L).toSet -- dropped)
+    val sampleKeys = SampleStore.sample(spark, smP, Seq.empty, k = 10)
+      .select("key").as[String].collect().toSeq
+    dropless(sampleKeys.map(_.toLong))
+    // minhash physically purged, not only hidden
+    val mhIds = spark.read.parquet(s"$mhP/sets").select("id")
+      .unionByName(spark.read.parquet(s"$mhP/bands").select("id"))
+      .as[Long].collect().toSeq
+    dropless(mhIds)
+
+    // re-run: idempotent for already-erased ids (every step no-ops or
+    // harmlessly re-tombstones); served state unchanged
+    Forget.forgetDocs(spark, dropped.toDF("doc_id"), "doc_id",
+      Forget.Stores(chunk = Some(chP), minhash = Some(mhP),
+        edge = Some(edP),
+        label = Some(Forget.LabelTarget(lbP, allPairs, "u", "v")),
+        topk = Some(tkP), sample = Some(smP)))
+    assert(ChunkStore.reconstruct(spark, chP)
+      .select("doc_id").as[Long].collect().toSet ===
+      (1L to 12L).toSet -- dropped)
+    assert(EdgeStore.read(spark, edP)
+      .select("src", "dst").as[(Long, Long)].collect().toSet ===
+      edges.toSet)
+  }
+}

@@ -94,6 +94,46 @@ class SampleStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("dropKeys removes keys everywhere; complete instances stay exact") {
+    val all = docs("d1", (1 to 10).map(i => s"a$i"): _*)
+      .union(docs("d2", (1 to 10).map(i => s"b$i"): _*))
+    val p = Files.createTempDirectory("graft_smp_drop_").toString
+    // kMax covers every instance -> storage is complete, so post-drop
+    // serves are the exact bottom-k of the surviving raw key set
+    SampleStore.write(all, Seq.empty, "doc", "day", p, kMax = 20)
+    val drop = Seq("a1", "a2", "b3", "b9")
+    SampleStore.dropKeys(spark, p, drop.toDF("doc"), "doc")
+    val got = SampleStore.sample(spark, p, Seq.empty, k = 12)
+      .as[(String, String)].collect().toSeq
+    assert(got === direct(all.filter(!col("doc").isin(drop: _*)), 12,
+      Seq("d1", "d2")))
+    assert(got.map(_._1).toSet.intersect(drop.toSet).isEmpty)
+    // idempotent
+    SampleStore.dropKeys(spark, p, drop.toDF("doc"), "doc")
+    assert(SampleStore.sample(spark, p, Seq.empty, k = 12)
+      .as[(String, String)].collect().toSeq === got)
+  }
+
+  test("dropKeys degraded corner: a survivor beyond stored depth is honestly absent, never substituted") {
+    // kMax=2 over 4 keys: only the hash-order bottom-2 are stored.
+    // Dropping one of them cannot promote the unstored 3rd key — the
+    // serve returns the surviving STORED key only (shallower, unbiased)
+    val keys = Seq("k1", "k2", "k3", "k4")
+    val byHash = keys.sortBy { k =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h, k)
+    }
+    val p = Files.createTempDirectory("graft_smp_deg_").toString
+    SampleStore.write(docs("d1", keys: _*), Seq.empty, "doc", "day", p,
+      kMax = 2)
+    SampleStore.dropKeys(spark, p, Seq(byHash.head).toDF("doc"), "doc")
+    val got = SampleStore.sample(spark, p, Seq.empty, k = 2)
+      .as[(String, String)].collect().toSeq.map(_._1)
+    assert(got === Seq(byHash(1)),
+      s"only the surviving stored key serves (order: $byHash), got $got")
+  }
+
   test("kMax is pinned: serve beyond it refuses, appends cannot shrink it") {
     val p = Files.createTempDirectory("graft_smp_k_").toString
     SampleStore.write(docs("d1", "a", "b", "c"), Seq.empty, "doc", "day",

@@ -163,4 +163,60 @@ class TopKStoreSpec extends SparkSpec {
     assert(rows.groupBy("part", "inst").count()
       .agg(max("count")).first().getLong(0) <= 2L)
   }
+
+  // fixture recap (mk): d1/base keeps x:5 y:3 (cut 2, z:2 w:1 excluded);
+  // d2/base keeps x:4 z:4 (cut 1, q:1 excluded)
+
+  test("dropKeys: hand-pinned merge — dropped value gone, surviving bounds stay valid") {
+    val p = mk()
+    TopKStore.dropKeys(spark, p, Seq("x").toDF("v"), "v")
+    // both parts touched (x kept in both) -> each merges to (pruned):
+    // d1: candidates y:3 (covered 2, C 2 -> slack 0), cut=max(2,·)=2
+    // d2: candidates z:4 (covered 1, C 1 -> slack 0), cut=max(1,·)=1
+    // serve: total_cut 3; z: lb 4 ub 4+3-1=6; y: lb 3 ub 3+3-2=4
+    assert(served(p, 3) === Seq(("z", 4L, 6L, false), ("y", 3L, 4L, false)))
+    // bounds stay TRUE bounds: true y = 3 <= 4, true z = 6 <= 6
+  }
+
+  test("dropKeys: untouched parts ride verbatim with their instances intact") {
+    val p = mk()
+    // y is kept only in d1 -> d2 is untouched and keeps its base rows
+    TopKStore.dropKeys(spark, p, Seq("y").toDF("v"), "v")
+    val insts = spark.read.parquet(s"$p/topk")
+      .select("part", "inst").distinct()
+      .as[(String, String)].collect().toSet
+    assert(insts === Set(("d1", "(pruned)"), ("d2", "(base)")),
+      "only the touched part may be re-merged")
+    // x's bound is unchanged by the drop: lb 9 covered 3/3 -> exact
+    assert(served(p, 3) === Seq(("x", 9L, 9L, true), ("z", 4L, 6L, false)))
+  }
+
+  test("dropKeys: a part losing EVERY kept value leaves a ghost cut-carrier — window ubs stay valid") {
+    val p = mk()
+    // drop x and y: d1 keeps nothing (z:2 w:1 were never stored), but
+    // its C=2 must keep counting or z's window ub would fall to 4
+    // BELOW its true count 6 (z:2 hidden in d1's tail + z:4 in d2)
+    TopKStore.dropKeys(spark, p, Seq("x", "y").toDF("v"), "v")
+    assert(served(p, 3) === Seq(("z", 4L, 6L, false)),
+      "ub must still cover occurrences hidden behind d1's cut")
+    val ghost = spark.read.parquet(s"$p/topk")
+      .filter(col("cnt") === 0L)
+      .select("part", "value", "cut")
+      .as[(String, String, Long)].collect().toSeq
+    assert(ghost === Seq(("d1", "", 2L)),
+      "the emptied part carries its summed cut in a cnt=0 row")
+    // the ghost is never served, even with room
+    assert(!served(p, 10).map(_._1).contains(""))
+    // and survives a later pruneCompact (still merge-safe)
+    TopKStore.pruneCompact(spark, p)
+    assert(served(p, 3) === Seq(("z", 4L, 6L, false)),
+      "pruneCompact over a ghost-carrying store must not move bounds")
+  }
+
+  test("dropKeys on a store never containing the value is a plain fold") {
+    val p = mk()
+    val before = served(p, 4)
+    TopKStore.dropKeys(spark, p, Seq("nope").toDF("v"), "v")
+    assert(served(p, 4) === before, "no touched part -> bounds unchanged")
+  }
 }

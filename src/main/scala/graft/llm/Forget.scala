@@ -48,6 +48,14 @@ import org.apache.spark.sql.functions._
   *    `mightContain` probe for a dropped id may still answer true —
   *    that is a false positive by construction, not retention; rebuild
   *    at a new geometry if even that signal must go.)
+  *  - TRAINED artifacts (BPE merge tables, quality-model weights, DSIR
+  *    statistics, k-means centroids / PQ codebooks) are derived
+  *    AGGREGATES over the corpus: they carry no per-document key
+  *    material or reconstructable text, so this operator does not
+  *    touch them. Whether a model trained on since-erased documents
+  *    must itself be retrained is a POLICY decision above this layer —
+  *    the retrain entry points ([[Bpe.trainMerges]],
+  *    [[QualityTrain]], [[IvfPq.retrainFrom]]) exist when it says yes.
   *
   * Each store's own preconditions are handled, not re-imposed: stores
   * with live batch slots are compacted first (their fold manifests

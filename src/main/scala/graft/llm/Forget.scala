@@ -187,4 +187,118 @@ object Forget {
     idsN.unpersist()
     Report(out.result())
   }
+
+  /** Erasure COMPLIANCE AUDIT — the independent half of the takedown
+    * story: given the same declared store set, report per store how
+    * many items it still offers (`n_live`) and how many of `ids` still
+    * surface (`n_dropped`, which a completed [[forgetDocs]] must leave
+    * at 0 everywhere). The audit is deliberately PHYSICAL where the
+    * store carries key material (index postings, edge rows, labels,
+    * summary rows are scanned, not served) — a takedown must not
+    * depend on serve-time exclusion staying in place forever — and
+    * serve-level for the chunk store, whose physical manifest rows
+    * legitimately hold dropped doc IDS (no content) until a compact;
+    * those are reported as the separate `chunk_manifest` row so the
+    * operator can see the purge debt and decide whether
+    * `chunkCompact = true` is warranted.
+    *
+    * n_live semantics per store: chunk = reconstructable docs; edge =
+    * physical edge rows; label = labeled nodes; minhash / lexical /
+    * contain / ivf / ivfpq = distinct indexed ids; topk / sample =
+    * physical summary rows carrying a value/key (TopK ghost
+    * cut-carriers excluded — they hold no key material).
+    *
+    * One audited frame per store, all column-pruned scans of
+    * summary/index tables — the corpus itself is never read. */
+  def audit(spark: SparkSession, ids: DataFrame, idCol: String,
+            stores: Stores): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val idsN = broadcast(ids.select(col(idCol).cast("long").as("__drop"))
+      .distinct())
+    // string-keyed stores (TopK values, Sample keys) compare as STRINGS
+    // — an ANSI cast of an arbitrary stored value to long would throw
+    val idsS = broadcast(ids.select(col(idCol).cast("string").as("__drops"))
+      .distinct())
+    def counts(df: DataFrame, c: org.apache.spark.sql.Column): (Long, Long) = {
+      val agg = df.select(c.cast("long").as("__id"))
+        .join(idsN, col("__id") === col("__drop"), "left")
+        .agg(count(lit(1)), count(col("__drop"))).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
+    def countsStr(df: DataFrame, c: org.apache.spark.sql.Column): (Long, Long) = {
+      val agg = df.select(c.cast("string").as("__id"))
+        .join(idsS, col("__id") === col("__drops"), "left")
+        .agg(count(lit(1)), count(col("__drops"))).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
+    val rows = Seq.newBuilder[(String, Long, Long)]
+    stores.chunk.foreach { p =>
+      val (live, leaked) = counts(
+        ChunkStore.reconstruct(spark, p).select("doc_id"), col("doc_id"))
+      rows += (("chunk", live, leaked))
+      val (manRows, manLeaked) = counts(
+        spark.read.parquet(s"$p/manifest").select("doc_id")
+          .distinct(), col("doc_id"))
+      rows += (("chunk_manifest", manRows, manLeaked))
+    }
+    stores.minhash.foreach { p =>
+      val (live, leaked) = counts(
+        spark.read.parquet(s"$p/sets").select(col("id"))
+          .unionByName(spark.read.parquet(s"$p/bands").select(col("id")))
+          .distinct(), col("id"))
+      rows += (("minhash", live, leaked))
+    }
+    stores.lexical.foreach { p =>
+      val (live, leaked) = counts(
+        spark.read.parquet(p).select("doc_id").distinct(), col("doc_id"))
+      rows += (("lexical", live, leaked))
+    }
+    stores.contain.foreach { p =>
+      val (live, leaked) = counts(
+        Seq("pref", "post", "sets").map(t =>
+          spark.read.parquet(s"$p/$t").select(col("id")))
+          .reduce(_ unionByName _).distinct(), col("id"))
+      rows += (("contain", live, leaked))
+    }
+    stores.ivf.foreach { p =>
+      val (live, leaked) = counts(
+        spark.read.parquet(p).select(col("neighbor_id")).distinct(),
+        col("neighbor_id"))
+      rows += (("ivf", live, leaked))
+    }
+    stores.ivfPq.foreach { p =>
+      val (live, leaked) = counts(
+        spark.read.parquet(p).select(col("id")).distinct(), col("id"))
+      rows += (("ivfpq", live, leaked))
+    }
+    stores.edge.foreach { p =>
+      val e = spark.read.parquet(s"$p/edges").select("src", "dst")
+      val agg = e
+        .join(idsN, col("src") === col("__drop") ||
+          col("dst") === col("__drop"), "left")
+        .agg(count(lit(1)), count(col("__drop"))).head()
+      rows += (("edge", agg.getLong(0), agg.getLong(1)))
+    }
+    stores.label.foreach { t =>
+      val l = spark.read.parquet(s"${t.path}/byn").select("node", "label")
+      val agg = l
+        .join(idsN, col("node") === col("__drop") ||
+          col("label") === col("__drop"), "left")
+        .agg(count(lit(1)), count(col("__drop"))).head()
+      rows += (("label", agg.getLong(0), agg.getLong(1)))
+    }
+    stores.topk.foreach { p =>
+      val (live, leaked) = countsStr(
+        spark.read.parquet(s"$p/topk").filter(col("cnt") > 0L)
+          .select(col("value")), col("value"))
+      rows += (("topk", live, leaked))
+    }
+    stores.sample.foreach { p =>
+      val (live, leaked) = countsStr(
+        spark.read.parquet(s"$p/sample").select(col("key")), col("key"))
+      rows += (("sample", live, leaked))
+    }
+    import spark.implicits._
+    rows.result().toDF("store", "n_live", "n_dropped").orderBy("store")
+  }
 }

@@ -138,5 +138,12 @@ class ForgetSpec extends SparkSpec {
       Tombstones.readOpt(spark, ivP).isEmpty &&
       Tombstones.readOpt(spark, pqP).isEmpty,
       "purge compacts must clear the applied markers")
+    // the compliance audit reports the same physical truth
+    val audit = Forget.audit(spark, dropped.toDF("doc_id"), "doc_id",
+      Forget.Stores(lexical = Some(lxP), contain = Some(cnP),
+        ivf = Some(ivP), ivfPq = Some(pqP)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(audit === Seq(("contain", 10L, 0L), ("ivf", 10L, 0L),
+      ("ivfpq", 10L, 0L), ("lexical", 10L, 0L)), audit.toString)
   }
 }

@@ -224,6 +224,10 @@ object QueriesR15 {
         import graft.operators.{ConnectedComponents, EdgeStore, LabelStore,
           SampleStore, TopKStore}
         import s.implicits._
+        // six store builds + the forget + the audit re-read these; a
+        // persist was MEASURED and rejected (28.7 s plain vs 31.3 s
+        // cached at sf0.1 — re-scanning small parquet beats caching
+        // full-text rows through six independent job groups)
         val docs = Tables.read(s, dir, "documents")
         val ids = docs.select("doc_id")
         val pairs = ids.as("a").join(ids.as("b"),

@@ -302,6 +302,90 @@ object QueriesR15 {
           ('topk', (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
            CAST(0 AS BIGINT))
         ) AS t(store, n_live, n_dropped)
-        ORDER BY store"""))
+        ORDER BY store""")),
+
+    // ---- store integrity audit (fsck) ---------------------------------------
+    // Every crash contract in the store family claims an invariant
+    // (two copies agree, refs resolve, geometry bounds hold, instance
+    // caps hold...); fsck makes each one CHECKABLE from the store's own
+    // summary/hash rows — the corpus is never read. The gate builds
+    // seven stores through a real lifecycle (seed + stream batch +
+    // fold where the store has one) and requires every check CLEAN;
+    // FsckSpec pins the detection side by deliberately corrupting each
+    // store and asserting the right check fires.
+    QueryDef("store_fsck",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.ChunkStore
+        import graft.operators._
+        val docs = Tables.read(s, dir, "documents")
+        val ids = docs.select("doc_id")
+        val pairs = ids.as("a").join(ids.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 &&
+              col("a.doc_id") % 10 =!= 9)
+          .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        val base = Files.createTempDirectory("graft_fsck_gate_").toString
+        ChunkStore.write(docs.filter(
+            expr("CAST(substr(source, 4) AS INT) < 5"))
+            .select("doc_id", "text"),
+          "text", "doc_id", s"$base/ch", nBuckets = 16)
+        LabelStore.write(ConnectedComponents.run(
+            pairs.filter(col("u") < 300), "u", "v"), s"$base/lb",
+          nBuckets = 8)
+        LabelStore.applyStreamBatch(s, s"$base/lb",
+          pairs.filter(col("u") >= 300), "u", "v", batchId = 0L)
+        LabelStore.compact(s, s"$base/lb")
+        TopKStore.write(docs.filter(col("doc_id") % 2 === 0),
+          Seq.empty, "lang", "source", s"$base/tk", m = 3)
+        TopKStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+          Seq.empty, "lang", "source", s"$base/tk", batchId = 0L)
+        SampleStore.write(docs, Seq.empty, "doc_id", "source",
+          s"$base/sm", kMax = 25)
+        BloomStore.write(docs, "doc_id", "source", s"$base/bl",
+          depth = 3, width = 2048)
+        CmsStore.write(docs.filter(col("doc_id") % 2 === 0),
+          "lang", "source", s"$base/cm", depth = 4, width = 32)
+        CmsStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+          "lang", "source", s"$base/cm", batchId = 0L)
+        EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v",
+          Some("w"), s"$base/ed", nBuckets = 8)
+        EdgeStore.compact(s, s"$base/ed")
+        Seq(
+          ChunkStore.fsck(s, s"$base/ch").withColumn("store", lit("chunk")),
+          LabelStore.fsck(s, s"$base/lb").withColumn("store", lit("label")),
+          TopKStore.fsck(s, s"$base/tk").withColumn("store", lit("topk")),
+          SampleStore.fsck(s, s"$base/sm").withColumn("store", lit("sample")),
+          BloomStore.fsck(s, s"$base/bl").withColumn("store", lit("bloom")),
+          CmsStore.fsck(s, s"$base/cm").withColumn("store", lit("cms")),
+          EdgeStore.fsck(s, s"$base/ed").withColumn("store", lit("edge")))
+          .reduce(_ unionByName _)
+          .select("store", "check", "violations")
+          .orderBy("store", "check")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('bloom', 'position_out_of_range', CAST(0 AS BIGINT)),
+          ('chunk', 'dangling_manifest_ref', CAST(0 AS BIGINT)),
+          ('chunk', 'dup_chunk_hash', CAST(0 AS BIGINT)),
+          ('chunk', 'gc_debt_chunks', CAST(0 AS BIGINT)),
+          ('chunk', 'misbucketed_chunk', CAST(0 AS BIGINT)),
+          ('cms', 'cell_out_of_range', CAST(0 AS BIGINT)),
+          ('cms', 'mass_disagreement', CAST(0 AS BIGINT)),
+          ('cms', 'negative_cell', CAST(0 AS BIGINT)),
+          ('edge', 'dup_base_edge', CAST(0 AS BIGINT)),
+          ('edge', 'self_loop', CAST(0 AS BIGINT)),
+          ('label', 'copy_mismatch', CAST(0 AS BIGINT)),
+          ('label', 'label_above_node', CAST(0 AS BIGINT)),
+          ('label', 'misbucketed_label', CAST(0 AS BIGINT)),
+          ('label', 'misbucketed_node', CAST(0 AS BIGINT)),
+          ('label', 'missing_root', CAST(0 AS BIGINT)),
+          ('sample', 'bad_hkey', CAST(0 AS BIGINT)),
+          ('sample', 'dup_key', CAST(0 AS BIGINT)),
+          ('sample', 'oversize_reservoir', CAST(0 AS BIGINT)),
+          ('topk', 'mixed_instance_cut', CAST(0 AS BIGINT)),
+          ('topk', 'negative_value', CAST(0 AS BIGINT)),
+          ('topk', 'oversize_instance', CAST(0 AS BIGINT))
+        ) AS t(store, "check", violations)
+        ORDER BY store, "check""""))
   )
 }

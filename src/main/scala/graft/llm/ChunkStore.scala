@@ -716,6 +716,54 @@ object ChunkStore {
     (dirtyNames.size, collected)
   }
 
+  /** Store integrity audit — the crash contracts made CHECKABLE: one
+    * (check, violations) row per invariant, all computed from
+    * column-pruned scans of the manifest/chunk tables (chunk BYTES are
+    * never read; the corpus never is).
+    *
+    *  - `dangling_manifest_ref` (CORRUPTION): a hash the live view —
+    *    committed visible manifest plus every partial slot's rows, the
+    *    gc liveness set — references with no stored chunk row; any
+    *    count > 0 means [[reconstruct]] silently serves truncated text
+    *    RIGHT NOW. Can only come from lost files: appends land chunk
+    *    bytes BEFORE manifests, and gc/compact keep exactly this set.
+    *  - `gc_debt_chunks` (DEBT, not corruption): stored hashes no live
+    *    manifest references — what [[gc]] would collect.
+    *  - `misbucketed_chunk` (CORRUPTION when meta is present): a chunk
+    *    row whose `cb=` partition differs from its hash's bucket —
+    *    pruned appends/serves would MISS it (dedup duplicates, partial
+    *    reconstructDocs).
+    *  - `dup_chunk_hash` (DEBT): a hash stored more than once —
+    *    correctness holds (joins dedup), bytes are wasted. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val (manSrc, partialSlots) = committedManifestRead(spark, path, "fsck")
+    val committedLive = visibleManifestFrom(spark, path, manSrc)
+      .select("chunk_hash")
+    val fs = fsOf(spark, path)._1
+    val live = partialSlotHashes(spark, s"$path/manifest", fs, partialSlots)
+      .map(committedLive.unionByName(_)).getOrElse(committedLive)
+      .distinct()
+    val stored = spark.read.parquet(s"$path/chunks")
+      .select(col("cb").cast("long").as("cb"), col("chunk_hash"))
+      .persist()
+    val dangling = live.join(stored.select("chunk_hash"),
+      Seq("chunk_hash"), "left_anti").count()
+    val debt = stored.select("chunk_hash").distinct()
+      .join(live, Seq("chunk_hash"), "left_anti").count()
+    val dup = stored.groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val misb = readMeta(spark, path).map(_._1).filter(_ > 0) match {
+      case Some(nb) =>
+        stored.filter(col("cb") =!= cb(col("chunk_hash"), nb)).count()
+      case None => 0L
+    }
+    stored.unpersist()
+    import spark.implicits._
+    Seq(("dangling_manifest_ref", dangling), ("dup_chunk_hash", dup),
+      ("gc_debt_chunks", debt), ("misbucketed_chunk", misb))
+      .toDF("check", "violations")
+  }
+
   /** Physically reclaim space: rewrite the manifest to only its live
     * rows (superseded runs and tombstoned docs dropped), drop chunk
     * rows no live manifest references, clear applied tombstones, and

@@ -291,6 +291,20 @@ object BloomStore {
     fs.delete(old, true)
   }
 
+  /** Store integrity audit: `position_out_of_range` (CORRUPTION) — a
+    * stored (r, j) outside the pinned geometry. Probes hash into
+    * [0, depth) × [0, width), so an out-of-range position can never
+    * match one and acts as a SILENTLY LOST insert: the key that wrote
+    * it may false-negative, breaking the filter's one guarantee. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val (depth, width) = readMeta(spark, path)
+    val out = spark.read.parquet(path)
+      .filter(col("r") < 0 || col("r") >= depth ||
+        col("j") < 0 || col("j") >= width).count()
+    import spark.implicits._
+    Seq(("position_out_of_range", out)).toDF("check", "violations")
+  }
+
   /** DISTINCT-fold the store back to one file per partition (staged
     * beside, backup-rename install — the [[SketchStore.compact]]
     * crash contract). Replay-idempotence means no fold manifest: a

@@ -306,4 +306,36 @@ object CmsStore {
   /** Slot count — the streaming loop's compaction trigger. */
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/cms")
+
+  /** Store integrity audit over the ≤ d·w-per-part cell rows:
+    *  - `cell_out_of_range` (CORRUPTION): an (r, j) outside the pinned
+    *    geometry — probes can never hit it, so its mass is silently
+    *    missing from estimates;
+    *  - `negative_cell` (CORRUPTION): counts are insert tallies,
+    *    never negative;
+    *  - `mass_disagreement` (CORRUPTION): every insert adds exactly 1
+    *    to every hash row, so all `depth` rows of a part must sum to
+    *    the same total (the [[mass]] invariant); a part whose rows
+    *    disagree — or that is missing a row some insert should have
+    *    populated — has lost or duplicated cells. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val (depth, width) = readMeta(spark, path)
+    val cells = spark.read.parquet(s"$path/cms")
+      .select(col("part"), col("r"), col("j"), col("cnt")).persist()
+    val outOfRange = cells.filter(col("r") < 0 || col("r") >= depth ||
+      col("j") < 0 || col("j") >= width).count()
+    val negative = cells.filter(col("cnt") < 0).count()
+    val disagree = cells.groupBy("part", "r")
+      .agg(sum(col("cnt")).as("rowMass"))
+      .groupBy("part")
+      .agg(countDistinct(col("rowMass")).as("masses"),
+        count(lit(1)).as("rowsPresent"))
+      .filter(col("masses") > 1 || col("rowsPresent") =!= depth)
+      .count()
+    cells.unpersist()
+    import spark.implicits._
+    Seq(("cell_out_of_range", outOfRange),
+      ("mass_disagreement", disagree), ("negative_cell", negative))
+      .toDF("check", "violations")
+  }
 }

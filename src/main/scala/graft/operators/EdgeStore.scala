@@ -75,6 +75,30 @@ object EdgeStore {
         .repartition(col("eb")),
       s"$path/edges", "eb", runId)
 
+  /** Store integrity audit:
+    *  - `dup_base_edge` (DEBT): a (src, dst) pair stored more than
+    *    once inside the folded `run=__base__` generation — reads sum
+    *    it correctly, but compact/write guarantee one pre-aggregated
+    *    row, so duplicates mean a foreign writer or a torn install;
+    *  - `self_loop` (informational): src == dst rows — legal input,
+    *    but link-graph extractions never emit them, so their presence
+    *    usually flags an upstream bug. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(s"$path/edges/run=${RunSlots.Base}")
+    val dup =
+      if (!fs.exists(base)) 0L
+      else spark.read.parquet(base.toString)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+    val loops = spark.read.parquet(s"$path/edges")
+      .filter(col("src") === col("dst")).count()
+    import spark.implicits._
+    Seq(("dup_base_edge", dup), ("self_loop", loops))
+      .toDF("check", "violations")
+  }
+
   /** The full (src, dst, w) edge list: weights summed across slots. */
   def read(spark: SparkSession, path: String): DataFrame = {
     require(RunSlots.hasParts(spark, s"$path/edges", "eb"),

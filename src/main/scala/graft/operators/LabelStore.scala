@@ -460,6 +460,50 @@ object LabelStore {
     (nAffected, (bynDirty ++ bycDirty).size)
   }
 
+  /** Store integrity audit — the two-copy discipline made CHECKABLE:
+    * one (check, violations) row per invariant, computed over the
+    * store's own summary-scale rows (never a corpus).
+    *
+    *  - `copy_mismatch` (CORRUPTION): the RESOLVED (min-per-node)
+    *    labeling differs between the byn and byc copies — a crash
+    *    recovered wrong, or a foreign writer touched one copy; member
+    *    lookups and label lookups would disagree.
+    *  - `label_above_node` (CORRUPTION): a resolved label greater than
+    *    its node — impossible under min-id CC (the component min is ≤
+    *    every member).
+    *  - `missing_root` (CORRUPTION): a label L in use with no resolved
+    *    (L, L) row — the root of every component is itself a member.
+    *  - `misbucketed_node` / `misbucketed_label` (CORRUPTION): a row
+    *    outside its pmod bucket — every pruned read would miss it. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val nBuckets = readMeta(spark, path)
+    def resolved(dir: String) =
+      spark.read.parquet(dir).select("node", "label")
+        .groupBy("node").agg(min(col("label")).as("label"))
+    val byn = resolved(s"$path/byn").persist()
+    val byc = resolved(s"$path/byc")
+    val mismatch = byn.withColumnRenamed("label", "ln")
+      .join(byc.withColumnRenamed("label", "lc"), Seq("node"), "full_outer")
+      .filter(col("ln").isNull || col("lc").isNull ||
+        col("ln") =!= col("lc")).count()
+    val above = byn.filter(col("label") > col("node")).count()
+    val missingRoot = byn.select(col("label")).distinct()
+      .join(byn.filter(col("node") === col("label")).select("label"),
+        Seq("label"), "left_anti").count()
+    byn.unpersist()
+    def misb(dir: String, partCol: String, of: Column) =
+      spark.read.parquet(dir)
+        .select(col(partCol).cast("long").as("b"), col("node"), col("label"))
+        .filter(col("b") =!= nbCol(of, nBuckets)).count()
+    val mn = misb(s"$path/byn", "nb", col("node"))
+    val ml = misb(s"$path/byc", "cb", col("label"))
+    import spark.implicits._
+    Seq(("copy_mismatch", mismatch), ("label_above_node", above),
+      ("misbucketed_label", ml), ("misbucketed_node", mn),
+      ("missing_root", missingRoot))
+      .toDF("check", "violations")
+  }
+
   /** Fold every slot (base + deltas) back into one resolved
     * `run=__base__` generation per copy — min label per node, stale
     * rows dropped, one file per bucket. */

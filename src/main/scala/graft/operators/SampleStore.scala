@@ -236,4 +236,30 @@ object SampleStore {
 
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/sample")
+
+  /** Store integrity audit over the reservoir rows:
+    *  - `bad_hkey` (CORRUPTION): a row whose stored hkey is not
+    *    md5(key) — the serve ORDER depends on the stored hash, so a
+    *    corrupted one silently biases every sample;
+    *  - `oversize_reservoir` (CORRUPTION): an instance beyond kMax
+    *    distinct keys (per slot+group) — the bottom-k containment
+    *    proof sizes on it;
+    *  - `dup_key` (DEBT): the same key stored twice within one
+    *    (slot, part, groups) — serves DISTINCT it away, bytes wasted. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val kMax = readMeta(spark, path)
+    val rows = spark.read.parquet(s"$path/sample").persist()
+    val gks = rows.columns.filterNot(Set("key", "hkey")).map(col) // incl. run
+    val badH = rows.filter(md5(col("key")) =!= col("hkey")).count()
+    val oversize = rows.select((gks :+ col("key")): _*).distinct()
+      .groupBy(gks: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > kMax).count()
+    val dup = rows.groupBy((gks :+ col("key")): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    rows.unpersist()
+    import spark.implicits._
+    Seq(("bad_hkey", badH), ("dup_key", dup),
+      ("oversize_reservoir", oversize))
+      .toDF("check", "violations")
+  }
 }

@@ -417,6 +417,39 @@ object TopKStore {
     (col("part") +: gCols.map(col)) :+ col("value") :+ col("cnt") :+
       col("cut") :+ col("inst") :+ col("slack")
 
+  /** Store integrity audit — the bound algebra's preconditions made
+    * CHECKABLE over the summary rows:
+    *  - `oversize_instance` (CORRUPTION): an instance carrying more
+    *    than m candidate (cnt > 0) rows — the serve's "≤ instances × m
+    *    candidates" sizing and the merge's rank math assume the cap;
+    *  - `mixed_instance_cut` (CORRUPTION): one instance with two
+    *    distinct cut values — the serve counts "each instance's cut
+    *    exactly once" via DISTINCT (part, inst, cut), which double
+    *    counts if the rows disagree;
+    *  - `negative_value` (CORRUPTION): a negative cnt/cut/slack —
+    *    every bound derivation assumes non-negative integers. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val m = readMeta(spark, path)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/topk")
+    val rows = normalizeSlack(raw).persist()
+    val gks = groupColsOf(raw).map(col)
+    val instKeys = (col("part") +: col("inst") +: gks)
+    val oversize = rows.filter(col("cnt") > 0L)
+      .groupBy(instKeys: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > m).count()
+    val mixedCut = rows.groupBy(instKeys: _*)
+      .agg(countDistinct(col("cut")).as("n"))
+      .filter(col("n") > 1).count()
+    val negative = rows.filter(col("cnt") < 0L || col("cut") < 0L ||
+      col("slack") < 0L).count()
+    rows.unpersist()
+    import spark.implicits._
+    Seq(("mixed_instance_cut", mixedCut), ("negative_value", negative),
+      ("oversize_instance", oversize))
+      .toDF("check", "violations")
+  }
+
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/topk")
 }

@@ -341,6 +341,10 @@ object QueriesR15 {
           Seq.empty, "lang", "source", s"$base/tk", batchId = 0L)
         SampleStore.write(docs, Seq.empty, "doc_id", "source",
           s"$base/sm", kMax = 25)
+        HistStore.write(docs, Seq("lang"), "n_chars", "source",
+          s"$base/hs", 0L, 1000L, 10)
+        QuantileStore.writeLog2(docs, Seq("lang"), "n_chars", "source",
+          s"$base/qt")
         BloomStore.write(docs, "doc_id", "source", s"$base/bl",
           depth = 3, width = 2048)
         CmsStore.write(docs.filter(col("doc_id") % 2 === 0),
@@ -357,7 +361,10 @@ object QueriesR15 {
           SampleStore.fsck(s, s"$base/sm").withColumn("store", lit("sample")),
           BloomStore.fsck(s, s"$base/bl").withColumn("store", lit("bloom")),
           CmsStore.fsck(s, s"$base/cm").withColumn("store", lit("cms")),
-          EdgeStore.fsck(s, s"$base/ed").withColumn("store", lit("edge")))
+          EdgeStore.fsck(s, s"$base/ed").withColumn("store", lit("edge")),
+          HistStore.fsck(s, s"$base/hs").withColumn("store", lit("hist")),
+          QuantileStore.fsck(s, s"$base/qt")
+            .withColumn("store", lit("quantile")))
           .reduce(_ unionByName _)
           .select("store", "check", "violations")
           .orderBy("store", "check")
@@ -374,6 +381,10 @@ object QueriesR15 {
           ('cms', 'negative_cell', CAST(0 AS BIGINT)),
           ('edge', 'dup_base_edge', CAST(0 AS BIGINT)),
           ('edge', 'self_loop', CAST(0 AS BIGINT)),
+          ('hist', 'bin_out_of_range', CAST(0 AS BIGINT)),
+          ('hist', 'negative_count', CAST(0 AS BIGINT)),
+          ('quantile', 'bucket_out_of_mode', CAST(0 AS BIGINT)),
+          ('quantile', 'negative_count', CAST(0 AS BIGINT)),
           ('label', 'copy_mismatch', CAST(0 AS BIGINT)),
           ('label', 'label_above_node', CAST(0 AS BIGINT)),
           ('label', 'misbucketed_label', CAST(0 AS BIGINT)),
@@ -385,6 +396,55 @@ object QueriesR15 {
           ('topk', 'mixed_instance_cut', CAST(0 AS BIGINT)),
           ('topk', 'negative_value', CAST(0 AS BIGINT)),
           ('topk', 'oversize_instance', CAST(0 AS BIGINT))
+        ) AS t(store, "check", violations)
+        ORDER BY store, "check"""")),
+
+    // ---- candidate/vector index integrity audit ------------------------------
+    // The fsck family over the index stores: MinHash's two copies must
+    // cover the same ids (a set without bands silently escapes every
+    // near-dup check), every IVF vector must sit in its NEAREST cell
+    // (a misassigned one is unreachable under probe pruning — recall
+    // loss no serve-side check can see; the audit re-scores the corpus
+    // against the sidecar quantizer with the index's own kernel), and
+    // IVF+PQ codes must be m-long and in-range for the ADC LUT. Built
+    // through append + tombstone + compact so the checks hold across
+    // the maintenance lifecycle, not just a fresh write.
+    QueryDef("index_fsck",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.{IvfIndex, IvfPq, MinHashIndex}
+        val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+        val emb = Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val base = Files.createTempDirectory("graft_idxfsck_gate_").toString
+        MinHashIndex.write(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", s"$base/mh", nBuckets = 8)
+        MinHashIndex.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", s"$base/mh", shingleN = 3, nBuckets = 8,
+          batchId = 0L)
+        IvfIndex.write(emb, "embedding", "vec_id", s"$base/iv", nCells = 8)
+        IvfIndex.deleteDocs(emb.select("vec_id")
+          .filter(col("vec_id") % 13 === 0), "vec_id", s"$base/iv")
+        IvfIndex.compact(s, s"$base/iv")
+        IvfPq.write(emb, "embedding", "vec_id", s"$base/pq",
+          nCells = 8, m = 4, k = 16)
+        Seq(
+          MinHashIndex.fsck(s, s"$base/mh")
+            .withColumn("store", lit("minhash")),
+          IvfIndex.fsck(s, s"$base/iv").withColumn("store", lit("ivf")),
+          IvfPq.fsck(s, s"$base/pq").withColumn("store", lit("ivfpq")))
+          .reduce(_ unionByName _)
+          .select("store", "check", "violations")
+          .orderBy("store", "check")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('ivf', 'empty_vector', CAST(0 AS BIGINT)),
+          ('ivf', 'misassigned_vector', CAST(0 AS BIGINT)),
+          ('ivfpq', 'bad_code_length', CAST(0 AS BIGINT)),
+          ('ivfpq', 'code_out_of_range', CAST(0 AS BIGINT)),
+          ('minhash', 'band_without_set', CAST(0 AS BIGINT)),
+          ('minhash', 'set_without_band', CAST(0 AS BIGINT))
         ) AS t(store, "check", violations)
         ORDER BY store, "check""""))
   )

@@ -224,6 +224,35 @@ object IvfIndex {
   def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit =
     Tombstones.add(ids, idCol, path)
 
+  /** Store integrity audit — the assignment invariant made CHECKABLE:
+    * `misassigned_vector` (CORRUPTION) counts stored vectors whose
+    * `cid=` cell is NOT their nearest centroid under the sidecar
+    * quantizer. A misassigned vector is silently UNREACHABLE whenever
+    * a query's probed cells miss its actual cell — recall loss no
+    * serve-side check can see. An OFFLINE audit by design: it re-scores
+    * every stored vector against the (broadcast-literal) centroids in
+    * one pass — the same kernel and cost shape as the index build.
+    * `empty_vector` flags zero-length embeddings (the kernel would
+    * score them NaN-ward; writes should never have admitted one). */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    import graft.functions.VectorFunctions.nearestCentroids
+    val cents = readCentroids(spark, path)
+    val rows = spark.read.parquet(path)
+      .select(col("cid").cast("long").as("cid"), col("neighbor_vec"))
+      .persist()
+    val mis = rows.filter(!col("neighbor_vec").isNull &&
+        size(col("neighbor_vec")) > 0 &&
+        col("cid") =!= nearestCentroids(col("neighbor_vec"), cents, 1)
+          .getItem(0).cast("long"))
+      .count()
+    val empty = rows.filter(col("neighbor_vec").isNull ||
+      size(col("neighbor_vec")) === 0).count()
+    rows.unpersist()
+    import spark.implicits._
+    Seq(("empty_vector", empty), ("misassigned_vector", mis))
+      .toDF("check", "violations")
+  }
+
   /** Assign every corpus vector to its nearest centroid (zero-shuffle
     * projection) and write cell-partitioned parquet + centroid sidecar. */
   def write(

@@ -314,4 +314,25 @@ object IvfPq {
         round(Similarity.cosine(col("q_vec"), col("n_vec")), 6).as("c_r"))
     Similarity.rankTopK(scored, k)
   }
+
+  /** Store integrity audit over the code rows (codes only — residuals
+    * are not stored, so assignment itself is [[IvfIndex.fsck]]'s check
+    * on the vector-carrying index):
+    *  - `bad_code_length` (CORRUPTION): a code array not of the
+    *    codebooks' m subspaces — ADC scoring indexes by subspace;
+    *  - `code_out_of_range` (CORRUPTION): a code ≥ k (or negative) —
+    *    the LUT lookup would read a foreign codeword. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, path)
+    val rows = spark.read.parquet(path)
+      .select(col("codes")).persist()
+    val badLen = rows.filter(size(col("codes")) =!= meta.m).count()
+    val outOfRange = rows.filter(
+      exists(col("codes"), c => c < 0 || c >= meta.books.head.size)).count()
+    rows.unpersist()
+    import spark.implicits._
+    Seq(("bad_code_length", badLen), ("code_out_of_range", outOfRange))
+      .toDF("check", "violations")
+  }
+
 }

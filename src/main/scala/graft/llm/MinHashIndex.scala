@@ -257,4 +257,25 @@ object MinHashIndex {
     (Dedup.verifyJaccard(cand, allSets, jaccardThreshold),
       Seq(nb, cand))
   }
+
+  /** Store integrity audit over the two copies of the signature data:
+    *  - `band_without_set` (CORRUPTION): a banding row whose id has no
+    *    signature-set row — it can nominate candidate pairs the
+    *    verifier cannot load the set for;
+    *  - `set_without_band` (CORRUPTION): a signature set absent from
+    *    the banding copy — the doc is INVISIBLE to candidate
+    *    generation and silently escapes every near-dup check. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val setIds = spark.read.parquet(s"$path/sets").select("id").distinct()
+      .persist()
+    val bandIds = spark.read.parquet(s"$path/bands").select("id").distinct()
+      .persist()
+    val orphanBand = bandIds.join(setIds, Seq("id"), "left_anti").count()
+    val silentSet = setIds.join(bandIds, Seq("id"), "left_anti").count()
+    setIds.unpersist(); bandIds.unpersist()
+    import spark.implicits._
+    Seq(("band_without_set", orphanBand), ("set_without_band", silentSet))
+      .toDF("check", "violations")
+  }
+
 }

@@ -291,4 +291,23 @@ object HistStore {
     * compaction trigger. */
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/hist")
+
+  /** Store integrity audit over the bin-count rows:
+    *  - `bin_out_of_range` (CORRUPTION): a bin outside [0, nBins+1]
+    *    (0 and nBins+1 are the under/overflow bins) — serves index the
+    *    layout by bin, so a stray one silently shifts quantiles;
+    *  - `negative_count` (CORRUPTION): counts are row tallies. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val (_, _, nBins) = readMeta(spark, path)
+    val rows = spark.read.parquet(s"$path/hist")
+      .select(col("bin"), col("cnt")).persist()
+    val binOut = rows.filter(col("bin") < 0L ||
+      col("bin") > (nBins + 1L)).count()
+    val neg = rows.filter(col("cnt") < 0L).count()
+    rows.unpersist()
+    import spark.implicits._
+    Seq(("bin_out_of_range", binOut), ("negative_count", neg))
+      .toDF("check", "violations")
+  }
+
 }

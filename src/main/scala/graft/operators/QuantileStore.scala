@@ -402,4 +402,27 @@ object QuantileStore {
     * trigger. */
   def slotCount(spark: SparkSession, path: String): Int =
     RunSlots.slotCount(spark, s"$path/quant")
+
+  /** Store integrity audit over the bucket-count rows:
+    *  - `negative_count` (CORRUPTION): counts are row tallies;
+    *  - `bucket_out_of_mode` (CORRUPTION, log2 stores only): a bucket
+    *    outside [-1, 64] — log2Bucket can never mint one, so its
+    *    presence means raw VALUES were appended as indexes (the
+    *    mode-mixing failure the meta guards exist to prevent). Linear
+    *    stores accept any bucket; the check reports 0 there. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    readWidth(spark, path) // fail loudly on a non-store path
+    val rows = spark.read.parquet(s"$path/quant")
+      .select(col("bucket"), col("cnt")).persist()
+    val neg = rows.filter(col("cnt") < 0L).count()
+    val outOfMode =
+      if (readLog2(spark, path))
+        rows.filter(col("bucket") < -1L || col("bucket") > 64L).count()
+      else 0L
+    rows.unpersist()
+    import spark.implicits._
+    Seq(("bucket_out_of_mode", outOfMode), ("negative_count", neg))
+      .toDF("check", "violations")
+  }
+
 }

@@ -139,6 +139,94 @@ class FsckSpec extends SparkSpec {
     assert(vc("mass_disagreement") === 2L, vc.toString)
   }
 
+  test("hist and quantile stores: range and sign violations") {
+    val hs = Files.createTempDirectory("graft_fsck_hs_").toString
+    HistStore.write(Seq(("d1", "en", 5L), ("d1", "en", 900L))
+      .toDF("day", "lang", "v"), Seq("lang"), "v", "day", hs, 0L, 1000L, 10)
+    assert(violations(HistStore.fsck(spark, hs)).forall(_._2 == 0L))
+    Seq(("en", 99L, 1L), ("en", 3L, -2L)).toDF("lang", "bin", "cnt")
+      .write.mode("append").parquet(s"$hs/hist/run=__base__/part=d1")
+    val vh = violations(HistStore.fsck(spark, hs))
+    assert(vh("bin_out_of_range") === 1L, vh.toString)
+    assert(vh("negative_count") === 1L, vh.toString)
+
+    val qt = Files.createTempDirectory("graft_fsck_qt_").toString
+    QuantileStore.writeLog2(Seq(("d1", "en", 5L), ("d1", "en", 900L))
+      .toDF("day", "lang", "v"), Seq("lang"), "v", "day", qt)
+    assert(violations(QuantileStore.fsck(spark, qt)).forall(_._2 == 0L))
+    // raw values appended as bucket indexes — the mode-mixing failure
+    Seq(("en", 900L, 1L), ("en", 3L, -1L)).toDF("lang", "bucket", "cnt")
+      .write.mode("append").parquet(s"$qt/quant/run=__base__/part=d1")
+    val vq = violations(QuantileStore.fsck(spark, qt))
+    assert(vq("bucket_out_of_mode") === 1L, vq.toString)
+    assert(vq("negative_count") === 1L, vq.toString)
+  }
+
+  test("minhash index: the two copies must cover the same ids") {
+    val p = Files.createTempDirectory("graft_fsck_mh_").toString
+    graft.llm.MinHashIndex.write(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "an entirely different document about ships and harbors"))
+      .toDF("doc_id", "text"), "text", "doc_id", p, nBuckets = 4)
+    assert(violations(graft.llm.MinHashIndex.fsck(spark, p))
+      .forall(_._2 == 0L))
+    // a set row lands without its banding twin: the doc silently
+    // escapes candidate generation
+    val one = spark.read.parquet(s"$p/sets").limit(1)
+      .select(lit(999L).as("id"), col("hs"))
+    one.write.mode("append")
+      .parquet(s"$p/sets/run=__base__/ib=0")
+    val v = violations(graft.llm.MinHashIndex.fsck(spark, p))
+    assert(v("set_without_band") === 1L, v.toString)
+    // and the reverse: a banding row whose set is gone
+    spark.read.parquet(s"$p/bands").limit(1)
+      .select(lit(998L).as("id"), col("band"), col("key"))
+      .write.mode("append").parquet(s"$p/bands/run=__base__/kb=0")
+    val v2 = violations(graft.llm.MinHashIndex.fsck(spark, p))
+    assert(v2("band_without_set") === 1L, v2.toString)
+  }
+
+  test("ivf and ivf+pq indexes: misassigned vectors and malformed codes") {
+    val rnd = new scala.util.Random(11L)
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat()))).toDF("vec_id", "vec")
+    val iv = Files.createTempDirectory("graft_fsck_iv_").toString
+    graft.llm.IvfIndex.write(vecs, "vec", "vec_id", iv, nCells = 4)
+    assert(violations(graft.llm.IvfIndex.fsck(spark, iv))
+      .forall(_._2 == 0L))
+    // move a copy of a vector into a FOREIGN cell: unreachable under
+    // probe pruning, exactly what the audit exists to see
+    val row = spark.read.parquet(iv)
+      .select(col("neighbor_id"), col("neighbor_vec"),
+        col("cid").cast("long").as("cid")).limit(1).collect().head
+    val foreign = spark.read.parquet(iv)
+      .select(col("cid").cast("long")).distinct()
+      .as[Long].collect().filterNot(_ == row.getLong(2)).head
+    Seq((9999L, row.getSeq[Float](1))).toDF("neighbor_id", "neighbor_vec")
+      .write.mode("append").parquet(s"$iv/run=__base__/cid=$foreign")
+    // plus an empty embedding
+    Seq((9998L, Seq.empty[Float])).toDF("neighbor_id", "neighbor_vec")
+      .write.mode("append")
+      .parquet(s"$iv/run=__base__/cid=${row.getLong(2)}")
+    val v = violations(graft.llm.IvfIndex.fsck(spark, iv))
+    assert(v("misassigned_vector") === 1L, v.toString)
+    assert(v("empty_vector") === 1L, v.toString)
+
+    val pq = Files.createTempDirectory("graft_fsck_pq_").toString
+    graft.llm.IvfPq.write(vecs, "vec", "vec_id", pq, nCells = 2, m = 2,
+      k = 4, iters = 2)
+    assert(violations(graft.llm.IvfPq.fsck(spark, pq))
+      .forall(_._2 == 0L))
+    val cid0 = spark.read.parquet(pq).select(col("cid").cast("long"))
+      .distinct().as[Long].collect().head
+    Seq((9999L, Seq(1, 2, 3)), (9998L, Seq(0, 99)))
+      .toDF("id", "codes")
+      .write.mode("append").parquet(s"$pq/run=__base__/cid=$cid0")
+    val vp = violations(graft.llm.IvfPq.fsck(spark, pq))
+    assert(vp("bad_code_length") === 1L, vp.toString)
+    assert(vp("code_out_of_range") === 1L, vp.toString)
+  }
+
   test("edge store: duplicate base rows and self-loops") {
     val p = Files.createTempDirectory("graft_fsck_ed_").toString
     EdgeStore.write(Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "w"),

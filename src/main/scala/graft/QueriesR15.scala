@@ -446,6 +446,44 @@ object QueriesR15 {
           ('minhash', 'band_without_set', CAST(0 AS BIGINT)),
           ('minhash', 'set_without_band', CAST(0 AS BIGINT))
         ) AS t(store, "check", violations)
-        ORDER BY store, "check""""))
+        ORDER BY store, "check""""")),
+
+    // ---- warehouse table integrity audit -------------------------------------
+    // The fsck family extended to the warehouse itself: a partitioned
+    // table built through the stage+journal+swap merge path and an
+    // unpartitioned side table must audit clean (no swap wreckage, the
+    // schema sidecar present and covering every data column, every
+    // part_date a real date, no mixed-depth entries). The detection
+    // side — foreign columns, fake journals, malformed partitions,
+    // stray root files — is pinned in WarehouseFsckSpec.
+    QueryDef("warehouse_fsck",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.core.TableId
+        val docs = Tables.read(s, dir, "documents")
+        val root = Files.createTempDirectory("graft_whfsck_gate_").toString
+        val wh = new graft.warehouse.Warehouse(root, s)
+        val daily = TableId("analytics", "core", "docs_daily")
+        val part = docs.select(col("doc_id"), col("lang"),
+          date_add(lit("2026-01-01").cast("date"),
+            (col("doc_id") % 7).cast("int")).as("part_date"))
+        wh.overwriteTouchedPartitions(daily,
+          part.filter(col("doc_id") % 2 === 0))
+        wh.appendPartitioned(daily, part.filter(col("doc_id") % 2 === 1))
+        val flat = TableId("analytics", "core", "lang_dim")
+        wh.overwrite(flat, docs.select("lang").distinct())
+        wh.fsck(daily).withColumn("table", lit("docs_daily"))
+          .unionByName(wh.fsck(flat).withColumn("table", lit("lang_dim")))
+          .select("table", "check", "violations")
+          .orderBy("table", "check")
+      },
+      Some("""
+        WITH checks(c) AS (VALUES ('malformed_partition'),
+          ('mixed_depth_entry'), ('schema_sidecar_missing'),
+          ('swap_wreckage'), ('undeclared_column')),
+        tbls(t) AS (VALUES ('docs_daily'), ('lang_dim'))
+        SELECT t AS "table", c AS "check", CAST(0 AS BIGINT) AS violations
+        FROM tbls CROSS JOIN checks
+        ORDER BY t, c"""))
   )
 }

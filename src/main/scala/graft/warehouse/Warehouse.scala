@@ -457,6 +457,83 @@ final class Warehouse(val root: String, spark: SparkSession) {
     (rows, bytes)
   }
 
+  /** Table integrity audit — the warehouse sibling of the store-family
+    * fsck operators: one (check, violations) row per invariant the
+    * write protocols promise, computed from root listings plus at most
+    * one footers pass (no data rows move).
+    *
+    *  - `swap_wreckage` (DEBT): `_swap_pending` / `_stage` / `_backup`
+    *    leftovers from an interrupted partition swap — heal with
+    *    [[recoverPendingSwap]] (idempotent; reads already self-heal,
+    *    this makes the debt visible);
+    *  - `schema_sidecar_missing` (DRIFT RISK): a data-bearing table
+    *    without its `_schema` sidecar — every read pays the mergeSchema
+    *    footers pass and a zero-row table loses its schema entirely;
+    *  - `undeclared_column` (CORRUPTION): a column present in data
+    *    files but absent from the sidecar — sidecar-resolved reads
+    *    silently DROP it, so some write path bypassed the sidecar
+    *    maintenance (or a foreign writer landed files);
+    *  - `malformed_partition` (CORRUPTION): a `part_date=` directory
+    *    whose value is not a date — date-typed partition pruning
+    *    either throws or skips it silently;
+    *  - `mixed_depth_entry` (CORRUPTION): data files at the ROOT of a
+    *    partitioned table, or a foreign non-underscore directory —
+    *    the mixed directory depths make partition discovery throw on
+    *    every read. Views audit to all-zero (their marker makes them
+    *    opaque here by design). */
+  def fsck(id: TableId): DataFrame = {
+    import spark.implicits._
+    val checks = Seq("malformed_partition", "mixed_depth_entry",
+      "schema_sidecar_missing", "swap_wreckage", "undeclared_column")
+    val p = hadoopPath(id)
+    val f = fs(p)
+    if (!f.exists(p) || isView(id))
+      return checks.map(c => (c, 0L)).toDF("check", "violations")
+    val entries = f.listStatus(p).toSeq
+    val wreckage = entries.count { s =>
+      val n = s.getPath.getName
+      n == "_swap_pending" || n == "_swap_pending.tmp" ||
+        n == "_stage" || n == "_backup"
+    }
+    val partDirs = entries.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$PartCol="))
+    val malformed = partDirs.count { s =>
+      val v = s.getPath.getName.stripPrefix(s"$PartCol=")
+      try { java.sql.Date.valueOf(v); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+    val rootFiles = entries.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val foreignDirs = entries.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith(s"$PartCol=") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
+    val mixed = (if (partDirs.nonEmpty) rootFiles.size else 0) +
+      foreignDirs.size
+    val hasData = partDirs.nonEmpty || rootFiles.nonEmpty
+    val sidecar = sidecarSchema(id)
+    val sidecarMissing = if (hasData && sidecar.isEmpty) 1L else 0L
+    val undeclared = sidecar match {
+      case Some(sc) if hasData =>
+        // one footers pass over the data files only (sidecar excluded
+        // by the underscore convention) — the audit-time cost the
+        // sidecar exists to spare every ordinary read
+        val declared = sc.fieldNames.toSet + PartCol
+        spark.read.option("mergeSchema", "true").parquet(pathOf(id))
+          .schema.fieldNames.count(!declared.contains(_)).toLong
+      case _ => 0L
+    }
+    Seq(("malformed_partition", malformed.toLong),
+      ("mixed_depth_entry", mixed.toLong),
+      ("schema_sidecar_missing", sidecarMissing),
+      ("swap_wreckage", wreckage.toLong),
+      ("undeclared_column", undeclared))
+      .toDF("check", "violations")
+  }
+
   /** View support (ref incremental_log.sql:85-94): a "view" relation must
     * be REPLACED, never appended into — the reference drops an existing
     * view and CTAS-recreates when a model switches to a table

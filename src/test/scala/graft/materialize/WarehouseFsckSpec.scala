@@ -1,0 +1,78 @@
+package graft.materialize
+
+import graft.SparkSpec
+import graft.core.TableId
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Warehouse.fsck: the clean path is gated (`warehouse_fsck`); this
+  * pins detection — each invariant the write protocols promise is
+  * deliberately broken and the matching check must fire — plus the
+  * heal path (recoverPendingSwap clears the reported wreckage). */
+class WarehouseFsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def violations(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.as[(String, Long)].collect().toMap
+
+  test("fsck detects wreckage, drift, malformed partitions, and mixed depths; heal clears") {
+    val root = Files.createTempDirectory("graft_whfsck_").toString
+    val wh = new Warehouse(root, spark)
+    val id = TableId("a", "b", "t1")
+    wh.overwriteTouchedPartitions(id, Seq(
+        (1L, java.sql.Date.valueOf("2026-01-01")),
+        (2L, java.sql.Date.valueOf("2026-01-02")))
+      .toDF("doc_id", "part_date"))
+    assert(violations(wh.fsck(id)).forall(_._2 == 0L))
+    val tbl = new org.apache.hadoop.fs.Path(wh.pathOf(id))
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // swap wreckage: an empty journal + a stage dir (crash before any
+    // rename) — reported, then healed away by recoverPendingSwap
+    fs.create(new org.apache.hadoop.fs.Path(tbl, "_swap_pending"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tbl, "_stage"))
+    val v1 = violations(wh.fsck(id))
+    assert(v1("swap_wreckage") === 2L, v1.toString)
+    wh.recoverPendingSwap(id)
+    assert(violations(wh.fsck(id))("swap_wreckage") === 0L)
+
+    // a foreign writer lands files with an EXTRA column: sidecar reads
+    // would silently drop it — undeclared_column must fire
+    Seq((9L, "sneaky")).toDF("doc_id", "not_declared")
+      .write.mode("append")
+      .parquet(s"${wh.pathOf(id)}/part_date=2026-01-01")
+    val v2 = violations(wh.fsck(id))
+    assert(v2("undeclared_column") === 1L, v2.toString)
+
+    // malformed partition dir: date pruning would throw or skip it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tbl, "part_date=notadate"))
+    val v3 = violations(wh.fsck(id))
+    assert(v3("malformed_partition") === 1L, v3.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl, "part_date=notadate"), true)
+
+    // mixed depths: a stray data file at the root of a partitioned
+    // table, and a foreign directory
+    Seq(Tuple1(1L)).toDF("x").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/__scratch")
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/__scratch"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(stray, new org.apache.hadoop.fs.Path(tbl, "stray.parquet"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tbl, "foreign_dir"))
+    val v4 = violations(wh.fsck(id))
+    assert(v4("mixed_depth_entry") === 2L, v4.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl, "stray.parquet"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl, "foreign_dir"), true)
+
+    // missing sidecar: still data-bearing, but schema is footers-only
+    fs.delete(new org.apache.hadoop.fs.Path(tbl, "_schema"), true)
+    val wh2 = new Warehouse(root, spark) // fresh instance: no schema cache
+    val v5 = violations(wh2.fsck(id))
+    assert(v5("schema_sidecar_missing") === 1L, v5.toString)
+
+    // a view audits all-zero by design
+    val vw = TableId("a", "b", "v1")
+    wh.createView(vw, Seq(Tuple1(1L)).toDF("x"))
+    assert(violations(wh.fsck(vw)).forall(_._2 == 0L))
+  }
+}

@@ -446,7 +446,7 @@ object QueriesR15 {
           ('minhash', 'band_without_set', CAST(0 AS BIGINT)),
           ('minhash', 'set_without_band', CAST(0 AS BIGINT))
         ) AS t(store, "check", violations)
-        ORDER BY store, "check""""")),
+        ORDER BY store, "check"""")),
 
     // ---- warehouse table integrity audit -------------------------------------
     // The fsck family extended to the warehouse itself: a partitioned

@@ -480,7 +480,13 @@ final class Warehouse(val root: String, spark: SparkSession) {
     *    partitioned table, or a foreign non-underscore directory —
     *    the mixed directory depths make partition discovery throw on
     *    every read. Views audit to all-zero (their marker makes them
-    *    opaque here by design). */
+    *    opaque here by design).
+    *
+    * Run the audit from a FRESH Warehouse instance when suspecting a
+    * foreign writer: the sidecar resolves through this instance's
+    * schema cache (the documented single-writer assumption), so a
+    * sidecar tampered behind a long-lived instance's back reads
+    * stale-clean here until the cache drops it. */
   def fsck(id: TableId): DataFrame = {
     import spark.implicits._
     val checks = Seq("malformed_partition", "mixed_depth_entry",

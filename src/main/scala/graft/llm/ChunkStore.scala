@@ -171,22 +171,30 @@ object ChunkStore {
     * sidecar) reports None and the replay mints normally — nothing
     * could have observed the torn first attempt's seq. */
   private def existingSlotSeq(spark: SparkSession, path: String,
-                              id: String): Option[Long] = {
-    readSlotSeq(spark, path, id).orElse {
-      val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
-      if (!fs.exists(p)) None
-      else try {
-        Some(spark.read.parquet(p.toString).select("seq").head().getLong(0))
-      } catch {
-        // ONLY the expected shapes of a torn first write degrade to
-        // minting fresh (the slot is overwritten whole either way): an
-        // unreadable/schemaless parquet dir or zero rows. A transient
-        // IO/FS error must PROPAGATE — swallowing it would mint a fresh
-        // seq and reopen the tombstone-resurrection window this method
-        // exists to close (round-14 review)
-        case _: org.apache.spark.sql.AnalysisException => None
-        case _: NoSuchElementException => None
-      }
+                              id: String): Option[Long] =
+    readSlotSeq(spark, path, id).orElse(legacySlotSeq(spark, path, id))
+
+  /** The pre-sidecar fallback of [[existingSlotSeq]]: recover a legacy
+    * slot's seq from its own parquet rows. Split out so [[appendSlot]]
+    * can read the sidecar ONCE and thread the result into both the seq
+    * choice and the backfill guard (the r15 close's stream_chunkstore
+    * regression was partly a redundant second sidecar read per
+    * micro-batch). */
+  private def legacySlotSeq(spark: SparkSession, path: String,
+                            id: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
+    if (!fs.exists(p)) None
+    else try {
+      Some(spark.read.parquet(p.toString).select("seq").head().getLong(0))
+    } catch {
+      // ONLY the expected shapes of a torn first write degrade to
+      // minting fresh (the slot is overwritten whole either way): an
+      // unreadable/schemaless parquet dir or zero rows. A transient
+      // IO/FS error must PROPAGATE — swallowing it would mint a fresh
+      // seq and reopen the tombstone-resurrection window this method
+      // exists to close (round-14 review)
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: NoSuchElementException => None
     }
   }
 
@@ -267,21 +275,43 @@ object ChunkStore {
     // a REPLAY of an existing run slot reuses its first delivery's seq
     // (see existingSlotSeq — a fresh seq would let the replay outrank
     // a tombstone written in between and resurrect deleted docs);
-    // nextSeq still runs first for its nBuckets validation
+    // nextSeq still runs first for its nBuckets validation. The sidecar
+    // is read ONCE and threaded into both the seq choice and the
+    // backfill guard below (the second read per micro-batch was a
+    // measurable slice of the r15 stream_chunkstore regression).
     val minted = nextSeq(spark, path, nBuckets, "append")
-    val seq = runId.flatMap(existingSlotSeq(spark, path, _))
+    val sidecarSeq = runId.flatMap(readSlotSeq(spark, path, _))
+    val seq = sidecarSeq
+      .orElse(runId.flatMap(legacySlotSeq(spark, path, _)))
       .getOrElse(minted)
     // record the slot's seq DURABLY before the slot overwrite below: a
     // crash mid-overwrite deletes the slot dir before new rows land,
     // and without the sidecar the next replay would mint fresh and
     // reopen the resurrection window (round-14 ADVICE). Also backfills
     // the sidecar for a pre-sidecar legacy slot being replayed (seq
-    // recovered from its parquet rows this one time).
+    // recovered from its parquet rows this one time). When the seq is
+    // freshly MINTED, the meta high-water mark advances durably BEFORE
+    // the sidecar lands: the sidecar outlives a torn append, so a crash
+    // in the old order (sidecar durable, meta not yet advanced)
+    // followed by an independent append would re-issue the same seq —
+    // the torn slot's later replay then TIES with that committed run
+    // and latest-run-wins resolution becomes arbitrary for docs in
+    // both (r15 ADVICE). Advancing first burns the seq at worst.
+    var metaAdvanced = false
     runId.foreach { id =>
-      if (readSlotSeq(spark, path, id).isEmpty)
+      if (sidecarSeq.isEmpty) {
+        if (seq == minted) {
+          writeMeta(spark, path, nBuckets, minted)
+          metaAdvanced = true
+        }
         writeSlotSeq(spark, path, id, seq)
+      }
     }
-    val ch = Curation.cdcChunks(batch, textCol, idCol).persist()
+    // standing takedown protection: a NEW batch containing a
+    // since-forgotten doc must not re-land it (tombstones lose to any
+    // higher-seq append — latest-run-wins); identity when no denylist
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val ch = Curation.cdcChunks(kept, textCol, idCol).persist()
     val newChunks = ch.groupBy("chunk_hash").agg(first(col("chunk")).as("chunk"))
       .withColumn("cb", cb(col("chunk_hash"), nBuckets))
       .persist()
@@ -316,9 +346,15 @@ object ChunkStore {
     }
     newChunks.unpersist(); ch.unpersist()
     // the counter only ever advances: a replay reusing an old slot seq
-    // must not rewind it below sequences already issued since
-    writeMeta(spark, path, nBuckets,
-      math.max(seq, readMeta(spark, path).map(_._2).getOrElse(0L)))
+    // must not rewind it below sequences already issued since. Single-
+    // writer, so the stored value is still `minted - 1` unless this
+    // call advanced it above — skip the redundant read+write when the
+    // high-water mark is already current (replays reuse seq <= minted-1;
+    // the freshly-minted slot case wrote `minted` before its sidecar).
+    // The `seq >= minted` leg covers the adhoc path (seq == minted) and
+    // a legacy sidecar minted ahead of the meta by the pre-r16 order.
+    if (!metaAdvanced && seq >= minted)
+      writeMeta(spark, path, nBuckets, seq)
   }
 
   /** Tombstone documents: [[reconstruct]] and [[stats]]' visible side
@@ -707,14 +743,73 @@ object ChunkStore {
       val backup = new Path(chRoot, s"_gc_old_$name")
       require(fs.rename(liveDir, backup),
         s"ChunkStore.gc: backup rename of $liveDir failed")
+      gcFailpointTick() // nastiest state: live gone, backup + staged live
       if (fs.exists(staged))
         require(fs.rename(staged, liveDir),
           s"ChunkStore.gc: install rename to $liveDir failed")
       fs.delete(backup, true)
+      gcFailpointTick() // bucket complete, later buckets untouched
     }
     fs.delete(tmpRoot, true)
     (dirtyNames.size, collected)
   }
+
+  /** TEST-ONLY failpoint: set to N to throw after the Nth install STEP
+    * inside [[gc]] (two steps per bucket: after the backup rename —
+    * live dir missing, backup + staged present — and after the backup
+    * delete). -1 = off (production). */
+  private[graft] val gcInstallFailpoint =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  private def gcFailpointTick(): Unit =
+    if (gcInstallFailpoint.get() >= 0 &&
+        gcInstallFailpoint.decrementAndGet() < 0)
+      throw new IllegalStateException(
+        "ChunkStore.gc: injected crash (test failpoint)")
+
+  /** Execute the remedy [[gc]]'s refusal message describes (r15
+    * verdict "What's missing #4"). gc's install is per-bucket
+    * self-contained (the backup drops immediately after its bucket
+    * installs), so repair is a per-bucket decision rather than the
+    * all-or-nothing judgment of the two-copy stores:
+    *
+    *  - `_gc_old_cb=X` with NO live `cb=X` → the crash hit between the
+    *    backup rename and the staged install: restore the backup (the
+    *    bucket returns to its pre-gc state — it merely still holds
+    *    dead chunks no visible manifest joins to);
+    *  - `_gc_old_cb=X` WITH a live `cb=X` → the staged install landed
+    *    and only the backup delete was lost: drop the backup;
+    *  - `_gc_tmp` is removed last (staged rows are recomputed by the
+    *    next gc — liveness is re-derived from the manifests each run).
+    *
+    * Every post-repair state serves correctly; RE-RUN gc to finish the
+    * collection. Idempotent; no-op on a clean store.
+    * @return "clean" | "repaired" */
+  def repairGc(spark: SparkSession, path: String): String =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"chunk store $path") {
+      import org.apache.hadoop.fs.Path
+      val fs = fsOf(spark, path)._1
+      val chRoot = new Path(s"$path/chunks")
+      require(fs.exists(chRoot), s"ChunkStore.repairGc: no chunk tree at $path")
+      val leftovers = fs.listStatus(chRoot).toSeq.filter { s =>
+        val n = s.getPath.getName
+        n == "_gc_tmp" || n.startsWith("_gc_old_")
+      }
+      if (leftovers.isEmpty) "clean"
+      else {
+        leftovers.filter(_.getPath.getName.startsWith("_gc_old_"))
+          .foreach { b =>
+            val live = new Path(chRoot,
+              b.getPath.getName.stripPrefix("_gc_old_"))
+            if (fs.exists(live)) fs.delete(b.getPath, true)
+            else require(fs.rename(b.getPath, live),
+              s"ChunkStore.repairGc: restore of ${b.getPath} failed")
+          }
+        fs.delete(new Path(chRoot, "_gc_tmp"), true)
+        "repaired"
+      }
+    }
 
   /** Store integrity audit — the crash contracts made CHECKABLE: one
     * (check, violations) row per invariant, all computed from

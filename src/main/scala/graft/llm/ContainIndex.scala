@@ -171,7 +171,9 @@ object ContainIndex {
                          path: String, runId: Option[String]): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(spark, path)
-    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
+    // standing takedown protection: forgotten ids never re-index
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val bsets = Dedup.shingleHashSets(kept, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
     appendFromView(spark, path,
@@ -258,7 +260,10 @@ object ContainIndex {
       threshold: Double, runId: Option[String])(
       writePairs: DataFrame => Unit): Unit = {
     val meta = readMeta(spark, path)
-    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
+    // standing takedown protection, applied to the WHOLE loop (serve
+    // included): a forgotten doc neither pairs nor re-indexes
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val bsets = Dedup.shingleHashSets(kept, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
     val v = batchView(spark, path, bsets, bpost, meta._3)

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing INGEST denylist for the maintained stores — the piece that
+  * turns "erased" into "stays erased" (r15 verdict "What's missing
+  * #1"). [[Forget.forgetDocs]] makes a takedown durable against
+  * REPLAYS (fold manifests no-op re-deliveries of already-folded
+  * batches), but a brand-NEW crawl batch containing a since-forgotten
+  * document re-lands it legitimately: [[ChunkStore]]'s tombstones lose
+  * to any higher-seq append (latest-run-wins is that store's
+  * contract), the index stores' [[Tombstones]] markers are CLEARED by
+  * the compact forgetDocs itself runs, and every other store happily
+  * re-admits. At 100 TB with continuous crawling, that is the
+  * difference between "erased" and "erased until the next crawl".
+  *
+  * Mechanics: `<store>/_denylist/` parquet with a single string `id`
+  * column (string so one mechanism covers long-keyed doc stores and
+  * string-keyed summary stores), append-only, underscore-invisible to
+  * the store's own data discovery — the [[Tombstones]] layout, with
+  * the opposite lifecycle: NO maintenance op ever clears it. Every
+  * append path of the ten key-carrying stores (chunk, the five
+  * indexes, edge, label, topk, sample) anti-joins its batch against
+  * the list when one exists; takedown sets are small (bounded by
+  * legal/process reality, not corpus size), so the join is a
+  * broadcast LEFT ANTI — one cheap exchange per batch, identity when
+  * no denylist exists (one filesystem probe).
+  *
+  * Deliberate boundaries:
+  *  - `write()` (from-scratch rebuild) paths do NOT consult the list:
+  *    a full rebuild's input corpus is an explicit upstream decision,
+  *    and several writes remove the store root (taking the sidecar
+  *    with it). The denylist guards the CONTINUOUS ingest surface.
+  *  - Bloom/CMS/Quantile/Hist appends do not consult it: those stores
+  *    hold no key material ([[Forget]]'s contract), and their keys are
+  *    usually not document ids (n-grams, metric values).
+  *  - Re-admitting a once-forgotten id is an explicit operator
+  *    decision: [[clear]], never a side effect of maintenance.
+  *
+  * Two-column stores (edge src/dst, label pairs) drop a row when
+  * EITHER end is denied — the [[Forget]] erasure semantics applied at
+  * ingest time. */
+object Denylist {
+
+  private def dir(path: String) = s"$path/_denylist"
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Record ids as permanently denied at this store root (append-only;
+    * duplicates harmless — exclusion is an anti-join). */
+  def record(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("string").as("id")).distinct()
+      .write.mode("append").parquet(dir(path))
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, _) = fsOf(spark, path)
+    val p = new Path(dir(path))
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** The denied-id table (string ids), if any entries exist. */
+  def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
+    if (exists(spark, path)) Some(spark.read.parquet(dir(path))) else None
+
+  /** Re-admittance: remove the whole denylist (an explicit operator
+    * decision — no maintenance op calls this). */
+  def clear(spark: SparkSession, path: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new Path(dir(path)), true)
+    ()
+  }
+
+  /** `df` minus rows whose `idColName` is denied — identity when no
+    * denylist exists, so untouched stores pay one FS probe. */
+  def exclude(df: DataFrame, idColName: String,
+              spark: SparkSession, path: String): DataFrame =
+    readOpt(spark, path) match {
+      case None => df
+      case Some(d) =>
+        df.join(broadcast(d.select(col("id").as("__deny"))),
+          col(idColName).cast("string") === col("__deny"), "left_anti")
+    }
+
+  /** [[exclude]] for two-column stores: a row is denied when EITHER
+    * column hits the list (edge src/dst, label pair ends). */
+  def excludePair(df: DataFrame, c1: String, c2: String,
+                  spark: SparkSession, path: String): DataFrame =
+    readOpt(spark, path) match {
+      case None => df
+      case Some(d) =>
+        val deny = broadcast(d.select(col("id").as("__deny")))
+        df.join(deny, col(c1).cast("string") === col("__deny"), "left_anti")
+          .join(deny, col(c2).cast("string") === col("__deny"), "left_anti")
+    }
+}

@@ -46,8 +46,10 @@ import org.apache.spark.sql.functions._
   *    and bin counts — NO key material; a dropped id is not
   *    recoverable from them, so there is nothing to erase. (A Bloom
   *    `mightContain` probe for a dropped id may still answer true —
-  *    that is a false positive by construction, not retention; rebuild
-  *    at a new geometry if even that signal must go.)
+  *    that is a false positive by construction, not retention; when
+  *    even that signal must go, declare a [[Stores.bloom]]/[[Stores.cms]]
+  *    [[SketchTarget]] and this operator re-seeds the store from the
+  *    surviving corpus at a fresh geometry.)
   *  - TRAINED artifacts (BPE merge tables, quality-model weights, DSIR
   *    statistics, k-means centroids / PQ codebooks) are derived
   *    AGGREGATES over the corpus: they carry no per-document key
@@ -74,6 +76,21 @@ object Forget {
   final case class LabelTarget(path: String, pairs: DataFrame,
                                aCol: String, bCol: String)
 
+  /** A Bloom/CMS store to REBUILD at a fresh geometry as part of the
+    * takedown (r15 verdict #6): those stores hold positions and
+    * counters, NO key material — a dropped id is not recoverable from
+    * them — but a Bloom probe for it may still answer true and a CMS
+    * estimate still includes its counts. When policy says even that
+    * RESIDUAL SIGNAL must go, the only remedy is re-seeding from the
+    * surviving corpus at a new geometry (positions cannot re-hash).
+    * `corpus` is the key corpus the store should represent AFTER the
+    * takedown — forgetDocs anti-joins the drop set defensively, so
+    * passing the pre-takedown corpus is safe when its keys ARE the
+    * document ids. */
+  final case class SketchTarget(path: String, corpus: DataFrame,
+                                keyCol: String, partCol: String,
+                                depth: Int, width: Int)
+
   /** Declared store set. Every field None by default: callers name
     * exactly the stores their pipeline materializes; forgetting a
     * store the pipeline HAS is the failure mode this operator exists
@@ -88,7 +105,16 @@ object Forget {
       edge: Option[String] = None,
       label: Option[LabelTarget] = None,
       topk: Option[String] = None,
-      sample: Option[String] = None)
+      sample: Option[String] = None,
+      bloom: Option[SketchTarget] = None,
+      cms: Option[SketchTarget] = None) {
+    /** The key-carrying store roots — the ones a standing denylist
+      * guards (sketch stores hold no key material and are rebuilt, not
+      * filtered). */
+    private[llm] def keyedRoots: Seq[String] =
+      (Seq(chunk, minhash, lexical, contain, ivf, ivfPq, edge, topk,
+        sample).flatten ++ label.map(_.path).toSeq)
+  }
 
   /** One row per store touched: what happened there. `removed` is the
     * store's own accounting unit (chunk rows collected, edges removed,
@@ -107,12 +133,27 @@ object Forget {
     * manifest rows too (full-tree rewrite — [[ChunkStore.compact]]);
     * the default leaves that to the next scheduled compact because the
     * rows hold only (id, hash, seq), no content, and gc has already
-    * collected the bytes. */
+    * collected the bytes.
+    *
+    * `denylist = true` makes the takedown STANDING: the ids are
+    * recorded in a [[Denylist]] at every declared key-carrying store
+    * root — recorded FIRST, before any erasure, so a crawl batch
+    * racing the takedown cannot re-land them — and every append path
+    * anti-joins its batches against it from then on. Without it the
+    * erasure is durable against replays (fold manifests) but a NEW
+    * batch containing a since-forgotten document re-lands it
+    * legitimately (r15 verdict "What's missing #1"). */
   def forgetDocs(spark: SparkSession, ids: DataFrame, idCol: String,
-                 stores: Stores, chunkCompact: Boolean = false): Report = {
+                 stores: Stores, chunkCompact: Boolean = false,
+                 denylist: Boolean = false): Report = {
     val idsN = ids.select(col(idCol).as("id")).distinct().persist()
     idsN.count()
     val out = Seq.newBuilder[StoreResult]
+
+    // 0. standing denylist, BEFORE any erasure: once this lands, no
+    //    append path re-admits the ids — the erasure below then works
+    //    toward a state that new ingestion can no longer regress
+    if (denylist) stores.keyedRoots.foreach(Denylist.record(idsN, "id", _))
 
     // 1. content: chunk store — tombstone, collect bytes, optionally
     //    purge manifest rows. gc refuses a full wipe; an empty-after
@@ -184,6 +225,26 @@ object Forget {
       out += StoreResult("sample", -1L)
     }
 
+    // 5. probabilistic sketch stores, when even the residual signal
+    //    must go: re-seed from the SURVIVING corpus at the declared
+    //    fresh geometry (atomic swap — the old store serves until the
+    //    install). The drop set is anti-joined defensively; a corpus
+    //    whose keys are not doc ids passes through unchanged.
+    def survivors(t: SketchTarget): DataFrame =
+      t.corpus.join(
+        broadcast(idsN.select(col("id").cast("string").as("__forget"))),
+        col(t.keyCol).cast("string") === col("__forget"), "left_anti")
+    stores.bloom.foreach { t =>
+      graft.operators.BloomStore.rebuild(survivors(t), t.keyCol, t.partCol,
+        t.path, t.depth, t.width)
+      out += StoreResult("bloom", -1L)
+    }
+    stores.cms.foreach { t =>
+      graft.operators.CmsStore.rebuild(survivors(t), t.keyCol, t.partCol,
+        t.path, t.depth, t.width)
+      out += StoreResult("cms", -1L)
+    }
+
     idsN.unpersist()
     Report(out.result())
   }
@@ -231,6 +292,27 @@ object Forget {
         .agg(count(lit(1)), count(col("__drops"))).head()
       (agg.getLong(0), agg.getLong(1))
     }
+    // Two-column stores (edge src/dst, label node/label): a row leaks
+    // when EITHER column hits the drop set. One scan, two broadcast
+    // LEFT equi-joins (each row matches <= 1 id per column — the drop
+    // set is distinct — so no row multiplication), then one aggregate
+    // counting rows where either side matched. The r15 OR-condition
+    // join both compiled to a BroadcastNestedLoopJoin (O(|rows| x
+    // |drop set|) comparisons — the audit would become the bottleneck
+    // of a large takedown) and DOUBLE-COUNTED a row whose two columns
+    // hit two different dropped ids, exactly in the pre/mid-takedown
+    // use where the counts matter (r15 ADVICE).
+    def counts2(df: DataFrame, c1: String, c2: String): (Long, Long) = {
+      val agg = df
+        .join(broadcast(idsN.select(col("__drop").as("__d1"))),
+          col(c1) === col("__d1"), "left")
+        .join(broadcast(idsN.select(col("__drop").as("__d2"))),
+          col(c2) === col("__d2"), "left")
+        .agg(count(lit(1)),
+          count(when(col("__d1").isNotNull || col("__d2").isNotNull,
+            lit(1)))).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
     val rows = Seq.newBuilder[(String, Long, Long)]
     stores.chunk.foreach { p =>
       val (live, leaked) = counts(
@@ -273,19 +355,13 @@ object Forget {
     }
     stores.edge.foreach { p =>
       val e = spark.read.parquet(s"$p/edges").select("src", "dst")
-      val agg = e
-        .join(idsN, col("src") === col("__drop") ||
-          col("dst") === col("__drop"), "left")
-        .agg(count(lit(1)), count(col("__drop"))).head()
-      rows += (("edge", agg.getLong(0), agg.getLong(1)))
+      val (live, leaked) = counts2(e, "src", "dst")
+      rows += (("edge", live, leaked))
     }
     stores.label.foreach { t =>
       val l = spark.read.parquet(s"${t.path}/byn").select("node", "label")
-      val agg = l
-        .join(idsN, col("node") === col("__drop") ||
-          col("label") === col("__drop"), "left")
-        .agg(count(lit(1)), count(col("__drop"))).head()
-      rows += (("label", agg.getLong(0), agg.getLong(1)))
+      val (live, leaked) = counts2(l, "node", "label")
+      rows += (("label", live, leaked))
     }
     stores.topk.foreach { p =>
       val (live, leaked) = countsStr(

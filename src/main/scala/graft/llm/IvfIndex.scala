@@ -298,8 +298,10 @@ object IvfIndex {
   private def appendSlot(batch: DataFrame, vecCol: String, idCol: String,
                          path: String, runId: Option[String]): Unit = {
     val cents = readCentroids(batch.sparkSession, path)
+    // standing takedown protection: forgotten ids never re-index
+    val kept = Denylist.exclude(batch, idCol, batch.sparkSession, path)
     RunSlots.write(
-      Similarity.assignCells(batch, cents, vecCol, idCol, "neighbor", 1),
+      Similarity.assignCells(kept, cents, vecCol, idCol, "neighbor", 1),
       path, "cid", runId)
   }
 

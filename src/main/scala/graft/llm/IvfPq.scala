@@ -132,7 +132,9 @@ object IvfPq {
   private def appendSlot(batch: DataFrame, vecCol: String, idCol: String,
                          path: String, runId: Option[String]): Unit = {
     val meta = readMeta(batch.sparkSession, path)
-    val assigned = Similarity.assignCells(batch, meta.cents, vecCol, idCol, "neighbor", 1)
+    // standing takedown protection: forgotten ids never re-index
+    val kept = Denylist.exclude(batch, idCol, batch.sparkSession, path)
+    val assigned = Similarity.assignCells(kept, meta.cents, vecCol, idCol, "neighbor", 1)
     val resid = assigned.select(col("neighbor_id"),
       residual(col("neighbor_vec"), meta).as("resid"), col("cid"))
     RunSlots.write(

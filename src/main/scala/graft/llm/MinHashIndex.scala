@@ -89,13 +89,17 @@ object MinHashIndex {
   private[graft] def appendSets(sets: DataFrame, path: String,
                                 nBuckets: Int,
                                 runId: Option[String] = None): Unit = {
+    // standing takedown protection (every append route — append,
+    // appendBatch, serveThenAppend — lands here): forgotten ids never
+    // re-index; identity when no denylist exists
+    val kept = Denylist.exclude(sets, "id", sets.sparkSession, path)
     RunSlots.write(
-      Dedup.bandRows(sets)
+      Dedup.bandRows(kept)
         .withColumn("kb", kb(col("key"), nBuckets))
         .repartition(col("kb"), col("key")),
       s"$path/bands", "kb", runId)
     RunSlots.write(
-      sets.withColumn("ib", ib(col("id"), nBuckets))
+      kept.withColumn("ib", ib(col("id"), nBuckets))
         .repartition(col("ib"), col("id")),
       s"$path/sets", "ib", runId)
   }

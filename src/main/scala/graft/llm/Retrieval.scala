@@ -274,7 +274,10 @@ object Retrieval {
     val spark = batch.sparkSession
     RunSlots.requireSlotLayout(spark, path, "bucket")
     RunSlots.requireFlatSlotLayout(spark, s"$path/_stats")
-    val toks = batch.select(col(idCol).as("doc_id"),
+    // standing takedown protection — BEFORE the stats delta, so a
+    // forgotten doc neither posts nor counts into n_docs/avgdl
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val toks = kept.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("w"))
     val withLen = toks.select(col("doc_id"), col("w"),
       size(col("w")).cast("long").as("dl")).persist()

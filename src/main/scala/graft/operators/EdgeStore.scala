@@ -68,12 +68,17 @@ object EdgeStore {
 
   private def appendSlot(edges: DataFrame, srcCol: String, dstCol: String,
                          wCol: Option[String], path: String, nBuckets: Int,
-                         runId: Option[String]): Unit =
+                         runId: Option[String]): Unit = {
+    // standing takedown protection: an edge MENTIONING a forgotten
+    // node (either end — the dropNodes semantics) never re-lands
+    val kept = graft.llm.Denylist.excludePair(edges, srcCol, dstCol,
+      edges.sparkSession, path)
     RunSlots.write(
-      agg(edges, srcCol, dstCol, wCol)
+      agg(kept, srcCol, dstCol, wCol)
         .withColumn("eb", eb(col("src"), nBuckets))
         .repartition(col("eb")),
       s"$path/edges", "eb", runId)
+  }
 
   /** Store integrity audit:
     *  - `dup_base_edge` (DEBT): a (src, dst) pair stored more than
@@ -252,6 +257,7 @@ object EdgeStore {
       if (fs.exists(staged))
         require(fs.rename(staged, live),
           s"EdgeStore.dropNodes: install rename to $live failed")
+      failpointTick("EdgeStore.dropNodes")
     }
     fs.delete(tmp, true)
     fs.listStatus(root).toSeq
@@ -259,4 +265,69 @@ object EdgeStore {
       .foreach(s => fs.delete(s.getPath, true))
     (dirtyNames.size, removed)
   }
+
+  /** TEST-ONLY failpoint: set to N to throw after the Nth bucket
+    * install inside [[dropNodes]] — DropRepairSpec drives [[repairDrop]]
+    * against REAL wreckage instead of hand-built imitations. -1 = off
+    * (production). */
+  private[graft] val installFailpoint =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  private def failpointTick(op: String): Unit =
+    if (installFailpoint.get() >= 0 && installFailpoint.decrementAndGet() < 0)
+      throw new IllegalStateException(s"$op: injected crash (test failpoint)")
+
+  /** Execute the phase-accurate remedy [[dropNodes]]' refusal message
+    * describes (r15 verdict "What's missing #4": fsck detects, the
+    * refusal names the remedy, but at fleet scale an operator wants
+    * the store to EXECUTE it — it already knows which phase it died
+    * in). Two wreckage states, decided exactly as the refusal decides:
+    *
+    *  - `_drop_tmp` still holds staged buckets → the install did not
+    *    finish: every processed bucket's backup is restored over its
+    *    live dir (the store returns to its exact pre-drop state) and
+    *    the staging dir is removed — RE-RUN the drop to complete the
+    *    erasure;
+    *  - otherwise → every install finished and the crash hit cleanup:
+    *    the leftovers are removed and nothing is restored (restoring
+    *    would resurrect dropped edges).
+    *
+    * Idempotent; no-op on a clean store. @return what was done:
+    * "clean" | "rolled_back" | "cleaned_up" */
+  def repairDrop(spark: SparkSession, path: String): String =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"edge store $path") {
+      import org.apache.hadoop.fs.Path
+      val tree = s"$path/edges"
+      val root = new Path(tree)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(root), s"EdgeStore.repairDrop: no edges at $path")
+      val leftovers = fs.listStatus(root).toSeq.filter { s =>
+        val n = s.getPath.getName
+        n == "_drop_tmp" || n.startsWith("_drop_old_")
+      }
+      if (leftovers.isEmpty) "clean"
+      else {
+        val tmp = new Path(tree, "_drop_tmp")
+        val installIncomplete = fs.exists(tmp) && fs.listStatus(tmp)
+          .exists(c => c.isDirectory && c.getPath.getName.startsWith("eb="))
+        val backups = leftovers.map(_.getPath)
+          .filter(_.getName.startsWith("_drop_old_"))
+        if (installIncomplete) {
+          val base = new Path(tree, s"run=${RunSlots.Base}")
+          backups.foreach { b =>
+            val live = new Path(base, b.getName.stripPrefix("_drop_old_"))
+            if (fs.exists(live)) fs.delete(live, true)
+            require(fs.rename(b, live),
+              s"EdgeStore.repairDrop: restore of $b failed")
+          }
+          fs.delete(tmp, true)
+          "rolled_back"
+        } else {
+          fs.delete(tmp, true)
+          backups.foreach(fs.delete(_, true))
+          "cleaned_up"
+        }
+      }
+    }
 }

@@ -193,7 +193,11 @@ object LabelStore {
                              runId: Option[String],
                              maxIter: Int): DataFrame = {
     val nBuckets = readMeta(spark, path)
-    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
+    // standing takedown protection: a pair touching a forgotten node
+    // never folds in (it would relabel the survivor's component with
+    // the forgotten id back in the closure)
+    val kept = graft.llm.Denylist.excludePair(pairs, aCol, bCol, spark, path)
+    val p = kept.select(col(aCol).as("u"), col(bCol).as("v")).persist()
     p.count()
     val batchNodes = p.select(col("u"))
       .unionByName(p.select(col("v").as("u"))).distinct().persist()
@@ -437,6 +441,7 @@ object LabelStore {
       if (fs.exists(staged))
         require(fs.rename(staged, live),
           s"LabelStore.dropNodes: install rename to $live failed")
+      failpointTick("LabelStore.dropNodes")
     }
     install(s"$path/byn", bynDirty)
     install(s"$path/byc", bycDirty)
@@ -459,6 +464,76 @@ object LabelStore {
     }
     (nAffected, (bynDirty ++ bycDirty).size)
   }
+
+  /** TEST-ONLY failpoint: set to N to throw after the Nth bucket
+    * install inside [[dropNodes]] (installs are counted ACROSS both
+    * copies — byn first, then byc). -1 = off (production). */
+  private[graft] val installFailpoint =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  private def failpointTick(op: String): Unit =
+    if (installFailpoint.get() >= 0 && installFailpoint.decrementAndGet() < 0)
+      throw new IllegalStateException(s"$op: injected crash (test failpoint)")
+
+  /** Execute the phase-accurate remedy [[dropNodes]]' refusal message
+    * describes, judged across BOTH copies at once exactly as the
+    * refusal judges it (r15 verdict "What's missing #4"):
+    *
+    *  - any `_drop_tmp` still holds staged buckets → install
+    *    incomplete: every backup of BOTH copies is restored over its
+    *    live bucket dir and both staging dirs are removed — the store
+    *    returns to a consistent pre-drop state in both copies (a
+    *    new-label bucket installed by the interrupted run has no
+    *    backup and rides along; the RE-RUN's stage replaces its rows,
+    *    never stacks — the dropNodes staging contract). Re-run the
+    *    drop to complete the erasure.
+    *  - otherwise → every install finished; leftovers are removed and
+    *    nothing is restored (a restore would resurrect dropped rows in
+    *    one copy only — the exact divergence the two-copy judgment
+    *    exists to prevent).
+    *
+    * Idempotent; no-op on a clean store. @return "clean" |
+    * "rolled_back" | "cleaned_up" */
+  def repairDrop(spark: SparkSession, path: String): String =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"label store $path") {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val copies = Seq("byn" -> "nb", "byc" -> "cb")
+      val leftovers = copies.flatMap { case (copy, pc) =>
+        fs.listStatus(new Path(s"$path/$copy")).toSeq
+          .filter { s =>
+            val n = s.getPath.getName
+            n == "_drop_tmp" || n.startsWith("_drop_old_")
+          }.map(s => (copy, pc, s.getPath))
+      }
+      if (leftovers.isEmpty) "clean"
+      else {
+        val installIncomplete = leftovers.exists { case (_, pc, p) =>
+          p.getName == "_drop_tmp" && fs.listStatus(p).exists(c =>
+            c.isDirectory && c.getPath.getName.startsWith(pc + "="))
+        }
+        if (installIncomplete) {
+          leftovers.foreach {
+            case (copy, _, p) if p.getName.startsWith("_drop_old_") =>
+              val live = new Path(s"$path/$copy/run=${RunSlots.Base}/" +
+                p.getName.stripPrefix("_drop_old_"))
+              if (fs.exists(live)) fs.delete(live, true)
+              require(fs.rename(p, live),
+                s"LabelStore.repairDrop: restore of $p failed")
+            case _ => ()
+          }
+          copies.foreach { case (copy, _) =>
+            fs.delete(new Path(s"$path/$copy/_drop_tmp"), true)
+          }
+          "rolled_back"
+        } else {
+          leftovers.foreach { case (_, _, p) => fs.delete(p, true) }
+          "cleaned_up"
+        }
+      }
+    }
 
   /** Store integrity audit — the two-copy discipline made CHECKABLE:
     * one (check, violations) row per invariant, computed over the

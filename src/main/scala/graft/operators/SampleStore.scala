@@ -136,8 +136,10 @@ object SampleStore {
                          keyCol: String, partCol: String, path: String,
                          runId: Option[String]): Unit = {
     val kMax = readMeta(df.sparkSession, path)
+    // standing takedown protection: a forgotten key never re-samples
+    val kept = graft.llm.Denylist.exclude(df, keyCol, df.sparkSession, path)
     RunSlots.write(
-      summaries(df, groupCols, keyCol, partCol, kMax)
+      summaries(kept, groupCols, keyCol, partCol, kMax)
         .repartition(col("part")),
       s"$path/sample", "part", runId)
   }

@@ -175,8 +175,12 @@ object TopKStore {
       s"TopKStore.append: runId '$runId' is reserved for legacy " +
         "seed/prune instance tags — name the run something else")
     val m = readMeta(df.sparkSession, path)
+    // standing takedown protection: a forgotten value never re-enters
+    // the summary — excluded BEFORE the MG pass, so the instance is
+    // exactly the summary of the batch as if it never contained it
+    val kept = graft.llm.Denylist.exclude(df, valueCol, df.sparkSession, path)
     RunSlots.write(
-      summaries(df, groupCols, valueCol, partCol, m)
+      summaries(kept, groupCols, valueCol, partCol, m)
         .withColumn("inst", lit(RunSlots.validate(runId)))
         .repartition(col("part")),
       s"$path/topk", "part", Some(runId))

@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.operators.{EdgeStore, SampleStore, TopKStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Standing ingest denylist: the sf-scale end-to-end story is gated
+  * (`forget_reingest`); this pins the mechanics on hand fixtures —
+  * identity when absent, per-store append filtering, survival across
+  * the maintenance op that clears every OTHER marker (compact), and
+  * explicit re-admittance via clear(). */
+class DenylistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(ids: Seq[Long]) = ids.map(i =>
+    (i, s"document number $i with plenty of words to shingle and chunk " +
+      s"into content addressed pieces of its very own kind $i", s"p${i % 2}"))
+    .toDF("doc_id", "text", "part")
+
+  test("exclude is identity when no denylist exists; filters when one does") {
+    val root = Files.createTempDirectory("graft_deny_").toString + "/s"
+    val df = mkDocs(1L to 6L)
+    assert(Denylist.exclude(df, "doc_id", spark, root).count() === 6L)
+    Denylist.record(Seq(2L, 4L).toDF("doc_id"), "doc_id", root)
+    assert(Denylist.exclude(df, "doc_id", spark, root)
+      .select("doc_id").as[Long].collect().sorted === Seq(1L, 3L, 5L, 6L))
+    // pair form: a row dies when EITHER end is denied
+    val pairs = Seq((1L, 2L), (3L, 5L), (4L, 6L)).toDF("u", "v")
+    assert(Denylist.excludePair(pairs, "u", "v", spark, root)
+      .as[(Long, Long)].collect().toSeq === Seq((3L, 5L)))
+    // re-admittance is explicit
+    Denylist.clear(spark, root)
+    assert(Denylist.exclude(df, "doc_id", spark, root).count() === 6L)
+  }
+
+  test("chunk store: a denied id never re-lands through append; survivors do") {
+    val p = Files.createTempDirectory("graft_deny_ch_").toString
+    ChunkStore.write(mkDocs(1L to 4L), "text", "doc_id", p, nBuckets = 4)
+    ChunkStore.deleteDocs(Seq(3L).toDF("doc_id"), "doc_id", p)
+    ChunkStore.gc(spark, p)
+    Denylist.record(Seq(3L).toDF("doc_id"), "doc_id", p)
+    // the re-crawl batch contains the forgotten doc AND a new one
+    ChunkStore.append(mkDocs(Seq(3L, 9L)), "text", "doc_id", p,
+      nBuckets = 4, runId = Some("recrawl"))
+    val served = ChunkStore.reconstruct(spark, p)
+      .select("doc_id").as[Long].collect().sorted
+    assert(served === Seq(1L, 2L, 4L, 9L))
+    // the denylist survives the full-tree rewrite that clears every
+    // other marker — a compact must not un-forget
+    ChunkStore.compact(spark, p)
+    assert(Denylist.readOpt(spark, p).isDefined)
+    ChunkStore.append(mkDocs(Seq(3L)), "text", "doc_id", p,
+      nBuckets = 4, runId = Some("recrawl2"))
+    assert(!ChunkStore.reconstruct(spark, p)
+      .select("doc_id").as[Long].collect().contains(3L))
+  }
+
+  test("edge/topk/sample appends filter against the list") {
+    val base = Files.createTempDirectory("graft_deny_ops_").toString
+    val docs = mkDocs(1L to 8L)
+
+    val edP = s"$base/ed"
+    EdgeStore.write(Seq((1L, 2L, 1L)).toDF("u", "v", "w"), "u", "v",
+      Some("w"), edP, nBuckets = 4)
+    Denylist.record(Seq(5L).toDF("doc_id"), "doc_id", edP)
+    EdgeStore.append(Seq((5L, 6L, 1L), (6L, 5L, 1L), (7L, 8L, 1L))
+      .toDF("u", "v", "w"), "u", "v", Some("w"), edP, nBuckets = 4,
+      runId = Some("re"))
+    assert(EdgeStore.read(spark, edP).select("src", "dst")
+      .as[(Long, Long)].collect().toSet === Set((1L, 2L), (7L, 8L)))
+
+    val tkP = s"$base/tk"
+    TopKStore.write(docs, Seq.empty, "doc_id", "part", tkP, m = 4)
+    Denylist.record(Seq(99L).toDF("v"), "v", tkP)
+    TopKStore.append(Seq((99L, "p0"), (7L, "p0")).toDF("doc_id", "part"),
+      Seq.empty, "doc_id", "part", tkP, runId = "re")
+    val vals = TopKStore.topK(spark, tkP, Seq.empty, k = 8)
+      .select("value").as[String].collect().toSet
+    assert(vals.contains("7") && !vals.contains("99"))
+
+    val smP = s"$base/sm"
+    SampleStore.write(docs, Seq.empty, "doc_id", "part", smP, kMax = 10)
+    Denylist.record(Seq(99L).toDF("doc_id"), "doc_id", smP)
+    SampleStore.append(Seq((99L, "p0"), (42L, "p0")).toDF("doc_id", "part"),
+      Seq.empty, "doc_id", "part", smP, runId = Some("re"))
+    val keys = SampleStore.sample(spark, smP, Seq.empty, k = 10)
+      .select("key").as[String].collect().toSet
+    assert(keys.contains("42") && !keys.contains("99"))
+  }
+
+  test("forgetDocs(denylist = true) records at every declared root, before erasure") {
+    val base = Files.createTempDirectory("graft_deny_fg_").toString
+    val docs = mkDocs(1L to 8L)
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("u", "v")
+    val (chP, mhP, edP) = (s"$base/ch", s"$base/mh", s"$base/ed")
+    ChunkStore.write(docs, "text", "doc_id", chP, nBuckets = 4)
+    MinHashIndex.write(docs, "text", "doc_id", mhP, nBuckets = 4)
+    EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
+      edP, nBuckets = 4)
+    val stores = Forget.Stores(chunk = Some(chP), minhash = Some(mhP),
+      edge = Some(edP))
+    // chunkCompact: purge the manifest rows too, so the audit's
+    // chunk_manifest purge-debt row reads zero below
+    Forget.forgetDocs(spark, Seq(4L).toDF("doc_id"), "doc_id", stores,
+      chunkCompact = true, denylist = true)
+    Seq(chP, mhP, edP).foreach { p =>
+      val d = Denylist.readOpt(spark, p)
+      assert(d.isDefined && d.get.as[String].collect().toSeq === Seq("4"),
+        s"denylist missing at $p")
+    }
+    // the minhash index refuses the id on EVERY append route
+    MinHashIndex.append(mkDocs(Seq(4L, 9L)), "text", "doc_id", mhP,
+      nBuckets = 4, runId = Some("re"))
+    val indexed = spark.read.parquet(s"$mhP/sets").select("id")
+      .distinct().as[Long].collect().toSet
+    assert(indexed.contains(9L) && !indexed.contains(4L))
+    // audit still reads zero after the re-append
+    val audit = Forget.audit(spark, Seq(4L).toDF("doc_id"), "doc_id", stores)
+    assert(audit.filter(col("n_dropped") =!= 0L).isEmpty)
+  }
+}

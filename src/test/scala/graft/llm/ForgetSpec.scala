@@ -146,4 +146,38 @@ class ForgetSpec extends SparkSpec {
     assert(audit === Seq(("contain", 10L, 0L), ("ivf", 10L, 0L),
       ("ivfpq", 10L, 0L), ("lexical", 10L, 0L)), audit.toString)
   }
+
+  test("forgetDocs rebuilds declared Bloom/CMS sketches from the surviving corpus at a fresh geometry") {
+    import graft.operators.{BloomStore, CmsStore}
+    val docs = mkDocs()
+    val base = Files.createTempDirectory("graft_forget_sk_").toString
+    val (blP, cmP) = (s"$base/bl", s"$base/cm")
+    BloomStore.write(docs, "doc_id", "part", blP, depth = 3, width = 64)
+    CmsStore.write(docs, "doc_id", "part", cmP, depth = 3, width = 8)
+    val report = Forget.forgetDocs(spark, Seq(4L, 9L).toDF("doc_id"),
+      "doc_id",
+      Forget.Stores(
+        bloom = Some(Forget.SketchTarget(blP, docs, "doc_id", "part",
+          depth = 3, width = 256)),
+        cms = Some(Forget.SketchTarget(cmP, docs, "doc_id", "part",
+          depth = 3, width = 32))))
+    assert(report.removed("bloom").isDefined &&
+      report.removed("cms").isDefined)
+    // fresh geometry installed atomically on both
+    assert(BloomStore.readMeta(spark, blP) === ((3, 256)))
+    assert(CmsStore.readMeta(spark, cmP) === ((3, 32)))
+    // the contract that survives any geometry: no false negatives on
+    // surviving keys, and CMS estimates upper-bound true counts
+    val probes = (1L to 12L).map(i => Tuple1(i)).toDF("k")
+    val fn = BloomStore.mightContain(spark, blP, probes, "k")
+      .filter(!col("might_contain"))
+      .select(col("key").cast("long")).as[Long].collect().toSet
+    assert(fn.subsetOf(Set(4L, 9L)),
+      s"false negative on a surviving key: $fn")
+    val est = CmsStore.estimate(spark, cmP, probes, "k")
+      .select(col("key").cast("long"), col("est")).as[(Long, Long)]
+      .collect().toMap
+    ((1L to 12L).toSet -- Set(4L, 9L)).foreach(i =>
+      assert(est(i) >= 1L, s"cms underestimates surviving key $i"))
+  }
 }

@@ -867,10 +867,16 @@ object ChunkStore {
     *
     * Crash contract (the [[IvfLayout.compact]] discipline): both new
     * trees are STAGED fully before any install; each install is a
-    * backup-rename (`__old`) + move, atomic on HDFS/POSIX. A crash
-    * mid-swap leaves a `manifest__compact_old` / `chunks__compact_old`
-    * backup intact — recovery is renaming it back — and a re-run fails
-    * loudly while a leftover exists instead of compounding. */
+    * backup-rename (`__old`) + move, atomic on HDFS/POSIX; applied
+    * tombstones are PARKED (atomic rename) right after the manifest
+    * install and only deleted in cleanup — strictly before the backups
+    * go, because a stale marker outranking the folded seq-0 rows would
+    * hide a doc re-ingested after deletion, and the old
+    * backups-first order let a crash close that window with NO
+    * leftover (silent permanent loss at the next compact). A crash
+    * mid-swap leaves `__compact_old` / `__compact_parked` wreckage, a
+    * re-run fails loudly while it exists, and [[repairCompact]]
+    * executes the phase-accurate remedy. */
   def compact(spark: SparkSession, path: String): Unit =
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"chunk store $path")(compactLocked(spark, path))
@@ -885,10 +891,13 @@ object ChunkStore {
         .exists(_.equalsIgnoreCase("true")))
     val manOld = new Path(s"$path/manifest__compact_old")
     val chOld = new Path(s"$path/chunks__compact_old")
-    require(!fs.exists(manOld) && !fs.exists(chOld),
-      s"ChunkStore.compact: leftover __compact_old under $path from an " +
-        "interrupted compact — restore it over the live directory (or " +
-        "remove it) before re-running")
+    val parked = new Path(s"$path/tombstones__compact_parked")
+    require(!fs.exists(manOld) && !fs.exists(chOld) && !fs.exists(parked),
+      s"ChunkStore.compact: leftover __compact_old/__compact_parked " +
+        s"under $path from an interrupted compact — run " +
+        "ChunkStore.repairCompact (it rolls the install forward or back " +
+        "by phase), or restore each leftover over its live directory by " +
+        "hand, before re-running")
     val manTmp = new Path(s"$path/manifest__compact_tmp")
     val chTmp = new Path(s"$path/chunks__compact_tmp")
     fs.delete(manTmp, true); fs.delete(chTmp, true)
@@ -962,20 +971,129 @@ object ChunkStore {
       .repartition(col("cb"))
       .sortWithinPartitions("chunk_hash")
       .write.partitionBy("cb").parquet(chTmp.toString)
-    // 3. install both trees by backup-rename + move, then clean up
+    // 3. install both trees by backup-rename + move. Applied tombstones
+    //    are PARKED (atomic rename to a recoverable sibling, deleted in
+    //    cleanup) IMMEDIATELY after the manifest install, and strictly
+    //    BEFORE any backup is deleted. Order matters (r16): the folded
+    //    base rewrites seqs to 0, so a stale tombstone outranks the
+    //    folded rows of any doc that was re-ingested AFTER its deletion
+    //    — the doc vanishes from serves and the NEXT compact purges it.
+    //    The old order (backups deleted first, tombstones last) had a
+    //    crash window with NO leftover: the next compact saw a clean
+    //    store and made the loss permanent, silently. Now every state
+    //    with stale markers still present also has a backup or the
+    //    parked dir present, so the next compact REFUSES and
+    //    repairCompact finishes or rolls back the install — the
+    //    mis-serve window shrinks to the two renames between manifest
+    //    install and the park.
+    //    Tombstones park ONLY when no partial slot rode over: a carried
+    //    slot's docs still resolve from it (and from its replay, which
+    //    reuses the same seq), so a tombstone shadowing one of them
+    //    must keep applying or the delete would be silently undone —
+    //    the compact after the replay commits the slot purges it.
     val man = new Path(s"$path/manifest"); val ch = new Path(s"$path/chunks")
     require(fs.rename(man, manOld), s"ChunkStore.compact: backup rename of $man failed")
+    compactFailpointTick() // manifest missing: repair rolls BACK
     require(fs.rename(manTmp, man), s"ChunkStore.compact: install rename to $man failed")
+    val tomb = new Path(s"$path/tombstones")
+    if (partialSlots.isEmpty && fs.exists(tomb))
+      require(fs.rename(tomb, parked),
+        s"ChunkStore.compact: tombstone park rename failed")
+    compactFailpointTick() // new manifest + backups: repair rolls FORWARD
     require(fs.rename(ch, chOld), s"ChunkStore.compact: backup rename of $ch failed")
     require(fs.rename(chTmp, ch), s"ChunkStore.compact: install rename to $ch failed")
+    compactFailpointTick() // both installed, cleanup pending
     fs.delete(manOld, true); fs.delete(chOld, true)
-    // applied tombstones clear ONLY when no partial slot rode over: a
-    // carried slot's docs still resolve from it (and from its replay,
-    // which reuses the same seq), so a tombstone shadowing one of them
-    // must keep applying or the delete would be silently undone — the
-    // compact after the replay commits the slot purges it instead
-    if (partialSlots.isEmpty)
-      fs.delete(new Path(s"$path/tombstones"), true)
+    fs.delete(parked, true)
     writeMeta(spark, path, nBuckets, meta.map(_._2).getOrElse(0L))
   }
+
+  /** TEST-ONLY failpoint for [[compact]]'s install sequence (see the
+    * ticks above); -1 = off (production). */
+  private[graft] val compactInstallFailpoint =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  private def compactFailpointTick(): Unit =
+    if (compactInstallFailpoint.get() >= 0 &&
+        compactInstallFailpoint.decrementAndGet() < 0)
+      throw new IllegalStateException(
+        "ChunkStore.compact: injected crash (test failpoint)")
+
+  /** Execute the phase-accurate remedy for [[compact]] wreckage (r15
+    * verdict "What's missing #4", extended to the swap-install family
+    * after the tombstone-order fix above). The decisive observable is
+    * the LIVE manifest:
+    *
+    *  - backups exist and the live manifest is MISSING → the crash hit
+    *    between the manifest's backup rename and its install: roll
+    *    BACK (restore `manifest__compact_old`, un-park tombstones if
+    *    any were parked — the old manifest needs its markers to keep
+    *    deleted docs hidden) and re-run the compact;
+    *  - backups/parked exist and the live manifest is PRESENT → it is
+    *    the staged one (the install only ever moves the old tree out
+    *    first): roll FORWARD — finish the chunk install from the
+    *    staged tree if needed, clear the parked/stale tombstones
+    *    exactly when the interrupted compact would have (no partial
+    *    slot carried in the installed tree), drop the backups, and
+    *    re-record store metadata;
+    *  - staging trees alone (`__compact_tmp`) are simply removed (the
+    *    crash predated any install — compact re-stages from scratch).
+    *
+    * Idempotent; no-op on a clean store. @return "clean" |
+    * "cleaned_up" | "rolled_back" | "rolled_forward" */
+  def repairCompact(spark: SparkSession, path: String): String =
+    graft.warehouse.Warehouse.withPathLease(spark, path,
+      what = s"chunk store $path") {
+      import org.apache.hadoop.fs.Path
+      val fs = fsOf(spark, path)._1
+      val man = new Path(s"$path/manifest")
+      val ch = new Path(s"$path/chunks")
+      val manOld = new Path(s"$path/manifest__compact_old")
+      val chOld = new Path(s"$path/chunks__compact_old")
+      val parked = new Path(s"$path/tombstones__compact_parked")
+      val manTmp = new Path(s"$path/manifest__compact_tmp")
+      val chTmp = new Path(s"$path/chunks__compact_tmp")
+      val tomb = new Path(s"$path/tombstones")
+      if (!fs.exists(manOld) && !fs.exists(chOld) && !fs.exists(parked)) {
+        val hadTmp = fs.exists(manTmp) || fs.exists(chTmp)
+        fs.delete(manTmp, true); fs.delete(chTmp, true)
+        if (hadTmp) "cleaned_up" else "clean"
+      } else if (fs.exists(manOld) && !fs.exists(man)) {
+        // rollback: old manifest back in place, markers restored
+        require(fs.rename(manOld, man),
+          s"ChunkStore.repairCompact: restore of $manOld failed")
+        if (fs.exists(parked) && !fs.exists(tomb))
+          require(fs.rename(parked, tomb),
+            s"ChunkStore.repairCompact: tombstone un-park failed")
+        fs.delete(manTmp, true); fs.delete(chTmp, true)
+        "rolled_back"
+      } else {
+        // forward: live manifest is the staged one
+        if (!fs.exists(ch)) {
+          require(fs.exists(chTmp),
+            s"ChunkStore.repairCompact: $ch missing and no staged tree " +
+              "to install — restore chunks__compact_old by hand")
+          require(fs.rename(chTmp, ch),
+            s"ChunkStore.repairCompact: install rename to $ch failed")
+        }
+        // the interrupted compact cleared tombstones iff it carried no
+        // partial slot — recompute that decision from the INSTALLED tree
+        val carriedPartial = fs.listStatus(man).exists { s =>
+          val n = s.getPath.getName
+          s.isDirectory && n.startsWith("run=") &&
+            n != s"run=${RunSlots.Base}" && n != s"run=${RunSlots.Adhoc}"
+        }
+        if (!carriedPartial) { fs.delete(parked, true); fs.delete(tomb, true) }
+        else if (fs.exists(parked) && !fs.exists(tomb))
+          require(fs.rename(parked, tomb),
+            s"ChunkStore.repairCompact: tombstone un-park failed")
+        fs.delete(manOld, true); fs.delete(chOld, true)
+        fs.delete(manTmp, true); fs.delete(chTmp, true)
+        val meta = readMeta(spark, path)
+        writeMeta(spark, path,
+          meta.map(_._1).filter(_ > 0).getOrElse(64),
+          meta.map(_._2).getOrElse(0L))
+        "rolled_forward"
+      }
+    }
 }

@@ -205,6 +205,51 @@ private[graft] object IvfLayout {
     require(fs.rename(tmp, root), s"IvfLayout.compact: install rename to $path failed")
     fs.delete(old, true)
   }
+
+  /** Execute the remedy every single-tree swap-install refusal in the
+    * family describes (r15 verdict "What's missing #4", the generic
+    * case): `<tree>__<op>_old` / `__<op>_tmp` wreckage from an
+    * interrupted [[compact]] (any store routing through it), a Bloom/
+    * CMS `rebuild`, or an IVF `retrain`. The decisive observable is
+    * the live tree: the install only ever moves the old tree OUT
+    * first, so
+    *
+    *  - backup present + live tree MISSING → crash between the two
+    *    renames: restore the backup (roll back; re-run the op);
+    *  - backup present + live tree PRESENT → the staged tree installed
+    *    and only the backup delete was lost: drop the backup (roll
+    *    forward — the op completed; a caller-side marker clear that
+    *    followed the swap, e.g. index Tombstones.clear, is safe to
+    *    miss: markers are idempotent hides that the next compact
+    *    purges);
+    *  - staging tree alone → remove it (the crash predated any
+    *    install).
+    *
+    * Idempotent; no-op on a clean tree. @return "clean" |
+    * "cleaned_up" | "rolled_back" | "rolled_forward" */
+  def repairSwap(spark: org.apache.spark.sql.SparkSession, tree: String,
+                 op: String): String =
+    graft.warehouse.Warehouse.withPathLease(spark, tree,
+      what = s"store tree $tree") {
+      val root = new Path(tree)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = new Path(tree + s"__${op}_old")
+      val tmp = new Path(tree + s"__${op}_tmp")
+      if (!fs.exists(old)) {
+        val hadTmp = fs.exists(tmp)
+        fs.delete(tmp, true)
+        if (hadTmp) "cleaned_up" else "clean"
+      } else if (!fs.exists(root)) {
+        require(fs.rename(old, root),
+          s"IvfLayout.repairSwap: restore of $old failed")
+        fs.delete(tmp, true)
+        "rolled_back"
+      } else {
+        fs.delete(old, true)
+        fs.delete(tmp, true)
+        "rolled_forward"
+      }
+    }
 }
 
 object IvfIndex {

@@ -69,8 +69,12 @@ object PlansR16 {
     println("=== Denylist.exclude (broadcast LEFT ANTI) ===")
     val excl = graft.llm.Denylist.exclude(docs, "doc_id", spark, s"$tmp/dl")
     excl.explain("formatted")
-    if (!excl.queryExecution.executedPlan.toString
-        .contains("BroadcastHashJoin LeftAnti")) {
+    val exclPlan = excl.queryExecution.executedPlan.toString
+    // executedPlan.toString renders join fields comma-separated
+    // ("BroadcastHashJoin [...], [...], LeftAnti, BuildRight, ...")
+    if (!(exclPlan.contains("BroadcastHashJoin") &&
+          exclPlan.contains("LeftAnti")) ||
+        exclPlan.contains("BroadcastNestedLoopJoin")) {
       println("!!! denylist exclusion is not a broadcast anti join")
       bad = true
     }

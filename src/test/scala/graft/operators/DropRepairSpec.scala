@@ -146,4 +146,86 @@ class DropRepairSpec extends SparkSpec {
       assert(ChunkStore.repairGc(spark, p) === "clean")
     }
   }
+
+  // ---- ChunkStore.compact (the stale-tombstone window, r16) -------------
+
+  test("ChunkStore.compact: crash at each install phase -> repair; a re-ingested-after-delete doc survives every path") {
+    // the r16-found window: the folded base rewrites seqs to 0, so a
+    // tombstone surviving the crash outranks the folded rows of a doc
+    // re-ingested AFTER its deletion — with the old cleanup order a
+    // no-leftover crash made the next compact purge it silently.
+    // Tombstones now PARK before any backup is deleted, so every such
+    // state refuses and repairs.
+    for (k <- Seq(0, 1, 2)) {
+      val p = Files.createTempDirectory("graft_repair_cc_").toString
+      ChunkStore.write(mkDocs(1L to 8L), "text", "doc_id", p, nBuckets = 4)
+      ChunkStore.deleteDocs(Seq(3L).toDF("doc_id"), "doc_id", p) // seq 1
+      ChunkStore.append(mkDocs(Seq(3L)) // revived at seq 2 > tombstone
+          .withColumn("text", concat(lit("revived "), col("text"))),
+        "text", "doc_id", p, nBuckets = 4, runId = Some("revive"))
+      val expected = ChunkStore.reconstruct(spark, p)
+        .as[(Long, String)].collect().toSet
+      assert(expected.exists(d => d._1 == 3L && d._2.startsWith("revived")))
+      ChunkStore.compactInstallFailpoint.set(k)
+      try intercept[IllegalStateException] {
+        ChunkStore.compact(spark, p)
+      } finally ChunkStore.compactInstallFailpoint.set(-1)
+      // wreckage refuses loudly, naming the repair op
+      val refusal = intercept[IllegalArgumentException] {
+        ChunkStore.compact(spark, p)
+      }
+      assert(refusal.getMessage.contains("repairCompact"))
+      val action = ChunkStore.repairCompact(spark, p)
+      assert(if (k == 0) action === "rolled_back"
+             else action === "rolled_forward", s"k=$k -> $action")
+      assert(ChunkStore.reconstruct(spark, p)
+        .as[(Long, String)].collect().toSet === expected, s"k=$k")
+      // a clean re-run then finishes the physical fold; the revived doc
+      // must still serve and the markers must be gone
+      ChunkStore.compact(spark, p)
+      assert(ChunkStore.reconstruct(spark, p)
+        .as[(Long, String)].collect().toSet === expected, s"k=$k")
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/tombstones")),
+        s"k=$k: markers must clear with the completed compact")
+      assert(ChunkStore.repairCompact(spark, p) === "clean")
+    }
+  }
+
+  // ---- generic swap-install wreckage (StoreRepair.swap) -----------------
+
+  test("StoreRepair.swap: rollback, roll-forward, and orphan-stage states each repair to a serving store") {
+    val docs = mkDocs(1L to 8L).withColumn("part",
+      concat(lit("p"), (col("doc_id") % 2).cast("string")))
+    val p = Files.createTempDirectory("graft_repair_sw_").toString + "/bl"
+    BloomStore.write(docs, "doc_id", "part", p, depth = 3, width = 256)
+    def serves(): Unit = {
+      import spark.implicits._
+      val fn = BloomStore.mightContain(spark, p,
+          (1L to 8L).map(Tuple1(_)).toDF("k"), "k")
+        .filter(!col("might_contain")).count()
+      assert(fn === 0L, "false negative after repair")
+    }
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the two install renames: live tree missing
+    fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + "__rebuild_old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + "__rebuild_tmp"))
+    intercept[IllegalArgumentException] {
+      BloomStore.rebuild(docs, "doc_id", "part", p, depth = 3, width = 512)
+    }
+    assert(StoreRepair.swap(spark, p, "rebuild") === "rolled_back")
+    serves()
+    // crash after install, before the backup delete: bare backup
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + "__rebuild_old"))
+    assert(StoreRepair.swap(spark, p, "rebuild") === "rolled_forward")
+    serves()
+    // crash before any install: orphan staging dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + "__compact_tmp"))
+    assert(StoreRepair.swap(spark, p, "compact") === "cleaned_up")
+    assert(StoreRepair.swap(spark, p, "compact") === "clean")
+    serves()
+  }
 }

@@ -75,6 +75,42 @@ object Denylist {
     ()
   }
 
+  /** Fold the list back to one file: every [[record]] appends a file,
+    * so a store that has seen many takedowns pays a growing listing +
+    * footers cost on every batch's [[exclude]]. Staged distinct
+    * rewrite installed by backup-rename under the writer lease (the
+    * [[IvfLayout.compact]] discipline; wreckage repairs via
+    * [[graft.operators.StoreRepair.swap]] on `<store>/_denylist`).
+    * The one-rename window where the live dir is absent FAILS OPEN —
+    * an append racing it would skip the guard for that batch — so run
+    * it from the same maintenance schedule as the store's own compact
+    * (single-writer), not concurrently with ingest; a doc re-landed
+    * through that microsecond window is caught by [[Forget.audit]]
+    * and re-erasable, never silently protected. */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.warehouse.Warehouse.withPathLease(spark, dir(path),
+      what = s"denylist $path") {
+      if (exists(spark, path)) {
+        val (fs, _) = fsOf(spark, path)
+        val live = new Path(dir(path))
+        val tmp = new Path(dir(path) + "__compact_tmp")
+        val old = new Path(dir(path) + "__compact_old")
+        require(!fs.exists(old),
+          s"Denylist.compact: leftover $old from an interrupted " +
+            "compact — run StoreRepair.swap on the _denylist tree " +
+            "before re-running")
+        fs.delete(tmp, true)
+        spark.read.parquet(dir(path)).select("id").distinct()
+          .coalesce(1).write.parquet(tmp.toString)
+        require(fs.rename(live, old),
+          s"Denylist.compact: backup rename of $live failed")
+        require(fs.rename(tmp, live),
+          s"Denylist.compact: install rename to $live failed")
+        fs.delete(old, true)
+        ()
+      }
+    }
+
   /** `df` minus rows whose `idColName` is denied — identity when no
     * denylist exists, so untouched stores pay one FS probe. */
   def exclude(df: DataFrame, idColName: String,

@@ -73,6 +73,29 @@ object ProbeR16 {
     println(f"[probe16] forgetDocs chunk-only: gc-only $tGcOnly%.1f s " +
       f"(manifest debt $debtGc%d ids), chunkCompact $tFull%.1f s " +
       f"(debt $debtFull%d)")
+
+    // ---- 3. standing-denylist append overhead -------------------------------
+    // the per-batch price of the takedown guard: one FS probe when no
+    // denylist exists, one broadcast anti-join when one does — measured
+    // as whole appendBatch wall with/without a 1k-id list, same batch
+    val batch = docs.select("doc_id", "text").filter(col("doc_id") % 4 === 1)
+    def appendOnce(path: String, id: Long): Double =
+      timed(graft.llm.ChunkStore.appendBatch(batch, "text", "doc_id",
+        path, nBuckets = 64, batchId = id))._2
+    val bare = s"$tmp/ch_nodeny"
+    freshStore(bare)
+    val warm = appendOnce(bare, 0L) // JVM/codegen warmup
+    val tNoDeny = appendOnce(bare, 1L)
+    val guarded = s"$tmp/ch_deny"
+    freshStore(guarded)
+    graft.llm.Denylist.record(
+      docs.select("doc_id").filter(col("doc_id") % 50 === 0), "doc_id",
+      guarded)
+    appendOnce(guarded, 0L)
+    val tDeny = appendOnce(guarded, 1L)
+    println(f"[probe16] denylist overhead: appendBatch $tNoDeny%.2f s " +
+      f"without vs $tDeny%.2f s with a ${n / 50}%d-id list " +
+      f"(warmup $warm%.2f s)")
     spark.stop()
   }
 }

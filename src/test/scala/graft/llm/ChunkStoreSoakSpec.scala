@@ -103,4 +103,71 @@ class ChunkStoreSoakSpec extends SparkSpec {
       if (step % 6 == 0 || step == steps) check(step)
     }
   }
+
+  test("crash-repair soak: injected mid-install crashes in compact/gc always repair back to the model") {
+    // r16: the maintenance ops now have executable remedies
+    // (repairCompact / repairGc). This soak interleaves normal traffic
+    // with compact/gc runs that CRASH at a random install phase (real
+    // wreckage via the failpoints), repairs immediately, and holds the
+    // store to the same naive visibility model — deletions stay
+    // deleted, revivals stay revived, replays stay no-ops, across any
+    // crash+repair point.
+    val seed = 20260816L
+    val rnd = new scala.util.Random(seed)
+    val root = Files.createTempDirectory("graft_cs_crash_").toString
+    ChunkStore.write(Seq((1L, text(1, 0))).toDF("doc_id", "text"),
+      "text", "doc_id", root, nBuckets = 4)
+    val model = scala.collection.mutable.Map[Long, String](1L -> text(1, 0))
+    val delivered = scala.collection.mutable.Map[Long, Seq[(Long, String)]]()
+    var nextBatch = 0L
+    var version = 1
+    def check(step: Int): Unit = {
+      val got = ChunkStore.reconstruct(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(got === model.toMap, s"divergence at step $step (seed $seed)")
+    }
+    val steps = 36
+    for (step <- 1 to steps) {
+      rnd.nextInt(6) match {
+        case 0 => // fresh batch
+          val ids = rnd.shuffle(Universe).take(1 + rnd.nextInt(4))
+          val rows = ids.map(id => (id, text(id, version))).toSeq
+          version += 1
+          val b = nextBatch; nextBatch += 1
+          ChunkStore.appendBatch(rows.toDF("doc_id", "text"),
+            "text", "doc_id", root, 4, batchId = b)
+          delivered(b) = rows
+          rows.foreach { case (id, t) => model(id) = t }
+        case 1 => // delete
+          val ids = rnd.shuffle(Universe).take(1 + rnd.nextInt(3))
+          ChunkStore.deleteDocs(ids.toDF("doc_id"), "doc_id", root)
+          ids.foreach(model.remove)
+        case 2 => // replay verbatim — must stay a no-op across repairs
+          if (delivered.nonEmpty) {
+            val b = delivered.keys.toSeq.sorted.apply(
+              rnd.nextInt(delivered.size))
+            ChunkStore.appendBatch(delivered(b).toDF("doc_id", "text"),
+              "text", "doc_id", root, 4, batchId = b)
+          }
+        case 3 | 4 => // compact crashed at a random install phase
+          ChunkStore.compactInstallFailpoint.set(rnd.nextInt(3))
+          val crashed =
+            try { ChunkStore.compact(spark, root); false }
+            catch { case _: IllegalStateException => true }
+            finally ChunkStore.compactInstallFailpoint.set(-1)
+          if (crashed) ChunkStore.repairCompact(spark, root)
+        case 5 => // gc crashed mid-install (may also finish clean when
+          // there is no garbage — the failpoint only fires in the loop)
+          if (model.nonEmpty) {
+            ChunkStore.gcInstallFailpoint.set(rnd.nextInt(3))
+            val crashed =
+              try { ChunkStore.gc(spark, root); false }
+              catch { case _: IllegalStateException => true }
+              finally ChunkStore.gcInstallFailpoint.set(-1)
+            if (crashed) ChunkStore.repairGc(spark, root)
+          }
+      }
+      if (step % 3 == 0 || step == steps) check(step)
+    }
+  }
 }

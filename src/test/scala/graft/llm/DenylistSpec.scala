@@ -34,6 +34,32 @@ class DenylistSpec extends SparkSpec {
     assert(Denylist.exclude(df, "doc_id", spark, root).count() === 6L)
   }
 
+  test("compact folds many takedown appends to one file; exclusion unchanged; wreckage repairs") {
+    val root = Files.createTempDirectory("graft_deny_cp_").toString + "/s"
+    (1L to 5L).foreach(i =>
+      Denylist.record(Seq(i, i + 10L).toDF("id"), "id", root))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Int = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_denylist"))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(dataFiles() >= 5)
+    val before = Denylist.readOpt(spark, root).get
+      .as[String].collect().toSet
+    Denylist.compact(spark, root)
+    assert(dataFiles() === 1)
+    assert(Denylist.readOpt(spark, root).get
+      .as[String].collect().toSet === before)
+    // wreckage from a crash between the install renames repairs via
+    // the generic swap remedy
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/_denylist"),
+      new org.apache.hadoop.fs.Path(s"$root/_denylist__compact_old"))
+    assert(graft.operators.StoreRepair.swap(spark, s"$root/_denylist",
+      "compact") === "rolled_back")
+    assert(Denylist.readOpt(spark, root).get
+      .as[String].collect().toSet === before)
+  }
+
   test("chunk store: a denied id never re-lands through append; survivors do") {
     val p = Files.createTempDirectory("graft_deny_ch_").toString
     ChunkStore.write(mkDocs(1L to 4L), "text", "doc_id", p, nBuckets = 4)

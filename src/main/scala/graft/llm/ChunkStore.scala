@@ -157,29 +157,21 @@ object ChunkStore {
     }
   }
 
-  /** The seq a run slot's FIRST delivery stamped — a REPLAY must reuse
-    * it, not mint a fresh one: a fresh (higher) seq would outrank any
-    * tombstone that landed between the first delivery and the replay,
-    * silently RESURRECTING deleted documents (the at-least-once ×
-    * out-of-band-delete corner; with the original seq the replay is
-    * byte-identical to the first delivery and the tombstone keeps
-    * winning). The durable [[slotSeqPath]] sidecar is authoritative —
-    * it survives a crash DURING a replay's own overwrite (slot dir
-    * deleted, rows not yet landed), the one window where reading the
-    * slot back cannot. The parquet fallback covers pre-sidecar legacy
-    * slots; a slot with neither (crash mid-FIRST-write, before the
+  /** The seq a run slot's FIRST delivery stamped, recovered from the
+    * slot's own parquet rows — the pre-sidecar legacy fallback. A
+    * REPLAY must reuse that seq, not mint a fresh one: a fresh
+    * (higher) seq would outrank any tombstone that landed between the
+    * first delivery and the replay, silently RESURRECTING deleted
+    * documents (the at-least-once × out-of-band-delete corner; with
+    * the original seq the replay is byte-identical to the first
+    * delivery and the tombstone keeps winning). The durable
+    * [[slotSeqPath]] sidecar is authoritative — it survives a crash
+    * DURING a replay's own overwrite (slot dir deleted, rows not yet
+    * landed), the one window where this read cannot; [[appendSlot]]
+    * reads the sidecar ONCE and falls back here only when it is
+    * absent. A slot with neither (crash mid-FIRST-write, before the
     * sidecar) reports None and the replay mints normally — nothing
     * could have observed the torn first attempt's seq. */
-  private def existingSlotSeq(spark: SparkSession, path: String,
-                              id: String): Option[Long] =
-    readSlotSeq(spark, path, id).orElse(legacySlotSeq(spark, path, id))
-
-  /** The pre-sidecar fallback of [[existingSlotSeq]]: recover a legacy
-    * slot's seq from its own parquet rows. Split out so [[appendSlot]]
-    * can read the sidecar ONCE and thread the result into both the seq
-    * choice and the backfill guard (the r15 close's stream_chunkstore
-    * regression was partly a redundant second sidecar read per
-    * micro-batch). */
   private def legacySlotSeq(spark: SparkSession, path: String,
                             id: String): Option[Long] = {
     val (fs, p) = fsOf(spark, s"$path/manifest/run=$id")
@@ -196,6 +188,41 @@ object ChunkStore {
       case _: org.apache.spark.sql.AnalysisException => None
       case _: NoSuchElementException => None
     }
+  }
+
+  /** Names of compact/gc crash wreckage present at the store — the
+    * directories whose presence the repair ops use to decide the
+    * interrupted op's phase. Ingest (append/delete) and the OTHER
+    * maintenance op refuse while any exist: traffic landing on
+    * wreckage can forge the phase observables (r16 review #1/#2), and
+    * a compact staging over gc wreckage would read a bucket whose
+    * survivors live only in the underscore-invisible `_gc_old_*`
+    * backup — the staged tree would drop them and the install would
+    * delete the backup. Cost: three exists probes and one listing of
+    * the chunks root per call. */
+  private def wreckage(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, _) = fsOf(spark, path)
+    val compactLeft = Seq("manifest__compact_old", "chunks__compact_old",
+        "tombstones__compact_parked")
+      .filter(n => fs.exists(new Path(s"$path/$n")))
+    val chRoot = new Path(s"$path/chunks")
+    val gcLeft =
+      if (!fs.exists(chRoot)) Nil
+      else fs.listStatus(chRoot).toSeq.map(_.getPath.getName)
+        .filter(n => n == "_gc_tmp" || n.startsWith("_gc_old_"))
+        .map(n => s"chunks/$n")
+    compactLeft ++ gcLeft
+  }
+
+  private def requireNoWreckage(spark: SparkSession, path: String,
+                                op: String): Unit = {
+    val left = wreckage(spark, path)
+    require(left.isEmpty,
+      s"ChunkStore.$op: crash wreckage ${left.sorted.mkString(", ")} " +
+        s"under $path — run ChunkStore.repairCompact / repairGc before " +
+        "any further writes (traffic landing on wreckage can forge the " +
+        "phase observables the repair relies on)")
   }
 
   // ---- ingest ---------------------------------------------------------
@@ -272,8 +299,20 @@ object ChunkStore {
     if (runId.exists(id => RunSlots
         .foldedRuns(spark, s"$path/manifest")
         .contains(RunSlots.validate(id)))) return
+    // ingest must not land on crash wreckage: the repair ops decide
+    // the interrupted op's phase from directory presence, and a
+    // concurrent append can forge exactly those observables — e.g.
+    // recreating a gc'd bucket dir makes repairGc read "install
+    // complete" and DELETE the backup holding every pre-crash survivor
+    // of that bucket, and a new run slot flips repairCompact's
+    // carried-partial decision so it un-parks stale tombstones over
+    // the folded seq-0 base (r16 review findings #1/#2). Refusing here
+    // makes crash→repair quiescence STRUCTURAL instead of operator
+    // discipline; a streaming batch that hits this fails loudly and
+    // replays cleanly after the repair.
+    requireNoWreckage(spark, path, "append")
     // a REPLAY of an existing run slot reuses its first delivery's seq
-    // (see existingSlotSeq — a fresh seq would let the replay outrank
+    // (see legacySlotSeq — a fresh seq would let the replay outrank
     // a tombstone written in between and resurrect deleted docs);
     // nextSeq still runs first for its nBuckets validation. The sidecar
     // is read ONCE and threaded into both the seq choice and the
@@ -364,6 +403,12 @@ object ChunkStore {
     * outranks its tombstone and becomes visible again. */
   def deleteDocs(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
+    // same quiescence rule as appendSlot: a tombstone issued on top of
+    // compact wreckage would be deleted by repairCompact's
+    // roll-forward (which clears the markers the INTERRUPTED compact
+    // had already applied — it cannot tell a post-crash deletion from
+    // a stale one), silently undoing the takedown (r16 review #2)
+    requireNoWreckage(spark, path, "deleteDocs")
     val meta = readMeta(spark, path)
     val seq = meta.map(_._2 + 1).getOrElse(1L)
     ids.select(col(idCol).as("doc_id")).distinct()
@@ -685,9 +730,13 @@ object ChunkStore {
       .filter(n => n == "_gc_tmp" || n.startsWith("_gc_old_"))
     require(leftovers.isEmpty,
       s"ChunkStore.gc: leftover ${leftovers.sorted.mkString(", ")} under " +
-        s"$chRoot from an interrupted gc — restore the _gc_old_* " +
-        "buckets over their cb= dirs (or remove the leftovers) before " +
-        "re-running")
+        s"$chRoot from an interrupted gc — run ChunkStore.repairGc " +
+        "(or restore the _gc_old_* buckets over their cb= dirs by hand) " +
+        "before re-running")
+    // COMPACT wreckage also refuses: gc over a half-installed compact
+    // would compute liveness against one generation and rewrite the
+    // other (r16 review)
+    requireNoWreckage(spark, path, "gc")
 
     // liveness from the COMMITTED slots' visible manifest, unioned with
     // every hash a partial slot references — the compact discipline
@@ -898,6 +947,11 @@ object ChunkStore {
         "ChunkStore.repairCompact (it rolls the install forward or back " +
         "by phase), or restore each leftover over its live directory by " +
         "hand, before re-running")
+    // GC wreckage refuses too: the staged chunk tree reads the live
+    // buckets only, and a gc-crashed bucket's survivors live in the
+    // underscore-invisible _gc_old_* backup — staging would drop them
+    // and the install would delete the backup (r16 review)
+    requireNoWreckage(spark, path, "compact")
     val manTmp = new Path(s"$path/manifest__compact_tmp")
     val chTmp = new Path(s"$path/chunks__compact_tmp")
     fs.delete(manTmp, true); fs.delete(chTmp, true)
@@ -1075,6 +1129,18 @@ object ChunkStore {
               "to install — restore chunks__compact_old by hand")
           require(fs.rename(chTmp, ch),
             s"ChunkStore.repairCompact: install rename to $ch failed")
+          // the staged tree carries the compact's own bucket choice
+          // (meta's when positive, else the rebucket default) — record
+          // it ONLY when that tree is what we installed. When the OLD
+          // tree stayed (backup rename never ran), metadata must stay
+          // as-was: recording the staged bucketing against a
+          // differently-bucketed physical tree would mis-prune every
+          // reconstructDocs and append dedup read (r16 review #4); a
+          // later completed compact re-records.
+          val meta = readMeta(spark, path)
+          writeMeta(spark, path,
+            meta.map(_._1).filter(_ > 0).getOrElse(64),
+            meta.map(_._2).getOrElse(0L))
         }
         // the interrupted compact cleared tombstones iff it carried no
         // partial slot — recompute that decision from the INSTALLED tree
@@ -1089,10 +1155,6 @@ object ChunkStore {
             s"ChunkStore.repairCompact: tombstone un-park failed")
         fs.delete(manOld, true); fs.delete(chOld, true)
         fs.delete(manTmp, true); fs.delete(chTmp, true)
-        val meta = readMeta(spark, path)
-        writeMeta(spark, path,
-          meta.map(_._1).filter(_ > 0).getOrElse(64),
-          meta.map(_._2).getOrElse(0L))
         "rolled_forward"
       }
     }

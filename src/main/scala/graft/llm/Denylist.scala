@@ -81,12 +81,18 @@ object Denylist {
     * rewrite installed by backup-rename under the writer lease (the
     * [[IvfLayout.compact]] discipline; wreckage repairs via
     * [[graft.operators.StoreRepair.swap]] on `<store>/_denylist`).
-    * The one-rename window where the live dir is absent FAILS OPEN —
-    * an append racing it would skip the guard for that batch — so run
-    * it from the same maintenance schedule as the store's own compact
-    * (single-writer), not concurrently with ingest; a doc re-landed
-    * through that microsecond window is caught by [[Forget.audit]]
-    * and re-erasable, never silently protected. */
+    * Two ways the rename window can touch a RACING append (appends
+    * take no lease, and exclusion reads the list lazily at the
+    * batch's write action): the append reads the list before the
+    * swap and proceeds unguarded for that one batch (fails OPEN — a
+    * re-landed doc is [[Forget.audit]]-visible and re-erasable, never
+    * silently protected), or the append's tasks hit the vanished
+    * files mid-action and the BATCH FAILS — which lands in the
+    * stores' ordinary crash contract (a half-written run slot has no
+    * _SUCCESS, replays rewrite it whole), loud and recoverable, never
+    * torn-and-trusted. Still: run this from the same maintenance
+    * schedule as the store's own compact, not concurrently with
+    * ingest. */
   def compact(spark: SparkSession, path: String): Unit =
     graft.warehouse.Warehouse.withPathLease(spark, dir(path),
       what = s"denylist $path") {

@@ -206,7 +206,13 @@ object MinHashIndex {
       jaccardThreshold: Double, shingleN: Int,
       nBuckets: Int, runId: Option[String])(
       writePairs: DataFrame => Unit): Unit = {
-    val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    // standing takedown protection applied to the WHOLE loop, serve
+    // included (matching ContainIndex.serveThenAppendSlot): a forgotten
+    // doc must neither re-index NOR emit near-dup pairs into the
+    // caller's pair store — served pairs naming a taken-down id are a
+    // downstream artifact no audit covers (r16 review)
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val sets = Dedup.shingleHashSets(kept, textCol, idCol, shingleN).persist()
     val (lazyPairs, caches) = planFromSets(spark, path, sets,
       jaccardThreshold, nBuckets)
     writePairs(lazyPairs)

@@ -527,11 +527,17 @@ final class Warehouse(val root: String, spark: SparkSession) {
     val mixed = (if (partDirs.nonEmpty) rootFiles.size else 0) +
       foreignDirs.size
     val hasData = partDirs.nonEmpty || rootFiles.nonEmpty
-    // cache-bypassing sidecar read: fsck must see what is ON DISK
+    // cache-bypassing sidecar read: fsck must see what is ON DISK. A
+    // sidecar dir that EXISTS but cannot be read as parquet (a tamper
+    // replaced its contents) counts as missing — the audit must report
+    // that state, not crash on it: every sidecar-resolved read is
+    // equally broken, which is exactly a sidecar-missing-grade finding
     val sidecar = {
       val sp = new Path(schemaDir(id))
       if (!f.exists(sp)) None
-      else Some(spark.read.parquet(schemaDir(id)).schema)
+      else
+        try Some(spark.read.parquet(schemaDir(id)).schema)
+        catch { case scala.util.control.NonFatal(_) => None }
     }
     val sidecarMissing = if (hasData && sidecar.isEmpty) 1L else 0L
     val undeclared = sidecar match {

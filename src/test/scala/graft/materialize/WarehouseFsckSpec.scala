@@ -94,6 +94,17 @@ class WarehouseFsckSpec extends SparkSpec {
     // doc_id (and the foreign file's not_declared) are now undeclared
     assert(vT("undeclared_column") === 2L, vT.toString)
 
+    // sidecar REPLACED with non-parquet garbage: the audit must report
+    // it (unreadable = sidecar-missing grade — every sidecar-resolved
+    // read is equally broken), never crash on it
+    val sch = new org.apache.hadoop.fs.Path(tbl, "_schema")
+    fs.delete(sch, true)
+    fs.mkdirs(sch)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(sch, "junk.bin"), true)
+    junk.write("not parquet at all".getBytes("UTF-8")); junk.close()
+    val vU = violations(wh.fsck(id))
+    assert(vU("schema_sidecar_missing") === 1L, vU.toString)
+
     // missing sidecar: still data-bearing, but schema is footers-only —
     // flagged by the SAME live instance (disk read, not the cache)
     fs.delete(new org.apache.hadoop.fs.Path(tbl, "_schema"), true)

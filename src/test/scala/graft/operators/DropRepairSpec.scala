@@ -132,6 +132,14 @@ class DropRepairSpec extends SparkSpec {
         ChunkStore.gc(spark, p)
       }
       assert(refusal.getMessage.contains("interrupted gc"))
+      // an append on gc wreckage could recreate the crashed bucket's
+      // live dir and make repairGc destroy the backup holding its
+      // pre-crash survivors (r16 review #1) — refused
+      val ingestRefusal = intercept[IllegalArgumentException] {
+        ChunkStore.append(mkDocs(Seq(99L)), "text", "doc_id", p,
+          nBuckets = 4, runId = Some("late"))
+      }
+      assert(ingestRefusal.getMessage.contains("crash wreckage"))
       assert(ChunkStore.repairGc(spark, p) === "repaired")
       assert(ChunkStore.reconstruct(spark, p)
         .as[(Long, String)].collect().toSet === survivors, s"k=$k")
@@ -175,6 +183,19 @@ class DropRepairSpec extends SparkSpec {
         ChunkStore.compact(spark, p)
       }
       assert(refusal.getMessage.contains("repairCompact"))
+      // INGEST refuses on wreckage too: a post-crash append could
+      // forge the phase observables (a fresh run slot flips the
+      // carried-partial decision), and a post-crash deleteDocs would
+      // mint markers the roll-forward then clears — quiescence between
+      // crash and repair is structural, not operator discipline
+      val ingestRefusal = intercept[IllegalArgumentException] {
+        ChunkStore.append(mkDocs(Seq(5L)), "text", "doc_id", p,
+          nBuckets = 4, runId = Some("late"))
+      }
+      assert(ingestRefusal.getMessage.contains("crash wreckage"))
+      intercept[IllegalArgumentException] {
+        ChunkStore.deleteDocs(Seq(1L).toDF("doc_id"), "doc_id", p)
+      }
       val action = ChunkStore.repairCompact(spark, p)
       assert(if (k == 0) action === "rolled_back"
              else action === "rolled_forward", s"k=$k -> $action")

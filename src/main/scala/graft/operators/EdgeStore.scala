@@ -117,9 +117,25 @@ object EdgeStore {
     // store-root lease so compact and dropNodes exclude EACH OTHER (the
     // inner IvfLayout lease keys on $path/edges); reentrant, composes
     graft.warehouse.Warehouse.withPathLease(spark, path,
-      what = s"edge store $path")(
+      what = s"edge store $path") {
+      // drop wreckage refuses: a crashed dropNodes leaves some live
+      // buckets present only as underscore-invisible `_drop_old_*`
+      // backups — the fold would stage a tree WITHOUT those edges and
+      // its whole-tree install would destroy the backups (the r16
+      // review's forged-observable class); run repairDrop first
+      val root = new org.apache.hadoop.fs.Path(s"$path/edges")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val left =
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(n => n == "_drop_tmp" || n.startsWith("_drop_old_"))
+      require(left.isEmpty,
+        s"EdgeStore.compact: crash wreckage ${left.sorted.mkString(", ")} " +
+          s"under $path/edges from an interrupted dropNodes — run " +
+          "EdgeStore.repairDrop before compacting")
       graft.llm.IvfLayout.compact(spark, s"$path/edges", "eb",
-        transform = df => df.groupBy("src", "dst", "eb").agg(sum("w").as("w"))))
+        transform = df => df.groupBy("src", "dst", "eb").agg(sum("w").as("w")))
+    }
 
   /** Node erasure for the link graph (r14 verdict "What's missing #1"
     * — the one store a takedown could not yet reach): remove every

@@ -192,6 +192,10 @@ object LabelStore {
                              pairs: DataFrame, aCol: String, bCol: String,
                              runId: Option[String],
                              maxIter: Int): DataFrame = {
+    // a batch folded against a drop-crashed copy reads MISSING buckets
+    // (the survivors live in the _drop_old_* backups), so settled nodes
+    // look new and the delta closure comes out wrong — repair first
+    requireNoDropWreckage(spark, path, "applyBatch")
     val nBuckets = readMeta(spark, path)
     // standing takedown protection: a pair touching a forgotten node
     // never folds in (it would relabel the survivor's component with
@@ -590,6 +594,12 @@ object LabelStore {
       what = s"label store $path")(compactLocked(spark, path))
 
   private def compactLocked(spark: SparkSession, path: String): Unit = {
+    // drop wreckage refuses: a crashed dropNodes leaves some live
+    // buckets present only as `_drop_old_*` backups, which the fold's
+    // reads cannot see (underscore-invisible) — compacting would stage
+    // a tree WITHOUT those rows and the whole-tree install would then
+    // destroy the backups (the r16 review's forged-observable class)
+    requireNoDropWreckage(spark, path, "compact")
     val nBuckets = readMeta(spark, path)
     val resolved = (df: DataFrame) => df
       .groupBy("node").agg(min(col("label")).as("label"))
@@ -599,5 +609,33 @@ object LabelStore {
     graft.llm.IvfLayout.compact(spark, s"$path/byc", "cb",
       transform = df => resolved(df.select("node", "label"))
         .withColumn("cb", nbCol(col("label"), nBuckets)))
+  }
+
+  /** Drop-wreckage names across both copies ([[dropNodes]]' staging/
+    * backup dirs). [[compact]] and [[applyBatch]]/[[applyStreamBatch]]
+    * refuse while any exist: the fold cannot see backed-up buckets, and
+    * an incremental batch reading a drop-crashed copy would resolve
+    * labels against MISSING buckets (treating settled nodes as new) and
+    * fold a wrong closure — run [[repairDrop]] first. */
+  private def dropWreckage(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("byn", "byc").flatMap { copy =>
+      val dir = new Path(s"$path/$copy")
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n == "_drop_tmp" || n.startsWith("_drop_old_"))
+        .map(n => s"$copy/$n")
+    }
+  }
+
+  private def requireNoDropWreckage(spark: SparkSession, path: String,
+                                    op: String): Unit = {
+    val left = dropWreckage(spark, path)
+    require(left.isEmpty,
+      s"LabelStore.$op: crash wreckage ${left.sorted.mkString(", ")} " +
+        s"under $path from an interrupted dropNodes — run " +
+        "LabelStore.repairDrop before any further writes")
   }
 }

@@ -36,6 +36,12 @@ class DropRepairSpec extends SparkSpec {
         EdgeStore.dropNodes(spark, p, drop.toDF("doc_id"), "doc_id")
       }
       assert(refusal.getMessage.contains("interrupted drop"))
+      // ...and so does a compact: the fold cannot see the backed-up
+      // buckets, and its whole-tree install would destroy the backups
+      val compactRefusal = intercept[IllegalArgumentException] {
+        EdgeStore.compact(spark, p)
+      }
+      assert(compactRefusal.getMessage.contains("repairDrop"))
       // ...repair rolls the store back to its exact pre-drop state...
       assert(EdgeStore.repairDrop(spark, p) === "rolled_back")
       assert(EdgeStore.read(spark, p)
@@ -95,6 +101,16 @@ class DropRepairSpec extends SparkSpec {
           pairs, "u", "v")
       }
       assert(refusal.getMessage.contains("interrupted drop"))
+      // compact and incremental batches refuse on the wreckage too: the
+      // fold cannot see the backups, and a batch resolving labels
+      // against missing buckets would fold a wrong closure
+      assert(intercept[IllegalArgumentException] {
+        LabelStore.compact(spark, p)
+      }.getMessage.contains("repairDrop"))
+      assert(intercept[IllegalArgumentException] {
+        LabelStore.applyBatch(spark, p, Seq((30L, 31L)).toDF("u", "v"),
+          "u", "v", runId = Some("late"))
+      }.getMessage.contains("repairDrop"))
       assert(LabelStore.repairDrop(spark, p) === "rolled_back")
       LabelStore.dropNodes(spark, p, drop.toDF("doc_id"), "doc_id",
         pairs, "u", "v")

@@ -291,7 +291,10 @@ object ContainIndex {
       textCol: String, idCol: String,
       threshold: Double = 0.9): DataFrame = {
     val meta = readMeta(spark, path)
-    val bsets = Dedup.shingleHashSets(batch, textCol, idCol, meta._2)
+    // standing takedown protection on the serve-only route too (r16
+    // review, second pass): a forgotten doc must not emit pairs
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val bsets = Dedup.shingleHashSets(kept, textCol, idCol, meta._2)
       .filter(size(col("hs")) > 0).persist()
     val bpost = bsets.select(col("id"), explode(col("hs")).as("s")).persist()
     val out = serveFromView(spark, path,

@@ -66,7 +66,10 @@ object MinHashIndex {
              shingleN: Int = 3, nBuckets: Int = 64,
              runId: Option[String] = None): Unit = {
     RunSlots.requireNamedRunId(runId, "MinHashIndex.append")
-    val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    // standing takedown protection BEFORE shingling (forgotten ids
+    // never re-index, and their shingles are never computed)
+    val kept = Denylist.exclude(batch, idCol, batch.sparkSession, path)
+    val sets = Dedup.shingleHashSets(kept, textCol, idCol, shingleN).persist()
     appendSets(sets, path, nBuckets, runId)
     sets.unpersist()
   }
@@ -78,28 +81,30 @@ object MinHashIndex {
   def appendBatch(batch: DataFrame, textCol: String, idCol: String,
                   path: String, shingleN: Int, nBuckets: Int,
                   batchId: Long): Unit = {
-    val sets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    val kept = Denylist.exclude(batch, idCol, batch.sparkSession, path)
+    val sets = Dedup.shingleHashSets(kept, textCol, idCol, shingleN).persist()
     appendSets(sets, path, nBuckets, Some(s"b$batchId"))
     sets.unpersist()
   }
 
   /** [[append]] from precomputed signature sets (the
     * [[Dedup.shingleHashSets]] shape) — the serve-then-append loop
-    * computes signatures once and feeds both sides. */
+    * computes signatures once and feeds both sides. EVERY caller
+    * pre-excludes the denylist before shingling (append, appendBatch,
+    * and serveThenAppendSlot, whose plan also serves from the filtered
+    * sets) — excluding again here would re-read the list and re-run a
+    * guaranteed-no-op anti-join per micro-batch (the r15
+    * stream_chunkstore redundant-read class). */
   private[graft] def appendSets(sets: DataFrame, path: String,
                                 nBuckets: Int,
                                 runId: Option[String] = None): Unit = {
-    // standing takedown protection (every append route — append,
-    // appendBatch, serveThenAppend — lands here): forgotten ids never
-    // re-index; identity when no denylist exists
-    val kept = Denylist.exclude(sets, "id", sets.sparkSession, path)
     RunSlots.write(
-      Dedup.bandRows(kept)
+      Dedup.bandRows(sets)
         .withColumn("kb", kb(col("key"), nBuckets))
         .repartition(col("kb"), col("key")),
       s"$path/bands", "kb", runId)
     RunSlots.write(
-      kept.withColumn("ib", ib(col("id"), nBuckets))
+      sets.withColumn("ib", ib(col("id"), nBuckets))
         .repartition(col("ib"), col("id")),
       s"$path/sets", "ib", runId)
   }
@@ -166,7 +171,11 @@ object MinHashIndex {
       textCol: String, idCol: String,
       jaccardThreshold: Double, shingleN: Int,
       nBuckets: Int): (DataFrame, Seq[DataFrame]) = {
-    val newSets = Dedup.shingleHashSets(batch, textCol, idCol, shingleN).persist()
+    // standing takedown protection on the serve-only route too: a
+    // forgotten doc in the candidate batch must not emit pairs into
+    // the caller's pair store (r16 review, second pass)
+    val kept = Denylist.exclude(batch, idCol, spark, path)
+    val newSets = Dedup.shingleHashSets(kept, textCol, idCol, shingleN).persist()
     val (pairs, caches) = planFromSets(spark, path, newSets,
       jaccardThreshold, nBuckets)
     (pairs, newSets +: caches)

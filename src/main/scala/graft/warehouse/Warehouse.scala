@@ -532,14 +532,18 @@ final class Warehouse(val root: String, spark: SparkSession) {
     // replaced its contents) counts as missing — the audit must report
     // that state, not crash on it: every sidecar-resolved read is
     // equally broken, which is exactly a sidecar-missing-grade finding
-    val sidecar = {
+    val (sidecar, sidecarUnreadable) = {
       val sp = new Path(schemaDir(id))
-      if (!f.exists(sp)) None
+      if (!f.exists(sp)) (None, false)
       else
-        try Some(spark.read.parquet(schemaDir(id)).schema)
-        catch { case scala.util.control.NonFatal(_) => None }
+        try (Some(spark.read.parquet(schemaDir(id)).schema), false)
+        catch { case scala.util.control.NonFatal(_) => (None, true) }
     }
-    val sidecarMissing = if (hasData && sidecar.isEmpty) 1L else 0L
+    // an unreadable sidecar flags even on a DATA-LESS table (a zero-row
+    // table's schema lives only in the sidecar, so the tamper destroys
+    // the table's one source of truth)
+    val sidecarMissing =
+      if ((hasData && sidecar.isEmpty) || sidecarUnreadable) 1L else 0L
     val undeclared = sidecar match {
       case Some(sc) if hasData =>
         // one footers pass over the table's OWN data paths only:

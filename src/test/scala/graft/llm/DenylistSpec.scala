@@ -141,6 +141,18 @@ class DenylistSpec extends SparkSpec {
     val indexed = spark.read.parquet(s"$mhP/sets").select("id")
       .distinct().as[Long].collect().toSet
     assert(indexed.contains(9L) && !indexed.contains(4L))
+    // ...and on the SERVE-ONLY route: a denied doc emits no pairs even
+    // against a near-identical indexed twin (r16 review, second pass —
+    // served pairs are a downstream artifact no audit covers)
+    val doc4Text = mkDocs(Seq(4L)).select("text").as[String].head()
+    MinHashIndex.append(Seq((40L, doc4Text, "p0"))
+        .toDF("doc_id", "text", "part"),
+      "text", "doc_id", mhP, nBuckets = 4, runId = Some("twin"))
+    val served = MinHashIndex.nearDupPairsIncremental(spark, mhP,
+      mkDocs(Seq(4L)), "text", "doc_id", jaccardThreshold = 0.8,
+      nBuckets = 4)
+    assert(served.filter(col("id_a") === 4L || col("id_b") === 4L)
+      .isEmpty, "a denied doc must not pair")
     // audit still reads zero after the re-append
     val audit = Forget.audit(spark, Seq(4L).toDF("doc_id"), "doc_id", stores)
     assert(audit.filter(col("n_dropped") =!= 0L).isEmpty)

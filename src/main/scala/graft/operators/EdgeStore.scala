@@ -209,10 +209,13 @@ object EdgeStore {
             "each backup over its live bucket dir, remove _drop_tmp, and " +
             "re-run the drop"
         else
-          "no staged bucket remains, so every install finished and the " +
-            "crash hit the cleanup phase: remove the leftover dirs and " +
-            "do NOT restore any backup — restoring would resurrect " +
-            "dropped edges"))
+          "no staged bucket remains: remove the leftover dirs, do NOT " +
+            "restore any backup (restoring would resurrect dropped " +
+            "edges from installed buckets), and RE-RUN the drop — a " +
+            "trailing all-garbage bucket stages nothing, so a childless " +
+            "tmp does not prove the erasure finished; the re-run is " +
+            "idempotent and completes anything missed (or run " +
+            "EdgeStore.repairDrop, which is this remedy)"))
 
     val dropB = broadcast(drop.select(col(dropCol).cast("long").as("node"))
       .distinct())
@@ -304,12 +307,21 @@ object EdgeStore {
     *    live dir (the store returns to its exact pre-drop state) and
     *    the staging dir is removed — RE-RUN the drop to complete the
     *    erasure;
-    *  - otherwise → every install finished and the crash hit cleanup:
+    *  - otherwise → the crash hit at-or-after the last STAGED install:
     *    the leftovers are removed and nothing is restored (restoring
-    *    would resurrect dropped edges).
+    *    would resurrect dropped edges from installed buckets). NOTE a
+    *    childless staging dir does NOT prove every dirty bucket was
+    *    processed — an ALL-GARBAGE dirty bucket stages nothing (its
+    *    install is a bare backup-rename), so a crash before reaching a
+    *    trailing such bucket looks identical to the cleanup phase
+    *    (found by the r16 edge-store crash soak). ALWAYS RE-RUN the
+    *    drop after this repair: it is idempotent, recomputes the
+    *    census from the current state, completes anything missed, and
+    *    no-ops when the erasure had in fact finished.
     *
     * Idempotent; no-op on a clean store. @return what was done:
-    * "clean" | "rolled_back" | "cleaned_up" */
+    * "clean" | "rolled_back" | "cleaned_up" — re-run the drop after
+    * either non-clean outcome */
   def repairDrop(spark: SparkSession, path: String): String =
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"edge store $path") {

@@ -345,10 +345,13 @@ object LabelStore {
               "dir (in both copies), remove the _drop_tmp dirs, and " +
               "re-run the drop"
           else
-            "no _drop_tmp holds staged buckets, so every install " +
-              "finished and the crash hit the cleanup phase: remove the " +
-              "leftover dirs and do NOT restore any backup — restoring " +
-              "would resurrect dropped rows in one copy only"))
+            "no _drop_tmp holds staged buckets: remove the leftover " +
+              "dirs, do NOT restore any backup (restoring would " +
+              "resurrect dropped rows in one copy only), and RE-RUN " +
+              "the drop — a fully-affected trailing bucket stages " +
+              "nothing, so childless tmps do not prove the erasure " +
+              "finished; the re-run is idempotent (or run " +
+              "LabelStore.repairDrop, which is this remedy)"))
     }
 
     val dropB = drop.select(col(dropCol).cast("long").as("node"))
@@ -491,13 +494,20 @@ object LabelStore {
     *    backup and rides along; the RE-RUN's stage replaces its rows,
     *    never stacks — the dropNodes staging contract). Re-run the
     *    drop to complete the erasure.
-    *  - otherwise → every install finished; leftovers are removed and
-    *    nothing is restored (a restore would resurrect dropped rows in
-    *    one copy only — the exact divergence the two-copy judgment
-    *    exists to prevent).
+    *  - otherwise → leftovers are removed and nothing is restored (a
+    *    restore would resurrect dropped rows in one copy only — the
+    *    exact divergence the two-copy judgment exists to prevent).
+    *    NOTE a childless staging dir does NOT prove every dirty bucket
+    *    was processed — a dirty bucket whose every row was affected
+    *    stages nothing (its install is a bare backup-rename), so a
+    *    crash before reaching a trailing such bucket looks identical
+    *    to the cleanup phase (the r16 edge-store crash soak found this
+    *    corner). ALWAYS RE-RUN the drop after this repair: it is
+    *    idempotent and completes anything missed.
     *
     * Idempotent; no-op on a clean store. @return "clean" |
-    * "rolled_back" | "cleaned_up" */
+    * "rolled_back" | "cleaned_up" — re-run the drop after either
+    * non-clean outcome */
   def repairDrop(spark: SparkSession, path: String): String =
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"label store $path") {

@@ -164,4 +164,83 @@ class GraphStoreSoakSpec extends SparkSpec {
       if (step % 5 == 0 || step == steps) check(step)
     }
   }
+
+  test("edge store crash-repair soak: dropNodes crashes mid-install, repairDrop + re-run hold the weight model") {
+    // r16: the drop's staged install now has an executable remedy.
+    // Random traffic interleaves with drops that CRASH at a random
+    // bucket (real wreckage via the failpoint); repairDrop either
+    // rolls back (re-run completes the erasure) or finishes the
+    // cleanup when every install had landed — under at-least-once
+    // replays the model must hold throughout.
+    val seed = 20260817L
+    val rnd = new scala.util.Random(seed)
+    val path = Files.createTempDirectory("graft_es_crash_").toString
+    def randEdges(k: Int): Seq[(Long, Long, Long)] =
+      Seq.fill(k)((1L + rnd.nextInt(30), 1L + rnd.nextInt(30),
+        1L + rnd.nextInt(5))).filter(e => e._1 != e._2)
+    val model = scala.collection.mutable.Map[(Long, Long), Long]()
+    val delivered = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long)]]()
+    var nextBatch = 0L
+    val init = randEdges(12)
+    EdgeStore.write(init.toDF("src", "dst", "w"), "src", "dst", Some("w"),
+      path, nBuckets = 8)
+    init.foreach { case (s, d, w) =>
+      model((s, d)) = model.getOrElse((s, d), 0L) + w }
+    def check(step: Int): Unit = {
+      val got = EdgeStore.read(spark, path)
+        .as[(Long, Long, Long)].collect()
+        .map { case (s, d, w) => (s, d) -> w }.toMap
+      assert(got === model.toMap,
+        s"edge divergence at step $step (seed $seed)")
+    }
+    val steps = 30
+    for (step <- 1 to steps) {
+      rnd.nextInt(6) match {
+        case 0 | 1 =>
+          val b = nextBatch; nextBatch += 1
+          val es = randEdges(1 + rnd.nextInt(4))
+            .groupBy(e => (e._1, e._2))
+            .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+          EdgeStore.appendBatch(es.toDF("src", "dst", "w"),
+            "src", "dst", Some("w"), path, nBuckets = 8, batchId = b)
+          delivered(b) = es
+          es.foreach { case (s, d, w) =>
+            model((s, d)) = model.getOrElse((s, d), 0L) + w }
+        case 2 => // replay
+          if (delivered.nonEmpty) {
+            val b = delivered.keys.toSeq.sorted.apply(
+              rnd.nextInt(delivered.size))
+            EdgeStore.appendBatch(delivered(b).toDF("src", "dst", "w"),
+              "src", "dst", Some("w"), path, nBuckets = 8, batchId = b)
+          }
+        case 3 =>
+          EdgeStore.compact(spark, path)
+        case 4 | 5 => // drop crashed at a random install phase
+          val victims = Seq.fill(1 + rnd.nextInt(2))(1L + rnd.nextInt(30))
+          EdgeStore.compact(spark, path)
+          val survives = model.keys.exists(k =>
+            !victims.contains(k._1) && !victims.contains(k._2))
+          if (survives) {
+            EdgeStore.installFailpoint.set(rnd.nextInt(3))
+            val crashed =
+              try { EdgeStore.dropNodes(spark, path,
+                victims.toDF("n"), "n"); false }
+              catch { case _: IllegalStateException => true }
+              finally EdgeStore.installFailpoint.set(-1)
+            if (crashed) {
+              EdgeStore.repairDrop(spark, path)
+              // re-run REGARDLESS of the repair outcome: a childless
+              // staging dir does not prove the trailing dirty buckets
+              // were processed (an all-garbage bucket stages nothing —
+              // this soak found that corner); the re-run is idempotent
+              EdgeStore.dropNodes(spark, path, victims.toDF("n"), "n")
+            }
+            model.keys.toSeq
+              .filter(k => victims.contains(k._1) || victims.contains(k._2))
+              .foreach(model.remove)
+          }
+      }
+      if (step % 3 == 0 || step == steps) check(step)
+    }
+  }
 }

@@ -52,10 +52,21 @@ object Denylist {
   }
 
   /** Record ids as permanently denied at this store root (append-only;
-    * duplicates harmless — exclusion is an anti-join). */
-  def record(ids: DataFrame, idCol: String, path: String): Unit =
+    * duplicates harmless — exclusion is an anti-join). Heals compact
+    * wreckage first: appending into a fresh `_denylist` while the full
+    * list sits in a `__compact_old` backup would leave the backup's
+    * ids unguarded if the wreckage were later cleaned naively. */
+  def record(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val (fs, _) = fsOf(spark, path)
+    val live = new Path(dir(path))
+    val old = new Path(dir(path) + "__compact_old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live),
+        s"Denylist.record: restore of compact backup $old failed")
     ids.select(col(idCol).cast("string").as("id")).distinct()
       .write.mode("append").parquet(dir(path))
+  }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val (fs, _) = fsOf(spark, path)
@@ -63,9 +74,28 @@ object Denylist {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** The denied-id table (string ids), if any entries exist. */
+  /** The denied-id table (string ids), if any entries exist.
+    *
+    * Compact-crash fallback: a crash in [[compact]] between the backup
+    * rename and the install leaves `_denylist` ABSENT with
+    * `_denylist__compact_old` present. Treating that as "no denylist"
+    * would silently drop the takedown guard on every append path until
+    * an operator ran [[graft.operators.StoreRepair.swap]] — the one
+    * wreckage state in the store family that used to fail UNGUARDED
+    * instead of loud (r16 ADVICE medium). The backup IS the full
+    * pre-compact list (compact only dedups), so reading it keeps the
+    * guard active with identical semantics and no mutation — the
+    * wreckage itself stays for StoreRepair.swap / the next [[record]]
+    * to heal. */
   def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
-    if (exists(spark, path)) Some(spark.read.parquet(dir(path))) else None
+    if (exists(spark, path)) Some(spark.read.parquet(dir(path)))
+    else {
+      val (fs, _) = fsOf(spark, path)
+      val old = new Path(dir(path) + "__compact_old")
+      if (fs.exists(old) && fs.listStatus(old).nonEmpty)
+        Some(spark.read.parquet(old.toString))
+      else None
+    }
 
   /** Re-admittance: remove the whole denylist (an explicit operator
     * decision — no maintenance op calls this). */
@@ -117,6 +147,42 @@ object Denylist {
       }
     }
 
+  /** Broadcast ceiling for the exclusion join, in PARQUET BYTES of the
+    * denylist dir (conf `spark.graft.denylist.broadcastMaxBytes`,
+    * default 64 MB ≈ millions of ids — far past any plausible legal
+    * takedown set). Up to here the anti-join is pinned broadcast; past
+    * it the hint is dropped so the join degrades to a SHUFFLED
+    * left_anti — slower, never a driver OOM (r16 verdict "What's
+    * missing #3": a decade of accumulated erasure ids or one
+    * court-ordered bulk purge must cost a shuffle, not a cliff). The
+    * listing is already paid by the existence probe. */
+  private val BroadcastMaxBytesConf = "spark.graft.denylist.broadcastMaxBytes"
+  private val BroadcastMaxBytesDefault = 64L * 1024 * 1024
+
+  private def listBytes(spark: SparkSession, path: String): Long = {
+    val (fs, _) = fsOf(spark, path)
+    def bytesUnder(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).iterator.map(s =>
+        if (s.isDirectory) bytesUnder(s.getPath) else s.getLen).sum
+    val live = bytesUnder(new Path(dir(path)))
+    if (live > 0) live else bytesUnder(new Path(dir(path) + "__compact_old"))
+  }
+
+  /** The deny frame sized for joining: broadcast-hinted when the list
+    * is under the ceiling, bare (Spark picks a shuffled anti-join from
+    * stats) when it is not. Returns a DATASET-BOUND column reference
+    * alongside so callers' join conditions stay unambiguous even when
+    * the user batch itself carries a `__deny` column (r16 ADVICE low:
+    * these joins run on arbitrary user-supplied batches). */
+  private def denySide(spark: SparkSession, path: String,
+                       d: DataFrame): DataFrame = {
+    val proj = d.select(col("id").as("__deny"))
+    val max = spark.conf.getOption(BroadcastMaxBytesConf)
+      .map(_.toLong).getOrElse(BroadcastMaxBytesDefault)
+    if (listBytes(spark, path) <= max) broadcast(proj) else proj
+  }
+
   /** `df` minus rows whose `idColName` is denied — identity when no
     * denylist exists, so untouched stores pay one FS probe. */
   def exclude(df: DataFrame, idColName: String,
@@ -124,8 +190,9 @@ object Denylist {
     readOpt(spark, path) match {
       case None => df
       case Some(d) =>
-        df.join(broadcast(d.select(col("id").as("__deny"))),
-          col(idColName).cast("string") === col("__deny"), "left_anti")
+        val deny = denySide(spark, path, d)
+        df.join(deny,
+          df(idColName).cast("string") === deny("__deny"), "left_anti")
     }
 
   /** [[exclude]] for two-column stores: a row is denied when EITHER
@@ -135,8 +202,14 @@ object Denylist {
     readOpt(spark, path) match {
       case None => df
       case Some(d) =>
-        val deny = broadcast(d.select(col("id").as("__deny")))
-        df.join(deny, col(c1).cast("string") === col("__deny"), "left_anti")
-          .join(deny, col(c2).cast("string") === col("__deny"), "left_anti")
+        // two separately-aliased deny sides: fresh exprIds per join, so
+        // neither condition can collide with the other (or with a user
+        // batch that happens to carry a __deny column)
+        val deny1 = denySide(spark, path, d)
+        val deny2 = denySide(spark, path, d)
+        val once = df.join(deny1,
+          df(c1).cast("string") === deny1("__deny"), "left_anti")
+        once.join(deny2,
+          once(c2).cast("string") === deny2("__deny"), "left_anti")
     }
 }

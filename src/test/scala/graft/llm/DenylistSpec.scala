@@ -60,6 +60,67 @@ class DenylistSpec extends SparkSpec {
       .as[String].collect().toSet === before)
   }
 
+  test("compact-crash window: a missing live list with a __compact_old backup still GUARDS") {
+    // a crash in compact between the backup rename and the install
+    // leaves _denylist absent with _denylist__compact_old present; the
+    // old readOpt treated that as 'no denylist exists', silently
+    // dropping the takedown guard on every append path (r16 ADVICE
+    // medium). The backup is the full pre-compact list, so reading it
+    // keeps the guard active; record() heals the wreckage outright.
+    val root = Files.createTempDirectory("graft_deny_cw_").toString + "/s"
+    Denylist.record(Seq(2L, 4L).toDF("id"), "id", root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/_denylist"),
+      new org.apache.hadoop.fs.Path(s"$root/_denylist__compact_old"))
+    // the guard holds through the wreckage, without mutating it
+    assert(Denylist.exclude(mkDocs(1L to 4L), "doc_id", spark, root)
+      .select("doc_id").as[Long].collect().sorted === Seq(1L, 3L))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_denylist__compact_old")))
+    // record() restores the backup before appending: one list again
+    Denylist.record(Seq(9L).toDF("id"), "id", root)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_denylist__compact_old")))
+    assert(Denylist.readOpt(spark, root).get
+      .as[String].collect().toSet === Set("2", "4", "9"))
+  }
+
+  test("oversized list drops the broadcast hint: shuffled left_anti, same rows, no driver cliff") {
+    val root = Files.createTempDirectory("graft_deny_sz_").toString + "/s"
+    Denylist.record(Seq(2L, 4L).toDF("id"), "id", root)
+    val df = mkDocs(1L to 6L)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // kill every AUTOMATIC broadcast so the hint alone decides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // control: under the ceiling the hint pins a broadcast join
+      val hinted = Denylist.exclude(df, "doc_id", spark, root)
+      assert(hinted.queryExecution.sparkPlan.toString
+        .contains("Broadcast"), hinted.queryExecution.sparkPlan.toString)
+      // force the guard: a 0-byte ceiling means 'every list is too big'
+      spark.conf.set("spark.graft.denylist.broadcastMaxBytes", "0")
+      val big = Denylist.exclude(df, "doc_id", spark, root)
+      assert(!big.queryExecution.sparkPlan.toString.contains("Broadcast"),
+        big.queryExecution.sparkPlan.toString)
+      assert(big.select("doc_id").as[Long].collect().sorted
+        === Seq(1L, 3L, 5L, 6L))
+      val bigPair = Denylist.excludePair(
+        Seq((1L, 2L), (3L, 5L), (4L, 6L)).toDF("u", "v"), "u", "v",
+        spark, root)
+      assert(!bigPair.queryExecution.sparkPlan.toString.contains("Broadcast"))
+      assert(bigPair.as[(Long, Long)].collect().toSeq === Seq((3L, 5L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAqe.foreach(v =>
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+      spark.conf.unset("spark.graft.denylist.broadcastMaxBytes")
+    }
+  }
+
   test("chunk store: a denied id never re-lands through append; survivors do") {
     val p = Files.createTempDirectory("graft_deny_ch_").toString
     ChunkStore.write(mkDocs(1L to 4L), "text", "doc_id", p, nBuckets = 4)

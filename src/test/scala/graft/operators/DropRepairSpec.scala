@@ -71,10 +71,30 @@ class DropRepairSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EdgeStore.dropNodes(spark, p, Seq(7L).toDF("doc_id"), "doc_id")
     }
-    assert(EdgeStore.repairDrop(spark, p) === "cleaned_up")
+    assert(EdgeStore.repairDrop(spark, p) === "cleaned_up_rerun_required")
     assert(!fs.exists(bogus))
     assert(EdgeStore.read(spark, p)
       .as[(Long, Long, Long)].collect().toSet === after)
+  }
+
+  test("EdgeStore: cleanup-phase repair AUTO-COMPLETES the erasure from a standing denylist") {
+    val p = Files.createTempDirectory("graft_repair_es3_").toString
+    EdgeStore.write(ringEdges(20L), "u", "v", Some("w"), p, nBuckets = 4)
+    // a standing takedown recorded the drop set, but the drop itself
+    // crashed in the cleanup phase BEFORE processing every bucket — the
+    // wreckage looks identical to a finished drop (trailing all-garbage
+    // bucket corner), so the repair must re-drive the drop, not trust it
+    graft.llm.Denylist.record(Seq(7L).toDF("doc_id"), "doc_id", p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/edges/_drop_old_eb=0"))
+    assert(EdgeStore.repairDrop(spark, p) === "cleaned_up_rerun_completed")
+    val expected = (1L to 20L).map(i => (i, i % 20 + 1))
+      .filterNot(e => e._1 == 7L || e._2 == 7L).toSet
+    assert(EdgeStore.read(spark, p)
+      .as[(Long, Long, Long)].collect().map(e => (e._1, e._2)).toSet
+      === expected)
+    assert(EdgeStore.repairDrop(spark, p) === "clean")
   }
 
   // ---- LabelStore ------------------------------------------------------

@@ -264,7 +264,7 @@ class LabelStoreSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_tmp"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/byc/_drop_old_cb=1"))
     val e1 = intercept[IllegalArgumentException] { drop() }
-    assert(e1.getMessage.contains("every install finished"), e1.getMessage)
+    assert(e1.getMessage.contains("RE-RUN"), e1.getMessage)
     assert(e1.getMessage.contains("do NOT restore"), e1.getMessage)
     // install-phase crash: a tmp still holds a STAGED bucket child —
     // remedy must say restore the backups of BOTH copies

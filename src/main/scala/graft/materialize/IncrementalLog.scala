@@ -33,7 +33,19 @@ final case class IncrementalLogConfig(
     // post-build hooks (incremental_log.sql:163-166): grants + docs are
     // (re-)applied after every successful build.
     grants: Map[String, Seq[String]] = Map.empty,
-    docs: Option[graft.warehouse.TableDocs] = None) {
+    docs: Option[graft.warehouse.TableDocs] = None,
+    // standing-takedown guard (r16 verdict "What's missing #1"): when
+    // set, every build consults the Denylist at the target's guardRoot
+    // and drops rows whose value in this column is denied. The
+    // incremental append is an at-least-once BLIND append
+    // (incremental_log.sql:144-151) — a failed window's re-run or any
+    // backfill legitimately re-lands since-forgotten documents in the
+    // layer everything else is built from; declaring the table's doc-id
+    // column here closes that route. Applies to full refreshes too: a
+    // rebuild from source re-lands forgotten rows just the same, and
+    // declaring the column IS the explicit opt-in the store-side
+    // Denylist doc reserves for rebuild paths.
+    denyIdColumn: Option[String] = None) {
   require(Set("ignore", "append_new_columns", "sync_all_columns", "fail")
     .contains(onSchemaChange), s"invalid on_schema_change '$onSchemaChange'")
   require(!(partitionBy.isDefined && partitionByIngestionTime),
@@ -135,17 +147,24 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
         .getOrElse(clustered)
     }
 
+    // standing-takedown guard: anti-join the window's rows against the
+    // target's denylist (identity + one FS probe when none exists)
+    def guard(df: DataFrame): DataFrame = cfg.denyIdColumn match {
+      case Some(c) => graft.llm.Denylist.exclude(df, c, spark, wh.guardRoot(target))
+      case None => df
+    }
+
     if (!exists || fullRefresh || wasView) {
       // fresh create: prod/full-refresh -> upper bound only; dev/ci fresh
       // non-full-refresh ALSO applies the lower bound (incremental_log.sql:102)
       val filtered =
         if (env.isDevCi && !fullRefresh) src.filter(upper && lower)
         else src.filter(upper)
-      if (cfg.isPartitioned) wh.overwritePartitioned(target, prep(filtered))
-      else wh.overwrite(target, prep(filtered))
+      if (cfg.isPartitioned) wh.overwritePartitioned(target, prep(guard(filtered)))
+      else wh.overwrite(target, prep(guard(filtered)))
     } else {
       val filtered = src.filter(upper && lower)
-      appendAligned(target, prep(filtered), cfg)
+      appendAligned(target, prep(guard(filtered)), cfg)
     }
 
     // (5b) post-build hooks: apply_grants + persist_docs after every build

@@ -21,7 +21,12 @@ final case class MergeConfig(
     // post-build hooks (incremental_partition_merge.sql:312-314):
     // apply_grants + persist_docs after every build
     grants: Map[String, Seq[String]] = Map.empty,
-    docs: Option[graft.warehouse.TableDocs] = None) {
+    docs: Option[graft.warehouse.TableDocs] = None,
+    // standing-takedown guard: when set, every batch is anti-joined
+    // against the Denylist at the target's guardRoot on this column
+    // BEFORE resolving — an upsert of a since-forgotten key must not
+    // re-land it (same contract as IncrementalLogConfig.denyIdColumn).
+    denyIdColumn: Option[String] = None) {
   require(partitionGranularity.toLowerCase == "day",
     s"incremental_partition_merge: only DAY partition granularity is supported (got '$partitionGranularity')")
   require(uniqueKey.nonEmpty,
@@ -94,7 +99,14 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
     // merge's output (and rename-missing dirs fail the write midway).
     wh.recoverPendingSwap(target)
 
-    val b = staged(batch, cfg.partitionField).cache()
+    // standing-takedown guard: denied keys leave the batch before the
+    // resolve, so neither the insert nor the update route re-lands them
+    val guarded = cfg.denyIdColumn match {
+      case Some(c) =>
+        graft.llm.Denylist.exclude(batch, c, spark, wh.guardRoot(target))
+      case None => batch
+    }
+    val b = staged(guarded, cfg.partitionField).cache()
     // post-build hooks (incremental_partition_merge.sql:312-314), plus the
     // table-level partition-field declaration the SQL MERGE surface reads
     def applyHooks(): Unit = {

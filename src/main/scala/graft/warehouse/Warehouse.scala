@@ -643,6 +643,106 @@ final class Warehouse(val root: String, spark: SparkSession) {
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
   }
 
+  /** Root for the table's standing-takedown guard (a
+    * [[graft.llm.Denylist]] consulted by the materializations' append
+    * paths) — a SIBLING of the table directory, like the writer lock,
+    * because a full-refresh overwrite deletes the table directory
+    * outright and the guard must outlive exactly that kind of rebuild
+    * (the whole point of a STANDING denylist). Dropped and renamed
+    * with the table. */
+  def guardRoot(id: TableId): String = pathOf(id) + "__takedown"
+
+  /** Warehouse-layer erasure (r16 verdict "What's missing #1"): delete
+    * every row whose `idCol` is in `ids`, touching ONLY the
+    * day-partitions that contain them. The derived stores' takedown
+    * ([[graft.llm.Forget.forgetDocs]]) covered the eleven maintained
+    * stores while the corpus tables they are built FROM — the system's
+    * source of truth, owned by `IncrementalLog` /
+    * `MergeIntoPartitioned` — had no delete-rows operation at all.
+    *
+    * Shape (the reference analog is a MERGE touching only matched
+    * partitions, incremental_partition_merge.sql:247-265):
+    *  1. one COLUMN-PRUNED scan of (part_date, idCol), broadcast
+    *     semi-joined against the drop set, aggregated per partition —
+    *     yields the touched-partition list (bounded by #days, the
+    *     merge's own collect bound) and the exact removed count;
+    *  2. partitions whose every row is dropped are deleted outright
+    *     (removing only rows the drop intends — a crash mid-delete
+    *     leaves some dropped rows present and the re-run completes);
+    *  3. the rest are rewritten survivor-only through the crash-safe
+    *     stage + journal + swap protocol
+    *     ([[overwriteTouchedPartitions]]).
+    * Untouched partition files are never opened, let alone rewritten —
+    * byte-identical before/after, which is what makes an erasure on a
+    * 100 TB table cost O(partitions containing the ids), not O(table).
+    *
+    * Unpartitioned tables fall back to a staged full rewrite installed
+    * by [[rename]] (same contract as the sync_all_columns rewrite) —
+    * correct but O(table); day-partition erasure-prone tables.
+    *
+    * Idempotent; returns the number of rows removed. `idCol` names the
+    * TABLE's key column; the drop key is `ids`' first column (compared
+    * as strings, so long- and string-keyed tables share the one
+    * mechanism — the [[graft.llm.Denylist]] convention). Does NOT
+    * record a denylist — that is [[graft.llm.Forget.forgetDocs]]'s
+    * decision (`denylist = true` records at [[guardRoot]]). */
+  def deleteRows(id: TableId, ids: DataFrame, idCol: String): Long =
+    withWriterLease(id) {
+      healIfPending(id)
+      val t = read(id)
+      val drop = broadcast(
+        ids.select(col(ids.columns.head).cast("string").as("__graft_drop"))
+          .distinct())
+      if (!t.columns.contains(PartCol)) {
+        val hit = t.join(drop,
+          t(idCol).cast("string") === drop("__graft_drop"), "left_semi")
+        val removed = hit.count()
+        if (removed > 0) {
+          val survivors = t.join(drop,
+            t(idCol).cast("string") === drop("__graft_drop"), "left_anti")
+          val tmp = id.copy(identifier = id.identifier + "__delete_tmp")
+          overwrite(tmp, survivors)
+          rename(tmp, id)
+        }
+        removed
+      } else {
+        // one pruned scan: touched partitions + per-partition hit count
+        val scan = t.select(col(PartCol), col(idCol).cast("string").as("__id"))
+        val hits = scan
+          .join(drop, col("__id") === drop("__graft_drop"), "left_semi")
+          .groupBy(PartCol).agg(count(lit(1)).as("__n")).collect()
+          .map(r => (r.getDate(0), r.getLong(1))).toSeq
+        if (hits.isEmpty) 0L
+        else {
+          val touched = hits.map(_._1)
+          val part = readPartitions(id, touched)
+          val survivors = part.join(drop,
+            part(idCol).cast("string") === drop("__graft_drop"), "left_anti")
+          // partitions left EMPTY by the drop produce no staged dir, so
+          // the swap would never replace them — delete them first (only
+          // dropped rows die; a crash here just re-runs)
+          val surviving = survivors.select(col(PartCol)).distinct()
+            .collect().map(_.getDate(0)).toSet
+          val emptied = touched.filterNot(surviving.contains)
+          val tbl = hadoopPath(id)
+          val f = fs(tbl)
+          emptied.foreach { d =>
+            f.delete(new Path(tbl, s"$PartCol=$d"), true)
+          }
+          val remaining = touched.filter(surviving.contains)
+          if (remaining.nonEmpty)
+            overwriteTouchedPartitions(id,
+              survivors.filter(col(PartCol).isin(remaining.map(_.toString): _*)))
+          hits.map(_._2).sum
+        }
+      }
+    }
+
+  /** NOTE: deliberately does NOT remove the table's [[guardRoot]] — a
+    * standing takedown must survive drop-and-recreate under the same
+    * name (the view-migration path drops, then CTAS; and a compliance
+    * guard that dies with the table defeats its purpose). Re-admittance
+    * is [[graft.llm.Denylist.clear]] on the guard root, explicitly. */
   def drop(id: TableId): Unit = {
     val p = hadoopPath(id)
     val f = fs(p)
@@ -662,6 +762,12 @@ final class Warehouse(val root: String, spark: SparkSession) {
     if (f.exists(dst)) f.delete(dst, true)
     f.mkdirs(dst.getParent)
     require(f.rename(src, dst), s"rename ${from.fqn} -> ${to.fqn} failed")
+    // a genuine table rename carries its standing-takedown guard along;
+    // staged-rewrite installs (tmp -> target) have no guard at the tmp,
+    // so the target's existing guard is left untouched
+    val gSrc = new Path(guardRoot(from))
+    val gDst = new Path(guardRoot(to))
+    if (f.exists(gSrc) && !f.exists(gDst)) { f.rename(gSrc, gDst); () }
   }
 }
 

@@ -1,0 +1,108 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.operators.{EdgeStore, SampleStore, TopKStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Journal + resume for the multi-store takedown (r16 verdict "What's
+  * missing #2"): a crash mid-`forgetDocs` used to leave no persisted
+  * record of which stores completed — the only remedy was
+  * audit-everything-then-rerun-everything, and the audit could not
+  * tell a crashed takedown from a compliance breach. These specs
+  * crash the sequence after every possible prefix (failpoint), check
+  * `auditStatus` reads the incomplete stores as `in_progress` (never
+  * `leak`), resume, and require the final state to equal a one-shot
+  * takedown on a pristine twin — the from-scratch oracle. */
+class ForgetJournalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(ids: Seq[Long]) = ids.map(i =>
+    (i, s"journal spec document $i with words enough to chunk and very " +
+      s"much shingle into content addressed pieces $i", s"p${i % 2}"))
+    .toDF("doc_id", "text", "part")
+
+  /** Build the three-store fixture under `base`; returns the Stores. */
+  private def buildStores(base: String): Forget.Stores = {
+    val docs = mkDocs(1L to 12L)
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
+    val (chP, edP, smP) = (s"$base/ch", s"$base/ed", s"$base/sm")
+    ChunkStore.write(docs, "text", "doc_id", chP, nBuckets = 4)
+    EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
+      edP, nBuckets = 4)
+    SampleStore.write(docs, Seq.empty, "doc_id", "part", smP, kMax = 20)
+    Forget.Stores(chunk = Some(chP), edge = Some(edP), sample = Some(smP))
+  }
+
+  private def state(s: Forget.Stores): (Set[Long], Set[(Long, Long)], Set[String]) = (
+    ChunkStore.reconstruct(spark, s.chunk.get)
+      .select("doc_id").as[Long].collect().toSet,
+    EdgeStore.read(spark, s.edge.get).select("src", "dst")
+      .as[(Long, Long)].collect().toSet,
+    SampleStore.sample(spark, s.sample.get, Seq.empty, k = 20)
+      .select("key").as[String].collect().toSet)
+
+  test("crash after every prefix: auditStatus says in_progress, resume equals one-shot") {
+    val drop = Seq(3L, 7L).toDF("doc_id")
+    // the from-scratch oracle: one-shot takedown on a pristine twin
+    val oracleStores = buildStores(
+      Files.createTempDirectory("graft_fj_oracle_").toString)
+    Forget.forgetDocs(spark, drop, "doc_id", oracleStores,
+      chunkCompact = true, denylist = true)
+    val expected = state(oracleStores)
+
+    // steps: denylist, chunk, edge, sample = 4 — crash before each
+    for (k <- 0 to 3) {
+      val base = Files.createTempDirectory(s"graft_fj_k${k}_").toString
+      val stores = buildStores(base)
+      val j = Forget.Journal(s"$base/journal", opId = s"op$k")
+      Forget.stepFailpoint.set(k)
+      try intercept[IllegalArgumentException] {
+        Forget.forgetDocs(spark, drop, "doc_id", stores,
+          chunkCompact = true, denylist = true, journal = Some(j))
+      } finally Forget.stepFailpoint.set(-1)
+
+      // the journal knows the difference between residue and breach:
+      // incomplete stores read in_progress, completed ones clean/leak
+      val status = Forget.auditStatus(spark, j, stores)
+        .as[(String, Long, Long, String)].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(!status.values.exists(_ == "leak"),
+        s"k=$k: a crashed takedown must never read as a leak: $status")
+      if (k <= 1) assert(status("chunk") === "in_progress", s"k=$k")
+      if (k <= 2) assert(status("edge") === "in_progress", s"k=$k")
+      assert(status("sample") === "in_progress", s"k=$k")
+
+      // resume runs ONLY the missing steps...
+      val report = Forget.resume(spark, j, stores,
+        chunkCompact = true, denylist = true)
+      val skipped = report.results.filter(_.removed == -2L).map(_.store)
+      assert(skipped.size === k, s"k=$k skipped=$skipped")
+
+      // ...and the final state equals the one-shot oracle
+      assert(state(stores) === expected, s"k=$k")
+      val after = Forget.auditStatus(spark, j, stores)
+      assert(after.filter(col("status") =!= "clean").isEmpty, s"k=$k")
+      // a second resume is a clean no-op: everything skipped
+      val again = Forget.resume(spark, j, stores,
+        chunkCompact = true, denylist = true)
+      assert(again.results.forall(_.removed == -2L), s"k=$k")
+    }
+  }
+
+  test("a completed journal with a re-landed id reads LEAK, not in_progress") {
+    val base = Files.createTempDirectory("graft_fj_leak_").toString
+    val stores = buildStores(base)
+    val j = Forget.Journal(s"$base/journal", opId = "op-leak")
+    // denylist = false on purpose: the re-append below must land
+    Forget.forgetDocs(spark, Seq(5L).toDF("doc_id"), "doc_id", stores,
+      chunkCompact = true, journal = Some(j))
+    ChunkStore.append(mkDocs(Seq(5L)), "text", "doc_id", stores.chunk.get,
+      nBuckets = 4, runId = Some("recrawl"))
+    val status = Forget.auditStatus(spark, j, stores)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(status("chunk") === "leak", status.toString)
+    assert(status("edge") === "clean" && status("sample") === "clean")
+  }
+}

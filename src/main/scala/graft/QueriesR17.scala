@@ -174,9 +174,9 @@ object QueriesR17 {
           "a crashed takedown must never read as a leak")
         require(mid.filter(col("status") === "in_progress").count() >= 2,
           "edge and sample must read in_progress mid-takedown")
-        // resume re-runs ONLY the missing steps
-        val report = Forget.resume(s, j, stores, chunkCompact = true,
-          denylist = true)
+        // resume re-runs ONLY the missing steps, under the journal's
+        // own persisted flags
+        val report = Forget.resume(s, j, stores)
         require(report.results.count(_.removed == -2L) == 2,
           s"resume must skip exactly the two completed steps: $report")
         Forget.auditStatus(s, j, stores).orderBy("store")

@@ -189,16 +189,41 @@ object Forget {
       val p = new org.apache.hadoop.fs.Path(j.dir)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
+    // the run FLAGS are journaled too: a resume that silently flipped
+    // chunkCompact/denylist would complete a DIFFERENT takedown than
+    // the one that crashed (e.g. skip the manifest purge the operator
+    // committed to, or drop the standing guard). First write wins;
+    // later invocations must match.
+    fsFor.foreach { case (fs, dirP) =>
+      val flagsP = new org.apache.hadoop.fs.Path(dirP,
+        s"flags_chunkCompact=${chunkCompact}_denylist=$denylist")
+      if (!fs.exists(flagsP)) {
+        val foreign = fs.exists(dirP) && fs.listStatus(dirP)
+          .exists(_.getPath.getName.startsWith("flags_"))
+        require(!foreign,
+          s"Forget.forgetDocs: journal ${journal.get.dir} was started " +
+            "with different chunkCompact/denylist flags — resume with " +
+            "the original flags (see the flags_* marker in the journal)")
+        fs.create(flagsP, true).close()
+      }
+    }
     // journaled mode: the persisted drop set is the source of truth —
-    // a resume cannot drift from the set the takedown started with
+    // a resume cannot drift from the set the takedown started with.
+    // The write is guarded by its _SUCCESS marker: a crash mid-write
+    // leaves a partial dir that a naive existence probe would trust,
+    // so an unfinished dump is discarded and rewritten whole.
     val idsN = (fsFor match {
       case Some((fs, _)) =>
         val idsPath = new org.apache.hadoop.fs.Path(journal.get.idsDir)
-        if (!fs.exists(idsPath))
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(idsPath, "_SUCCESS"))
+        if (!committed) {
+          if (fs.exists(idsPath)) fs.delete(idsPath, true)
           // original type preserved: parquet round-trips it, so every
           // store-side cast behaves exactly as in the unjournaled path
           ids.select(col(idCol).as("id")).distinct()
             .coalesce(1).write.parquet(journal.get.idsDir)
+        }
         spark.read.parquet(journal.get.idsDir)
       case None => ids.select(col(idCol).as("id")).distinct()
     }).persist()
@@ -382,17 +407,26 @@ object Forget {
 
   /** Resume a journaled takedown after a crash: re-runs ONLY the steps
     * without completion markers, using the journal's persisted drop set
-    * (the caller re-declares the same `Stores` — its DataFrames are not
+    * AND its persisted chunkCompact/denylist flags — the journal is the
+    * takedown's record; a resume that silently flipped a flag would
+    * complete a different takedown than the one that crashed. (The
+    * caller re-declares the same `Stores` — its DataFrames are not
     * serializable; declaring the set next to the ingest code is the
-    * operator contract). No-op (all -2 rows) on a `_complete` journal. */
-  def resume(spark: SparkSession, journal: Journal, stores: Stores,
-             chunkCompact: Boolean = false,
-             denylist: Boolean = false): Report = {
+    * operator contract.) No-op (all -2 rows) on a `_complete` journal. */
+  def resume(spark: SparkSession, journal: Journal,
+             stores: Stores): Report = {
     val fs = new org.apache.hadoop.fs.Path(journal.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(journal.idsDir)),
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      journal.idsDir + "/_SUCCESS")),
       s"Forget.resume: no journaled takedown at ${journal.dir} — " +
         "nothing to resume (forgetDocs persists the drop set first)")
+    val flags = fs.listStatus(new org.apache.hadoop.fs.Path(journal.dir))
+      .map(_.getPath.getName).find(_.startsWith("flags_"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Forget.resume: journal ${journal.dir} has no flags marker"))
+    val chunkCompact = flags.contains("chunkCompact=true")
+    val denylist = flags.contains("denylist=true")
     val ids = spark.read.parquet(journal.idsDir)
     forgetDocs(spark, ids, "id", stores, chunkCompact, denylist,
       Some(journal))

@@ -73,9 +73,9 @@ class ForgetJournalSpec extends SparkSpec {
       if (k <= 2) assert(status("edge") === "in_progress", s"k=$k")
       assert(status("sample") === "in_progress", s"k=$k")
 
-      // resume runs ONLY the missing steps...
-      val report = Forget.resume(spark, j, stores,
-        chunkCompact = true, denylist = true)
+      // resume runs ONLY the missing steps, under the JOURNALED flags
+      // (chunkCompact/denylist come from the flags marker, not the call)
+      val report = Forget.resume(spark, j, stores)
       val skipped = report.results.filter(_.removed == -2L).map(_.store)
       assert(skipped.size === k, s"k=$k skipped=$skipped")
 
@@ -84,10 +84,37 @@ class ForgetJournalSpec extends SparkSpec {
       val after = Forget.auditStatus(spark, j, stores)
       assert(after.filter(col("status") =!= "clean").isEmpty, s"k=$k")
       // a second resume is a clean no-op: everything skipped
-      val again = Forget.resume(spark, j, stores,
-        chunkCompact = true, denylist = true)
+      val again = Forget.resume(spark, j, stores)
       assert(again.results.forall(_.removed == -2L), s"k=$k")
     }
+  }
+
+  test("journaled flags: a re-invocation with flipped flags refuses; resume uses the persisted ones") {
+    val base = Files.createTempDirectory("graft_fj_flags_").toString
+    val stores = buildStores(base)
+    val j = Forget.Journal(s"$base/journal", opId = "op-flags")
+    Forget.stepFailpoint.set(1)
+    try intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(5L).toDF("doc_id"), "doc_id", stores,
+        chunkCompact = true, denylist = true, journal = Some(j))
+    } finally Forget.stepFailpoint.set(-1)
+    // a direct re-invocation with DIFFERENT flags would complete a
+    // different takedown than the one that crashed — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(5L).toDF("doc_id"), "doc_id", stores,
+        chunkCompact = false, denylist = false, journal = Some(j))
+    }
+    assert(e.getMessage.contains("different chunkCompact/denylist flags"))
+    // resume needs no flags at all: it reads the journal's marker —
+    // the denylist step must run (denylist=true was journaled)
+    Forget.resume(spark, j, stores)
+    assert(Denylist.readOpt(spark, stores.chunk.get).isDefined,
+      "resume must honour the journaled denylist=true flag")
+    // chunkCompact=true journaled: manifest purge-debt must read zero
+    val status = Forget.auditStatus(spark, j, stores)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(status.values.forall(_ == "clean"), status.toString)
   }
 
   test("a completed journal with a re-landed id reads LEAK, not in_progress") {

@@ -752,16 +752,33 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   /** Atomic-ish table swap via filesystem rename — the safe way to rewrite
     * a table whose new contents are derived from its old contents (Spark
-    * cannot overwrite a path it is reading). */
+    * cannot overwrite a path it is reading).
+    *
+    * The destination is displaced by BACKUP-RENAME, not delete: the old
+    * `delete(dst) → rename(src, dst)` sequence had a crash window in
+    * which the table was simply GONE (old contents deleted, new ones
+    * still at the staging id). Now a crash mid-swap leaves the table
+    * missing but both generations on disk — `<dst>__replaced` holds the
+    * old data, `src` the new — loud (reads of a missing table throw)
+    * and fully recoverable by renaming either into place; the backup is
+    * removed only after the install rename succeeds. A stale
+    * `__replaced` from an earlier crash is displaced (the live table it
+    * backed up is still present, so it is the older generation). */
   def rename(from: TableId, to: TableId): Unit = {
     val src = hadoopPath(from)
     val dst = hadoopPath(to)
     val f = fs(src)
     schemaCache.remove(pathOf(from))
     schemaCache.remove(pathOf(to))
-    if (f.exists(dst)) f.delete(dst, true)
+    val trash = new Path(pathOf(to) + "__replaced")
+    if (f.exists(dst)) {
+      if (f.exists(trash)) f.delete(trash, true)
+      require(f.rename(dst, trash),
+        s"rename ${from.fqn} -> ${to.fqn}: backup rename of $dst failed")
+    }
     f.mkdirs(dst.getParent)
     require(f.rename(src, dst), s"rename ${from.fqn} -> ${to.fqn} failed")
+    if (f.exists(trash)) { f.delete(trash, true); () }
     // a genuine table rename carries its standing-takedown guard along;
     // staged-rewrite installs (tmp -> target) have no guard at the tmp,
     // so the target's existing guard is left untouched

@@ -101,6 +101,19 @@ class ErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wh.read(id).select("doc_id").as[Long].collect().sorted
       === Seq(1L, 3L, 5L, 6L))
     assert(wh.deleteRows(id, Seq(2L).toDF("id"), "doc_id") === 0L)
+    // the staged install's backup is cleaned up after a successful
+    // swap, and a STALE backup from an earlier crash does not break
+    // the next install (it is displaced — the live table is newer)
+    val fs = new org.apache.hadoop.fs.Path(wh.pathOf(id))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      wh.pathOf(id) + "__replaced")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.pathOf(id) + "__replaced"))
+    assert(wh.deleteRows(id, Seq(6L).toDF("id"), "doc_id") === 1L)
+    assert(wh.read(id).select("doc_id").as[Long].collect().sorted
+      === Seq(1L, 3L, 5L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      wh.pathOf(id) + "__replaced")))
   }
 
   test("IncrementalLog denyIdColumn: a re-run window containing forgotten docs does not re-land them") {

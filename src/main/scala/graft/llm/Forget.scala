@@ -260,6 +260,10 @@ object Forget {
     if (denylist)
       step("denylist") {
         stores.keyedRoots.foreach(Denylist.record(idsN, "id", _))
+        // ARM the warehouse guards: record which column the list keys,
+        // so every materialization (config-less SQL MERGE included)
+        // consults the guard without denyIdColumn being set anywhere
+        stores.warehouse.foreach(w => w.wh.armGuard(w.table, w.idCol))
         StoreResult("denylist", idsN.count())
       }
 

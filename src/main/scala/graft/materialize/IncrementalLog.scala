@@ -148,11 +148,16 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
     }
 
     // standing-takedown guard: anti-join the window's rows against the
-    // target's denylist (identity + one FS probe when none exists)
-    def guard(df: DataFrame): DataFrame = cfg.denyIdColumn match {
-      case Some(c) => graft.llm.Denylist.exclude(df, c, spark, wh.guardRoot(target))
-      case None => df
-    }
+    // target's denylist (identity + one FS probe when none exists).
+    // Explicit config wins; otherwise an ARMED guard (the takedown
+    // records its own key column at the guard root) is honored, so no
+    // materialization has to be individually configured to respect a
+    // takedown that already happened.
+    def guard(df: DataFrame): DataFrame =
+      cfg.denyIdColumn.orElse(wh.guardColumn(target)) match {
+        case Some(c) => graft.llm.Denylist.exclude(df, c, spark, wh.guardRoot(target))
+        case None => df
+      }
 
     if (!exists || fullRefresh || wasView) {
       // fresh create: prod/full-refresh -> upper bound only; dev/ci fresh

@@ -100,8 +100,12 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
     wh.recoverPendingSwap(target)
 
     // standing-takedown guard: denied keys leave the batch before the
-    // resolve, so neither the insert nor the update route re-lands them
-    val guarded = cfg.denyIdColumn match {
+    // resolve, so neither the insert nor the update route re-lands
+    // them. Explicit config wins; otherwise an ARMED guard (the
+    // takedown recorded its own key column at the guard root) is
+    // honored — this is what keeps the config-less SQL MERGE surface
+    // inside the takedown story.
+    val guarded = cfg.denyIdColumn.orElse(wh.guardColumn(target)) match {
       case Some(c) =>
         graft.llm.Denylist.exclude(batch, c, spark, wh.guardRoot(target))
       case None => batch

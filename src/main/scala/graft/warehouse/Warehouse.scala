@@ -652,6 +652,29 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * with the table. */
   def guardRoot(id: TableId): String = pathOf(id) + "__takedown"
 
+  /** Arm the table's standing guard: record WHICH column the denylist
+    * keys (an `_idcol_<name>` marker under [[guardRoot]]). Written by
+    * the takedown itself ([[graft.llm.Forget.forgetDocs]] knows the id
+    * column from its WarehouseTarget), so every materialization —
+    * config-less SQL MERGE included — can consult the guard without an
+    * operator remembering to set `denyIdColumn` on each one: the same
+    * class of human error the Forget operator exists to kill. */
+  def armGuard(id: TableId, idCol: String): Unit = {
+    val marker = new Path(s"${guardRoot(id)}/_idcol_$idCol")
+    val f = fs(marker)
+    if (!f.exists(marker)) { f.create(marker, true).close() }
+  }
+
+  /** The armed guard's key column, if any — one existence probe when
+    * the table has never seen a takedown. */
+  def guardColumn(id: TableId): Option[String] = {
+    val root = new Path(guardRoot(id))
+    val f = fs(root)
+    if (!f.exists(root)) None
+    else f.listStatus(root).map(_.getPath.getName)
+      .find(_.startsWith("_idcol_")).map(_.stripPrefix("_idcol_"))
+  }
+
   /** Warehouse-layer erasure (r16 verdict "What's missing #1"): delete
     * every row whose `idCol` is in `ids`, touching ONLY the
     * day-partitions that contain them. The derived stores' takedown

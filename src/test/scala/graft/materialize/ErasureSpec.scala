@@ -173,6 +173,32 @@ class ErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3L) === "c2" && rows(7L) === "g")
   }
 
+  test("auto-armed guard: a config-less IncrementalLog honors a takedown that already happened") {
+    val wh = freshWh()
+    val log = new EventLog(wh, spark)
+    val il = new IncrementalLog(wh, log, spark)
+    val id = TableId("proj", "corpus", "inc_noconf")
+    val ref = ModelRef("corpus", "docs", "curated", "inc_noconf")
+    // NO denyIdColumn anywhere — the takedown arms the guard itself
+    val cfg = IncrementalLogConfig(runWindowColumn = "event_ts",
+      partitionBy = Some("event_ts"))
+    il.run(() => corpus(), id, ref, Env.Prod, cfg,
+      now = () => "2024-01-02 12:00:00.000000 UTC")
+    graft.llm.Forget.forgetDocs(spark, Seq(3L).toDF("doc_id"), "doc_id",
+      graft.llm.Forget.Stores(warehouse = Seq(
+        graft.llm.Forget.WarehouseTarget(wh, id, "doc_id"))),
+      denylist = true)
+    assert(wh.guardColumn(id) === Some("doc_id"))
+    def recrawl(): DataFrame = corpus().unionByName(Seq(
+      (3L, ts("2024-01-04 09:00:00"), "c-recrawl"))
+      .toDF("doc_id", "event_ts", "payload"))
+    il.run(() => recrawl(), id, ref, Env.Prod, cfg,
+      now = () => "2024-01-05 12:00:00.000000 UTC")
+    val served = wh.read(id).select("doc_id").as[Long].collect().sorted
+    assert(!served.contains(3L), served.toSeq)
+    assert(served.contains(5L) && served.contains(6L))
+  }
+
   test("forgetDocs + audit cover the warehouse layer in one call") {
     val wh = freshWh()
     val id = TableId("proj", "corpus", "docs2")

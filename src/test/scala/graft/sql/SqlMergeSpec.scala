@@ -276,5 +276,30 @@ class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("auto-armed takedown guard: config-less SQL MERGE cannot re-land a forgotten key") {
+    val (wh, tgt) = fixture("m_guard")
+    // the takedown arms the guard itself (records the key COLUMN at the
+    // guard root) — nothing on the SQL surface is configured
+    graft.llm.Forget.forgetDocs(spark, Seq(2L).toDF("doc_id"), "doc_id",
+      graft.llm.Forget.Stores(warehouse = Seq(
+        graft.llm.Forget.WarehouseTarget(wh, tgt, "id"))),
+      denylist = true)
+    assert(wh.guardColumn(tgt) === Some("id"))
+    assert(!rows(wh, tgt).exists(_._1 == 2L))
+    // a re-crawl upsert through plain spark.sql MERGE: forgotten key 2
+    // must not re-land (it would INSERT — its row is gone), key 6 must
+    mkBatch(Seq(
+      (2L, "2024-01-02 12:00:00", "relanded", 99.0),
+      (6L, "2024-01-02 12:00:00", "ins6", 6.0)))
+      .createOrReplaceTempView("bg")
+    spark.sql("""
+      MERGE INTO proj.demo.m_guard AS t USING bg AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(wh, tgt) == Set(
+      (1L, "old1", 1.0), (3L, "old3", 3.0), (6L, "ins6", 6.0)))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

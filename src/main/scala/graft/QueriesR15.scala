@@ -480,7 +480,8 @@ object QueriesR15 {
       Some("""
         WITH checks(c) AS (VALUES ('malformed_partition'),
           ('mixed_depth_entry'), ('schema_sidecar_missing'),
-          ('swap_wreckage'), ('undeclared_column')),
+          ('swap_wreckage'), ('takedown_guard_wreckage'),
+          ('undeclared_column')),
         tbls(t) AS (VALUES ('docs_daily'), ('lang_dim'))
         SELECT t AS "table", c AS "check", CAST(0 AS BIGINT) AS violations
         FROM tbls CROSS JOIN checks

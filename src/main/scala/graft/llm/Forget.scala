@@ -573,6 +573,31 @@ object Forget {
     rows.result().toDF("store", "n_live", "n_dropped").orderBy("store")
   }
 
+  /** Inventory of journaled takedowns under `root`'s `_forget/` tree —
+    * how an operator FINDS the crashed takedown [[resume]] needs (the
+    * journal makes a half-done erasure durable; this makes it
+    * discoverable). One row per opId: whether the drop set committed,
+    * how many store steps completed, the journaled flags, and whether
+    * the sequence finished — `complete = false` rows are the resume
+    * worklist. Metadata-scale: one listing per journal. */
+  def listJournals(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(s"$root/_forget")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(base)) Seq.empty[(String, Boolean, Int, String, Boolean)]
+      else fs.listStatus(base).filter(_.isDirectory).toSeq.map { d =>
+        val names = fs.listStatus(d.getPath).map(_.getPath.getName).toSeq
+        (d.getPath.getName,
+          fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "ids/_SUCCESS")),
+          names.count(_.startsWith("done_")),
+          names.find(_.startsWith("flags_")).getOrElse(""),
+          names.contains("_complete"))
+      }
+    rows.toDF("op_id", "ids_committed", "steps_done", "flags", "complete")
+      .orderBy("op_id")
+  }
+
   /** [[audit]] against a JOURNALED takedown: same per-store counts
     * (the drop set read from the journal, so the audit judges exactly
     * the set the takedown started with), plus a `status` column that

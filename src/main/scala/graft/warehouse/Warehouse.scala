@@ -577,10 +577,26 @@ final class Warehouse(val root: String, spark: SparkSession) {
           }
       case _ => 0L
     }
+    // the takedown guard's own health: an ARMED guard whose live
+    // `_denylist` is absent with the compact backup present is serving
+    // from the backup (Denylist.readOpt's crash fallback — the guard
+    // HOLDS) but needs repair before the backup can be folded; report
+    // it so the compliance audit sees the debt, not just the reads
+    val guardWreckage = {
+      val g = new Path(guardRoot(id))
+      val f2 = fs(g)
+      if (!f2.exists(g)) 0L
+      else {
+        val live = new Path(s"${guardRoot(id)}/_denylist")
+        val old = new Path(s"${guardRoot(id)}/_denylist__compact_old")
+        if (!f2.exists(live) && f2.exists(old)) 1L else 0L
+      }
+    }
     Seq(("malformed_partition", malformed.toLong),
       ("mixed_depth_entry", mixed.toLong),
       ("schema_sidecar_missing", sidecarMissing),
       ("swap_wreckage", wreckage.toLong),
+      ("takedown_guard_wreckage", guardWreckage),
       ("undeclared_column", undeclared))
       .toDF("check", "violations")
   }

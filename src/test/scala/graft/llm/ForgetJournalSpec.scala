@@ -117,6 +117,30 @@ class ForgetJournalSpec extends SparkSpec {
     assert(status.values.forall(_ == "clean"), status.toString)
   }
 
+  test("listJournals: crashed takedowns are discoverable; resumed ones read complete") {
+    val base = Files.createTempDirectory("graft_fj_ls_").toString
+    val stores = buildStores(base)
+    val jRoot = s"$base/journal"
+    val j1 = Forget.Journal(jRoot, opId = "ticket-1")
+    Forget.forgetDocs(spark, Seq(2L).toDF("doc_id"), "doc_id", stores,
+      journal = Some(j1))
+    val j2 = Forget.Journal(jRoot, opId = "ticket-2")
+    Forget.stepFailpoint.set(1)
+    try intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(4L).toDF("doc_id"), "doc_id", stores,
+        journal = Some(j2))
+    } finally Forget.stepFailpoint.set(-1)
+    val ls = Forget.listJournals(spark, jRoot)
+      .as[(String, Boolean, Int, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ls("ticket-1")._5 === true)
+    assert(ls("ticket-2")._5 === false, "the crashed takedown is the worklist")
+    assert(ls("ticket-2")._2 === true && ls("ticket-2")._3 === 1)
+    Forget.resume(spark, j2, stores)
+    assert(Forget.listJournals(spark, jRoot)
+      .filter(col("complete") === false).isEmpty)
+  }
+
   test("a completed journal with a re-landed id reads LEAK, not in_progress") {
     val base = Files.createTempDirectory("graft_fj_leak_").toString
     val stores = buildStores(base)

@@ -116,4 +116,30 @@ class WarehouseFsckSpec extends SparkSpec {
     wh.createView(vw, Seq(Tuple1(1L)).toDF("x"))
     assert(violations(wh.fsck(vw)).forall(_._2 == 0L))
   }
+
+  test("fsck reports takedown-guard compact wreckage (guard holds via backup, repair owed)") {
+    val root = Files.createTempDirectory("graft_whfsck_g_").toString
+    val wh = new Warehouse(root, spark)
+    val id = TableId("a", "b", "tg")
+    wh.overwrite(id, Seq((1L, "x"), (2L, "y")).toDF("doc_id", "v"))
+    // never-armed table: check present, zero
+    assert(violations(wh.fsck(id))("takedown_guard_wreckage") === 0L)
+    // armed guard, healthy
+    graft.llm.Denylist.record(Seq(2L).toDF("id"), "id", wh.guardRoot(id))
+    wh.armGuard(id, "doc_id")
+    assert(violations(wh.fsck(id))("takedown_guard_wreckage") === 0L)
+    // compact-crash wreckage: live list renamed away, backup present —
+    // Denylist.readOpt still guards (from the backup), but fsck must
+    // surface the repair debt
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"${wh.guardRoot(id)}/_denylist"),
+      new org.apache.hadoop.fs.Path(
+        s"${wh.guardRoot(id)}/_denylist__compact_old"))
+    assert(violations(wh.fsck(id))("takedown_guard_wreckage") === 1L)
+    // record() heals; the debt clears
+    graft.llm.Denylist.record(Seq(3L).toDF("id"), "id", wh.guardRoot(id))
+    assert(violations(wh.fsck(id))("takedown_guard_wreckage") === 0L)
+  }
 }

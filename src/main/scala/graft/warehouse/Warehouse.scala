@@ -676,6 +676,12 @@ final class Warehouse(val root: String, spark: SparkSession) {
     * operator remembering to set `denyIdColumn` on each one: the same
     * class of human error the Forget operator exists to kill. */
   def armGuard(id: TableId, idCol: String): Unit = {
+    // one key column per table: a second takedown declaring a DIFFERENT
+    // column would leave the guard keying only one of them (the
+    // denylist is a single id list) — refuse instead of half-guarding
+    guardColumn(id).foreach(existing => require(existing == idCol,
+      s"armGuard(${id.fqn}): guard already armed on column '$existing' — " +
+        s"cannot re-arm on '$idCol'; one table has one takedown key column"))
     val marker = new Path(s"${guardRoot(id)}/_idcol_$idCol")
     val f = fs(marker)
     if (!f.exists(marker)) { f.create(marker, true).close() }

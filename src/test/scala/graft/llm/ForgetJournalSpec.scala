@@ -117,6 +117,49 @@ class ForgetJournalSpec extends SparkSpec {
     assert(status.values.forall(_ == "clean"), status.toString)
   }
 
+  test("warehouse step in the crash matrix: marker sanitization agrees between step and auditStatus") {
+    // "warehouse:<table>" step names carry a ':' that is sanitized in
+    // the done_* marker file name — forgetDocs' step machinery and
+    // auditStatus' stepDone must sanitize IDENTICALLY or a completed
+    // warehouse step would audit as in_progress forever
+    val base = Files.createTempDirectory("graft_fj_wh_").toString
+    val wh = new graft.warehouse.Warehouse(s"$base/wh", spark)
+    val tbl = graft.core.TableId("proj", "corpus", "docs")
+    wh.overwritePartitioned(tbl, mkDocs(1L to 12L)
+      .withColumn("part_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.concat(lit("2024-01-0"),
+            (col("doc_id") % 4 + 1).cast("string")))))
+    val stores = Forget.Stores(
+      warehouse = Seq(Forget.WarehouseTarget(wh, tbl, "doc_id")),
+      sample = {
+        val smP = s"$base/sm"
+        graft.operators.SampleStore.write(mkDocs(1L to 12L), Seq.empty,
+          "doc_id", "part", smP, kMax = 20)
+        Some(smP)
+      })
+    val j = Forget.Journal(s"$base/journal", opId = "op-wh")
+    // steps: denylist(0), warehouse:docs(1), sample(2) — crash before
+    // sample, AFTER the warehouse step completed
+    Forget.stepFailpoint.set(2)
+    try intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(3L, 7L).toDF("doc_id"), "doc_id",
+        stores, denylist = true, journal = Some(j))
+    } finally Forget.stepFailpoint.set(-1)
+    val mid = Forget.auditStatus(spark, j, stores)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // the completed warehouse step must read CLEAN (its rows are gone
+    // and its marker must be found through the same sanitization)
+    assert(mid("warehouse:docs") === "clean", mid.toString)
+    assert(mid("sample") === "in_progress", mid.toString)
+    val report = Forget.resume(spark, j, stores)
+    assert(report.results.filter(_.removed == -2L).map(_.store).toSet
+      === Set("denylist", "warehouse:docs"))
+    assert(Forget.auditStatus(spark, j, stores)
+      .filter(col("status") =!= "clean").isEmpty)
+  }
+
   test("listJournals: crashed takedowns are discoverable; resumed ones read complete") {
     val base = Files.createTempDirectory("graft_fj_ls_").toString
     val stores = buildStores(base)

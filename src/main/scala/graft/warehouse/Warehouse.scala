@@ -151,11 +151,34 @@ final class Warehouse(val root: String, spark: SparkSession) {
     writeSchemaSidecar(id, df.schema)
   }
 
+  /** ARMED-guard enforcement at the PRIMITIVE level: the
+    * materializations consult the guard themselves, but a custom
+    * pipeline calling `append` directly was the one ingest route left
+    * outside the takedown story. A table whose guard is armed filters
+    * every appended batch here; a batch that doesn't even CARRY the
+    * armed column refuses loudly (silently-unguarded is the failure
+    * mode this exists to kill); an unarmed table pays one existence
+    * probe. Overwrites stay unguarded at this level on purpose — a
+    * full rebuild's input corpus is an explicit upstream decision (the
+    * materializations' own configs guard their refresh paths). */
+  private def guardFilter(id: TableId, df: DataFrame): DataFrame =
+    guardColumn(id) match {
+      case Some(c) if df.columns.contains(c) =>
+        graft.llm.Denylist.exclude(df, c, spark, guardRoot(id))
+      case Some(c) =>
+        throw new IllegalArgumentException(
+          s"append to ${id.fqn}: the table's takedown guard is armed on " +
+            s"column '$c' but the batch does not carry it — refusing an " +
+            "unguardable append (rename/select the key column, or clear " +
+            "the guard explicitly via Denylist.clear on the guard root)")
+      case None => df
+    }
+
   /** INSERT INTO analog (incremental_log.sql:144-151). Column order is
     * aligned by the caller; parquet append is by-name on read. */
   def append(id: TableId, df: DataFrame): Unit = {
     healIfPending(id) // rows appended into a half-swapped dir would be rolled back
-    df.write.mode("append").parquet(pathOf(id))
+    guardFilter(id, df).write.mode("append").parquet(pathOf(id))
     widenSidecar(id, df)
   }
 
@@ -174,7 +197,8 @@ final class Warehouse(val root: String, spark: SparkSession) {
 
   def appendPartitioned(id: TableId, df: DataFrame): Unit = {
     healIfPending(id) // files landing in a swapped-in partition would be rolled back
-    df.write.mode("append").partitionBy(PartCol).parquet(pathOf(id))
+    guardFilter(id, df).write.mode("append").partitionBy(PartCol)
+      .parquet(pathOf(id))
     widenSidecar(id, df)
   }
 

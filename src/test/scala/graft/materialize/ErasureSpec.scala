@@ -199,6 +199,33 @@ class ErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.contains(5L) && served.contains(6L))
   }
 
+  test("armed guard at the primitive level: direct appends filter; an unguardable batch refuses") {
+    val wh = freshWh()
+    val id = TableId("proj", "corpus", "raw")
+    wh.overwrite(id, corpus())
+    // unarmed: appends pass through untouched (one existence probe)
+    wh.append(id, corpus().filter(col("doc_id") === 1L))
+    assert(wh.read(id).count() === 7L)
+    // arm via the takedown, then push a batch CONTAINING forgotten ids
+    // through the raw primitive — the last ingest route outside the
+    // materializations
+    graft.llm.Forget.forgetDocs(spark, Seq(1L, 2L).toDF("doc_id"),
+      "doc_id", graft.llm.Forget.Stores(warehouse = Seq(
+        graft.llm.Forget.WarehouseTarget(wh, id, "doc_id"))),
+      denylist = true)
+    assert(wh.read(id).filter(col("doc_id").isin(1L, 2L)).isEmpty)
+    wh.append(id, corpus().filter(col("doc_id").isin(2L, 5L)))
+    val served = wh.read(id).select("doc_id").as[Long].collect().sorted
+    assert(!served.contains(2L), served.toSeq)
+    assert(served.count(_ == 5L) === 2L, "the surviving batch row lands")
+    // a batch that doesn't carry the armed column cannot be guarded —
+    // refuse loudly rather than append unguarded
+    val e = intercept[IllegalArgumentException] {
+      wh.append(id, Seq(("x", 1.0)).toDF("other", "v"))
+    }
+    assert(e.getMessage.contains("takedown guard is armed"))
+  }
+
   test("forgetDocs + audit cover the warehouse layer in one call") {
     val wh = freshWh()
     val id = TableId("proj", "corpus", "docs2")

@@ -167,12 +167,24 @@ object Bench {
     // "What's wrong #3"). An explicit SPARK_GRAFT_BENCH_FULL target is
     // always honored (the driver owns its own artifacts).
     val quietMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "4.0").toDouble
-    val contended = startLoad >= 0 && startLoad > quietMax
+    // post-run check too (r17 verdict watch item): a run that BEGINS
+    // quiet but shares the box later still must not claim "latest".
+    // The end-load threshold adds the bench's own expected contribution
+    // (~the executor thread count) on top of the ambient ceiling — the
+    // bench cannot flag itself, only a co-scheduled foreign load.
+    val endLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val endMax = quietMax + cpus.toInt
+    val contendedStart = startLoad >= 0 && startLoad > quietMax
+    val contendedEnd = endLoad >= 0 && endLoad > endMax
+    val contended = contendedStart || contendedEnd
     val out = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
       if (contended) "BENCH_full_contended.json" else "BENCH_full_latest.json")
     if (contended && sys.env.get("SPARK_GRAFT_BENCH_FULL").isEmpty)
-      System.err.println(f"[bench] ambient load $startLoad%.1f > $quietMax%.1f at start: " +
-        s"NOT a bench-alone run — writing $out instead of BENCH_full_latest.json")
+      System.err.println(
+        f"[bench] ambient load start $startLoad%.1f (max $quietMax%.1f) / " +
+          f"end $endLoad%.1f (max $endMax%.1f): NOT a bench-alone run — " +
+          s"writing $out instead of BENCH_full_latest.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] full-json write failed: $e") }

@@ -1119,5 +1119,5 @@ object Queries {
       QueriesR6.all ++ QueriesR7.all ++ QueriesR8.all ++ QueriesR9.all ++
       QueriesR10.all ++ QueriesR10b.all ++ QueriesR11.all ++
       QueriesR12.all ++ QueriesR13.all ++ QueriesR14.all ++
-      QueriesR15.all ++ QueriesR16.all ++ QueriesR17.all
+      QueriesR15.all ++ QueriesR16.all ++ QueriesR17.all ++ QueriesR18.all
 }

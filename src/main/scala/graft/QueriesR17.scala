@@ -118,10 +118,10 @@ object QueriesR17 {
           SELECT event_id FROM events
           WHERE event_id NOT IN (SELECT event_id FROM dropd))
         SELECT * FROM (VALUES
-          ('warehouse:evt_inc',
+          ('warehouse:proj.corpus.evt_inc',
            CAST((SELECT COUNT(*) FROM surv) + 1 AS BIGINT),
            CAST(0 AS BIGINT)),
-          ('warehouse:evt_mrg',
+          ('warehouse:proj.corpus.evt_mrg',
            CAST((SELECT COUNT(*) FROM surv) + 1 AS BIGINT),
            CAST(0 AS BIGINT))
         ) AS t(store, n_live, n_dropped)

@@ -91,20 +91,38 @@ object Forget {
                                 keyCol: String, partCol: String,
                                 depth: Int, width: Int)
 
+  /** Where a warehouse erasure announces itself in the RUN-EVENT LOG
+    * (r17 verdict "What's missing #2"): the event log is the
+    * operational history of every table build — `IncrementalLog`
+    * writes started/succeeded per window — but a `deleteRows` that
+    * rewrites partitions of that same logged table recorded nothing
+    * there, so an operator diffing table history saw unexplained
+    * partition rewrites (the `_forget` journal is per-takedown and
+    * elsewhere on disk). Declaring this on a [[WarehouseTarget]] makes
+    * the warehouse step append one `model_rows_erased` event (op id +
+    * removed count in the message) to the SAME log the table's builds
+    * write to — the event log stays the single history. */
+  final case class ErasureLog(logTable: graft.core.TableId,
+                              ref: graft.core.ModelRef)
+
   /** A WAREHOUSE table to erase from — the corpus layer itself, the
     * source of truth everything else is built from (r16 verdict
     * "What's missing #1": the derived-store takedown was complete
     * while an `IncrementalLog` re-run or backfill could re-land a
     * forgotten document in the layer underneath it all). `idCol` is
-    * the table's doc-id column; erasure is
+    * the table's doc-id key — a single column or a composite
+    * `"c1+c2"` spec ([[Denylist.keyExpr]]; the drop set then carries
+    * [[Denylist.compositeKey]]-joined values); erasure is
     * [[graft.warehouse.Warehouse.deleteRows]] (partition-pruned
     * survivor rewrite of only the partitions containing the ids), and
     * `denylist = true` records at the table's
     * [[graft.warehouse.Warehouse.guardRoot]] — consulted by every
-    * materialization configured with `denyIdColumn`. */
+    * materialization configured with `denyIdColumn`. `log` announces
+    * the erasure in the table's run-event log ([[ErasureLog]]). */
   final case class WarehouseTarget(wh: graft.warehouse.Warehouse,
                                    table: graft.core.TableId,
-                                   idCol: String)
+                                   idCol: String,
+                                   log: Option[ErasureLog] = None)
 
   /** Declared store set. Every field None by default: callers name
     * exactly the stores their pipeline materializes; forgetting a
@@ -145,9 +163,18 @@ object Forget {
     * left no persisted record of which stores completed, and the only
     * remedy was audit-everything-then-rerun-everything). Lives at
     * `<root>/_forget/<opId>/`:
-    *   - `ids/`            the drop set, persisted FIRST (the resume's
-    *                       source of truth — a re-run cannot drift from
-    *                       the original set)
+    *   - `flags_*`         the run flags, journaled first (a resume
+    *                       with flipped flags is refused)
+    *   - `steps`           the declared STORE SET as its step-name
+    *                       inventory, journaled before the drop set —
+    *                       a resume (or auditStatus) declaring a
+    *                       different/subset store set is refused, so a
+    *                       journal can never claim `_complete` for a
+    *                       takedown whose missing stores were never
+    *                       erased (r17 verdict "What's wrong #1")
+    *   - `ids/`            the drop set (the resume's source of truth
+    *                       — a re-run cannot drift from the original
+    *                       set; its `_SUCCESS` commits the journal)
     *   - `done_<store>`    one empty marker per completed store step
     *   - `_complete`       the whole sequence finished
     * `opId` is caller-chosen (a ticket id, a UUID minted by the
@@ -155,9 +182,35 @@ object Forget {
   final case class Journal(root: String, opId: String) {
     private[llm] def dir: String = s"$root/_forget/$opId"
     private[llm] def idsDir: String = s"$dir/ids"
+    private[llm] def stepsFile: String = s"$dir/steps"
     private[llm] def markName(step: String): String =
       "done_" + step.replaceAll("[^A-Za-z0-9_.-]", "_")
   }
+
+  /** The exact step-name sequence [[forgetDocs]] runs for a declared
+    * store set — the journal's persisted inventory and the validation
+    * key for [[resume]]/[[auditStatus]]. Warehouse steps key on the
+    * table's FULL 3-part name: two targets whose tables share an
+    * identifier across datasets (proj.a.docs / proj.b.docs) must not
+    * collide on one `done_` marker, which silently skipped the second
+    * table's erasure while the journal still claimed complete (r17
+    * ADVICE medium). */
+  private[llm] def stepNames(stores: Stores, denylist: Boolean): Seq[String] =
+    (if (denylist) Seq("denylist") else Nil) ++
+      stores.warehouse.map(w => s"warehouse:${w.table.fqn}") ++
+      Seq(
+        stores.chunk.map(_ => "chunk"),
+        stores.minhash.map(_ => "minhash"),
+        stores.lexical.map(_ => "lexical"),
+        stores.contain.map(_ => "contain"),
+        stores.ivf.map(_ => "ivf"),
+        stores.ivfPq.map(_ => "ivfpq"),
+        stores.edge.map(_ => "edge"),
+        stores.label.map(_ => "label"),
+        stores.topk.map(_ => "topk"),
+        stores.sample.map(_ => "sample"),
+        stores.bloom.map(_ => "bloom"),
+        stores.cms.map(_ => "cms")).flatten
 
   final case class Report(results: Seq[StoreResult]) {
     def removed(store: String): Option[Long] =
@@ -207,6 +260,40 @@ object Forget {
         fs.create(flagsP, true).close()
       }
     }
+    // the STORE SET is journaled too (r17 verdict "What's wrong #1"): a
+    // resume invoked with a SUBSET (a typo, a refactored pipeline) used
+    // to run only the declared steps and still write _complete — the
+    // journal then claimed a finished takedown whose missing stores
+    // were never erased. First declaration wins (written atomically,
+    // tmp + rename); every later journaled invocation must re-declare
+    // the identical set.
+    fsFor.foreach { case (fs, dirP) =>
+      val declared = stepNames(stores, denylist)
+      val stepsP = new org.apache.hadoop.fs.Path(journal.get.stepsFile)
+      if (fs.exists(stepsP)) {
+        val in = fs.open(stepsP)
+        val persisted =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .split("\n").filter(_.nonEmpty).toSeq
+          finally in.close()
+        require(persisted == declared,
+          s"Forget.forgetDocs: journal ${journal.get.dir} was started " +
+            s"with store set [${persisted.mkString(", ")}] but this " +
+            s"invocation declares [${declared.mkString(", ")}] — a " +
+            "mismatched resume would complete a DIFFERENT takedown than " +
+            "the one that crashed (missing stores would never be " +
+            "erased while the journal claimed complete); re-declare the " +
+            "original Stores")
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(journal.get.stepsFile + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write((declared.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (fs.exists(stepsP)) fs.delete(stepsP, false)
+        require(fs.rename(tmp, stepsP),
+          s"Forget.forgetDocs: steps-inventory rename failed at $stepsP")
+      }
+    }
     // journaled mode: the persisted drop set is the source of truth —
     // a resume cannot drift from the set the takedown started with.
     // The write is guarded by its _SUCCESS marker: a crash mid-write
@@ -227,7 +314,7 @@ object Forget {
         spark.read.parquet(journal.get.idsDir)
       case None => ids.select(col(idCol).as("id")).distinct()
     }).persist()
-    idsN.count()
+    val nIds = idsN.count()
     def mark(name: String): String =
       s"${journal.get.dir}/${journal.get.markName(name)}"
     def done(name: String): Boolean = fsFor.exists { case (fs, _) =>
@@ -272,9 +359,19 @@ object Forget {
     //     already sees survivors only. Partition-pruned rewrite: only
     //     the day-partitions containing the ids are touched.
     stores.warehouse.foreach { w =>
-      step(s"warehouse:${w.table.identifier}") {
-        StoreResult(s"warehouse:${w.table.identifier}",
-          w.wh.deleteRows(w.table, idsN, w.idCol))
+      step(s"warehouse:${w.table.fqn}") {
+        val removed = w.wh.deleteRows(w.table, idsN, w.idCol)
+        // announce the erasure in the table's run-event log so the
+        // partition rewrite is explained in the SAME history the
+        // table's builds write to (r17 verdict "What's missing #2")
+        w.log.foreach { l =>
+          new graft.runlog.EventLog(w.wh, spark).logModelEvent(
+            l.logTable, w.table, l.ref, "model_rows_erased",
+            message = Some(
+              s"takedown ${journal.map(_.opId).getOrElse("(unjournaled)")}: " +
+                s"$removed rows erased (drop set $nIds ids)"))
+        }
+        StoreResult(s"warehouse:${w.table.fqn}", removed)
       }
     }
 
@@ -375,9 +472,11 @@ object Forget {
     //    whose keys are not doc ids passes through unchanged.
     def survivors(t: SketchTarget): DataFrame = {
       // dataset-bound references: a corpus that itself carries a
-      // __forget column must not make the join condition ambiguous
-      val drop = broadcast(
-        idsN.select(col("id").cast("string").as("__forget")))
+      // __forget column must not make the join condition ambiguous.
+      // Size-guarded hint: a bulk purge's drop set degrades to a
+      // shuffled anti-join, never a driver OOM (r17 "What's wrong #2")
+      val drop = Denylist.sizedByCount(spark,
+        idsN.select(col("id").cast("string").as("__forget")), nIds)
       t.corpus.join(drop,
         t.corpus(t.keyCol).cast("string") === drop("__forget"), "left_anti")
     }
@@ -397,6 +496,13 @@ object Forget {
     }
 
     fsFor.foreach { case (fs, dir) =>
+      // belt over the steps-inventory validation: _complete may only
+      // land when every journaled step has its done marker — a journal
+      // must never claim a finished takedown with un-erased stores
+      val undone = stepNames(stores, denylist).filterNot(done)
+      require(undone.isEmpty,
+        s"Forget.forgetDocs: refusing to mark ${journal.get.dir} " +
+          s"_complete — steps without done markers: ${undone.mkString(", ")}")
       fs.create(new org.apache.hadoop.fs.Path(dir, "_complete"), true).close()
     }
     idsN.unpersist()
@@ -461,12 +567,23 @@ object Forget {
   def audit(spark: SparkSession, ids: DataFrame, idCol: String,
             stores: Stores): DataFrame = {
     import org.apache.spark.sql.DataFrame
-    val idsN = broadcast(ids.select(col(idCol).cast("long").as("__drop"))
-      .distinct())
+    // size-guarded hints throughout (r17 verdict "What's wrong #2"):
+    // the audit is precisely what a court-ordered bulk purge exercises,
+    // so a decade-scale drop set must cost shuffles, not a driver OOM.
+    // The set is SIZED on the string frame — always castable; the long
+    // frame stays lazy exactly as before, because a string/composite
+    // keyed drop set would throw on an eagerly-evaluated ANSI long cast
+    val idsSBase = ids.select(col(idCol).cast("string").as("__drops"))
+      .distinct().persist()
+    val nIds = idsSBase.count()
+    def hint(df: DataFrame): DataFrame = Denylist.sizedByCount(spark, df, nIds)
+    // long-keyed stores' frame — evaluated only when such a store is
+    // declared (an ANSI cast of a non-numeric id to long would throw)
+    lazy val idsNBase = ids.select(col(idCol).cast("long").as("__drop"))
+      .distinct()
+    lazy val idsN = hint(idsNBase)
     // string-keyed stores (TopK values, Sample keys) compare as STRINGS
-    // — an ANSI cast of an arbitrary stored value to long would throw
-    val idsS = broadcast(ids.select(col(idCol).cast("string").as("__drops"))
-      .distinct())
+    val idsS = hint(idsSBase)
     def counts(df: DataFrame, c: org.apache.spark.sql.Column): (Long, Long) = {
       val agg = df.select(c.cast("long").as("__id"))
         .join(idsN, col("__id") === col("__drop"), "left")
@@ -491,9 +608,9 @@ object Forget {
     // use where the counts matter (r15 ADVICE).
     def counts2(df: DataFrame, c1: String, c2: String): (Long, Long) = {
       val agg = df
-        .join(broadcast(idsN.select(col("__drop").as("__d1"))),
+        .join(hint(idsNBase.select(col("__drop").as("__d1"))),
           col(c1) === col("__d1"), "left")
-        .join(broadcast(idsN.select(col("__drop").as("__d2"))),
+        .join(hint(idsNBase.select(col("__drop").as("__d2"))),
           col(c2) === col("__d2"), "left")
         .agg(count(lit(1)),
           count(when(col("__d1").isNotNull || col("__d2").isNotNull,
@@ -501,13 +618,16 @@ object Forget {
       (agg.getLong(0), agg.getLong(1))
     }
     val rows = Seq.newBuilder[(String, Long, Long)]
-    // warehouse corpus tables: a column-pruned scan of the id column
-    // only (never the wide rows) — n_live = physical rows, n_dropped =
-    // rows still carrying a dropped id
+    // warehouse corpus tables: a column-pruned scan of the key
+    // column(s) only (never the wide rows) — n_live = physical rows,
+    // n_dropped = rows still carrying a dropped key. Rows key on the
+    // FULL 3-part name, matching the journal step names (r17 ADVICE
+    // medium: identifier-keyed rows collided across datasets).
     stores.warehouse.foreach { w =>
       val (live, leaked) = countsStr(
-        w.wh.read(w.table).select(col(w.idCol)), col(w.idCol))
-      rows += ((s"warehouse:${w.table.identifier}", live, leaked))
+        w.wh.read(w.table).select(Denylist.keyExpr(w.idCol).as("__wk")),
+        col("__wk"))
+      rows += ((s"warehouse:${w.table.fqn}", live, leaked))
     }
     stores.chunk.foreach { p =>
       val (live, leaked) = counts(
@@ -570,6 +690,7 @@ object Forget {
       rows += (("sample", live, leaked))
     }
     import spark.implicits._
+    idsSBase.unpersist() // all count jobs above ran eagerly (.head())
     rows.result().toDF("store", "n_live", "n_dropped").orderBy("store")
   }
 
@@ -585,17 +706,63 @@ object Forget {
     val base = new org.apache.hadoop.fs.Path(s"$root/_forget")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows =
-      if (!fs.exists(base)) Seq.empty[(String, Boolean, Int, String, Boolean)]
+      if (!fs.exists(base)) Seq.empty[(String, Boolean, Int, Int, String, Boolean)]
       else fs.listStatus(base).filter(_.isDirectory).toSeq.map { d =>
         val names = fs.listStatus(d.getPath).map(_.getPath.getName).toSeq
+        // the journaled step inventory sizes the takedown: steps_done
+        // of steps_total is the triage headline (-1 on a pre-inventory
+        // journal that crashed before its steps file landed)
+        val total =
+          if (!names.contains("steps")) -1
+          else {
+            val in = fs.open(new org.apache.hadoop.fs.Path(d.getPath, "steps"))
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              .split("\n").count(_.nonEmpty)
+            finally in.close()
+          }
         (d.getPath.getName,
           fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "ids/_SUCCESS")),
           names.count(_.startsWith("done_")),
+          total,
           names.find(_.startsWith("flags_")).getOrElse(""),
           names.contains("_complete"))
       }
-    rows.toDF("op_id", "ids_committed", "steps_done", "flags", "complete")
-      .orderBy("op_id")
+    rows.toDF("op_id", "ids_committed", "steps_done", "steps_total",
+      "flags", "complete").orderBy("op_id")
+  }
+
+  /** Journal lifecycle (r17 verdict "What's missing #3"): completed
+    * `_forget/<opId>/` journals accumulate forever — bounded by legal
+    * reality, but unbounded nonetheless. Retires all but the
+    * `keepCompleted` most recently completed journals (by their
+    * `_complete` marker's mtime — the takedown's actual finish time);
+    * INCOMPLETE journals are never touched: they are the resume
+    * worklist [[listJournals]] exists to surface, and deleting one
+    * would orphan a half-done erasure. Returns the retired opIds.
+    *
+    * Note a retired journal's drop set is gone with it — when the ids
+    * must stay standing, that is the [[Denylist]]'s job (recorded at
+    * every store root by `denylist = true`), not the journal's. */
+  def gcJournals(spark: SparkSession, root: String,
+                 keepCompleted: Int = 8): Seq[String] = {
+    require(keepCompleted >= 0,
+      s"Forget.gcJournals: keepCompleted must be >= 0, got $keepCompleted")
+    val base = new org.apache.hadoop.fs.Path(s"$root/_forget")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val completed = fs.listStatus(base).filter(_.isDirectory).toSeq
+      .flatMap { d =>
+        val m = new org.apache.hadoop.fs.Path(d.getPath, "_complete")
+        if (fs.exists(m))
+          Some((d.getPath, fs.getFileStatus(m).getModificationTime))
+        else None
+      }
+      // newest first; mtime ties break on opId so the retire set is
+      // deterministic under same-second completions
+      .sortBy { case (p, t) => (-t, p.getName) }
+    val retire = completed.drop(keepCompleted)
+    retire.foreach { case (p, _) => fs.delete(p, true) }
+    retire.map(_._1.getName).sorted
   }
 
   /** [[audit]] against a JOURNALED takedown: same per-store counts
@@ -621,6 +788,28 @@ object Forget {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(journal.idsDir)),
       s"Forget.auditStatus: no journaled takedown at ${journal.dir}")
+    // the declared store set must match the journaled inventory: an
+    // audit with a SUBSET would read clean while the missing stores
+    // leak (r17 verdict "What's wrong #1" — same hole as resume)
+    val stepsP = new org.apache.hadoop.fs.Path(journal.stepsFile)
+    if (fs.exists(stepsP)) {
+      val in = fs.open(stepsP)
+      val persisted =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .split("\n").filter(_.nonEmpty).toSeq
+        finally in.close()
+      val denyFlag = fs.listStatus(
+        new org.apache.hadoop.fs.Path(journal.dir))
+        .map(_.getPath.getName).find(_.startsWith("flags_"))
+        .exists(_.contains("denylist=true"))
+      val declared = stepNames(stores, denyFlag)
+      require(persisted == declared,
+        s"Forget.auditStatus: journal ${journal.dir} records store set " +
+          s"[${persisted.mkString(", ")}] but this audit declares " +
+          s"[${declared.mkString(", ")}] — an audit over a different " +
+          "set would read clean while the missing stores leak; " +
+          "re-declare the original Stores")
+    }
     val ids = spark.read.parquet(journal.idsDir)
     val complete =
       fs.exists(new org.apache.hadoop.fs.Path(s"${journal.dir}/_complete"))

@@ -153,11 +153,18 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
     // records its own key column at the guard root) is honored, so no
     // materialization has to be individually configured to respect a
     // takedown that already happened.
-    def guard(df: DataFrame): DataFrame =
-      cfg.denyIdColumn.orElse(wh.guardColumn(target)) match {
-        case Some(c) => graft.llm.Denylist.exclude(df, c, spark, wh.guardRoot(target))
-        case None => df
-      }
+    // Both the configured key and an armed guard's key are honored
+    // (distinct — one anti-join in the common case where they agree);
+    // key specs may be composite ("c1+c2", Denylist.keyExpr). The
+    // appends below then go through the UNGUARDED warehouse primitives:
+    // this exclusion is the guard, and routing the already-guarded
+    // batch through the public append excluded it twice — two
+    // anti-joins and two denylist listings per batch (r17 ADVICE low).
+    def guard(df: DataFrame): DataFrame = {
+      val keys = (cfg.denyIdColumn.toSeq ++ wh.guardColumn(target).toSeq).distinct
+      keys.foldLeft(df)((d, k) =>
+        graft.llm.Denylist.excludeKey(d, k, spark, wh.guardRoot(target)))
+    }
 
     if (!exists || fullRefresh || wasView) {
       // fresh create: prod/full-refresh -> upper bound only; dev/ci fresh
@@ -187,9 +194,11 @@ final class IncrementalLog(wh: Warehouse, log: EventLog, spark: SparkSession) {
     * (incremental_log.sql:114-151 via dbt process_schema_changes). */
   private def appendAligned(target: TableId, batch: DataFrame, cfg: IncrementalLogConfig): Unit = {
     val onSchemaChange = cfg.onSchemaChange
+    // raw appends: the batch was already guard-excluded upstream (see
+    // guard() in run) — the public primitives would exclude it again
     def append(id: TableId, df: DataFrame): Unit =
-      if (cfg.isPartitioned) wh.appendPartitioned(id, df)
-      else wh.append(id, df)
+      if (cfg.isPartitioned) wh.appendPartitionedRaw(id, df)
+      else wh.appendRaw(id, df)
     val tgtSchema = wh.read(target).schema
     val tgtCols = tgtSchema.fieldNames.toSeq
     val batchCols = batch.schema.fieldNames.toSeq

@@ -105,10 +105,12 @@ final class MergeIntoPartitioned(wh: Warehouse, spark: SparkSession) {
     // takedown recorded its own key column at the guard root) is
     // honored — this is what keeps the config-less SQL MERGE surface
     // inside the takedown story.
-    val guarded = cfg.denyIdColumn.orElse(wh.guardColumn(target)) match {
-      case Some(c) =>
-        graft.llm.Denylist.exclude(batch, c, spark, wh.guardRoot(target))
-      case None => batch
+    val guarded = {
+      // both the configured key and an armed guard's key, distinct —
+      // one anti-join when they agree; specs may be composite ("c1+c2")
+      val keys = (cfg.denyIdColumn.toSeq ++ wh.guardColumn(target).toSeq).distinct
+      keys.foldLeft(batch)((d, k) =>
+        graft.llm.Denylist.excludeKey(d, k, spark, wh.guardRoot(target)))
     }
     val b = staged(guarded, cfg.partitionField).cache()
     // post-build hooks (incremental_partition_merge.sql:312-314), plus the

@@ -245,6 +245,23 @@ object EdgeStore {
         "empty store would break every later read; delete the store " +
         "instead")
 
+    // TIE MARKER for repairDrop (r17 ADVICE medium): repairDrop may
+    // auto-complete an interrupted drop from a standing denylist ONLY
+    // when the denied ids provably superset the interrupted drop's set
+    // — a plain dropNodes crashing on a store carrying an OLDER
+    // denylist must not earn a false completion claim. The subset
+    // check is one anti-join over two small id sets; the marker is
+    // written before staging (so every wreckage state carries the
+    // accurate verdict) and removed on clean completion.
+    val tieMarker = new Path(tree, "_drop_covered_by_denylist")
+    val covered = graft.llm.Denylist.readOpt(spark, path).exists { deny =>
+      drop.select(col(dropCol).cast("string").as("k")).distinct()
+        .join(deny.select(col("id").as("k")), Seq("k"), "left_anti")
+        .isEmpty
+    }
+    fs.delete(tieMarker, false)
+    if (covered) fs.create(tieMarker, true).close()
+
     // stage the dirty buckets' SURVIVING rows (explicit bucket paths —
     // clean buckets are never read or written)
     val base = new Path(tree, s"run=${RunSlots.Base}")
@@ -282,6 +299,7 @@ object EdgeStore {
     fs.listStatus(root).toSeq
       .filter(_.getPath.getName.startsWith("_drop_old_"))
       .foreach(s => fs.delete(s.getPath, true))
+    fs.delete(tieMarker, false)
     (dirtyNames.size, removed)
   }
 
@@ -331,7 +349,17 @@ object EdgeStore {
     * `denylist = true`, and the drop is idempotent) and returns
     * `_completed`. After `rolled_back` the caller must still re-run
     * the drop with the original set (the rollback restored the
-    * pre-drop state on purpose). */
+    * pre-drop state on purpose).
+    *
+    * `_completed` is claimed ONLY when the interrupted drop itself
+    * recorded that the standing denylist covered its set (the
+    * `_drop_covered_by_denylist` marker dropNodes writes before
+    * staging): a plain dropNodes — or a `denylist = false` takedown —
+    * that crashes on a store carrying an OLDER denylist still gets the
+    * denylist re-drop auto-driven, but returns `_rerun_required`,
+    * because the crashed drop's ids may not be in that list (r17
+    * ADVICE medium: the old unconditional claim was a false
+    * completion). */
   def repairDrop(spark: SparkSession, path: String): String =
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"edge store $path") {
@@ -340,12 +368,32 @@ object EdgeStore {
       val root = new Path(tree)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(root), s"EdgeStore.repairDrop: no edges at $path")
+      val tieMarker = new Path(tree, "_drop_covered_by_denylist")
+      val tied = fs.exists(tieMarker)
       val leftovers = fs.listStatus(root).toSeq.filter { s =>
         val n = s.getPath.getName
         n == "_drop_tmp" || n.startsWith("_drop_old_")
       }
-      if (leftovers.isEmpty) "clean"
-      else {
+      // drive the denylist re-drop when the store is quiescent; the
+      // completion CLAIM depends on the tie marker, not on having run
+      def driveFromDenylist(): String =
+        graft.llm.Denylist.readOpt(spark, path) match {
+          case Some(deny) if RunSlots.slotCount(spark, tree) == 0 =>
+            dropNodesLocked(spark, path, deny, "id")
+            if (tied) "cleaned_up_rerun_completed"
+            else "cleaned_up_rerun_required"
+          case _ => "cleaned_up_rerun_required"
+        }
+      if (leftovers.isEmpty && !tied) "clean"
+      else if (leftovers.isEmpty) {
+        // marker-only wreckage: the drop crashed between the tie check
+        // and its first staged write — the store is byte-identical to
+        // its pre-drop state, so nothing to roll back or clean, but
+        // the erasure never ran
+        val out = driveFromDenylist()
+        fs.delete(tieMarker, false)
+        out
+      } else {
         val tmp = new Path(tree, "_drop_tmp")
         val installIncomplete = fs.exists(tmp) && fs.listStatus(tmp)
           .exists(c => c.isDirectory && c.getPath.getName.startsWith("eb="))
@@ -360,6 +408,7 @@ object EdgeStore {
               s"EdgeStore.repairDrop: restore of $b failed")
           }
           fs.delete(tmp, true)
+          fs.delete(tieMarker, false)
           "rolled_back"
         } else {
           fs.delete(tmp, true)
@@ -369,12 +418,9 @@ object EdgeStore {
           // here when the drop set is still on disk as a denylist and
           // the store is quiescent (live slots would make dropNodes
           // refuse; leave that pre-condition to the operator's re-run)
-          graft.llm.Denylist.readOpt(spark, path) match {
-            case Some(deny) if RunSlots.slotCount(spark, tree) == 0 =>
-              dropNodesLocked(spark, path, deny, "id")
-              "cleaned_up_rerun_completed"
-            case _ => "cleaned_up_rerun_required"
-          }
+          val out = driveFromDenylist()
+          fs.delete(tieMarker, false)
+          out
         }
       }
     }

@@ -66,7 +66,15 @@ class GraftCatalog extends TableCatalog {
     val fs = dir.getFileSystem(session.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).filter(_.isDirectory)
-      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .map(_.getPath.getName)
+      // the warehouse's RESERVED sibling dirs are not tables: the
+      // persistent `<table>__takedown` guard root and the transient
+      // staged-rewrite / backup dirs of the rename and delete
+      // protocols would otherwise surface as phantom tables in SHOW
+      // TABLES — and loadTable on the guard root fails outright, it
+      // holds no parquet (r17 ADVICE low)
+      .filterNot(n => GraftCatalog.ReservedSuffixes.exists(n.endsWith))
+      .map(Identifier.of(namespace, _))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -138,6 +146,17 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"$catalogName catalog: ALTER TABLE is not supported — schema evolution " +
         "flows through the materializations' on_schema_change handling")
+}
+
+object GraftCatalog {
+  /** Directory-name suffixes the warehouse reserves for non-table
+    * siblings: the standing-takedown guard root (persistent) and the
+    * staged-rewrite / swap-backup dirs of rename, deleteRows, the
+    * sync_all_columns rewrite, and the log/denylist compacts
+    * (transient crash wreckage). None of them is a queryable table. */
+  private[sql] val ReservedSuffixes = Seq(
+    "__takedown", "__replaced", "__delete_tmp", "__sync_tmp",
+    "__compact_tmp", "__edna_tmp")
 }
 
 /** Read-only view of a partitioned warehouse table: scans delegate to the

@@ -218,4 +218,25 @@ class DenylistSpec extends SparkSpec {
     val audit = Forget.audit(spark, Seq(4L).toDF("doc_id"), "doc_id", stores)
     assert(audit.filter(col("n_dropped") =!= 0L).isEmpty)
   }
+
+  test("clear with compact wreckage present: the __compact_old fallback must not resurrect the list") {
+    val root = Files.createTempDirectory("graft_deny_cw_").toString + "/s"
+    val df = mkDocs(1L to 6L)
+    Denylist.record(Seq(2L).toDF("id"), "id", root)
+    // simulate a compact crash: live list renamed to the backup, the
+    // install never happened — readOpt serves from the backup (guard
+    // holds through the wreckage)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/_denylist"),
+      new org.apache.hadoop.fs.Path(s"$root/_denylist__compact_old")))
+    assert(Denylist.exclude(df, "doc_id", spark, root).count() === 5L)
+    // the r17 ADVICE failure: clear() deleted only _denylist, so the
+    // backup silently resurrected the list — explicitly re-admitted
+    // ids kept being dropped on ingest (silent data loss)
+    Denylist.clear(spark, root)
+    assert(Denylist.readOpt(spark, root).isEmpty,
+      "clear must remove the compact backup too")
+    assert(Denylist.exclude(df, "doc_id", spark, root).count() === 6L)
+  }
 }

@@ -151,11 +151,11 @@ class ForgetJournalSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     // the completed warehouse step must read CLEAN (its rows are gone
     // and its marker must be found through the same sanitization)
-    assert(mid("warehouse:docs") === "clean", mid.toString)
+    assert(mid("warehouse:proj.corpus.docs") === "clean", mid.toString)
     assert(mid("sample") === "in_progress", mid.toString)
     val report = Forget.resume(spark, j, stores)
     assert(report.results.filter(_.removed == -2L).map(_.store).toSet
-      === Set("denylist", "warehouse:docs"))
+      === Set("denylist", "warehouse:proj.corpus.docs"))
     assert(Forget.auditStatus(spark, j, stores)
       .filter(col("status") =!= "clean").isEmpty)
   }
@@ -174,11 +174,14 @@ class ForgetJournalSpec extends SparkSpec {
         journal = Some(j2))
     } finally Forget.stepFailpoint.set(-1)
     val ls = Forget.listJournals(spark, jRoot)
-      .as[(String, Boolean, Int, String, Boolean)].collect()
+      .as[(String, Boolean, Int, Int, String, Boolean)].collect()
       .map(r => r._1 -> r).toMap
-    assert(ls("ticket-1")._5 === true)
-    assert(ls("ticket-2")._5 === false, "the crashed takedown is the worklist")
+    assert(ls("ticket-1")._6 === true)
+    assert(ls("ticket-2")._6 === false, "the crashed takedown is the worklist")
     assert(ls("ticket-2")._2 === true && ls("ticket-2")._3 === 1)
+    // steps_done of steps_total is the triage headline: 1 of the 3
+    // journaled steps done on the crashed takedown
+    assert(ls("ticket-2")._4 === 3 && ls("ticket-1")._4 === 3)
     Forget.resume(spark, j2, stores)
     assert(Forget.listJournals(spark, jRoot)
       .filter(col("complete") === false).isEmpty)
@@ -198,5 +201,104 @@ class ForgetJournalSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(status("chunk") === "leak", status.toString)
     assert(status("edge") === "clean" && status("sample") === "clean")
+  }
+
+  test("journaled store set: a resume or audit with a DIFFERENT set refuses in both directions") {
+    val base = Files.createTempDirectory("graft_fj_set_").toString
+    val stores = buildStores(base)
+    val j = Forget.Journal(s"$base/journal", opId = "op-set")
+    Forget.stepFailpoint.set(1) // chunk done; edge + sample not
+    try intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(3L).toDF("doc_id"), "doc_id", stores,
+        chunkCompact = true, journal = Some(j))
+    } finally Forget.stepFailpoint.set(-1)
+    // subset: running it would write _complete with sample never erased
+    val subset = stores.copy(sample = None)
+    assert(intercept[IllegalArgumentException] {
+      Forget.resume(spark, j, subset)
+    }.getMessage.contains("store set"))
+    // SUPERSET refuses too: the extra store's step was never part of
+    // this takedown — completing it under this opId would forge history
+    val superset = stores.copy(topk = Some(s"$base/phantom_topk"))
+    assert(intercept[IllegalArgumentException] {
+      Forget.resume(spark, j, superset)
+    }.getMessage.contains("store set"))
+    // auditStatus validates the same way (a subset audit reads clean
+    // while the missing store leaks)
+    assert(intercept[IllegalArgumentException] {
+      Forget.auditStatus(spark, j, subset)
+    }.getMessage.contains("store set"))
+    // the faithful declaration resumes and completes
+    Forget.resume(spark, j, stores)
+    assert(Forget.auditStatus(spark, j, stores)
+      .filter(col("status") =!= "clean").isEmpty)
+  }
+
+  test("warehouse steps key on the FULL 3-part name: same identifier across datasets gets two markers") {
+    val base = Files.createTempDirectory("graft_fj_fqn_").toString
+    val wh = new graft.warehouse.Warehouse(s"$base/wh", spark)
+    // the r17 ADVICE collision: proj.a.docs and proj.b.docs shared the
+    // done_warehouse_docs marker, so the second table's erasure was
+    // silently SKIPPED (-2) in an uncrashed journaled run
+    val tA = graft.core.TableId("proj", "a", "docs")
+    val tB = graft.core.TableId("proj", "b", "docs")
+    Seq(tA, tB).foreach(t => wh.overwritePartitioned(t, mkDocs(1L to 8L)
+      .withColumn("part_date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.concat(lit("2024-01-0"),
+          (col("doc_id") % 3 + 1).cast("string"))))))
+    val stores = Forget.Stores(warehouse = Seq(
+      Forget.WarehouseTarget(wh, tA, "doc_id"),
+      Forget.WarehouseTarget(wh, tB, "doc_id")))
+    val j = Forget.Journal(s"$base/journal", opId = "op-fqn")
+    val report = Forget.forgetDocs(spark, Seq(3L, 6L).toDF("doc_id"),
+      "doc_id", stores, journal = Some(j))
+    // BOTH steps ran (neither reported -2 "already completed")
+    assert(report.removed("warehouse:proj.a.docs") === Some(2L))
+    assert(report.removed("warehouse:proj.b.docs") === Some(2L))
+    // and both are physically erased
+    Seq(tA, tB).foreach { t =>
+      assert(wh.read(t).filter(col("doc_id").isin(3L, 6L)).isEmpty,
+        s"${t.fqn} still carries dropped ids")
+    }
+    // the audit keys the same way: two distinct rows
+    val audit = Forget.audit(spark, Seq(3L, 6L).toDF("doc_id"), "doc_id",
+      stores).as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(audit.keySet === Set("warehouse:proj.a.docs", "warehouse:proj.b.docs"))
+    assert(audit.values.forall(_._3 == 0L), audit.toString)
+  }
+
+  test("gcJournals retires only completed journals beyond keepCompleted, newest kept") {
+    val base = Files.createTempDirectory("graft_fj_gc_").toString
+    val stores = buildStores(base)
+    val jRoot = s"$base/journal"
+    Seq("op-old", "op-mid", "op-new").foreach { op =>
+      Forget.forgetDocs(spark, Seq(2L).toDF("doc_id"), "doc_id", stores,
+        journal = Some(Forget.Journal(jRoot, op)))
+    }
+    // one crashed journal — never GC'd at any keepCompleted
+    val jc = Forget.Journal(jRoot, "op-crash")
+    Forget.stepFailpoint.set(0)
+    try intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(4L).toDF("doc_id"), "doc_id", stores,
+        journal = Some(jc))
+    } finally Forget.stepFailpoint.set(-1)
+    // pin distinct completion times (same-ms completions are real on a
+    // fast box; gc orders by the _complete marker's mtime)
+    val fs = new org.apache.hadoop.fs.Path(jRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("op-old", 1000L), ("op-mid", 2000L), ("op-new", 3000L)).foreach {
+      case (op, t) => fs.setTimes(
+        new org.apache.hadoop.fs.Path(s"$jRoot/_forget/$op/_complete"), t, -1)
+    }
+    val retired = Forget.gcJournals(spark, jRoot, keepCompleted = 1)
+    assert(retired === Seq("op-mid", "op-old"), retired.toString)
+    val left = Forget.listJournals(spark, jRoot)
+      .select("op_id").as[String].collect().toSet
+    assert(left === Set("op-new", "op-crash"))
+    // idempotent; the crashed journal still resumes afterwards
+    assert(Forget.gcJournals(spark, jRoot, keepCompleted = 1) === Seq.empty)
+    Forget.resume(spark, jc, stores)
+    assert(Forget.listJournals(spark, jRoot)
+      .filter(col("complete") === false).isEmpty)
   }
 }

@@ -235,15 +235,82 @@ class ErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
       warehouse = Seq(graft.llm.Forget.WarehouseTarget(wh, id, "doc_id")))
     val report = graft.llm.Forget.forgetDocs(spark,
       Seq(2L, 6L).toDF("doc_id"), "doc_id", stores, denylist = true)
-    assert(report.removed("warehouse:docs2") === Some(2L))
+    assert(report.removed("warehouse:proj.corpus.docs2") === Some(2L))
     // the denylist landed at the guard root, not inside the table dir
     assert(graft.llm.Denylist.readOpt(spark, wh.guardRoot(id)).get
       .as[String].collect().toSet === Set("2", "6"))
     val audit = graft.llm.Forget.audit(spark,
       Seq(2L, 6L).toDF("doc_id"), "doc_id", stores)
-    val row = audit.filter(col("store") === "warehouse:docs2")
+    val row = audit.filter(col("store") === "warehouse:proj.corpus.docs2")
       .as[(String, Long, Long)].head()
-    assert(row === (("warehouse:docs2", 4L, 0L)))
+    assert(row === (("warehouse:proj.corpus.docs2", 4L, 0L)))
+  }
+
+  test("disarmGuard removes the denylist AND the key marker; the advertised remedy actually re-admits") {
+    val wh = freshWh()
+    val id = TableId("proj", "corpus", "raw_dis")
+    wh.overwrite(id, corpus())
+    graft.llm.Forget.forgetDocs(spark, Seq(2L).toDF("doc_id"),
+      "doc_id", graft.llm.Forget.Stores(warehouse = Seq(
+        graft.llm.Forget.WarehouseTarget(wh, id, "doc_id"))),
+      denylist = true)
+    // simulate denylist-compact wreckage at the guard root so disarm
+    // must clear the __compact_old fallback too (r17 ADVICE medium:
+    // clear left it, and readOpt resurrected the list)
+    val fs = new org.apache.hadoop.fs.Path(wh.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"${wh.guardRoot(id)}/_denylist")
+    val old = new org.apache.hadoop.fs.Path(
+      s"${wh.guardRoot(id)}/_denylist__compact_old")
+    assert(fs.rename(live, old))
+    // wreckage state still GUARDS (readOpt fallback)...
+    wh.append(id, corpus().filter(col("doc_id") === 2L))
+    assert(wh.read(id).filter(col("doc_id") === 2L).isEmpty)
+    // ...and a guard-column-less batch still refuses
+    intercept[IllegalArgumentException] {
+      wh.append(id, Seq(("x", 1.0)).toDF("other", "v"))
+    }
+    wh.disarmGuard(id)
+    // fully disarmed: the denied id re-lands, and a batch without the
+    // old key column appends fine (the marker is gone, not just the list)
+    assert(wh.guardColumn(id).isEmpty)
+    wh.append(id, corpus().filter(col("doc_id") === 2L))
+    assert(wh.read(id).filter(col("doc_id") === 2L).count() === 1L)
+    wh.append(id, Seq(("x", 1.0)).toDF("other", "v"))
+    assert(wh.read(id).filter(col("other") === "x").count() === 1L)
+  }
+
+  test("composite guard key at the primitive level: joined-key filtering; a missing component refuses") {
+    val wh = freshWh()
+    val id = TableId("proj", "corpus", "raw_ck")
+    wh.overwrite(id, corpus())
+    // drop (payload, doc_id) composite keys for docs 1 and 3
+    val dropKeys = corpus().filter(col("doc_id").isin(1L, 3L))
+      .select(graft.llm.Denylist.compositeKey(
+        Seq(col("payload"), col("doc_id"))).as("k"))
+    graft.llm.Forget.forgetDocs(spark, dropKeys, "k",
+      graft.llm.Forget.Stores(warehouse = Seq(
+        graft.llm.Forget.WarehouseTarget(wh, id, "payload+doc_id"))),
+      denylist = true)
+    assert(wh.guardColumn(id) === Some("payload+doc_id"))
+    assert(wh.read(id).filter(col("doc_id").isin(1L, 3L)).isEmpty)
+    // a re-push carrying both components filters by the JOINED key:
+    // (a,1) is denied; (a,9) — same payload, different id — must land
+    wh.append(id, Seq(
+      (1L, ts("2024-02-01 06:00:00"), "a"),
+      (9L, ts("2024-02-01 07:00:00"), "a"))
+      .toDF("doc_id", "event_ts", "payload"))
+    val served = wh.read(id).select("doc_id").as[Long].collect().toSet
+    assert(!served.contains(1L) && served.contains(9L), served.toString)
+    // a batch missing ONE component of the composite key is unguardable
+    val e = intercept[IllegalArgumentException] {
+      wh.append(id, Seq((7L, 1.0)).toDF("doc_id", "v"))
+    }
+    assert(e.getMessage.contains("every key column"))
+    // armGuard refuses a conflicting re-arm on a different composite
+    intercept[IllegalArgumentException] {
+      wh.armGuard(id, "doc_id")
+    }
   }
 
   override def afterAll(): Unit = ()

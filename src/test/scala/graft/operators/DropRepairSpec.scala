@@ -77,23 +77,55 @@ class DropRepairSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet === after)
   }
 
-  test("EdgeStore: cleanup-phase repair AUTO-COMPLETES the erasure from a standing denylist") {
+  test("EdgeStore: untied cleanup wreckage still auto-drives the denylist drop but claims only _rerun_required") {
     val p = Files.createTempDirectory("graft_repair_es3_").toString
     EdgeStore.write(ringEdges(20L), "u", "v", Some("w"), p, nBuckets = 4)
-    // a standing takedown recorded the drop set, but the drop itself
-    // crashed in the cleanup phase BEFORE processing every bucket — the
-    // wreckage looks identical to a finished drop (trailing all-garbage
-    // bucket corner), so the repair must re-drive the drop, not trust it
+    // wreckage WITHOUT the tie marker: a plain dropNodes (or a
+    // denylist=false takedown) crashed on a store carrying an OLDER
+    // standing denylist — the denied ids only superset the crashed
+    // drop's set if that drop ran with denylist coverage, which this
+    // one provably did not (no _drop_covered_by_denylist marker). The
+    // repair must still drive the denylist re-drop (it costs little
+    // and removes those ids), but claiming _completed here was the r17
+    // ADVICE false-completion: the crashed drop's OWN ids may remain.
     graft.llm.Denylist.record(Seq(7L).toDF("doc_id"), "doc_id", p)
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/edges/_drop_old_eb=0"))
+    assert(EdgeStore.repairDrop(spark, p) === "cleaned_up_rerun_required")
+    // the denylist drop DID run: 7's mentions are gone
+    val expected = (1L to 20L).map(i => (i, i % 20 + 1))
+      .filterNot(e => e._1 == 7L || e._2 == 7L).toSet
+    assert(EdgeStore.read(spark, p)
+      .as[(Long, Long, Long)].collect().map(e => (e._1, e._2)).toSet
+      === expected)
+    assert(EdgeStore.repairDrop(spark, p) === "clean")
+  }
+
+  test("EdgeStore: repair claims _completed only for a crash of a denylist-covered drop (tie marker)") {
+    val p = Files.createTempDirectory("graft_repair_es4_").toString
+    EdgeStore.write(ringEdges(20L), "u", "v", Some("w"), p, nBuckets = 4)
+    // the REAL sequence a denylist=true takedown runs: record first,
+    // then drop — crashed by failpoint AFTER the last bucket install
+    // (cleanup phase: _drop_tmp childless, backups present, and the
+    // tie marker dropNodes wrote before staging still on disk)
+    graft.llm.Denylist.record(Seq(7L).toDF("doc_id"), "doc_id", p)
+    EdgeStore.installFailpoint.set(1) // 2 dirty buckets for node 7
+    try intercept[IllegalStateException] {
+      EdgeStore.dropNodes(spark, p, Seq(7L).toDF("doc_id"), "doc_id")
+    } finally EdgeStore.installFailpoint.set(-1)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$p/edges/_drop_covered_by_denylist")),
+      "a covered drop must leave its tie marker in the wreckage")
     assert(EdgeStore.repairDrop(spark, p) === "cleaned_up_rerun_completed")
     val expected = (1L to 20L).map(i => (i, i % 20 + 1))
       .filterNot(e => e._1 == 7L || e._2 == 7L).toSet
     assert(EdgeStore.read(spark, p)
       .as[(Long, Long, Long)].collect().map(e => (e._1, e._2)).toSet
       === expected)
+    // the marker is consumed: a later repair has nothing to claim
     assert(EdgeStore.repairDrop(spark, p) === "clean")
   }
 

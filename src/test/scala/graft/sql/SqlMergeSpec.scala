@@ -276,6 +276,25 @@ class SqlMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("SHOW TABLES hides the warehouse's reserved sibling dirs (guard root, swap/rewrite wreckage)") {
+    val (wh, tgt) = fixture("cat3")
+    // a standing guard (persistent sibling) + simulated crash leftovers
+    // of the rename/deleteRows/sync protocols: all of them surfaced as
+    // phantom tables, and loadTable on the guard root failed outright
+    wh.armGuard(tgt, "id")
+    val fs = new org.apache.hadoop.fs.Path(wh.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cat3__replaced", "cat3__delete_tmp", "cat3__sync_tmp",
+      "cat3__compact_tmp", "cat3__edna_tmp").foreach { n =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"${wh.root}/proj/demo/$n"))
+    }
+    val listed = spark.sql("SHOW TABLES IN graft.proj.demo").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("cat3"))
+    assert(!listed.exists(_.contains("__")),
+      s"reserved sibling dirs leaked into SHOW TABLES: $listed")
+  }
+
   test("auto-armed takedown guard: config-less SQL MERGE cannot re-land a forgotten key") {
     val (wh, tgt) = fixture("m_guard")
     // the takedown arms the guard itself (records the key COLUMN at the

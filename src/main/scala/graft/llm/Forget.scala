@@ -196,21 +196,38 @@ object Forget {
     * table's erasure while the journal still claimed complete (r17
     * ADVICE medium). */
   private[llm] def stepNames(stores: Stores, denylist: Boolean): Seq[String] =
-    (if (denylist) Seq("denylist") else Nil) ++
-      stores.warehouse.map(w => s"warehouse:${w.table.fqn}") ++
+    stepInventory(stores, denylist).map(_._1)
+
+  /** (step name, step IDENTITY) pairs — the identity pins WHICH
+    * physical store the step erases (its path / warehouse location +
+    * key column), not just that a step of that name exists: a resume
+    * re-declaring the same step names over DIFFERENT paths would
+    * otherwise validate, erase the wrong store, and mark the right
+    * one's step done — the same lie the store-set check exists to
+    * kill, one level down. The label target's `pairs` DataFrame and a
+    * warehouse target's ErasureLog are deliberately NOT part of the
+    * identity (neither changes WHAT is erased; a pair universe is not
+    * cheaply fingerprintable). */
+  private[llm] def stepInventory(stores: Stores,
+                                 denylist: Boolean): Seq[(String, String)] =
+    (if (denylist) Seq(("denylist", stores.keyedRoots.mkString(","))) else Nil) ++
+      stores.warehouse.map(w =>
+        (s"warehouse:${w.table.fqn}", s"${w.wh.pathOf(w.table)}|${w.idCol}")) ++
       Seq(
-        stores.chunk.map(_ => "chunk"),
-        stores.minhash.map(_ => "minhash"),
-        stores.lexical.map(_ => "lexical"),
-        stores.contain.map(_ => "contain"),
-        stores.ivf.map(_ => "ivf"),
-        stores.ivfPq.map(_ => "ivfpq"),
-        stores.edge.map(_ => "edge"),
-        stores.label.map(_ => "label"),
-        stores.topk.map(_ => "topk"),
-        stores.sample.map(_ => "sample"),
-        stores.bloom.map(_ => "bloom"),
-        stores.cms.map(_ => "cms")).flatten
+        stores.chunk.map(p => ("chunk", p)),
+        stores.minhash.map(p => ("minhash", p)),
+        stores.lexical.map(p => ("lexical", p)),
+        stores.contain.map(p => ("contain", p)),
+        stores.ivf.map(p => ("ivf", p)),
+        stores.ivfPq.map(p => ("ivfpq", p)),
+        stores.edge.map(p => ("edge", p)),
+        stores.label.map(t => ("label", s"${t.path}|${t.aCol}|${t.bCol}")),
+        stores.topk.map(p => ("topk", p)),
+        stores.sample.map(p => ("sample", p)),
+        stores.bloom.map(t => ("bloom",
+          s"${t.path}|${t.keyCol}|${t.partCol}|${t.depth}|${t.width}")),
+        stores.cms.map(t => ("cms",
+          s"${t.path}|${t.keyCol}|${t.partCol}|${t.depth}|${t.width}"))).flatten
 
   final case class Report(results: Seq[StoreResult]) {
     def removed(store: String): Option[Long] =
@@ -264,30 +281,22 @@ object Forget {
     // resume invoked with a SUBSET (a typo, a refactored pipeline) used
     // to run only the declared steps and still write _complete — the
     // journal then claimed a finished takedown whose missing stores
-    // were never erased. First declaration wins (written atomically,
+    // were never erased. Each step is journaled WITH its identity
+    // (path / warehouse location + key column): same names over
+    // different paths would erase the wrong stores while marking the
+    // right ones done. First declaration wins (written atomically,
     // tmp + rename); every later journaled invocation must re-declare
     // the identical set.
-    fsFor.foreach { case (fs, dirP) =>
-      val declared = stepNames(stores, denylist)
+    fsFor.foreach { case (fs, _) =>
+      val declared = stepInventory(stores, denylist)
       val stepsP = new org.apache.hadoop.fs.Path(journal.get.stepsFile)
       if (fs.exists(stepsP)) {
-        val in = fs.open(stepsP)
-        val persisted =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            .split("\n").filter(_.nonEmpty).toSeq
-          finally in.close()
-        require(persisted == declared,
-          s"Forget.forgetDocs: journal ${journal.get.dir} was started " +
-            s"with store set [${persisted.mkString(", ")}] but this " +
-            s"invocation declares [${declared.mkString(", ")}] — a " +
-            "mismatched resume would complete a DIFFERENT takedown than " +
-            "the one that crashed (missing stores would never be " +
-            "erased while the journal claimed complete); re-declare the " +
-            "original Stores")
+        validateInventory(fs, journal.get, declared, "Forget.forgetDocs")
       } else {
         val tmp = new org.apache.hadoop.fs.Path(journal.get.stepsFile + ".tmp")
         val out = fs.create(tmp, true)
-        try out.write((declared.mkString("\n") + "\n").getBytes("UTF-8"))
+        try out.write((declared.map { case (n, i) => s"$n\t$i" }
+          .mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
         if (fs.exists(stepsP)) fs.delete(stepsP, false)
         require(fs.rename(tmp, stepsP),
@@ -514,6 +523,44 @@ object Forget {
     * set; -1 disarms. */
   private[graft] val stepFailpoint =
     new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Validate a declared step inventory against the journal's persisted
+    * one: step NAMES must match exactly (set/order) and, line by line,
+    * the persisted step IDENTITY must match the declared one (legacy
+    * name-only lines skip the identity check). Shared by [[forgetDocs]]
+    * and [[auditStatus]] — both lie when allowed to run over a
+    * different set than the takedown's own. */
+  private def validateInventory(fs: org.apache.hadoop.fs.FileSystem,
+                                journal: Journal,
+                                declared: Seq[(String, String)],
+                                what: String): Unit = {
+    val stepsP = new org.apache.hadoop.fs.Path(journal.stepsFile)
+    val in = fs.open(stepsP)
+    val persisted =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").filter(_.nonEmpty).toSeq
+        .map { l =>
+          val a = l.split("\t", 2)
+          (a(0), if (a.length > 1) Some(a(1)) else None)
+        }
+      finally in.close()
+    require(persisted.map(_._1) == declared.map(_._1),
+      s"$what: journal ${journal.dir} was started with store set " +
+        s"[${persisted.map(_._1).mkString(", ")}] but this invocation " +
+        s"declares [${declared.map(_._1).mkString(", ")}] — a mismatched " +
+        "declaration would run a DIFFERENT takedown than the one that " +
+        "crashed (missing stores would never be erased while the journal " +
+        "claimed complete); re-declare the original Stores")
+    val idMismatch = persisted.zip(declared).collect {
+      case ((n, Some(pi)), (_, di)) if pi != di => s"$n: journaled '$pi' vs declared '$di'"
+    }
+    require(idMismatch.isEmpty,
+      s"$what: journal ${journal.dir} matches on step names but the " +
+        s"store IDENTITIES differ — ${idMismatch.mkString("; ")}. The " +
+        "same store set at different paths/keys would erase the wrong " +
+        "stores while marking the right ones done; re-declare the " +
+        "original Stores")
+  }
 
   /** Resume a journaled takedown after a crash: re-runs ONLY the steps
     * without completion markers, using the journal's persisted drop set
@@ -788,27 +835,19 @@ object Forget {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(journal.idsDir)),
       s"Forget.auditStatus: no journaled takedown at ${journal.dir}")
-    // the declared store set must match the journaled inventory: an
-    // audit with a SUBSET would read clean while the missing stores
-    // leak (r17 verdict "What's wrong #1" — same hole as resume)
+    // the declared store set (names AND identities) must match the
+    // journaled inventory: an audit with a SUBSET — or the same names
+    // over different paths — would read clean while the takedown's
+    // actual stores leak (r17 verdict "What's wrong #1", same hole as
+    // resume)
     val stepsP = new org.apache.hadoop.fs.Path(journal.stepsFile)
     if (fs.exists(stepsP)) {
-      val in = fs.open(stepsP)
-      val persisted =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          .split("\n").filter(_.nonEmpty).toSeq
-        finally in.close()
       val denyFlag = fs.listStatus(
         new org.apache.hadoop.fs.Path(journal.dir))
         .map(_.getPath.getName).find(_.startsWith("flags_"))
         .exists(_.contains("denylist=true"))
-      val declared = stepNames(stores, denyFlag)
-      require(persisted == declared,
-        s"Forget.auditStatus: journal ${journal.dir} records store set " +
-          s"[${persisted.mkString(", ")}] but this audit declares " +
-          s"[${declared.mkString(", ")}] — an audit over a different " +
-          "set would read clean while the missing stores leak; " +
-          "re-declare the original Stores")
+      validateInventory(fs, journal, stepInventory(stores, denyFlag),
+        "Forget.auditStatus")
     }
     val ids = spark.read.parquet(journal.idsDir)
     val complete =

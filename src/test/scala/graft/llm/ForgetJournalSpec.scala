@@ -228,6 +228,16 @@ class ForgetJournalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Forget.auditStatus(spark, j, subset)
     }.getMessage.contains("store set"))
+    // same step NAMES over a DIFFERENT path refuse too: the journal
+    // pins step identities, not just names — a path typo would erase
+    // the wrong store while marking the right one's step done
+    val wrongPath = stores.copy(sample = Some(s"$base/elsewhere_sm"))
+    assert(intercept[IllegalArgumentException] {
+      Forget.resume(spark, j, wrongPath)
+    }.getMessage.contains("IDENTITIES"))
+    assert(intercept[IllegalArgumentException] {
+      Forget.auditStatus(spark, j, wrongPath)
+    }.getMessage.contains("IDENTITIES"))
     // the faithful declaration resumes and completes
     Forget.resume(spark, j, stores)
     assert(Forget.auditStatus(spark, j, stores)

@@ -118,6 +118,20 @@ class ForgetJournalSoakSpec extends SparkSpec {
           .as[(String, Long, Long, String)].collect()
         assert(!mid.exists(_._4 == "leak"),
           s"it=$it k=$k: crashed takedown read as leak: ${mid.toSeq}")
+        // before the faithful resume, one randomized WRONG declaration
+        // must refuse (the r18 store-set/identity contract) — and must
+        // leave the journal resumable: dropping a declared store,
+        // adding a phantom one, or moving a store's path
+        val wrong = rnd.nextInt(3) match {
+          case 0 => fix.stores.copy(chunk = None)
+          case 1 => fix.stores.copy(topk = Some("/tmp/phantom_topk"))
+          case _ => fix.stores.copy(sample = Some("/tmp/elsewhere_sm"))
+        }
+        val msg = intercept[IllegalArgumentException] {
+          Forget.resume(spark, j, wrong)
+        }.getMessage
+        assert(msg.contains("store set") || msg.contains("IDENTITIES"),
+          s"it=$it: wrong-declaration refusal had the wrong shape: $msg")
         Forget.resume(spark, j, fix.stores)
       }
       assert(state(fix) === expected,

@@ -191,6 +191,73 @@ object QueriesR18 {
         ) AS t(op_id, ids_committed, complete)
         ORDER BY op_id""")),
 
+    // ---- erasure-state maintenance: fold denylists, retire journals ----------
+    // Every takedown with denylist=true appends one file per declared
+    // key-carrying root, and completed journals accumulate forever.
+    // One maintenance call folds each root's list to a single file and
+    // retires completed journals — with NOTHING un-erased: the folded
+    // lists still guard (both takedowns' ids keep being excluded) and
+    // the crashed journal survives, still resumable.
+    QueryDef("forget_maintenance",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.llm.{ChunkStore, Denylist, Forget}
+        import graft.operators.SampleStore
+        val docs = Tables.read(s, dir, "documents")
+        val base = Files.createTempDirectory("graft_fm_gate_").toString
+        val (chP, smP) = (s"$base/chunk", s"$base/sample")
+        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
+          chP, nBuckets = 16)
+        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+          kMax = 40)
+        val stores = Forget.Stores(chunk = Some(chP), sample = Some(smP))
+        val jRoot = s"$base/journal"
+        val dropA = docs.select("doc_id").filter(col("doc_id") % 11 === 5)
+        val dropB = docs.select("doc_id").filter(col("doc_id") % 13 === 1)
+        Forget.forgetDocs(s, dropA, "doc_id", stores, chunkCompact = true,
+          denylist = true, journal = Some(Forget.Journal(jRoot, "op-a")))
+        Forget.forgetDocs(s, dropB, "doc_id", stores, chunkCompact = true,
+          denylist = true, journal = Some(Forget.Journal(jRoot, "op-b")))
+        // a crashed journal — maintenance must never touch it
+        Forget.stepFailpoint.set(0)
+        try { Forget.forgetDocs(s, docs.select("doc_id").limit(2), "doc_id",
+          stores, journal = Some(Forget.Journal(jRoot, "op-c"))); () }
+        catch { case _: IllegalArgumentException => () }
+        finally Forget.stepFailpoint.set(-1)
+
+        val (folded, retired) = Forget.maintenance(s, jRoot, stores,
+          keepCompleted = 0)
+        require(folded == Seq(chP, smP), s"folded $folded")
+        require(retired == Seq("op-a", "op-b"), s"retired $retired")
+        // each root's list folded to ONE data file, and it still guards
+        Seq(chP, smP).foreach { p =>
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val files = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$p/_denylist"))
+            .count(_.getPath.getName.startsWith("part-"))
+          require(files == 1, s"$p/_denylist holds $files data files")
+        }
+        require(Forget.listJournals(s, jRoot)
+          .select("op_id").as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSeq == Seq("op-c"), "crashed journal must survive")
+        val denied = Denylist.readOpt(s, chP).get
+        val excluded = Denylist.exclude(docs, "doc_id", s, chP)
+        excluded.agg(
+          count(lit(1)).as("n_live"),
+          lit(0L).as("x")).select(col("n_live"))
+          .withColumn("n_denied", lit(denied.distinct().count()))
+          .orderBy("n_live")
+      },
+      Some("""
+        SELECT CAST((SELECT COUNT(*) FROM documents
+                     WHERE doc_id % 11 <> 5 AND doc_id % 13 <> 1) AS BIGINT)
+                 AS n_live,
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE doc_id % 11 = 5 OR doc_id % 13 = 1) AS BIGINT)
+                 AS n_denied
+        ORDER BY n_live""")),
+
     // ---- composite-key takedown guard ----------------------------------------
     // A merge table whose uniqueKey is composite could previously be
     // guarded on one component only (armGuard enforces one key column;

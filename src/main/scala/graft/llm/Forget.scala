@@ -790,6 +790,32 @@ object Forget {
     * Note a retired journal's drop set is gone with it — when the ids
     * must stay standing, that is the [[Denylist]]'s job (recorded at
     * every store root by `denylist = true`), not the journal's. */
+  /** One maintenance entry point for the erasure machinery's
+    * accumulating state — the operational pairing of [[forgetDocs]]:
+    * every [[Denylist.record]] appends a file at every declared
+    * key-carrying root (a store that has seen many takedowns pays a
+    * growing listing + footers cost on every batch's exclusion), and
+    * completed journals accumulate under `_forget/`. This folds each
+    * declared root's denylist to one file ([[Denylist.compact]] —
+    * no-op where none exists) and retires completed journals beyond
+    * `keepCompleted` ([[gcJournals]]). NOTHING is ever un-erased:
+    * incomplete journals stay (the resume worklist), the folded lists
+    * keep guarding, and re-admittance remains the explicit
+    * [[Denylist.clear]] / [[graft.warehouse.Warehouse.disarmGuard]].
+    * Run it from the same schedule as the stores' own compacts, not
+    * concurrently with ingest (the [[Denylist.compact]] contract).
+    *
+    * @return (roots whose denylist was folded, retired journal opIds) */
+  def maintenance(spark: SparkSession, journalRoot: String, stores: Stores,
+                  keepCompleted: Int = 8): (Seq[String], Seq[String]) = {
+    val folded = stores.keyedRoots.filter { r =>
+      val had = Denylist.readOpt(spark, r).isDefined
+      if (had) Denylist.compact(spark, r)
+      had
+    }
+    (folded, gcJournals(spark, journalRoot, keepCompleted))
+  }
+
   def gcJournals(spark: SparkSession, root: String,
                  keepCompleted: Int = 8): Seq[String] = {
     require(keepCompleted >= 0,

@@ -277,6 +277,39 @@ class ForgetJournalSpec extends SparkSpec {
     assert(audit.values.forall(_._3 == 0L), audit.toString)
   }
 
+  test("maintenance folds declared denylists and retires completed journals; crashed ones stay resumable") {
+    val base = Files.createTempDirectory("graft_fj_mnt_").toString
+    val stores = buildStores(base)
+    val jRoot = s"$base/journal"
+    Forget.forgetDocs(spark, Seq(3L).toDF("doc_id"), "doc_id", stores,
+      chunkCompact = true, denylist = true,
+      journal = Some(Forget.Journal(jRoot, "op-a")))
+    Forget.forgetDocs(spark, Seq(7L).toDF("doc_id"), "doc_id", stores,
+      chunkCompact = true, denylist = true,
+      journal = Some(Forget.Journal(jRoot, "op-b")))
+    val jc = Forget.Journal(jRoot, "op-c")
+    Forget.stepFailpoint.set(1)
+    try intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(9L).toDF("doc_id"), "doc_id", stores,
+        chunkCompact = true, denylist = true, journal = Some(jc))
+    } finally Forget.stepFailpoint.set(-1)
+
+    val (folded, retired) = Forget.maintenance(spark, jRoot, stores,
+      keepCompleted = 0)
+    // all three declared roots carried lists (both takedowns + the
+    // crashed one's denylist step, which ran first)
+    assert(folded === stores.keyedRoots)
+    assert(retired === Seq("op-a", "op-b"))
+    // nothing un-erased: all three drop sets still guard after the fold
+    val re = mkDocs(Seq(3L, 7L, 9L, 10L))
+    assert(Denylist.exclude(re, "doc_id", spark, stores.chunk.get)
+      .select("doc_id").as[Long].collect().toSeq === Seq(10L))
+    // the crashed journal survived the gc and still resumes
+    Forget.resume(spark, jc, stores)
+    assert(Forget.auditStatus(spark, jc, stores)
+      .filter(col("status") =!= "clean").isEmpty)
+  }
+
   test("gcJournals retires only completed journals beyond keepCompleted, newest kept") {
     val base = Files.createTempDirectory("graft_fj_gc_").toString
     val stores = buildStores(base)

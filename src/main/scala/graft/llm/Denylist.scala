@@ -246,7 +246,10 @@ object Denylist {
                  spark: SparkSession, path: String): DataFrame =
     if (keyParts(spec).size == 1) exclude(df, keyParts(spec).head, spark, path)
     else {
-      val tmp = "__graft_guard_key"
+      // collision-proof temp name: a user batch that itself carries a
+      // __graft_guard_key column must survive the join untouched
+      val tmp = Iterator.from(0).map(i => s"__graft_guard_key$i")
+        .find(!df.columns.contains(_)).get
       exclude(df.withColumn(tmp, keyExpr(spec)), tmp, spark, path).drop(tmp)
     }
 

@@ -622,6 +622,7 @@ object Forget {
     // keyed drop set would throw on an eagerly-evaluated ANSI long cast
     val idsSBase = ids.select(col(idCol).cast("string").as("__drops"))
       .distinct().persist()
+    try {
     val nIds = idsSBase.count()
     def hint(df: DataFrame): DataFrame = Denylist.sizedByCount(spark, df, nIds)
     // long-keyed stores' frame — evaluated only when such a store is
@@ -737,8 +738,10 @@ object Forget {
       rows += (("sample", live, leaked))
     }
     import spark.implicits._
-    idsSBase.unpersist() // all count jobs above ran eagerly (.head())
     rows.result().toDF("store", "n_live", "n_dropped").orderBy("store")
+    // all count jobs above ran eagerly (.head()), so the unpersist in
+    // the finally below frees the cached set before the frame returns
+    } finally { idsSBase.unpersist(); () }
   }
 
   /** Inventory of journaled takedowns under `root`'s `_forget/` tree —

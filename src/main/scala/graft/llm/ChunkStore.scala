@@ -534,8 +534,15 @@ object ChunkStore {
       case None => latest
       case Some(tomb0) =>
         val tomb = tomb0.filter(col("seq") <= upTo)
-        val tmax = tomb.groupBy("doc_id").agg(max(col("seq")).as("_tseq"))
-        latest.join(broadcast(tmax), Seq("doc_id"), "left")
+        // broadcast only under the denylist byte ceiling (sized by the
+        // marker dir's parquet bytes — one metadata listing, and dir
+        // bytes bound the per-doc aggregate from above): markers
+        // accumulate between compacts, and a decade of deletions must
+        // cost a shuffle, never a driver OOM
+        val tmax = Denylist.sizedByBytes(spark,
+          tomb.groupBy("doc_id").agg(max(col("seq")).as("_tseq")),
+          Denylist.dirBytes(spark, s"$path/tombstones"))
+        latest.join(tmax, Seq("doc_id"), "left")
           .filter(col("_tseq").isNull || col("seq") > col("_tseq"))
           .drop("_tseq")
     }
@@ -568,9 +575,13 @@ object ChunkStore {
     * cache can be released. */
   def reconstructDocs(spark: SparkSession, path: String,
                       ids: DataFrame, idCol: String): DataFrame = {
+    // requested-id set size-guarded like every other caller-supplied id
+    // frame: a handful of docs pins a broadcast semi, a bulk
+    // re-extraction of millions degrades to a shuffle, never a driver OOM
+    val want0 = ids.select(col(idCol).as("doc_id")).distinct()
+    val want = Denylist.sizedByCount(spark, want0, want0.count())
     val man = visibleManifest(spark, path)
-      .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
+      .join(want, Seq("doc_id"), "left_semi")
       .persist()
     val chRaw = spark.read.parquet(s"$path/chunks")
     val ch = readMeta(spark, path).map(_._1).filter(_ > 0) match {

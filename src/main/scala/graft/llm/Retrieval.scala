@@ -340,7 +340,8 @@ object Retrieval {
     if (pendingParts().isEmpty) {
       Tombstones.readOpt(spark, path).foreach { t =>
         val d = spark.read.parquet(path)
-          .join(broadcast(t.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+          .join(Tombstones.sizedSide(spark, path,
+            t.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
           .select("doc_id", "dl").distinct()
           .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
             coalesce(sum(col("dl")), lit(0L)).as("tok"))

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * store path's own Hadoop FileSystem (NOT java.io) so the markers are
   * honored on HDFS/object stores too, not just the local disk.
   *
-  * Serve-side exclusion is a broadcast LEFT ANTI join: takedown sets
-  * are small relative to the corpus (and bounded by it); a deletion
-  * wave large enough to strain a broadcast is a rebuild, not a
-  * tombstone.
+  * Serve-side exclusion is a LEFT ANTI join, broadcast-hinted only
+  * while the marker dir's parquet bytes stay under the denylist
+  * ceiling (`spark.graft.denylist.broadcastMaxBytes`, default 64 MB —
+  * [[Denylist.sizedByBytes]]); past it the hint is dropped and the
+  * join degrades to a shuffle. Takedown sets are normally tiny, but
+  * markers ACCUMULATE between compacts — a decade of deletions (or one
+  * court-ordered bulk purge) must cost a shuffle, never a driver OOM.
+  * The dir listing is one metadata call, already paid by the
+  * existence probe.
   *
   * RE-INGEST TRAP (deliberate semantics, documented at every
   * deleteDocs): a marker hides its id WHEREVER it appears — rows
@@ -54,6 +59,12 @@ private[llm] object Tombstones {
   def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
     if (exists(spark, path)) Some(spark.read.parquet(dir(path))) else None
 
+  /** A projection of the marker table sized for joining: broadcast
+    * under the denylist byte ceiling, bare (Spark shuffles) past it. */
+  def sizedSide(spark: SparkSession, path: String,
+                proj: DataFrame): DataFrame =
+    Denylist.sizedByBytes(spark, proj, Denylist.dirBytes(spark, dir(path)))
+
   /** `df` minus rows whose `idColName` is tombstoned — identity when no
     * tombstones exist, so untouched stores pay nothing. */
   def exclude(df: DataFrame, idColName: String,
@@ -61,7 +72,7 @@ private[llm] object Tombstones {
     readOpt(spark, path) match {
       case None => df
       case Some(t) =>
-        df.join(broadcast(t.select(col("id").as(idColName))),
+        df.join(sizedSide(spark, path, t.select(col("id").as(idColName))),
           Seq(idColName), "left_anti")
     }
 

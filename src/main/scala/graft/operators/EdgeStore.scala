@@ -217,8 +217,14 @@ object EdgeStore {
             "idempotent and completes anything missed (or run " +
             "EdgeStore.repairDrop, which is this remedy)"))
 
-    val dropB = broadcast(drop.select(col(dropCol).cast("long").as("node"))
-      .distinct())
+    // size-guarded hint (the graft.llm.Denylist ceiling): a takedown-
+    // scale drop set pins a broadcast semi/anti, a court-ordered bulk
+    // purge degrades to shuffled joins — never a driver OOM (the r17
+    // "What's wrong #2" class, closed on every store drop path)
+    val dropBase = drop.select(col(dropCol).cast("long").as("node"))
+      .distinct()
+    val dropB = graft.llm.Denylist.sizedByCount(spark, dropBase,
+      dropBase.count())
     // bucket census: (eb, src, dst) only — the store is compacted, so
     // rows are unique per (src, dst) and the per-bucket hit count IS
     // the physical rows to remove

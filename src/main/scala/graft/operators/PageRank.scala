@@ -128,12 +128,16 @@ object PageRank {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed membership rides the node table as a boolean column — one
-    // broadcast join at setup, zero per-iteration seed work
+    // setup join (broadcast only under the graft.llm.Denylist ceiling:
+    // a trusted-host list broadcasts, a million-node seed set costs a
+    // shuffle, never a driver OOM), zero per-iteration seed work
     val nodes0 = ea.select(col("src").as("v"))
       .union(ea.select(col("dst").as("v")))
       .distinct()
     val nodes = seeds.fold(nodes0.withColumn("is_seed", lit(true))) { s =>
-      nodes0.join(broadcast(s.withColumn("is_seed", lit(true))), Seq("v"), "left")
+      val side = graft.llm.Denylist.sizedByCount(edges.sparkSession,
+        s.withColumn("is_seed", lit(true)), s.count())
+      nodes0.join(side, Seq("v"), "left")
         .select(col("v"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     try {

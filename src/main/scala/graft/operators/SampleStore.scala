@@ -221,8 +221,12 @@ object SampleStore {
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"sample store $path") {
       val kMax = readMeta(spark, path)
-      val dropKeysDf = drop.select(col(dropCol).cast("string").as("key"))
+      // size-guarded hint (the graft.llm.Denylist ceiling): broadcast a
+      // takedown-scale key set, shuffle a bulk purge — never a driver OOM
+      val dropKeys0 = drop.select(col(dropCol).cast("string").as("key"))
         .distinct()
+      val dropKeysDf = graft.llm.Denylist.sizedByCount(spark, dropKeys0,
+        dropKeys0.count())
       graft.llm.IvfLayout.compact(spark, s"$path/sample", "part",
         transform = df => {
           val gks = df.columns.filterNot(Set("key", "hkey", "run")).map(col)
@@ -230,7 +234,7 @@ object SampleStore {
             .partitionBy(gks: _*)
             .orderBy(col("hkey").asc, col("key").asc)
           df.drop("run").distinct()
-            .join(broadcast(dropKeysDf), Seq("key"), "left_anti")
+            .join(dropKeysDf, Seq("key"), "left_anti")
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") <= kMax).drop("rn")
         })

@@ -330,7 +330,7 @@ object TopKStore {
       .agg(sum(col("cut")).as("__C"))
     val real = rows.filter(col("cnt") > 0L) // ghosts carry cuts only
     val candidates = dropVals match {
-      case Some(dv) => real.join(broadcast(dv), Seq("value"), "left_anti")
+      case Some(dv) => real.join(dv, Seq("value"), "left_anti")
       case None => real
     }
     val perValue = candidates.groupBy(keys :+ col("value"): _*)
@@ -400,14 +400,19 @@ object TopKStore {
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"topk store $path") {
       val m = readMeta(spark, path)
-      val dropVals = drop.select(col(dropCol).cast("string").as("value"))
+      // size-guarded hint (the graft.llm.Denylist ceiling): broadcast a
+      // takedown-scale value set, shuffle a bulk purge — never a driver
+      // OOM. Sized ONCE here; mgMerge joins the hinted frame as-is.
+      val dropVals0 = drop.select(col(dropCol).cast("string").as("value"))
         .distinct()
+      val dropVals = graft.llm.Denylist.sizedByCount(spark, dropVals0,
+        dropVals0.count())
       graft.llm.IvfLayout.compact(spark, s"$path/topk", "part",
         transform = df => {
           val gCols = groupColsOf(df)
           val keyNames = "part" +: gCols
           val rows = normalizeSlack(df).drop("run")
-          val touchedKeys = rows.join(broadcast(dropVals), Seq("value"),
+          val touchedKeys = rows.join(dropVals, Seq("value"),
               "left_semi")
             .select(keyNames.map(col): _*).distinct()
           val untouched = rows.join(touchedKeys, keyNames, "left_anti")

@@ -198,8 +198,15 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     // sets feeds three DAG branches (banding + both verify sides); without
-    // persist Spark recomputes the md5 shingling per branch
-    val sets = shingleHashSets(docs, textCol, idCol, shingleN).persist()
+    // materialization Spark recomputes the md5 shingling per branch.
+    // Eager localCheckpoint, not persist: a cached plan is re-embedded
+    // (and re-rendered by AQE's per-update explainString) once per
+    // reference, so the three references would put the whole shingling
+    // pipeline in every downstream plan 3x — the driver-side render
+    // cost ProfileGate measured dominating the cc/dedup gates. Same
+    // blocks, same results, one-node lineage.
+    val sets = shingleHashSets(docs, textCol, idCol, shingleN)
+      .localCheckpoint(true)
     val bands = bandRows(sets)
 
     val l = bands.select(col("band"), col("key"), col("id").as("id_a"))
@@ -224,9 +231,13 @@ object Dedup {
   def minhashNearDupPairsIncremental(
       newDocs: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    val newSets = shingleHashSets(newDocs, textCol, idCol, shingleN).persist()
+    // eager checkpoints for the same multi-reference reason as
+    // [[minhashNearDupPairs]]: newSets feeds its own band rows AND the
+    // union; allSets feeds the all-side band rows AND the verify join
+    val newSets = shingleHashSets(newDocs, textCol, idCol, shingleN)
+      .localCheckpoint(true)
     val corpusSets = shingleHashSets(corpus, textCol, idCol, shingleN)
-    val allSets = newSets.unionByName(corpusSets).persist()
+    val allSets = newSets.unionByName(corpusSets).localCheckpoint(true)
 
     val nb = bandRows(newSets).select(col("band"), col("key"), col("id").as("nid"))
     val ab = bandRows(allSets).select(col("band"), col("key"), col("id").as("oid"))

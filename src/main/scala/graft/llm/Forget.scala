@@ -632,18 +632,21 @@ object Forget {
     lazy val idsN = hint(idsNBase)
     // string-keyed stores (TopK values, Sample keys) compare as STRINGS
     val idsS = hint(idsSBase)
-    def counts(df: DataFrame, c: org.apache.spark.sql.Column): (Long, Long) = {
-      val agg = df.select(c.cast("long").as("__id"))
+    // Per-store count jobs are independent read-only aggregates over
+    // different stores — the plans are built sequentially on this
+    // thread (below), only the one-row ACTIONS overlap in a small pool
+    // (guide-§2.6 back-fill: one store's straggler tasks no longer
+    // serialize the whole audit; an 8-store audit pays ~the slowest
+    // store instead of the sum). FIFO scheduling keeps earlier stores'
+    // jobs prioritized; results return in declaration order.
+    def counts(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+      df.select(c.cast("long").as("__id"))
         .join(idsN, col("__id") === col("__drop"), "left")
-        .agg(count(lit(1)), count(col("__drop"))).head()
-      (agg.getLong(0), agg.getLong(1))
-    }
-    def countsStr(df: DataFrame, c: org.apache.spark.sql.Column): (Long, Long) = {
-      val agg = df.select(c.cast("string").as("__id"))
+        .agg(count(lit(1)), count(col("__drop")))
+    def countsStr(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+      df.select(c.cast("string").as("__id"))
         .join(idsS, col("__id") === col("__drops"), "left")
-        .agg(count(lit(1)), count(col("__drops"))).head()
-      (agg.getLong(0), agg.getLong(1))
-    }
+        .agg(count(lit(1)), count(col("__drops")))
     // Two-column stores (edge src/dst, label node/label): a row leaks
     // when EITHER column hits the drop set. One scan, two broadcast
     // LEFT equi-joins (each row matches <= 1 id per column — the drop
@@ -654,94 +657,114 @@ object Forget {
     // of a large takedown) and DOUBLE-COUNTED a row whose two columns
     // hit two different dropped ids, exactly in the pre/mid-takedown
     // use where the counts matter (r15 ADVICE).
-    def counts2(df: DataFrame, c1: String, c2: String): (Long, Long) = {
-      val agg = df
+    def counts2(df: DataFrame, c1: String, c2: String): DataFrame =
+      df
         .join(hint(idsNBase.select(col("__drop").as("__d1"))),
           col(c1) === col("__d1"), "left")
         .join(hint(idsNBase.select(col("__drop").as("__d2"))),
           col(c2) === col("__d2"), "left")
         .agg(count(lit(1)),
           count(when(col("__d1").isNotNull || col("__d2").isNotNull,
-            lit(1)))).head()
-      (agg.getLong(0), agg.getLong(1))
-    }
-    val rows = Seq.newBuilder[(String, Long, Long)]
+            lit(1))))
+    // (store row name, its one-row (live, leaked) aggregate) — plans
+    // built HERE on the calling thread, actions overlapped below
+    val rows = Seq.newBuilder[(String, DataFrame)]
     // warehouse corpus tables: a column-pruned scan of the key
     // column(s) only (never the wide rows) — n_live = physical rows,
     // n_dropped = rows still carrying a dropped key. Rows key on the
     // FULL 3-part name, matching the journal step names (r17 ADVICE
     // medium: identifier-keyed rows collided across datasets).
     stores.warehouse.foreach { w =>
-      val (live, leaked) = countsStr(
+      rows += ((s"warehouse:${w.table.fqn}", countsStr(
         w.wh.read(w.table).select(Denylist.keyExpr(w.idCol).as("__wk")),
-        col("__wk"))
-      rows += ((s"warehouse:${w.table.fqn}", live, leaked))
+        col("__wk"))))
     }
     stores.chunk.foreach { p =>
-      val (live, leaked) = counts(
-        ChunkStore.reconstruct(spark, p).select("doc_id"), col("doc_id"))
-      rows += (("chunk", live, leaked))
-      val (manRows, manLeaked) = counts(
+      rows += (("chunk", counts(
+        ChunkStore.reconstruct(spark, p).select("doc_id"), col("doc_id"))))
+      rows += (("chunk_manifest", counts(
         spark.read.parquet(s"$p/manifest").select("doc_id")
-          .distinct(), col("doc_id"))
-      rows += (("chunk_manifest", manRows, manLeaked))
+          .distinct(), col("doc_id"))))
     }
     stores.minhash.foreach { p =>
-      val (live, leaked) = counts(
+      rows += (("minhash", counts(
         spark.read.parquet(s"$p/sets").select(col("id"))
           .unionByName(spark.read.parquet(s"$p/bands").select(col("id")))
-          .distinct(), col("id"))
-      rows += (("minhash", live, leaked))
+          .distinct(), col("id"))))
     }
     stores.lexical.foreach { p =>
-      val (live, leaked) = counts(
-        spark.read.parquet(p).select("doc_id").distinct(), col("doc_id"))
-      rows += (("lexical", live, leaked))
+      rows += (("lexical", counts(
+        spark.read.parquet(p).select("doc_id").distinct(), col("doc_id"))))
     }
     stores.contain.foreach { p =>
-      val (live, leaked) = counts(
+      rows += (("contain", counts(
         Seq("pref", "post", "sets").map(t =>
           spark.read.parquet(s"$p/$t").select(col("id")))
-          .reduce(_ unionByName _).distinct(), col("id"))
-      rows += (("contain", live, leaked))
+          .reduce(_ unionByName _).distinct(), col("id"))))
     }
     stores.ivf.foreach { p =>
-      val (live, leaked) = counts(
+      rows += (("ivf", counts(
         spark.read.parquet(p).select(col("neighbor_id")).distinct(),
-        col("neighbor_id"))
-      rows += (("ivf", live, leaked))
+        col("neighbor_id"))))
     }
     stores.ivfPq.foreach { p =>
-      val (live, leaked) = counts(
-        spark.read.parquet(p).select(col("id")).distinct(), col("id"))
-      rows += (("ivfpq", live, leaked))
+      rows += (("ivfpq", counts(
+        spark.read.parquet(p).select(col("id")).distinct(), col("id"))))
     }
     stores.edge.foreach { p =>
-      val e = spark.read.parquet(s"$p/edges").select("src", "dst")
-      val (live, leaked) = counts2(e, "src", "dst")
-      rows += (("edge", live, leaked))
+      rows += (("edge", counts2(
+        spark.read.parquet(s"$p/edges").select("src", "dst"), "src", "dst")))
     }
     stores.label.foreach { t =>
-      val l = spark.read.parquet(s"${t.path}/byn").select("node", "label")
-      val (live, leaked) = counts2(l, "node", "label")
-      rows += (("label", live, leaked))
+      rows += (("label", counts2(
+        spark.read.parquet(s"${t.path}/byn").select("node", "label"),
+        "node", "label")))
     }
     stores.topk.foreach { p =>
-      val (live, leaked) = countsStr(
+      rows += (("topk", countsStr(
         spark.read.parquet(s"$p/topk").filter(col("cnt") > 0L)
-          .select(col("value")), col("value"))
-      rows += (("topk", live, leaked))
+          .select(col("value")), col("value"))))
     }
     stores.sample.foreach { p =>
-      val (live, leaked) = countsStr(
-        spark.read.parquet(s"$p/sample").select(col("key")), col("key"))
-      rows += (("sample", live, leaked))
+      rows += (("sample", countsStr(
+        spark.read.parquet(s"$p/sample").select(col("key")), col("key"))))
+    }
+    // run the one-row actions with bounded overlap; results land back in
+    // declaration order, and a failing store's exception propagates
+    val resolved = runOverlapped(rows.result()) { df =>
+      val r = df.head(); (r.getLong(0), r.getLong(1))
     }
     import spark.implicits._
-    rows.result().toDF("store", "n_live", "n_dropped").orderBy("store")
-    // all count jobs above ran eagerly (.head()), so the unpersist in
-    // the finally below frees the cached set before the frame returns
+    resolved.map { case (n, (live, leaked)) => (n, live, leaked) }
+      .toDF("store", "n_live", "n_dropped").orderBy("store")
+    // all count jobs above ran eagerly (head() in runOverlapped), so the
+    // unpersist in the finally below frees the cached set before the
+    // frame returns
     } finally { idsSBase.unpersist(); () }
+  }
+
+  /** Run one bounded action per (name, frame) pair on a small thread
+    * pool and return (name, result) in input order — the §2.6
+    * overlap-independent-jobs pattern for the audit's per-store
+    * aggregates: the plans are constructed by the CALLER's thread; only
+    * the actions overlap, so Spark's FIFO scheduler back-fills executor
+    * slots left idle by one store's straggler tasks with the next
+    * store's. Pool size 4: enough to fill the tail, not enough to
+    * thrash the scheduler (the guide's 2-3-jobs-in-flight guidance,
+    * +1 for the audit's many tiny frames). */
+  private def runOverlapped[T](tasks: Seq[(String, DataFrame)])(
+      action: DataFrame => T): Seq[(String, T)] = {
+    if (tasks.size <= 1) return tasks.map { case (n, df) => (n, action(df)) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, tasks.size))
+    try {
+      val futures = tasks.map { case (n, df) =>
+        (n, pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = action(df)
+        }))
+      }
+      futures.map { case (n, f) => (n, f.get()) }
+    } finally pool.shutdown()
   }
 
   /** Inventory of journaled takedowns under `root`'s `_forget/` tree —

@@ -35,16 +35,34 @@ object ConnectedComponents {
     // Materialize the pair list ONCE before fanning it into both edge
     // directions: `pairs` is typically the output of an expensive LSH
     // pipeline, and two lazy references would run that pipeline twice.
-    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
-    p.count()
+    // Eager localCheckpoint, not persist+count: the pair plan is
+    // referenced 3x by `edges` (both directions + self-loops), so every
+    // downstream plan would embed the WHOLE upstream LSH pipeline 3x —
+    // and AQE re-renders the full tree on every plan update
+    // (onUpdatePlan builds explainString unconditionally), which
+    // ProfileGate measured at ~70% of cc-family gate wall (round-1
+    // sweep plan: 196 KB of treeString). Checkpoint collapses it to one
+    // LogicalRDD node; same blocks stored, same results, lineage
+    // truncated like the per-round labels below.
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
     // Undirected = both directions, plus a self-loop per node so one
     // join+agg computes min(own, neighbors') directly. No distinct():
     // duplicate edges cannot change a MIN.
+    // Pre-partitioned by the sweep's join key (guide §2.4 "share one
+    // exchange"): every round joins edges on `v`, so paying the edge
+    // shuffle ONCE here lets each round's sort-merge join reuse the
+    // partitioning instead of re-exchanging the big side per iteration
+    // — per-round shuffle cost drops from O(E + nodes) to O(nodes).
+    // Eager localCheckpoint keeps that partitioning in the LogicalRDD
+    // AND collapses the 3-way union-of-cache-references plan to one
+    // node (the AQE re-render blow-up, see `p` above).
     val nodes = p.select(col("u")).unionByName(p.select(col("v").as("u"))).distinct()
     val edges = p
       .unionByName(p.select(col("v").as("u"), col("u").as("v")))
       .unionByName(nodes.withColumn("v", col("u")))
-      .persist()
+      .repartition(col("v"))
+      .localCheckpoint(true)
     var labels = nodes.select(col("u").as("node"), col("u").as("label"))
       .localCheckpoint()
     // sum() over an empty table is NULL — getLong would NPE on a corpus
@@ -77,8 +95,9 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
-    p.unpersist()
-    edges.unpersist()
+    // p's and edges' checkpoint blocks release via the context cleaner
+    // when the RDDs go out of scope (same lifecycle as the per-round
+    // labels)
     labels
   }
 
@@ -103,8 +122,12 @@ object ConnectedComponents {
     * else breaks the root-is-a-member invariant. */
   def incremental(labels: DataFrame, pairs: DataFrame,
                   aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
-    p.count()
+    // eager checkpoint for the same reason as [[run]]'s pair input: the
+    // batch pairs fan into batchNodes + the sub-closure, and a persist
+    // would embed the caller's whole pair-mining pipeline in every
+    // downstream plan AQE re-renders
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
     val batchNodes = p.select(col("u"))
       .unionByName(p.select(col("v").as("u"))).distinct()
     val touchedLabels = labels
@@ -119,7 +142,7 @@ object ConnectedComponents {
     val untouched = labels.join(touchedLabels, Seq("label"), "left_anti")
     val out = untouched.select(col("node"), col("label")).unionByName(sub)
       .localCheckpoint(true)
-    p.unpersist(); touchedLabels.unpersist()
+    touchedLabels.unpersist()
     out
   }
 }

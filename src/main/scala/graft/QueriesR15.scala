@@ -237,17 +237,21 @@ object QueriesR15 {
         val base = Files.createTempDirectory("graft_forget_gate_").toString
         val (chP, mhP, edP, lbP, tkP, smP) = (s"$base/chunk", s"$base/mh",
           s"$base/edge", s"$base/label", s"$base/topk", s"$base/sample")
-        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
-          chP, nBuckets = 16)
-        MinHashIndex.write(docs.select("doc_id", "text"), "text", "doc_id",
-          mhP, nBuckets = 16)
-        EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
-          edP, nBuckets = 8)
-        LabelStore.write(ConnectedComponents.run(pairs, "u", "v"), lbP,
-          nBuckets = 8)
-        TopKStore.write(docs, Seq.empty, "doc_id", "source", tkP, m = 50)
-        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
-          kMax = 40)
+        // six independent store builds, bounded overlap (§2.6): each
+        // leases its own root; the forget + audit below stay sequential
+        graft.core.Par.run(3)(Seq(
+          () => ChunkStore.write(docs.select("doc_id", "text"), "text",
+            "doc_id", chP, nBuckets = 16),
+          () => MinHashIndex.write(docs.select("doc_id", "text"), "text",
+            "doc_id", mhP, nBuckets = 16),
+          () => EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v",
+            Some("w"), edP, nBuckets = 8),
+          () => LabelStore.write(ConnectedComponents.run(pairs, "u", "v"),
+            lbP, nBuckets = 8),
+          () => TopKStore.write(docs, Seq.empty, "doc_id", "source", tkP,
+            m = 50),
+          () => SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+            kMax = 40)))
         val dropped = ids.filter(col("doc_id") % 9 === 4)
         val stores = Forget.Stores(
           chunk = Some(chP), minhash = Some(mhP), edge = Some(edP),
@@ -325,46 +329,67 @@ object QueriesR15 {
               col("a.doc_id") % 10 =!= 9)
           .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
         val base = Files.createTempDirectory("graft_fsck_gate_").toString
-        ChunkStore.write(docs.filter(
-            expr("CAST(substr(source, 4) AS INT) < 5"))
-            .select("doc_id", "text"),
-          "text", "doc_id", s"$base/ch", nBuckets = 16)
-        LabelStore.write(ConnectedComponents.run(
-            pairs.filter(col("u") < 300), "u", "v"), s"$base/lb",
-          nBuckets = 8)
-        LabelStore.applyStreamBatch(s, s"$base/lb",
-          pairs.filter(col("u") >= 300), "u", "v", batchId = 0L)
-        LabelStore.compact(s, s"$base/lb")
-        TopKStore.write(docs.filter(col("doc_id") % 2 === 0),
-          Seq.empty, "lang", "source", s"$base/tk", m = 3)
-        TopKStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
-          Seq.empty, "lang", "source", s"$base/tk", batchId = 0L)
-        SampleStore.write(docs, Seq.empty, "doc_id", "source",
-          s"$base/sm", kMax = 25)
-        HistStore.write(docs, Seq("lang"), "n_chars", "source",
-          s"$base/hs", 0L, 1000L, 10)
-        QuantileStore.writeLog2(docs, Seq("lang"), "n_chars", "source",
-          s"$base/qt")
-        BloomStore.write(docs, "doc_id", "source", s"$base/bl",
-          depth = 3, width = 2048)
-        CmsStore.write(docs.filter(col("doc_id") % 2 === 0),
-          "lang", "source", s"$base/cm", depth = 4, width = 32)
-        CmsStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
-          "lang", "source", s"$base/cm", batchId = 0L)
-        EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v",
-          Some("w"), s"$base/ed", nBuckets = 8)
-        EdgeStore.compact(s, s"$base/ed")
-        Seq(
-          ChunkStore.fsck(s, s"$base/ch").withColumn("store", lit("chunk")),
-          LabelStore.fsck(s, s"$base/lb").withColumn("store", lit("label")),
-          TopKStore.fsck(s, s"$base/tk").withColumn("store", lit("topk")),
-          SampleStore.fsck(s, s"$base/sm").withColumn("store", lit("sample")),
-          BloomStore.fsck(s, s"$base/bl").withColumn("store", lit("bloom")),
-          CmsStore.fsck(s, s"$base/cm").withColumn("store", lit("cms")),
-          EdgeStore.fsck(s, s"$base/ed").withColumn("store", lit("edge")),
-          HistStore.fsck(s, s"$base/hs").withColumn("store", lit("hist")),
-          QuantileStore.fsck(s, s"$base/qt")
-            .withColumn("store", lit("quantile")))
+        // nine INDEPENDENT store lifecycles (each leases its own root)
+        // built with bounded overlap, then nine independent read-only
+        // fscks the same way — §2.6 back-fill; within one store the
+        // write -> streamBatch -> compact chain stays sequential
+        graft.core.Par.run(4)(Seq(
+          () => ChunkStore.write(docs.filter(
+              expr("CAST(substr(source, 4) AS INT) < 5"))
+              .select("doc_id", "text"),
+            "text", "doc_id", s"$base/ch", nBuckets = 16),
+          () => {
+            LabelStore.write(ConnectedComponents.run(
+                pairs.filter(col("u") < 300), "u", "v"), s"$base/lb",
+              nBuckets = 8)
+            LabelStore.applyStreamBatch(s, s"$base/lb",
+              pairs.filter(col("u") >= 300), "u", "v", batchId = 0L)
+            LabelStore.compact(s, s"$base/lb")
+          },
+          () => {
+            TopKStore.write(docs.filter(col("doc_id") % 2 === 0),
+              Seq.empty, "lang", "source", s"$base/tk", m = 3)
+            TopKStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+              Seq.empty, "lang", "source", s"$base/tk", batchId = 0L)
+          },
+          () => SampleStore.write(docs, Seq.empty, "doc_id", "source",
+            s"$base/sm", kMax = 25),
+          () => HistStore.write(docs, Seq("lang"), "n_chars", "source",
+            s"$base/hs", 0L, 1000L, 10),
+          () => QuantileStore.writeLog2(docs, Seq("lang"), "n_chars",
+            "source", s"$base/qt"),
+          () => BloomStore.write(docs, "doc_id", "source", s"$base/bl",
+            depth = 3, width = 2048),
+          () => {
+            CmsStore.write(docs.filter(col("doc_id") % 2 === 0),
+              "lang", "source", s"$base/cm", depth = 4, width = 32)
+            CmsStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+              "lang", "source", s"$base/cm", batchId = 0L)
+          },
+          () => {
+            EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v",
+              Some("w"), s"$base/ed", nBuckets = 8)
+            EdgeStore.compact(s, s"$base/ed")
+          }))
+        graft.core.Par.run(4)(Seq[() => org.apache.spark.sql.DataFrame](
+          () => ChunkStore.fsck(s, s"$base/ch")
+            .withColumn("store", lit("chunk")),
+          () => LabelStore.fsck(s, s"$base/lb")
+            .withColumn("store", lit("label")),
+          () => TopKStore.fsck(s, s"$base/tk")
+            .withColumn("store", lit("topk")),
+          () => SampleStore.fsck(s, s"$base/sm")
+            .withColumn("store", lit("sample")),
+          () => BloomStore.fsck(s, s"$base/bl")
+            .withColumn("store", lit("bloom")),
+          () => CmsStore.fsck(s, s"$base/cm")
+            .withColumn("store", lit("cms")),
+          () => EdgeStore.fsck(s, s"$base/ed")
+            .withColumn("store", lit("edge")),
+          () => HistStore.fsck(s, s"$base/hs")
+            .withColumn("store", lit("hist")),
+          () => QuantileStore.fsck(s, s"$base/qt")
+            .withColumn("store", lit("quantile"))))
           .reduce(_ unionByName _)
           .select("store", "check", "violations")
           .orderBy("store", "check")
@@ -417,22 +442,30 @@ object QueriesR15 {
         val emb = Tables.read(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val base = Files.createTempDirectory("graft_idxfsck_gate_").toString
-        MinHashIndex.write(docs.filter(col("doc_id") % 2 === 0),
-          "text", "doc_id", s"$base/mh", nBuckets = 8)
-        MinHashIndex.appendBatch(docs.filter(col("doc_id") % 2 === 1),
-          "text", "doc_id", s"$base/mh", shingleN = 3, nBuckets = 8,
-          batchId = 0L)
-        IvfIndex.write(emb, "embedding", "vec_id", s"$base/iv", nCells = 8)
-        IvfIndex.deleteDocs(emb.select("vec_id")
-          .filter(col("vec_id") % 13 === 0), "vec_id", s"$base/iv")
-        IvfIndex.compact(s, s"$base/iv")
-        IvfPq.write(emb, "embedding", "vec_id", s"$base/pq",
-          nCells = 8, m = 4, k = 16)
-        Seq(
-          MinHashIndex.fsck(s, s"$base/mh")
+        // three independent index lifecycles, then three independent
+        // fscks, each with bounded overlap (§2.6)
+        graft.core.Par.run3(
+          () => {
+            MinHashIndex.write(docs.filter(col("doc_id") % 2 === 0),
+              "text", "doc_id", s"$base/mh", nBuckets = 8)
+            MinHashIndex.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+              "text", "doc_id", s"$base/mh", shingleN = 3, nBuckets = 8,
+              batchId = 0L)
+          },
+          () => {
+            IvfIndex.write(emb, "embedding", "vec_id", s"$base/iv",
+              nCells = 8)
+            IvfIndex.deleteDocs(emb.select("vec_id")
+              .filter(col("vec_id") % 13 === 0), "vec_id", s"$base/iv")
+            IvfIndex.compact(s, s"$base/iv")
+          },
+          () => IvfPq.write(emb, "embedding", "vec_id", s"$base/pq",
+            nCells = 8, m = 4, k = 16))
+        graft.core.Par.run3(
+          () => MinHashIndex.fsck(s, s"$base/mh")
             .withColumn("store", lit("minhash")),
-          IvfIndex.fsck(s, s"$base/iv").withColumn("store", lit("ivf")),
-          IvfPq.fsck(s, s"$base/pq").withColumn("store", lit("ivfpq")))
+          () => IvfIndex.fsck(s, s"$base/iv").withColumn("store", lit("ivf")),
+          () => IvfPq.fsck(s, s"$base/pq").withColumn("store", lit("ivfpq")))
           .reduce(_ unionByName _)
           .select("store", "check", "violations")
           .orderBy("store", "check")

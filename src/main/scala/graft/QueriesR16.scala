@@ -37,12 +37,14 @@ object QueriesR16 {
           .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
         val base = Files.createTempDirectory("graft_reingest_gate_").toString
         val (chP, edP, smP) = (s"$base/chunk", s"$base/edge", s"$base/sample")
-        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
-          chP, nBuckets = 16)
-        EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
-          edP, nBuckets = 8)
-        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
-          kMax = 40)
+        // three independent store builds with bounded overlap (§2.6)
+        graft.core.Par.run3(
+          () => ChunkStore.write(docs.select("doc_id", "text"), "text",
+            "doc_id", chP, nBuckets = 16),
+          () => EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v",
+            Some("w"), edP, nBuckets = 8),
+          () => SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+            kMax = 40))
         val dropped = ids.filter(col("doc_id") % 9 === 4)
         val stores = Forget.Stores(chunk = Some(chP), edge = Some(edP),
           sample = Some(smP))
@@ -51,12 +53,13 @@ object QueriesR16 {
         // THE RE-INGESTION: a later crawl batch containing forgotten
         // docs, through each store's ordinary append path
         val batch = docs.filter(col("doc_id") % 2 === 0)
-        ChunkStore.append(batch.select("doc_id", "text"), "text",
-          "doc_id", chP, nBuckets = 16, runId = Some("recrawl"))
-        EdgeStore.append(pairs.filter(col("u") % 2 === 0), "u", "v",
-          None, edP, nBuckets = 8, runId = Some("recrawl"))
-        SampleStore.append(batch, Seq.empty, "doc_id", "source", smP,
-          runId = Some("recrawl"))
+        graft.core.Par.run3(
+          () => ChunkStore.append(batch.select("doc_id", "text"), "text",
+            "doc_id", chP, nBuckets = 16, runId = Some("recrawl")),
+          () => EdgeStore.append(pairs.filter(col("u") % 2 === 0), "u", "v",
+            None, edP, nBuckets = 8, runId = Some("recrawl")),
+          () => SampleStore.append(batch, Seq.empty, "doc_id", "source", smP,
+            runId = Some("recrawl")))
         val audit = Forget.audit(s, dropped, "doc_id", stores)
         require(audit.filter(col("n_dropped") =!= 0L).isEmpty,
           "a re-ingested batch re-landed a forgotten id")

@@ -150,12 +150,14 @@ object QueriesR17 {
           .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
         val base = Files.createTempDirectory("graft_fresume_gate_").toString
         val (chP, edP, smP) = (s"$base/chunk", s"$base/edge", s"$base/sample")
-        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
-          chP, nBuckets = 16)
-        EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v", Some("w"),
-          edP, nBuckets = 8)
-        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
-          kMax = 40)
+        // three independent store builds with bounded overlap (§2.6)
+        graft.core.Par.run3(
+          () => ChunkStore.write(docs.select("doc_id", "text"), "text",
+            "doc_id", chP, nBuckets = 16),
+          () => EdgeStore.write(pairs.withColumn("w", lit(1L)), "u", "v",
+            Some("w"), edP, nBuckets = 8),
+          () => SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+            kMax = 40))
         val dropped = ids.filter(col("doc_id") % 9 === 4)
         val stores = Forget.Stores(chunk = Some(chP), edge = Some(edP),
           sample = Some(smP))

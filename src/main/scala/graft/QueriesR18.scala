@@ -32,10 +32,11 @@ object QueriesR18 {
         val docs = Tables.read(s, dir, "documents")
         val base = Files.createTempDirectory("graft_fss_gate_").toString
         val (chP, smP) = (s"$base/chunk", s"$base/sample")
-        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
-          chP, nBuckets = 16)
-        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
-          kMax = 40)
+        graft.core.Par.run3(
+          () => ChunkStore.write(docs.select("doc_id", "text"), "text",
+            "doc_id", chP, nBuckets = 16),
+          () => SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+            kMax = 40))
         val dropped = docs.select("doc_id").filter(col("doc_id") % 11 === 5)
         val stores = Forget.Stores(chunk = Some(chP), sample = Some(smP))
         val j = Forget.Journal(s"$base/journal", opId = "gate-ss")
@@ -206,10 +207,11 @@ object QueriesR18 {
         val docs = Tables.read(s, dir, "documents")
         val base = Files.createTempDirectory("graft_fm_gate_").toString
         val (chP, smP) = (s"$base/chunk", s"$base/sample")
-        ChunkStore.write(docs.select("doc_id", "text"), "text", "doc_id",
-          chP, nBuckets = 16)
-        SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
-          kMax = 40)
+        graft.core.Par.run3(
+          () => ChunkStore.write(docs.select("doc_id", "text"), "text",
+            "doc_id", chP, nBuckets = 16),
+          () => SampleStore.write(docs, Seq.empty, "doc_id", "source", smP,
+            kMax = 40))
         val stores = Forget.Stores(chunk = Some(chP), sample = Some(smP))
         val jRoot = s"$base/journal"
         val dropA = docs.select("doc_id").filter(col("doc_id") % 11 === 5)

@@ -370,10 +370,15 @@ object ContainIndex {
     * tombstoned ids purged, markers cleared. Sub-tables still empty
     * from an empty seed are skipped (nothing to rewrite). */
   def compact(spark: SparkSession, path: String): Unit = {
-    for ((t, pp) <- Seq("pref" -> "pf", "post" -> "pb", "sets" -> "ib"))
-      if (RunSlots.hasParts(spark, s"$path/$t", pp))
-        IvfLayout.compact(spark, s"$path/$t", partCol = pp,
-          transform = df => Tombstones.exclude(df, "id", spark, path))
+    // three independent staged rewrites (different lease keys) with
+    // bounded overlap (§2.6); markers clear only after ALL folds land
+    graft.core.Par.run(3)(
+      Seq("pref" -> "pf", "post" -> "pb", "sets" -> "ib").map {
+        case (t, pp) => () =>
+          if (RunSlots.hasParts(spark, s"$path/$t", pp))
+            IvfLayout.compact(spark, s"$path/$t", partCol = pp,
+              transform = df => Tombstones.exclude(df, "id", spark, path))
+      })
     Tombstones.clear(spark, path)
   }
 }

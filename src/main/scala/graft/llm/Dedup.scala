@@ -231,11 +231,14 @@ object Dedup {
   def minhashNearDupPairsIncremental(
       newDocs: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    // eager checkpoints for the same multi-reference reason as
-    // [[minhashNearDupPairs]]: newSets feeds its own band rows AND the
-    // union; allSets feeds the all-side band rows AND the verify join
-    val newSets = shingleHashSets(newDocs, textCol, idCol, shingleN)
-      .localCheckpoint(true)
+    // allSets is the multi-referenced heavy frame (all-side band rows +
+    // the verify join) — eager checkpoint for the
+    // [[minhashNearDupPairs]] render reason. newSets stays a lazy
+    // persist: it is embedded only once downstream (its band rows; the
+    // union reference is swallowed by allSets' checkpoint, which also
+    // fills this cache), and a second eager job here measurably cost
+    // more than it saved on batch-sized inputs.
+    val newSets = shingleHashSets(newDocs, textCol, idCol, shingleN).persist()
     val corpusSets = shingleHashSets(corpus, textCol, idCol, shingleN)
     val allSets = newSets.unionByName(corpusSets).localCheckpoint(true)
 

@@ -112,10 +112,14 @@ object MinHashIndex {
   /** One file per bucket directory after N appends (both tables);
     * tombstoned ids are purged from both and the markers cleared. */
   def compact(spark: SparkSession, path: String): Unit = {
-    IvfLayout.compact(spark, s"$path/bands", partCol = "kb",
-      transform = df => Tombstones.exclude(df, "id", spark, path))
-    IvfLayout.compact(spark, s"$path/sets", partCol = "ib",
-      transform = df => Tombstones.exclude(df, "id", spark, path))
+    // the two tables are independent staged rewrites under different
+    // lease keys — bounded overlap (§2.6); markers clear only after
+    // BOTH folds land, exactly as before
+    graft.core.Par.run3(
+      () => IvfLayout.compact(spark, s"$path/bands", partCol = "kb",
+        transform = df => Tombstones.exclude(df, "id", spark, path)),
+      () => IvfLayout.compact(spark, s"$path/sets", partCol = "ib",
+        transform = df => Tombstones.exclude(df, "id", spark, path)))
     Tombstones.clear(spark, path)
   }
 

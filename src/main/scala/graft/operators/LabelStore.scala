@@ -430,10 +430,15 @@ object LabelStore {
         fs.listStatus(tmp).toSeq.filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(partCol + "=")).map(_.getPath.getName)
     }
-    val bynDirty = stage(s"$path/byn", "nb", dirtyNb,
-      nbCol(col("node"), nBuckets)).distinct
-    val bycDirty = stage(s"$path/byc", "cb", dirtyCb,
-      nbCol(col("label"), nBuckets)).distinct
+    // the two copies stage independently (different dirs, shared
+    // read-only inputs) — bounded overlap (§2.6); install stays
+    // strictly after BOTH stages, preserving the crash contract
+    val staged = graft.core.Par.run3(
+      () => stage(s"$path/byn", "nb", dirtyNb,
+        nbCol(col("node"), nBuckets)).distinct,
+      () => stage(s"$path/byc", "cb", dirtyCb,
+        nbCol(col("label"), nBuckets)).distinct)
+    val (bynDirty, bycDirty) = (staged(0), staged(1))
     Seq(dropB, affectedLabels, members).foreach(_.unpersist())
 
     // 6. install: every bucket of both copies first (backups kept),
@@ -623,12 +628,16 @@ object LabelStore {
     val nBuckets = readMeta(spark, path)
     val resolved = (df: DataFrame) => df
       .groupBy("node").agg(min(col("label")).as("label"))
-    graft.llm.IvfLayout.compact(spark, s"$path/byn", "nb",
-      transform = df => resolved(df.select("node", "label"))
-        .withColumn("nb", nbCol(col("node"), nBuckets)))
-    graft.llm.IvfLayout.compact(spark, s"$path/byc", "cb",
-      transform = df => resolved(df.select("node", "label"))
-        .withColumn("cb", nbCol(col("label"), nBuckets)))
+    // the two copies fold independently (different lease keys under the
+    // store-root lease already held) — bounded overlap (§2.6)
+    graft.core.Par.run3(
+      () => graft.llm.IvfLayout.compact(spark, s"$path/byn", "nb",
+        transform = df => resolved(df.select("node", "label"))
+          .withColumn("nb", nbCol(col("node"), nBuckets))),
+      () => graft.llm.IvfLayout.compact(spark, s"$path/byc", "cb",
+        transform = df => resolved(df.select("node", "label"))
+          .withColumn("cb", nbCol(col("label"), nBuckets))))
+    ()
   }
 
   /** Drop-wreckage names across both copies ([[dropNodes]]' staging/

@@ -326,18 +326,25 @@ object QueriesR10b {
         val docs = Tables.read(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") < 250)
         val idxPath = Files.createTempDirectory("graft_scc_idx_").toString
-        MinHashIndex.write(corpus, "text", "doc_id", idxPath, nBuckets = 16)
         val labelsPath = Files.createTempDirectory("graft_scc_lab_").toString
-        ConnectedComponents.run(
-            Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
-              jaccardThreshold = 0.8), "id_a", "id_b")
-          .write.mode("overwrite").parquet(labelsPath)
         val srcDir = Files.createTempDirectory("graft_scc_src_").toString
-        docs.filter(col("doc_id") >= 250).select("doc_id", "text")
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
-          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-          .coalesce(1).write.mode("append").parquet(srcDir)
+        // index seed, label seed and source files are independent
+        // fixture builds — bounded overlap (§2.6)
+        graft.core.Par.run3(
+          () => MinHashIndex.write(corpus, "text", "doc_id", idxPath,
+            nBuckets = 16),
+          () => ConnectedComponents.run(
+              Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+                jaccardThreshold = 0.8), "id_a", "id_b")
+            .write.mode("overwrite").parquet(labelsPath),
+          () => {
+            docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+              .coalesce(1).write.mode("append").parquet(srcDir)
+            docs.filter(pmod(col("doc_id"), lit(10L)) === 0 &&
+                col("doc_id") < 250)
+              .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+              .coalesce(1).write.mode("append").parquet(srcDir)
+          })
         val ckpt = Files.createTempDirectory("graft_scc_ck_").toString
         val schema = s.read.parquet(srcDir).schema
         def runOnce(): Unit =

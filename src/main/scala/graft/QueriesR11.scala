@@ -341,19 +341,26 @@ object QueriesR11 {
         val docs = Tables.read(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") < 250)
         val idxPath = Files.createTempDirectory("graft_sccb_idx_").toString
-        MinHashIndex.write(corpus, "text", "doc_id", idxPath, nBuckets = 16)
         val storePath = Files.createTempDirectory("graft_sccb_lab_").toString
-        LabelStore.write(
-          ConnectedComponents.run(
-            Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
-              jaccardThreshold = 0.8), "id_a", "id_b"),
-          storePath, nBuckets = 16)
         val srcDir = Files.createTempDirectory("graft_sccb_src_").toString
-        docs.filter(col("doc_id") >= 250).select("doc_id", "text")
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        docs.filter(pmod(col("doc_id"), lit(10L)) === 0 && col("doc_id") < 250)
-          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-          .coalesce(1).write.mode("append").parquet(srcDir)
+        // index seed, label-store seed and source files are independent
+        // fixture builds — bounded overlap (§2.6)
+        graft.core.Par.run3(
+          () => MinHashIndex.write(corpus, "text", "doc_id", idxPath,
+            nBuckets = 16),
+          () => LabelStore.write(
+            ConnectedComponents.run(
+              Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+                jaccardThreshold = 0.8), "id_a", "id_b"),
+            storePath, nBuckets = 16),
+          () => {
+            docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+              .coalesce(1).write.mode("append").parquet(srcDir)
+            docs.filter(pmod(col("doc_id"), lit(10L)) === 0 &&
+                col("doc_id") < 250)
+              .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+              .coalesce(1).write.mode("append").parquet(srcDir)
+          })
         val ckpt = Files.createTempDirectory("graft_sccb_ck_").toString
         val schema = s.read.parquet(srcDir).schema
         def runOnce(): Unit =

@@ -261,7 +261,7 @@ object QueriesR15 {
         // manifest rows too, so the audit's chunk_manifest purge-debt
         // row must also read zero
         Forget.forgetDocs(s, dropped, "doc_id", stores,
-          chunkCompact = true)
+          chunkCompact = true, overlapStores = 3)
         // the independent compliance audit IS the gate's check: physical
         // scans where the store carries key material, serve-level for
         // the chunk store, zero leaks required everywhere

@@ -49,7 +49,7 @@ object QueriesR16 {
         val stores = Forget.Stores(chunk = Some(chP), edge = Some(edP),
           sample = Some(smP))
         Forget.forgetDocs(s, dropped, "doc_id", stores,
-          chunkCompact = true, denylist = true)
+          chunkCompact = true, denylist = true, overlapStores = 3)
         // THE RE-INGESTION: a later crawl batch containing forgotten
         // docs, through each store's ordinary append path
         val batch = docs.filter(col("doc_id") % 2 === 0)

@@ -178,7 +178,7 @@ object QueriesR17 {
           "edge and sample must read in_progress mid-takedown")
         // resume re-runs ONLY the missing steps, under the journal's
         // own persisted flags
-        val report = Forget.resume(s, j, stores)
+        val report = Forget.resume(s, j, stores, overlapStores = 3)
         require(report.results.count(_.removed == -2L) == 2,
           s"resume must skip exactly the two completed steps: $report")
         Forget.auditStatus(s, j, stores).orderBy("store")

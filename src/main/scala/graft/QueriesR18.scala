@@ -217,9 +217,11 @@ object QueriesR18 {
         val dropA = docs.select("doc_id").filter(col("doc_id") % 11 === 5)
         val dropB = docs.select("doc_id").filter(col("doc_id") % 13 === 1)
         Forget.forgetDocs(s, dropA, "doc_id", stores, chunkCompact = true,
-          denylist = true, journal = Some(Forget.Journal(jRoot, "op-a")))
+          denylist = true, journal = Some(Forget.Journal(jRoot, "op-a")),
+          overlapStores = 2)
         Forget.forgetDocs(s, dropB, "doc_id", stores, chunkCompact = true,
-          denylist = true, journal = Some(Forget.Journal(jRoot, "op-b")))
+          denylist = true, journal = Some(Forget.Journal(jRoot, "op-b")),
+          overlapStores = 2)
         // a crashed journal — maintenance must never touch it
         Forget.stepFailpoint.set(0)
         try { Forget.forgetDocs(s, docs.select("doc_id").limit(2), "doc_id",

@@ -250,11 +250,26 @@ object Forget {
     * anti-joins its batches against it from then on. Without it the
     * erasure is durable against replays (fold manifests) but a NEW
     * batch containing a since-forgotten document re-lands it
-    * legitimately (r15 verdict "What's missing #1"). */
+    * legitimately (r15 verdict "What's missing #1").
+    *
+    * `overlapStores` > 1 runs the INDEPENDENT derived-store steps with
+    * bounded overlap (guide §2.6: each store leases its own root, so
+    * distinct-store erasures never contend; the per-store journal
+    * markers and the resume contract are unchanged — a crash leaves
+    * exactly the completed steps marked, whatever order they finished
+    * in). What never overlaps, in all modes: the denylist step (must
+    * land before any erasure), the warehouse steps (they may share one
+    * run-event log table), the label step (its caller-supplied pair
+    * universe may read the edge store — r15 scaladoc example — so it
+    * runs strictly after the edge group), and the sketch rebuilds
+    * (their corpus frames may read other stores; they run last, as in
+    * sequential order). The default 1 executes the exact historical
+    * sequence — the crash-injection specs' step indices depend on it. */
   def forgetDocs(spark: SparkSession, ids: DataFrame, idCol: String,
                  stores: Stores, chunkCompact: Boolean = false,
                  denylist: Boolean = false,
-                 journal: Option[Journal] = None): Report = {
+                 journal: Option[Journal] = None,
+                 overlapStores: Int = 1): Report = {
     val fsFor = journal.map { j =>
       val p = new org.apache.hadoop.fs.Path(j.dir)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -332,20 +347,35 @@ object Forget {
     def markDone(name: String): Unit = fsFor.foreach { case (fs, _) =>
       fs.create(new org.apache.hadoop.fs.Path(mark(name)), true).close()
     }
-    val out = Seq.newBuilder[StoreResult]
+    val out = scala.collection.mutable.ListBuffer.empty[StoreResult]
     var ran = 0
+    val stepLock = new Object
 
-    // every store step in dependency order; each runs exactly once per
-    // journal (a resume SKIPS completed markers and reports -2)
-    def step(name: String)(body: => StoreResult): Unit =
-      if (done(name)) out += StoreResult(name, -2L)
-      else {
-        require(ran != stepFailpoint.get,
-          s"injected forgetDocs crash before step $name")
-        out += body
-        ran += 1
+    // every store step runs exactly once per journal (a resume SKIPS
+    // completed markers and reports -2). Bodies may overlap when
+    // overlapStores > 1 (independent groups only — see the scaladoc);
+    // the marker/result/failpoint bookkeeping is serialized around the
+    // body either way, and the final Report is ordered by the step
+    // inventory, so overlap never changes what callers observe.
+    def step(name: String)(body: => StoreResult): Unit = {
+      val skip = stepLock.synchronized {
+        if (done(name)) { out += StoreResult(name, -2L); true }
+        else {
+          require(ran != stepFailpoint.get,
+            s"injected forgetDocs crash before step $name")
+          false
+        }
+      }
+      if (!skip) {
+        val r = body
+        stepLock.synchronized { out += r; ran += 1 }
         markDone(name)
       }
+    }
+
+    def runGroup(group: Seq[() => Unit]): Unit =
+      if (overlapStores > 1) { graft.core.Par.run(overlapStores)(group); () }
+      else group.foreach(_())
 
     // 0. standing denylist, BEFORE any erasure: once this lands, no
     //    append path re-admits the ids — the erasure below then works
@@ -384,71 +414,67 @@ object Forget {
       }
     }
 
-    // 1. content: chunk store — tombstone, collect bytes, optionally
-    //    purge manifest rows. gc refuses a full wipe; an empty-after
-    //    store is a delete decision, not an erasure, so that refusal
-    //    propagates.
-    stores.chunk.foreach { path =>
-      step("chunk") {
-        ChunkStore.deleteDocs(idsN, "id", path)
-        val (_, collected) = ChunkStore.gc(spark, path)
-        if (chunkCompact) ChunkStore.compact(spark, path)
-        StoreResult("chunk", collected)
-      }
-    }
+    // 1+2+3a. content, candidate indexes, and the edge store — mutually
+    //    independent erasures (each leases its own root); tombstone
+    //    then compact per store: hidden-at-serve is immediate, the
+    //    compact makes it PHYSICAL. gc refuses a full wipe; an
+    //    empty-after store is a delete decision, not an erasure, so
+    //    that refusal propagates. This group overlaps under
+    //    overlapStores; sequential order unchanged otherwise.
+    runGroup(Seq[Option[() => Unit]](
+      stores.chunk.map(path => () =>
+        step("chunk") {
+          ChunkStore.deleteDocs(idsN, "id", path)
+          val (_, collected) = ChunkStore.gc(spark, path)
+          if (chunkCompact) ChunkStore.compact(spark, path)
+          StoreResult("chunk", collected)
+        }),
+      stores.minhash.map(path => () =>
+        step("minhash") {
+          MinHashIndex.deleteDocs(idsN, "id", path)
+          MinHashIndex.compact(spark, path)
+          StoreResult("minhash", -1L)
+        }),
+      stores.lexical.map(path => () =>
+        step("lexical") {
+          Retrieval.deleteIndexDocs(idsN, "id", path)
+          Retrieval.compactIndex(spark, path)
+          StoreResult("lexical", -1L)
+        }),
+      stores.contain.map(path => () =>
+        step("contain") {
+          ContainIndex.deleteDocs(idsN, "id", path)
+          ContainIndex.compact(spark, path)
+          StoreResult("contain", -1L)
+        }),
+      stores.ivf.map(path => () =>
+        step("ivf") {
+          IvfIndex.deleteDocs(idsN, "id", path)
+          IvfIndex.compact(spark, path)
+          StoreResult("ivf", -1L)
+        }),
+      stores.ivfPq.map(path => () =>
+        step("ivfpq") {
+          IvfPq.deleteDocs(idsN, "id", path)
+          IvfPq.compact(spark, path)
+          StoreResult("ivfpq", -1L)
+        }),
+      stores.edge.map(path => () =>
+        step("edge") {
+          if (graft.llm.RunSlots.slotCount(spark, s"$path/edges") > 0)
+            graft.operators.EdgeStore.compact(spark, path)
+          val (_, removed) =
+            graft.operators.EdgeStore.dropNodes(spark, path, idsN, "id")
+          StoreResult("edge", removed)
+        })).flatten)
 
-    // 2. candidate indexes: tombstone then compact — hidden-at-serve
-    //    is immediate, the compact makes it PHYSICAL
-    stores.minhash.foreach { path =>
-      step("minhash") {
-        MinHashIndex.deleteDocs(idsN, "id", path)
-        MinHashIndex.compact(spark, path)
-        StoreResult("minhash", -1L)
-      }
-    }
-    stores.lexical.foreach { path =>
-      step("lexical") {
-        Retrieval.deleteIndexDocs(idsN, "id", path)
-        Retrieval.compactIndex(spark, path)
-        StoreResult("lexical", -1L)
-      }
-    }
-    stores.contain.foreach { path =>
-      step("contain") {
-        ContainIndex.deleteDocs(idsN, "id", path)
-        ContainIndex.compact(spark, path)
-        StoreResult("contain", -1L)
-      }
-    }
-    stores.ivf.foreach { path =>
-      step("ivf") {
-        IvfIndex.deleteDocs(idsN, "id", path)
-        IvfIndex.compact(spark, path)
-        StoreResult("ivf", -1L)
-      }
-    }
-    stores.ivfPq.foreach { path =>
-      step("ivfpq") {
-        IvfPq.deleteDocs(idsN, "id", path)
-        IvfPq.compact(spark, path)
-        StoreResult("ivfpq", -1L)
-      }
-    }
-
-    // 3. graph: edges first (the id stops feeding PageRank), then the
-    //    label store re-closure over the SURVIVING pair universe. Both
-    //    dropNodes refuse live slots — compact them into the fold
-    //    manifest first, which is exactly what makes a later replay of
-    //    a folded batch a no-op instead of an erasure-undo.
-    stores.edge.foreach { path =>
-      step("edge") {
-        if (graft.llm.RunSlots.slotCount(spark, s"$path/edges") > 0)
-          graft.operators.EdgeStore.compact(spark, path)
-        val (_, removed) =
-          graft.operators.EdgeStore.dropNodes(spark, path, idsN, "id")
-        StoreResult("edge", removed)
-      }
-    }
+    // 3b. the label store re-closure over the SURVIVING pair universe —
+    //    AFTER the edge group in every mode: the caller-supplied pair
+    //    universe may itself read the edge store (the documented
+    //    EdgeStore.read example), so it must see the post-erasure
+    //    edges. Both dropNodes refuse live slots — compact them into
+    //    the fold manifest first, which is exactly what makes a later
+    //    replay of a folded batch a no-op instead of an erasure-undo.
     stores.label.foreach { t =>
       step("label") {
         if (graft.llm.RunSlots.slotCount(spark, s"${t.path}/byn") > 0 ||
@@ -460,19 +486,18 @@ object Forget {
       }
     }
 
-    // 4. key-carrying summary stores
-    stores.topk.foreach { path =>
-      step("topk") {
-        graft.operators.TopKStore.dropKeys(spark, path, idsN, "id")
-        StoreResult("topk", -1L)
-      }
-    }
-    stores.sample.foreach { path =>
-      step("sample") {
-        graft.operators.SampleStore.dropKeys(spark, path, idsN, "id")
-        StoreResult("sample", -1L)
-      }
-    }
+    // 4. key-carrying summary stores (independent of each other)
+    runGroup(Seq[Option[() => Unit]](
+      stores.topk.map(path => () =>
+        step("topk") {
+          graft.operators.TopKStore.dropKeys(spark, path, idsN, "id")
+          StoreResult("topk", -1L)
+        }),
+      stores.sample.map(path => () =>
+        step("sample") {
+          graft.operators.SampleStore.dropKeys(spark, path, idsN, "id")
+          StoreResult("sample", -1L)
+        })).flatten)
 
     // 5. probabilistic sketch stores, when even the residual signal
     //    must go: re-seed from the SURVIVING corpus at the declared
@@ -515,7 +540,10 @@ object Forget {
       fs.create(new org.apache.hadoop.fs.Path(dir, "_complete"), true).close()
     }
     idsN.unpersist()
-    Report(out.result())
+    // inventory-ordered report: identical to the historical sequential
+    // append order, and deterministic under overlapped groups
+    val byName = out.toSeq.map(r => r.store -> r).toMap
+    Report(stepNames(stores, denylist).flatMap(byName.get))
   }
 
   /** Test-only crash injection: the Nth `step` body (0-based) throws
@@ -571,7 +599,7 @@ object Forget {
     * serializable; declaring the set next to the ingest code is the
     * operator contract.) No-op (all -2 rows) on a `_complete` journal. */
   def resume(spark: SparkSession, journal: Journal,
-             stores: Stores): Report = {
+             stores: Stores, overlapStores: Int = 1): Report = {
     val fs = new org.apache.hadoop.fs.Path(journal.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(
@@ -586,7 +614,7 @@ object Forget {
     val denylist = flags.contains("denylist=true")
     val ids = spark.read.parquet(journal.idsDir)
     forgetDocs(spark, ids, "id", stores, chunkCompact, denylist,
-      Some(journal))
+      Some(journal), overlapStores)
   }
 
   /** Erasure COMPLIANCE AUDIT — the independent half of the takedown

@@ -173,19 +173,25 @@ object PageRank {
       var it = 0
       var done = false
       while (!done && it < iters) {
-        val dangSum = r.join(dangling, Seq("v"), "left_semi")
-          .agg(coalesce(sum("r"), lit(0L))).first().getLong(0)
-        val dm = dangSum / nBase // per-recipient dangling share
+        // the dangling mass rides the SAME job as the rank pass: a
+        // 1-row broadcast cross join instead of a driver-scalar action
+        // per iteration (was: one extra pass over the rank vector per
+        // iteration just to fetch Σ_dangling to the driver — identical
+        // integer math, half the per-iteration actions)
+        val dangRow = broadcast(r.join(dangling, Seq("v"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L)).as("__dang")))
+        val dmExpr = s"(__dang div $nBase)" // per-recipient dangling share
         val contrib = ew.join(r, ew("src") === r("v"))
           .select(col("dst"), expr("(r * w) div wt").as("c"))
           .groupBy("dst").agg(sum("c").as("c"))
         // lineage cut — see scaladoc
         val next = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+          .crossJoin(dangRow)
           .select(nodes("v"),
             (when(col("is_seed"), lit(base)).otherwise(
               if (seeds.isEmpty) lit(base) else lit(0L))
               + expr(s"($dampNum * (coalesce(c, 0) + " +
-                s"(case when is_seed then $dm else ${if (seeds.isEmpty) dm else 0L} end))) div $dampDen"))
+                s"(case when is_seed then $dmExpr else ${if (seeds.isEmpty) dmExpr else "0"} end))) div $dampDen"))
               .as("r"))
           .localCheckpoint(true)
         tolL1.foreach { tol =>

@@ -63,6 +63,19 @@ object GraftSession {
       // emptiness test further down, worthless on derived columns.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Bound the plan-string renders AQE rebuilds on EVERY plan update:
+      // AdaptiveSparkPlanExec.onUpdatePlan composes a full explainString
+      // per stage materialization whether or not anything consumes it
+      // (here the UI is off; on a cluster the SQL tab does), and the
+      // per-update cost is O(rendered plan). 64 KB keeps real plans
+      // fully readable for debugging while capping the degenerate
+      // renders (a cache-nested CC sweep measured 196 KB per update
+      // before the round-18 lineage fixes; the residual cap is worth
+      // 10-30% wall on plan-update-heavy operators — measured on the
+      // retrain/materialize gates). This is the documented Spark remedy
+      // (maxPlanStringLength exists precisely for plan-string cost);
+      // it changes no semantics, only diagnostic text length.
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.ui.enabled", "false")
   }
 }

@@ -761,10 +761,15 @@ object ChunkStore {
     val (manSrc, partialSlots) = committedManifestRead(spark, path, "gc")
     val committedLive = visibleManifestFrom(spark, path, manSrc)
       .select("chunk_hash")
+    // eager localCheckpoint, not persist: the liveness set feeds BOTH
+    // the census anti-join and the staging semi-join, and a persist
+    // would embed the manifest window plan in both consumers' trees —
+    // every AQE stage re-optimization then walks it twice (the same
+    // multi-reference blow-up the CC pair checkpoint removed)
     val live = partialSlotHashes(spark, s"$path/manifest", fs, partialSlots)
       .map(committedLive.unionByName(_)).getOrElse(committedLive)
-      .distinct().persist()
-    require(live.limit(1).count() > 0,
+      .distinct().localCheckpoint(true)
+    require(!live.isEmpty,
       s"ChunkStore.gc: no document survives at $path — collecting would " +
         "leave an empty chunk tree that breaks every later read; delete " +
         "or rebuild the store instead")
@@ -774,7 +779,7 @@ object ChunkStore {
       .join(live, Seq("chunk_hash"), "left_anti")
       .groupBy("cb").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.get(0).toString, r.getLong(1)))
-    if (dirty.isEmpty) { live.unpersist(); return (0, 0L) }
+    if (dirty.isEmpty) return (0, 0L)
     val collected = dirty.map(_._2).sum
 
     // stage the dirty buckets' SURVIVING rows (explicit bucket paths —
@@ -793,7 +798,6 @@ object ChunkStore {
       .join(live, Seq("chunk_hash"), "left_semi")
       .repartition(col("cb")).sortWithinPartitions("chunk_hash")
       .write.partitionBy("cb").parquet(tmpRoot.toString)
-    live.unpersist()
 
     // install per bucket: backup-rename, move staged (or plain delete
     // when the whole bucket was garbage), drop backup — prefix-atomic
@@ -923,7 +927,16 @@ object ChunkStore {
     * rows (superseded runs and tombstoned docs dropped), drop chunk
     * rows no live manifest references, clear applied tombstones, and
     * leave one file per chunk bucket. Surviving documents reconstruct
-    * byte-identically.
+    * byte-identically. Returns the number of chunk ROWS the rewrite
+    * dropped — [[gc]]'s `collected` for the full-rewrite path, so a
+    * takedown that compacts anyway never needs a separate gc pass
+    * (gc's dirty-bucket rewrite is a strict subset of this one).
+    *
+    * Refuses when NO document survives the fold (and no partial slot
+    * rides over): installing an empty manifest/chunk tree would make
+    * every later read throw instead of returning empty — an
+    * empty-after store is a delete decision, not a compaction (the
+    * [[IvfLayout.compact]] refusal, and [[gc]]'s).
     *
     * Crash contract (the [[IvfLayout.compact]] discipline): both new
     * trees are STAGED fully before any install; each install is a
@@ -937,11 +950,11 @@ object ChunkStore {
     * mid-swap leaves `__compact_old` / `__compact_parked` wreckage, a
     * re-run fails loudly while it exists, and [[repairCompact]]
     * executes the phase-accurate remedy. */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String): Long =
     graft.warehouse.Warehouse.withPathLease(spark, path,
       what = s"chunk store $path")(compactLocked(spark, path))
 
-  private def compactLocked(spark: SparkSession, path: String): Unit = {
+  private def compactLocked(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
@@ -1002,6 +1015,21 @@ object ChunkStore {
         folded0.select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
           col("seq"))
     stagedBase.write.parquet(s"$manTmp/run=__base__")
+    // a fold that leaves NO live manifest row (every doc tombstoned or
+    // superseded away) with no partial slot to carry must refuse, like
+    // gc: installing an empty tree breaks every later read ("unable to
+    // infer schema"), and a full takedown is a delete-the-store
+    // decision, not a compaction. Checked on the STAGED rows (no extra
+    // pass over the live store; nothing is installed yet).
+    if (partialSlots.isEmpty &&
+        (!hasDataFiles(fs, new Path(s"$manTmp/run=__base__")) ||
+          spark.read.parquet(s"$manTmp/run=__base__").isEmpty)) {
+      fs.delete(manTmp, true); fs.delete(chTmp, true)
+      throw new IllegalStateException(
+        s"ChunkStore.compact: compacting $path would leave an EMPTY store " +
+          "(every document tombstoned or the store was empty) — delete " +
+          "or rebuild the store instead of compacting")
+    }
     // partial slots ride verbatim, WITH their seq sidecars — the replay
     // must still recover its first delivery's seq after the install
     // (folded slots' sidecars die with the old manifest tree: their
@@ -1036,6 +1064,11 @@ object ChunkStore {
       .repartition(col("cb"))
       .sortWithinPartitions("chunk_hash")
       .write.partitionBy("cb").parquet(chTmp.toString)
+    // rows the rewrite dropped = what a gc before this compact would
+    // have collected — two footer-cheap parquet counts (no column
+    // reads), so the takedown path can skip its separate gc pass
+    val purged = spark.read.parquet(s"$path/chunks").count() -
+      spark.read.parquet(chTmp.toString).count()
     // 3. install both trees by backup-rename + move. Applied tombstones
     //    are PARKED (atomic rename to a recoverable sibling, deleted in
     //    cleanup) IMMEDIATELY after the manifest install, and strictly
@@ -1071,6 +1104,7 @@ object ChunkStore {
     fs.delete(manOld, true); fs.delete(chOld, true)
     fs.delete(parked, true)
     writeMeta(spark, path, nBuckets, meta.map(_._2).getOrElse(0L))
+    purged
   }
 
   /** TEST-ONLY failpoint for [[compact]]'s install sequence (see the

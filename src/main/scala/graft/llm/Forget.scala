@@ -425,8 +425,15 @@ object Forget {
       stores.chunk.map(path => () =>
         step("chunk") {
           ChunkStore.deleteDocs(idsN, "id", path)
-          val (_, collected) = ChunkStore.gc(spark, path)
-          if (chunkCompact) ChunkStore.compact(spark, path)
+          // chunkCompact fuses the rewrite (guide §6/§1.2): compact's
+          // staged tree already drops every chunk row no live manifest
+          // references — running gc first rewrote the dirty buckets a
+          // second time for the identical end state. compact returns
+          // the purged-row count (== what gc would have collected) and
+          // refuses a full wipe exactly like gc.
+          val collected =
+            if (chunkCompact) ChunkStore.compact(spark, path)
+            else ChunkStore.gc(spark, path)._2
           StoreResult("chunk", collected)
         }),
       stores.minhash.map(path => () =>

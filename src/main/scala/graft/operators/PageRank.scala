@@ -184,24 +184,41 @@ object PageRank {
         val contrib = ew.join(r, ew("src") === r("v"))
           .select(col("dst"), expr("(r * w) div wt").as("c"))
           .groupBy("dst").agg(sum("c").as("c"))
-        // lineage cut — see scaladoc
-        val next = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+        val rankCol =
+          (when(col("is_seed"), lit(base)).otherwise(
+            if (seeds.isEmpty) lit(base) else lit(0L))
+            + expr(s"($dampNum * (coalesce(c, 0) + " +
+              s"(case when is_seed then $dmExpr else ${if (seeds.isEmpty) dmExpr else "0"} end))) div $dampDen"))
+            .as("r")
+        val updated = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
           .crossJoin(dangRow)
-          .select(nodes("v"),
-            (when(col("is_seed"), lit(base)).otherwise(
-              if (seeds.isEmpty) lit(base) else lit(0L))
-              + expr(s"($dampNum * (coalesce(c, 0) + " +
-                s"(case when is_seed then $dmExpr else ${if (seeds.isEmpty) dmExpr else "0"} end))) div $dampDen"))
-              .as("r"))
-          .localCheckpoint(true)
+        // tol variants carry the PREVIOUS rank through the same job (an
+        // equi-join on the already-materialized vector) so the L1 delta
+        // is one aggregate over the checkpoint blocks — no second
+        // node-scale join pass per iteration. The rank column itself is
+        // the identical expression either way.
+        // Partitioning note (§2.4): at scale the nodes⋈contrib join is
+        // a sort-merge keyed on `v`, so the checkpointed LogicalRDD
+        // already carries HashPartitioning(v) into the next iteration's
+        // `v`-keyed joins — an explicit repartition(v) here was
+        // measured to only ADD an exchange in the broadcast regime
+        // (pagerank_warm 4.8 → 5.8 s) while duplicating what the SMJ
+        // output partitioning provides for free in the shuffle regime.
+        val next = (tolL1 match {
+          case Some(_) =>
+            updated.join(r.select(col("v").as("__pv"), col("r").as("__rp")),
+                col("v") === col("__pv"))
+              .select(nodes("v"), rankCol, col("__rp"))
+          case None => updated.select(nodes("v"), rankCol)
+        }).localCheckpoint(true)
         tolL1.foreach { tol =>
-          val delta = next.join(r.select(col("v"), col("r").as("rp")), "v")
-            .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)))
+          val delta = next
+            .agg(coalesce(sum(abs(col("r") - col("__rp"))), lit(0L)))
             .first().getLong(0)
           if (delta <= tol) done = true
         }
         r.unpersist()
-        r = next
+        r = if (tolL1.isDefined) next.select(col("v"), col("r")) else next
         it += 1
       }
       dangling.unpersist()

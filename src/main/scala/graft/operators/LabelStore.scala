@@ -201,10 +201,17 @@ object LabelStore {
     // never folds in (it would relabel the survivor's component with
     // the forgotten id back in the closure)
     val kept = graft.llm.Denylist.excludePair(pairs, aCol, bCol, spark, path)
-    val p = kept.select(col(aCol).as("u"), col(bCol).as("v")).persist()
-    p.count()
+    // every multi-referenced frame below is an eager localCheckpoint,
+    // not persist(+count): each is consumed by 2-3 downstream plans,
+    // and a persist embeds its whole upstream tree (pruned reads,
+    // denylist anti-joins) in every consumer — trees that AQE re-walks
+    // on each of this method's many per-batch jobs (the CC Finding-1
+    // blow-up, applied to the per-micro-batch loop per r18 verdict #2)
+    val p = kept.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
     val batchNodes = p.select(col("u"))
-      .unionByName(p.select(col("v").as("u"))).distinct().persist()
+      .unionByName(p.select(col("v").as("u"))).distinct()
+      .localCheckpoint(true)
 
     // 1. batch nodes' current labels — pruned to their nb= buckets
     val nbs = batchNodes.select(nbCol(col("u"), nBuckets).as("b"))
@@ -212,9 +219,9 @@ object LabelStore {
     val batchCurrent = prunedRead(spark, s"$path/byn", "nb", nbs, runId)
       .join(batchNodes, col("node") === col("u"), "left_semi")
       .groupBy("node").agg(min(col("label")).as("label"))
-      .persist()
-    val touchedLabels = batchCurrent.select("label").distinct().persist()
-    touchedLabels.count()
+      .localCheckpoint(true)
+    val touchedLabels = batchCurrent.select("label").distinct()
+      .localCheckpoint(true)
 
     // 2. touched components' members — pruned to their cb= buckets;
     //    every row surviving the semi-join on CURRENT labels is itself
@@ -223,7 +230,7 @@ object LabelStore {
       .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets
     val members = prunedRead(spark, s"$path/byc", "cb", cbs, runId)
       .join(touchedLabels, Seq("label"), "left_semi")
-      .persist()
+      .localCheckpoint(true)
 
     // 3. rerun CC over star edges + batch pairs (the incremental() body)
     val stars = members.filter(col("node") =!= col("label"))
@@ -236,8 +243,6 @@ object LabelStore {
     val delta = sub.join(old, Seq("node", "label"), "left_anti")
       .localCheckpoint(true)
     writeCopies(delta, path, nBuckets, runId)
-    Seq(p, batchNodes, batchCurrent, touchedLabels, members)
-      .foreach(_.unpersist())
     delta
   }
 
@@ -354,23 +359,26 @@ object LabelStore {
               "LabelStore.repairDrop, which is this remedy)"))
     }
 
+    // eager localCheckpoints, not persists: each frame feeds 2-3
+    // downstream plans (semi/anti joins, the bucket censuses, both
+    // stages) — same multi-reference plan blow-up as applyBatch above
     val dropB = drop.select(col(dropCol).cast("long").as("node"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     // 1. affected components: drop nodes' labels, bucket-pruned
     val nbsDrop = dropB.select(nbCol(col("node"), nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets
     val affectedLabels = prunedRead(spark, s"$path/byn", "nb", nbsDrop, None)
       .join(dropB, Seq("node"), "left_semi")
-      .select("label").distinct().persist()
+      .select("label").distinct().localCheckpoint(true)
     val nAffected = affectedLabels.count()
-    if (nAffected == 0L) { dropB.unpersist(); affectedLabels.unpersist(); return (0L, 0) }
+    if (nAffected == 0L) return (0L, 0)
 
     // 2. their members, bucket-pruned on the component copy
     val cbsOld = affectedLabels.select(nbCol(col("label"), nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val members = prunedRead(spark, s"$path/byc", "cb", cbsOld, None)
       .join(affectedLabels, Seq("label"), "left_semi")
-      .select("node").persist()
+      .select("node").localCheckpoint(true)
 
     // 3. re-close the surviving pairs of the affected components
     val p = pairs.select(col(aCol).cast("long").as("u"),
@@ -439,7 +447,6 @@ object LabelStore {
       () => stage(s"$path/byc", "cb", dirtyCb,
         nbCol(col("label"), nBuckets)).distinct)
     val (bynDirty, bycDirty) = (staged(0), staged(1))
-    Seq(dropB, affectedLabels, members).foreach(_.unpersist())
 
     // 6. install: every bucket of both copies first (backups kept),
     //    then drop the staging trees, then the backups

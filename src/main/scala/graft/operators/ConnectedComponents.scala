@@ -63,8 +63,13 @@ object ConnectedComponents {
       .unionByName(nodes.withColumn("v", col("u")))
       .repartition(col("v"))
       .localCheckpoint(true)
-    var labels = nodes.select(col("u").as("node"), col("u").as("label"))
-      .localCheckpoint()
+    // no materialized init vector: round 1's labels are the identity
+    // (label(v) = v), so its sweep is min(v) per u over the edge table
+    // directly — one node-scale join and one checkpoint job less per
+    // run than materializing (node, node) and joining it (§1.2 "don't
+    // compute things you throw away"; at graph scale that join is a
+    // full pass over the vector)
+    var labels: DataFrame = null
     // sum() over an empty table is NULL — getLong would NPE on a corpus
     // with zero pairs; an empty graph is already converged
     def labelSum(df: DataFrame): Long =
@@ -75,8 +80,10 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       // sweep: label <- min over self+neighborhood (self-loops make the
       // "own label" term part of the same aggregation)
-      val swept = edges
-        .join(labels.select(col("node").as("v"), col("label").as("vlab")), "v")
+      val swept = (
+        if (iter == 0) edges.select(col("u"), col("v").as("vlab"))
+        else edges
+          .join(labels.select(col("node").as("v"), col("label").as("vlab")), "v"))
         .groupBy(col("u")).agg(min(col("vlab")).as("label"))
         .select(col("u").as("node"), col("label"))
         .persist() // self-joined below
@@ -98,7 +105,9 @@ object ConnectedComponents {
     // p's and edges' checkpoint blocks release via the context cleaner
     // when the RDDs go out of scope (same lifecycle as the per-round
     // labels)
-    labels
+    if (labels == null) // maxIter = 0: the identity labeling, as before
+      nodes.select(col("u").as("node"), col("u").as("label"))
+    else labels
   }
 
   /** INCREMENTAL update: merge a batch of new pairs into an existing

@@ -27,8 +27,14 @@ object Par {
     try {
       val fs = tasks.map(t => pool.submit(
         new java.util.concurrent.Callable[T] { override def call(): T = t() }))
-      // settle everything before surfacing the first failure
-      val settled = fs.map(f => scala.util.Try(f.get()))
+      // settle everything before surfacing the first failure — and
+      // surface the task's OWN exception, not the pool's
+      // ExecutionException wrapper (callers match on the real type:
+      // store-op refusals, injected failpoints)
+      val settled = fs.map(f => scala.util.Try(f.get()).recoverWith {
+        case e: java.util.concurrent.ExecutionException
+          if e.getCause != null => scala.util.Failure(e.getCause)
+      })
       settled.map(_.get)
     } finally pool.shutdown()
   }

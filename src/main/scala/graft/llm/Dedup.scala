@@ -433,13 +433,25 @@ object Dedup {
 
   /** Exact cosine >= t pairs by brute-force self-join — the verification
     * baseline. Norms are precomputed per vector (n ops, not n²); the pair
-    * stage computes only the dot product. O(n²) compute but distributed;
-    * for the 100 TB path use Similarity.lshTopK's hyperplane bucketing as
-    * the candidate generator instead. */
+    * stage computes only the dot product. O(n²) compute but distributed.
+    *
+    * Above `exactMaxRows` the unconditional cartesian is refused (r18
+    * verdict #8 — an O(n²) self-join on a declared path is a 100 TB
+    * foot-gun) and candidates route through [[embeddingNearDupPairsLsh]]
+    * instead: hyperplane-LSH chunk bucketing, exact cosine verify.
+    * Recall at near-dup thresholds (cos ≳ 0.9) is high but not 1.0 —
+    * pairs whose vectors collide in no LSH chunk are missed; callers
+    * needing the exact answer on a large corpus must raise the ceiling
+    * deliberately (and pay the cartesian) or pre-collapse with
+    * [[exact]]. Below the ceiling results are byte-identical to the
+    * historical brute force. The one extra count() that sizes the input
+    * is node-scale, never O(n²). */
   def embeddingNearDupPairs(
       emb: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, exactMaxRows: Long = 1L << 20): DataFrame = {
     import graft.functions.VectorFunctions.floatVecDot
+    if (emb.count() > exactMaxRows)
+      return embeddingNearDupPairsLsh(emb, vecCol, idCol, threshold)
     def norm(v: Column) = sqrt(floatVecDot(v, v))
     val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       norm(col(vecCol)).as("n_a"))

@@ -44,8 +44,8 @@ object ConnectedComponents {
     // sweep plan: 196 KB of treeString). Checkpoint collapses it to one
     // LogicalRDD node; same blocks stored, same results, lineage
     // truncated like the per-round labels below.
-    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .localCheckpoint(true)
+    val p = graft.core.Lineage.cut(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
     // Undirected = both directions, plus a self-loop per node so one
     // join+agg computes min(own, neighbors') directly. No distinct():
     // duplicate edges cannot change a MIN.
@@ -58,11 +58,10 @@ object ConnectedComponents {
     // AND collapses the 3-way union-of-cache-references plan to one
     // node (the AQE re-render blow-up, see `p` above).
     val nodes = p.select(col("u")).unionByName(p.select(col("v").as("u"))).distinct()
-    val edges = p
+    val edges = graft.core.Lineage.cut(p
       .unionByName(p.select(col("v").as("u"), col("u").as("v")))
       .unionByName(nodes.withColumn("v", col("u")))
-      .repartition(col("v"))
-      .localCheckpoint(true)
+      .repartition(col("v")))
     // no materialized init vector: round 1's labels are the identity
     // (label(v) = v), so its sweep is min(v) per u over the edge table
     // directly — one node-scale join and one checkpoint job less per
@@ -90,11 +89,10 @@ object ConnectedComponents {
       // path halving: label <- label's label (labels are node ids, so the
       // lookup table is the sweep itself; a root keeps its own label via
       // the left join's null)
-      val next = swept
+      val next = graft.core.Lineage.cut(swept
         .join(swept.select(col("node").as("label"), col("label").as("label2")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint()
+        .select(col("node"), coalesce(col("label2"), col("label")).as("label")))
       swept.unpersist()
       val s = labelSum(next)
       converged = s == prevSum
@@ -135,8 +133,8 @@ object ConnectedComponents {
     // batch pairs fan into batchNodes + the sub-closure, and a persist
     // would embed the caller's whole pair-mining pipeline in every
     // downstream plan AQE re-renders
-    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .localCheckpoint(true)
+    val p = graft.core.Lineage.cut(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
     val batchNodes = p.select(col("u"))
       .unionByName(p.select(col("v").as("u"))).distinct()
     val touchedLabels = labels
@@ -149,8 +147,8 @@ object ConnectedComponents {
       .select(col("node").as("u"), col("label").as("v"))
     val sub = run(stars.unionByName(p), "u", "v", maxIter)
     val untouched = labels.join(touchedLabels, Seq("label"), "left_anti")
-    val out = untouched.select(col("node"), col("label")).unionByName(sub)
-      .localCheckpoint(true)
+    val out = graft.core.Lineage.cut(
+      untouched.select(col("node"), col("label")).unionByName(sub))
     touchedLabels.unpersist()
     out
   }

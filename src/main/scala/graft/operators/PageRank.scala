@@ -204,13 +204,17 @@ object PageRank {
         // measured to only ADD an exchange in the broadcast regime
         // (pagerank_warm 4.8 → 5.8 s) while duplicating what the SMJ
         // output partitioning provides for free in the shuffle regime.
-        val next = (tolL1 match {
+        // lineage cut via Lineage.cut: localCheckpoint by default, a
+        // reliable checkpoint under spark.graft.checkpoint.dir (the
+        // cluster fault-tolerance posture — one executor loss must not
+        // rerun the whole iteration chain at 100 TB)
+        val next = graft.core.Lineage.cut(tolL1 match {
           case Some(_) =>
             updated.join(r.select(col("v").as("__pv"), col("r").as("__rp")),
                 col("v") === col("__pv"))
               .select(nodes("v"), rankCol, col("__rp"))
           case None => updated.select(nodes("v"), rankCol)
-        }).localCheckpoint(true)
+        })
         tolL1.foreach { tol =>
           val delta = next
             .agg(coalesce(sum(abs(col("r") - col("__rp"))), lit(0L)))

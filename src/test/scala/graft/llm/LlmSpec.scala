@@ -149,6 +149,20 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.subsetOf(exact), "LSH-verified pairs must be exact pairs")
     assert(exact.size == 20, s"expected the 20 planted pairs, got ${exact.size}")
     assert(lsh.size >= 18, s"LSH recall ${lsh.size}/${exact.size} in the near-dup regime")
+    // above the exactMaxRows ceiling the declared path refuses the
+    // cartesian and routes through the LSH candidates (r18 verdict #8)
+    val routed = Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
+      0.99, exactMaxRows = 1L)
+    assert(!routed.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"),
+      "large-input plan must not contain a cartesian product")
+    assert(labelsOfPairs(routed) === lsh,
+      "routed path must serve exactly the LSH-verified pairs")
+  }
+
+  private def labelsOfPairs(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.as[(Long, Long)].collect().toSet
   }
 
   test("dedup: exact dedup keeps one survivor per distinct text") {
